@@ -1,13 +1,144 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query naming: `<opId>_<slug>` where opId ties back to the SURVEY.md §2
+  * inventory (g=aggregation, j=join, w=window, s=set-op, t=top-k, r=rollup,
+  * d=distinct, p=projection/scalar, n=NLP, a=array, q=composed reference
+  * query, x=no-oracle extensions).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.g01AggPricing(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g01_agg_pricing"    -> (Relational.g01AggPricing _),
+    "g02_count_distinct" -> (Relational.g02CountDistinct _),
+    "j01_region_revenue" -> (Relational.j01RegionRevenue _),
+    "j02_semi_urgent"    -> (Relational.j02SemiUrgent _),
+    "j03_anti_recent"    -> (Relational.j03AntiRecent _),
+    "j04_range_band"     -> (Relational.j04RangeBand _),
+    "w01_top_per_customer" -> (Relational.w01TopPerCustomer _),
+    "w02_running_revenue"  -> (Relational.w02RunningRevenue _),
+    "w03_lag_days"         -> (Relational.w03LagDays _),
+    "s01_except_active"    -> (Relational.s01ExceptActive _),
+    "s02_intersect_active" -> (Relational.s02IntersectActive _),
+    "s03_union_years"      -> (Relational.s03UnionYears _),
+    "t01_top30_orders"     -> (Relational.t01Top30Orders _),
+    "d01_distinct_flags"   -> (Relational.d01DistinctFlags _),
+    "r01_rollup_status"    -> (Relational.r01RollupStatus _),
+    "r02_cube_flags"       -> (Relational.r02CubeFlags _),
+    "x01_approx_distinct"  -> (Relational.x01ApproxDistinct _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "g01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "g02_count_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "j01_region_revenue" ->
+      """SELECT r_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "j02_semi_urgent" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "j03_anti_recent" ->
+      """SELECT c_nationkey, COUNT(*) AS n_inactive
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate > TIMESTAMP '2000-12-31 00:00:00')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "j04_range_band" ->
+      """SELECT l_returnflag, COUNT(*) AS n_in_band
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |  AND l_extendedprice >= p_retailprice * 0.5
+        |  AND l_extendedprice <= p_retailprice * 20.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "w01_top_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "w02_running_revenue" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "w03_lag_days" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(DATE_DIFF('day',
+        |    CAST(LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate ASC, o_orderkey ASC) AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "s01_except_active" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+    "s02_intersect_active" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+        |INTERSECT
+        |SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+    "s03_union_years" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice, CAST(1995 AS BIGINT) AS yr FROM orders
+        |  WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, CAST(1996 AS BIGINT) AS yr FROM orders
+        |  WHERE EXTRACT(YEAR FROM o_orderdate) = 1996) t
+        |ORDER BY yr, o_orderkey""".stripMargin,
+    "t01_top30_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 30""".stripMargin,
+    "d01_distinct_flags" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "r01_rollup_status" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "r02_cube_flags" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+  )
 }

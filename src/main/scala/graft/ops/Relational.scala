@@ -1,0 +1,235 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational core over the star schema: aggregations, joins, windows,
+  * set ops, top-k, rollup (SURVEY.md §2.5, §2.6).
+  *
+  * Determinism rules (oracle hash-parity, SURVEY §7.4):
+  *  - every money/quantity SUM casts elements to decimal(18,2) first, so the
+  *    sum is exact and order-independent, then the result is cast back to
+  *    double (same nearest-double in Spark and DuckDB);
+  *  - every output has a total ORDER BY with tiebreakers;
+  *  - nullable sort keys pin NULLS FIRST on both sides (Spark asc default).
+  *
+  * Scale notes: aggregations are partial (map-side combine) by construction;
+  * dimension joins (region/nation/supplier) are explicit `broadcast`; the
+  * orders↔customer join is left to AQE (broadcastable at test SF, shuffle
+  * hash/sort-merge on a cluster).
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a 2-decimal double column. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** G1/G5 + P3 shape — TPC-H Q1-style pricing summary (hash agg, map-side
+    * partials, single shuffle on the two group keys). */
+  def g01AggPricing(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        sum($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1) - $"l_discount".cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** §2.6 equi-joins — revenue per region: orders→customer (AQE-picked)
+    * →nation→region (explicit broadcast: dims are tiny at any scale). */
+  def j01RegionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+    val n = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_regionkey")
+    val r = Tables.region(spark, sfDir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name")
+      .agg(dsum($"o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy($"r_name")
+  }
+
+  /** §2.6 semi-join — customers that placed an urgent order, counted per
+    * market segment (left_semi keeps the build side un-materialized). */
+  def j02SemiUrgent(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+    val urgent = Tables.orders(spark, sfDir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey")
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** §2.6 anti-join — customers with no order after 2000-12-31, per nation. */
+  def j03AntiRecent(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+    val recent = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" > lit("2000-12-31").cast("timestamp"))
+      .select($"o_custkey")
+    c.join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_inactive"))
+      .orderBy($"c_nationkey")
+  }
+
+  /** §2.6 window functions — top-3 orders per customer by price
+    * (row_number with full tiebreaker; single shuffle on o_custkey). */
+  def w01TopPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** §2.6 window frame — per-customer running revenue ordered by date
+    * (sum over rowsBetween unboundedPreceding..current; decimal for exact
+    * prefix sums). */
+  def w02RunningRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .withColumn("running_spend",
+        sum($"o_totalprice".cast("decimal(18,2)")).over(w).cast("double"))
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"running_spend")
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  /** §2.6 lag/lead — days since the customer's previous order. */
+  def w03LagDays(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("prev_date", lag($"o_orderdate", 1).over(w))
+      .withColumn("days_since_prev",
+        datediff($"o_orderdate", $"prev_date").cast("long"))
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"days_since_prev")
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  /** §2.6 set ops — custkeys active in 1995 but not in 1996 (EXCEPT). */
+  def s01ExceptActive(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    def activeIn(y: Int): DataFrame =
+      o.filter(year($"o_orderdate") === y).select($"o_custkey").distinct()
+    activeIn(1995).except(activeIn(1996)).orderBy($"o_custkey")
+  }
+
+  /** §2.6 set ops — custkeys active in both 1995 and 1996 (INTERSECT). */
+  def s02IntersectActive(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    def activeIn(y: Int): DataFrame =
+      o.filter(year($"o_orderdate") === y).select($"o_custkey").distinct()
+    activeIn(1995).intersect(activeIn(1996)).orderBy($"o_custkey")
+  }
+
+  /** P11 — global top-k: Spark plans TakeOrderedAndProject (no full sort). */
+  def t01Top30Orders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(30)
+  }
+
+  /** §2.6 distinct — dropDuplicates on the two flag columns. */
+  def d01DistinctFlags(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_linestatus")
+      .dropDuplicates()
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** §2.6 rollup — order counts by (status, priority) with subtotals.
+    * grouping_id disambiguates real NULLs from rollup NULLs. */
+  def r01RollupStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
+        $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** §2.6 grouping sets via cube — counts over all subsets of
+    * (returnflag, linestatus). */
+  def r02CubeFlags(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+      .orderBy($"gid", $"l_returnflag".asc_nulls_first,
+        $"l_linestatus".asc_nulls_first)
+  }
+
+  /** §2.6 exact count-distinct (HLL sibling x01 is rows-only checked). */
+  def g02CountDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_orderkey").as("n_orders"),
+        countDistinct($"l_partkey").as("n_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** §2.6 approx_count_distinct (HLL++) — rows-only check: HLL estimates
+    * are implementation-specific, no DuckDB hash parity by design. */
+  def x01ApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** §2.6 range/theta join — lineitems priced inside a per-part band
+    * around retail price (non-equi conjunct on top of the equi key keeps
+    * this a hash join with post-filter, not a nested loop). */
+  def j04RangeBand(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir).select($"p_partkey", $"p_retailprice")
+    l.join(broadcast(p),
+        l("l_partkey") === p("p_partkey") &&
+        l("l_extendedprice") >= p("p_retailprice") * 0.5 &&
+        l("l_extendedprice") <= p("p_retailprice") * 20.0)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_in_band"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** §2.6 union — all (key, price) pairs from two years stacked. */
+  def s03UnionYears(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    def yr(y: Int): DataFrame = o
+      .filter(year($"o_orderdate") === y)
+      .select($"o_orderkey", $"o_totalprice", lit(y).cast("long").as("yr"))
+    yr(1995).unionByName(yr(1996))
+      .orderBy($"yr", $"o_orderkey")
+  }
+}
