@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.Relational
+import graft.ops.{Analytics, LocationResolve, Relational, Transform}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.g01AggPricing(spark, "/root/testdata/sf0.001")
+    Transform.q4Master(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -35,6 +35,14 @@ object SparkEntry {
     "r01_rollup_status"    -> (Relational.r01RollupStatus _),
     "r02_cube_flags"       -> (Relational.r02CubeFlags _),
     "x01_approx_distinct"  -> (Relational.x01ApproxDistinct _),
+    "q4_master"            -> (Transform.q4Master _),
+    "q1_location_pairs"    -> (Analytics.q1LocationPairs _),
+    "q2_location_stats"    -> (Analytics.q2LocationStats _),
+    "q3_multi_details"     -> (Analytics.q3MultiDetails _),
+    "n01_normalize"        -> (Analytics.normalizeQuery _),
+    "n03_tokenize"         -> (Analytics.tokenizeQuery _),
+    "n06_tier12_relational" -> (LocationResolve.tier12Locations _),
+    "n10_nlp_columns"      -> (Analytics.nlpColumns _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -140,5 +148,13 @@ object SparkEntry {
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q4_master"             -> Transform.q4MasterSql,
+    "q1_location_pairs"     -> Analytics.q1Sql,
+    "q2_location_stats"     -> Analytics.q2Sql,
+    "q3_multi_details"      -> Analytics.q3Sql,
+    "n01_normalize"         -> Analytics.normalizeSql,
+    "n03_tokenize"          -> Analytics.tokenizeSql,
+    "n06_tier12_relational" -> LocationResolve.tier12Sql,
+    "n10_nlp_columns"       -> Analytics.nlpColumnsSql,
   )
 }
