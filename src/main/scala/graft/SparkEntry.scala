@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Analytics, LocationResolve, Relational, Transform}
+import graft.ops.{Analytics, Dedup, Events, LocationResolve, Multimodal,
+  Relational, Similarity, TextAnalysis, Transform}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,6 +44,23 @@ object SparkEntry {
     "n03_tokenize"         -> (Analytics.tokenizeQuery _),
     "n06_tier12_relational" -> (LocationResolve.tier12Locations _),
     "n10_nlp_columns"      -> (Analytics.nlpColumns _),
+    "x10_dedup_exact"      -> (Dedup.exactDedup _),
+    "x11_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
+    "x12_dedup_simhash"    -> (Dedup.simhashPairs _),
+    "x13_dedup_jaccard"    -> (Dedup.jaccardPairs _),
+    "x14_cosine_neardup"   -> (Similarity.cosineNearDupPairs _),
+    "x15_neardup_survivors" -> (Dedup.nearDupSurvivors _),
+    "x20_ann_bruteforce"   -> (Similarity.bruteForceTopK _),
+    "x21_ann_lsh"          -> (Similarity.lshTopK _),
+    "x30_text_quality"     -> (TextAnalysis.textQuality _),
+    "x31_lang_id"          -> (TextAnalysis.langId _),
+    "x32_fingerprint"      -> (TextAnalysis.fingerprint _),
+    "x40_multimodal_meta"  -> (Multimodal.mediaMeta _),
+    "x41_frame_sample"     -> (Multimodal.frameSample _),
+    "e01_window_agg"       -> (Events.windowAgg _),
+    "e02_sessionize"       -> (Events.sessionize _),
+    "e03_json_props"       -> (Events.jsonProps _),
+    "e04_first_event"      -> (Events.firstEventPerUserType _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -156,5 +174,20 @@ object SparkEntry {
     "n03_tokenize"          -> Analytics.tokenizeSql,
     "n06_tier12_relational" -> LocationResolve.tier12Sql,
     "n10_nlp_columns"       -> Analytics.nlpColumnsSql,
+    "x10_dedup_exact"       -> Dedup.exactDedupSql,
+    "x11_dedup_minhash_lsh" -> Dedup.jaccardPairsSql, // LSH verified == exact
+    "x13_dedup_jaccard"     -> Dedup.jaccardPairsSql,
+    "x14_cosine_neardup"    -> Similarity.cosineNearDupPairsSql,
+    "x15_neardup_survivors" -> Dedup.nearDupSurvivorsSql,
+    "x20_ann_bruteforce"    -> Similarity.bruteForceTopKSql,
+    "x30_text_quality"      -> TextAnalysis.textQualitySql,
+    "x31_lang_id"           -> TextAnalysis.langIdSql,
+    "x32_fingerprint"       -> TextAnalysis.fingerprintSql,
+    "x40_multimodal_meta"   -> Multimodal.mediaMetaSql,
+    "x41_frame_sample"      -> Multimodal.frameSampleSql,
+    "e01_window_agg"        -> Events.windowAggSql,
+    "e02_sessionize"        -> Events.sessionizeSql,
+    "e03_json_props"        -> Events.jsonPropsSql,
+    "e04_first_event"       -> Events.firstEventPerUserTypeSql,
   )
 }

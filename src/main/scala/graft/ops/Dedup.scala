@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication family over `documents` — the operators a 100 TB
+  * training-data pipeline needs. All pure built-in expressions (codegen'd),
+  * no UDFs:
+  *
+  *  - exact:   content hash → groupBy (one shuffle on the hash)
+  *  - minhash: shingle → 32 minhash sigs → 8×4 LSH bands → bucket join →
+  *             exact-Jaccard verify of candidates only (never O(n²))
+  *  - simhash: 64-bit sign-vote fingerprint → 8×8-bit chunk blocking
+  *             (pigeonhole: hamming ≤7 ⇒ some chunk equal) → bit_count verify
+  *  - n-gram Jaccard: inverted shingle index join (sparse similarity join)
+  *
+  * Scale notes: every candidate-generation path is blocked/banded so the
+  * pair space stays near-linear in the duplicate count; the only O(n²)
+  * formulation lives in the DuckDB oracle (which runs at sf0.01 only).
+  * Common-shingle skew is the known hazard of the inverted-index join; the
+  * LSH path is the skew-safe variant at scale.
+  */
+object Dedup {
+
+  /** Distinct word-trigram shingles (empty below 3 words). */
+  def shingles(text: Column): Column = {
+    val w = split(text, " ")
+    when(size(w) < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ",
+          element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+  }
+
+  /** x10 — exact dedup: sha256 content hash, keep-first per group. */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .groupBy(sha2($"text", 256).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keeper_doc_id"))
+      .orderBy($"keeper_doc_id")
+  }
+
+  val exactDedupSql: String =
+    """SELECT sha256(text) AS content_hash, COUNT(*) AS n_copies,
+      |  MIN(doc_id) AS keeper_doc_id
+      |FROM documents GROUP BY sha256(text) ORDER BY keeper_doc_id""".stripMargin
+
+  /** Per-doc shingle frame + inverted index. */
+  /** Materialized (doc_id, shingles, count) — persisted because (a) every
+    * dedup variant and both sides of each self-join reuse it, and (b) it
+    * blocks Catalyst from pushing the join's isnotnull filter (which
+    * inlines the whole shingle expression) below the widening repartition
+    * onto the single-split scan. Size ∝ corpus text — the standard
+    * materialize-the-signature-table step of a dedup pipeline. */
+  private def shingled(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", shingles($"text").as("sh"))
+      .withColumn("nsh", size($"sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** x13 — exact n-gram Jaccard near-dup pairs via inverted-index join. */
+  def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val inv = shingled(spark, sfDir)
+      .select($"doc_id", $"nsh", explode($"sh").as("s"))
+    inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.nsh").as("na"), col("b.nsh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter"))
+      .filter($"jaccard" >= 0.3)
+      .select($"id_a", $"id_b", $"jaccard")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** The O(n²) oracle formulation (sf0.01 only — 500 docs). */
+  val jaccardPairsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), s AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(w) - 1, 1)),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM d
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  private val NumHashes = 32
+  private val Bands = 8
+  private val RowsPerBand = 4
+
+  /** x11 — MinHash + LSH banding; candidates verified with exact Jaccard.
+    * With J≈0.98 dup pairs and 8×4 banding the catch probability is
+    * 1-(1-J⁴)⁸ ≈ 1-1e-12, so the verified output equals the exact x13
+    * result and shares its oracle. Hash family: xxhash64 seeded by the
+    * permutation index (deterministic, no stored coefficients). */
+  def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = shingled(spark, sfDir)
+    val inv = docs.select($"doc_id", explode($"sh").as("s"))
+    val sigAggs = (0 until NumHashes)
+      .map(i => min(xxhash64(lit(i), $"s")).as(s"m$i"))
+    val sigs = inv.groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val bandStructs = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
+    }
+    val bands = sigs
+      .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.bh".as("bh"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val left = docs.select($"doc_id".as("id_a"), $"sh".as("sh_a"), $"nsh".as("na"))
+    val right = docs.select($"doc_id".as("id_b"), $"sh".as("sh_b"), $"nsh".as("nb"))
+    cand.join(left, "id_a").join(right, "id_b")
+      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+      .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter"))
+      .filter($"jaccard" >= 0.3)
+      .select($"id_a", $"id_b", $"jaccard")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** x12 — SimHash near-dup: 64-bit sign-vote over word hashes, blocked by
+    * 8×8-bit chunks, hamming ≤ 6 verified with bit_count(xor). Rows-only
+    * check (the hash family is engine-specific by design). */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .withColumn("h", xxhash64($"w"))
+    val bitVotes = (0 until 64).map { j =>
+      sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"v$j")
+    }
+    val voted = words.groupBy($"doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val sim = (0 until 64).map { j =>
+      shiftleft(when(col(s"v$j") > 0, 1L).otherwise(0L), j)
+    }.reduce(_.bitwiseOR(_))
+    val sigs = voted.select($"doc_id", sim.as("simhash"))
+    val chunks = sigs.select($"doc_id", $"simhash",
+      explode(array((0 until 8).map(c =>
+        struct(lit(c).as("c"),
+          shiftright($"simhash", c * 8).bitwiseAND(0xFF).as("cv"))): _*)).as("ck"))
+      .select($"doc_id", $"simhash", $"ck.c".as("c"), $"ck.cv".as("cv"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.cv") === col("b.cv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter($"hamming" <= 6)
+      .select($"id_a", $"id_b", $"hamming")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** x15 — keep-first survivor set after near-dup clustering: drop the
+    * higher doc_id of every verified near-dup pair (transitive-lite, the
+    * standard one-pass policy). Shares the exact-Jaccard oracle. */
+  def nearDupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // LSH candidates + exact verify: same verified pair set as x13 (shared
+    // oracle) at the LSH path's near-linear cost
+    val drops = minhashLshPairs(spark, sfDir).select($"id_b".as("doc_id")).distinct()
+    Tables.documents(spark, sfDir)
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
+  val nearDupSurvivorsSql: String =
+    s"""WITH pairs AS ($jaccardPairsSql)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+       |ORDER BY doc_id""".stripMargin
+}

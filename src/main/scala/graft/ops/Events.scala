@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-stream operators in their batch form (the streaming execution of
+  * the same plans lives in graft.streaming; batch window()/session_window()
+  * are oracle-checkable, the streaming run is asserted equal in
+  * StreamingSpec).
+  */
+object Events {
+
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** e01 — tumbling 1-hour windows per event type. */
+  def windowAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .select($"w.start".as("ws"), $"event_type", $"n", $"total_value")
+      .orderBy($"ws", $"event_type")
+  }
+
+  val windowAggSql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin
+
+  /** e02 — session windows (30-minute gap) per user. Spark's
+    * session_window end = last event + gap; the oracle reproduces that via
+    * gaps-and-islands (new session when ts − prev ≥ gap, matching the
+    * exclusive window end). */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"w.end".as("session_end"), $"n_events", $"total_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val sessionizeSql: String =
+    """WITH m AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              >= INTERVAL '30 minutes'
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |), g AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m
+      |)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL '30 minutes' AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
+  /** e03 — semi-structured props: schema'd from_json in Spark (regex
+    * extraction in the oracle — no JSON-extension dependency). */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .withColumn("k",
+        from_json($"props", lit("k INT")).getField("k").cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val jsonPropsSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+      |  MIN(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS min_k,
+      |  MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** e04 — event-stream dedup: first occurrence per (user_id, event_type)
+    * by time (dropDuplicatesWithinWatermark's batch analog). */
+  def firstEventPerUserType(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id", $"ts")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val firstEventPerUserTypeSql: String =
+    """SELECT user_id, event_type, event_id, ts FROM (
+      |  SELECT user_id, event_type, event_id, ts,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts ASC, event_id ASC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+}

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over `embeddings.embedding: array<float>`.
+  *
+  *  - x20 brute-force top-k: the correctness baseline. Query set broadcast
+  *    against the corpus; cosine via zip_with/aggregate higher-order
+  *    functions (codegen'd, no UDF); ranks only in the output so the
+  *    oracle compares ordering, not float round-off.
+  *  - x14 cosine near-dup pairs: exact threshold join (oracle) —
+  *    at scale you'd run x21-style blocking first.
+  *  - x21 LSH-bucketed ANN: random-hyperplane signs → bucket → search
+  *    within bucket ∪ query's Hamming-1 probe buckets. The scale path:
+  *    cost ∝ bucket size, not corpus size.
+  *
+  * Norms are precomputed per vector before any join (never inside the
+  * pair loop).
+  */
+object Similarity {
+
+  /** array<float> → array<double>. */
+  private def vecD(c: Column): Column = transform(c, _.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+
+  /** Materialized (vec_id, double-vector, norm): reused by both join sides
+    * and all three similarity ops; norms precomputed once per vector. */
+  private def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", vecD($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** x20 — brute-force cosine top-5 for the first 8 query vectors. */
+  def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val all = corpus(spark, sfDir)
+    val queries = all.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val scored = all.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .withColumn("cos", dot($"v", $"qv") / ($"nrm" * $"qn"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val bruteForceTopKSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+      |      ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id ASC) AS rank
+      |  FROM e JOIN q ON e.vec_id <> q.query_id)
+      |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM scored
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** x14 — embedding-cosine near-dup pairs (threshold join; ids only so
+    * the oracle is robust to last-ulp float differences). */
+  def cosineNearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val a = corpus(spark, sfDir)
+      .select($"vec_id".as("id_a"), $"v".as("va"), $"nrm".as("na"))
+    val b = corpus(spark, sfDir)
+      .select($"vec_id".as("id_b"), $"v".as("vb"), $"nrm".as("nb"))
+    a.join(b, $"id_a" < $"id_b")
+      .withColumn("cos", dot($"va", $"vb") / ($"na" * $"nb"))
+      .filter($"cos" >= 0.4)
+      .select($"id_a", $"id_b")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val cosineNearDupPairsSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
+  private val NumPlanes = 6 // 64 buckets; multi-probe H1 ⇒ ~7/64 searched
+
+  /** Deterministic pseudo-random hyperplanes (seeded Scala PRNG — fixed
+    * across runs; the plane family is engine-internal state like any
+    * index). */
+  private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumPlanes)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bucket id of a vector column under the plane family. */
+  private def bucketOf(v: Column): Column =
+    (0 until NumPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, array(planes(p).map(lit).toIndexedSeq: _*), _ * _),
+        lit(0.0), _ + _)
+      shiftleft(when(proj > 0, 1L).otherwise(0L), p)
+    }.reduce(_.bitwiseOR(_))
+
+  /** x21 — LSH-bucketed approximate top-5 for the first 8 queries:
+    * each query probes its own bucket plus all Hamming-1 neighbor buckets
+    * (multi-probe). Rows-only check; AnnSpec measures recall vs x20. */
+  def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val all = corpus(spark, sfDir).withColumn("bucket", bucketOf($"v"))
+    // multi-probe out to Hamming distance 2 (22/64 buckets): on weakly
+    // clustered data sign-LSH needs wide probing; the scan fraction is
+    // still ~1/3 of the corpus vs brute force
+    val masks = Seq(0L) ++
+      (0 until NumPlanes).map(p => 1L << p) ++
+      (for (i <- 0 until NumPlanes; j <- i + 1 until NumPlanes)
+        yield (1L << i) | (1L << j))
+    val probes = masks.map(m => $"bucket".bitwiseXOR(lit(m)))
+    val queries = all.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
+        explode(array(probes: _*)).as("bucket"))
+    val scored = all.join(queries,
+        Seq("bucket")).filter($"vec_id" =!= $"query_id")
+      .withColumn("cos", dot($"v", $"qv") / ($"nrm" * $"qn"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+}

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text analysis over `documents` — token/char statistics, quality
+  * scoring, marker-based language ID, and an order-sensitive positional
+  * fingerprint. All built-in expressions; shuffle-free except where a
+  * global/window aggregate is the semantics.
+  */
+object TextAnalysis {
+
+  private val stopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+
+  /** x30 — per-doc token & quality metrics.
+    * tokens: whitespace words, distinct words, regex alnum-run tokens and
+    * a BPE-ish subword estimate (ceil(chars/4) — the common rule of
+    * thumb); quality: type-token ratio, stopword ratio, avg word length,
+    * and a blended score (identical expression tree on both sides). */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = split($"text", " ")
+    val nWords = size(w).cast("long")
+    val nChars = length($"text").cast("long")
+    val nDistinct = size(array_distinct(w)).cast("long")
+    val nStop = size(filter(w, x => x.isInCollection(stopwords))).cast("long")
+    val avgLen = (nChars - nWords + lit(1L)) * 1.0 / nWords
+    val ttr = nDistinct * 1.0 / nWords
+    val stopRatio = nStop * 1.0 / nWords
+    Tables.documents(spark, sfDir).select(
+      $"doc_id", $"lang",
+      nWords.as("n_words"),
+      nDistinct.as("n_distinct_words"),
+      regexp_count($"text", lit("[A-Za-z0-9]+")).cast("long").as("n_alnum_tokens"),
+      ceil(nChars * 1.0 / 4.0).cast("long").as("n_subword_est"),
+      avgLen.as("avg_word_len"),
+      ttr.as("type_token_ratio"),
+      stopRatio.as("stopword_ratio"),
+      (ttr * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
+        least(avgLen / 8.0, lit(1.0)) * 0.2).as("quality_score"),
+    ).orderBy($"doc_id")
+  }
+
+  val textQualitySql: String = {
+    val stops = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, text, string_split(text, ' ') AS w,
+       |    CAST(LENGTH(text) AS BIGINT) AS n_chars
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+       |    CAST(len(list_filter(w, x -> x IN ($stops))) AS BIGINT) AS n_stop,
+       |    n_chars
+       |  FROM d
+       |)
+       |SELECT doc_id, lang, n_words, n_distinct_words,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_alnum_tokens,
+       |  CAST(CEIL(n_chars * 1.0 / 4.0) AS BIGINT) AS n_subword_est,
+       |  (n_chars - n_words + 1) * 1.0 / n_words AS avg_word_len,
+       |  n_distinct_words * 1.0 / n_words AS type_token_ratio,
+       |  n_stop * 1.0 / n_words AS stopword_ratio,
+       |  (n_distinct_words * 1.0 / n_words) * 0.5 +
+       |    (1.0 - n_stop * 1.0 / n_words) * 0.3 +
+       |    LEAST(((n_chars - n_words + 1) * 1.0 / n_words) / 8.0, 1.0) * 0.2
+       |    AS quality_score
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "y", "las", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "zh" -> Seq("的", "是", "了"),
+  )
+
+  /** x31 — marker-word language ID (n-gram-heuristic family): count
+    * function-word hits per language, argmax with fixed priority order on
+    * ties, compare against the labeled lang column. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = split($"text", " ")
+    val scores = langMarkers.map { case (l, ms) =>
+      l -> size(filter(w, x => x.isInCollection(ms))).cast("long")
+    }
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
+      case (acc, (l, s)) =>
+        when(s > acc.getField("s"), struct(s.as("s"), lit(l).as("l")))
+          .otherwise(acc)
+    }
+    Tables.documents(spark, sfDir).select(
+      Seq($"doc_id", $"lang") ++
+        scores.map { case (l, s) => s.as(s"score_$l") } ++ Seq(
+          best.getField("l").as("predicted"),
+          (best.getField("l") === $"lang").as("agrees_with_label"),
+        ): _*
+    ).orderBy($"doc_id")
+  }
+
+  val langIdSql: String = {
+    def cnt(ms: Seq[String]) =
+      s"CAST(len(list_filter(w, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS BIGINT)"
+    val scoreCols = langMarkers
+      .map { case (l, ms) => s"${cnt(ms)} AS score_$l" }.mkString(",\n    ")
+    // fold with strict > replicates the Spark fold's first-wins tie order
+    val pred = langMarkers.tail.foldLeft("STRUCT_PACK(s := score_en, l := 'en')") {
+      case (acc, (l, _)) =>
+        s"CASE WHEN score_$l > ($acc).s THEN STRUCT_PACK(s := score_$l, l := '$l') ELSE $acc END"
+    }
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+       |), m AS (
+       |  SELECT doc_id, lang,
+       |    $scoreCols
+       |  FROM d
+       |)
+       |SELECT doc_id, lang, score_en, score_fr, score_es, score_de, score_zh,
+       |  ($pred).l AS predicted,
+       |  (($pred).l = lang) AS agrees_with_label
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** x32 — order-sensitive positional fingerprint: Σ (i+1)·(131·len(wᵢ) +
+    * codepoint(wᵢ[0])) — a rolling-hash-family fingerprint expressible on
+    * both engines; shared-fingerprint counts surface exact duplicates. */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = split($"text", " ")
+    val fp = aggregate(
+      zip_with(w, sequence(lit(1), size(w)),
+        (x, i) => i.cast("long") * (length(x).cast("long") * 131L + ascii(x))),
+      lit(0L), _ + _)
+    val base = Tables.documents(spark, sfDir)
+      .select($"doc_id", fp.as("fingerprint"))
+    base.withColumn("n_sharing",
+        count(lit(1)).over(Window.partitionBy($"fingerprint")))
+      .orderBy($"doc_id")
+  }
+
+  val fingerprintSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), f AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(w,
+      |    (x, i) -> CAST(i AS BIGINT) * (CAST(LENGTH(x) AS BIGINT) * 131 + unicode(x))
+      |  )) AS BIGINT) AS fingerprint
+      |  FROM d
+      |)
+      |SELECT doc_id, fingerprint,
+      |  COUNT(*) OVER (PARTITION BY fingerprint) AS n_sharing
+      |FROM f ORDER BY doc_id""".stripMargin
+}

@@ -45,8 +45,19 @@ object Transform {
     base.join(resolved, "_el")
   }
 
+  /** Memoized master per (session, sfDir): Q1-Q4 all consume it, so it is
+    * built and persisted once (the reference materializes the same frame
+    * to CSV before its analytics — this is the in-memory equivalent). */
+  private val masterCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def master(spark: SparkSession, sfDir: String): DataFrame =
+    masterCache.getOrElseUpdate((spark, sfDir),
+      buildMaster(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** The full master transform from the raw trips frame. */
-  def master(spark: SparkSession, sfDir: String): DataFrame = {
+  private def buildMaster(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val trips = Trips.raw(spark, sfDir).filter($"confirm_status" === true) // P1
     val withNlp = withResolvedLocations(trips)
