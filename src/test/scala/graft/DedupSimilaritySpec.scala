@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Multimodal, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  val sf = SparkSuite.sf
+
+  test("MinHash-LSH verified pairs equal exact Jaccard pairs") {
+    val lsh = Dedup.minhashLshPairs(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardPairs(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty) // fixture plants near-dup pairs
+  }
+
+  test("exact dedup groups cover all docs") {
+    val agg = Dedup.exactDedup(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_copies")).collect()(0).getLong(0)
+    assert(agg == Tables.documents(spark, sf).count())
+  }
+
+  test("simhash near-dup pairs include the planted near-dups") {
+    val sim = Dedup.simhashPairs(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardPairs(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 0.98-Jaccard near-dups have near-identical word multisets → tiny
+    // hamming distance; simhash must catch a large majority
+    val caught = exact.count(sim.contains).toDouble / exact.size
+    assert(caught >= 0.8, s"simhash caught only $caught of planted pairs")
+  }
+
+  test("LSH ANN recall@5 vs brute force is acceptable") {
+    val bf = Similarity.bruteForceTopK(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(lsh.contains).toDouble / bf.size
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
+  test("frame sampling: mapPartitions plumbing equals expression form") {
+    val a = Multimodal.frameSample(spark, sf).collect().map(_.toSeq)
+    val b = Multimodal.frameSampleViaMapPartitions(spark, sf).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+}

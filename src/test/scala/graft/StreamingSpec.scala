@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Events
+import graft.streaming.Streaming
+
+/** Streaming plans replayed over the finite events fixture must agree
+  * with their batch siblings. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  val sf = SparkSuite.sf
+
+  private def keyed(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("streaming windowed agg (complete mode) == batch e01") {
+    val streamed = Streaming.runToMemory(spark,
+      Streaming.windowedAgg(Streaming.eventsStream(spark, sf))
+        .withColumnRenamed("ws", "ws0"), // memory table name collision safety
+      "win_complete", outputMode = "complete")
+      .withColumnRenamed("ws0", "ws")
+    assert(keyed(streamed) == keyed(Events.windowAgg(spark, sf)))
+  }
+
+  test("streaming session windows (complete) == batch e02") {
+    val streamed = Streaming.runToMemory(spark,
+      Streaming.sessionAgg(Streaming.eventsStream(spark, sf)),
+      "sess_complete", outputMode = "complete")
+    assert(keyed(streamed) == keyed(Events.sessionize(spark, sf)))
+  }
+
+  test("append mode with watermark emits only watermark-closed windows") {
+    val streamed = Streaming.runToMemory(spark,
+      Streaming.windowedAgg(Streaming.eventsStream(spark, sf)),
+      "win_append", outputMode = "append")
+    val batch = keyed(Events.windowAgg(spark, sf))
+    val got = keyed(streamed)
+    assert(got.subsetOf(batch))
+    // every window strictly before (max ts - watermark) must be emitted
+    val maxTs = Tables.events(spark, sf).agg(max(col("ts"))).collect()(0)
+      .getTimestamp(0).getTime
+    val cutoff = maxTs - 10 * 60 * 1000
+    val expected = batch.filter(r =>
+      r.head.asInstanceOf[java.sql.Timestamp].getTime + 3600 * 1000 < cutoff)
+    assert(expected.subsetOf(got))
+  }
+
+  test("flatMapGroupsWithState running user stats match batch counts") {
+    val streamed = Streaming.runToMemory(spark,
+      Streaming.userStats(Streaming.eventsStream(spark, sf)).toDF(),
+      "user_stats", outputMode = "append")
+    // last emit per user carries the final running count
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("userId")).orderBy(col("nEvents").desc)
+    val finals = streamed
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("userId"), col("nEvents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, sf).groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finals == batch)
+  }
+
+  test("dropDuplicatesWithinWatermark bounds the emitted duplicates") {
+    val streamed = Streaming.runToMemory(spark,
+      Streaming.dedupWithinWatermark(Streaming.eventsStream(spark, sf)),
+      "dedup_wm", outputMode = "append")
+    val total = Tables.events(spark, sf).count()
+    val distinctKeys = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().count()
+    val n = streamed.count()
+    assert(n >= distinctKeys && n <= total)
+  }
+}
