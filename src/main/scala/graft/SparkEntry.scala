@@ -55,12 +55,15 @@ object SparkEntry {
     "x30_text_quality"     -> (TextAnalysis.textQuality _),
     "x31_lang_id"          -> (TextAnalysis.langId _),
     "x32_fingerprint"      -> (TextAnalysis.fingerprint _),
+    "x33_fnv_fingerprint"  -> (TextAnalysis.fnvFingerprint _),
+    "a03_pairs_generator"  -> (Analytics.pairsViaGenerator _),
     "x40_multimodal_meta"  -> (Multimodal.mediaMeta _),
     "x41_frame_sample"     -> (Multimodal.frameSample _),
     "e01_window_agg"       -> (Events.windowAgg _),
     "e02_sessionize"       -> (Events.sessionize _),
     "e03_json_props"       -> (Events.jsonProps _),
     "e04_first_event"      -> (Events.firstEventPerUserType _),
+    "s04_paged_source"     -> (graft.sources.PagedLanding.pagedSourceAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -183,11 +186,13 @@ object SparkEntry {
     "x30_text_quality"      -> TextAnalysis.textQualitySql,
     "x31_lang_id"           -> TextAnalysis.langIdSql,
     "x32_fingerprint"       -> TextAnalysis.fingerprintSql,
+    "a03_pairs_generator"   -> Analytics.pairsViaGeneratorSql,
     "x40_multimodal_meta"   -> Multimodal.mediaMetaSql,
     "x41_frame_sample"      -> Multimodal.frameSampleSql,
     "e01_window_agg"        -> Events.windowAggSql,
     "e02_sessionize"        -> Events.sessionizeSql,
     "e03_json_props"        -> Events.jsonPropsSql,
     "e04_first_event"       -> Events.firstEventPerUserTypeSql,
+    "s04_paged_source"      -> graft.sources.PagedLanding.pagedSourceAggSql,
   )
 }

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.nlp.Cleaner
+
+/** Custom Catalyst expressions (SURVEY §4 "custom inventory"): scalar
+  * functions the built-ins can't express, implemented as native
+  * expressions with doGenCode so they stay inside whole-stage codegen
+  * (no UDF boxing/serialization) — preference order (b) of the build
+  * rules.
+  */
+object CustomExprs {
+
+  /** Static entry points referenced from generated code. */
+  object Impl {
+    def tokenSortRatio(a: UTF8String, b: UTF8String): Double =
+      Cleaner.tokenSortRatio(a.toString, b.toString)
+
+    /** FNV-1a 64-bit over UTF-8 bytes — an order-sensitive rolling
+      * document fingerprint. */
+    def fnv1a64(s: UTF8String): Long = {
+      val bytes = s.getBytes
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xffL)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h
+    }
+  }
+
+  private val implName = "graft.functions.CustomExprs.Impl"
+
+  /** rapidfuzz-compatible token_sort_ratio as a codegen'd expression
+    * (N8's scorer; reference cleaner_v6.py:198-208). */
+  case class TokenSortRatio(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Impl.tokenSortRatio(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"$implName.tokenSortRatio($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** FNV-1a 64-bit content fingerprint as a codegen'd expression. */
+  case class Fnv1a64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      Impl.fnv1a64(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$implName.fnv1a64($c)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+  }
+
+  /** A3's pair generator as a native Generator (UDTF): emits every
+    * unordered pair (i<j) of a sorted string array — the reference's
+    * itertools.combinations(sorted(locs), 2) (Main.py:250). */
+  case class ArrayCombinations2(child: Expression)
+      extends UnaryExpression with CollectionGenerator with CodegenFallback {
+    override val inline: Boolean = false
+    override def position: Boolean = false
+    override def elementSchema: StructType = StructType(Seq(
+      StructField("a", StringType), StructField("b", StringType)))
+    override def dataType: DataType = ArrayType(elementSchema)
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+      val arr = child.eval(input)
+      if (arr == null) return Iterator.empty
+      val data = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = data.numElements()
+      for {
+        i <- (0 until n).iterator
+        j <- (i + 1 until n).iterator
+      } yield org.apache.spark.sql.catalyst.InternalRow(
+        data.getUTF8String(i), data.getUTF8String(j))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+  }
+
+  /** Column builders resolve through the function registry (the public
+    * Column↔Expression bridge is private[sql] in Spark 4) — call
+    * register(spark) once per session first. */
+  def token_sort_ratio(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("token_sort_ratio", a, b)
+
+  def fnv1a64(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("fnv1a64", c)
+
+  /** SQL registration (spark.sql("SELECT token_sort_ratio(a,b) …")). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("token_sort_ratio",
+      es => TokenSortRatio(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("fnv1a64",
+      es => Fnv1a64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("array_combinations2",
+      es => ArrayCombinations2(es.head), "scala_udf")
+  }
+}

@@ -159,6 +159,34 @@ object Analytics {
        |  ${Trips.caseByVid(Goldens.tripType)} AS trip_type
        |FROM trips ORDER BY trip_key""".stripMargin
 
+  /** A3 via a native Generator (UDTF): the pair explosion as a custom
+    * CollectionGenerator expression instead of the HOF formulation —
+    * same semantics, one Generate node in the plan. */
+  def pairsViaGenerator(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    val valid = array_sort(filter(locArray,
+      x => x.isNotNull && trim(x) =!= "" && x =!= "Undefined"))
+    Transform.master(spark, sfDir)
+      .filter($"num_locations" >= 2)
+      .withColumn("_locs_valid", valid)
+      .filter(size($"_locs_valid") >= 2)
+      .select($"trip_key",
+        call_function("array_combinations2", $"_locs_valid"))
+      .select($"trip_key", $"a".as("Location_A"), $"b".as("Location_B"))
+      .orderBy($"trip_key", $"Location_A", $"Location_B")
+  }
+
+  val pairsViaGeneratorSql: String =
+    s"""WITH ${Transform.masterSqlCtes},
+       |multi AS (SELECT * FROM master WHERE num_locations >= 2),
+       |longf AS (${longFormSql("multi")})
+       |SELECT a.trip_key AS trip_key, a.Location AS Location_A,
+       |  b.Location AS Location_B
+       |FROM longf a JOIN longf b
+       |  ON a.trip_key = b.trip_key AND a.Location < b.Location
+       |ORDER BY a.trip_key, Location_A, Location_B""".stripMargin
+
   /** n01/n02 — normalization chains as built-in expressions. */
   def normalizeQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -143,6 +143,20 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** x33 — FNV-1a 64-bit rolling content hash via the custom codegen
+    * expression (rows-only check: the hash family is engine-specific;
+    * CustomExprsSpec proves its groups coincide with sha256 groups). */
+  def fnvFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        call_function("fnv1a64", $"text").as("fnv64"))
+      .withColumn("n_sharing",
+        count(lit(1)).over(Window.partitionBy($"fnv64")))
+      .orderBy($"doc_id")
+  }
+
   val fingerprintSql: String =
     """WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

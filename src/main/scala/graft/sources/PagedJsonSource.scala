@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.util
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S1/S2 — the reference's paginated REST extraction (Main.py:330-357,
+  * 489-511) re-expressed as a DataSource V2 batch source: a landing
+  * directory of page files (`page_*.json`, each a JSON array of raw trip
+  * records with nested `entry`/`station` objects) becomes a table with
+  * ONE InputPartition PER PAGE, so Spark schedules page reads in parallel
+  * exactly where the reference used a ThreadPoolExecutor. Per-page reads
+  * are wrapped in the Retry util (S4/S5 analog).
+  *
+  * Usage: spark.read.format("graft.sources.PagedJsonSource").load(dir)
+  */
+class PagedJsonSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PagedJsonSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PagedJsonTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object PagedJsonSource {
+  /** Raw record shape as landed from the API (pre-P2 flatten). */
+  val schema: StructType = StructType(Seq(
+    StructField("serialId", LongType),
+    StructField("confirm_status", BooleanType),
+    StructField("sale_price", DoubleType),
+    StructField("entry", StructType(Seq(StructField("number", LongType)))),
+    StructField("station", StructType(Seq(StructField("name", StringType))))))
+}
+
+class PagedJsonTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"paged_json($path)"
+  override def schema(): StructType = PagedJsonSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = PagedJsonSource.schema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        val dir = new java.io.File(path)
+        val pages = Option(dir.listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("page_") && f.getName.endsWith(".json"))
+          .sortBy(_.getName)
+        pages.map(f => PagePartition(f.getAbsolutePath): InputPartition)
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PagePartitionReaderFactory
+    }
+}
+
+case class PagePartition(file: String) extends InputPartition
+
+class PagePartitionReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PageReader(partition.asInstanceOf[PagePartition].file)
+}
+
+class PageReader(file: String) extends PartitionReader[InternalRow] {
+  private lazy val records: Iterator[JsonNode] = {
+    val root = Retry.withRetries(attempts = 5, baseDelayMs = 10) {
+      new ObjectMapper().readTree(new java.io.File(file))
+    }
+    import scala.jdk.CollectionConverters._
+    root.elements().asScala
+  }
+  private var current: InternalRow = _
+
+  private def str(n: JsonNode): Any =
+    if (n == null || n.isNull) null else UTF8String.fromString(n.asText())
+  private def lng(n: JsonNode): Any =
+    if (n == null || n.isNull) null else java.lang.Long.valueOf(n.asLong())
+  private def dbl(n: JsonNode): Any =
+    if (n == null || n.isNull) null else java.lang.Double.valueOf(n.asDouble())
+  private def bool(n: JsonNode): Any =
+    if (n == null || n.isNull) null else java.lang.Boolean.valueOf(n.asBoolean())
+
+  override def next(): Boolean = {
+    if (!records.hasNext) return false
+    val r = records.next()
+    val entry =
+      if (r.get("entry") == null || r.get("entry").isNull) null
+      else new GenericInternalRow(Array[Any](lng(r.get("entry").get("number"))))
+    val station =
+      if (r.get("station") == null || r.get("station").isNull) null
+      else new GenericInternalRow(Array[Any](str(r.get("station").get("name"))))
+    current = new GenericInternalRow(Array[Any](
+      lng(r.get("serialId")), bool(r.get("confirm_status")),
+      dbl(r.get("sale_price")), entry, station))
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** S4 — retry/backoff wrapper (robust_api_call analog, Main.py:167-208). */
+object Retry {
+  def withRetries[T](attempts: Int, baseDelayMs: Long)(f: => T): T = {
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return f
+      catch {
+        case e: Throwable =>
+          last = e
+          Thread.sleep(math.min(baseDelayMs * (1L << i), 5000))
+      }
+      i += 1
+    }
+    throw last
+  }
+}

@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.io.File
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Trips
+
+/** Deterministic "landed pages" fixture for the paged source: the same
+  * trip-record stream the reference's fetch loop would have written, 30
+  * records per page (Main.py:86), derived from orders so the DuckDB
+  * oracle can reproduce the aggregates straight from the parquet table.
+  */
+object PagedLanding {
+
+  val PageSize = 30
+
+  def landingDir(sfDir: String): File =
+    new File("/tmp/graft_pages_" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_"))
+
+  /** Write page files once per sfDir (atomic rename; reruns reuse). */
+  def ensureLanded(spark: SparkSession, sfDir: String): String = synchronized {
+    import spark.implicits._
+    val dir = landingDir(sfDir)
+    if (dir.exists()) return dir.getAbsolutePath
+    val tmp = new File(dir.getAbsolutePath + ".tmp")
+    if (tmp.exists()) tmp.listFiles().foreach(_.delete())
+    tmp.mkdirs()
+
+    val rows = Trips.raw(spark, sfDir)
+      .select($"trip_key", $"confirm_status", $"sale_price_raw",
+        when($"trip_key" % 19 === 18, lit(null).cast("long"))
+          .otherwise(($"trip_key" * 3) % 10000).as("entry_number"),
+        $"station")
+      .orderBy($"trip_key")
+      .collect()
+
+    val mapper = new ObjectMapper()
+    rows.grouped(PageSize).zipWithIndex.foreach { case (page, i) =>
+      val arr = mapper.createArrayNode()
+      page.foreach { r =>
+        val o = arr.addObject()
+        o.put("serialId", r.getLong(0))
+        o.put("confirm_status", r.getBoolean(1))
+        if (r.isNullAt(2)) o.putNull("sale_price")
+        else o.put("sale_price", r.getDouble(2))
+        val e = o.putObject("entry")
+        if (r.isNullAt(3)) e.putNull("number") else e.put("number", r.getLong(3))
+        val s = o.putObject("station")
+        if (r.isNullAt(4)) s.putNull("name") else s.put("name", r.getString(4))
+      }
+      mapper.writerWithDefaultPrettyPrinter()
+        .writeValue(new File(tmp, f"page_$i%05d.json"), arr)
+    }
+    tmp.renameTo(dir)
+    dir.getAbsolutePath
+  }
+
+  /** s04 — land → DSv2 parallel page read → P1 filter → P2 flatten →
+    * aggregate per station. */
+  def pagedSourceAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = ensureLanded(spark, sfDir)
+    spark.read.format("graft.sources.PagedJsonSource").load(dir)
+      .filter($"confirm_status" === true)                          // P1
+      .select($"serialId", $"sale_price",
+        $"entry.number".as("entry_number"),                        // P2
+        $"station.name".as("station_name"))
+      .groupBy($"station_name")
+      .agg(count(lit(1)).as("n"),
+        sum($"sale_price".cast("decimal(18,2)")).cast("double").as("total"),
+        sum($"entry_number").as("sum_entry"))
+      .orderBy($"station_name".asc_nulls_first)
+  }
+
+  val pagedSourceAggSql: String =
+    """SELECT
+      |  CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'Station A'
+      |       WHEN 1 THEN 'Station B' ELSE NULL END AS station_name,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(CASE WHEN o_orderkey % 23 = 22 THEN NULL
+      |                     ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  SUM(CASE WHEN o_orderkey % 19 = 18 THEN NULL
+      |           ELSE (o_orderkey * 3) % 10000 END) AS sum_entry
+      |FROM orders WHERE (o_orderkey % 11) <> 0
+      |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
+}

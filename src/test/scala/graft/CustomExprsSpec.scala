@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.CustomExprs
+import graft.nlp.Cleaner
+
+class CustomExprsSpec extends AnyFunSuite {
+  lazy val spark = { val s = SparkSuite.spark; CustomExprs.register(s); s }
+  val sf = SparkSuite.sf
+
+  test("TokenSortRatio expression == pure-Scala scorer (via SQL)") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("مطارر القاهرة", "مطار القاهرة"),
+      ("b a", "a b"), ("abc", "xyz"), ("", ""), ("x", ""))
+    val got = pairs.toDF("a", "b")
+      .selectExpr("token_sort_ratio(a, b) AS r")
+      .collect().map(_.getDouble(0))
+    pairs.zip(got).foreach { case ((a, b), r) =>
+      assert(math.abs(r - Cleaner.tokenSortRatio(a, b)) < 1e-9, s"($a,$b)")
+    }
+  }
+
+  test("TokenSortRatio survives whole-stage codegen over a real table") {
+    import spark.implicits._
+    val n = Tables.documents(spark, sf)
+      .select(CustomExprs.token_sort_ratio($"text", lit("spark data join")).as("r"))
+      .filter($"r" > 0).count()
+    assert(n > 0)
+  }
+
+  test("fnv1a64 groups coincide with sha256 groups on documents") {
+    import spark.implicits._
+    val d = Tables.documents(spark, sf)
+    val byFnv = d.groupBy(CustomExprs.fnv1a64($"text")).count().count()
+    val bySha = d.groupBy(sha2($"text", 256)).count().count()
+    assert(byFnv == bySha)
+  }
+
+  test("fnv1a64 matches a known FNV-1a test vector") {
+    import spark.implicits._
+    // published FNV-1a 64 test vectors: "" -> 0xcbf29ce484222325,
+    // "a" -> 0xaf63dc4c8601ec8c
+    val got = Seq("", "a").toDF("s")
+      .selectExpr("fnv1a64(s)").collect().map(_.getLong(0))
+    assert(got(0) == 0xcbf29ce484222325L)
+    assert(got(1) == 0xaf63dc4c8601ec8cL)
+  }
+
+  test("array_combinations2 emits sorted-order pairs i<j") {
+    import spark.implicits._
+    val rows = Seq(Seq("a", "b", "c"), Seq("x"), Seq[String]())
+      .toDF("arr")
+      .selectExpr("array_combinations2(arr) AS (a, b)")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+}
