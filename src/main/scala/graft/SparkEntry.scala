@@ -56,6 +56,7 @@ object SparkEntry {
     "x31_lang_id"          -> (TextAnalysis.langId _),
     "x32_fingerprint"      -> (TextAnalysis.fingerprint _),
     "x33_fnv_fingerprint"  -> (TextAnalysis.fnvFingerprint _),
+    "x35_top_ngrams"       -> (TextAnalysis.topNgrams _),
     "a03_pairs_generator"  -> (Analytics.pairsViaGenerator _),
     "x40_multimodal_meta"  -> (Multimodal.mediaMeta _),
     "x41_frame_sample"     -> (Multimodal.frameSample _),
@@ -187,6 +188,7 @@ object SparkEntry {
     "x31_lang_id"           -> TextAnalysis.langIdSql,
     "x32_fingerprint"       -> TextAnalysis.fingerprintSql,
     "a03_pairs_generator"   -> Analytics.pairsViaGeneratorSql,
+    "x35_top_ngrams"        -> TextAnalysis.topNgramsSql,
     "x40_multimodal_meta"   -> Multimodal.mediaMetaSql,
     "x41_frame_sample"      -> Multimodal.frameSampleSql,
     "e01_window_agg"        -> Events.windowAggSql,

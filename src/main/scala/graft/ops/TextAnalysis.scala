@@ -143,6 +143,35 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** x35 — corpus-level n-gram statistics: top-50 word bigrams by
+    * document frequency (explode → two-level aggregation; the shape of
+    * every vocabulary/phrase-mining job). */
+  def topNgrams(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = split($"text", " ")
+    val bigrams = when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))))
+    Tables.spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", explode(bigrams).as("ngram"))
+      .groupBy($"ngram")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy($"doc_freq".desc, $"ngram")
+      .limit(50)
+  }
+
+  val topNgramsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), b AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(w), 1)),
+      |    i -> w[i] || ' ' || w[i+1]))) AS ngram
+      |  FROM d WHERE len(w) >= 2
+      |)
+      |SELECT ngram, COUNT(*) AS doc_freq FROM b GROUP BY ngram
+      |ORDER BY doc_freq DESC, ngram LIMIT 50""".stripMargin
+
   /** x33 — FNV-1a 64-bit rolling content hash via the custom codegen
     * expression (rows-only check: the hash family is engine-specific;
     * CustomExprsSpec proves its groups coincide with sha256 groups). */

@@ -44,23 +44,60 @@ class PagedJsonTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"paged_json($path)"
   override def schema(): StructType = PagedJsonSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
       override def build(): Scan = this
       override def readSchema(): StructType = PagedJsonSource.schema
       override def toBatch: Batch = this
-      override def planInputPartitions(): Array[InputPartition] = {
-        val dir = new java.io.File(path)
-        val pages = Option(dir.listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith("page_") && f.getName.endsWith(".json"))
-          .sortBy(_.getName)
-        pages.map(f => PagePartition(f.getAbsolutePath): InputPartition)
-      }
+      override def planInputPartitions(): Array[InputPartition] =
+        PagedJsonTable.listPages(path)
+          .map(f => PagePartition(f.getAbsolutePath): InputPartition)
       override def createReaderFactory(): PartitionReaderFactory =
         new PagePartitionReaderFactory
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        new PagedMicroBatchStream(path)
     }
+}
+
+object PagedJsonTable {
+  def listPages(path: String): Array[java.io.File] =
+    Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("page_") && f.getName.endsWith(".json"))
+      .sortBy(_.getName)
+}
+
+/** S3 — checkpointed pagination as a MicroBatchStream: the offset is the
+  * page index, so Spark's offset log gives exactly the reference's
+  * "resume from current_page" behavior (Main.py:109-163,475-481): a
+  * restarted query with the same checkpoint re-reads nothing and picks
+  * up newly landed pages only. */
+class PagedMicroBatchStream(path: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  case class PageOffset(page: Int) extends Offset {
+    override def json(): String = page.toString
+  }
+
+  override def initialOffset(): Offset = PageOffset(0)
+  override def latestOffset(): Offset =
+    PageOffset(PagedJsonTable.listPages(path).length)
+  override def deserializeOffset(json: String): Offset =
+    PageOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PageOffset].page
+    val e = end.asInstanceOf[PageOffset].page
+    PagedJsonTable.listPages(path).slice(s, e)
+      .map(f => PagePartition(f.getAbsolutePath): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagePartitionReaderFactory
 }
 
 case class PagePartition(file: String) extends InputPartition
