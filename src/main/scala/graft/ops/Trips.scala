@@ -43,7 +43,7 @@ object Trips {
     val endArr = array(endLocations.map(lit): _*)
     val startArr = array(startLocations.map(lit): _*)
     val k = $"o_orderkey"
-    Tables.orders(spark, sfDir).select(
+    Tables.spread(Tables.orders(spark, sfDir)).select(
       k.as("trip_key"),
       (k % 21).as("vid"),
       ((k % 11) =!= 0).as("confirm_status"),
