@@ -36,6 +36,11 @@ object PagedJsonSource {
     StructField("serialId", LongType),
     StructField("confirm_status", BooleanType),
     StructField("sale_price", DoubleType),
+    StructField("date", StringType),
+    StructField("end_location", StringType),
+    StructField("km_start", StringType),
+    StructField("km_return", StringType),
+    StructField("car_number", StringType),
     StructField("entry", StructType(Seq(StructField("number", LongType)))),
     StructField("station", StructType(Seq(StructField("name", StringType))))))
 }
@@ -137,7 +142,9 @@ class PageReader(file: String) extends PartitionReader[InternalRow] {
       else new GenericInternalRow(Array[Any](str(r.get("station").get("name"))))
     current = new GenericInternalRow(Array[Any](
       lng(r.get("serialId")), bool(r.get("confirm_status")),
-      dbl(r.get("sale_price")), entry, station))
+      dbl(r.get("sale_price")), str(r.get("date")), str(r.get("end_location")),
+      str(r.get("km_start")), str(r.get("km_return")), str(r.get("car_number")),
+      entry, station))
     true
   }
   override def get(): InternalRow = current

@@ -16,7 +16,7 @@ object PagedLanding {
   val PageSize = 30
 
   def landingDir(sfDir: String): File =
-    new File("/tmp/graft_pages_" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_"))
+    new File("/tmp/graft_pages_v2_" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_"))
 
   /** Write page files once per sfDir (atomic rename; reruns reuse). */
   def ensureLanded(spark: SparkSession, sfDir: String): String = synchronized {
@@ -31,7 +31,8 @@ object PagedLanding {
       .select($"trip_key", $"confirm_status", $"sale_price_raw",
         when($"trip_key" % 19 === 18, lit(null).cast("long"))
           .otherwise(($"trip_key" * 3) % 10000).as("entry_number"),
-        $"station")
+        $"station", $"date_str", $"end_location", $"km_start_str",
+        $"km_return_str", $"car_number")
       .orderBy($"trip_key")
       .collect()
 
@@ -44,6 +45,10 @@ object PagedLanding {
         o.put("confirm_status", r.getBoolean(1))
         if (r.isNullAt(2)) o.putNull("sale_price")
         else o.put("sale_price", r.getDouble(2))
+        def putStr(field: String, idx: Int): Unit =
+          if (r.isNullAt(idx)) o.putNull(field) else o.put(field, r.getString(idx))
+        putStr("date", 5); putStr("end_location", 6)
+        putStr("km_start", 7); putStr("km_return", 8); putStr("car_number", 9)
         val e = o.putObject("entry")
         if (r.isNullAt(3)) e.putNull("number") else e.put("number", r.getLong(3))
         val s = o.putObject("station")

@@ -94,6 +94,45 @@ object Streaming {
         })
   }
 
+  /** The reference's whole periodic cycle — paginated fetch → checkpoint
+    * resume → structure → master transform (Main.py:466-518, §3.1) — as
+    * ONE streaming pipeline: the paged DSv2 source in micro-batch mode
+    * (offset = page index) feeding the P-op coercions and the NLP
+    * cleaner. In streaming the cleaner runs as per-row UDFs (the
+    * distinct-strings trick is a batch optimization; the dictionary is a
+    * closure constant either way). */
+  def tripCycle(spark: SparkSession, pagesDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.udf
+    val extractAll = udf((s: String) => graft.nlp.Cleaner.extractAllLocations(s))
+    val extractMain = udf((s: String) => graft.nlp.Cleaner.extractMainLocation(s))
+    val tripType = udf((s: String, d: Seq[String]) =>
+      graft.nlp.Cleaner.categorizeTripType(s, d))
+    val fill = (c: org.apache.spark.sql.Column) =>
+      when(c.isNull || c === "nan", "").otherwise(c)
+    val ts = try_to_timestamp(col("date"))
+    val kmS = coalesce(expr("try_cast(km_start as bigint)"), lit(0L))
+    val kmR = coalesce(expr("try_cast(km_return as bigint)"), lit(0L))
+    val digits = regexp_replace(fill(col("car_number")), "[^\\p{Nd}]", "")
+    val noZeros = ltrim(digits, "0")
+    spark.readStream.format("graft.sources.PagedJsonSource")
+      .load(pagesDir)
+      .filter(col("confirm_status") === true)                         // P1
+      .withColumn("_el", fill(col("end_location")))                   // P5
+      .withColumn("_locs", extractAll(col("_el")))                    // N11
+      .select(
+        col("serialId"),
+        when(ts.isNull, "").otherwise(date_format(ts, "M/d/yyyy")).as("date"),
+        coalesce(col("sale_price"), lit(0.0)).as("sale_price"),
+        col("entry.number").as("entry_number"),                       // P2
+        kmS.as("km_start"), kmR.as("km_return"),
+        when(kmS > 0 && kmR > kmS, kmR - kmS).otherwise(0L).as("Total_KM"),
+        when(noZeros === "", "No Plate").otherwise(noZeros).as("Car_Num"),
+        when(size(col("_locs")) > 0, element_at(col("_locs"), 1))
+          .otherwise(extractMain(col("_el"))).as("end_location"),     // N10
+        tripType(col("_el"), col("_locs")).as("Trip_Type"),           // N12
+        size(col("_locs")).cast("long").as("num_locations"))
+  }
+
   /** Run a streaming DataFrame to completion over the finite fixture
     * (Trigger.AvailableNow + memory sink + checkpoint dir) and return the
     * materialized result. */

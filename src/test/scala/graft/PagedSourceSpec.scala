@@ -67,4 +67,22 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(second.count() == 8) // 5 old (not re-read) + 3 new
     assert(second.select("serialId").distinct().count() == 8)
   }
+
+  test("streaming trip cycle equals the batch master transform") {
+    import org.apache.spark.sql.functions._
+    val dir = PagedLanding.ensureLanded(spark, sf)
+    val streamed = graft.streaming.Streaming.runToMemory(spark,
+      graft.streaming.Streaming.tripCycle(spark, dir), "trip_cycle")
+    val got = streamed
+      .select(col("serialId"), col("date"), col("sale_price"),
+        col("Total_KM"), col("Car_Num"), col("end_location"),
+        col("Trip_Type"), col("num_locations"))
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.Transform.master(spark, sf)
+      .select(col("trip_key").as("serialId"), col("date"), col("sale_price"),
+        col("Total_KM"), col("Car_Num"), col("end_location"),
+        col("Trip_Type"), col("num_locations"))
+      .collect().map(_.toSeq).toSet
+    assert(got == batch)
+  }
 }
