@@ -35,6 +35,9 @@ object SparkEntry {
     "d01_distinct_flags"   -> (Relational.d01DistinctFlags _),
     "r01_rollup_status"    -> (Relational.r01RollupStatus _),
     "r02_cube_flags"       -> (Relational.r02CubeFlags _),
+    "r03_pivot_revenue"    -> (Relational.r03PivotRevenue _),
+    "g03_percentiles"      -> (Relational.g03Percentiles _),
+    "n08_levenshtein"      -> (Analytics.levenshteinQuery _),
     "x01_approx_distinct"  -> (Relational.x01ApproxDistinct _),
     "q4_master"            -> (Transform.q4Master _),
     "q1_location_pairs"    -> (Analytics.q1LocationPairs _),
@@ -170,6 +173,9 @@ object SparkEntry {
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "r03_pivot_revenue"     -> Relational.r03PivotRevenueSql,
+    "g03_percentiles"       -> Relational.g03PercentilesSql,
+    "n08_levenshtein"       -> Analytics.levenshteinSql,
     "q4_master"             -> Transform.q4MasterSql,
     "q1_location_pairs"     -> Analytics.q1Sql,
     "q2_location_stats"     -> Analytics.q2Sql,

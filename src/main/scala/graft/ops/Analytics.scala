@@ -159,6 +159,29 @@ object Analytics {
        |  ${Trips.caseByVid(Goldens.tripType)} AS trip_type
        |FROM trips ORDER BY trip_key""".stripMargin
 
+  /** N8-adjacent — built-in levenshtein (the edit-distance primitive the
+    * fuzzy tier builds on). Oracle-checked on ASCII columns only: Spark
+    * counts code points while DuckDB counts BYTES on multibyte UTF-8, so
+    * Arabic comparisons are engine-specific (the Arabic fuzzy path is
+    * golden-gated through the cleaner instead). */
+  def levenshteinQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Trips.raw(spark, sfDir)
+      .select($"trip_key", $"vid",
+        levenshtein(coalesce($"station", lit("")),
+          coalesce($"receiver_name", lit(""))).cast("long").as("edit_dist"))
+      .orderBy($"trip_key")
+  }
+
+  val levenshteinSql: String =
+    s"""WITH trips AS (
+       |${Trips.rawSql}
+       |)
+       |SELECT trip_key, vid,
+       |  CAST(levenshtein(COALESCE(station, ''),
+       |                   COALESCE(receiver_name, '')) AS BIGINT) AS edit_dist
+       |FROM trips ORDER BY trip_key""".stripMargin
+
   /** A3 via a native Generator (UDTF): the pair explosion as a custom
     * CollectionGenerator expression instead of the HOF formulation —
     * same semantics, one Generate node in the plan. */

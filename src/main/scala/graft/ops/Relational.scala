@@ -222,6 +222,53 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** §2.6-adjacent pivot — revenue matrix (orderstatus × priority tier):
+    * groupBy().pivot() with explicit pivot values (never discovery at
+    * scale — discovery is an extra job over all data). */
+  def r03PivotRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .withColumn("prio", substring($"o_orderpriority", 1, 1))
+      .groupBy($"o_orderstatus")
+      .pivot("prio", Seq("1", "2", "3", "4", "5"))
+      .agg(dsum($"o_totalprice"))
+      .na.fill(0.0)
+      .orderBy($"o_orderstatus")
+  }
+
+  val r03PivotRevenueSql: String = {
+    val cols = (1 to 5).map(p =>
+      s"""CAST(COALESCE(SUM(CAST(CASE WHEN SUBSTRING(o_orderpriority, 1, 1) = '$p'
+         |  THEN o_totalprice END AS DECIMAL(18,2))), 0) AS DOUBLE) AS "$p"""".stripMargin)
+      .mkString(",\n  ")
+    s"""SELECT o_orderstatus,
+       |  $cols
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  }
+
+  /** §2.6 exact order statistics — median / p25 / p90 via Spark's exact
+    * percentile (sort-based), matching DuckDB's percentile_cont linear
+    * interpolation. */
+  def g03Percentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        expr("percentile(o_totalprice, 0.25)").as("p25_price"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val g03PercentilesSql: String =
+    """SELECT o_orderstatus,
+      |  percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_price,
+      |  percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25_price,
+      |  percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90_price,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** §2.6 union — all (key, price) pairs from two years stacked. */
   def s03UnionYears(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
