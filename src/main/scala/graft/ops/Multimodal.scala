@@ -38,7 +38,12 @@ object Multimodal {
       (lit(240L) + ($"byte_size" % 720)).as("height"),
       (lit(1L) + ($"byte_size" % 300)).as("duration_s"),
       (($"byte_size" * 31 + $"doc_id") % 256).as("brightness"), // decode stub
-    ).orderBy($"doc_id")
+    )
+      // resize stub: fit into 128×128 preserving aspect (integer math)
+      .withColumn("thumb_w", lit(128L))
+      .withColumn("thumb_h",
+        (($"height" * 128L) / $"width").cast("long"))
+      .orderBy($"doc_id")
   }
 
   val mediaMetaSql: String =
@@ -53,7 +58,9 @@ object Multimodal {
       |  320 + (byte_size % 1280) AS width,
       |  240 + (byte_size % 720) AS height,
       |  1 + (byte_size % 300) AS duration_s,
-      |  (byte_size * 31 + doc_id) % 256 AS brightness
+      |  (byte_size * 31 + doc_id) % 256 AS brightness,
+      |  CAST(128 AS BIGINT) AS thumb_w,
+      |  ((240 + (byte_size % 720)) * 128) // (320 + (byte_size % 1280)) AS thumb_h
       |FROM m ORDER BY doc_id""".stripMargin
 
   /** x41 — frame sampling: one row per sampled frame with a decode-stub

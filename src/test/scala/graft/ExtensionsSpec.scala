@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftExtensions
+
+/** A session built withExtensions gets the custom functions in SQL and
+  * the self-comparison fold rule in the optimizer. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val shared = SparkSuite.spark // ensure the context exists
+    // force a NEW SparkSession (same context) so withExtensions applies
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    SparkSession.setDefaultSession(shared)
+    s
+  }
+
+  test("injected functions resolve in SQL") {
+    val r = spark.sql(
+      "SELECT token_sort_ratio('b a', 'a b') AS r, fnv1a64('a') AS h")
+      .collect()(0)
+    assert(r.getDouble(0) == 100.0)
+    assert(r.getLong(1) == 0xaf63dc4c8601ec8cL)
+  }
+
+  test("optimizer rule folds token_sort_ratio(x, x) to a literal") {
+    val df = spark.read
+      .parquet(s"${SparkSuite.sf}/documents.parquet")
+      .selectExpr("token_sort_ratio(concat(text, 'x'), concat(text, 'x')) AS r")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("100.0"), optimized)
+    assert(!optimized.toLowerCase.contains("tokensortratio"), optimized)
+    assert(df.collect()(0).getDouble(0) == 100.0)
+  }
+}
