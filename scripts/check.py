@@ -61,6 +61,10 @@ def main():
                   f"vs oracle {list(exp.columns)}")
             failures += 1
             continue
+        for c in got.columns:
+            if str(got[c].dtype) != str(exp[c].dtype):
+                print(f"  note {name}.{c}: dtype spark={got[c].dtype} "
+                      f"oracle={exp[c].dtype}")
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} vs oracle {len(exp)}")
             failures += 1

@@ -119,7 +119,7 @@ object Analytics {
        |longf AS (${longFormSql("master")})
        |SELECT Location, COUNT(*) AS Total_Visits,
        |  CAST(SUM(CAST(sale_price AS DECIMAL(18,2))) AS DOUBLE) AS Total_Revenue,
-       |  SUM(CASE WHEN _loc_rank = 'Location_1' THEN 1 ELSE 0 END) AS Primary_Destination_Count,
+       |  CAST(SUM(CASE WHEN _loc_rank = 'Location_1' THEN 1 ELSE 0 END) AS BIGINT) AS Primary_Destination_Count,
        |  ROUND(CAST(SUM(CAST(sale_price AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS Avg_Revenue_Per_Visit,
        |  ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM master), 2) AS Visit_Percentage
        |FROM longf GROUP BY Location

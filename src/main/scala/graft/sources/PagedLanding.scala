@@ -85,8 +85,8 @@ object PagedLanding {
       |  COUNT(*) AS n,
       |  CAST(SUM(CAST(CASE WHEN o_orderkey % 23 = 22 THEN NULL
       |                     ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total,
-      |  SUM(CASE WHEN o_orderkey % 19 = 18 THEN NULL
-      |           ELSE (o_orderkey * 3) % 10000 END) AS sum_entry
+      |  CAST(SUM(CASE WHEN o_orderkey % 19 = 18 THEN NULL
+      |           ELSE (o_orderkey * 3) % 10000 END) AS BIGINT) AS sum_entry
       |FROM orders WHERE (o_orderkey % 11) <> 0
       |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
 }
