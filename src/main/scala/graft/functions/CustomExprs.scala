@@ -21,6 +21,18 @@ object CustomExprs {
     def tokenSortRatio(a: UTF8String, b: UTF8String): Double =
       Cleaner.tokenSortRatio(a.toString, b.toString)
 
+    /** Allocation-free dot product over two array<double> columns (the
+      * zip_with/aggregate HOF form materializes an intermediate array
+      * per row — measurable at millions of candidate pairs). */
+    def vectorDot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+        b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+      s
+    }
+
     /** FNV-1a 64-bit over UTF-8 bytes — an order-sensitive rolling
       * document fingerprint. */
     def fnv1a64(s: UTF8String): Long = {
@@ -63,6 +75,21 @@ object CustomExprs {
       copy(c)
   }
 
+  /** Dot product over array<double> as a codegen'd expression (x14/x20/
+    * x21 hot path — sequential accumulation, same order both engines). */
+  case class VectorDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Impl.vectorDot(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$implName.vectorDot($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
   /** A3's pair generator as a native Generator (UDTF): emits every
     * unordered pair (i<j) of a sorted string array — the reference's
     * itertools.combinations(sorted(locs), 2) (Main.py:250). */
@@ -97,6 +124,9 @@ object CustomExprs {
   def fnv1a64(c: Column): Column =
     org.apache.spark.sql.functions.call_function("fnv1a64", c)
 
+  def vector_dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("vector_dot", a, b)
+
   /** SQL registration (spark.sql("SELECT token_sort_ratio(a,b) …")). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -106,5 +136,7 @@ object CustomExprs {
       es => Fnv1a64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("array_combinations2",
       es => ArrayCombinations2(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("vector_dot",
+      es => VectorDot(es.head, es(1)), "scala_udf")
   }
 }

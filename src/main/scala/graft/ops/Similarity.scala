@@ -25,16 +25,19 @@ object Similarity {
   /** array<float> → array<double>. */
   private def vecD(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Allocation-free codegen dot product (functions.CustomExprs) — the
+    * zip_with/aggregate HOF form is the readable equivalent but builds an
+    * intermediate array per evaluated pair. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    graft.functions.CustomExprs.vector_dot(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Materialized (vec_id, double-vector, norm): reused by both join sides
     * and all three similarity ops; norms precomputed once per vector. */
   private def corpus(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
     Tables.spread(Tables.embeddings(spark, sfDir))
       .select($"vec_id", vecD($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
