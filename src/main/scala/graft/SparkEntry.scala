@@ -36,6 +36,8 @@ object SparkEntry {
     "r01_rollup_status"    -> (Relational.r01RollupStatus _),
     "r02_cube_flags"       -> (Relational.r02CubeFlags _),
     "r03_pivot_revenue"    -> (Relational.r03PivotRevenue _),
+    "r04_grouping_sets"    -> (Relational.r04GroupingSets _),
+    "w04_range_30d"        -> (Relational.w04Range30d _),
     "g03_percentiles"      -> (Relational.g03Percentiles _),
     "n08_levenshtein"      -> (Analytics.levenshteinQuery _),
     "x01_approx_distinct"  -> (Relational.x01ApproxDistinct _),
@@ -174,6 +176,8 @@ object SparkEntry {
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "r03_pivot_revenue"     -> Relational.r03PivotRevenueSql,
+    "r04_grouping_sets"     -> Relational.r04GroupingSetsSql,
+    "w04_range_30d"         -> Relational.w04Range30dSql,
     "g03_percentiles"       -> Relational.g03PercentilesSql,
     "n08_levenshtein"       -> Analytics.levenshteinSql,
     "q4_master"             -> Transform.q4MasterSql,
