@@ -4,12 +4,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops.{Analytics, Dedup, Events, LocationResolve, Multimodal,
   Relational, Similarity, TextAnalysis, Transform}
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt;
+  * COVERAGE.md maps every SURVEY §2 operator to its query/test gate.
   *
-  * Query naming: `<opId>_<slug>` where opId ties back to the SURVEY.md §2
-  * inventory (g=aggregation, j=join, w=window, s=set-op, t=top-k, r=rollup,
-  * d=distinct, p=projection/scalar, n=NLP, a=array, q=composed reference
-  * query, x=no-oracle extensions).
+  * Query naming: `<family><nn>_<slug>`:
+  *  - g: aggregations (g01 TPC-H-Q1 shape, g02 count-distinct, g03 exact
+  *    percentiles)
+  *  - j: joins (j01 broadcast dims, j02 semi, j03 anti, j04 range/theta)
+  *  - w: windows (w01 row_number top-k, w02 running frame, w03 lag,
+  *    w04 interval RANGE frame)
+  *  - s: set ops + sources (s01 except, s02 intersect, s03 union,
+  *    s04 DataSource-V2 paged source)
+  *  - r: multi-dim grouping (r01 rollup, r02 cube, r03 pivot,
+  *    r04 grouping sets); t: top-k; d: distinct
+  *  - n: NLP (n01 normalize, n03 tokenize, n06 tier-1/2 relational
+  *    resolution, n08 levenshtein, n10 cleaner columns)
+  *  - q: composed reference queries (q1 pairs, q2 stats, q3 details,
+  *    q4 master transform); a: array ops (a03 pair generator)
+  *  - e: event streams (e01 windows, e02 sessions, e03 json, e04 dedup)
+  *  - x: LLM-pipeline extensions (x1x dedup family, x2x similarity,
+  *    x3x text analytics, x4x multimodal)
+  *
+  * Every query has a DuckDB oracle except the four whose output is
+  * engine-specific by design (x01 HLL, x12 simhash, x21 LSH-ANN,
+  * x33 FNV) — those get the driver's rows-only check plus equality /
+  * recall gates in the test suites.
   */
 object SparkEntry {
 

@@ -16,39 +16,11 @@ import graft.nlp.Cleaner
   */
 object CustomExprs {
 
-  /** Static entry points referenced from generated code. */
-  object Impl {
-    def tokenSortRatio(a: UTF8String, b: UTF8String): Double =
-      Cleaner.tokenSortRatio(a.toString, b.toString)
-
-    /** Allocation-free dot product over two array<double> columns (the
-      * zip_with/aggregate HOF form materializes an intermediate array
-      * per row — measurable at millions of candidate pairs). */
-    def vectorDot(a: org.apache.spark.sql.catalyst.util.ArrayData,
-        b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
-      val n = math.min(a.numElements(), b.numElements())
-      var s = 0.0
-      var i = 0
-      while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
-      s
-    }
-
-    /** FNV-1a 64-bit over UTF-8 bytes — an order-sensitive rolling
-      * document fingerprint. */
-    def fnv1a64(s: UTF8String): Long = {
-      val bytes = s.getBytes
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < bytes.length) {
-        h ^= (bytes(i) & 0xffL)
-        h *= 0x100000001b3L
-        i += 1
-      }
-      h
-    }
-  }
-
-  private val implName = "graft.functions.CustomExprs.Impl"
+  // Static entry points live in the TOP-LEVEL ExprImpl object below:
+  // Scala only emits Java static forwarders for top-level objects, and
+  // Janino cannot resolve a nested object (CustomExprs.Impl) from
+  // generated code — it silently falls back to interpreted mode.
+  private val implName = "graft.functions.ExprImpl"
 
   /** rapidfuzz-compatible token_sort_ratio as a codegen'd expression
     * (N8's scorer; reference cleaner_v6.py:198-208). */
@@ -56,7 +28,7 @@ object CustomExprs {
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any =
-      Impl.tokenSortRatio(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+      ExprImpl.tokenSortRatio(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev,
         (a, b) => s"$implName.tokenSortRatio($a, $b)")
@@ -68,7 +40,7 @@ object CustomExprs {
   case class Fnv1a64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
-      Impl.fnv1a64(v.asInstanceOf[UTF8String])
+      ExprImpl.fnv1a64(v.asInstanceOf[UTF8String])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, c => s"$implName.fnv1a64($c)")
     override protected def withNewChildInternal(c: Expression): Expression =
@@ -81,7 +53,7 @@ object CustomExprs {
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any =
-      Impl.vectorDot(
+      ExprImpl.vectorDot(
         a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
         b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -138,5 +110,38 @@ object CustomExprs {
       es => ArrayCombinations2(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vector_dot",
       es => VectorDot(es.head, es(1)), "scala_udf")
+  }
+}
+
+/** Static entry points referenced from generated code (top-level so the
+  * Scala compiler emits Java static forwarders Janino can resolve). */
+object ExprImpl {
+  def tokenSortRatio(a: UTF8String, b: UTF8String): Double =
+    Cleaner.tokenSortRatio(a.toString, b.toString)
+
+  /** Allocation-free dot product over two array<double> columns (the
+    * zip_with/aggregate HOF form materializes an intermediate array per
+    * row — measurable at millions of candidate pairs). */
+  def vectorDot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  /** FNV-1a 64-bit over UTF-8 bytes — an order-sensitive rolling
+    * document fingerprint. */
+  def fnv1a64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
   }
 }
