@@ -56,8 +56,7 @@ class PagedJsonTable(path: String) extends Table with SupportsRead {
       override def readSchema(): StructType = PagedJsonSource.schema
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =
-        PagedJsonTable.listPages(path)
-          .map(f => PagePartition(f.getAbsolutePath): InputPartition)
+        PagedJsonTable.groupPages(PagedJsonTable.listPages(path))
       override def createReaderFactory(): PartitionReaderFactory =
         new PagePartitionReaderFactory
       override def toMicroBatchStream(checkpointLocation: String)
@@ -67,11 +66,25 @@ class PagedJsonTable(path: String) extends Table with SupportsRead {
 }
 
 object PagedJsonTable {
+  /** Cap on planned partitions: pages are tiny, and one-task-per-page
+    * recreates the small-files problem — group consecutive pages into at
+    * most this many splits (parallel enough for any executor count here;
+    * a cluster deployment would size this from the scan stats). */
+  val MaxPartitions = 128
+
   def listPages(path: String): Array[java.io.File] =
     Option(new java.io.File(path).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("page_") && f.getName.endsWith(".json"))
       .sortBy(_.getName)
+
+  def groupPages(pages: Array[java.io.File]): Array[InputPartition] = {
+    if (pages.isEmpty) return Array.empty
+    val chunk = math.max(1, math.ceil(pages.length.toDouble / MaxPartitions).toInt)
+    pages.grouped(chunk)
+      .map(g => PagePartition(g.map(_.getAbsolutePath).toSeq): InputPartition)
+      .toArray
+  }
 }
 
 /** S3 — checkpointed pagination as a MicroBatchStream: the offset is the
@@ -98,27 +111,29 @@ class PagedMicroBatchStream(path: String)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PageOffset].page
     val e = end.asInstanceOf[PageOffset].page
-    PagedJsonTable.listPages(path).slice(s, e)
-      .map(f => PagePartition(f.getAbsolutePath): InputPartition)
+    PagedJsonTable.groupPages(PagedJsonTable.listPages(path).slice(s, e))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new PagePartitionReaderFactory
 }
 
-case class PagePartition(file: String) extends InputPartition
+case class PagePartition(files: Seq[String]) extends InputPartition
 
 class PagePartitionReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PageReader(partition.asInstanceOf[PagePartition].file)
+    new PageReader(partition.asInstanceOf[PagePartition].files)
 }
 
-class PageReader(file: String) extends PartitionReader[InternalRow] {
+class PageReader(files: Seq[String]) extends PartitionReader[InternalRow] {
   private lazy val records: Iterator[JsonNode] = {
-    val root = Retry.withRetries(attempts = 5, baseDelayMs = 10) {
-      new ObjectMapper().readTree(new java.io.File(file))
-    }
     import scala.jdk.CollectionConverters._
-    root.elements().asScala
+    val mapper = new ObjectMapper()
+    files.iterator.flatMap { file =>
+      val root = Retry.withRetries(attempts = 5, baseDelayMs = 10) {
+        mapper.readTree(new java.io.File(file))
+      }
+      root.elements().asScala
+    }
   }
   private var current: InternalRow = _
 
