@@ -58,6 +58,7 @@ object SparkEntry {
     "r04_grouping_sets"    -> (Relational.r04GroupingSets _),
     "w04_range_30d"        -> (Relational.w04Range30d _),
     "g03_percentiles"      -> (Relational.g03Percentiles _),
+    "g04_typed_agg"        -> (graft.ops.TypedOps.g04TypedAgg _),
     "n08_levenshtein"      -> (Analytics.levenshteinQuery _),
     "x01_approx_distinct"  -> (Relational.x01ApproxDistinct _),
     "q4_master"            -> (Transform.q4Master _),
@@ -198,6 +199,7 @@ object SparkEntry {
     "r04_grouping_sets"     -> Relational.r04GroupingSetsSql,
     "w04_range_30d"         -> Relational.w04Range30dSql,
     "g03_percentiles"       -> Relational.g03PercentilesSql,
+    "g04_typed_agg"         -> graft.ops.TypedOps.g04TypedAggSql,
     "n08_levenshtein"       -> Analytics.levenshteinSql,
     "q4_master"             -> Transform.q4MasterSql,
     "q1_location_pairs"     -> Analytics.q1Sql,
