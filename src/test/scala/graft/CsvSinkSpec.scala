@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** S7 — the reference's CSV sink (utf-8 master_data.csv, Main.py:562):
+  * write the master frame to CSV with headers and read it back; Arabic
+  * content and the full column set must round-trip. (The BOM the
+  * reference adds is an Excel affordance, non-semantic — SURVEY §1.3.) */
+class CsvSinkSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  val sf = SparkSuite.sf
+
+  test("master frame round-trips through the CSV sink") {
+    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val master = graft.ops.Transform.q4Master(spark, sf)
+    master.write.mode("overwrite")
+      .option("header", "true").option("encoding", "UTF-8")
+      .csv(out)
+    val back = spark.read
+      .option("header", "true").option("encoding", "UTF-8")
+      .csv(out)
+    assert(back.count() == master.count())
+    assert(back.columns.toSeq == master.columns.toSeq)
+    // Arabic survives the round trip
+    val arabic = back.filter(col("end_location_original").contains("مطار")).count()
+    assert(arabic > 0)
+    // CSV reads everything as string; numeric column content preserved
+    val kmSum = back.agg(sum(col("Total_KM").cast("long"))).collect()(0).getLong(0)
+    val expected = master.agg(sum(col("Total_KM"))).collect()(0).getLong(0)
+    assert(kmSum == expected)
+  }
+}
