@@ -89,6 +89,8 @@ object SparkEntry {
     "e02_sessionize"       -> (Events.sessionize _),
     "e03_json_props"       -> (Events.jsonProps _),
     "e04_first_event"      -> (Events.firstEventPerUserType _),
+    "e05_asof_enrich"      -> (Events.asofEnrich _),
+    "e06_sliding_window"   -> (Events.slidingWindowAgg _),
     "s04_paged_source"     -> (graft.sources.PagedLanding.pagedSourceAgg _),
   )
 
@@ -226,6 +228,8 @@ object SparkEntry {
     "e02_sessionize"        -> Events.sessionizeSql,
     "e03_json_props"        -> Events.jsonPropsSql,
     "e04_first_event"       -> Events.firstEventPerUserTypeSql,
+    "e05_asof_enrich"       -> Events.asofEnrichSql,
+    "e06_sliding_window"    -> Events.slidingWindowAggSql,
     "s04_paged_source"      -> graft.sources.PagedLanding.pagedSourceAggSql,
   )
 }

@@ -82,6 +82,64 @@ object Events {
       |  MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** e05 — as-of enrichment: each event carries the timestamp and value
+    * of the user's most recent signup at or before it. Spark has no
+    * native as-of join; the scalable formulation is a single per-user
+    * sort + running last(ignoreNulls) window — no join, no O(n²), state
+    * is one row per partition key (this is also exactly how the
+    * streaming flatMapGroupsWithState version would carry it). */
+  def asofEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("last_signup_ts",
+        last(when($"event_type" === "signup", $"ts"), ignoreNulls = true).over(w))
+      .withColumn("last_signup_value",
+        last(when($"event_type" === "signup", $"value"), ignoreNulls = true).over(w))
+      .select($"event_id", $"user_id", $"ts", $"event_type",
+        $"last_signup_ts", $"last_signup_value")
+      .orderBy($"user_id", $"ts", $"event_id")
+  }
+
+  val asofEnrichSql: String =
+    """SELECT event_id, user_id, ts, event_type,
+      |  LAST_VALUE(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts,
+      |  LAST_VALUE(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_value
+      |FROM events ORDER BY user_id, ts, event_id""".stripMargin
+
+  /** e06 — sliding (hopping) windows: 1-hour windows every 30 minutes;
+    * each event lands in two windows. */
+  def slidingWindowAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .select($"w.start".as("ws"), $"event_type", $"n", $"total_value")
+      .orderBy($"ws", $"event_type")
+  }
+
+  val slidingWindowAggSql: String =
+    """WITH cand AS (
+      |  SELECT *, time_bucket(INTERVAL '30 minutes', ts) AS b FROM events
+      |), placed AS (
+      |  SELECT event_id, event_type, value, ts, b AS ws FROM cand
+      |  UNION ALL
+      |  SELECT event_id, event_type, value, ts,
+      |         b - INTERVAL '30 minutes' AS ws FROM cand
+      |)
+      |SELECT ws, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM placed
+      |WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
+      |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin
+
   /** e04 — event-stream dedup: first occurrence per (user_id, event_type)
     * by time (dropDuplicatesWithinWatermark's batch analog). */
   def firstEventPerUserType(spark: SparkSession, sfDir: String): DataFrame = {
