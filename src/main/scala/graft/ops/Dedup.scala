@@ -63,10 +63,16 @@ object Dedup {
   }
 
   /** x13 — exact n-gram Jaccard near-dup pairs via inverted-index join. */
-  def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardPairsOf(shingled(spark, sfDir))
+
+  /** Same, over an arbitrary (doc_id, sh, nsh) shingle frame — lets the
+    * corpus-curation pipeline run near-dup detection on an already
+    * filtered subset. */
+  def jaccardPairsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val inv = shingled(spark, sfDir)
-      .select($"doc_id", $"nsh", explode($"sh").as("s"))
+    val inv = docs.select($"doc_id", $"nsh", explode($"sh").as("s"))
     inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -168,6 +174,65 @@ object Dedup {
       .select($"id_a", $"id_b", $"hamming")
       .orderBy($"id_a", $"id_b")
   }
+
+  /** x16 — corpus curation pipeline: the end-to-end training-data flow
+    * composed from the pieces — quality filter → exact dedup (keep
+    * first) → near-dup drop (trigram Jaccard ≥ 0.3, keep lower id) →
+    * surviving corpus with stats. Each stage shrinks the data before the
+    * next, so the expensive similarity join only sees quality-filtered,
+    * exactly-deduped docs. */
+  def corpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = split($"text", " ")
+    val quality = Tables.spread(Tables.documents(spark, sfDir))
+      .withColumn("n_words", size(w).cast("long"))
+      .withColumn("ttr", size(array_distinct(w)) * 1.0 / size(w))
+      .filter($"n_words" >= 30 && $"ttr" >= 0.05)
+    val exactKept = quality
+      .withColumn("h", sha2($"text", 256))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"h").orderBy($"doc_id")))
+      .filter($"rk" === 1)
+      .drop("h", "rk")
+    val sh = exactKept
+      .select($"doc_id", shingles($"text").as("sh"))
+      .withColumn("nsh", size($"sh"))
+    val drops = jaccardPairsOf(sh).select($"id_b".as("doc_id")).distinct()
+    exactKept.join(drops, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"source", $"n_words")
+      .orderBy($"doc_id")
+  }
+
+  val corpusCurationSql: String =
+    """WITH q AS (
+      |  SELECT doc_id, lang, source, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    len(list_distinct(string_split(text, ' '))) * 1.0
+      |      / len(string_split(text, ' ')) AS ttr
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 30
+      |    AND len(list_distinct(string_split(text, ' '))) * 1.0
+      |        / len(string_split(text, ' ')) >= 0.05
+      |), ek AS (
+      |  SELECT * FROM (
+      |    SELECT q.*, ROW_NUMBER() OVER (PARTITION BY sha256(text)
+      |      ORDER BY doc_id) AS rk FROM q) t
+      |  WHERE rk = 1
+      |), s AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+      |         || ' ' || string_split(text, ' ')[i+2])) AS sh
+      |  FROM ek
+      |), drops AS (
+      |  SELECT DISTINCT b.doc_id FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+      |)
+      |SELECT doc_id, lang, source, n_words FROM ek
+      |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+      |ORDER BY doc_id""".stripMargin
 
   /** x15 — keep-first survivor set after near-dup clustering: drop the
     * higher doc_id of every verified near-dup pair (transitive-lite, the
