@@ -83,6 +83,7 @@ object SparkEntry {
     "x32_fingerprint"      -> (TextAnalysis.fingerprint _),
     "x33_fnv_fingerprint"  -> (TextAnalysis.fnvFingerprint _),
     "x35_top_ngrams"       -> (TextAnalysis.topNgrams _),
+    "x37_tfidf_top_term"   -> (TextAnalysis.tfidfTopTerm _),
     "a03_pairs_generator"  -> (Analytics.pairsViaGenerator _),
     "x40_multimodal_meta"  -> (Multimodal.mediaMeta _),
     "x41_frame_sample"     -> (Multimodal.frameSample _),
@@ -224,6 +225,7 @@ object SparkEntry {
     "x32_fingerprint"       -> TextAnalysis.fingerprintSql,
     "a03_pairs_generator"   -> Analytics.pairsViaGeneratorSql,
     "x35_top_ngrams"        -> TextAnalysis.topNgramsSql,
+    "x37_tfidf_top_term"    -> TextAnalysis.tfidfTopTermSql,
     "x40_multimodal_meta"   -> Multimodal.mediaMetaSql,
     "x41_frame_sample"      -> Multimodal.frameSampleSql,
     "e01_window_agg"        -> Events.windowAggSql,

@@ -172,6 +172,52 @@ object TextAnalysis {
       |SELECT ngram, COUNT(*) AS doc_freq FROM b GROUP BY ngram
       |ORDER BY doc_freq DESC, ngram LIMIT 50""".stripMargin
 
+  /** x37 — TF-IDF-style top term per document. The score is the exact
+    * rational tf·N·SCALE/df in integer arithmetic (instead of tf·log(N/df))
+    * so the oracle comparison is bit-exact; the ranking it induces is the
+    * same family as log-idf for top-1. Two shuffles: df aggregation and
+    * the per-doc window. */
+  def tfidfTopTerm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.spread(Tables.documents(spark, sfDir))
+    val terms = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = terms.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"score".desc, $"term".asc)
+    tf.join(df, "term")
+      .crossJoin(n)
+      .withColumn("score", $"tf" * $"n_docs" * 1000000L / $"df")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"doc_id", $"term".as("top_term"), $"tf", $"df", $"score")
+      .orderBy($"doc_id")
+  }
+
+  val tfidfTopTermSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM terms
+      |  WHERE term <> '' GROUP BY doc_id, term
+      |), df AS (
+      |  SELECT term, COUNT(*) AS df FROM (
+      |    SELECT DISTINCT doc_id, term FROM terms WHERE term <> '') t
+      |  GROUP BY term
+      |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    tf.tf * n.n_docs * 1000000 / df.df AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * n.n_docs * 1000000 / df.df DESC, tf.term ASC) AS rk
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, term AS top_term, tf, df, score
+      |FROM scored WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
   /** x33 — FNV-1a 64-bit rolling content hash via the custom codegen
     * expression (rows-only check: the hash family is engine-specific;
     * CustomExprsSpec proves its groups coincide with sha256 groups). */
