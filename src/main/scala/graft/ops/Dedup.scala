@@ -188,6 +188,7 @@ object Dedup {
       .withColumn("n_words", size(w).cast("long"))
       .withColumn("ttr", size(array_distinct(w)) * 1.0 / size(w))
       .filter($"n_words" >= 30 && $"ttr" >= 0.05)
+    // persisted: feeds both the shingle frame and the final anti-join
     val exactKept = quality
       .withColumn("h", sha2($"text", 256))
       .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
@@ -195,9 +196,14 @@ object Dedup {
           .partitionBy($"h").orderBy($"doc_id")))
       .filter($"rk" === 1)
       .drop("h", "rk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: consumed by both sides of the similarity self-join (and
+    // blocks the join's null-filter from inlining the shingle expression
+    // below the upstream stages — same rationale as `shingled`)
     val sh = exactKept
       .select($"doc_id", shingles($"text").as("sh"))
       .withColumn("nsh", size($"sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val drops = jaccardPairsOf(sh).select($"id_b".as("doc_id")).distinct()
     exactKept.join(drops, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"lang", $"source", $"n_words")
