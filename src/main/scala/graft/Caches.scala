@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+import scala.collection.concurrent.TrieMap
+
+/** Session-scoped memoization of shared, persisted DataFrames (master
+  * transform, shingle index, embedding corpus). One registry instead of
+  * per-op `def build + persist` so that:
+  *
+  *  - a frame is built and persisted ONCE per (session, key), not re-built
+  *    per query call (round-1 logged "Asked to cache already cached data"
+  *    WARNs from repeated persist() of plan-identical frames);
+  *  - `clear(spark)` unpersists everything at the end of a Verify/Bench
+  *    run, so caches don't pin executor memory for the life of a
+  *    long-lived driver session (unbounded growth was a round-1 finding);
+  *  - entries for stopped sessions are dropped eagerly on the next memo
+  *    call, bounding growth across sessions in one JVM (test suites).
+  */
+object Caches {
+  private val frames = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Build-once persisted frame for this (session, key). */
+  def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    frames.keys.filter(_._1.sparkContext.isStopped).foreach(frames.remove)
+    frames.getOrElseUpdate((spark, key),
+      build.persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Unpersist and forget every frame memoized under this session. */
+  def clear(spark: SparkSession): Unit =
+    frames.keys.filter(_._1 eq spark).foreach { k =>
+      frames.remove(k).foreach { df =>
+        if (!spark.sparkContext.isStopped) df.unpersist(blocking = false)
+      }
+    }
+}

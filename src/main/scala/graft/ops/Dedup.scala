@@ -54,13 +54,13 @@ object Dedup {
     * inlines the whole shingle expression) below the widening repartition
     * onto the single-split scan. Size ∝ corpus text — the standard
     * materialize-the-signature-table step of a dedup pipeline. */
-  private def shingled(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.spread(Tables.documents(spark, sfDir))
-      .select($"doc_id", shingles($"text").as("sh"))
-      .withColumn("nsh", size($"sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  private def shingled(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Caches.memo(spark, s"shingled:$sfDir") {
+      import spark.implicits._
+      Tables.spread(Tables.documents(spark, sfDir))
+        .select($"doc_id", shingles($"text").as("sh"))
+        .withColumn("nsh", size($"sh"))
+    }
 
   /** x13 — exact n-gram Jaccard near-dup pairs via inverted-index join. */
   def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
@@ -183,27 +183,30 @@ object Dedup {
     * exactly-deduped docs. */
   def corpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = split($"text", " ")
-    val quality = Tables.spread(Tables.documents(spark, sfDir))
-      .withColumn("n_words", size(w).cast("long"))
-      .withColumn("ttr", size(array_distinct(w)) * 1.0 / size(w))
-      .filter($"n_words" >= 30 && $"ttr" >= 0.05)
-    // persisted: feeds both the shingle frame and the final anti-join
-    val exactKept = quality
-      .withColumn("h", sha2($"text", 256))
-      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"h").orderBy($"doc_id")))
-      .filter($"rk" === 1)
-      .drop("h", "rk")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // persisted: consumed by both sides of the similarity self-join (and
-    // blocks the join's null-filter from inlining the shingle expression
-    // below the upstream stages — same rationale as `shingled`)
-    val sh = exactKept
-      .select($"doc_id", shingles($"text").as("sh"))
-      .withColumn("nsh", size($"sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted (memoized): feeds both the shingle frame and the final
+    // anti-join
+    val exactKept = graft.Caches.memo(spark, s"curation-exact:$sfDir") {
+      val w = split($"text", " ")
+      Tables.spread(Tables.documents(spark, sfDir))
+        .withColumn("n_words", size(w).cast("long"))
+        .withColumn("ttr", size(array_distinct(w)) * 1.0 / size(w))
+        .filter($"n_words" >= 30 && $"ttr" >= 0.05)
+        .withColumn("h", sha2($"text", 256))
+        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"h").orderBy($"doc_id")))
+        .filter($"rk" === 1)
+        .drop("h", "rk")
+    }
+    // persisted (memoized): consumed by both sides of the similarity
+    // self-join (and blocks the join's null-filter from inlining the
+    // shingle expression below the upstream stages — same rationale as
+    // `shingled`)
+    val sh = graft.Caches.memo(spark, s"curation-shingled:$sfDir") {
+      exactKept
+        .select($"doc_id", shingles($"text").as("sh"))
+        .withColumn("nsh", size($"sh"))
+    }
     val drops = jaccardPairsOf(sh).select($"id_b".as("doc_id")).distinct()
     exactKept.join(drops, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"lang", $"source", $"n_words")

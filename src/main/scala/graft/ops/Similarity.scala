@@ -11,8 +11,10 @@ import graft.Tables
   *    against the corpus; cosine via zip_with/aggregate higher-order
   *    functions (codegen'd, no UDF); ranks only in the output so the
   *    oracle compares ordering, not float round-off.
-  *  - x14 cosine near-dup pairs: exact threshold join (oracle) —
-  *    at scale you'd run x21-style blocking first.
+  *  - x14 cosine near-dup pairs: exact threshold join, distributed as a
+  *    tiled shuffled self-join (bounded per-task memory, no broadcast
+  *    nested loop — see the method's scaladoc for why the 0.4 threshold
+  *    regime admits no sound LSH blocking).
   *  - x21 LSH-bucketed ANN: random-hyperplane signs → bucket → search
   *    within bucket ∪ query's Hamming-1 probe buckets. The scale path:
   *    cost ∝ bucket size, not corpus size.
@@ -35,14 +37,14 @@ object Similarity {
 
   /** Materialized (vec_id, double-vector, norm): reused by both join sides
     * and all three similarity ops; norms precomputed once per vector. */
-  private def corpus(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    graft.functions.CustomExprs.register(spark)
-    Tables.spread(Tables.embeddings(spark, sfDir))
-      .select($"vec_id", vecD($"embedding").as("v"))
-      .withColumn("nrm", norm($"v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  private def corpus(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Caches.memo(spark, s"sim-corpus:$sfDir") {
+      import spark.implicits._
+      graft.functions.CustomExprs.register(spark)
+      Tables.spread(Tables.embeddings(spark, sfDir))
+        .select($"vec_id", vecD($"embedding").as("v"))
+        .withColumn("nrm", norm($"v"))
+    }
 
   /** x20 — brute-force cosine top-5 for the first 8 query vectors. */
   def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
@@ -72,18 +74,48 @@ object Similarity {
       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM scored
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** x14 — embedding-cosine near-dup pairs (threshold join; ids only so
-    * the oracle is robust to last-ulp float differences). */
+  /** Tile count for the exact pair join. At the test SFs 8 tiles give
+    * 36 block tasks over 32 cores; at deployment choose
+    * B ≈ n / targetRowsPerTile so a block (two tiles) fits one task's
+    * memory. */
+  private val Tiles = 8
+
+  /** x14 — embedding-cosine near-dup pairs (exact threshold join; ids only
+    * so the oracle is robust to last-ulp float differences).
+    *
+    * Scale design — tiled shuffled self-join, NOT a broadcast nested loop:
+    * the 0.4 threshold is θ≈66°, where the qualifying pairs are the tail of
+    * the random-cosine distribution (measured on the fixture: all 920
+    * sf0.1 pairs lie in cos 0.40-0.60, none are planted high-sim dups).
+    * At that angle no LSH/blocking family is sound — a sign-LSH probe
+    * radius that catches a 66°-apart pair scans the whole corpus (per-plane
+    * agreement ≈0.63) — so EXACT semantics here are intrinsically all-pairs
+    * compute. What must scale is the *distribution* of that compute: each
+    * vector in tile t is replicated to the B block keys {(min(t,u),
+    * max(t,u))}, both sides shuffle on the block key (an equi hash join —
+    * never a BroadcastNestedLoopJoin/CartesianProduct over the corpus), and
+    * each of the B(B+1)/2 block tasks holds only 2n/B vectors. Shuffle
+    * volume is n·B rows; per-task memory is bounded regardless of n.
+    * For the tight-threshold regime (real near-dups, cos ≥ 0.8) the sound
+    * sub-quadratic path is x21's sign-LSH / x11's banding. */
   def cosineNearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val a = corpus(spark, sfDir)
-      .select($"vec_id".as("id_a"), $"v".as("va"), $"nrm".as("na"))
-    val b = corpus(spark, sfDir)
-      .select($"vec_id".as("id_b"), $"v".as("vb"), $"nrm".as("nb"))
-    a.join(b, $"id_a" < $"id_b")
-      .withColumn("cos", dot($"va", $"vb") / ($"na" * $"nb"))
+    val tiled = corpus(spark, sfDir)
+      .withColumn("t", pmod($"vec_id", lit(Tiles)).cast("int"))
+    // left side owns blocks (t, j ≥ t); right side owns blocks (i ≤ t, t)
+    val lhs = tiled.select($"vec_id".as("id_l"), $"v".as("vl"), $"nrm".as("nl"),
+      explode(sequence($"t", lit(Tiles - 1))).as("j"), $"t".as("i"))
+      .withColumn("block", $"i" * Tiles + $"j")
+    val rhs = tiled.select($"vec_id".as("id_r"), $"v".as("vr"), $"nrm".as("nr"),
+      explode(sequence(lit(0), $"t")).as("i"), $"t".as("j"))
+      .withColumn("block", $"i" * Tiles + $"j")
+    lhs.join(rhs, lhs("block") === rhs("block") && $"id_l" =!= $"id_r")
+      .withColumn("cos", dot($"vl", $"vr") / ($"nl" * $"nr"))
       .filter($"cos" >= 0.4)
-      .select($"id_a", $"id_b")
+      // same-tile blocks see each pair in both orders; canonicalize + dedup
+      .select(least($"id_l", $"id_r").as("id_a"),
+        greatest($"id_l", $"id_r").as("id_b"))
+      .distinct()
       .orderBy($"id_a", $"id_b")
   }
 

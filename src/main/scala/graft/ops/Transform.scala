@@ -47,14 +47,10 @@ object Transform {
 
   /** Memoized master per (session, sfDir): Q1-Q4 all consume it, so it is
     * built and persisted once (the reference materializes the same frame
-    * to CSV before its analytics — this is the in-memory equivalent). */
-  private val masterCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
+    * to CSV before its analytics — this is the in-memory equivalent).
+    * Cleared/unpersisted via [[graft.Caches]] at the end of a run. */
   def master(spark: SparkSession, sfDir: String): DataFrame =
-    masterCache.getOrElseUpdate((spark, sfDir),
-      buildMaster(spark, sfDir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.Caches.memo(spark, s"master:$sfDir")(buildMaster(spark, sfDir))
 
   /** The full master transform from the raw trips frame. */
   private def buildMaster(spark: SparkSession, sfDir: String): DataFrame = {

@@ -44,6 +44,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("x14 tiled cosine join: no nested-loop/cartesian over the corpus") {
+    val plan = Similarity.cosineNearDupPairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("frame sampling: mapPartitions plumbing equals expression form") {
     val a = Multimodal.frameSample(spark, sf).collect().map(_.toSeq)
     val b = Multimodal.frameSampleViaMapPartitions(spark, sf).collect().map(_.toSeq)
