@@ -94,6 +94,8 @@ object SparkEntry {
     "e05_asof_enrich"      -> (Events.asofEnrich _),
     "e06_sliding_window"   -> (Events.slidingWindowAgg _),
     "s04_paged_source"     -> (graft.sources.PagedLanding.pagedSourceAgg _),
+    "j05_bucketed_colocated" -> (Relational.j05BucketedColocated _),
+    "g05_salted_skew_agg"  -> (Relational.g05SaltedSkewAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -235,5 +237,7 @@ object SparkEntry {
     "e05_asof_enrich"       -> Events.asofEnrichSql,
     "e06_sliding_window"    -> Events.slidingWindowAggSql,
     "s04_paged_source"      -> graft.sources.PagedLanding.pagedSourceAggSql,
+    "j05_bucketed_colocated" -> Relational.j05BucketedColocatedSql,
+    "g05_salted_skew_agg"   -> Relational.g05SaltedSkewAggSql,
   )
 }

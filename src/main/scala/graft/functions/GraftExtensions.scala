@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CustomExprs.ArrayCombinations2].getName,
         "array_combinations2"),
       (es: Seq[Expression]) => CustomExprs.ArrayCombinations2(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[CustomExprs.VectorDot].getName, "vector_dot"),
+      (es: Seq[Expression]) => CustomExprs.VectorDot(es.head, es(1))))
     e.injectOptimizerRule(_ => FoldSelfTokenSortRatio)
   }
 }

@@ -321,4 +321,76 @@ object Relational {
     yr(1995).unionByName(yr(1996))
       .orderBy($"yr", $"o_orderkey")
   }
+
+  /** One-time bucketed-table setup per (session, sfDir): both join sides
+    * written `bucketBy(4, orderkey)` + sorted, so repeated fact↔fact joins
+    * read co-located buckets with NO exchange under the join. This is the
+    * pre-shuffle-once, join-many-times answer for 100 TB fact joins; at
+    * deployment the bucket count tracks cluster parallelism. */
+  private val bucketed =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
+
+  private def ensureBucketed(spark: SparkSession, sfDir: String): String = {
+    val suffix = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    bucketed.getOrElseUpdate((spark, sfDir), {
+      Tables.orders(spark, sfDir)
+        .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(s"b_orders$suffix")
+      Tables.lineitem(spark, sfDir)
+        .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(s"b_lineitem$suffix")
+    })
+    suffix
+  }
+
+  /** j05 — co-located bucketed join: lineitem⋈orders on the bucket key,
+    * aggregated per priority. BucketedJoinSpec asserts the 0-exchange
+    * plan; this registered query gates the result against the DuckDB
+    * oracle on the same parquet. */
+  def j05BucketedColocated(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val suffix = ensureBucketed(spark, sfDir)
+    spark.table(s"b_lineitem$suffix")
+      .join(spark.table(s"b_orders$suffix"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val j05BucketedColocatedSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** g05 — salted two-phase skew aggregation: ~90% of lineitems collapse
+    * onto one synthetic HOT key; a 16-way salt spreads the hot key's
+    * partial aggregation across tasks before the final combine (the
+    * manual fallback when AQE skew handling doesn't apply — custom sinks
+    * or partitioners). SaltedAggSpec asserts salted ≡ direct; this query
+    * gates the result against DuckDB's direct aggregation. */
+  def g05SaltedSkewAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .withColumn("k",
+        when($"l_orderkey" % 10 =!= 0, "HOT")
+          .otherwise(concat(lit("c"), $"l_orderkey" % 97)))
+      .withColumn("salt", pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(16)))
+      .groupBy($"k", $"salt")
+      .agg(count(lit(1)).as("pn"),
+        sum($"l_quantity".cast("decimal(18,2)")).as("pq"))
+      .groupBy($"k")
+      .agg(sum($"pn").as("n"), sum($"pq").cast("double").as("total_qty"))
+      .orderBy($"k")
+  }
+
+  val g05SaltedSkewAggSql: String =
+    """SELECT k, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 'HOT'
+      |             ELSE 'c' || CAST(l_orderkey % 97 AS VARCHAR) END AS k,
+      |             l_quantity
+      |      FROM lineitem) t
+      |GROUP BY k ORDER BY k""".stripMargin
 }

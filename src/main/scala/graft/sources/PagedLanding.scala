@@ -18,7 +18,16 @@ object PagedLanding {
   def landingDir(sfDir: String): File =
     new File("/tmp/graft_pages_v2_" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_"))
 
-  /** Write page files once per sfDir (atomic rename; reruns reuse). */
+  /** Write page files once per sfDir (atomic rename; reruns reuse).
+    *
+    * Scale design: pages are written BY EXECUTORS, not the driver — the
+    * trips frame is range-partitioned by trip_key, globally indexed with
+    * `zipWithIndex` (one extra count pass, still distributed), shuffled by
+    * page id so each page lands wholly in one task, and serialized there.
+    * Driver memory is O(1); the only driver step is the final atomic
+    * rename. On a cluster the landing path would be shared storage; in
+    * local mode executors share /tmp with the driver, same contract
+    * (page i = rows [i·30, (i+1)·30) in trip_key order, page_%05d.json). */
   def ensureLanded(spark: SparkSession, sfDir: String): String = synchronized {
     import spark.implicits._
     val dir = landingDir(sfDir)
@@ -26,37 +35,44 @@ object PagedLanding {
     val tmp = new File(dir.getAbsolutePath + ".tmp")
     if (tmp.exists()) tmp.listFiles().foreach(_.delete())
     tmp.mkdirs()
+    val tmpPath = tmp.getAbsolutePath
+    val pageSize = PageSize
 
-    val rows = Trips.raw(spark, sfDir)
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val indexed = Trips.raw(spark, sfDir)
       .select($"trip_key", $"confirm_status", $"sale_price_raw",
         when($"trip_key" % 19 === 18, lit(null).cast("long"))
           .otherwise(($"trip_key" * 3) % 10000).as("entry_number"),
         $"station", $"date_str", $"end_location", $"km_start_str",
         $"km_return_str", $"car_number")
-      .orderBy($"trip_key")
-      .collect()
+      .repartitionByRange(shufflePartitions, $"trip_key")
+      .sortWithinPartitions($"trip_key")
+      .rdd.zipWithIndex()
 
-    val mapper = new ObjectMapper()
-    rows.grouped(PageSize).zipWithIndex.foreach { case (page, i) =>
-      val arr = mapper.createArrayNode()
-      page.foreach { r =>
-        val o = arr.addObject()
-        o.put("serialId", r.getLong(0))
-        o.put("confirm_status", r.getBoolean(1))
-        if (r.isNullAt(2)) o.putNull("sale_price")
-        else o.put("sale_price", r.getDouble(2))
-        def putStr(field: String, idx: Int): Unit =
-          if (r.isNullAt(idx)) o.putNull(field) else o.put(field, r.getString(idx))
-        putStr("date", 5); putStr("end_location", 6)
-        putStr("km_start", 7); putStr("km_return", 8); putStr("car_number", 9)
-        val e = o.putObject("entry")
-        if (r.isNullAt(3)) e.putNull("number") else e.put("number", r.getLong(3))
-        val s = o.putObject("station")
-        if (r.isNullAt(4)) s.putNull("name") else s.put("name", r.getString(4))
+    indexed
+      .map { case (row, idx) => (idx / pageSize, (idx, row)) }
+      .groupByKey(new org.apache.spark.HashPartitioner(shufflePartitions))
+      .foreach { case (page, members) =>
+        val mapper = new ObjectMapper()
+        val arr = mapper.createArrayNode()
+        members.toSeq.sortBy(_._1).foreach { case (_, r) =>
+          val o = arr.addObject()
+          o.put("serialId", r.getLong(0))
+          o.put("confirm_status", r.getBoolean(1))
+          if (r.isNullAt(2)) o.putNull("sale_price")
+          else o.put("sale_price", r.getDouble(2))
+          def putStr(field: String, idx: Int): Unit =
+            if (r.isNullAt(idx)) o.putNull(field) else o.put(field, r.getString(idx))
+          putStr("date", 5); putStr("end_location", 6)
+          putStr("km_start", 7); putStr("km_return", 8); putStr("car_number", 9)
+          val e = o.putObject("entry")
+          if (r.isNullAt(3)) e.putNull("number") else e.put("number", r.getLong(3))
+          val s = o.putObject("station")
+          if (r.isNullAt(4)) s.putNull("name") else s.put("name", r.getString(4))
+        }
+        mapper.writerWithDefaultPrettyPrinter()
+          .writeValue(new File(tmpPath, f"page_$page%05d.json"), arr)
       }
-      mapper.writerWithDefaultPrettyPrinter()
-        .writeValue(new File(tmp, f"page_$i%05d.json"), arr)
-    }
     tmp.renameTo(dir)
     dir.getAbsolutePath
   }

@@ -32,8 +32,14 @@ object Streaming {
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-    val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
-    java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"), src)
+    // deterministic staging dir per sfDir, reused across calls (a fresh
+    // createTempDirectory per call leaked a dir+symlink each invocation)
+    val dir = java.nio.file.Paths.get(
+      "/tmp/graft_events_stream_" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_"))
+    java.nio.file.Files.createDirectories(dir)
+    val link = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      java.nio.file.Files.createSymbolicLink(link, src)
     spark.readStream
       .schema(eventsRawSchema)
       .parquet(dir.toString)

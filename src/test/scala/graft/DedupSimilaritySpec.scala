@@ -33,15 +33,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(caught >= 0.8, s"simhash caught only $caught of planted pairs")
   }
 
-  test("LSH ANN recall@5 vs brute force is acceptable") {
+  test("ANN sketch-rescore recall@5 vs brute force") {
     val bf = Similarity.bruteForceTopK(spark, sf)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.lshTopK(spark, sf)
+    val ann = Similarity.lshTopK(spark, sf)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = bf.count(lsh.contains).toDouble / bf.size
-    assert(recall >= 0.3, s"recall=$recall")
+    val recall = bf.count(ann.contains).toDouble / bf.size
+    // full-precision scan fraction is 1/3 by construction (ntile(3));
+    // the sketch pass touches only the 32-dim projection table
+    assert(recall >= 0.8, s"recall=$recall")
   }
 
   test("x14 tiled cosine join: no nested-loop/cartesian over the corpus") {
