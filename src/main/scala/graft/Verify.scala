@@ -20,6 +20,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any stale output from a previous run — a leftover result
+        // must not mask this run's failure in the oracle compare
+        val stale = new java.io.File(s"$outDir/$name")
+        if (stale.exists()) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(stale.toPath).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

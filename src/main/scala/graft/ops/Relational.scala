@@ -333,6 +333,7 @@ object Relational {
   private def ensureBucketed(spark: SparkSession, sfDir: String): String = {
     val suffix = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
     bucketed.getOrElseUpdate((spark, sfDir), {
+      Seq(s"b_orders$suffix", s"b_lineitem$suffix").foreach(dropStale(spark, _))
       Tables.orders(spark, sfDir)
         .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable(s"b_orders$suffix")
@@ -341,6 +342,24 @@ object Relational {
         .mode("overwrite").saveAsTable(s"b_lineitem$suffix")
     })
     suffix
+  }
+
+  /** A managed table's warehouse directory can outlive the in-memory
+    * catalog (fresh JVM, same working dir) — `saveAsTable` then fails
+    * with LOCATION_ALREADY_EXISTS. Drop both the catalog entry and any
+    * orphaned location before writing. */
+  private def dropStale(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whPath =
+      if (wh.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(wh))
+      else java.nio.file.Paths.get(wh)
+    val loc = whPath.resolve(table.toLowerCase(java.util.Locale.ROOT))
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   /** j05 — co-located bucketed join: lineitem⋈orders on the bucket key,

@@ -1,0 +1,46 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.DataFrame
+
+/** S7 — CSV sink with the reference's `utf-8-sig` affordance
+  * (`Main.py:544,562`): Excel/Power BI infer UTF-8 for Arabic content only
+  * when the file starts with the EF BB BF byte-order mark, which Spark's
+  * CSV writer never emits.
+  *
+  * Scale design: the CSV write itself is the normal distributed writer;
+  * the BOM pass then rewrites each part file ON EXECUTORS (one task per
+  * part, streaming copy — constant memory per task, no driver data
+  * movement). Each part file carries its own BOM, which is what a
+  * per-file Excel consumer needs.
+  */
+object CsvSink {
+
+  val Bom: Array[Byte] = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+
+  /** Write `df` as headered CSV; with `bom=true` every part file is
+    * prefixed with the UTF-8 BOM (byte-exact `utf-8-sig`). */
+  def write(df: DataFrame, path: String, bom: Boolean = true): Unit = {
+    df.write.mode("overwrite")
+      .option("header", "true").option("encoding", "UTF-8")
+      .csv(path)
+    if (!bom) return
+    val parts = Option(new File(path).listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .map(_.getAbsolutePath).toSeq
+    df.sparkSession.sparkContext
+      .parallelize(parts, math.max(1, parts.size))
+      .foreach { p =>
+        val src = Paths.get(p)
+        val tmp = Paths.get(p + ".bom")
+        val out = Files.newOutputStream(tmp)
+        try { out.write(Bom); Files.copy(src, out) } finally out.close()
+        Files.move(tmp, src, StandardCopyOption.REPLACE_EXISTING)
+        // drop Hadoop's local-FS checksum sidecar — it hashed the pre-BOM
+        // bytes and would fail any Hadoop-API re-read of the part file
+        Files.deleteIfExists(
+          src.resolveSibling("." + src.getFileName.toString + ".crc"))
+      }
+  }
+}

@@ -26,8 +26,85 @@ class PagedJsonSource extends TableProvider {
     PagedJsonSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new PagedJsonTable(properties.get("path"))
+    new PagedJsonTable(properties.get("path"),
+      PagedProtocol.fromProperties(properties))
   override def supportsExternalMetadata(): Boolean = true
+}
+
+/** Protocol knobs of the reference's fetch loop
+  * (`POST {base}/{order}/{sort}/{page}/{limit}`, `Main.py:330-357`), as
+  * source options even when backed by a landing directory:
+  *
+  *  - `order`/`sort` — the endpoint's path components; if the landing dir
+  *    has a matching `order/sort` subdirectory the pages are read from it
+  *    (a landed mirror of that URL), else from the base dir.
+  *  - `limit` — requested page size; non-final pages that disagree are a
+  *    protocol violation (truncated fetch) and fail the read.
+  *  - `stopOnEmptyPage` (default true) — the fetch loop's termination:
+  *    the first empty page ends the stream; later files are ignored.
+  *  - `abortStatuses` (default "401") — a `page_NNNNN.json.status`
+  *    sidecar carrying one of these HTTP codes aborts the whole read
+  *    (the reference's 401-abort, `Main.py:315-325`); other codes are
+  *    left to the Retry wrapper's transient handling.
+  */
+object PagedProtocol {
+  case class Config(limit: Option[Int], order: String, sort: String,
+      stopOnEmptyPage: Boolean, abortStatuses: Set[Int])
+
+  val Default: Config = Config(None, "serialId", "asc", stopOnEmptyPage = true,
+    abortStatuses = Set(401))
+
+  def fromProperties(p: util.Map[String, String]): Config = {
+    def opt(k: String): Option[String] = Option(p.get(k)).map(_.trim).filter(_.nonEmpty)
+    Config(
+      limit = opt("limit").map(_.toInt),
+      order = opt("order").getOrElse(Default.order),
+      sort = opt("sort").getOrElse(Default.sort),
+      stopOnEmptyPage = opt("stopOnEmptyPage").forall(_.toBoolean),
+      abortStatuses = opt("abortStatuses")
+        .map(_.split(",").map(_.trim.toInt).toSet).getOrElse(Default.abortStatuses))
+  }
+
+  /** Landed mirror of `{base}/{order}/{sort}` if present, else base. */
+  def resolveDir(base: String, c: Config): String = {
+    val sub = new java.io.File(new java.io.File(base, c.order), c.sort)
+    if (sub.isDirectory) sub.getAbsolutePath else base
+  }
+
+  class FetchAbort(msg: String) extends RuntimeException(msg)
+
+  private def sidecarStatus(f: java.io.File): Option[Int] = {
+    val s = new java.io.File(f.getAbsolutePath + ".status")
+    if (s.isFile) Some(new String(java.nio.file.Files.readAllBytes(s.toPath)).trim.toInt)
+    else None
+  }
+
+  /** Tiny files are the only empty-page candidates; confirm by parse so
+    * planning never reads a full data page. */
+  private def isEmptyPage(f: java.io.File): Boolean =
+    f.length() <= 8 && {
+      val root = new ObjectMapper().readTree(f)
+      root.isArray && root.size() == 0
+    }
+
+  /** The fetch-loop semantics over the listed pages: abort on a fatal
+    * status sidecar, stop at the first empty page. */
+  def effectivePages(path: String, c: Config): Array[java.io.File] = {
+    val all = PagedJsonTable.listPages(resolveDir(path, c))
+    val out = Array.newBuilder[java.io.File]
+    var i = 0
+    var stopped = false
+    while (i < all.length && !stopped) {
+      val f = all(i)
+      sidecarStatus(f).filter(c.abortStatuses).foreach { code =>
+        throw new FetchAbort(
+          s"paged source aborted: HTTP $code at ${f.getName} (abortStatuses=${c.abortStatuses.mkString(",")})")
+      }
+      if (c.stopOnEmptyPage && isEmptyPage(f)) stopped = true
+      else { out += f; i += 1 }
+    }
+    out.result()
+  }
 }
 
 object PagedJsonSource {
@@ -45,7 +122,9 @@ object PagedJsonSource {
     StructField("station", StructType(Seq(StructField("name", StringType))))))
 }
 
-class PagedJsonTable(path: String) extends Table with SupportsRead {
+class PagedJsonTable(path: String, config: PagedProtocol.Config)
+    extends Table with SupportsRead {
+  def this(path: String) = this(path, PagedProtocol.Default)
   override def name(): String = s"paged_json($path)"
   override def schema(): StructType = PagedJsonSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -55,13 +134,16 @@ class PagedJsonTable(path: String) extends Table with SupportsRead {
       override def build(): Scan = this
       override def readSchema(): StructType = PagedJsonSource.schema
       override def toBatch: Batch = this
-      override def planInputPartitions(): Array[InputPartition] =
-        PagedJsonTable.groupPages(PagedJsonTable.listPages(path))
+      override def planInputPartitions(): Array[InputPartition] = {
+        val pages = PagedProtocol.effectivePages(path, config)
+        PagedJsonTable.groupPages(pages, config.limit,
+          pages.lastOption.map(_.getAbsolutePath))
+      }
       override def createReaderFactory(): PartitionReaderFactory =
         new PagePartitionReaderFactory
       override def toMicroBatchStream(checkpointLocation: String)
           : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-        new PagedMicroBatchStream(path)
+        new PagedMicroBatchStream(path, config)
     }
 }
 
@@ -78,11 +160,13 @@ object PagedJsonTable {
       .filter(f => f.getName.startsWith("page_") && f.getName.endsWith(".json"))
       .sortBy(_.getName)
 
-  def groupPages(pages: Array[java.io.File]): Array[InputPartition] = {
+  def groupPages(pages: Array[java.io.File], limit: Option[Int] = None,
+      lastFile: Option[String] = None): Array[InputPartition] = {
     if (pages.isEmpty) return Array.empty
     val chunk = math.max(1, math.ceil(pages.length.toDouble / MaxPartitions).toInt)
     pages.grouped(chunk)
-      .map(g => PagePartition(g.map(_.getAbsolutePath).toSeq): InputPartition)
+      .map(g => PagePartition(g.map(_.getAbsolutePath).toSeq, limit, lastFile)
+        : InputPartition)
       .toArray
   }
 }
@@ -92,7 +176,8 @@ object PagedJsonTable {
   * "resume from current_page" behavior (Main.py:109-163,475-481): a
   * restarted query with the same checkpoint re-reads nothing and picks
   * up newly landed pages only. */
-class PagedMicroBatchStream(path: String)
+class PagedMicroBatchStream(path: String,
+    config: PagedProtocol.Config = PagedProtocol.Default)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -102,7 +187,7 @@ class PagedMicroBatchStream(path: String)
 
   override def initialOffset(): Offset = PageOffset(0)
   override def latestOffset(): Offset =
-    PageOffset(PagedJsonTable.listPages(path).length)
+    PageOffset(PagedProtocol.effectivePages(path, config).length)
   override def deserializeOffset(json: String): Offset =
     PageOffset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()
@@ -111,26 +196,38 @@ class PagedMicroBatchStream(path: String)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PageOffset].page
     val e = end.asInstanceOf[PageOffset].page
-    PagedJsonTable.groupPages(PagedJsonTable.listPages(path).slice(s, e))
+    PagedJsonTable.groupPages(PagedProtocol.effectivePages(path, config).slice(s, e))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new PagePartitionReaderFactory
 }
 
-case class PagePartition(files: Seq[String]) extends InputPartition
+case class PagePartition(files: Seq[String], limit: Option[Int] = None,
+    lastFile: Option[String] = None) extends InputPartition
 
 class PagePartitionReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PageReader(partition.asInstanceOf[PagePartition].files)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PagePartition]
+    new PageReader(p.files, p.limit, p.lastFile)
+  }
 }
 
-class PageReader(files: Seq[String]) extends PartitionReader[InternalRow] {
+class PageReader(files: Seq[String], limit: Option[Int] = None,
+    lastFile: Option[String] = None) extends PartitionReader[InternalRow] {
   private lazy val records: Iterator[JsonNode] = {
     import scala.jdk.CollectionConverters._
     val mapper = new ObjectMapper()
     files.iterator.flatMap { file =>
       val root = Retry.withRetries(attempts = 5, baseDelayMs = 10) {
         mapper.readTree(new java.io.File(file))
+      }
+      // `limit` protocol invariant: every page except the stream's final
+      // one must hold exactly `limit` records — anything else is a
+      // truncated/oversized fetch and the read must fail loudly.
+      limit.filter(_ => !lastFile.contains(file)).foreach { l =>
+        if (root.size() != l)
+          throw new PagedProtocol.FetchAbort(
+            s"paged source: page $file has ${root.size()} records, expected limit=$l")
       }
       root.elements().asScala
     }

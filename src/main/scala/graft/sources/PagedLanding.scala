@@ -82,7 +82,9 @@ object PagedLanding {
   def pagedSourceAgg(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = ensureLanded(spark, sfDir)
-    spark.read.format("graft.sources.PagedJsonSource").load(dir)
+    spark.read.format("graft.sources.PagedJsonSource")
+      .option("limit", PageSize.toString) // protocol invariant enforced per page
+      .load(dir)
       .filter($"confirm_status" === true)                          // P1
       .select($"serialId", $"sale_price",
         $"entry.number".as("entry_number"),                        // P2

@@ -30,4 +30,23 @@ class CsvSinkSpec extends AnyFunSuite {
     val expected = master.agg(sum(col("Total_KM"))).collect()(0).getLong(0)
     assert(kmSum == expected)
   }
+
+  test("utf-8-sig sink: every part file starts with the BOM, content intact") {
+    val out = java.nio.file.Files.createTempDirectory("graft_csv_bom").toString
+    val master = graft.ops.Transform.q4Master(spark, sf)
+    graft.sources.CsvSink.write(master, out)
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      val head = java.nio.file.Files.newInputStream(p.toPath).readNBytes(3)
+      assert(head.sameElements(graft.sources.CsvSink.Bom), p.getName)
+    }
+    // Spark's CSV reader consumes the BOM transparently; content round-trips
+    val back = spark.read
+      .option("header", "true").option("encoding", "UTF-8").csv(out)
+    assert(back.count() == master.count())
+    assert(back.columns.toSeq == master.columns.toSeq)
+    assert(back.filter(col("end_location_original").contains("مطار")).count() > 0)
+  }
 }

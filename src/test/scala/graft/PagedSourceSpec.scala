@@ -68,6 +68,59 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(second.select("serialId").distinct().count() == 8)
   }
 
+  test("protocol knobs: stop-on-empty-page, 401-abort, limit invariant") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def writePage(dir: File, i: Int, n: Int): Unit = {
+      val arr = mapper.createArrayNode()
+      (0 until n).foreach { k =>
+        val o = arr.addObject()
+        o.put("serialId", (i * 100 + k).toLong); o.put("confirm_status", true)
+      }
+      mapper.writeValue(new File(dir, f"page_$i%05d.json"), arr)
+    }
+    def freshDir(name: String): File = {
+      val d = java.nio.file.Files.createTempDirectory(name).toFile; d
+    }
+    def read(dir: File, opts: Map[String, String] = Map.empty) = {
+      var r = spark.read.format("graft.sources.PagedJsonSource")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(dir.getAbsolutePath)
+    }
+
+    // stop path: the first empty page ends the stream, later pages ignored
+    val stopDir = freshDir("graft_proto_stop")
+    writePage(stopDir, 0, 3); writePage(stopDir, 1, 0); writePage(stopDir, 2, 4)
+    assert(read(stopDir).count() == 3)
+    assert(read(stopDir, Map("stopOnEmptyPage" -> "false")).count() == 7)
+
+    // abort path: a 401 status sidecar fails the whole read
+    val abortDir = freshDir("graft_proto_abort")
+    writePage(abortDir, 0, 3); writePage(abortDir, 1, 3)
+    java.nio.file.Files.writeString(
+      new File(abortDir, "page_00001.json.status").toPath, "401")
+    val ex = intercept[Exception] { read(abortDir).count() }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse(""))).mkString(" | ")
+    assert(rootMsg(ex).contains("401"), rootMsg(ex))
+    // a non-abort status (e.g. transient 429) does not kill the read
+    java.nio.file.Files.writeString(
+      new File(abortDir, "page_00001.json.status").toPath, "429")
+    assert(read(abortDir).count() == 6)
+
+    // limit invariant: a short non-final page is a protocol violation
+    val limitDir = freshDir("graft_proto_limit")
+    writePage(limitDir, 0, 3); writePage(limitDir, 1, 2); writePage(limitDir, 2, 3)
+    val lex = intercept[Exception] {
+      read(limitDir, Map("limit" -> "3")).count()
+    }
+    assert(rootMsg(lex).contains("expected limit=3"), rootMsg(lex))
+    // the final page may be short
+    val okDir = freshDir("graft_proto_ok")
+    writePage(okDir, 0, 3); writePage(okDir, 1, 2)
+    assert(read(okDir, Map("limit" -> "3")).count() == 5)
+  }
+
   test("streaming trip cycle equals the batch master transform") {
     import org.apache.spark.sql.functions._
     val dir = PagedLanding.ensureLanded(spark, sf)
