@@ -15,10 +15,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val t0 = System.currentTimeMillis()
+    var ok = 0
+    var failed = 0
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        ok += 1
+      }
       catch { case e: Throwable =>
+        failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any stale output from a previous run — a leftover result
         // must not mask this run's failure in the oracle compare
@@ -45,6 +52,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the /stats bookkeeping of the reference's run-cycle (api.py:354-359):
+    // record count = the flagship master output just written
+    val masterRows =
+      try spark.read.parquet(s"$outDir/q4_master").count() catch { case _: Throwable => 0L }
+    val now = System.currentTimeMillis()
+    graft.api.CleanApi.recordRun(graft.api.CleanApi.RunStats(
+      records = masterRows, queriesOk = ok, queriesFailed = failed,
+      status = if (failed == 0) "success" else "partial",
+      finishedAtMs = now, durationMs = now - t0))
+    System.err.println(s"[verify] stats: ${graft.api.CleanApi.stats()}")
     Caches.clear(spark)
     spark.stop()
   }

@@ -31,6 +31,43 @@ object CleanApi {
   /** POST /clean/batch — sequential map (Spark form: n10_nlp_columns). */
   def cleanBatch(texts: Seq[String]): Seq[CleanResult] = texts.map(clean)
 
+  val Version = "0.2"
+
+  /** GET /health (api.py:251-261) — readiness: the location dictionary is
+    * loaded and the cleaner answers a smoke call. */
+  def health(): Map[String, String] = {
+    val dictLoaded = graft.nlp.Locations.variantRows.nonEmpty
+    val cleanerOk =
+      try { clean("مطار"); true } catch { case _: Throwable => false }
+    Map(
+      "status" -> (if (dictLoaded && cleanerOk) "healthy" else "degraded"),
+      "version" -> Version,
+      "dictionary_loaded" -> dictLoaded.toString,
+      "cleaner_ok" -> cleanerOk.toString)
+  }
+
+  case class RunStats(records: Long, queriesOk: Int, queriesFailed: Int,
+      status: String, finishedAtMs: Long, durationMs: Long)
+
+  /** The reference's `_last_stats` global (api.py:354-359): the run-cycle
+    * driver (graft.Verify) records its outcome here; /stats reads it. */
+  private val lastRun =
+    new java.util.concurrent.atomic.AtomicReference[Option[RunStats]](None)
+
+  def recordRun(r: RunStats): Unit = lastRun.set(Some(r))
+
+  /** GET /stats (api.py:370-382) — last run-cycle record count + status. */
+  def stats(): Map[String, String] = lastRun.get() match {
+    case None => Map("status" -> "no_runs_yet")
+    case Some(r) => Map(
+      "status" -> r.status,
+      "records" -> r.records.toString,
+      "queries_ok" -> r.queriesOk.toString,
+      "queries_failed" -> r.queriesFailed.toString,
+      "finished_at_ms" -> r.finishedAtMs.toString,
+      "duration_ms" -> r.durationMs.toString)
+  }
+
   private def js(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"

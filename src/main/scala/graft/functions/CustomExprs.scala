@@ -62,6 +62,23 @@ object CustomExprs {
         l: Expression, r: Expression): Expression = copy(l, r)
   }
 
+  /** 64-bit SimHash fingerprint of a space-separated text as ONE codegen'd
+    * map-side expression (x12's signature stage). Semantics are exactly
+    * the relational formulation it replaces — xxhash64(word, seed 42) per
+    * non-empty word, ±1 vote per bit, bit set iff votes > 0 — but with no
+    * word explode and no 64-column aggregate: at 100 TB the signature
+    * stage becomes a pure map over documents instead of a words-sized
+    * shuffle. */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      ExprImpl.simhash64(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$implName.simhash64($c)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+  }
+
   /** A3's pair generator as a native Generator (UDTF): emits every
     * unordered pair (i<j) of a sorted string array — the reference's
     * itertools.combinations(sorted(locs), 2) (Main.py:250). */
@@ -99,6 +116,9 @@ object CustomExprs {
   def vector_dot(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("vector_dot", a, b)
 
+  def simhash64(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("simhash64", c)
+
   /** SQL registration (spark.sql("SELECT token_sort_ratio(a,b) …")). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -110,6 +130,8 @@ object CustomExprs {
       es => ArrayCombinations2(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vector_dot",
       es => VectorDot(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head), "scala_udf")
   }
 }
 
@@ -129,6 +151,43 @@ object ExprImpl {
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
+  }
+
+  /** SimHash-64 over space-separated words: xxhash64 (seed 42, matching
+    * Spark's `xxhash64` built-in) per non-empty word hashed straight off
+    * the UTF8String bytes (0x20 never occurs inside a UTF-8 multibyte
+    * sequence, so byte-level splitting is exact), ±1 vote per bit, bit
+    * set iff votes > 0. Zero allocations per row beyond the vote array. */
+  def simhash64(s: UTF8String): Long = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes
+    val votes = new Array[Int](64)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n ||
+          org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        if (i > start) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(base, off + start, i - start, 42L)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            j += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sim |= (1L << j)
+      j += 1
+    }
+    sim
   }
 
   /** FNV-1a 64-bit over UTF-8 bytes — an order-sensitive rolling

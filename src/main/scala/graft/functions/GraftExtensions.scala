@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[CustomExprs.VectorDot].getName, "vector_dot"),
       (es: Seq[Expression]) => CustomExprs.VectorDot(es.head, es(1))))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[CustomExprs.SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => CustomExprs.SimHash64(es.head)))
     e.injectOptimizerRule(_ => FoldSelfTokenSortRatio)
   }
 }

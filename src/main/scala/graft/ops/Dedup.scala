@@ -147,8 +147,36 @@ object Dedup {
 
   /** x12 — SimHash near-dup: 64-bit sign-vote over word hashes, blocked by
     * 8×8-bit chunks, hamming ≤ 6 verified with bit_count(xor). Rows-only
-    * check (the hash family is engine-specific by design). */
+    * check (the hash family is engine-specific by design).
+    *
+    * The signature stage is the custom codegen'd [[graft.functions
+    * .CustomExprs.SimHash64]] expression — a pure map over documents. The
+    * relational formulation it replaced (word explode + 64 vote-sum
+    * aggregate columns, i.e. a words-sized shuffle) is kept as
+    * [[simhashSigsViaAgg]] purely as the independent reference
+    * implementation for DedupSimilaritySpec's equivalence gate. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    val sigs = simhashSigs(spark, sfDir)
+    simhashBlockedPairs(sigs)
+  }
+
+  /** Expression-form signatures: map-only, no explode, no shuffle. */
+  def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    Tables.spread(Tables.documents(spark, sfDir))
+      // docs with no non-empty word have no votes and are excluded (the
+      // relational form drops them at the explode+filter stage)
+      .filter(size(array_remove(split($"text", " "), lit(""))) > 0)
+      .select($"doc_id",
+        graft.functions.CustomExprs.simhash64($"text").as("simhash"))
+  }
+
+  /** The original relational formulation (explode + 64 vote-sum columns);
+    * reference implementation for the spec's expression≡aggregate gate. */
+  def simhashSigsViaAgg(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val words = Tables.spread(Tables.documents(spark, sfDir))
       .select($"doc_id", explode(split($"text", " ")).as("w"))
@@ -162,7 +190,14 @@ object Dedup {
     val sim = (0 until 64).map { j =>
       shiftleft(when(col(s"v$j") > 0, 1L).otherwise(0L), j)
     }.reduce(_.bitwiseOR(_))
-    val sigs = voted.select($"doc_id", sim.as("simhash"))
+    voted.select($"doc_id", sim.as("simhash"))
+  }
+
+  /** Chunk-blocked candidate join + exact hamming verify over (doc_id,
+    * simhash) signatures. */
+  private def simhashBlockedPairs(sigs: DataFrame): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
     val chunks = sigs.select($"doc_id", $"simhash",
       explode(array((0 until 8).map(c =>
         struct(lit(c).as("c"),

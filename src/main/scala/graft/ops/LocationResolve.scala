@@ -16,8 +16,11 @@ import graft.nlp.{Goldens, Locations, Normalize}
   *
   * This is the extract_all_locations dataflow with the fuzzy tier turned
   * off (the fuzzy tier is inherently procedural; Transform keeps it in a
-  * UDF applied after tiers 1-2 miss). At 100 TB: map-only, shuffle-free
-  * except the final per-trip regroup, which co-partitions on trip_key.
+  * UDF applied after tiers 1-2 miss). At 100 TB the regex/dict chain runs
+  * once per DISTINCT location string (dedup-before-NLP, same design as
+  * the master transform: the distinct strings are bounded by vocabulary,
+  * not data volume) and the resolved dimension broadcasts back onto the
+  * fact rows — trip rows never enter the token explode.
   */
 object LocationResolve {
 
@@ -32,13 +35,15 @@ object LocationResolve {
     val trips = Trips.raw(spark, sfDir)
     val el = when($"end_location".isNull || $"end_location" === "nan", "")
       .otherwise($"end_location")
-    val scrubbed = regexp_replace(trim(el), Locations.roundTripPattern, " ")
+    val withEl = trips.withColumn("_el", el)
+
+    // the whole regex/dict chain runs on the distinct strings only
+    val scrubbed = regexp_replace(trim($"_el"), Locations.roundTripPattern, " ")
     val toks = filter(
       transform(split(scrubbed, Locations.tokenSplitPattern), trim(_)),
       t => t =!= "")
-
-    val exploded = trips
-      .select($"trip_key", posexplode_outer(toks).as(Seq("pos", "tok")))
+    val exploded = withEl.select($"_el").distinct()
+      .select($"_el", posexplode_outer(toks).as(Seq("pos", "tok")))
       .withColumn("norm", Normalize.normalizeCol($"tok"))
       .withColumn("stripped",
         trim(regexp_replace($"tok", "(?U)" + Locations.opPrefixPattern, "")))
@@ -54,15 +59,15 @@ object LocationResolve {
         resolve($"norm"),
         when($"stripped" =!= "", resolve($"strippedNorm"))))
 
-    val grouped = resolved
+    val dim = resolved
       .filter($"loc".isNotNull)
-      .groupBy($"trip_key")
+      .groupBy($"_el")
       .agg(array_distinct(transform(
         array_sort(collect_list(struct($"pos", $"loc"))),
         s => s.getField("loc"))).as("locs"))
 
-    trips.select($"trip_key", $"vid")
-      .join(grouped, Seq("trip_key"), "left")
+    withEl.select($"trip_key", $"vid", $"_el")
+      .join(broadcast(dim), Seq("_el"), "left")
       .select($"trip_key", $"vid",
         coalesce(array_join($"locs", "|"), lit("")).as("locations"),
         coalesce(size($"locs"), lit(0)).cast("long").as("n_locations"))

@@ -22,6 +22,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(agg == Tables.documents(spark, sf).count())
   }
 
+  test("simhash expression signatures equal the relational formulation") {
+    val a = Dedup.simhashSigs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.simhashSigsViaAgg(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("simhash near-dup pairs include the planted near-dups") {
     val sim = Dedup.simhashPairs(spark, sf)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
