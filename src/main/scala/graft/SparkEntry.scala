@@ -96,6 +96,8 @@ object SparkEntry {
     "s04_paged_source"     -> (graft.sources.PagedLanding.pagedSourceAgg _),
     "j05_bucketed_colocated" -> (Relational.j05BucketedColocated _),
     "g05_salted_skew_agg"  -> (Relational.g05SaltedSkewAgg _),
+    "x50_split_counts"     -> (graft.ops.Sampling.splitCounts _),
+    "x51_source_cap"       -> (graft.ops.Sampling.sourceCap _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -239,5 +241,7 @@ object SparkEntry {
     "s04_paged_source"      -> graft.sources.PagedLanding.pagedSourceAggSql,
     "j05_bucketed_colocated" -> Relational.j05BucketedColocatedSql,
     "g05_salted_skew_agg"   -> Relational.g05SaltedSkewAggSql,
+    "x50_split_counts"      -> graft.ops.Sampling.splitCountsSql,
+    "x51_source_cap"        -> graft.ops.Sampling.sourceCapSql,
   )
 }
