@@ -121,6 +121,30 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(read(okDir, Map("limit" -> "3")).count() == 5)
   }
 
+  test("protocol knobs apply to the micro-batch stream (stop-on-empty)") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val work = java.nio.file.Files.createTempDirectory("graft_proto_stream")
+    val pages = new File(work.toFile, "pages"); pages.mkdirs()
+    def writePage(i: Int, n: Int): Unit = {
+      val arr = mapper.createArrayNode()
+      (0 until n).foreach { k =>
+        val o = arr.addObject()
+        o.put("serialId", (i * 100 + k).toLong); o.put("confirm_status", true)
+      }
+      mapper.writeValue(new File(pages, f"page_$i%05d.json"), arr)
+    }
+    writePage(0, 3); writePage(1, 0); writePage(2, 4)
+    val q = spark.readStream.format("graft.sources.PagedJsonSource")
+      .schema(PagedJsonSource.schema)
+      .load(pages.getAbsolutePath)
+      .writeStream.format("memory").queryName("proto_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the empty page terminates the stream: page 2 is never read
+    assert(spark.table("proto_stream").count() == 3)
+  }
+
   test("streaming trip cycle equals the batch master transform") {
     import org.apache.spark.sql.functions._
     val dir = PagedLanding.ensureLanded(spark, sf)

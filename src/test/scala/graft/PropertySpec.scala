@@ -76,6 +76,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("simhash64 byte-level splitting equals a string-split reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    for (s <- samples()) {
+      val got = graft.functions.ExprImpl.simhash64(UTF8String.fromString(s))
+      val votes = new Array[Int](64)
+      s.split(" ").filter(_.nonEmpty).foreach { w =>
+        val u = UTF8String.fromString(w)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        (0 until 64).foreach { j =>
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        }
+      }
+      val ref = (0 until 64).foldLeft(0L) { (acc, j) =>
+        if (votes(j) > 0) acc | (1L << j) else acc
+      }
+      assert(got == ref, s"input=<$s>")
+    }
+  }
+
   test("trip type is always one of the reference's categories") {
     val cats = Set("Invalid Data", "Airport Transfer", "Admin/Management",
       "Round Trip", "Nile Cruise", "Special Operations", "Multi-Destination",
