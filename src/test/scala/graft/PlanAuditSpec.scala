@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.FormattedMode
+import graft.ops.{Relational, Transform}
+
+/** Plan-shape gates for the scale-critical physical properties PLANS.md
+  * documents — a silent regression (lost pushdown, a dim falling out of
+  * broadcast, NLP escaping the distinct side) should fail CI, not show up
+  * as a 10× bench surprise.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  val sf = SparkSuite.sf
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("g01: filter pushed to the parquet scan, columns pruned") {
+    val plan = formatted(Relational.g01AggPricing(spark, sf))
+    assert(plan.contains("PushedFilters"), plan.take(800))
+    assert(plan.contains("LessThanOrEqual(l_shipdate"), plan.take(800))
+    // 6 of 11 lineitem columns used; the scan must not read the rest
+    assert(!plan.contains("l_suppkey") && !plan.contains("l_tax"), plan.take(800))
+  }
+
+  test("j01: all three dims broadcast, no sort-merge join") {
+    val plan = formatted(Relational.j01RegionRevenue(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
+  test("q4 master: NLP UDFs confined to the broadcast (distinct) side") {
+    val plan = formatted(Transform.master(spark, sf))
+    assert(plan.contains("BroadcastExchange"), plan.take(1500))
+    // the distinct-string aggregate that the UDFs run above
+    assert(plan.contains("Keys [1]: [_el"), plan.take(1500))
+    // every UDF invocation takes the distinct `_el` string (or the array
+    // derived from it) — a UDF over raw trip rows would reference the
+    // fact-side end_location attribute instead
+    val udfLines = plan.split("\n").filter(_.contains("UDF("))
+    assert(udfLines.nonEmpty)
+    udfLines.foreach { l =>
+      assert(l.contains("UDF(_el"), l.take(200))
+    }
+  }
+
+  test("x21: candidate fetch is an equi join, no nested loop over corpus") {
+    val plan = formatted(graft.ops.Similarity.lshTopK(spark, sf))
+    // pass 1 may broadcast the 8-row query sketches (fine); the corpus
+    // itself must never be the build side of a nested loop
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+}
