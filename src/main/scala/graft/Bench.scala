@@ -51,7 +51,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failed queries keep their -1 marker per-query but must not subtract
+    // from (i.e. silently deflate) the headline total
+    val total = results.values.filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     Files.write(Paths.get(outFile), (line + "\n").getBytes(StandardCharsets.UTF_8),

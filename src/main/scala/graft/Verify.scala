@@ -29,12 +29,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any stale output from a previous run — a leftover result
         // must not mask this run's failure in the oracle compare
-        val stale = new java.io.File(s"$outDir/$name")
-        if (stale.exists()) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(stale.toPath).iterator().asScala.toSeq
-            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-        }
+        Fs.deleteRecursively(java.nio.file.Paths.get(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -332,6 +332,9 @@ object Relational {
 
   private def ensureBucketed(spark: SparkSession, sfDir: String): String = {
     val suffix = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    // prune stopped sessions so the map never pins them (same policy as
+    // graft.Caches)
+    bucketed.keys.filter(_._1.sparkContext.isStopped).foreach(bucketed.remove)
     bucketed.getOrElseUpdate((spark, sfDir), {
       Seq(s"b_orders$suffix", s"b_lineitem$suffix").foreach(dropStale(spark, _))
       Tables.orders(spark, sfDir)
@@ -354,12 +357,8 @@ object Relational {
     val whPath =
       if (wh.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(wh))
       else java.nio.file.Paths.get(wh)
-    val loc = whPath.resolve(table.toLowerCase(java.util.Locale.ROOT))
-    if (java.nio.file.Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.Fs.deleteRecursively(
+      whPath.resolve(table.toLowerCase(java.util.Locale.ROOT)))
   }
 
   /** j05 — co-located bucketed join: lineitem⋈orders on the bucket key,

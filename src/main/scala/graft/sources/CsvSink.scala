@@ -33,14 +33,22 @@ object CsvSink {
       .parallelize(parts, math.max(1, parts.size))
       .foreach { p =>
         val src = Paths.get(p)
-        val tmp = Paths.get(p + ".bom")
-        val out = Files.newOutputStream(tmp)
-        try { out.write(Bom); Files.copy(src, out) } finally out.close()
-        Files.move(tmp, src, StandardCopyOption.REPLACE_EXISTING)
-        // drop Hadoop's local-FS checksum sidecar — it hashed the pre-BOM
-        // bytes and would fail any Hadoop-API re-read of the part file
-        Files.deleteIfExists(
-          src.resolveSibling("." + src.getFileName.toString + ".crc"))
+        // idempotent: a retried/speculative task must not double-BOM a
+        // part file the first attempt already rewrote
+        val head = {
+          val in = Files.newInputStream(src)
+          try in.readNBytes(3) finally in.close()
+        }
+        if (!java.util.Arrays.equals(head, Bom)) {
+          val tmp = Paths.get(p + ".bom")
+          val out = Files.newOutputStream(tmp)
+          try { out.write(Bom); Files.copy(src, out) } finally out.close()
+          Files.move(tmp, src, StandardCopyOption.REPLACE_EXISTING)
+          // drop Hadoop's local-FS checksum sidecar — it hashed the
+          // pre-BOM bytes and would fail any Hadoop-API re-read
+          Files.deleteIfExists(
+            src.resolveSibling("." + src.getFileName.toString + ".crc"))
+        }
       }
   }
 }

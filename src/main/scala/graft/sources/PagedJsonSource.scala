@@ -73,18 +73,26 @@ object PagedProtocol {
 
   class FetchAbort(msg: String) extends RuntimeException(msg)
 
+  /** Lenient sidecar parse: the leading integer of the file ("401",
+    * "401 Unauthorized", …); a sidecar with no parseable code is ignored
+    * rather than crashing planning. */
   private def sidecarStatus(f: java.io.File): Option[Int] = {
     val s = new java.io.File(f.getAbsolutePath + ".status")
-    if (s.isFile) Some(new String(java.nio.file.Files.readAllBytes(s.toPath)).trim.toInt)
-    else None
+    if (!s.isFile) None
+    else "\\d+".r.findFirstIn(
+      new String(java.nio.file.Files.readAllBytes(s.toPath))).map(_.toInt)
   }
 
   /** Tiny files are the only empty-page candidates; confirm by parse so
-    * planning never reads a full data page. */
+    * planning never reads a full data page. A corrupt tiny file is NOT
+    * treated as empty — it flows to the data-read path, whose Retry
+    * wrapper and error reporting own that failure mode. */
   private def isEmptyPage(f: java.io.File): Boolean =
     f.length() <= 8 && {
-      val root = new ObjectMapper().readTree(f)
-      root.isArray && root.size() == 0
+      try {
+        val root = new ObjectMapper().readTree(f)
+        root != null && root.isArray && root.size() == 0
+      } catch { case _: Exception => false }
     }
 
   /** The fetch-loop semantics over the listed pages: abort on a fatal
@@ -196,7 +204,12 @@ class PagedMicroBatchStream(path: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PageOffset].page
     val e = end.asInstanceOf[PageOffset].page
-    PagedJsonTable.groupPages(PagedProtocol.effectivePages(path, config).slice(s, e))
+    val all = PagedProtocol.effectivePages(path, config)
+    // the `limit` invariant applies in streaming too; only the stream's
+    // CURRENT frontier page (more may land later) is exempt — not the
+    // last page of each batch slice
+    PagedJsonTable.groupPages(all.slice(s, e), config.limit,
+      all.lastOption.map(_.getAbsolutePath))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new PagePartitionReaderFactory

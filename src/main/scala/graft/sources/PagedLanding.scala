@@ -39,7 +39,10 @@ object PagedLanding {
     val pageSize = PageSize
 
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val indexed = Trips.raw(spark, sfDir)
+    // persisted: the sorted lineage (scan + range shuffle + sort) would
+    // otherwise be recomputed by each of zipWithIndex's count job, the
+    // range-partitioner sampling pass, and the write job
+    val sortedRdd = Trips.raw(spark, sfDir)
       .select($"trip_key", $"confirm_status", $"sale_price_raw",
         when($"trip_key" % 19 === 18, lit(null).cast("long"))
           .otherwise(($"trip_key" * 3) % 10000).as("entry_number"),
@@ -47,9 +50,10 @@ object PagedLanding {
         $"km_return_str", $"car_number")
       .repartitionByRange(shufflePartitions, $"trip_key")
       .sortWithinPartitions($"trip_key")
-      .rdd.zipWithIndex()
+      .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    indexed
+    try sortedRdd.zipWithIndex()
       .map { case (row, idx) => (idx / pageSize, (idx, row)) }
       .groupByKey(new org.apache.spark.HashPartitioner(shufflePartitions))
       .foreach { case (page, members) =>
@@ -73,6 +77,7 @@ object PagedLanding {
         mapper.writerWithDefaultPrettyPrinter()
           .writeValue(new File(tmpPath, f"page_$page%05d.json"), arr)
       }
+    finally sortedRdd.unpersist(blocking = false)
     tmp.renameTo(dir)
     dir.getAbsolutePath
   }

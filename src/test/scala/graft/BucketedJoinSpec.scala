@@ -2,56 +2,54 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+import graft.ops.Relational
 
-/** §2.6 co-located joins: bucketing both sides on the join key removes
-  * the shuffle entirely — the physical plan for the bucketed join must
-  * contain no Exchange below the join, while the unbucketed plan does.
-  * This is the 100 TB answer for repeated fact↔fact joins. */
+/** §2.6 co-located joins: the SHIPPED registered query
+  * `j05_bucketed_colocated` joins two tables bucketed on the join key —
+  * its physical plan must contain no Exchange below the join (the
+  * 100 TB answer for repeated fact↔fact joins), and its result must
+  * match the same aggregate computed from the raw parquet. */
 class BucketedJoinSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
   val sf = SparkSuite.sf
 
-  test("bucketed join plans without a shuffle; results match unbucketed") {
+  test("j05 plans without a join shuffle; results match unbucketed") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       // force a real shuffle-eligible join so bucketing is observable
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.sql("DROP TABLE IF EXISTS b_orders")
-      spark.sql("DROP TABLE IF EXISTS b_lineitem")
-      Tables.orders(spark, sf)
-        .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable("b_orders")
-      Tables.lineitem(spark, sf)
-        .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable("b_lineitem")
 
-      def agg(l: org.apache.spark.sql.DataFrame, o: org.apache.spark.sql.DataFrame) =
-        l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("o_orderpriority"))
-          .agg(count(lit(1)).as("n"))
+      val bucketed = Relational.j05BucketedColocated(spark, sf)
+      val plan = bucketed.queryExecution.executedPlan.toString
+      val join = plan.substring(plan.indexOf("Join"))
+      assert("Exchange hashpartitioning".r.findAllIn(join).isEmpty,
+        s"bucketed join still shuffles:\n$plan")
 
-      val bucketed = agg(spark.table("b_lineitem"), spark.table("b_orders"))
-      val unbucketed = agg(Tables.lineitem(spark, sf), Tables.orders(spark, sf))
-
-      def joinShuffles(df: org.apache.spark.sql.DataFrame): Int = {
-        val plan = df.queryExecution.executedPlan.toString
-        val join = plan.substring(plan.indexOf("Join"))
-        "Exchange hashpartitioning".r.findAllIn(join).length
+      val unbucketed = {
+        import spark.implicits._
+        Tables.lineitem(spark, sf)
+          .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum($"l_extendedprice".cast("decimal(18,2)")).cast("double")
+              .as("revenue"))
+          .orderBy($"o_orderpriority")
       }
-      assert(joinShuffles(bucketed) == 0,
-        s"bucketed join still shuffles:\n${bucketed.queryExecution.executedPlan}")
-      assert(joinShuffles(unbucketed) >= 2) // both sides shuffle
-
-      val a = bucketed.orderBy("o_orderpriority").collect().map(_.toSeq).toSeq
-      val b = unbucketed.orderBy("o_orderpriority").collect().map(_.toSeq).toSeq
+      val a = bucketed.collect().map(_.toSeq).toSeq
+      val b = unbucketed.collect().map(_.toSeq).toSeq
       assert(a == b)
+      assert(a.nonEmpty)
+
+      // and the unbucketed formulation genuinely shuffles both sides,
+      // proving the 0-exchange plan above is bucketing at work
+      val uplan = unbucketed.queryExecution.executedPlan.toString
+      val ujoin = uplan.substring(uplan.indexOf("Join"))
+      assert("Exchange hashpartitioning".r.findAllIn(ujoin).length >= 2)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.sql("DROP TABLE IF EXISTS b_orders")
-      spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
 }
