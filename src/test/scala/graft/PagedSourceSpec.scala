@@ -108,6 +108,15 @@ class PagedSourceSpec extends AnyFunSuite {
       new File(abortDir, "page_00001.json.status").toPath, "429")
     assert(read(abortDir).count() == 6)
 
+    // order/sort: a landed mirror subdirectory is selected when present
+    val mirrorDir = freshDir("graft_proto_mirror")
+    writePage(mirrorDir, 0, 2)
+    val sub = new File(new File(mirrorDir, "serialId"), "desc"); sub.mkdirs()
+    writePage(sub, 0, 5)
+    assert(read(mirrorDir).count() == 2) // default order/sort: base dir
+    assert(read(mirrorDir,
+      Map("order" -> "serialId", "sort" -> "desc")).count() == 5)
+
     // limit invariant: a short non-final page is a protocol violation
     val limitDir = freshDir("graft_proto_limit")
     writePage(limitDir, 0, 3); writePage(limitDir, 1, 2); writePage(limitDir, 2, 3)
