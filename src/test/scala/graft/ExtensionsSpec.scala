@@ -26,11 +26,16 @@ class ExtensionsSpec extends AnyFunSuite {
   test("injected functions resolve in SQL") {
     val r = spark.sql(
       "SELECT token_sort_ratio('b a', 'a b') AS r, fnv1a64('a') AS h, " +
-        "vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        "vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "simhash64('a b a') AS s, simhash64(CAST(NULL AS STRING)) AS sn")
       .collect()(0)
     assert(r.getDouble(0) == 100.0)
     assert(r.getLong(1) == 0xaf63dc4c8601ec8cL)
     assert(r.getDouble(2) == 11.0)
+    // majority word 'a': simhash equals xxhash64('a') (seed 42) exactly
+    val ha = spark.sql("SELECT xxhash64('a')").collect()(0).getLong(0)
+    assert(r.getLong(3) == ha)
+    assert(r.isNullAt(4))
   }
 
   test("optimizer rule folds token_sort_ratio(x, x) to a literal") {
