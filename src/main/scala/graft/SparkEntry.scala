@@ -68,6 +68,7 @@ object SparkEntry {
     "n01_normalize"        -> (Analytics.normalizeQuery _),
     "n03_tokenize"         -> (Analytics.tokenizeQuery _),
     "n06_tier12_relational" -> (LocationResolve.tier12Locations _),
+    "n07_tier12_broadcast"  -> (LocationResolve.tier12LocationsBroadcast _),
     "n10_nlp_columns"      -> (Analytics.nlpColumns _),
     "x10_dedup_exact"      -> (Dedup.exactDedup _),
     "x11_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
@@ -216,6 +217,7 @@ object SparkEntry {
     "n01_normalize"         -> Analytics.normalizeSql,
     "n03_tokenize"          -> Analytics.tokenizeSql,
     "n06_tier12_relational" -> LocationResolve.tier12Sql,
+    "n07_tier12_broadcast"  -> LocationResolve.tier12Sql, // same semantics, broadcast form
     "n10_nlp_columns"       -> Analytics.nlpColumnsSql,
     "x10_dedup_exact"       -> Dedup.exactDedupSql,
     "x11_dedup_minhash_lsh" -> Dedup.jaccardPairsSql, // LSH verified == exact

@@ -1,13 +1,23 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.nlp.{Goldens, Locations, Normalize}
 
 /** N6/N7 — tier-1 (exact) and tier-2 (combined regex) location resolution
   * as a PURE-relational pipeline: no UDFs anywhere, every step a built-in
-  * codegen'd expression, the dictionary folded in as a literal map
-  * (equivalent to a broadcast dim, but free — it lives in the plan).
+  * codegen'd expression. The dictionary is consulted in two interchangeable
+  * forms:
+  *
+  *  - [[tier12Locations]] (n06): the dictionary folded in as a literal map
+  *    column — the right plan while the dictionary fits in the plan (a few
+  *    thousand variants): zero joins, zero exchanges for the lookup.
+  *  - [[tier12LocationsBroadcast]] (n07): the dictionary as a broadcast
+  *    dimension DataFrame ([[Locations.variantRows]]) joined onto the
+  *    exploded tokens — the form that survives a million-variant
+  *    dictionary, where a plan literal would blow up the plan size. Each
+  *    lookup tier is one BroadcastHashJoin; the fact rows still never see
+  *    the dictionary (only the distinct-string token dim does).
   *
   * Pipeline per token: scrub round-trip markers → split/trim/filter →
   * posexplode → normalize (regexp chain) → exact map hit, else regex
@@ -30,35 +40,37 @@ object LocationResolve {
     map(entries: _*)
   }
 
-  def tier12Locations(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Trips with the filled `_el` string column. */
+  private def withElFrame(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val trips = Trips.raw(spark, sfDir)
     val el = when($"end_location".isNull || $"end_location" === "nan", "")
       .otherwise($"end_location")
-    val withEl = trips.withColumn("_el", el)
+    trips.withColumn("_el", el)
+  }
 
-    // the whole regex/dict chain runs on the distinct strings only
+  /** Distinct `_el` strings exploded to positioned, normalized tokens —
+    * the whole regex chain runs on the distinct strings only. */
+  private def explodedTokens(withEl: DataFrame): DataFrame = {
+    val spark = withEl.sparkSession
+    import spark.implicits._
     val scrubbed = regexp_replace(trim($"_el"), Locations.roundTripPattern, " ")
     val toks = filter(
       transform(split(scrubbed, Locations.tokenSplitPattern), trim(_)),
       t => t =!= "")
-    val exploded = withEl.select($"_el").distinct()
+    withEl.select($"_el").distinct()
       .select($"_el", posexplode_outer(toks).as(Seq("pos", "tok")))
       .withColumn("norm", Normalize.normalizeCol($"tok"))
       .withColumn("stripped",
         trim(regexp_replace($"tok", "(?U)" + Locations.opPrefixPattern, "")))
       .withColumn("strippedNorm", Normalize.normalizeCol($"stripped"))
+  }
 
-    def resolve(norm: org.apache.spark.sql.Column) = coalesce(
-      try_element_at(dictMap, norm),                                    // N6
-      try_element_at(dictMap,
-        nullif(regexp_extract(norm, Locations.combinedPattern, 1), lit("")))) // N7
-
-    val resolved = exploded.withColumn("loc",
-      coalesce(
-        resolve($"norm"),
-        when($"stripped" =!= "", resolve($"strippedNorm"))))
-
+  /** Regroup resolved tokens (with a `loc` column) into the per-string
+    * ordered location list and join it back onto the fact rows. */
+  private def assemble(withEl: DataFrame, resolved: DataFrame): DataFrame = {
+    val spark = withEl.sparkSession
+    import spark.implicits._
     val dim = resolved
       .filter($"loc".isNotNull)
       .groupBy($"_el")
@@ -72,6 +84,57 @@ object LocationResolve {
         coalesce(array_join($"locs", "|"), lit("")).as("locations"),
         coalesce(size($"locs"), lit(0)).cast("long").as("n_locations"))
       .orderBy($"trip_key")
+  }
+
+  /** Tier-2 regex capture of the longest embedded variant, null on miss. */
+  private def capture(norm: Column): Column =
+    nullif(regexp_extract(norm, Locations.combinedPattern, 1), lit(""))
+
+  /** n06 — dictionary as a plan-literal map (no joins for the lookup). */
+  def tier12Locations(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val withEl = withElFrame(spark, sfDir)
+    val exploded = explodedTokens(withEl)
+
+    def resolve(norm: Column) = coalesce(
+      try_element_at(dictMap, norm),                  // N6 exact
+      try_element_at(dictMap, capture(norm)))         // N7 regex
+
+    val resolved = exploded.withColumn("loc",
+      coalesce(
+        resolve($"norm"),
+        when($"stripped" =!= "", resolve($"strippedNorm"))))
+    assemble(withEl, resolved)
+  }
+
+  /** n07 — the same resolution with the dictionary as a broadcast-joined
+    * variant dimension: the at-scale form for dictionaries too large to
+    * constant-fold into the plan. Four left BroadcastHashJoins (exact and
+    * regex-capture tiers, plain and op-prefix-stripped), coalesced in the
+    * reference's tier order. Result is row-identical to [[tier12Locations]]
+    * (shared n06 oracle; PlanAuditSpec asserts the BHJ shape). */
+  def tier12LocationsBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val withEl = withElFrame(spark, sfDir)
+    val exploded = explodedTokens(withEl)
+
+    val dim = Locations.variantRows.toDF("vkey", "canon")
+    // one broadcast left-join per lookup tier; a null key never matches,
+    // which is exactly the literal-map miss semantics
+    def lookup(df: DataFrame, key: Column, out: String): DataFrame = {
+      val d = dim.select($"vkey".as(s"_k_$out"), $"canon".as(out))
+      df.join(broadcast(d), key === col(s"_k_$out"), "left").drop(s"_k_$out")
+    }
+    val looked = Seq[(String, DataFrame => Column)](
+      "c_exact"  -> (df => df("norm")),
+      "c_regex"  -> (df => capture(df("norm"))),
+      "c_sexact" -> (df => when(df("stripped") =!= "", df("strippedNorm"))),
+      "c_sregex" -> (df => when(df("stripped") =!= "", capture(df("strippedNorm")))),
+    ).foldLeft(exploded) { case (df, (out, key)) => lookup(df, key(df), out) }
+
+    val resolved = looked.withColumn("loc",
+      coalesce($"c_exact", $"c_regex", $"c_sexact", $"c_sregex"))
+    assemble(withEl, resolved)
   }
 
   val tier12Sql: String =

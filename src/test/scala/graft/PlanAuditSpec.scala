@@ -46,6 +46,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("n07: dictionary lookups are BroadcastHashJoins, result == n06") {
+    val n07 = graft.ops.LocationResolve.tier12LocationsBroadcast(spark, sf)
+    val plan = formatted(n07)
+    // four lookup tiers + the resolved-dim fact join, all broadcast
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 5, plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    // the broadcast form must be row-identical to the literal-map form
+    val n06 = graft.ops.LocationResolve.tier12Locations(spark, sf)
+    assert(n07.collect().map(_.toSeq).toSeq ==
+      n06.collect().map(_.toSeq).toSeq)
+  }
+
   test("x21: candidate fetch is an equi join, no nested loop over corpus") {
     val plan = formatted(graft.ops.Similarity.lshTopK(spark, sf))
     // pass 1 may broadcast the 8-row query sketches (fine); the corpus
