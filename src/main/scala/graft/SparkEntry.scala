@@ -83,7 +83,9 @@ object SparkEntry {
     "x31_lang_id"          -> (TextAnalysis.langId _),
     "x32_fingerprint"      -> (TextAnalysis.fingerprint _),
     "x33_fnv_fingerprint"  -> (TextAnalysis.fnvFingerprint _),
+    "x34_pii_scrub"        -> (TextAnalysis.piiScrub _),
     "x35_top_ngrams"       -> (TextAnalysis.topNgrams _),
+    "x36_boilerplate_lines" -> (TextAnalysis.boilerplateScrub _),
     "x37_tfidf_top_term"   -> (TextAnalysis.tfidfTopTerm _),
     "a03_pairs_generator"  -> (Analytics.pairsViaGenerator _),
     "x40_multimodal_meta"  -> (Multimodal.mediaMeta _),
@@ -230,7 +232,9 @@ object SparkEntry {
     "x31_lang_id"           -> TextAnalysis.langIdSql,
     "x32_fingerprint"       -> TextAnalysis.fingerprintSql,
     "a03_pairs_generator"   -> Analytics.pairsViaGeneratorSql,
+    "x34_pii_scrub"         -> TextAnalysis.piiScrubSql,
     "x35_top_ngrams"        -> TextAnalysis.topNgramsSql,
+    "x36_boilerplate_lines" -> TextAnalysis.boilerplateScrubSql,
     "x37_tfidf_top_term"    -> TextAnalysis.tfidfTopTermSql,
     "x40_multimodal_meta"   -> Multimodal.mediaMetaSql,
     "x41_frame_sample"      -> Multimodal.frameSampleSql,

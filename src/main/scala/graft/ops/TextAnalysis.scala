@@ -218,6 +218,147 @@ object TextAnalysis {
       |SELECT doc_id, term AS top_term, tf, df, score
       |FROM scored WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- x34 PII
+
+  /** Redaction regexes — kept to the common Java-regex/RE2 subset (no
+    * lookarounds, no backrefs) so the Spark expression and the DuckDB
+    * oracle match byte-for-byte. CurationSpec pins golden cases. */
+  val emailRegex: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlRegex: String = "https?://[^ ]+"
+  val phoneRegex: String = "\\+[0-9][0-9-]+[0-9]"
+
+  /** Redact URLs, then emails, then phones (URL first so its path digits
+    * and dots can't be half-eaten by the narrower patterns). */
+  def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, urlRegex, "<URL>"),
+        emailRegex, "<EMAIL>"),
+      phoneRegex, "<PHONE>")
+
+  /** The documents fixture carries no PII, so each doc gets a
+    * deterministic synthetic contact block (a pure function of doc_id —
+    * the oracle rebuilds the identical string) before scrubbing. */
+  private def withSyntheticPii(doc: Column, docId: Column): Column = {
+    val id = docId.cast("string")
+    concat(doc,
+      lit(" Contact user"), id, lit("@example.com or +1-555-0"),
+      (docId % 10000).cast("string"),
+      when(docId % 3 === 0,
+        concat(lit(" cc admin"), id, lit("@mail.example.org"))).otherwise(""),
+      when(docId % 4 === 1,
+        concat(lit(" fax +20-2-"), (docId % 1000).cast("string"), lit("-99")))
+        .otherwise(""),
+      lit(" see https://site"), (docId % 7).cast("string"),
+      lit(".example.com/d/"), id)
+  }
+
+  /** x34 — PII scrub: count emails/phones/URLs per doc and emit the
+    * redacted text. Map-only (no shuffle but the output sort): the exact
+    * shape a 100 TB pre-training scrub pass needs — every expression is
+    * codegen'd regexp work, rows never leave their input partition. */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pii = withSyntheticPii($"text", $"doc_id")
+    Tables.documents(spark, sfDir).select(
+      $"doc_id",
+      regexp_count(pii, lit(emailRegex)).cast("long").as("n_emails"),
+      regexp_count(pii, lit(phoneRegex)).cast("long").as("n_phones"),
+      regexp_count(pii, lit(urlRegex)).cast("long").as("n_urls"),
+      redact(pii).as("redacted"),
+    ).orderBy($"doc_id")
+  }
+
+  val piiScrubSql: String = {
+    // same regexes; DuckDB regexp_replace needs the explicit 'g' flag
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^ ]+"
+    val phone = "\\+[0-9][0-9-]+[0-9]"
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    text || ' Contact user' || doc_id || '@example.com or +1-555-0'
+       |      || (doc_id % 10000)
+       |      || CASE WHEN doc_id % 3 = 0
+       |              THEN ' cc admin' || doc_id || '@mail.example.org' ELSE '' END
+       |      || CASE WHEN doc_id % 4 = 1
+       |              THEN ' fax +20-2-' || (doc_id % 1000) || '-99' ELSE '' END
+       |      || ' see https://site' || (doc_id % 7) || '.example.com/d/' || doc_id
+       |      AS pii
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(pii, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(pii, '$phone')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(pii, '$url')) AS BIGINT) AS n_urls,
+       |  regexp_replace(regexp_replace(regexp_replace(pii,
+       |    '$url', '<URL>', 'g'), '$email', '<EMAIL>', 'g'),
+       |    '$phone', '<PHONE>', 'g') AS redacted
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------- x36 boilerplate lines
+
+  /** x36 line segmentation: the fixture text is newline-free word soup, so
+    * a "line" is a fixed 8-word chunk — deterministic on both engines. */
+  val LineWords = 8
+
+  /** A line appearing in >= this many distinct docs is boilerplate. */
+  val BoilerplateDocFreq = 3
+
+  /** x36 — C4-style per-line boilerplate removal: segment docs into lines,
+    * compute each line's document frequency, drop lines appearing in >= K
+    * distinct docs, reassemble the surviving text in order. Fully
+    * relational: explode → df aggregation on the line → join back (both
+    * shuffles hash on `line`, so they share a partitioning) → per-doc
+    * regroup. The line-df table is the only corpus-sized intermediate —
+    * exactly the two-pass shape of the C4 boilerplate rule at scale. */
+  def boilerplateScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = split($"text", " ")
+    val nChunks = greatest(ceil(size(w) / lit(LineWords.toDouble)), lit(1L))
+      .cast("int")
+    val lines = transform(sequence(lit(0), nChunks - 1),
+      i => struct(i.as("pos"),
+        concat_ws(" ", slice(w, i * LineWords + 1, lit(LineWords))).as("line")))
+    val exploded = Tables.spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", explode(lines).as("l"))
+      .select($"doc_id", $"l.pos".as("pos"), $"l.line".as("line"))
+    val lineDf = exploded.groupBy($"line")
+      .agg(countDistinct($"doc_id").as("ldf"))
+    exploded.join(lineDf, "line")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when($"ldf" >= BoilerplateDocFreq, 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when($"ldf" < BoilerplateDocFreq, struct($"pos", $"line")))),
+          s => s.getField("line"))).as("cleaned_text"))
+      .orderBy($"doc_id")
+  }
+
+  val boilerplateScrubSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), c AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(0, greatest(CAST(ceil(len(w) / $LineWords.0) AS BIGINT), 1)),
+       |    i -> struct_pack(pos := i,
+       |      line := array_to_string(
+       |        list_slice(w, i * $LineWords + 1, i * $LineWords + $LineWords), ' ')))) AS u
+       |  FROM d
+       |), l AS (
+       |  SELECT doc_id, u.pos AS pos, u.line AS line FROM c
+       |), f AS (
+       |  SELECT line, COUNT(DISTINCT doc_id) AS ldf FROM l GROUP BY line
+       |), j AS (
+       |  SELECT l.doc_id, l.pos, l.line, f.ldf FROM l JOIN f USING (line)
+       |)
+       |SELECT doc_id, COUNT(*) AS n_lines,
+       |  CAST(SUM(CASE WHEN ldf >= $BoilerplateDocFreq THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  COALESCE(string_agg(CASE WHEN ldf < $BoilerplateDocFreq THEN line END,
+       |                      ' ' ORDER BY pos), '') AS cleaned_text
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** x33 — FNV-1a 64-bit rolling content hash via the custom codegen
     * expression (rows-only check: the hash family is engine-specific;
     * CustomExprsSpec proves its groups coincide with sha256 groups). */

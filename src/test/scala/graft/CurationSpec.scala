@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+
+/** Golden cases for the x34 redaction regexes and structural invariants
+  * for the x36 boilerplate-line scrub (the cross-engine value parity of
+  * both is the DuckDB oracle's job; these pin the intended semantics on
+  * hand-written cases). */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  val sf = SparkSuite.sf
+
+  private def redacted(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("s").select(TextAnalysis.redact($"s")).head.getString(0)
+  }
+
+  test("x34 goldens: email forms") {
+    assert(redacted("mail john.doe+spam@sub.example.co.uk now") ==
+      "mail <EMAIL> now")
+    assert(redacted("a_b%c-d@ex-1.org end") == "<EMAIL> end")
+  }
+
+  test("x34 goldens: url forms (scheme through to whitespace)") {
+    assert(redacted("go to https://a.example.com/p?q=1&x=2 then") ==
+      "go to <URL> then")
+    assert(redacted("see http://x.org/a b") == "see <URL> b")
+  }
+
+  test("x34 goldens: phone requires leading + and digits/dashes") {
+    assert(redacted("call +44-20-7946-0958 now") == "call <PHONE> now")
+    assert(redacted("order 123456 shipped") == "order 123456 shipped")
+  }
+
+  test("x34 goldens: URL redacted before the email inside it") {
+    assert(redacted("u@example.com https://e.com/u@e.com +1-23-456") ==
+      "<EMAIL> <URL> <PHONE>")
+  }
+
+  test("x34 goldens: pii-free text unchanged") {
+    val s = "plain words with nothing to hide 42"
+    assert(redacted(s) == s)
+  }
+
+  test("x36 invariants: line count, drop accounting, identity when clean") {
+    import spark.implicits._
+    val out = TextAnalysis.boilerplateScrub(spark, sf)
+      .join(Tables.documents(spark, sf), "doc_id")
+      .select($"doc_id", $"n_lines", $"n_dropped", $"cleaned_text", $"text")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nWords = r.getAs[String]("text").split(" ").length
+      val expLines = math.max(math.ceil(nWords / 8.0).toLong, 1L)
+      assert(r.getAs[Long]("n_lines") == expLines, s"doc ${r.get(0)}")
+      val dropped = r.getAs[Long]("n_dropped")
+      assert(dropped >= 0 && dropped <= r.getAs[Long]("n_lines"))
+      // a doc with nothing dropped must round-trip its text exactly
+      if (dropped == 0)
+        assert(r.getAs[String]("cleaned_text") == r.getAs[String]("text"))
+      else
+        assert(r.getAs[String]("cleaned_text").length <
+          r.getAs[String]("text").length)
+    }
+  }
+}
