@@ -62,6 +62,7 @@ object SparkEntry {
     "n08_levenshtein"      -> (Analytics.levenshteinQuery _),
     "x01_approx_distinct"  -> (Relational.x01ApproxDistinct _),
     "q4_master"            -> (Transform.q4Master _),
+    "q5_trip_cycle"        -> (Transform.q5TripCycle _),
     "q1_location_pairs"    -> (Analytics.q1LocationPairs _),
     "q2_location_stats"    -> (Analytics.q2LocationStats _),
     "q3_multi_details"     -> (Analytics.q3MultiDetails _),
@@ -96,6 +97,7 @@ object SparkEntry {
     "e04_first_event"      -> (Events.firstEventPerUserType _),
     "e05_asof_enrich"      -> (Events.asofEnrich _),
     "e06_sliding_window"   -> (Events.slidingWindowAgg _),
+    "e07_interval_join"    -> (Events.intervalJoin _),
     "s04_paged_source"     -> (graft.sources.PagedLanding.pagedSourceAgg _),
     "j05_bucketed_colocated" -> (Relational.j05BucketedColocated _),
     "g05_salted_skew_agg"  -> (Relational.g05SaltedSkewAgg _),
@@ -213,6 +215,7 @@ object SparkEntry {
     "g04_typed_agg"         -> graft.ops.TypedOps.g04TypedAggSql,
     "n08_levenshtein"       -> Analytics.levenshteinSql,
     "q4_master"             -> Transform.q4MasterSql,
+    "q5_trip_cycle"         -> Transform.q5TripCycleSql,
     "q1_location_pairs"     -> Analytics.q1Sql,
     "q2_location_stats"     -> Analytics.q2Sql,
     "q3_multi_details"      -> Analytics.q3Sql,
@@ -244,6 +247,7 @@ object SparkEntry {
     "e04_first_event"       -> Events.firstEventPerUserTypeSql,
     "e05_asof_enrich"       -> Events.asofEnrichSql,
     "e06_sliding_window"    -> Events.slidingWindowAggSql,
+    "e07_interval_join"     -> Events.intervalJoinSql,
     "s04_paged_source"      -> graft.sources.PagedLanding.pagedSourceAggSql,
     "j05_bucketed_colocated" -> Relational.j05BucketedColocatedSql,
     "g05_salted_skew_agg"   -> Relational.g05SaltedSkewAggSql,

@@ -62,22 +62,52 @@ object Dedup {
         .withColumn("nsh", size($"sh"))
     }
 
+  /** Skew guard for the inverted-index join: shingles appearing in more
+    * than max(floor, ceil(frac·n_docs)) docs are dropped from CANDIDATE
+    * GENERATION only (verification always recomputes exact Jaccard from
+    * the full shingle arrays, so emitted pairs are never approximate —
+    * the cap can only affect recall). Rationale: a shingle shared by >1%
+    * of the corpus is boilerplate; a J ≥ 0.3 pair shares ≥ 23% of its
+    * shingle union and is (on any non-pathological corpus) identified by
+    * its rarer shared shingles. DedupSimilaritySpec proves the fixture
+    * pair set is unchanged vs the uncapped join; PLANS.md quantifies the
+    * worst-bucket shrink. */
+  val ShingleDfCapFraction = 0.01
+  val ShingleDfCapFloor = 5L
+
   /** x13 — exact n-gram Jaccard near-dup pairs via inverted-index join. */
   def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
     jaccardPairsOf(shingled(spark, sfDir))
 
   /** Same, over an arbitrary (doc_id, sh, nsh) shingle frame — lets the
     * corpus-curation pipeline run near-dup detection on an already
-    * filtered subset. */
-  def jaccardPairsOf(docs: DataFrame): DataFrame = {
+    * filtered subset. `dfCap` overrides the relative skew cap
+    * (Long.MaxValue = uncapped, the spec's reference form).
+    *
+    * Shape: inverted index → df-capped candidate pairs (distinct) → exact
+    * verify from the full arrays. The df table and both self-join sides
+    * hash-partition on the shingle, so the cap costs one extra aggregation
+    * on an already-shuffled key; the verify join mirrors the x11 LSH path. */
+  def jaccardPairsOf(docs: DataFrame, dfCap: Long = -1L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val inv = docs.select($"doc_id", $"nsh", explode($"sh").as("s"))
-    inv.as("a").join(inv.as("b"),
+    val cap =
+      if (dfCap >= 0) dfCap
+      else math.max(ShingleDfCapFloor,
+        math.ceil(ShingleDfCapFraction * docs.count()).toLong)
+    val inv = docs.select($"doc_id", explode($"sh").as("s"))
+    val kept = inv.join(
+      inv.groupBy($"s").agg(count(lit(1)).as("sdf"))
+        .filter($"sdf" <= cap).select($"s"),
+      "s")
+    val cand = kept.as("a").join(kept.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.nsh").as("na"), col("b.nsh").as("nb"))
-      .agg(count(lit(1)).as("inter"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val left = docs.select($"doc_id".as("id_a"), $"sh".as("sh_a"), $"nsh".as("na"))
+    val right = docs.select($"doc_id".as("id_b"), $"sh".as("sh_b"), $"nsh".as("nb"))
+    cand.join(left, "id_a").join(right, "id_b")
+      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
       .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter"))
       .filter($"jaccard" >= 0.3)
       .select($"id_a", $"id_b", $"jaccard")

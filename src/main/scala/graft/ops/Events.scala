@@ -140,6 +140,37 @@ object Events {
       |WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
       |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin
 
+  /** e07 — interval (stream-stream) join in batch form: each click joined
+    * to the same user's purchases within 10 minutes after it. Plan shape:
+    * equi join on user_id with the time band as a join-side predicate —
+    * one shuffle per side on the user key; the streaming sibling
+    * ([[graft.streaming.Streaming.intervalJoin]]) is the identical plan
+    * with watermarks bounding both join states. */
+  def intervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"), $"event_id".as("purchase_id"),
+        $"ts".as("purchase_ts"))
+    clicks.join(purchases,
+        $"user_id" === $"p_user_id" &&
+        $"purchase_ts" >= $"click_ts" &&
+        $"purchase_ts" <= $"click_ts" + expr("INTERVAL 10 MINUTES"))
+      .select($"user_id", $"click_id", $"purchase_id",
+        $"click_ts", $"purchase_ts")
+      .orderBy($"user_id", $"click_id", $"purchase_id")
+  }
+
+  val intervalJoinSql: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  c.ts AS click_ts, p.ts AS purchase_ts
+      |FROM events c JOIN events p ON c.user_id = p.user_id
+      |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '10 minutes'
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
   /** e04 — event-stream dedup: first occurrence per (user_id, event_type)
     * by time (dropDuplicatesWithinWatermark's batch analog). */
   def firstEventPerUserType(spark: SparkSession, sfDir: String): DataFrame = {

@@ -107,6 +107,87 @@ object Transform {
   def q4Master(spark: SparkSession, sfDir: String): DataFrame =
     master(spark, sfDir).orderBy(col("trip_key")).drop("trip_key", "vid")
 
+  /** The reference run-cycle's record transform over a landed-page frame
+    * (the fields the fetch loop persists): P1 filter → coercions → NLP
+    * columns. Narrow ops + per-row UDFs only, so the SAME function serves
+    * the batch q5 query and the streaming tripCycle plan (streaming can't
+    * use the distinct-strings trick — the dictionary is a closure constant
+    * either way, and the per-executor LRU in Cleaner bounds repeat work). */
+  def tripRecordTransform(pages: DataFrame): DataFrame = {
+    val extractAll = udf((s: String) => Cleaner.extractAllLocations(s))
+    val extractMain = udf((s: String) => Cleaner.extractMainLocation(s))
+    val tripType = udf((s: String, d: Seq[String]) =>
+      Cleaner.categorizeTripType(s, d))
+    val ts = try_to_timestamp(col("date"))
+    val kmS = coalesce(expr("try_cast(km_start as bigint)"), lit(0L))
+    val kmR = coalesce(expr("try_cast(km_return as bigint)"), lit(0L))
+    val digits = regexp_replace(fillStr(col("car_number")), "[^\\p{Nd}]", "")
+    val noZeros = ltrim(digits, "0")
+    pages
+      .filter(col("confirm_status") === true)                         // P1
+      .withColumn("_el", fillStr(col("end_location")))                // P5
+      .withColumn("_locs", extractAll(col("_el")))                    // N11
+      .select(
+        col("serialId"),
+        when(ts.isNull, "").otherwise(date_format(ts, "M/d/yyyy")).as("date"),
+        coalesce(col("sale_price"), lit(0.0)).as("sale_price"),
+        col("entry.number").as("entry_number"),                       // P2
+        kmS.as("km_start"), kmR.as("km_return"),
+        when(kmS > 0 && kmR > kmS, kmR - kmS).otherwise(0L).as("Total_KM"),
+        when(noZeros === "", "No Plate").otherwise(noZeros).as("Car_Num"),
+        when(size(col("_locs")) > 0, element_at(col("_locs"), 1))
+          .otherwise(extractMain(col("_el"))).as("end_location"),     // N10
+        tripType(col("_el"), col("_locs")).as("Trip_Type"),           // N12
+        size(col("_locs")).cast("long").as("num_locations"))
+  }
+
+  /** q5 — the full reference cycle END TO END in batch: landed pages →
+    * DSv2 paged source → record transform → ordered output. This is the
+    * source→NLP→master composition the streaming tripCycle runs, gated by
+    * the DuckDB oracle (the streaming≡batch equivalence lives in
+    * StreamingSpec). */
+  def q5TripCycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.sources.PagedLanding.ensureLanded(spark, sfDir)
+    val pages = spark.read.format("graft.sources.PagedJsonSource")
+      .option("limit", graft.sources.PagedLanding.PageSize.toString)
+      .load(dir)
+    tripRecordTransform(pages).orderBy(col("serialId"))
+  }
+
+  /** Oracle: rebuild the landed fields from orders (same derivations as
+    * the landing writer), NLP columns as golden CASE-by-vid lookups. */
+  val q5TripCycleSql: String = {
+    val g = Goldens
+    val tsExpr = "TRY_CAST(date_str AS TIMESTAMP)"
+    s"""WITH trips AS (
+       |${Trips.rawSql}
+       |)
+       |SELECT
+       |  trip_key AS serialId,
+       |  CASE WHEN $tsExpr IS NULL THEN ''
+       |       ELSE CAST(MONTH($tsExpr) AS VARCHAR) || '/' ||
+       |            CAST(DAY($tsExpr) AS VARCHAR) || '/' ||
+       |            CAST(YEAR($tsExpr) AS VARCHAR) END AS date,
+       |  COALESCE(sale_price_raw, 0.0) AS sale_price,
+       |  CAST(CASE WHEN trip_key % 19 = 18 THEN NULL
+       |       ELSE (trip_key * 3) % 10000 END AS BIGINT) AS entry_number,
+       |  COALESCE(TRY_CAST(km_start_str AS BIGINT), 0) AS km_start,
+       |  COALESCE(TRY_CAST(km_return_str AS BIGINT), 0) AS km_return,
+       |  CASE WHEN COALESCE(TRY_CAST(km_start_str AS BIGINT), 0) > 0
+       |        AND COALESCE(TRY_CAST(km_return_str AS BIGINT), 0) >
+       |            COALESCE(TRY_CAST(km_start_str AS BIGINT), 0)
+       |       THEN COALESCE(TRY_CAST(km_return_str AS BIGINT), 0) -
+       |            COALESCE(TRY_CAST(km_start_str AS BIGINT), 0)
+       |       ELSE 0 END AS Total_KM,
+       |  CASE WHEN NULLIF(LTRIM(REGEXP_REPLACE(COALESCE(car_number, ''), '[^0-9]', '', 'g'), '0'), '') IS NULL
+       |       THEN 'No Plate'
+       |       ELSE LTRIM(REGEXP_REPLACE(COALESCE(car_number, ''), '[^0-9]', '', 'g'), '0') END AS Car_Num,
+       |  ${Trips.caseByVid(g.mainLocation)} AS end_location,
+       |  ${Trips.caseByVid(g.tripType)} AS Trip_Type,
+       |  CAST(${Trips.caseByVidInt(g.allLocations.map(_.size))} AS BIGINT) AS num_locations
+       |FROM trips WHERE confirm_status ORDER BY serialId""".stripMargin
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** DuckDB CTEs: trips AS (...), master AS (...) — NLP columns are golden

@@ -72,6 +72,32 @@ object Streaming {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** e07 streaming sibling: watermarked stream-stream interval join —
+    * clicks joined to the same user's purchases within 10 minutes after
+    * the click. Both sides carry a watermark and the join condition bounds
+    * purchase_ts relative to click_ts in both directions, so Spark can
+    * expire both join states (clicks older than watermark − 10 min,
+    * purchases older than watermark) instead of buffering forever — the
+    * requirement for an unbounded 100 TB/day stream. Inner-join results
+    * emit as they match (append mode), so the finite replay equals the
+    * batch form exactly (StreamingSpec). */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+        expr("user_id = p_user_id AND " +
+          "purchase_ts >= click_ts AND " +
+          "purchase_ts <= click_ts + interval 10 minutes"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   case class UserStat(userId: Long, nEvents: Long, totalValue: Double,
       lastTs: java.sql.Timestamp)
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
@@ -107,37 +133,10 @@ object Streaming {
     * cleaner. In streaming the cleaner runs as per-row UDFs (the
     * distinct-strings trick is a batch optimization; the dictionary is a
     * closure constant either way). */
-  def tripCycle(spark: SparkSession, pagesDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.udf
-    val extractAll = udf((s: String) => graft.nlp.Cleaner.extractAllLocations(s))
-    val extractMain = udf((s: String) => graft.nlp.Cleaner.extractMainLocation(s))
-    val tripType = udf((s: String, d: Seq[String]) =>
-      graft.nlp.Cleaner.categorizeTripType(s, d))
-    val fill = (c: org.apache.spark.sql.Column) =>
-      when(c.isNull || c === "nan", "").otherwise(c)
-    val ts = try_to_timestamp(col("date"))
-    val kmS = coalesce(expr("try_cast(km_start as bigint)"), lit(0L))
-    val kmR = coalesce(expr("try_cast(km_return as bigint)"), lit(0L))
-    val digits = regexp_replace(fill(col("car_number")), "[^\\p{Nd}]", "")
-    val noZeros = ltrim(digits, "0")
-    spark.readStream.format("graft.sources.PagedJsonSource")
-      .load(pagesDir)
-      .filter(col("confirm_status") === true)                         // P1
-      .withColumn("_el", fill(col("end_location")))                   // P5
-      .withColumn("_locs", extractAll(col("_el")))                    // N11
-      .select(
-        col("serialId"),
-        when(ts.isNull, "").otherwise(date_format(ts, "M/d/yyyy")).as("date"),
-        coalesce(col("sale_price"), lit(0.0)).as("sale_price"),
-        col("entry.number").as("entry_number"),                       // P2
-        kmS.as("km_start"), kmR.as("km_return"),
-        when(kmS > 0 && kmR > kmS, kmR - kmS).otherwise(0L).as("Total_KM"),
-        when(noZeros === "", "No Plate").otherwise(noZeros).as("Car_Num"),
-        when(size(col("_locs")) > 0, element_at(col("_locs"), 1))
-          .otherwise(extractMain(col("_el"))).as("end_location"),     // N10
-        tripType(col("_el"), col("_locs")).as("Trip_Type"),           // N12
-        size(col("_locs")).cast("long").as("num_locations"))
-  }
+  def tripCycle(spark: SparkSession, pagesDir: String): DataFrame =
+    graft.ops.Transform.tripRecordTransform(
+      spark.readStream.format("graft.sources.PagedJsonSource")
+        .load(pagesDir))
 
   /** Run a streaming DataFrame to completion over the finite fixture
     * (Trigger.AvailableNow + memory sink + checkpoint dir) and return the

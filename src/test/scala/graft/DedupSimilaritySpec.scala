@@ -16,6 +16,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(exact.nonEmpty) // fixture plants near-dup pairs
   }
 
+  test("x13 shingle df-cap leaves the fixture pair set unchanged") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .withColumn("nsh", size($"sh"))
+      .persist()
+    try {
+      def pairs(cap: Long) = Dedup.jaccardPairsOf(docs, cap)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val nDocs = docs.count()
+      val cap = math.max(Dedup.ShingleDfCapFloor,
+        math.ceil(Dedup.ShingleDfCapFraction * nDocs).toLong)
+      // the guard must actually bite on the fixture for this test to mean
+      // anything: some shingle's document frequency exceeds the cap
+      val maxDf = docs.select(explode($"sh").as("s"))
+        .groupBy($"s").count().agg(max($"count")).collect()(0).getLong(0)
+      assert(maxDf > cap, s"fixture maxDf=$maxDf cap=$cap — cap never bites")
+      assert(pairs(cap) == pairs(Long.MaxValue))
+      assert(pairs(cap).nonEmpty)
+    } finally docs.unpersist()
+  }
+
   test("exact dedup groups cover all docs") {
     val agg = Dedup.exactDedup(spark, sf)
       .agg(org.apache.spark.sql.functions.sum("n_copies")).collect()(0).getLong(0)

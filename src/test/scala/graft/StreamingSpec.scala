@@ -46,6 +46,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.subsetOf(got))
   }
 
+  test("stream-stream interval join (append) == batch e07") {
+    val streamed = Streaming.runToMemory(spark,
+      Streaming.intervalJoin(Streaming.eventsStream(spark, sf)),
+      "interval_join", outputMode = "append")
+    val batch = Events.intervalJoin(spark, sf)
+      .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    assert(keyed(streamed) == keyed(batch))
+  }
+
   test("flatMapGroupsWithState running user stats match batch counts") {
     val streamed = Streaming.runToMemory(spark,
       Streaming.userStats(Streaming.eventsStream(spark, sf)).toDF(),
