@@ -32,6 +32,22 @@ object Bench {
     // query isn't charged for generic startup (standard bench practice)
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").write.format("noop").mode("overwrite").save()
+    // pre-build the shared memoized frames (Caches.memo) OUTSIDE the
+    // per-query timing, and report the build cost as its own JSON field:
+    // with min-of-2 per query, the one-time build would otherwise be
+    // charged to no query at all (first consumer pays it once, min()
+    // then picks the warm run) and the headline would silently understate
+    // a cold end-to-end run. All per-query numbers are therefore
+    // explicitly warm-cache; cold total = cache_build_sec + value.
+    val prewarmT0 = System.nanoTime()
+    Seq[org.apache.spark.sql.DataFrame](
+      graft.ops.Transform.master(spark, sfDir),
+      graft.ops.Dedup.shingled(spark, sfDir),
+      graft.ops.Dedup.curationExact(spark, sfDir),
+      graft.ops.Dedup.curationShingled(spark, sfDir),
+      graft.ops.Similarity.corpus(spark, sfDir),
+    ).foreach(_.write.format("noop").mode("overwrite").save())
+    val cacheBuildSec = (System.nanoTime() - prewarmT0) / 1e9
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -54,7 +70,10 @@ object Bench {
     // failed queries keep their -1 marker per-query but must not subtract
     // from (i.e. silently deflate) the headline total
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // headline "value" deliberately LAST: the driver's tail-capture
+    // truncated the leading fields of round-1/2 records, so the one field
+    // that matters must survive any suffix of the line
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","cache_build_sec":$cacheBuildSec,"queries":$qs,"value":$total}"""
     println(line)
     Files.write(Paths.get(outFile), (line + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.WRITE)

@@ -54,7 +54,7 @@ object Dedup {
     * inlines the whole shingle expression) below the widening repartition
     * onto the single-split scan. Size ∝ corpus text — the standard
     * materialize-the-signature-table step of a dedup pipeline. */
-  private def shingled(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def shingled(spark: SparkSession, sfDir: String): DataFrame =
     graft.Caches.memo(spark, s"shingled:$sfDir") {
       import spark.implicits._
       Tables.spread(Tables.documents(spark, sfDir))
@@ -81,13 +81,21 @@ object Dedup {
 
   /** Same, over an arbitrary (doc_id, sh, nsh) shingle frame — lets the
     * corpus-curation pipeline run near-dup detection on an already
-    * filtered subset. `dfCap` overrides the relative skew cap
-    * (Long.MaxValue = uncapped, the spec's reference form).
+    * filtered subset. `dfCap` overrides the relative skew cap (negative =
+    * use the relative default; Long.MaxValue = uncapped, the spec's
+    * reference form).
     *
-    * Shape: inverted index → df-capped candidate pairs (distinct) → exact
-    * verify from the full arrays. The df table and both self-join sides
-    * hash-partition on the shingle, so the cap costs one extra aggregation
-    * on an already-shuffled key; the verify join mirrors the x11 LSH path. */
+    * Shape: the self-join + groupBy-count runs over the CAPPED inverted
+    * index only (bounding every join bucket at cap²/2 rows), and the
+    * intersection contribution of the dropped high-df shingles is added
+    * back exactly from tiny per-doc dropped-shingle arrays — so emitted
+    * (pair, jaccard) values are exact under any cap. The only recall
+    * edge: a pair whose EVERY shared shingle is high-df generates no
+    * candidate row (impossible for the fixtures — DedupSimilaritySpec
+    * proves the pair set unchanged — and pathological for J ≥ 0.3 on any
+    * real corpus, where near-dup pairs share rare shingles too). When the
+    * cap doesn't bite, `dropped` is empty and the plan degenerates to the
+    * plain inverted-index join at zero extra cost. */
   def jaccardPairsOf(docs: DataFrame, dfCap: Long = -1L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -95,23 +103,47 @@ object Dedup {
       if (dfCap >= 0) dfCap
       else math.max(ShingleDfCapFloor,
         math.ceil(ShingleDfCapFraction * docs.count()).toLong)
-    val inv = docs.select($"doc_id", explode($"sh").as("s"))
-    val kept = inv.join(
-      inv.groupBy($"s").agg(count(lit(1)).as("sdf"))
-        .filter($"sdf" <= cap).select($"s"),
-      "s")
-    val cand = kept.as("a").join(kept.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    val left = docs.select($"doc_id".as("id_a"), $"sh".as("sh_a"), $"nsh".as("na"))
-    val right = docs.select($"doc_id".as("id_b"), $"sh".as("sh_b"), $"nsh".as("nb"))
-    cand.join(left, "id_a").join(right, "id_b")
-      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
-      .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter"))
-      .filter($"jaccard" >= 0.3)
-      .select($"id_a", $"id_b", $"jaccard")
-      .orderBy($"id_a", $"id_b")
+    val inv = docs.select($"doc_id", $"nsh", explode($"sh").as("s"))
+    // the dropped-shingle set is small by construction — at most
+    // (total shingle occurrences / cap) survivors of the df > cap filter
+    // (≈ avg-shingles-per-doc / cap-fraction strings corpus-wide,
+    // independent of n_docs) — so it is a collectible dimension, like any
+    // broadcast dim. Collecting it lets the common no-skew case keep the
+    // single-pass plan with zero guard overhead.
+    val droppedShingles = inv.groupBy($"s").agg(count(lit(1)).as("sdf"))
+      .filter($"sdf" > cap).select($"s").as[String].collect().toSeq
+
+    def pairsFrom(index: DataFrame, interAddBack: DataFrame => DataFrame) = {
+      val partial = index.as("a").join(index.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.nsh").as("na"), col("b.nsh").as("nb"))
+        .agg(count(lit(1)).as("inter_kept"))
+      interAddBack(partial)
+        .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter"))
+        .filter($"jaccard" >= 0.3)
+        .select($"id_a", $"id_b", $"jaccard")
+        .orderBy($"id_a", $"id_b")
+    }
+
+    if (droppedShingles.isEmpty)
+      // cap never bites: the plain single-pass inverted-index join
+      pairsFrom(inv, _.withColumn("inter", $"inter_kept"))
+    else {
+      val dropped = droppedShingles.toDF("s")
+      val kept = inv.join(broadcast(dropped), Seq("s"), "left_anti")
+      // per-doc array of its high-df shingles (empty for most docs)
+      val droppedPerDoc = inv.join(broadcast(dropped), "s")
+        .groupBy($"doc_id").agg(collect_list($"s").as("ds"))
+      val emptyArr = array().cast("array<string>")
+      pairsFrom(kept, partial => partial
+        .join(droppedPerDoc.select($"doc_id".as("id_a"), $"ds".as("ds_a")),
+          Seq("id_a"), "left")
+        .join(droppedPerDoc.select($"doc_id".as("id_b"), $"ds".as("ds_b")),
+          Seq("id_b"), "left")
+        .withColumn("inter", $"inter_kept" + size(array_intersect(
+          coalesce($"ds_a", emptyArr), coalesce($"ds_b", emptyArr)))))
+    }
   }
 
   /** The O(n²) oracle formulation (sf0.01 only — 500 docs). */
@@ -251,11 +283,11 @@ object Dedup {
     * surviving corpus with stats. Each stage shrinks the data before the
     * next, so the expensive similarity join only sees quality-filtered,
     * exactly-deduped docs. */
-  def corpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    // persisted (memoized): feeds both the shingle frame and the final
-    // anti-join
-    val exactKept = graft.Caches.memo(spark, s"curation-exact:$sfDir") {
+  // persisted (memoized): feeds both the shingle frame and the final
+  // anti-join
+  private[graft] def curationExact(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Caches.memo(spark, s"curation-exact:$sfDir") {
+      import spark.implicits._
       val w = split($"text", " ")
       Tables.spread(Tables.documents(spark, sfDir))
         .withColumn("n_words", size(w).cast("long"))
@@ -268,15 +300,23 @@ object Dedup {
         .filter($"rk" === 1)
         .drop("h", "rk")
     }
-    // persisted (memoized): consumed by both sides of the similarity
-    // self-join (and blocks the join's null-filter from inlining the
-    // shingle expression below the upstream stages — same rationale as
-    // `shingled`)
-    val sh = graft.Caches.memo(spark, s"curation-shingled:$sfDir") {
-      exactKept
+
+  // persisted (memoized): consumed by both sides of the similarity
+  // self-join (and blocks the join's null-filter from inlining the
+  // shingle expression below the upstream stages — same rationale as
+  // `shingled`)
+  private[graft] def curationShingled(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Caches.memo(spark, s"curation-shingled:$sfDir") {
+      import spark.implicits._
+      curationExact(spark, sfDir)
         .select($"doc_id", shingles($"text").as("sh"))
         .withColumn("nsh", size($"sh"))
     }
+
+  def corpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val exactKept = curationExact(spark, sfDir)
+    val sh = curationShingled(spark, sfDir)
     val drops = jaccardPairsOf(sh).select($"id_b".as("doc_id")).distinct()
     exactKept.join(drops, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"lang", $"source", $"n_words")

@@ -38,7 +38,7 @@ object Similarity {
 
   /** Materialized (vec_id, double-vector, norm): reused by both join sides
     * and all three similarity ops; norms precomputed once per vector. */
-  private def corpus(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def corpus(spark: SparkSession, sfDir: String): DataFrame =
     graft.Caches.memo(spark, s"sim-corpus:$sfDir") {
       import spark.implicits._
       graft.functions.CustomExprs.register(spark)
