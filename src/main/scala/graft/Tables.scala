@@ -16,10 +16,20 @@ object Tables {
   /** Widen a narrow scan before CPU-heavy per-row work. Small test files
     * arrive as 1-2 parquet splits, which would serialize pair-generation
     * and HOF math on one core; at cluster scale the scan is already wider
-    * than the core count and this is a no-op (no shuffle inserted). */
+    * than the core count and this is a no-op (no shuffle inserted).
+    * The `df.rdd` partition probe forces RDD plan materialization, so its
+    * result is memoized per (session, semantically-equal plan). */
+  private val spreadProbe =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Int), Int]
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    spreadProbe.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(spreadProbe.remove)
+    val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = spreadProbe.getOrElseUpdate(
+      (spark, df.queryExecution.analyzed.semanticHash()),
+      df.rdd.getNumPartitions)
+    if (n < target) df.repartition(target) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")

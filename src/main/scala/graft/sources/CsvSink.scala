@@ -14,6 +14,15 @@ import org.apache.spark.sql.DataFrame
   * part, streaming copy — constant memory per task, no driver data
   * movement). Each part file carries its own BOM, which is what a
   * per-file Excel consumer needs.
+  *
+  * Boundary: the BOM pass lists and renames part files through
+  * java.nio.file, so the sink requires the output path to be a POSIX
+  * filesystem visible to driver AND executors (local disk here, NFS/
+  * FUSE-mounted storage on a cluster). An object-store deployment would
+  * re-express the same pass over the Hadoop FileSystem API. Concurrent
+  * attempts of one task (speculation, a retry racing a zombie) are safe:
+  * each attempt copies to an attempt-unique temp name and installs it
+  * with an atomic rename, and the BOM check makes the rewrite idempotent.
   */
 object CsvSink {
 
@@ -40,10 +49,14 @@ object CsvSink {
           try in.readNBytes(3) finally in.close()
         }
         if (!java.util.Arrays.equals(head, Bom)) {
-          val tmp = Paths.get(p + ".bom")
+          // attempt-unique temp + atomic rename: two racing attempts can
+          // never read each other's half-written copy, and the loser's
+          // rename just reinstalls an identical BOM'd file
+          val tmp = Paths.get(p + ".bom." + java.util.UUID.randomUUID())
           val out = Files.newOutputStream(tmp)
           try { out.write(Bom); Files.copy(src, out) } finally out.close()
-          Files.move(tmp, src, StandardCopyOption.REPLACE_EXISTING)
+          Files.move(tmp, src,
+            StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
           // drop Hadoop's local-FS checksum sidecar — it hashed the
           // pre-BOM bytes and would fail any Hadoop-API re-read
           Files.deleteIfExists(

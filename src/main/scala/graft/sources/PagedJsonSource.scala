@@ -83,12 +83,15 @@ object PagedProtocol {
       new String(java.nio.file.Files.readAllBytes(s.toPath))).map(_.toInt)
   }
 
-  /** Tiny files are the only empty-page candidates; confirm by parse so
-    * planning never reads a full data page. A corrupt tiny file is NOT
-    * treated as empty — it flows to the data-read path, whose Retry
-    * wrapper and error reporting own that failure mode. */
+  /** Emptiness is decided by PARSE (root is an array of size 0); the byte
+    * gate only spares planning from parsing full data pages, and is sized
+    * so any plausible empty-array rendering — indented, BOM'd, CRLF'd —
+    * still falls under it (a real page holds `limit` records ≈ KBs). A
+    * corrupt small file is NOT treated as empty — it flows to the
+    * data-read path, whose Retry wrapper and error reporting own that
+    * failure mode. */
   private def isEmptyPage(f: java.io.File): Boolean =
-    f.length() <= 8 && {
+    f.length() <= 512 && {
       try {
         val root = new ObjectMapper().readTree(f)
         root != null && root.isArray && root.size() == 0
@@ -183,21 +186,60 @@ object PagedJsonTable {
   * page index, so Spark's offset log gives exactly the reference's
   * "resume from current_page" behavior (Main.py:109-163,475-481): a
   * restarted query with the same checkpoint re-reads nothing and picks
-  * up newly landed pages only. */
+  * up newly landed pages only.
+  *
+  * Offsets are POSITIONAL counts over `effectivePages`, which depend on
+  * the resolved directory and the protocol config (`order`/`sort` select
+  * a mirror subdir; `limit`/`stopOnEmptyPage` change the page list). A
+  * checkpointed offset therefore embeds a fingerprint of both, and a
+  * restart under a different config FAILS LOUDLY instead of silently
+  * reinterpreting old counts against a different page list (skipping or
+  * re-reading pages). */
 class PagedMicroBatchStream(path: String,
     config: PagedProtocol.Config = PagedProtocol.Default)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  case class PageOffset(page: Int) extends Offset {
-    override def json(): String = page.toString
+  private val fingerprint: String = {
+    val c = config
+    s"dir=${PagedProtocol.resolveDir(path, c)};order=${c.order};sort=${c.sort};" +
+      s"limit=${c.limit.getOrElse(-1)};stopOnEmptyPage=${c.stopOnEmptyPage};" +
+      s"abortStatuses=${c.abortStatuses.toSeq.sorted.mkString(",")}"
   }
+
+  case class PageOffset(page: Int) extends Offset {
+    override def json(): String =
+      s"""{"page":$page,"fp":${jsonQuote(fingerprint)}}"""
+  }
+
+  private def jsonQuote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   override def initialOffset(): Offset = PageOffset(0)
   override def latestOffset(): Offset =
     PageOffset(PagedProtocol.effectivePages(path, config).length)
-  override def deserializeOffset(json: String): Offset =
-    PageOffset(json.trim.toInt)
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    if (!t.startsWith("{"))
+      // pre-fingerprint checkpoint (bare page count): accept — there is
+      // nothing to validate against
+      PageOffset(t.toInt)
+    else {
+      val node = new ObjectMapper().readTree(t)
+      val fp = Option(node.get("fp")).map(_.asText()).getOrElse("")
+      if (fp != fingerprint)
+        throw new IllegalStateException(
+          "paged source: checkpointed offset was recorded under a different " +
+            s"source config/page directory.\n  checkpoint: $fp\n  current:    $fingerprint\n" +
+            "Restart with the original options or a fresh checkpoint location.")
+      PageOffset(node.get("page").asInt())
+    }
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 

@@ -23,6 +23,7 @@ class BucketedJoinSpec extends AnyFunSuite {
 
       val bucketed = Relational.j05BucketedColocated(spark, sf)
       val plan = bucketed.queryExecution.executedPlan.toString
+      assert(plan.contains("Join"), s"no Join node in bucketed plan:\n$plan")
       val join = plan.substring(plan.indexOf("Join"))
       assert("Exchange hashpartitioning".r.findAllIn(join).isEmpty,
         s"bucketed join still shuffles:\n$plan")
@@ -45,6 +46,7 @@ class BucketedJoinSpec extends AnyFunSuite {
       // and the unbucketed formulation genuinely shuffles both sides,
       // proving the 0-exchange plan above is bucketing at work
       val uplan = unbucketed.queryExecution.executedPlan.toString
+      assert(uplan.contains("Join"), s"no Join node in unbucketed plan:\n$uplan")
       val ujoin = uplan.substring(uplan.indexOf("Join"))
       assert("Exchange hashpartitioning".r.findAllIn(ujoin).length >= 2)
     } finally {

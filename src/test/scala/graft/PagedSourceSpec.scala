@@ -68,6 +68,23 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(second.select("serialId").distinct().count() == 8)
   }
 
+  test("micro-batch offsets carry a config fingerprint; mismatch fails loudly") {
+    val dir = PagedLanding.ensureLanded(spark, sf)
+    def stream(order: String) = new graft.sources.PagedMicroBatchStream(dir,
+      graft.sources.PagedProtocol.Default.copy(order = order))
+    val a = stream("serialId")
+    val json = a.latestOffset().json()
+    // same config round-trips
+    assert(a.deserializeOffset(json).json() == json)
+    // a restart under different order/sort (different page list) must not
+    // silently reinterpret positional offsets
+    val b = stream("date")
+    val e = intercept[IllegalStateException](b.deserializeOffset(json))
+    assert(e.getMessage.contains("different"))
+    // pre-fingerprint checkpoints (bare page count) are still accepted
+    assert(b.deserializeOffset("7").json().contains("\"page\":7"))
+  }
+
   test("protocol knobs: stop-on-empty-page, 401-abort, limit invariant") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def writePage(dir: File, i: Int, n: Int): Unit = {
