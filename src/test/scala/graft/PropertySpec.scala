@@ -96,6 +96,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("x01 approx_count_distinct within 2% of the exact count per group") {
+    val spark = SparkSuite.spark
+    val sf = SparkSuite.sf
+    val approx = graft.ops.Relational.x01ApproxDistinct(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.ops.Relational.g02CountDistinct(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex) <= math.max(1L, (ex * 0.02).toLong),
+        s"group $k: approx $ap vs exact $ex exceeds 2%")
+    }
+  }
+
   test("trip type is always one of the reference's categories") {
     val cats = Set("Invalid Data", "Airport Transfer", "Admin/Management",
       "Round Trip", "Nile Cruise", "Special Operations", "Multi-Destination",
