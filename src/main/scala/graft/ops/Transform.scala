@@ -42,7 +42,11 @@ object Transform {
         when(size($"_locs") > 0, element_at($"_locs", 1))
           .otherwise(extractMainUdf($"_el")))
       .withColumn("_ttype", tripTypeUdf($"_el", $"_locs"))
-    base.join(resolved, "_el")
+    // explicit hint: the distinct-strings dim is vocabulary-bounded and
+    // must broadcast even when the fact side's source reports no
+    // statistics (the DSv2 paged source in q5; parquet would broadcast
+    // statically anyway)
+    base.join(broadcast(resolved), "_el")
   }
 
   /** Memoized master per (session, sfDir): Q1-Q4 all consume it, so it is
@@ -107,51 +111,66 @@ object Transform {
   def q4Master(spark: SparkSession, sfDir: String): DataFrame =
     master(spark, sfDir).orderBy(col("trip_key")).drop("trip_key", "vid")
 
-  /** The reference run-cycle's record transform over a landed-page frame
-    * (the fields the fetch loop persists): P1 filter → coercions → NLP
-    * columns. Narrow ops + per-row UDFs only, so the SAME function serves
-    * the batch q5 query and the streaming tripCycle plan (streaming can't
-    * use the distinct-strings trick — the dictionary is a closure constant
-    * either way, and the per-executor LRU in Cleaner bounds repeat work). */
-  def tripRecordTransform(pages: DataFrame): DataFrame = {
-    val extractAll = udf((s: String) => Cleaner.extractAllLocations(s))
-    val extractMain = udf((s: String) => Cleaner.extractMainLocation(s))
-    val tripType = udf((s: String, d: Seq[String]) =>
-      Cleaner.categorizeTripType(s, d))
+  /** The non-NLP half of the run-cycle record transform: P-op coercions
+    * and the final projection over a frame that already carries the
+    * resolved `_el`/`_locs`/`_main`/`_ttype` columns. Shared verbatim by
+    * the batch q5 plan and the streaming tripCycle plan — only the NLP
+    * ATTACHMENT differs between them. */
+  private def tripRecordSelect(withNlp: DataFrame): DataFrame = {
     val ts = try_to_timestamp(col("date"))
     val kmS = coalesce(expr("try_cast(km_start as bigint)"), lit(0L))
     val kmR = coalesce(expr("try_cast(km_return as bigint)"), lit(0L))
     val digits = regexp_replace(fillStr(col("car_number")), "[^\\p{Nd}]", "")
     val noZeros = ltrim(digits, "0")
-    pages
+    withNlp.select(
+      col("serialId"),
+      when(ts.isNull, "").otherwise(date_format(ts, "M/d/yyyy")).as("date"),
+      coalesce(col("sale_price"), lit(0.0)).as("sale_price"),
+      col("entry.number").as("entry_number"),                         // P2
+      kmS.as("km_start"), kmR.as("km_return"),
+      when(kmS > 0 && kmR > kmS, kmR - kmS).otherwise(0L).as("Total_KM"),
+      when(noZeros === "", "No Plate").otherwise(noZeros).as("Car_Num"),
+      col("_main").as("end_location"),                                // N10
+      col("_ttype").as("Trip_Type"),                                  // N12
+      size(col("_locs")).cast("long").as("num_locations"))
+  }
+
+  /** Streaming form of the run-cycle record transform: NLP as per-row
+    * UDFs, because a streaming plan can't run the batch distinct-strings
+    * resolution (a blocking distinct+join per micro-batch defeats the
+    * point; the dictionary is a closure constant either way and the
+    * per-executor LRU in Cleaner bounds repeat work within a batch). */
+  def tripRecordTransform(pages: DataFrame): DataFrame = {
+    val extractAll = udf((s: String) => Cleaner.extractAllLocations(s))
+    val extractMain = udf((s: String) => Cleaner.extractMainLocation(s))
+    val tripType = udf((s: String, d: Seq[String]) =>
+      Cleaner.categorizeTripType(s, d))
+    tripRecordSelect(pages
       .filter(col("confirm_status") === true)                         // P1
       .withColumn("_el", fillStr(col("end_location")))                // P5
       .withColumn("_locs", extractAll(col("_el")))                    // N11
-      .select(
-        col("serialId"),
-        when(ts.isNull, "").otherwise(date_format(ts, "M/d/yyyy")).as("date"),
-        coalesce(col("sale_price"), lit(0.0)).as("sale_price"),
-        col("entry.number").as("entry_number"),                       // P2
-        kmS.as("km_start"), kmR.as("km_return"),
-        when(kmS > 0 && kmR > kmS, kmR - kmS).otherwise(0L).as("Total_KM"),
-        when(noZeros === "", "No Plate").otherwise(noZeros).as("Car_Num"),
+      .withColumn("_main",
         when(size(col("_locs")) > 0, element_at(col("_locs"), 1))
-          .otherwise(extractMain(col("_el"))).as("end_location"),     // N10
-        tripType(col("_el"), col("_locs")).as("Trip_Type"),           // N12
-        size(col("_locs")).cast("long").as("num_locations"))
+          .otherwise(extractMain(col("_el"))))
+      .withColumn("_ttype", tripType(col("_el"), col("_locs"))))
   }
 
   /** q5 — the full reference cycle END TO END in batch: landed pages →
-    * DSv2 paged source → record transform → ordered output. This is the
-    * source→NLP→master composition the streaming tripCycle runs, gated by
-    * the DuckDB oracle (the streaming≡batch equivalence lives in
-    * StreamingSpec). */
+    * DSv2 paged source → record transform → ordered output, gated by the
+    * DuckDB oracle (the streaming≡batch equivalence lives in
+    * PagedSourceSpec). The batch form attaches the NLP columns with the
+    * same dedup-before-UDF resolution as the q4 master — the UDF chain
+    * runs once per DISTINCT end_location string and broadcasts back, so
+    * at 100 TB the landed rows never enter a UDF. */
   def q5TripCycle(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val dir = graft.sources.PagedLanding.ensureLanded(spark, sfDir)
     val pages = spark.read.format("graft.sources.PagedJsonSource")
       .option("limit", graft.sources.PagedLanding.PageSize.toString)
       .load(dir)
-    tripRecordTransform(pages).orderBy(col("serialId"))
+    tripRecordSelect(
+      withResolvedLocations(pages.filter($"confirm_status" === true)))
+      .orderBy(col("serialId"))
   }
 
   /** Oracle: rebuild the landed fields from orders (same derivations as

@@ -46,6 +46,14 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q5: NLP UDFs confined to the distinct-string side, like q4") {
+    val plan = formatted(Transform.q5TripCycle(spark, sf))
+    assert(plan.contains("BroadcastExchange"), plan.take(1500))
+    val udfLines = plan.split("\n").filter(_.contains("UDF("))
+    assert(udfLines.nonEmpty)
+    udfLines.foreach(l => assert(l.contains("UDF(_el"), l.take(200)))
+  }
+
   test("n07: dictionary lookups are BroadcastHashJoins, result == n06") {
     val n07 = graft.ops.LocationResolve.tier12LocationsBroadcast(spark, sf)
     val plan = formatted(n07)
