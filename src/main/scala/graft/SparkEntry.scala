@@ -77,6 +77,7 @@ object SparkEntry {
     "x13_dedup_jaccard"    -> (Dedup.jaccardPairs _),
     "x14_cosine_neardup"   -> (Similarity.cosineNearDupPairs _),
     "x15_neardup_survivors" -> (Dedup.nearDupSurvivors _),
+    "x17_dup_clusters"     -> (Dedup.dupClusters _),
     "x16_corpus_curation"  -> (Dedup.corpusCuration _),
     "x20_ann_bruteforce"   -> (Similarity.bruteForceTopK _),
     "x21_ann_lsh"          -> (Similarity.lshTopK _),
@@ -229,6 +230,7 @@ object SparkEntry {
     "x13_dedup_jaccard"     -> Dedup.jaccardPairsSql,
     "x14_cosine_neardup"    -> Similarity.cosineNearDupPairsSql,
     "x15_neardup_survivors" -> Dedup.nearDupSurvivorsSql,
+    "x17_dup_clusters"      -> Dedup.dupClustersSql,
     "x16_corpus_curation"   -> Dedup.corpusCurationSql,
     "x20_ann_bruteforce"    -> Similarity.bruteForceTopKSql,
     "x30_text_quality"      -> TextAnalysis.textQualitySql,

@@ -277,6 +277,73 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** x17 — duplicate CLUSTERS: connected components over the verified
+    * near-dup pair graph, so transitive chains (A≈B≈C with A,C below
+    * threshold) land in one group — the clustering step a real curation
+    * pipeline runs between pair generation and survivor selection (x15's
+    * pairwise keep-first is the one-pass approximation).
+    *
+    * Algorithm: min-label propagation — every node starts labeled with
+    * its own id; each round every node takes the min of its own and its
+    * neighbors' labels; converges in O(component diameter) rounds (near-
+    * dup clusters are shallow — dozens of rounds would mean a pathological
+    * duplicate chain). Each round is one shuffle join + one aggregation
+    * on the node key; the frontier frame is persisted and the loop is
+    * driver-CONTROLLED but never driver-SIDED (labels live distributed;
+    * the driver sees only the changed-count). This is exactly the
+    * GraphFrames/Pregel connected-components shape; a trillion-edge graph
+    * would swap in the large-star/small-star variant, same skeleton. */
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashLshPairs(spark, sfDir).select($"id_a", $"id_b")
+    val edges = pairs
+      .union(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+      .persist()
+    var labels = edges.select($"id_a".as("id")).distinct()
+      .withColumn("label", $"id").persist()
+    try {
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        val nbrLabels = edges
+          .join(labels.select($"id".as("id_b"), $"label"), "id_b")
+          .select($"id_a".as("id"), $"label")
+        val next = labels.union(nbrLabels)
+          .groupBy($"id").agg(min($"label").as("label"))
+          .persist()
+        changed = next.join(labels.select($"id", $"label".as("old")), "id")
+          .filter($"label" < $"old").count()
+        labels.unpersist(blocking = false)
+        labels = next
+        rounds += 1
+      }
+      labels
+        .withColumn("cluster_size", count(lit(1)).over(
+          Window.partitionBy($"label")))
+        .select($"id".as("doc_id"), $"label".as("cluster_id"), $"cluster_size")
+        .orderBy($"doc_id")
+    } finally edges.unpersist(blocking = false)
+  }
+
+  /** Oracle: recursive-CTE transitive closure (fixture-scale only); the
+    * component id is the min over each node's reachable set (which always
+    * contains the node itself via any 2-step a→b→a path). */
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE p AS ($jaccardPairsSql),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM p
+       |  UNION SELECT id_b, id_a FROM p
+       |), reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), comp AS (
+       |  SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+       |)
+       |SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM comp ORDER BY doc_id""".stripMargin
+
   /** x16 — corpus curation pipeline: the end-to-end training-data flow
     * composed from the pieces — quality filter → exact dedup (keep
     * first) → near-dup drop (trigram Jaccard ≥ 0.3, keep lower id) →

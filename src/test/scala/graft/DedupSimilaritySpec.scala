@@ -40,6 +40,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally docs.unpersist()
   }
 
+  test("x17 clusters: pair endpoints co-clustered, id is the member min") {
+    val clusters = Dedup.dupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pairs = Dedup.jaccardPairs(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // every verified near-dup pair lands in one cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split")
+    }
+    // the cluster id is the minimum member id, size matches membership
+    clusters.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+      assert(members.values.forall(_._2 == members.size))
+    }
+  }
+
   test("exact dedup groups cover all docs") {
     val agg = Dedup.exactDedup(spark, sf)
       .agg(org.apache.spark.sql.functions.sum("n_copies")).collect()(0).getLong(0)
