@@ -302,17 +302,24 @@ object Dedup {
     var labels = edges.select($"id_a".as("id")).distinct()
       .withColumn("label", $"id").persist()
     try {
-      var changed = 1L
+      // labels only ever decrease, so Σ label strictly decreases exactly
+      // when any node changed — convergence costs one aggregation per
+      // round instead of a join + count
+      def labelSum(df: DataFrame): Long =
+        df.agg(sum($"label")).collect()(0).getLong(0)
+      var prevSum = labelSum(labels)
       var rounds = 0
-      while (changed > 0 && rounds < 50) {
+      var converged = false
+      while (!converged && rounds < 50) {
         val nbrLabels = edges
           .join(labels.select($"id".as("id_b"), $"label"), "id_b")
           .select($"id_a".as("id"), $"label")
         val next = labels.union(nbrLabels)
           .groupBy($"id").agg(min($"label").as("label"))
           .persist()
-        changed = next.join(labels.select($"id", $"label".as("old")), "id")
-          .filter($"label" < $"old").count()
+        val nextSum = labelSum(next)
+        converged = nextSum == prevSum
+        prevSum = nextSum
         labels.unpersist(blocking = false)
         labels = next
         rounds += 1
