@@ -88,6 +88,7 @@ object SparkEntry {
     "x34_pii_scrub"        -> (TextAnalysis.piiScrub _),
     "x35_top_ngrams"       -> (TextAnalysis.topNgrams _),
     "x36_boilerplate_lines" -> (TextAnalysis.boilerplateScrub _),
+    "x38_quality_prune"    -> (TextAnalysis.qualityPrune _),
     "x37_tfidf_top_term"   -> (TextAnalysis.tfidfTopTerm _),
     "a03_pairs_generator"  -> (Analytics.pairsViaGenerator _),
     "x40_multimodal_meta"  -> (Multimodal.mediaMeta _),
@@ -240,6 +241,7 @@ object SparkEntry {
     "x34_pii_scrub"         -> TextAnalysis.piiScrubSql,
     "x35_top_ngrams"        -> TextAnalysis.topNgramsSql,
     "x36_boilerplate_lines" -> TextAnalysis.boilerplateScrubSql,
+    "x38_quality_prune"     -> TextAnalysis.qualityPruneSql,
     "x37_tfidf_top_term"    -> TextAnalysis.tfidfTopTermSql,
     "x40_multimodal_meta"   -> Multimodal.mediaMetaSql,
     "x41_frame_sample"      -> Multimodal.frameSampleSql,

@@ -295,6 +295,60 @@ object TextAnalysis {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------- x38 quality pruning
+
+  /** x38 — per-language quality pruning: keep documents whose x30-style
+    * quality score clears their language's 25th percentile — the standard
+    * "drop the worst quartile per stratum" curation pass. Two shuffles:
+    * the per-language exact percentile (a tiny dim — one row per
+    * language) and nothing else: the threshold dim broadcasts back onto
+    * the doc rows, so the filter is map-side at any corpus size. (At
+    * 100 TB the exact percentile would swap for approx_percentile — same
+    * plan shape, no oracle parity.) */
+  def qualityPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = split($"text", " ")
+    val nWords = size(w).cast("long")
+    val nChars = length($"text").cast("long")
+    val ttr = size(array_distinct(w)).cast("long") * 1.0 / nWords
+    val nStop = size(filter(w, x => x.isInCollection(stopwords))).cast("long")
+    val stopRatio = nStop * 1.0 / nWords
+    val avgLen = (nChars - nWords + lit(1L)) * 1.0 / nWords
+    val score = ttr * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
+      least(avgLen / 8.0, lit(1.0)) * 0.2
+    val scored = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"source", score.as("quality_score"))
+    val thresholds = scored.groupBy($"lang")
+      .agg(expr("percentile(quality_score, 0.25)").as("q25"))
+    scored.join(broadcast(thresholds), "lang")
+      .filter($"quality_score" >= $"q25")
+      .select($"doc_id", $"lang", $"source", $"quality_score", $"q25")
+      .orderBy($"doc_id")
+  }
+
+  val qualityPruneSql: String = {
+    val stops = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source, string_split(text, ' ') AS w,
+       |    CAST(LENGTH(text) AS BIGINT) AS n_chars
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, lang, source,
+       |    (len(list_distinct(w)) * 1.0 / len(w)) * 0.5 +
+       |    (1.0 - len(list_filter(w, x -> x IN ($stops))) * 1.0 / len(w)) * 0.3 +
+       |    LEAST(((n_chars - len(w) + 1) * 1.0 / len(w)) / 8.0, 1.0) * 0.2
+       |      AS quality_score
+       |  FROM d
+       |), t AS (
+       |  SELECT lang, quantile_cont(quality_score, 0.25) AS q25
+       |  FROM s GROUP BY lang
+       |)
+       |SELECT doc_id, s.lang, source, quality_score, q25
+       |FROM s JOIN t ON s.lang = t.lang
+       |WHERE quality_score >= q25
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------- x36 boilerplate lines
 
   /** x36 line segmentation: the fixture text is newline-free word soup, so
