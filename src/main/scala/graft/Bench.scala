@@ -40,13 +40,21 @@ object Bench {
     // a cold end-to-end run. All per-query numbers are therefore
     // explicitly warm-cache; cold total = cache_build_sec + value.
     val prewarmT0 = System.nanoTime()
-    Seq[org.apache.spark.sql.DataFrame](
-      graft.ops.Transform.master(spark, sfDir),
-      graft.ops.Dedup.shingled(spark, sfDir),
-      graft.ops.Dedup.curationExact(spark, sfDir),
-      graft.ops.Dedup.curationShingled(spark, sfDir),
-      graft.ops.Similarity.corpus(spark, sfDir),
-    ).foreach(_.write.format("noop").mode("overwrite").save())
+    // guarded per frame: a failing cache build must degrade to that
+    // frame's consumers paying (and possibly -1-marking) it in the timed
+    // loop — never abort the bench before the JSON record exists
+    Seq[() => org.apache.spark.sql.DataFrame](
+      () => graft.ops.Transform.master(spark, sfDir),
+      () => graft.ops.Dedup.shingled(spark, sfDir),
+      () => graft.ops.Dedup.curationExact(spark, sfDir),
+      () => graft.ops.Dedup.curationShingled(spark, sfDir),
+      () => graft.ops.Similarity.corpus(spark, sfDir),
+    ).foreach { f =>
+      try f().write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] prewarm failed (continuing): $e")
+      }
+    }
     val cacheBuildSec = (System.nanoTime() - prewarmT0) / 1e9
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

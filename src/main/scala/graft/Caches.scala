@@ -27,6 +27,17 @@ object Caches {
       build.persist(StorageLevel.MEMORY_AND_DISK))
   }
 
+  private val trackSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Register an EXTERNALLY persisted frame (e.g. the converged frontier
+    * of an iterative algorithm) so `clear(spark)` unpersists it with the
+    * memoized frames — same lifecycle guarantee without build-once
+    * semantics. Returns the frame. */
+  def track(spark: SparkSession, df: DataFrame): DataFrame = {
+    frames.put((spark, s"#tracked-${trackSeq.incrementAndGet()}"), df)
+    df
+  }
+
   /** Unpersist and forget every frame memoized under this session. */
   def clear(spark: SparkSession): Unit =
     frames.keys.filter(_._1 eq spark).foreach { k =>

@@ -18,16 +18,18 @@ object Tables {
     * and HOF math on one core; at cluster scale the scan is already wider
     * than the core count and this is a no-op (no shuffle inserted).
     * The `df.rdd` partition probe forces RDD plan materialization, so its
-    * result is memoized per (session, semantically-equal plan). */
+    * result is memoized per (session, canonicalized plan) — the full
+    * canonical form, not just its hash, so a 32-bit collision can never
+    * reuse the wrong partition count. */
   private val spreadProbe =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, Int), Int]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
   def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spreadProbe.keys.filter(_._1.sparkContext.isStopped)
       .foreach(spreadProbe.remove)
     val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val n = spreadProbe.getOrElseUpdate(
-      (spark, df.queryExecution.analyzed.semanticHash()),
+      (spark, df.queryExecution.analyzed.canonicalized.toString),
       df.rdd.getNumPartitions)
     if (n < target) df.repartition(target) else df
   }

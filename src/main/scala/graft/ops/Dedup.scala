@@ -109,9 +109,12 @@ object Dedup {
     // (≈ avg-shingles-per-doc / cap-fraction strings corpus-wide,
     // independent of n_docs) — so it is a collectible dimension, like any
     // broadcast dim. Collecting it lets the common no-skew case keep the
-    // single-pass plan with zero guard overhead.
-    val droppedShingles = inv.groupBy($"s").agg(count(lit(1)).as("sdf"))
-      .filter($"sdf" > cap).select($"s").as[String].collect().toSeq
+    // single-pass plan with zero guard overhead. df > Long.MaxValue is
+    // unsatisfiable — skip the aggregation job entirely when uncapped.
+    val droppedShingles =
+      if (cap == Long.MaxValue) Seq.empty[String]
+      else inv.groupBy($"s").agg(count(lit(1)).as("sdf"))
+        .filter($"sdf" > cap).select($"s").as[String].collect().toSeq
 
     def pairsFrom(index: DataFrame, interAddBack: DataFrame => DataFrame) = {
       val partial = index.as("a").join(index.as("b"),
@@ -304,12 +307,14 @@ object Dedup {
     try {
       // labels only ever decrease, so Σ label strictly decreases exactly
       // when any node changed — convergence costs one aggregation per
-      // round instead of a join + count
-      def labelSum(df: DataFrame): Long =
-        df.agg(sum($"label")).collect()(0).getLong(0)
+      // round instead of a join + count (null sum = empty graph: no pairs)
+      def labelSum(df: DataFrame): Long = {
+        val r = df.agg(sum($"label")).collect()(0)
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
       var prevSum = labelSum(labels)
       var rounds = 0
-      var converged = false
+      var converged = prevSum == 0L // empty graph is already converged
       while (!converged && rounds < 50) {
         val nbrLabels = edges
           .join(labels.select($"id".as("id_b"), $"label"), "id_b")
@@ -324,11 +329,17 @@ object Dedup {
         labels = next
         rounds += 1
       }
-      labels
+      // the returned plan reads the converged frontier's cache; register
+      // it so Caches.clear at the end of a Verify/Bench run frees it
+      graft.Caches.track(spark, labels)
         .withColumn("cluster_size", count(lit(1)).over(
           Window.partitionBy($"label")))
         .select($"id".as("doc_id"), $"label".as("cluster_id"), $"cluster_size")
         .orderBy($"doc_id")
+    } catch {
+      case e: Throwable =>
+        labels.unpersist(blocking = false)
+        throw e
     } finally edges.unpersist(blocking = false)
   }
 

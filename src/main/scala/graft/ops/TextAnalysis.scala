@@ -15,6 +15,34 @@ object TextAnalysis {
   private val stopwords =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
 
+  /** The quality-blend terms (type-token ratio, stopword ratio, average
+    * word length) over a text column — ONE definition shared by x30 and
+    * x38 so the formula can't drift between them. */
+  private def qualityTerms(textCol: Column): (Column, Column, Column) = {
+    val w = split(textCol, " ")
+    val nWords = size(w).cast("long")
+    val nChars = length(textCol).cast("long")
+    val ttr = size(array_distinct(w)).cast("long") * 1.0 / nWords
+    val nStop = size(filter(w, x => x.isInCollection(stopwords))).cast("long")
+    (ttr, nStop * 1.0 / nWords, (nChars - nWords + lit(1L)) * 1.0 / nWords)
+  }
+
+  /** Blended quality score: ttr·0.5 + (1−stopRatio)·0.3 + min(avgLen/8,1)·0.2. */
+  def qualityScore(textCol: Column): Column = {
+    val (ttr, stopRatio, avgLen) = qualityTerms(textCol)
+    ttr * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
+      least(avgLen / 8.0, lit(1.0)) * 0.2
+  }
+
+  /** The same blend as DuckDB SQL over a word-list column `w` and a
+    * char-count column `nChars`. */
+  private def qualityScoreSqlExpr(w: String, nChars: String): String = {
+    val stops = stopwords.map(s => s"'$s'").mkString(", ")
+    s"(len(list_distinct($w)) * 1.0 / len($w)) * 0.5 +\n" +
+      s"    (1.0 - len(list_filter($w, x -> x IN ($stops))) * 1.0 / len($w)) * 0.3 +\n" +
+      s"    LEAST((($nChars - len($w) + 1) * 1.0 / len($w)) / 8.0, 1.0) * 0.2"
+  }
+
   /** x30 — per-doc token & quality metrics.
     * tokens: whitespace words, distinct words, regex alnum-run tokens and
     * a BPE-ish subword estimate (ceil(chars/4) — the common rule of
@@ -26,10 +54,7 @@ object TextAnalysis {
     val nWords = size(w).cast("long")
     val nChars = length($"text").cast("long")
     val nDistinct = size(array_distinct(w)).cast("long")
-    val nStop = size(filter(w, x => x.isInCollection(stopwords))).cast("long")
-    val avgLen = (nChars - nWords + lit(1L)) * 1.0 / nWords
-    val ttr = nDistinct * 1.0 / nWords
-    val stopRatio = nStop * 1.0 / nWords
+    val (ttr, stopRatio, avgLen) = qualityTerms($"text")
     Tables.documents(spark, sfDir).select(
       $"doc_id", $"lang",
       nWords.as("n_words"),
@@ -39,8 +64,7 @@ object TextAnalysis {
       avgLen.as("avg_word_len"),
       ttr.as("type_token_ratio"),
       stopRatio.as("stopword_ratio"),
-      (ttr * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
-        least(avgLen / 8.0, lit(1.0)) * 0.2).as("quality_score"),
+      qualityScore($"text").as("quality_score"),
     ).orderBy($"doc_id")
   }
 
@@ -55,7 +79,9 @@ object TextAnalysis {
        |    CAST(len(w) AS BIGINT) AS n_words,
        |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
        |    CAST(len(list_filter(w, x -> x IN ($stops))) AS BIGINT) AS n_stop,
-       |    n_chars
+       |    n_chars,
+       |    ${qualityScoreSqlExpr("w", "n_chars")}
+       |      AS quality_score
        |  FROM d
        |)
        |SELECT doc_id, lang, n_words, n_distinct_words,
@@ -64,10 +90,7 @@ object TextAnalysis {
        |  (n_chars - n_words + 1) * 1.0 / n_words AS avg_word_len,
        |  n_distinct_words * 1.0 / n_words AS type_token_ratio,
        |  n_stop * 1.0 / n_words AS stopword_ratio,
-       |  (n_distinct_words * 1.0 / n_words) * 0.5 +
-       |    (1.0 - n_stop * 1.0 / n_words) * 0.3 +
-       |    LEAST(((n_chars - n_words + 1) * 1.0 / n_words) / 8.0, 1.0) * 0.2
-       |    AS quality_score
+       |  quality_score
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
@@ -307,17 +330,9 @@ object TextAnalysis {
     * plan shape, no oracle parity.) */
   def qualityPrune(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = split($"text", " ")
-    val nWords = size(w).cast("long")
-    val nChars = length($"text").cast("long")
-    val ttr = size(array_distinct(w)).cast("long") * 1.0 / nWords
-    val nStop = size(filter(w, x => x.isInCollection(stopwords))).cast("long")
-    val stopRatio = nStop * 1.0 / nWords
-    val avgLen = (nChars - nWords + lit(1L)) * 1.0 / nWords
-    val score = ttr * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
-      least(avgLen / 8.0, lit(1.0)) * 0.2
     val scored = Tables.documents(spark, sfDir)
-      .select($"doc_id", $"lang", $"source", score.as("quality_score"))
+      .select($"doc_id", $"lang", $"source",
+        qualityScore($"text").as("quality_score"))
     val thresholds = scored.groupBy($"lang")
       .agg(expr("percentile(quality_score, 0.25)").as("q25"))
     scored.join(broadcast(thresholds), "lang")
@@ -327,16 +342,13 @@ object TextAnalysis {
   }
 
   val qualityPruneSql: String = {
-    val stops = stopwords.map(s => s"'$s'").mkString(", ")
     s"""WITH d AS (
        |  SELECT doc_id, lang, source, string_split(text, ' ') AS w,
        |    CAST(LENGTH(text) AS BIGINT) AS n_chars
        |  FROM documents
        |), s AS (
        |  SELECT doc_id, lang, source,
-       |    (len(list_distinct(w)) * 1.0 / len(w)) * 0.5 +
-       |    (1.0 - len(list_filter(w, x -> x IN ($stops))) * 1.0 / len(w)) * 0.3 +
-       |    LEAST(((n_chars - len(w) + 1) * 1.0 / len(w)) / 8.0, 1.0) * 0.2
+       |    ${qualityScoreSqlExpr("w", "n_chars")}
        |      AS quality_score
        |  FROM d
        |), t AS (
@@ -373,6 +385,12 @@ object TextAnalysis {
     val lines = transform(sequence(lit(0), nChunks - 1),
       i => struct(i.as("pos"),
         concat_ws(" ", slice(w, i * LineWords + 1, lit(LineWords))).as("line")))
+    // deliberately NOT persisted, unlike the shingle tables: the exploded
+    // line frame has exactly one consumer pair inside one query, its
+    // recompute is a narrow scan+chunk expression, and at 100 TB pinning
+    // a corpus-sized line table in executor storage costs more than the
+    // second pass (AQE exchange reuse dedupes the shared scan+repartition
+    // prefix at runtime anyway)
     val exploded = Tables.spread(Tables.documents(spark, sfDir))
       .select($"doc_id", explode(lines).as("l"))
       .select($"doc_id", $"l.pos".as("pos"), $"l.line".as("line"))

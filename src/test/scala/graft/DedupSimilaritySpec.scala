@@ -40,6 +40,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally docs.unpersist()
   }
 
+  test("x16's curated-subset cap path matches the uncapped join too") {
+    // corpusCuration runs jaccardPairsOf over the quality-filtered subset
+    // with a cap derived from the SUBSET size — gate that shipped path
+    // directly, not just the full-fixture x13 path
+    val sh = Dedup.curationShingled(spark, sf)
+    def pairs(cap: Long) = Dedup.jaccardPairsOf(sh, cap)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(-1L) == pairs(Long.MaxValue))
+  }
+
   test("x17 clusters: pair endpoints co-clustered, id is the member min") {
     val clusters = Dedup.dupClusters(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
