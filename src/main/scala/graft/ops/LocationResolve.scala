@@ -117,12 +117,22 @@ object LocationResolve {
     import spark.implicits._
     val withEl = withElFrame(spark, sfDir)
     val exploded = explodedTokens(withEl)
-
     val dim = Locations.variantRows.toDF("vkey", "canon")
+    val resolved = resolveTokensBroadcast(exploded, dim)
+    assemble(withEl, resolved)
+  }
+
+  /** The 4-tier broadcast lookup over an exploded token frame (columns
+    * `norm`/`stripped`/`strippedNorm`) against an arbitrary
+    * (vkey, canon) variant dimension — the piece that scales to
+    * million-variant dictionaries (DictionaryScaleSpec drives it with a
+    * 100k-variant synthetic dim). Adds a `loc` column. */
+  private[graft] def resolveTokensBroadcast(
+      exploded: DataFrame, dim: DataFrame): DataFrame = {
     // one broadcast left-join per lookup tier; a null key never matches,
     // which is exactly the literal-map miss semantics
     def lookup(df: DataFrame, key: Column, out: String): DataFrame = {
-      val d = dim.select($"vkey".as(s"_k_$out"), $"canon".as(out))
+      val d = dim.select(col("vkey").as(s"_k_$out"), col("canon").as(out))
       df.join(broadcast(d), key === col(s"_k_$out"), "left").drop(s"_k_$out")
     }
     val looked = Seq[(String, DataFrame => Column)](
@@ -131,10 +141,8 @@ object LocationResolve {
       "c_sexact" -> (df => when(df("stripped") =!= "", df("strippedNorm"))),
       "c_sregex" -> (df => when(df("stripped") =!= "", capture(df("strippedNorm")))),
     ).foldLeft(exploded) { case (df, (out, key)) => lookup(df, key(df), out) }
-
-    val resolved = looked.withColumn("loc",
-      coalesce($"c_exact", $"c_regex", $"c_sexact", $"c_sregex"))
-    assemble(withEl, resolved)
+    looked.withColumn("loc",
+      coalesce(col("c_exact"), col("c_regex"), col("c_sexact"), col("c_sregex")))
   }
 
   val tier12Sql: String =

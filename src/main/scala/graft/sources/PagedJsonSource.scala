@@ -197,8 +197,17 @@ object PagedJsonTable {
   * re-reading pages). */
 class PagedMicroBatchStream(path: String,
     config: PagedProtocol.Config = PagedProtocol.Default)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
+
+  /** Trigger.AvailableNow contract: pin the frontier at query start so
+    * the run processes exactly the pages available then and terminates,
+    * even if more pages land mid-run (they belong to the next cycle —
+    * the reference's per-cycle semantics). */
+  private var availableNowCap: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(PagedProtocol.effectivePages(path, config).length)
 
   private val fingerprint: String = {
     val c = config
@@ -221,8 +230,13 @@ class PagedMicroBatchStream(path: String,
     } + "\""
 
   override def initialOffset(): Offset = PageOffset(0)
-  override def latestOffset(): Offset =
-    PageOffset(PagedProtocol.effectivePages(path, config).length)
+  override def latestOffset(): Offset = PageOffset(availableNowCap.getOrElse(
+    PagedProtocol.effectivePages(path, config).length))
+  // SupportsAdmissionControl form (no read limits here: pages are small
+  // and one cycle's frontier is the natural batch)
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
   override def deserializeOffset(json: String): Offset = {
     val t = json.trim
     if (!t.startsWith("{"))

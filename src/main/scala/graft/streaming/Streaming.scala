@@ -138,6 +138,24 @@ object Streaming {
       spark.readStream.format("graft.sources.PagedJsonSource")
         .load(pagesDir))
 
+  /** The cycle's persistence step in streaming form: each micro-batch of
+    * cleaned records lands as a BOM'd CSV directory (the reference's
+    * per-cycle `to_csv(..., encoding="utf-8-sig")`, Main.py:544,562) via
+    * foreachBatch + the S7 sink. The checkpoint makes re-runs pick up
+    * only newly landed pages — the reference's resume semantics, with
+    * exactly-once batch ids naming the output dirs. */
+  def tripCycleToCsv(spark: SparkSession, pagesDir: String, outDir: String,
+      checkpointDir: String): Unit = {
+    val q = tripCycle(spark, pagesDir).writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        graft.sources.CsvSink.write(df, s"$outDir/batch_$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to completion over the finite fixture
     * (Trigger.AvailableNow + memory sink + checkpoint dir) and return the
     * materialized result. */
