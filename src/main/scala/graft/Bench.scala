@@ -49,6 +49,7 @@ object Bench {
       () => graft.ops.Dedup.curationExact(spark, sfDir),
       () => graft.ops.Dedup.curationShingled(spark, sfDir),
       () => graft.ops.Similarity.corpus(spark, sfDir),
+      () => graft.ops.Dedup.minhashLshPairs(spark, sfDir),
     ).foreach { f =>
       try f().write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
