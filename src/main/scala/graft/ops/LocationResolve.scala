@@ -126,9 +126,18 @@ object LocationResolve {
     * `norm`/`stripped`/`strippedNorm`) against an arbitrary
     * (vkey, canon) variant dimension — the piece that scales to
     * million-variant dictionaries (DictionaryScaleSpec drives it with a
-    * 100k-variant synthetic dim). Adds a `loc` column. */
+    * 100k-variant synthetic dim). Adds a `loc` column.
+    *
+    * `combinedPattern` is the tier-2 embedded-variant alternation and
+    * MUST be built from the same dimension's keys (the default is the
+    * bundled dictionary's pattern, matching the default use through
+    * [[tier12LocationsBroadcast]]) — a pattern from a different variant
+    * set silently captures non-keys / misses dim keys. */
   private[graft] def resolveTokensBroadcast(
-      exploded: DataFrame, dim: DataFrame): DataFrame = {
+      exploded: DataFrame, dim: DataFrame,
+      combinedPattern: String = Locations.combinedPattern): DataFrame = {
+    def capture2(norm: Column): Column =
+      nullif(regexp_extract(norm, combinedPattern, 1), lit(""))
     // one broadcast left-join per lookup tier; a null key never matches,
     // which is exactly the literal-map miss semantics
     def lookup(df: DataFrame, key: Column, out: String): DataFrame = {
@@ -137,9 +146,9 @@ object LocationResolve {
     }
     val looked = Seq[(String, DataFrame => Column)](
       "c_exact"  -> (df => df("norm")),
-      "c_regex"  -> (df => capture(df("norm"))),
+      "c_regex"  -> (df => capture2(df("norm"))),
       "c_sexact" -> (df => when(df("stripped") =!= "", df("strippedNorm"))),
-      "c_sregex" -> (df => when(df("stripped") =!= "", capture(df("strippedNorm")))),
+      "c_sregex" -> (df => when(df("stripped") =!= "", capture2(df("strippedNorm")))),
     ).foldLeft(exploded) { case (df, (out, key)) => lookup(df, key(df), out) }
     looked.withColumn("loc",
       coalesce(col("c_exact"), col("c_regex"), col("c_sexact"), col("c_sregex")))

@@ -201,13 +201,20 @@ class PagedMicroBatchStream(path: String,
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  /** Trigger.AvailableNow contract: pin the frontier at query start so
-    * the run processes exactly the pages available then and terminates,
-    * even if more pages land mid-run (they belong to the next cycle —
-    * the reference's per-cycle semantics). */
-  private var availableNowCap: Option[Int] = None
+  /** Trigger.AvailableNow contract: snapshot the page LIST at query start
+    * so the run processes exactly the pages available then and
+    * terminates, even if more pages land mid-run (they belong to the next
+    * cycle — the reference's per-cycle semantics). Snapshotting the list,
+    * not just its length, keeps the limit-invariant's final-page
+    * exemption and the abort-sidecar scan anchored to the pinned cycle:
+    * a page landing mid-run must neither steal the "legitimate short
+    * final page" exemption nor abort a cycle that never reads it. */
+  private var availableNowPages: Option[Array[java.io.File]] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(PagedProtocol.effectivePages(path, config).length)
+    availableNowPages = Some(PagedProtocol.effectivePages(path, config))
+
+  private def currentPages(): Array[java.io.File] =
+    availableNowPages.getOrElse(PagedProtocol.effectivePages(path, config))
 
   private val fingerprint: String = {
     val c = config
@@ -230,8 +237,7 @@ class PagedMicroBatchStream(path: String,
     } + "\""
 
   override def initialOffset(): Offset = PageOffset(0)
-  override def latestOffset(): Offset = PageOffset(availableNowCap.getOrElse(
-    PagedProtocol.effectivePages(path, config).length))
+  override def latestOffset(): Offset = PageOffset(currentPages().length)
   // SupportsAdmissionControl form (no read limits here: pages are small
   // and one cycle's frontier is the natural batch)
   override def latestOffset(start: Offset,
@@ -260,7 +266,7 @@ class PagedMicroBatchStream(path: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PageOffset].page
     val e = end.asInstanceOf[PageOffset].page
-    val all = PagedProtocol.effectivePages(path, config)
+    val all = currentPages()
     // the `limit` invariant applies in streaming too; only the stream's
     // CURRENT frontier page (more may land later) is exempt — not the
     // last page of each batch slice

@@ -35,25 +35,26 @@ class CsvSinkSpec extends AnyFunSuite {
     val sf = SparkSuite.sf
     val pagesDir = graft.sources.PagedLanding.ensureLanded(spark, sf)
     val work = java.nio.file.Files.createTempDirectory("graft_cycle_csv")
-    val out = s"$work/out"
-    graft.streaming.Streaming.tripCycleToCsv(spark, pagesDir, out, s"$work/ckpt")
-    val batchDirs = Option(new java.io.File(out).listFiles())
-      .getOrElse(Array.empty).filter(_.getName.startsWith("batch_"))
-    assert(batchDirs.nonEmpty)
-    // every part file of every batch carries the BOM
-    for (d <- batchDirs; f <- d.listFiles()
-         if f.getName.startsWith("part-") && f.getName.endsWith(".csv")) {
-      val head = java.nio.file.Files.newInputStream(f.toPath)
-      try assert(java.util.Arrays.equals(head.readNBytes(3), graft.sources.CsvSink.Bom),
-        f.getName)
-      finally head.close()
-    }
-    // the landed rows together equal the batch q5 output row count
-    val total = batchDirs.map { d =>
-      spark.read.option("header", "true").csv(d.getAbsolutePath).count()
-    }.sum
-    assert(total == graft.ops.Transform.q5TripCycle(spark, sf).count())
-    graft.Fs.deleteRecursively(work)
+    try {
+      val out = s"$work/out"
+      graft.streaming.Streaming.tripCycleToCsv(spark, pagesDir, out, s"$work/ckpt")
+      val batchDirs = Option(new java.io.File(out).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.startsWith("batch_"))
+      assert(batchDirs.nonEmpty)
+      // every part file of every batch carries the BOM
+      for (d <- batchDirs; f <- d.listFiles()
+           if f.getName.startsWith("part-") && f.getName.endsWith(".csv")) {
+        val head = java.nio.file.Files.newInputStream(f.toPath)
+        try assert(java.util.Arrays.equals(head.readNBytes(3), graft.sources.CsvSink.Bom),
+          f.getName)
+        finally head.close()
+      }
+      // the landed rows together equal the batch q5 output row count
+      val total = batchDirs.map { d =>
+        spark.read.option("header", "true").csv(d.getAbsolutePath).count()
+      }.sum
+      assert(total == graft.ops.Transform.q5TripCycle(spark, sf).count())
+    } finally graft.Fs.deleteRecursively(work)
   }
 
   test("utf-8-sig sink: every part file starts with the BOM, content intact") {

@@ -18,28 +18,41 @@ class DictionaryScaleSpec extends AnyFunSuite {
     val dim = spark.range(n)
       .select(concat(lit("variant"), $"id").as("vkey"),
         concat(lit("City"), $"id" % 1000).as("canon"))
-    // token frame in the explodedTokens shape: half hits, half misses
-    val tokens = spark.range(2000).select(
+    // token frame in the explodedTokens shape: a third exact hits, a
+    // third embedded hits (tier-2 regex capture), a third misses
+    val tokens = spark.range(3000).select(
       $"id".as("tok_id"),
-      when($"id" % 2 === 0, concat(lit("variant"), $"id" * 37 % n))
+      when($"id" % 3 === 0, concat(lit("variant"), $"id" * 37 % n))
+        .when($"id" % 3 === 1,
+          concat(lit("go to variant"), $"id" * 37 % n, lit(" now")))
         .otherwise(concat(lit("unknown"), $"id")).as("norm"))
-      .withColumn("stripped", lit(""))
+      // non-constant, else Catalyst (correctly) constant-folds the two
+      // stripped-tier joins out of the plan and the 4-join gate can't hold
+      .withColumn("stripped",
+        when($"tok_id" % 5 === 0, lit("op")).otherwise(lit("")))
       .withColumn("strippedNorm", $"norm")
+    // tier-2 pattern derived from THIS dim's key shape (the helper's
+    // contract: pattern and dim must come from the same variant set)
+    val pattern = "(?U)(?<![\\w])(variant[0-9]+)(?![\\w])"
 
-    val resolved = LocationResolve.resolveTokensBroadcast(tokens, dim)
+    val resolved = LocationResolve.resolveTokensBroadcast(tokens, dim, pattern)
     val plan = resolved.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
-    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 4, plan.take(1500))
+    // FormattedMode prints each operator twice (tree + details): 4
+    // lookup joins must yield 8 mentions — >= 8 so a tier regressing to
+    // a shuffle join fails the gate
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 8, plan.take(1500))
     // the dictionary must be join data, not a 100k-entry plan literal
     assert(plan.length < 100000, s"plan size ${plan.length} suggests inlining")
 
     val out = resolved.select($"tok_id", $"norm", $"loc").collect()
-    assert(out.length == 2000)
+    assert(out.length == 3000)
     out.foreach { r =>
       val id = r.getLong(0)
-      if (id % 2 == 0)
+      if (id % 3 <= 1)
         assert(r.getString(2) == "City" + (id * 37 % n % 1000),
-          s"tok $id resolved to ${r.getString(2)}")
+          s"tok $id (${if (id % 3 == 0) "exact" else "embedded"}) " +
+            s"resolved to ${r.getString(2)}")
       else assert(r.isNullAt(2), s"tok $id should miss")
     }
   }

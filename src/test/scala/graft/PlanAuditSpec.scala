@@ -26,8 +26,10 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("j01: all three dims broadcast, no sort-merge join") {
     val plan = formatted(Relational.j01RegionRevenue(spark, sf))
+    // FormattedMode prints each operator twice (tree + details):
+    // 3 joins => 6 mentions, so one dim falling out of broadcast fails
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
-    assert(broadcasts >= 3, plan.take(1500))
+    assert(broadcasts >= 6, plan.take(1500))
     assert(!plan.contains("SortMergeJoin"), plan.take(1500))
   }
 
@@ -57,9 +59,10 @@ class PlanAuditSpec extends AnyFunSuite {
   test("n07: dictionary lookups are BroadcastHashJoins, result == n06") {
     val n07 = graft.ops.LocationResolve.tier12LocationsBroadcast(spark, sf)
     val plan = formatted(n07)
-    // four lookup tiers + the resolved-dim fact join, all broadcast
+    // four lookup tiers + the resolved-dim fact join, all broadcast —
+    // FormattedMode doubles each operator (tree + details): 5 => 10
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
-    assert(broadcasts >= 5, plan.take(2000))
+    assert(broadcasts >= 10, plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
     // the broadcast form must be row-identical to the literal-map form
     val n06 = graft.ops.LocationResolve.tier12Locations(spark, sf)
