@@ -44,6 +44,23 @@ class CurationSpec extends AnyFunSuite {
     assert(redacted(s) == s)
   }
 
+  test("x38 invariants: per-language threshold honored, ~75% kept") {
+    import spark.implicits._
+    val kept = TextAnalysis.qualityPrune(spark, sf)
+      .select($"lang", $"quality_score", $"q25").collect()
+    assert(kept.nonEmpty)
+    // every surviving doc clears its own language's threshold
+    kept.foreach(r => assert(r.getDouble(1) >= r.getDouble(2), r.toString))
+    // dropping below the 25th percentile keeps ~75% per language
+    val total = Tables.documents(spark, sf)
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val frac = rows.length.toDouble / total(lang)
+      assert(frac >= 0.70 && frac <= 0.85, s"$lang kept $frac")
+    }
+  }
+
   test("x36 invariants: line count, drop accounting, identity when clean") {
     import spark.implicits._
     val out = TextAnalysis.boilerplateScrub(spark, sf)
