@@ -86,9 +86,11 @@ object LocationResolve {
       .orderBy($"trip_key")
   }
 
-  /** Tier-2 regex capture of the longest embedded variant, null on miss. */
-  private def capture(norm: Column): Column =
-    nullif(regexp_extract(norm, Locations.combinedPattern, 1), lit(""))
+  /** Tier-2 regex capture of the longest embedded variant, null on miss.
+    * The pattern must be built from the dictionary being consulted. */
+  private def capture(norm: Column,
+      pattern: String = Locations.combinedPattern): Column =
+    nullif(regexp_extract(norm, pattern, 1), lit(""))
 
   /** n06 — dictionary as a plan-literal map (no joins for the lookup). */
   def tier12Locations(spark: SparkSession, sfDir: String): DataFrame = {
@@ -136,8 +138,6 @@ object LocationResolve {
   private[graft] def resolveTokensBroadcast(
       exploded: DataFrame, dim: DataFrame,
       combinedPattern: String = Locations.combinedPattern): DataFrame = {
-    def capture2(norm: Column): Column =
-      nullif(regexp_extract(norm, combinedPattern, 1), lit(""))
     // one broadcast left-join per lookup tier; a null key never matches,
     // which is exactly the literal-map miss semantics
     def lookup(df: DataFrame, key: Column, out: String): DataFrame = {
@@ -146,9 +146,10 @@ object LocationResolve {
     }
     val looked = Seq[(String, DataFrame => Column)](
       "c_exact"  -> (df => df("norm")),
-      "c_regex"  -> (df => capture2(df("norm"))),
+      "c_regex"  -> (df => capture(df("norm"), combinedPattern)),
       "c_sexact" -> (df => when(df("stripped") =!= "", df("strippedNorm"))),
-      "c_sregex" -> (df => when(df("stripped") =!= "", capture2(df("strippedNorm")))),
+      "c_sregex" -> (df => when(df("stripped") =!= "",
+        capture(df("strippedNorm"), combinedPattern))),
     ).foldLeft(exploded) { case (df, (out, key)) => lookup(df, key(df), out) }
     looked.withColumn("loc",
       coalesce(col("c_exact"), col("c_regex"), col("c_sexact"), col("c_sregex")))

@@ -266,12 +266,17 @@ class PagedMicroBatchStream(path: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PageOffset].page
     val e = end.asInstanceOf[PageOffset].page
-    val all = currentPages()
-    // the `limit` invariant applies in streaming too; only the stream's
-    // CURRENT frontier page (more may land later) is exempt — not the
-    // last page of each batch slice
-    PagedJsonTable.groupPages(all.slice(s, e), config.limit,
-      all.lastOption.map(_.getAbsolutePath))
+    val slice = currentPages().slice(s, e)
+    // the `limit` invariant applies in streaming too. The exempt page is
+    // the BATCH's own final page: it was the stream frontier when this
+    // batch's end offset was recorded, which is the page the protocol
+    // allows to be short. Anchoring the exemption to the live listing
+    // instead would un-exempt a legitimately short frontier page as soon
+    // as later pages land — permanently wedging a crash-replayed batch
+    // (the offset log replays (s,e) against a longer listing) and racing
+    // mid-trigger landings even in healthy runs.
+    PagedJsonTable.groupPages(slice, config.limit,
+      slice.lastOption.map(_.getAbsolutePath))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new PagePartitionReaderFactory

@@ -85,6 +85,36 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(b.deserializeOffset("7").json().contains("\"page\":7"))
   }
 
+  test("replayed batch keeps its own short frontier page exempt from the limit invariant") {
+    val work = java.nio.file.Files.createTempDirectory("graft_replay")
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def writePage(i: Int, n: Int): Unit = {
+        val arr = mapper.createArrayNode()
+        (0 until n).foreach { j =>
+          val o = arr.addObject(); o.put("serialId", i * 100L + j)
+          o.put("confirm_status", true)
+        }
+        mapper.writeValue(new File(work.toFile, f"page_$i%05d.json"), arr)
+      }
+      // batch (0,2) was recorded when page_1 (short) was the frontier;
+      // page_2 landed after the crash, before the replay
+      writePage(0, 3); writePage(1, 2); writePage(2, 3)
+      val stream = new graft.sources.PagedMicroBatchStream(work.toString,
+        graft.sources.PagedProtocol.Default.copy(limit = Some(3)))
+      val parts = stream.planInputPartitions(
+        stream.deserializeOffset("0"), stream.deserializeOffset("2"))
+      val factory = stream.createReaderFactory()
+      val n = parts.map { p =>
+        val r = factory.createReader(p)
+        var c = 0
+        while (r.next()) c += 1 // must NOT FetchAbort on short page_1
+        c
+      }.sum
+      assert(n == 5)
+    } finally graft.Fs.deleteRecursively(work)
+  }
+
   test("protocol knobs: stop-on-empty-page, 401-abort, limit invariant") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def writePage(dir: File, i: Int, n: Int): Unit = {
