@@ -27,16 +27,24 @@ object Caches {
       build.persist(StorageLevel.MEMORY_AND_DISK))
   }
 
-  private val trackSeq = new java.util.concurrent.atomic.AtomicLong()
-
   /** Register an EXTERNALLY persisted frame (e.g. the converged frontier
-    * of an iterative algorithm) so `clear(spark)` unpersists it with the
-    * memoized frames — same lifecycle guarantee without build-once
-    * semantics. Returns the frame. */
-  def track(spark: SparkSession, df: DataFrame): DataFrame = {
-    frames.put((spark, s"#tracked-${trackSeq.incrementAndGet()}"), df)
+    * of an iterative algorithm) under a key so `clear(spark)` unpersists
+    * it with the memoized frames — same lifecycle guarantee without
+    * build-once semantics. Replaces (and unpersists) any previous frame
+    * tracked under the same key. Returns the frame. */
+  def track(spark: SparkSession, key: String, df: DataFrame): DataFrame = {
+    untrack(spark, key)
+    frames.put((spark, s"#tracked:$key"), df)
     df
   }
+
+  /** Unpersist and forget a tracked frame (no-op when absent). Call at
+    * the start of a rebuild so the stale cache can't shadow the new
+    * build's persists ("already cached" WARNs). */
+  def untrack(spark: SparkSession, key: String): Unit =
+    frames.remove((spark, s"#tracked:$key")).foreach { old =>
+      if (!spark.sparkContext.isStopped) old.unpersist(blocking = false)
+    }
 
   /** Unpersist and forget every frame memoized under this session. */
   def clear(spark: SparkSession): Unit =

@@ -307,6 +307,10 @@ object Dedup {
     * would swap in the large-star/small-star variant, same skeleton. */
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // drop a previous run's tracked frontier first: its still-cached plan
+    // is equal to the one this run converges to, and persisting "through"
+    // it would log CacheManager already-cached WARNs
+    graft.Caches.untrack(spark, s"dup-labels:$sfDir")
     val pairs = minhashLshPairs(spark, sfDir).select($"id_a", $"id_b")
     val edges = pairs
       .union(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
@@ -340,7 +344,7 @@ object Dedup {
       }
       // the returned plan reads the converged frontier's cache; register
       // it so Caches.clear at the end of a Verify/Bench run frees it
-      graft.Caches.track(spark, labels)
+      graft.Caches.track(spark, s"dup-labels:$sfDir", labels)
         .withColumn("cluster_size", count(lit(1)).over(
           Window.partitionBy($"label")))
         .select($"id".as("doc_id"), $"label".as("cluster_id"), $"cluster_size")
