@@ -50,6 +50,7 @@ object Bench {
       () => graft.ops.Dedup.curationShingled(spark, sfDir),
       () => graft.ops.Similarity.corpus(spark, sfDir),
       () => graft.ops.Dedup.minhashLshPairs(spark, sfDir),
+      () => graft.ops.Similarity.ivfIndex(spark, sfDir),
     ).foreach { f =>
       try f().write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -84,6 +85,9 @@ object Bench {
     // that matters must survive any suffix of the line
     val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","cache_build_sec":$cacheBuildSec,"queries":$qs,"value":$total}"""
     println(line)
+    // stderr copy: some tail-captures keep stderr after truncating stdout,
+    // giving the driver's parser a second chance at the full record
+    System.err.println(line)
     Files.write(Paths.get(outFile), (line + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.WRITE)
     Caches.clear(spark)

@@ -25,10 +25,11 @@ import graft.ops.{Analytics, Dedup, Events, LocationResolve, Multimodal,
   *  - x: LLM-pipeline extensions (x1x dedup family, x2x similarity,
   *    x3x text analytics, x4x multimodal)
   *
-  * Every query has a DuckDB oracle except the four whose output is
-  * engine-specific by design (x01 HLL, x12 simhash, x21 LSH-ANN,
-  * x33 FNV) — those get the driver's rows-only check plus equality /
-  * recall gates in the test suites.
+  * Every query has a DuckDB oracle except the six whose output is
+  * engine-specific by design (x01 HLL, x12 simhash, x21 LSH-ANN, x22
+  * IVF-ANN, x33 FNV, x39 approx-percentile prune) — those get the
+  * driver's rows-only check plus equality / recall / tolerance gates in
+  * the test suites.
   */
 object SparkEntry {
 
@@ -70,6 +71,7 @@ object SparkEntry {
     "n03_tokenize"         -> (Analytics.tokenizeQuery _),
     "n06_tier12_relational" -> (LocationResolve.tier12Locations _),
     "n07_tier12_broadcast"  -> (LocationResolve.tier12LocationsBroadcast _),
+    "n09_dict_scale"        -> (LocationResolve.dictScale _),
     "n10_nlp_columns"      -> (Analytics.nlpColumns _),
     "x10_dedup_exact"      -> (Dedup.exactDedup _),
     "x11_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
@@ -81,6 +83,7 @@ object SparkEntry {
     "x16_corpus_curation"  -> (Dedup.corpusCuration _),
     "x20_ann_bruteforce"   -> (Similarity.bruteForceTopK _),
     "x21_ann_lsh"          -> (Similarity.lshTopK _),
+    "x22_ann_ivf"          -> (Similarity.ivfTopK _),
     "x30_text_quality"     -> (TextAnalysis.textQuality _),
     "x31_lang_id"          -> (TextAnalysis.langId _),
     "x32_fingerprint"      -> (TextAnalysis.fingerprint _),
@@ -89,6 +92,7 @@ object SparkEntry {
     "x35_top_ngrams"       -> (TextAnalysis.topNgrams _),
     "x36_boilerplate_lines" -> (TextAnalysis.boilerplateScrub _),
     "x38_quality_prune"    -> (TextAnalysis.qualityPrune _),
+    "x39_quality_prune_approx" -> (TextAnalysis.qualityPruneApprox _),
     "x37_tfidf_top_term"   -> (TextAnalysis.tfidfTopTerm _),
     "a03_pairs_generator"  -> (Analytics.pairsViaGenerator _),
     "x40_multimodal_meta"  -> (Multimodal.mediaMeta _),
@@ -225,6 +229,7 @@ object SparkEntry {
     "n03_tokenize"          -> Analytics.tokenizeSql,
     "n06_tier12_relational" -> LocationResolve.tier12Sql,
     "n07_tier12_broadcast"  -> LocationResolve.tier12Sql, // same semantics, broadcast form
+    "n09_dict_scale"        -> LocationResolve.dictScaleSql,
     "n10_nlp_columns"       -> Analytics.nlpColumnsSql,
     "x10_dedup_exact"       -> Dedup.exactDedupSql,
     "x11_dedup_minhash_lsh" -> Dedup.jaccardPairsSql, // LSH verified == exact

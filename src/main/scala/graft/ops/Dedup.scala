@@ -96,13 +96,18 @@ object Dedup {
     * real corpus, where near-dup pairs share rare shingles too). When the
     * cap doesn't bite, `dropped` is empty and the plan degenerates to the
     * plain inverted-index join at zero extra cost. */
-  def jaccardPairsOf(docs: DataFrame, dfCap: Long = -1L): DataFrame = {
+  def jaccardPairsOf(docs: DataFrame, dfCap: Long = -1L,
+      nDocs: Long = -1L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // `nDocs` lets a caller that already counted the corpus skip the
+    // sizing pass; negative = count here (one pass over the persisted
+    // shingle frame)
     val cap =
       if (dfCap >= 0) dfCap
       else math.max(ShingleDfCapFloor,
-        math.ceil(ShingleDfCapFraction * docs.count()).toLong)
+        math.ceil(ShingleDfCapFraction *
+          (if (nDocs >= 0) nDocs else docs.count())).toLong)
     val inv = docs.select($"doc_id", $"nsh", explode($"sh").as("s"))
     // the dropped-shingle set is small by construction — at most
     // (total shingle occurrences / cap) survivors of the df > cap filter
@@ -138,6 +143,18 @@ object Dedup {
       // per-doc array of its high-df shingles (empty for most docs)
       val droppedPerDoc = inv.join(broadcast(dropped), "s")
         .groupBy($"doc_id").agg(collect_list($"s").as("ds"))
+      // a capped run must be distinguishable from an uncapped one: the
+      // cap's only possible recall edge is a doc whose ENTIRE shingle set
+      // is high-df (it can't seed any candidate), so count those loudly
+      val fullyDropped = droppedPerDoc.join(docs, "doc_id")
+        .filter(size($"ds") === $"nsh").count()
+      val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
+      log.warn(s"jaccardPairs df-cap engaged: cap=$cap, " +
+        s"droppedShingles=${droppedShingles.size}, " +
+        s"docsWithAllShinglesDropped=$fullyDropped" +
+        (if (fullyDropped > 0)
+          " — these docs generate no candidates; raise the cap if they matter"
+         else ""))
       val emptyArr = array().cast("array<string>")
       pairsFrom(kept, partial => partial
         .join(droppedPerDoc.select($"doc_id".as("id_a"), $"ds".as("ds_a")),
@@ -289,71 +306,117 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Connected components via alternating large-star/small-star (the
+    * MapReduce CC algorithm of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14 — public literature). Edges are kept
+    * ORIENTED (child > parent); one round is:
+    *
+    *  - large-star: every node u hooks each LARGER neighbor v > u onto
+    *    m(u) = min(Γ(u) ∪ {u}) — one groupBy-min over the symmetrized
+    *    neighborhood + one join;
+    *  - small-star: every node u hooks itself and its smaller neighbors
+    *    onto m(u) = min of those — same two-op shape on the oriented set.
+    *
+    * Both steps only ever re-link nodes to SMALLER ids, components are
+    * preserved, and the edge set converges to one star per component
+    * rooted at the component minimum in O(log n) rounds — vs O(diameter)
+    * for plain min-label propagation, the difference between ~6 rounds
+    * and hundreds on a templated web corpus's long duplicate chains
+    * (DedupSimilaritySpec drives a 64-node path through it).
+    *
+    * Convergence is detected STRUCTURALLY (two small aggregates on the
+    * persisted edge frame, no edge-set diff): the oriented edge set is a
+    * star forest ⇔ no parent also appears as a child AND every child has
+    * exactly one parent; on a star forest both steps are the identity, so
+    * star-forest ⇔ fixpoint. A graph still unconverged after `maxRounds`
+    * throws IllegalStateException rather than silently returning
+    * partially-merged labels (2^50 nodes would be needed to hit 50
+    * honestly). Labels stay distributed throughout; the driver only
+    * orchestrates rounds. */
+  private[graft] def ccStars(pairs: DataFrame,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // localCheckpoint (not persist): each round's frame references the
+    // previous one several times, so without lineage TRUNCATION the
+    // logical plan grows exponentially with rounds and the per-execution
+    // plan-description event OOMs the driver around round ~10. The
+    // checkpointed RDDs are small (the pair graph) and are freed by the
+    // ContextCleaner as rounds drop their references.
+    var edges = pairs
+      .select(greatest($"id_a", $"id_b").as("c"), least($"id_a", $"id_b").as("p"))
+      .filter($"c" =!= $"p").distinct().localCheckpoint()
+
+    def isStarForest(e: DataFrame): Boolean = {
+      val parentAlsoChild = e.as("a")
+        .join(e.as("b"), col("a.p") === col("b.c"), "left_semi")
+      parentAlsoChild.isEmpty &&
+        e.groupBy($"c").agg(count(lit(1)).as("n")).filter($"n" > 1).isEmpty
+    }
+
+    var rounds = 0
+    var converged = isStarForest(edges)
+    while (!converged && rounds < maxRounds) {
+      // large-star over the symmetrized neighborhood
+      val d = edges.select($"c".as("u"), $"p".as("v"))
+        .union(edges.select($"p".as("u"), $"c".as("v")))
+      val mins = d.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"u", $"mn").as("m"))
+      val afterLarge = d.join(mins, "u")
+        .filter($"v" > $"u")
+        .select($"v".as("c"), $"m".as("p"))
+        .distinct().localCheckpoint()
+      // small-star over the oriented result: m = min parent per child;
+      // every non-min parent re-links to m, the child links to m
+      val minsPerChild = afterLarge.groupBy($"c").agg(min($"p").as("m"))
+      val next = afterLarge.join(minsPerChild, "c")
+        .filter($"p" =!= $"m")
+        .select($"p".as("c"), $"m".as("p"))
+        .union(minsPerChild.select($"c", $"m".as("p")))
+        .distinct().localCheckpoint()
+      edges = next
+      rounds += 1
+      converged = isStarForest(edges)
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxRounds " +
+          "large/small-star rounds — pathological graph, not silently " +
+          "returning partial labels")
+    // star forest ⇒ each child has exactly one parent = its component
+    // minimum; roots (never a child) label themselves
+    val nodes = pairs.select($"id_a".as("id"))
+      .union(pairs.select($"id_b".as("id"))).distinct()
+    val labels = nodes
+      .join(edges.select($"c".as("id"), $"p".as("lbl")), Seq("id"), "left")
+      .select($"id", coalesce($"lbl", $"id").as("label"))
+      .persist()
+    labels.count() // materialize so callers can drop the edge lineage
+    (labels, rounds)
+  }
+
   /** x17 — duplicate CLUSTERS: connected components over the verified
     * near-dup pair graph, so transitive chains (A≈B≈C with A,C below
     * threshold) land in one group — the clustering step a real curation
     * pipeline runs between pair generation and survivor selection (x15's
-    * pairwise keep-first is the one-pass approximation).
-    *
-    * Algorithm: min-label propagation — every node starts labeled with
-    * its own id; each round every node takes the min of its own and its
-    * neighbors' labels; converges in O(component diameter) rounds (near-
-    * dup clusters are shallow — dozens of rounds would mean a pathological
-    * duplicate chain). Each round is one shuffle join + one aggregation
-    * on the node key; the frontier frame is persisted and the loop is
-    * driver-CONTROLLED but never driver-SIDED (labels live distributed;
-    * the driver sees only the changed-count). This is exactly the
-    * GraphFrames/Pregel connected-components shape; a trillion-edge graph
-    * would swap in the large-star/small-star variant, same skeleton. */
+    * pairwise keep-first is the one-pass approximation). The CC engine is
+    * [[ccStars]] (large-star/small-star, O(log n) rounds, loud failure on
+    * non-convergence). */
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // drop a previous run's tracked frontier first: its still-cached plan
-    // is equal to the one this run converges to, and persisting "through"
-    // it would log CacheManager already-cached WARNs
+    // drop a previous run's tracked labels first: the converged plan is
+    // identical across runs, and persisting "through" the old cache entry
+    // would log CacheManager already-cached WARNs
     graft.Caches.untrack(spark, s"dup-labels:$sfDir")
     val pairs = minhashLshPairs(spark, sfDir).select($"id_a", $"id_b")
-    val edges = pairs
-      .union(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
-      .persist()
-    var labels = edges.select($"id_a".as("id")).distinct()
-      .withColumn("label", $"id").persist()
-    try {
-      // labels only ever decrease, so Σ label strictly decreases exactly
-      // when any node changed — convergence costs one aggregation per
-      // round instead of a join + count (null sum = empty graph: no pairs)
-      def labelSum(df: DataFrame): Long = {
-        val r = df.agg(sum($"label")).collect()(0)
-        if (r.isNullAt(0)) 0L else r.getLong(0)
-      }
-      var prevSum = labelSum(labels)
-      var rounds = 0
-      var converged = prevSum == 0L // empty graph is already converged
-      while (!converged && rounds < 50) {
-        val nbrLabels = edges
-          .join(labels.select($"id".as("id_b"), $"label"), "id_b")
-          .select($"id_a".as("id"), $"label")
-        val next = labels.union(nbrLabels)
-          .groupBy($"id").agg(min($"label").as("label"))
-          .persist()
-        val nextSum = labelSum(next)
-        converged = nextSum == prevSum
-        prevSum = nextSum
-        labels.unpersist(blocking = false)
-        labels = next
-        rounds += 1
-      }
-      // the returned plan reads the converged frontier's cache; register
-      // it so Caches.clear at the end of a Verify/Bench run frees it
-      graft.Caches.track(spark, s"dup-labels:$sfDir", labels)
-        .withColumn("cluster_size", count(lit(1)).over(
-          Window.partitionBy($"label")))
-        .select($"id".as("doc_id"), $"label".as("cluster_id"), $"cluster_size")
-        .orderBy($"doc_id")
-    } catch {
-      case e: Throwable =>
-        labels.unpersist(blocking = false)
-        throw e
-    } finally edges.unpersist(blocking = false)
+    val (labels, _) = ccStars(pairs)
+    // register the persisted labels so Caches.clear at the end of a
+    // Verify/Bench run frees them
+    graft.Caches.track(spark, s"dup-labels:$sfDir", labels)
+      .withColumn("cluster_size", count(lit(1)).over(
+        Window.partitionBy($"label")))
+      .select($"id".as("doc_id"), $"label".as("cluster_id"), $"cluster_size")
+      .orderBy($"doc_id")
   }
 
   /** Oracle: recursive-CTE transitive closure (fixture-scale only); the

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 import graft.nlp.{Goldens, Locations, Normalize}
 
 /** N6/N7 — tier-1 (exact) and tier-2 (combined regex) location resolution
@@ -154,6 +155,92 @@ object LocationResolve {
     looked.withColumn("loc",
       coalesce(col("c_exact"), col("c_regex"), col("c_sexact"), col("c_sregex")))
   }
+
+  /** n09 — the claimed at-scale dictionary path under the driver's hash
+    * gate: the same 4-tier broadcast lookup as n07
+    * ([[resolveTokensBroadcast]]) driven by a variant dimension DERIVED
+    * deterministically from testdata strings — 5 surface forms per
+    * `part.p_name` (≈100k variants at sf0.1, scaling with the data)
+    * instead of the bundled 40-variant dictionary. Each p_partkey
+    * deterministically picks its probe token's surface form: 5 exact-hit
+    * forms, an op-prefixed form only the stripped tier resolves, and a
+    * guaranteed miss — so the exact and stripped BHJ tiers all carry real
+    * traffic and the oracle regenerates the identical dim + tokens in SQL.
+    *
+    * The embedded-regex tiers run with a never-matching pattern: at 100k
+    * variants a combined alternation regex stops being a viable artifact
+    * (the n06/n07 pattern is linear-size in the dictionary text — fine at
+    * 40 variants, megabytes at 100k), and embedded hits at this scale
+    * belong to upstream tokenization. The two regex-tier joins stay in
+    * the plan (null-keyed on every row), preserving the n07 shape. */
+  def dictScale(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, sfDir)
+    // canonical entity name per part (p_name alone has only 64 distinct
+    // values in the fixture; keying on name+id makes the dictionary scale
+    // WITH the data: 5 × 20k = 100k variants at sf0.1)
+    val canon = concat($"p_name", lit(" "), $"p_partkey")
+    val dim = part.select(
+      explode(array(
+        canon,
+        translate(canon, " ", "_"),
+        upper(canon),
+        concat(lit("the "), canon),
+        concat(canon, lit(" dept")))).as("vkey"),
+      canon.as("canon"))
+    val m = pmod($"p_partkey", lit(7))
+    val tokens = part.select($"p_partkey".as("tok_id"),
+      when(m === 0, canon)
+        .when(m === 1, translate(canon, " ", "_"))
+        .when(m === 2, upper(canon))
+        .when(m === 3, concat(lit("the "), canon))
+        .when(m === 4, concat(canon, lit(" dept")))
+        .when(m === 5, concat(lit("fetch: "), canon))
+        .otherwise(concat(lit("zz near nothing "), $"p_partkey")).as("norm"))
+      .withColumn("stripped",
+        when($"norm".startsWith("fetch: "), expr("substring(norm, 8)"))
+          .otherwise(lit("")))
+      .withColumn("strippedNorm", $"stripped")
+    resolveTokensBroadcast(tokens, dim, "(x^)")
+      .select($"tok_id", $"norm", $"loc")
+      .orderBy($"tok_id")
+  }
+
+  val dictScaleSql: String =
+    """WITH base AS (
+      |  SELECT p_partkey, p_name || ' ' || p_partkey AS canon FROM part
+      |), dim AS (
+      |  SELECT unnest([
+      |      canon,
+      |      replace(canon, ' ', '_'),
+      |      upper(canon),
+      |      'the ' || canon,
+      |      canon || ' dept']) AS vkey,
+      |    canon
+      |  FROM base
+      |), toks AS (
+      |  SELECT p_partkey AS tok_id,
+      |    CASE p_partkey % 7
+      |      WHEN 0 THEN canon
+      |      WHEN 1 THEN replace(canon, ' ', '_')
+      |      WHEN 2 THEN upper(canon)
+      |      WHEN 3 THEN 'the ' || canon
+      |      WHEN 4 THEN canon || ' dept'
+      |      WHEN 5 THEN 'fetch: ' || canon
+      |      ELSE 'zz near nothing ' || p_partkey END AS norm
+      |  FROM base
+      |), t2 AS (
+      |  SELECT tok_id, norm,
+      |    CASE WHEN norm LIKE 'fetch: %' THEN substr(norm, 8) ELSE '' END
+      |      AS stripped
+      |  FROM toks
+      |)
+      |SELECT t2.tok_id, t2.norm, COALESCE(d1.canon, d2.canon) AS loc
+      |FROM t2
+      |LEFT JOIN dim d1 ON t2.norm = d1.vkey
+      |LEFT JOIN dim d2
+      |  ON (CASE WHEN t2.stripped <> '' THEN t2.stripped END) = d2.vkey
+      |ORDER BY tok_id""".stripMargin
 
   val tier12Sql: String =
     s"""WITH trips AS (

@@ -48,17 +48,23 @@ object Similarity {
     }
 
   /** x20 — brute-force cosine top-5 for the first 8 query vectors. */
-  def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame =
+    bruteForceTopKOf(corpus(spark, sfDir), 8, 5)
+
+  /** Brute-force top-k over an arbitrary (vec_id, v, nrm) corpus — the
+    * exact baseline every approximate variant is measured against. */
+  private[graft] def bruteForceTopKOf(all: DataFrame, nQueries: Int,
+      topK: Int): DataFrame = {
+    val spark = all.sparkSession
     import spark.implicits._
-    val all = corpus(spark, sfDir)
-    val queries = all.filter($"vec_id" < 8)
+    val queries = all.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
     val scored = all.join(broadcast(queries), $"vec_id" =!= $"query_id")
       .withColumn("cos", dot($"v", $"qv") / ($"nrm" * $"qn"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"cos".desc, $"vec_id".asc)
     scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
+      .filter($"rank" <= topK)
       .select($"query_id", $"vec_id".as("neighbor_id"), $"rank")
       .orderBy($"query_id", $"rank")
   }
@@ -159,12 +165,16 @@ object Similarity {
     * candidates via an equi join for exact cosine rescoring. Measured
     * recall@5 ≈ 0.88 at exactly 1/3 full-vector scan (gate 0.8 in
     * DedupSimilaritySpec). Rows-only driver check (approximate by design). */
-  def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  def lshTopK(spark: SparkSession, sfDir: String): DataFrame =
+    lshTopKOf(corpus(spark, sfDir), 8, 5)
+
+  private[graft] def lshTopKOf(all: DataFrame, nQueries: Int,
+      topK: Int): DataFrame = {
+    val spark = all.sparkSession
     import spark.implicits._
-    val all = corpus(spark, sfDir)
     // the sketch pass: narrow (vec_id, sketch) table, every row scored
     val sketches = all.select($"vec_id", sketchOf($"v", $"nrm").as("sk"))
-    val qsk = sketches.filter($"vec_id" < 8)
+    val qsk = sketches.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"sk".as("qsk"))
     val approx = sketches.join(broadcast(qsk), $"vec_id" =!= $"query_id")
       .withColumn("approx", dot($"sk", $"qsk"))
@@ -174,7 +184,7 @@ object Similarity {
       .filter($"tile" === 1)
       .select($"query_id", $"vec_id")
     // candidate fetch + exact rescore: equi joins only
-    val queries = all.filter($"vec_id" < 8)
+    val queries = all.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
     val scored = candidates
       .join(all, "vec_id")
@@ -183,8 +193,150 @@ object Similarity {
     val w = Window.partitionBy($"query_id")
       .orderBy($"cos".desc, $"vec_id".asc)
     scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
+      .filter($"rank" <= topK)
       .select($"query_id", $"vec_id".as("neighbor_id"), $"rank")
       .orderBy($"query_id", $"rank")
+  }
+
+  // ------------------------------------------------------------- x22 IVF
+
+  /** Coarse-quantizer cell count / probed cells per query. 16 cells ×
+    * 2 probes = candidate fraction ≈ 1/8 of the corpus per query (the
+    * spec asserts < 20% measured). At deployment k scales like √n (IVF
+    * practice) and probes stays a small constant, so the touched fraction
+    * FALLS as the corpus grows — the sublinear property x21's
+    * whole-corpus sketch scan lacks. */
+  private[graft] val IvfCells = 16
+  private[graft] val IvfProbes = 2
+  private val IvfLloydRounds = 3
+
+  /** array<double> literal column. */
+  private def litArr(c: Array[Double]): Column =
+    array(c.map(lit).toIndexedSeq: _*)
+
+  /** Deterministic seeded unit-vector init (engine-internal state, like
+    * the sketch planes — no rand(), identical across runs/executors). */
+  private def ivfSeedCentroids(k: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(k) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+  }
+
+  /** Nearest-centroid (max-dot) cell id for a raw vector column. Row
+    * norms don't affect the argmax; centroids are unit-normalized at
+    * build time so cross-centroid comparison is cosine. Pure codegen'd
+    * expression — assignment is map-only. */
+  private[graft] def cellOf(v: Column, cents: Array[Array[Double]]): Column = {
+    val dots = array(cents.map(c => dot(v, litArr(c))).toIndexedSeq: _*)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** Top-p probe cells for a query vector, best first. */
+  private[graft] def probeCellsOf(qv: Column, cents: Array[Array[Double]],
+      p: Int): Column = {
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(dot(qv, litArr(c)).as("s"), lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    transform(slice(reverse(array_sort(scored)), 1, p), s => s.getField("cell"))
+  }
+
+  /** k-means coarse quantizer trained with a few Lloyd rounds from the
+    * seeded init. Per round: map-only assignment, then a (cell, pos)
+    * mean — one shuffle of n·dim skinny rows — and a k×dim driver
+    * collect (the centroid table IS a broadcast dimension; at 100 TB the
+    * trainer runs on a bounded sample — standard IVF practice — and the
+    * assignment pass stays map-only over the full corpus). Empty cells
+    * keep their previous centroid. */
+  private[graft] def ivfCentroidsOf(all: DataFrame, k: Int = IvfCells,
+      rounds: Int = IvfLloydRounds): Array[Array[Double]] = {
+    val spark = all.sparkSession
+    import spark.implicits._
+    val dim = all.select(size($"v")).head.getInt(0)
+    var cents = ivfSeedCentroids(k, dim)
+    for (_ <- 0 until rounds) {
+      val sums = all.select(cellOf($"v", cents).as("cell"),
+          posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
+        .collect()
+      val next = Array.tabulate(k)(i => cents(i).clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next.map { c =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        if (n == 0) c else c.map(_ / n)
+      }
+    }
+    cents
+  }
+
+  /** Memoized per-(session, sfDir) centroid table. */
+  private val centroidCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Array[Array[Double]]]
+
+  private def centroids(spark: SparkSession, sfDir: String): Array[Array[Double]] = {
+    centroidCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(centroidCache.remove)
+    centroidCache.getOrElseUpdate((spark, sfDir),
+      ivfCentroidsOf(corpus(spark, sfDir)))
+  }
+
+  /** The cell-assigned index: (vec_id, v, nrm, cell), memoized. At
+    * deployment this is the frame you WRITE partitioned/bucketed by
+    * `cell`, so a probe's candidate fetch is file-level partition
+    * pruning; in-session it's the persisted index the probe join hits. */
+  private[graft] def ivfIndex(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Caches.memo(spark, s"ivf-index:$sfDir") {
+      import spark.implicits._
+      corpus(spark, sfDir)
+        .withColumn("cell", cellOf($"v", centroids(spark, sfDir)))
+    }
+
+  /** x22 — ANN top-5 via an IVF-style partition-pruned index: assign
+    * every vector to its nearest of k centroids once (map-only, memoized
+    * as the index); per query, probe only the top-p cells and exact-
+    * rescore inside them. Unlike x21's rank-then-rescore (which reads
+    * EVERY corpus sketch row per query batch), the probe touches ≈ p/k
+    * of the corpus — and with k ∝ √n the fraction shrinks as the corpus
+    * grows. The isotropic fixture is the known worst case for partition
+    * indexes (recall plateaus ≈ 0.6 — measured and documented in
+    * PLANS.md, which is WHY x21 exists); on clustered embeddings — the
+    * regime IVF is for — recall ≥ 0.8 at < 20% touched rows is gated by
+    * DedupSimilaritySpec's planted-centroid fixture. Rows-only driver
+    * check (approximate by design). */
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame =
+    ivfTopKOf(ivfIndex(spark, sfDir), centroids(spark, sfDir), 8, 5, IvfProbes)
+
+  /** The probe plan over an arbitrary cell-assigned index. */
+  private[graft] def ivfTopKOf(cells: DataFrame, cents: Array[Array[Double]],
+      nQueries: Int, topK: Int, probes: Int): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val probed = ivfProbes(cells, cents, nQueries, probes)
+    // candidate fetch: equi join on the cell key (partition pruning at
+    // deployment); exact cosine only inside probed cells
+    val scored = cells.join(broadcast(probed), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos", dot($"v", $"qv") / ($"nrm" * $"qn"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= topK)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** (query_id, qv, qn, cell) — one row per (query, probed cell); the
+    * spec also uses it to measure the touched-rows fraction. */
+  private[graft] def ivfProbes(cells: DataFrame, cents: Array[Array[Double]],
+      nQueries: Int, probes: Int): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    cells.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
+        explode(probeCellsOf($"v", cents, probes)).as("cell"))
   }
 }

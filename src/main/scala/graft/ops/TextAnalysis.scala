@@ -336,7 +336,33 @@ object TextAnalysis {
     val thresholds = scored.groupBy($"lang")
       .agg(expr("percentile(quality_score, 0.25)").as("q25"))
     scored.join(broadcast(thresholds), "lang")
-      .filter($"quality_score" >= $"q25")
+      // tolerance-aware: Spark's percentile and the oracle's quantile_cont
+      // interpolate with a different fp operation order, so a doc scoring
+      // exactly AT the threshold could flip in/out between engines; the
+      // 1e-12 slack (applied identically in the oracle) absorbs last-ulp
+      // differences without admitting any genuinely sub-threshold doc
+      .filter($"quality_score" >= $"q25" - lit(1e-12))
+      .select($"doc_id", $"lang", $"source", $"quality_score", $"q25")
+      .orderBy($"doc_id")
+  }
+
+  /** x39 — the 100 TB form of [[qualityPrune]]: per-language threshold via
+    * `approx_percentile` (t-digest style mergeable sketch — one pass, no
+    * per-language full sort) instead of exact `percentile`. Identical plan
+    * shape: tiny per-lang threshold dim broadcast back for a map-side
+    * filter. Rows-only under the driver (the sketch's threshold is
+    * engine-specific by design); CurationSpec gates the kept fraction
+    * within 1% of the exact x38 per language. Accuracy knob = 10000
+    * (max error ≈ 1/accuracy of rank). */
+  def qualityPruneApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"source",
+        qualityScore($"text").as("quality_score"))
+    val thresholds = scored.groupBy($"lang")
+      .agg(expr("approx_percentile(quality_score, 0.25, 10000)").as("q25"))
+    scored.join(broadcast(thresholds), "lang")
+      .filter($"quality_score" >= $"q25" - lit(1e-12))
       .select($"doc_id", $"lang", $"source", $"quality_score", $"q25")
       .orderBy($"doc_id")
   }
@@ -357,7 +383,7 @@ object TextAnalysis {
        |)
        |SELECT doc_id, s.lang, source, quality_score, q25
        |FROM s JOIN t ON s.lang = t.lang
-       |WHERE quality_score >= q25
+       |WHERE quality_score >= q25 - 1e-12
        |ORDER BY doc_id""".stripMargin
   }
 

@@ -198,9 +198,9 @@ object Transform {
        |       THEN COALESCE(TRY_CAST(km_return_str AS BIGINT), 0) -
        |            COALESCE(TRY_CAST(km_start_str AS BIGINT), 0)
        |       ELSE 0 END AS Total_KM,
-       |  CASE WHEN NULLIF(LTRIM(REGEXP_REPLACE(COALESCE(car_number, ''), '[^0-9]', '', 'g'), '0'), '') IS NULL
+       |  CASE WHEN NULLIF(LTRIM(REGEXP_REPLACE(COALESCE(car_number, ''), '[^\\p{Nd}]', '', 'g'), '0'), '') IS NULL
        |       THEN 'No Plate'
-       |       ELSE LTRIM(REGEXP_REPLACE(COALESCE(car_number, ''), '[^0-9]', '', 'g'), '0') END AS Car_Num,
+       |       ELSE LTRIM(REGEXP_REPLACE(COALESCE(car_number, ''), '[^\\p{Nd}]', '', 'g'), '0') END AS Car_Num,
        |  ${Trips.caseByVid(g.mainLocation)} AS end_location,
        |  ${Trips.caseByVid(g.tripType)} AS Trip_Type,
        |  CAST(${Trips.caseByVidInt(g.allLocations.map(_.size))} AS BIGINT) AS num_locations
@@ -252,9 +252,9 @@ object Transform {
        |  COALESCE(station, '') AS station,
        |  CASE WHEN receiver_name IS NULL OR receiver_name = 'nan' THEN '' ELSE receiver_name END AS receiver_name,
        |  COALESCE(car_number, '') AS car_number,
-       |  CASE WHEN NULLIF(LTRIM(REGEXP_REPLACE(COALESCE(car_number, ''), '[^0-9]', '', 'g'), '0'), '') IS NULL
+       |  CASE WHEN NULLIF(LTRIM(REGEXP_REPLACE(COALESCE(car_number, ''), '[^\\p{Nd}]', '', 'g'), '0'), '') IS NULL
        |       THEN 'No Plate'
-       |       ELSE LTRIM(REGEXP_REPLACE(COALESCE(car_number, ''), '[^0-9]', '', 'g'), '0') END AS Car_Num,
+       |       ELSE LTRIM(REGEXP_REPLACE(COALESCE(car_number, ''), '[^\\p{Nd}]', '', 'g'), '0') END AS Car_Num,
        |  ${Trips.caseByVid(g.tripType)} AS Trip_Type,
        |  CAST(${Trips.caseByVidInt(g.allLocations.map(_.size))} AS BIGINT) AS num_locations,
        |  ${locCaseN(1)} AS Location_1,

@@ -72,6 +72,50 @@ object Streaming {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  val documentsRawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** The documents corpus replayed as a file stream (same landing-dir
+    * staging as [[eventsStream]]). Documents carry no event time, so
+    * arrival time is synthesized deterministically from doc_id — exactly
+    * what an ingest pipeline's landing timestamp is. */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$sfDir/documents.parquet")
+    val dir = java.nio.file.Paths.get(
+      "/tmp/graft_docs_stream_" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_"))
+    java.nio.file.Files.createDirectories(dir)
+    val link = dir.resolve("documents.parquet")
+    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      java.nio.file.Files.createSymbolicLink(link, src)
+    spark.readStream
+      .schema(documentsRawSchema)
+      .parquet(dir.toString)
+      // offset away from the epoch: a ts exactly AT the initial watermark
+      // (doc_id 0 → 1970-01-01T00:00:00) is judged late and dropped
+      .withColumn("ts", expr("timestamp_micros(doc_id + 86400000000)"))
+  }
+
+  /** Streaming exact dedup over a document stream — the curation analog
+    * of the reference's periodic re-run: each micro-batch keeps only
+    * content hashes not already seen within the watermark, so the
+    * batch-x10 exact dedup becomes continuous. State is the seen-hash
+    * set BOUNDED by the watermark (hashes older than the horizon are
+    * evicted — the requirement for an unbounded ingest stream; an
+    * infinite-retention dedup would be `dropDuplicates`, whose state
+    * only grows). Emits (doc_id, content_hash) of the kept docs.
+    * StreamingSpec proves the kept hash set ≡ batch x10's hash set over
+    * the finite replay. */
+  def docDedup(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("doc_id"), col("content_hash"))
+
   /** e07 streaming sibling: watermarked stream-stream interval join —
     * clicks joined to the same user's purchases within 10 minutes after
     * the click. Both sides carry a watermark and the join condition bounds

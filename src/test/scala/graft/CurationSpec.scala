@@ -61,6 +61,31 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("x39 approx prune: kept fraction within 1% of exact x38 per language") {
+    val exact = TextAnalysis.qualityPrune(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = TextAnalysis.qualityPruneApprox(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.keys.foreach { lang =>
+      // within 1% of the per-language corpus, floored at one document:
+      // approx_percentile returns an actual data value while the exact
+      // percentile interpolates, so the one doc between the two
+      // thresholds legitimately flips — at the ~80-doc fixture strata
+      // that single doc is already >1%
+      val slack = math.max(1.0, 0.01 * total(lang))
+      val diff = math.abs(approx(lang) - exact(lang)).toDouble
+      assert(diff <= slack,
+        s"$lang: approx kept ${approx(lang)} vs exact ${exact(lang)} " +
+          s"of ${total(lang)} — differs by $diff docs (slack $slack)")
+    }
+  }
+
   test("x36 invariants: line count, drop accounting, identity when clean") {
     import spark.implicits._
     val out = TextAnalysis.boilerplateScrub(spark, sf)

@@ -119,4 +119,92 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val b = Multimodal.frameSampleViaMapPartitions(spark, sf).collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("ccStars: 64-node path converges in O(log n) rounds, not O(diameter)") {
+    import spark.implicits._
+    val pairs = spark.range(63).select($"id".as("id_a"), ($"id" + 1).as("id_b"))
+    val (labels, rounds) = Dedup.ccStars(pairs)
+    try {
+      val out = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(out.size == 64)
+      assert(out.values.forall(_ == 0L), "every node labels to the chain min")
+      // min-label propagation needs 63 rounds on this graph; the
+      // large/small-star bound is O(log n) — leave slack above log2(64)=6
+      assert(rounds <= 12, s"rounds=$rounds — expected O(log 64) behavior")
+    } finally labels.unpersist()
+  }
+
+  test("ccStars: multi-component graph with a cycle labels to each min") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L)).toDF("id_a", "id_b")
+    val (labels, _) = Dedup.ccStars(pairs)
+    try {
+      val out = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+        11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    } finally labels.unpersist()
+  }
+
+  /** Planted-centroid fixture: the regime IVF is FOR (the testdata
+    * embeddings are measured isotropic — the known partition-index worst
+    * case, which is why x21 exists). Deterministic seeds throughout. */
+  private lazy val clusteredCorpus = {
+    import spark.implicits._
+    val k = 8; val per = 150; val dim = 32
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val cents = Array.fill(k)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    val rows = (0 until k * per).map { i =>
+      val c = cents(i % k)
+      val noise = Array.fill(dim)(rnd.nextGaussian())
+      (i.toLong, unit(c.zip(noise).map { case (a, g) => a + 0.35 * g }))
+    }
+    rows.toDF("vec_id", "v")
+      .withColumn("nrm", org.apache.spark.sql.functions.lit(1.0))
+      .persist()
+  }
+
+  test("x22 IVF: recall >= 0.8 at < 20% touched rows on clustered embeddings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = clusteredCorpus.count()
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(Similarity.bruteForceTopKOf(clusteredCorpus, 8, 5))
+
+    val trained = Similarity.ivfCentroidsOf(clusteredCorpus)
+    val cells = clusteredCorpus
+      .withColumn("cell", Similarity.cellOf($"v", trained)).persist()
+    try {
+      val ivf = topSets(Similarity.ivfTopKOf(
+        cells, trained, 8, 5, Similarity.IvfProbes))
+      val recall = exact.keys.toSeq
+        .map(q => (ivf.getOrElse(q, Set.empty) & exact(q)).size / 5.0)
+        .sum / exact.size
+      assert(recall >= 0.8, s"IVF recall=$recall on the clustered fixture")
+
+      // touched-rows fraction: corpus rows whose full vector enters the
+      // exact rescore = the probed cells' populations
+      val cellSizes = cells.groupBy($"cell").count()
+      val touched = Similarity.ivfProbes(cells, trained, 8, Similarity.IvfProbes)
+        .select($"query_id", $"cell").join(cellSizes, "cell")
+        .agg(sum($"count")).collect()(0).getLong(0)
+      val frac = touched.toDouble / (8.0 * n)
+      assert(frac < 0.20, s"touched fraction $frac — index not pruning")
+
+      // x21 comparison on the same fixture, for PLANS.md: its sketch pass
+      // touches 100% of corpus rows per query batch by construction
+      val x21 = topSets(Similarity.lshTopKOf(clusteredCorpus, 8, 5))
+      val r21 = exact.keys.toSeq
+        .map(q => (x21.getOrElse(q, Set.empty) & exact(q)).size / 5.0)
+        .sum / exact.size
+      info(f"clustered fixture: IVF recall@5=$recall%.3f touched=$frac%.3f; " +
+        f"x21 recall@5=$r21%.3f touched=1.00 (sketch) + 0.33 (rescore)")
+    } finally cells.unpersist()
+  }
 }

@@ -81,4 +81,15 @@ class StreamingSpec extends AnyFunSuite {
     val n = streamed.count()
     assert(n >= distinctKeys && n <= total)
   }
+
+  test("streaming document dedup == batch x10: one survivor per content hash") {
+    val streamed = Streaming.runToMemory(spark,
+      Streaming.docDedup(Streaming.documentsStream(spark, sf)),
+      "doc_dedup", outputMode = "append")
+    val batch = graft.ops.Dedup.exactDedup(spark, sf)
+      .select("content_hash").collect().map(_.getString(0)).toSet
+    val got = streamed.select("content_hash").collect().map(_.getString(0))
+    assert(got.toSet == batch, "kept hash set must equal the batch dedup's")
+    assert(got.length == batch.size, "exactly one survivor per hash")
+  }
 }
