@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Builder-side generator for the 10x scaling-probe corpus (sf0.1 -> "sf1").
+
+Writes /tmp/graft_sf1/{documents,embeddings}.parquet as 10 perturbed
+replicas of the sf0.1 tables. Perturbations are chosen so the DUPLICATE
+STRUCTURE scales linearly (10x docs -> 10x planted near-dup pairs) rather
+than exploding combinatorially:
+
+- documents: replica r suffixes every word with "_r" (r>0), so shingle
+  sets are disjoint ACROSS replicas (no cross-replica Jaccard pairs) while
+  each replica keeps the original within-replica dup structure. doc_id
+  offset 10M per replica; n_chars recomputed.
+- embeddings: replica r rotates the vector by r positions (norm-preserving,
+  decorrelating - exact replicas would add C(10,2) cos=1.0 pairs per
+  vector and distort x14's output size superlinearly). vec_id offset 10M.
+
+This is builder tooling only (like check.py), not engine code.
+"""
+import os
+import sys
+
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+os.makedirs(DST, exist_ok=True)
+con = duckdb.connect()
+
+con.sql(f"""
+COPY (
+  WITH rep AS (
+    SELECT d.doc_id + r.range * 10000000 AS doc_id,
+      CASE WHEN r.range = 0 THEN d.text
+           ELSE array_to_string(list_transform(string_split(d.text, ' '),
+                  w -> w || '_' || r.range), ' ') END AS text,
+      d.lang, d.source
+    FROM read_parquet('{SRC}/documents.parquet') d, range({REPLICAS}) r
+  )
+  SELECT doc_id, text, lang, source,
+    CAST(length(text) AS BIGINT) AS n_chars
+  FROM rep ORDER BY doc_id
+) TO '{DST}/documents.parquet' (FORMAT parquet)
+""")
+
+con.sql(f"""
+COPY (
+  SELECT e.vec_id + r.range * 10000000 AS vec_id,
+    CAST(list_concat(e.embedding[r.range + 1:], e.embedding[1:r.range])
+         AS FLOAT[]) AS embedding,
+    e.label
+  FROM read_parquet('{SRC}/embeddings.parquet') e, range({REPLICAS}) r
+  ORDER BY vec_id
+) TO '{DST}/embeddings.parquet' (FORMAT parquet)
+""")
+
+for t in ("documents", "embeddings"):
+    n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{DST}/{t}.parquet')").fetchone()[0]
+    print(f"{t}: {n} rows")

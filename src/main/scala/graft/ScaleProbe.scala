@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-off scaling probe over the documents/embeddings query family:
+  * runs the selected queries against an arbitrary data dir (normally the
+  * builder-generated 10× perturbed corpus — see scripts/scale_probe.py)
+  * with the same methodology as [[Bench]] (noop sink, min of 2 timed
+  * runs, shared frames pre-built untimed), so sf0.1 → sf1 ratios are
+  * apples-to-apples. Results feed the PLANS.md scaling table; anything
+  * super-linear beyond its written expectation is a bug, not a note.
+  *
+  * Usage: runMain graft.ScaleProbe <dataDir> [comma-separated query names]
+  */
+object ScaleProbe {
+  /** Queries that read only documents/embeddings (the tables the probe
+    * corpus scales); x14 is intentionally included even though its exact
+    * threshold-join semantics are O(n²) compute — the probe documents
+    * that expectation instead of hiding it. */
+  val DocFamily: Seq[String] = Seq(
+    "x10_dedup_exact", "x11_dedup_minhash_lsh", "x12_dedup_simhash",
+    "x13_dedup_jaccard", "x15_neardup_survivors", "x16_corpus_curation",
+    "x17_dup_clusters", "x20_ann_bruteforce", "x21_ann_lsh", "x22_ann_ivf",
+    "x30_text_quality", "x31_lang_id", "x32_fingerprint",
+    "x33_fnv_fingerprint", "x34_pii_scrub", "x35_top_ngrams",
+    "x36_boilerplate_lines", "x37_tfidf_top_term", "x38_quality_prune",
+    "x39_quality_prune_approx", "x40_multimodal_meta", "x41_frame_sample",
+    "x50_split_counts", "x51_source_cap", "x14_cosine_neardup")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val names = if (args.length > 1) args(1).split(",").toSeq else DocFamily
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warmup
+
+    val prewarmT0 = System.nanoTime()
+    Seq[() => org.apache.spark.sql.DataFrame](
+      () => graft.ops.Dedup.shingled(spark, dir),
+      () => graft.ops.Dedup.curationExact(spark, dir),
+      () => graft.ops.Dedup.curationShingled(spark, dir),
+      () => graft.ops.Similarity.corpus(spark, dir),
+      () => graft.ops.Dedup.minhashLshPairs(spark, dir),
+      () => graft.ops.Similarity.ivfIndex(spark, dir),
+    ).foreach { f =>
+      try f().write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[probe] prewarm failed (continuing): $e")
+      }
+    }
+    val cacheBuildSec = (System.nanoTime() - prewarmT0) / 1e9
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, dir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[probe] query failed: $e"); return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val a = timeOnce(fn)
+      val b = timeOnce(fn)
+      val best = if (a < 0) b else if (b < 0) a else math.min(a, b)
+      System.err.println(f"[probe] $name: $best%.3f s")
+      name -> best
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"scale_probe","unit":"sec","dir":"$dir","cache_build_sec":$cacheBuildSec,"queries":$qs,"value":$total}""")
+    Caches.clear(spark)
+    spark.stop()
+  }
+}
