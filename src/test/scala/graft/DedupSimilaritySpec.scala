@@ -207,4 +207,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
         f"x21 recall@5=$r21%.3f touched=1.00 (sketch) + 0.33 (rescore)")
     } finally cells.unpersist()
   }
+
+  test("x22 index written partitioned by cell is file-level partition-pruned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the deployment claim behind the probe join: persist the index
+    // partitioned by `cell` and a probe's candidate fetch only READS the
+    // probed cells' files — prove it with the actual files scanned
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    graft.ops.Similarity.ivfIndex(spark, sf)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val pruned = idx.filter($"cell".isin(3, 7))
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+    val files = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    files.foreach(f =>
+      assert(f.contains("cell=3") || f.contains("cell=7"),
+        s"scanned a non-probed partition's file: $f"))
+  }
 }

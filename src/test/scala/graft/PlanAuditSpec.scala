@@ -76,4 +76,23 @@ class PlanAuditSpec extends AnyFunSuite {
     // itself must never be the build side of a nested loop
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
+
+  test("x22: probe is a broadcast equi join on the cell key, no cartesian") {
+    val plan = formatted(graft.ops.Similarity.ivfTopK(spark, sf))
+    // the tiny (query, probed-cell) frame broadcasts against the index;
+    // the corpus must never enter a nested loop or cartesian product
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("n09: 100k-variant lookups stay broadcast joins, dim not inlined") {
+    val q = graft.ops.LocationResolve.dictScale(spark, sf)
+    val plan = formatted(q)
+    // 4 lookup tiers, FormattedMode doubling => >= 8 mentions
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 8, plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    // the dictionary must be join data, not a plan literal
+    assert(plan.length < 200000, s"plan size ${plan.length} suggests inlining")
+  }
 }
