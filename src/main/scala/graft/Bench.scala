@@ -18,6 +18,37 @@ import java.nio.charset.StandardCharsets
   *  - one untimed warmup absorbs JVM/codegen/session init.
   */
 object Bench {
+  /** The shared memoized frames consumed by the documents/embeddings
+    * query family — ONE list used by both Bench and ScaleProbe, so a
+    * frame added to the cache tier can never be prewarmed in one timing
+    * harness but silently charged to the first timed query in the other
+    * (which would corrupt the scaling ratios PLANS.md is built on). */
+  def docFamilyFrames(spark: SparkSession,
+      dir: String): Seq[() => org.apache.spark.sql.DataFrame] = Seq(
+    () => graft.ops.Dedup.shingled(spark, dir),
+    () => graft.ops.Dedup.curationExact(spark, dir),
+    () => graft.ops.Dedup.curationShingled(spark, dir),
+    () => graft.ops.Similarity.corpus(spark, dir),
+    () => graft.ops.Dedup.minhashLshPairs(spark, dir),
+    () => graft.ops.Similarity.ivfIndex(spark, dir),
+  )
+
+  /** Build the shared frames untimed, returning the build seconds.
+    * Guarded per frame: a failing cache build must degrade to that
+    * frame's consumers paying (and possibly -1-marking) it in the timed
+    * loop — never abort the run before the JSON record exists. */
+  def prewarm(spark: SparkSession,
+      frames: Seq[() => org.apache.spark.sql.DataFrame]): Double = {
+    val t0 = System.nanoTime()
+    frames.foreach { f =>
+      try f().write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[prewarm] failed (continuing): $e")
+      }
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -39,25 +70,10 @@ object Bench {
     // then picks the warm run) and the headline would silently understate
     // a cold end-to-end run. All per-query numbers are therefore
     // explicitly warm-cache; cold total = cache_build_sec + value.
-    val prewarmT0 = System.nanoTime()
-    // guarded per frame: a failing cache build must degrade to that
-    // frame's consumers paying (and possibly -1-marking) it in the timed
-    // loop — never abort the bench before the JSON record exists
-    Seq[() => org.apache.spark.sql.DataFrame](
-      () => graft.ops.Transform.master(spark, sfDir),
-      () => graft.ops.Dedup.shingled(spark, sfDir),
-      () => graft.ops.Dedup.curationExact(spark, sfDir),
-      () => graft.ops.Dedup.curationShingled(spark, sfDir),
-      () => graft.ops.Similarity.corpus(spark, sfDir),
-      () => graft.ops.Dedup.minhashLshPairs(spark, sfDir),
-      () => graft.ops.Similarity.ivfIndex(spark, sfDir),
-    ).foreach { f =>
-      try f().write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] prewarm failed (continuing): $e")
-      }
-    }
-    val cacheBuildSec = (System.nanoTime() - prewarmT0) / 1e9
+    val cacheBuildSec = Bench.prewarm(spark,
+      Seq[() => org.apache.spark.sql.DataFrame](
+        () => graft.ops.Transform.master(spark, sfDir)) ++
+      Bench.docFamilyFrames(spark, sfDir))
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -19,12 +19,22 @@ import scala.collection.concurrent.TrieMap
   */
 object Caches {
   private val frames = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val values = TrieMap.empty[(SparkSession, String), Any]
 
   /** Build-once persisted frame for this (session, key). */
   def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     frames.keys.filter(_._1.sparkContext.isStopped).foreach(frames.remove)
     frames.getOrElseUpdate((spark, key),
       build.persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Build-once plain value (e.g. a trained centroid table) under the
+    * SAME lifecycle as the memoized frames: dropped by [[clear]] and on
+    * stopped sessions — so derived state can't outlive (and silently
+    * mismatch) the data frames it was trained on. */
+  def memoValue[T](spark: SparkSession, key: String)(build: => T): T = {
+    values.keys.filter(_._1.sparkContext.isStopped).foreach(values.remove)
+    values.getOrElseUpdate((spark, key), build).asInstanceOf[T]
   }
 
   /** Register an EXTERNALLY persisted frame (e.g. the converged frontier
@@ -46,11 +56,14 @@ object Caches {
       if (!spark.sparkContext.isStopped) old.unpersist(blocking = false)
     }
 
-  /** Unpersist and forget every frame memoized under this session. */
-  def clear(spark: SparkSession): Unit =
+  /** Unpersist and forget every frame (and plain value) memoized under
+    * this session. */
+  def clear(spark: SparkSession): Unit = {
     frames.keys.filter(_._1 eq spark).foreach { k =>
       frames.remove(k).foreach { df =>
         if (!spark.sparkContext.isStopped) df.unpersist(blocking = false)
       }
     }
+    values.keys.filter(_._1 eq spark).foreach(values.remove)
+  }
 }

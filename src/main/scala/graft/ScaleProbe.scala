@@ -39,21 +39,9 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warmup
 
-    val prewarmT0 = System.nanoTime()
-    Seq[() => org.apache.spark.sql.DataFrame](
-      () => graft.ops.Dedup.shingled(spark, dir),
-      () => graft.ops.Dedup.curationExact(spark, dir),
-      () => graft.ops.Dedup.curationShingled(spark, dir),
-      () => graft.ops.Similarity.corpus(spark, dir),
-      () => graft.ops.Dedup.minhashLshPairs(spark, dir),
-      () => graft.ops.Similarity.ivfIndex(spark, dir),
-    ).foreach { f =>
-      try f().write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[probe] prewarm failed (continuing): $e")
-      }
-    }
-    val cacheBuildSec = (System.nanoTime() - prewarmT0) / 1e9
+    // the SAME prewarm list as Bench (minus the trips master, which the
+    // doc family never reads and whose source tables a probe dir lacks)
+    val cacheBuildSec = Bench.prewarm(spark, Bench.docFamilyFrames(spark, dir))
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -96,18 +96,16 @@ object Dedup {
     * real corpus, where near-dup pairs share rare shingles too). When the
     * cap doesn't bite, `dropped` is empty and the plan degenerates to the
     * plain inverted-index join at zero extra cost. */
-  def jaccardPairsOf(docs: DataFrame, dfCap: Long = -1L,
-      nDocs: Long = -1L): DataFrame = {
+  def jaccardPairsOf(docs: DataFrame, dfCap: Long = -1L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // `nDocs` lets a caller that already counted the corpus skip the
-    // sizing pass; negative = count here (one pass over the persisted
-    // shingle frame)
+    // relative-cap sizing counts the (persisted) shingle frame once per
+    // call — measured negligible next to the join itself at every probed
+    // SF (round-4 scaling probe), so no caller-supplied count is taken
     val cap =
       if (dfCap >= 0) dfCap
       else math.max(ShingleDfCapFloor,
-        math.ceil(ShingleDfCapFraction *
-          (if (nDocs >= 0) nDocs else docs.count())).toLong)
+        math.ceil(ShingleDfCapFraction * docs.count()).toLong)
     val inv = docs.select($"doc_id", $"nsh", explode($"sh").as("s"))
     // the dropped-shingle set is small by construction — at most
     // (total shingle occurrences / cap) survivors of the df > cap filter
@@ -140,14 +138,16 @@ object Dedup {
     else {
       val dropped = droppedShingles.toDF("s")
       val kept = inv.join(broadcast(dropped), Seq("s"), "left_anti")
-      // per-doc array of its high-df shingles (empty for most docs)
+      // per-doc array of its high-df shingles (empty for most docs);
+      // nsh rides along so the audit below needs no join back onto docs
       val droppedPerDoc = inv.join(broadcast(dropped), "s")
-        .groupBy($"doc_id").agg(collect_list($"s").as("ds"))
+        .groupBy($"doc_id").agg(collect_list($"s").as("ds"),
+          first($"nsh").as("nshd"))
       // a capped run must be distinguishable from an uncapped one: the
       // cap's only possible recall edge is a doc whose ENTIRE shingle set
-      // is high-df (it can't seed any candidate), so count those loudly
-      val fullyDropped = droppedPerDoc.join(docs, "doc_id")
-        .filter(size($"ds") === $"nsh").count()
+      // is high-df (it can't seed any candidate), so count those loudly —
+      // one small aggregate over the affected docs, only when the cap bites
+      val fullyDropped = droppedPerDoc.filter(size($"ds") === $"nshd").count()
       val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
       log.warn(s"jaccardPairs df-cap engaged: cap=$cap, " +
         s"droppedShingles=${droppedShingles.size}, " +

@@ -273,16 +273,14 @@ object Similarity {
     cents
   }
 
-  /** Memoized per-(session, sfDir) centroid table. */
-  private val centroidCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Array[Array[Double]]]
-
-  private def centroids(spark: SparkSession, sfDir: String): Array[Array[Double]] = {
-    centroidCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(centroidCache.remove)
-    centroidCache.getOrElseUpdate((spark, sfDir),
-      ivfCentroidsOf(corpus(spark, sfDir)))
-  }
+  /** Memoized per-(session, sfDir) centroid table — held in the shared
+    * [[graft.Caches]] registry so `Caches.clear` drops it together with
+    * the frames it was trained on (a privately-cached copy could survive
+    * a clear and silently mismatch a regenerated corpus). */
+  private def centroids(spark: SparkSession, sfDir: String): Array[Array[Double]] =
+    graft.Caches.memoValue(spark, s"ivf-centroids:$sfDir") {
+      ivfCentroidsOf(corpus(spark, sfDir))
+    }
 
   /** The cell-assigned index: (vec_id, v, nrm, cell), memoized. At
     * deployment this is the frame you WRITE partitioned/bucketed by

@@ -25,24 +25,29 @@ object Streaming {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** S3-equivalent source: replay the events parquet as a file stream.
-    * The file-stream source requires a directory, and the fixture is a
-    * single file — stage it into a temp dir via symlink (what a real
-    * deployment's landing directory is). */
-  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-    // deterministic staging dir per sfDir, reused across calls (a fresh
-    // createTempDirectory per call leaked a dir+symlink each invocation)
+  /** Stage a single fixture file into a deterministic per-source /tmp
+    * directory via symlink (the file-stream source requires a directory —
+    * this is what a real deployment's landing directory is). The dir is
+    * reused across calls: a fresh createTempDirectory per call leaked a
+    * dir+symlink each invocation. */
+  private def stagedStreamDir(prefix: String, sfDir: String,
+      fileName: String): String = {
+    val src = java.nio.file.Paths.get(s"$sfDir/$fileName")
     val dir = java.nio.file.Paths.get(
-      "/tmp/graft_events_stream_" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_"))
+      s"/tmp/graft_${prefix}_stream_" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_"))
     java.nio.file.Files.createDirectories(dir)
-    val link = dir.resolve("events.parquet")
+    val link = dir.resolve(fileName)
     if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
       java.nio.file.Files.createSymbolicLink(link, src)
+    dir.toString
+  }
+
+  /** S3-equivalent source: replay the events parquet as a file stream. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventsRawSchema)
-      .parquet(dir.toString)
+      .parquet(stagedStreamDir("events", sfDir, "events.parquet"))
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
@@ -83,21 +88,13 @@ object Streaming {
     * staging as [[eventsStream]]). Documents carry no event time, so
     * arrival time is synthesized deterministically from doc_id — exactly
     * what an ingest pipeline's landing timestamp is. */
-  def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = java.nio.file.Paths.get(s"$sfDir/documents.parquet")
-    val dir = java.nio.file.Paths.get(
-      "/tmp/graft_docs_stream_" + sfDir.replaceAll("[^a-zA-Z0-9.]", "_"))
-    java.nio.file.Files.createDirectories(dir)
-    val link = dir.resolve("documents.parquet")
-    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-      java.nio.file.Files.createSymbolicLink(link, src)
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame =
     spark.readStream
       .schema(documentsRawSchema)
-      .parquet(dir.toString)
+      .parquet(stagedStreamDir("docs", sfDir, "documents.parquet"))
       // offset away from the epoch: a ts exactly AT the initial watermark
       // (doc_id 0 → 1970-01-01T00:00:00) is judged late and dropped
       .withColumn("ts", expr("timestamp_micros(doc_id + 86400000000)"))
-  }
 
   /** Streaming exact dedup over a document stream — the curation analog
     * of the reference's periodic re-run: each micro-batch keeps only
