@@ -80,6 +80,8 @@ object SparkEntry {
     "x14_cosine_neardup"   -> (Similarity.cosineNearDupPairs _),
     "x15_neardup_survivors" -> (Dedup.nearDupSurvivors _),
     "x17_dup_clusters"     -> (Dedup.dupClusters _),
+    "x18_incremental_dedup" -> (Dedup.incrementalDedup _),
+    "x19_decontaminate"    -> (Dedup.decontaminate _),
     "x16_corpus_curation"  -> (Dedup.corpusCuration _),
     "x20_ann_bruteforce"   -> (Similarity.bruteForceTopK _),
     "x21_ann_lsh"          -> (Similarity.lshTopK _),
@@ -109,6 +111,8 @@ object SparkEntry {
     "g05_salted_skew_agg"  -> (Relational.g05SaltedSkewAgg _),
     "x50_split_counts"     -> (graft.ops.Sampling.splitCounts _),
     "x51_source_cap"       -> (graft.ops.Sampling.sourceCap _),
+    "x52_mixture_sample"   -> (graft.ops.Sampling.mixtureSample _),
+    "x53_token_budget"     -> (graft.ops.Sampling.tokenBudget _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -237,6 +241,8 @@ object SparkEntry {
     "x14_cosine_neardup"    -> Similarity.cosineNearDupPairsSql,
     "x15_neardup_survivors" -> Dedup.nearDupSurvivorsSql,
     "x17_dup_clusters"      -> Dedup.dupClustersSql,
+    "x18_incremental_dedup" -> Dedup.incrementalDedupSql,
+    "x19_decontaminate"     -> Dedup.decontaminateSql,
     "x16_corpus_curation"   -> Dedup.corpusCurationSql,
     "x20_ann_bruteforce"    -> Similarity.bruteForceTopKSql,
     "x30_text_quality"      -> TextAnalysis.textQualitySql,
@@ -262,5 +268,7 @@ object SparkEntry {
     "g05_salted_skew_agg"   -> Relational.g05SaltedSkewAggSql,
     "x50_split_counts"      -> graft.ops.Sampling.splitCountsSql,
     "x51_source_cap"        -> graft.ops.Sampling.sourceCapSql,
+    "x52_mixture_sample"    -> graft.ops.Sampling.mixtureSampleSql,
+    "x53_token_budget"      -> graft.ops.Sampling.tokenBudgetSql,
   )
 }

@@ -207,9 +207,12 @@ object Dedup {
       buildMinhashLshPairs(spark, sfDir)
     }
 
-  private def buildMinhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (doc_id, band, bh) LSH band keys over a (doc_id, sh, nsh) shingle
+    * frame — the banded index both the batch self-join (x11) and the
+    * incremental history probe (x18) hang off. */
+  private def bandsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val docs = shingled(spark, sfDir)
     val inv = docs.select($"doc_id", explode($"sh").as("s"))
     val sigAggs = (0 until NumHashes)
       .map(i => min(xxhash64(lit(i), $"s")).as(s"m$i"))
@@ -218,9 +221,15 @@ object Dedup {
       val rows = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
     }
-    val bands = sigs
+    sigs
       .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
       .select($"doc_id", $"bk.band".as("band"), $"bk.bh".as("bh"))
+  }
+
+  private def buildMinhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = shingled(spark, sfDir)
+    val bands = bandsOf(docs)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -533,4 +542,103 @@ object Dedup {
        |SELECT doc_id, lang, source FROM documents
        |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
        |ORDER BY doc_id""".stripMargin
+
+  /** x18 — INCREMENTAL dedup: dedup a new batch against the historical
+    * corpus without re-pairing history with itself — the production
+    * shape of continuous ingestion (daily increment vs an existing
+    * banded index; the reference's 6-hour cycle analog for documents).
+    * Fixture split: doc_id % 5 == 0 is the increment (the "new batch"),
+    * the rest is history. The LSH band keys are the INDEX: history's
+    * bands are built once (in a real pipeline: persisted and appended
+    * to), the increment's bands probe them with an equi join on
+    * (band, bh) — cost scales with the increment, never with
+    * history × history. Candidates are exact-verified from the shingle
+    * arrays, so emitted pairs are exact (same guarantee as x11/x13). */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = shingled(spark, sfDir)
+    val isIncrement = $"doc_id" % 5 === 0
+    val bands = bandsOf(docs)
+    val incBands = bands.filter($"doc_id" % 5 === 0)
+    val histBands = bands.filter($"doc_id" % 5 =!= 0)
+    val cand = incBands.as("a").join(histBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("inc_id"), col("b.doc_id").as("hist_id"))
+      .distinct()
+    val inc = docs.filter(isIncrement)
+      .select($"doc_id".as("inc_id"), $"sh".as("sh_a"), $"nsh".as("na"))
+    val hist = docs.filter(!isIncrement)
+      .select($"doc_id".as("hist_id"), $"sh".as("sh_b"), $"nsh".as("nb"))
+    cand.join(inc, "inc_id").join(hist, "hist_id")
+      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+      .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter"))
+      .filter($"jaccard" >= 0.3)
+      .select($"inc_id", $"hist_id", $"jaccard")
+      .orderBy($"inc_id", $"hist_id")
+  }
+
+  /** Oracle: the O(increment × history) formulation (fixture scale only). */
+  val incrementalDedupSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), s AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(w) - 1, 1)),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM d
+      |)
+      |SELECT a.doc_id AS inc_id, b.doc_id AS hist_id,
+      |  len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |FROM s a JOIN s b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+      |ORDER BY inc_id, hist_id""".stripMargin
+
+  /** Containment threshold for x19: a training doc sharing ≥ this
+    * fraction of a benchmark doc's shingles is contaminated. */
+  val ContaminationThreshold = 0.5
+
+  /** x19 — benchmark DECONTAMINATION: flag training docs that contain a
+    * held-out evaluation doc's content — the overlap direction dedup
+    * misses (a long training doc that embeds a short benchmark doc has
+    * LOW Jaccard but ~1.0 containment of the benchmark side). Fixture
+    * split: doc_id % 17 == 0 is the benchmark slice. Shape: inverted
+    * shingle-index equi join between the training side and the (much
+    * smaller) benchmark side — at scale the benchmark index is the
+    * broadcast dim, so the scan over training data is map-side —
+    * then containment = |S_train ∩ S_bench| / |S_bench| from the exact
+    * per-pair intersection counts. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = shingled(spark, sfDir)
+    val isBench = $"doc_id" % 17 === 0
+    val trainInv = docs.filter(!isBench)
+      .select($"doc_id".as("train_id"), explode($"sh").as("s"))
+    val benchInv = docs.filter(isBench)
+      .select($"doc_id".as("bench_id"), $"nsh".as("nshb"), explode($"sh").as("s"))
+    trainInv.join(broadcast(benchInv), "s")
+      .groupBy($"train_id", $"bench_id", $"nshb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", $"inter" * 1.0 / $"nshb")
+      .filter($"containment" >= ContaminationThreshold)
+      .select($"train_id", $"bench_id", $"containment")
+      .orderBy($"train_id", $"bench_id")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), s AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(w) - 1, 1)),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM d
+       |)
+       |SELECT a.doc_id AS train_id, b.doc_id AS bench_id,
+       |  len(list_intersect(a.sh, b.sh)) * 1.0 / len(b.sh) AS containment
+       |FROM s a JOIN s b ON a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
+       |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(b.sh)
+       |      >= $ContaminationThreshold
+       |ORDER BY train_id, bench_id""".stripMargin
 }

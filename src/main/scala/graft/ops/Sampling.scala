@@ -58,4 +58,68 @@ object Sampling {
        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
        |  FROM documents) t
        |WHERE rk <= $CapPerSource ORDER BY source, doc_id""".stripMargin
+
+  /** x52 — deterministic MIXTURE resampling: the data-mixing step of a
+    * training-data pipeline ("web at 25%, curated at 100%") as a pure
+    * function of the document key — per-source keep-probability in
+    * permille, admission decided by a multiplicative hash of doc_id
+    * (Knuth's 2654435761), so the sample is reproducible across runs,
+    * engines and partitionings (never `rand()`), map-only, and
+    * monotone: lowering a source's weight only REMOVES docs (the kept
+    * set at w₁ ⊂ kept set at w₂ for w₁ < w₂ — stable ablations). */
+  def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val weight =
+      when($"source".isin("src0", "src1", "src2", "src3"), 1000)
+        .when($"source".isin("src4", "src5", "src6", "src7", "src8", "src9"), 500)
+        .otherwise(250)
+    Tables.documents(spark, sfDir)
+      .withColumn("w", weight)
+      .filter(($"doc_id" * lit(2654435761L)) % 1000 < $"w")
+      .select($"doc_id", $"source", $"w".cast("long").as("weight_permille"))
+      .orderBy($"doc_id")
+  }
+
+  val mixtureSampleSql: String =
+    """SELECT doc_id, source, CAST(w AS BIGINT) AS weight_permille FROM (
+      |  SELECT doc_id, source,
+      |    CASE WHEN source IN ('src0','src1','src2','src3') THEN 1000
+      |         WHEN source IN ('src4','src5','src6','src7','src8','src9') THEN 500
+      |         ELSE 250 END AS w
+      |  FROM documents) t
+      |WHERE (doc_id * 2654435761) % 1000 < w
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-source token budget for x53 (tokens ≈ whitespace words, the
+    * x30 convention). */
+  val TokensPerSource = 3000L
+
+  /** x53 — token-BUDGET packing: fill each source's token allowance in
+    * deterministic doc_id order and stop — how a training run caps each
+    * corpus slice by tokens, not documents (x51's doc cap under-fills
+    * sources with short docs). One shuffle on `source`, a running-sum
+    * window inside each partition, map-side filter; at 100 TB identical
+    * shape, with AQE handling source skew. */
+  def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .filter($"cum_tokens" <= TokensPerSource)
+      .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
+      .orderBy($"source", $"doc_id")
+  }
+
+  val tokenBudgetSql: String =
+    s"""SELECT source, doc_id, n_tokens, cum_tokens FROM (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+       |      OVER (PARTITION BY source ORDER BY doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum_tokens
+       |  FROM documents) t
+       |WHERE cum_tokens <= $TokensPerSource ORDER BY source, doc_id""".stripMargin
 }

@@ -68,6 +68,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("x18 incremental pairs == full pair set restricted to inc×hist") {
+    val full = Dedup.jaccardPairs(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the incremental probe must find exactly the cross-subset slice of
+    // the full pair universe — nothing extra, nothing lost at the split
+    val expected = full.filter { case (a, b) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b) => if (a % 5 == 0) (a, b) else (b, a) }.toSet
+    val got = Dedup.incrementalDedup(spark, sf)
+      .select("inc_id", "hist_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture must plant cross-subset dups")
+  }
+
+  test("x19 catches every cross-slice pair whose jaccard implies containment") {
+    val j = Dedup.jaccardPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // containment = inter/|S_bench| >= inter/|union| = jaccard, so any
+    // J >= 0.5 pair with exactly one benchmark endpoint must be flagged
+    val implied = j.filter { case (a, b, jac) =>
+      jac >= Dedup.ContaminationThreshold && ((a % 17 == 0) != (b % 17 == 0))
+    }.map { case (a, b, _) => if (a % 17 == 0) (b, a) else (a, b) }.toSet
+    val got = Dedup.decontaminate(spark, sf)
+      .select("train_id", "bench_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(implied.subsetOf(got),
+      s"missing contaminated pairs: ${implied -- got}")
+    got.foreach { case (t, b) =>
+      assert(t % 17 != 0 && b % 17 == 0, s"($t,$b) crosses the wrong way")
+    }
+  }
+
   test("exact dedup groups cover all docs") {
     val agg = Dedup.exactDedup(spark, sf)
       .agg(org.apache.spark.sql.functions.sum("n_copies")).collect()(0).getLong(0)
