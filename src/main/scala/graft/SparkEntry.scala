@@ -99,6 +99,8 @@ object SparkEntry {
     "a03_pairs_generator"  -> (Analytics.pairsViaGenerator _),
     "x40_multimodal_meta"  -> (Multimodal.mediaMeta _),
     "x41_frame_sample"     -> (Multimodal.frameSample _),
+    "x42_repetition_filter" -> (TextAnalysis.repetitionFilter _),
+    "x43_chunk_tokens"     -> (TextAnalysis.chunkTokens _),
     "e01_window_agg"       -> (Events.windowAgg _),
     "e02_sessionize"       -> (Events.sessionize _),
     "e03_json_props"       -> (Events.jsonProps _),
@@ -256,6 +258,8 @@ object SparkEntry {
     "x37_tfidf_top_term"    -> TextAnalysis.tfidfTopTermSql,
     "x40_multimodal_meta"   -> Multimodal.mediaMetaSql,
     "x41_frame_sample"      -> Multimodal.frameSampleSql,
+    "x42_repetition_filter" -> TextAnalysis.repetitionFilterSql,
+    "x43_chunk_tokens"      -> TextAnalysis.chunkTokensSql,
     "e01_window_agg"        -> Events.windowAggSql,
     "e02_sessionize"        -> Events.sessionizeSql,
     "e03_json_props"        -> Events.jsonPropsSql,

@@ -483,4 +483,107 @@ object TextAnalysis {
       |SELECT doc_id, fingerprint,
       |  COUNT(*) OVER (PARTITION BY fingerprint) AS n_sharing
       |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------- x42 repetition filter
+
+  /** Keep docs whose duplicated-trigram fraction is at most this (the
+    * Gopher-style "repetition" rule: templated/looping text repeats its
+    * own n-grams). 0.05 is fixture-calibrated so the filter demonstrably
+    * BITES at the driver's gate SF (drops 1 doc at sf0.01, 3 at sf0.1 —
+    * the fixture corpus is word soup with little self-repetition); a web
+    * corpus would run nearer the Gopher 0.2. Threshold comparisons are
+    * exact: both engines compute the identical rational 1 − distinct/total
+    * in the same operation order. */
+  val MaxRepetitionRatio = 0.05
+
+  /** x42 — intra-document repetition filter: rep_ratio = 1 − distinct
+    * trigrams / total trigrams (0 for docs under 3 words); drop docs
+    * above [[MaxRepetitionRatio]]. The distinct-trigram count is NOT
+    * recomputed: it already exists as `nsh` in the persisted shingle
+    * signature table every dedup operator shares, so this is a codegen'd
+    * one-join plan (documents ⋈ shingled on doc_id) with a trivial
+    * total-trigram projection — reusing the index beats re-deriving it
+    * (the recompute form also re-enters the interpreted-HOF trap through
+    * predicate pushdown, which inlines the aliased shingle expression
+    * into the filter: measured 9-13 s vs 0.5 s at sf0.1). Complements
+    * x30 (vocabulary/stopword shape, not self-repetition) and x38
+    * (composite score per language). */
+  def repetitionFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("total_tri",
+        greatest(size(split($"text", " ")) - 2, lit(0)).cast("long"))
+      .select($"doc_id", $"lang", $"total_tri")
+    val sh = graft.ops.Dedup.shingled(spark, sfDir).select($"doc_id", $"nsh")
+    docs.join(sh, "doc_id")
+      .withColumn("rep_ratio",
+        when($"total_tri" <= 0, lit(0.0))
+          .otherwise(lit(1.0) - $"nsh" * 1.0 / $"total_tri"))
+      .filter($"rep_ratio" <= MaxRepetitionRatio)
+      .select($"doc_id", $"lang", $"rep_ratio")
+      .orderBy($"doc_id")
+  }
+
+  val repetitionFilterSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+       |), t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(greatest(len(w) - 2, 0) AS BIGINT) AS total_tri,
+       |    len(list_distinct(list_transform(
+       |      range(1, greatest(len(w) - 1, 1)),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS distinct_tri
+       |  FROM d
+       |)
+       |SELECT doc_id, lang,
+       |  CASE WHEN total_tri <= 0 THEN 0.0
+       |       ELSE 1.0 - distinct_tri * 1.0 / total_tri END AS rep_ratio
+       |FROM t
+       |WHERE (CASE WHEN total_tri <= 0 THEN 0.0
+       |            ELSE 1.0 - distinct_tri * 1.0 / total_tri END)
+       |      <= $MaxRepetitionRatio
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------- x43 token chunking
+
+  /** x43 chunk geometry: 64-token windows, stride 48 (16-token overlap). */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** x43 — token-window CHUNKING: split each document into overlapping
+    * fixed-token windows — the pre-embedding / pre-training segmentation
+    * step (a doc longer than the model context must become several
+    * sequences; the overlap keeps boundary context). Pure generate:
+    * `posexplode` over the window starts (a `sequence` of stride steps),
+    * then a `slice` + `concat_ws` per window — map-side only, rows out
+    * ∝ tokens in, no shuffle except the final ordering. */
+  def chunkTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = split($"text", " ")
+    Tables.documents(spark, sfDir)
+      .withColumn("w", w)
+      .select($"doc_id", $"w",
+        posexplode(sequence(lit(1), greatest(size($"w"), lit(1)),
+          lit(ChunkStride))).as(Seq("chunk_id", "start")))
+      .select($"doc_id", $"chunk_id",
+        least(lit(ChunkTokens), size($"w") - $"start" + 1).cast("long")
+          .as("n_tokens"),
+        concat_ws(" ", slice($"w", $"start", lit(ChunkTokens))).as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val chunkTokensSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), starts AS (
+       |  SELECT doc_id, w, unnest(range(1, greatest(len(w), 1) + 1,
+       |    $ChunkStride)) AS start
+       |  FROM d
+       |)
+       |SELECT doc_id,
+       |  CAST((start - 1) / $ChunkStride AS INT) AS chunk_id,
+       |  CAST(least($ChunkTokens, len(w) - start + 1) AS BIGINT) AS n_tokens,
+       |  array_to_string(w[start : least(start + ${ChunkTokens - 1}, len(w))],
+       |    ' ') AS chunk_text
+       |FROM starts ORDER BY doc_id, chunk_id""".stripMargin
 }
