@@ -457,6 +457,84 @@ object TextAnalysis {
        |                      ' ' ORDER BY pos), '') AS cleaned_text
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------- x44 line-level keep-first dedup
+
+  /** x44 occurrence frame: every (doc_id, pos, line) occurrence with its
+    * keep flag. A line's WINNER is its globally first occurrence — the
+    * minimum of the single integer key doc_id·10⁶+pos (pos < 10⁶ by
+    * construction: a 10⁶-line document would be ~8 M words), computed with
+    * a map-side-combinable `min` aggregation rather than a per-line window
+    * sort, so a boilerplate line appearing in half the corpus costs one
+    * combiner cell, not an O(df log df) sort partition. */
+  private def lineOccurrences(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = split($"text", " ")
+    val nChunks = greatest(ceil(size(w) / lit(LineWords.toDouble)), lit(1L))
+      .cast("int")
+    val lines = transform(sequence(lit(0), nChunks - 1),
+      i => struct(i.as("pos"),
+        concat_ws(" ", slice(w, i * LineWords + 1, lit(LineWords))).as("line")))
+    val exploded = Tables.spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", explode(lines).as("l"))
+      .select($"doc_id", $"l.pos".as("pos"), $"l.line".as("line"))
+    val winner = exploded.groupBy($"line")
+      .agg(min($"doc_id" * 1000000L + $"pos").as("wkey"))
+    exploded.join(winner, "line")
+      .withColumn("kept", $"doc_id" * 1000000L + $"pos" === $"wkey")
+  }
+
+  /** x44 — duplicated-line KEEP-FIRST dedup (the RefinedWeb/MassiveText
+    * line-dedup rule, complementing x36's C4 df-threshold rule): every
+    * distinct line survives exactly once corpus-wide — at its first
+    * occurrence in (doc_id, pos) order — and all later occurrences are
+    * removed; unique lines are untouched. Relational shape: explode →
+    * min-key winner per line (one combinable agg) → join back on `line`
+    * (both shuffles share the hash partitioning) → ordered per-doc
+    * reassembly. Unlike x36 there is no frequency threshold to tune, so
+    * the rule also removes 2-doc duplication that a df≥3 cut misses. */
+  def lineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    lineOccurrences(spark, sfDir)
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(!$"kept", 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when($"kept", struct($"pos", $"line")))),
+          s => s.getField("line"))).as("cleaned_text"))
+      .orderBy($"doc_id")
+  }
+
+  val lineDedupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), c AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(0, greatest(CAST(ceil(len(w) / $LineWords.0) AS BIGINT), 1)),
+       |    i -> struct_pack(pos := i,
+       |      line := array_to_string(
+       |        list_slice(w, i * $LineWords + 1, i * $LineWords + $LineWords), ' ')))) AS u
+       |  FROM d
+       |), l AS (
+       |  SELECT doc_id, u.pos AS pos, u.line AS line FROM c
+       |), win AS (
+       |  SELECT line, MIN(doc_id * 1000000 + pos) AS wkey FROM l GROUP BY line
+       |), j AS (
+       |  SELECT l.doc_id, l.pos, l.line,
+       |    (l.doc_id * 1000000 + l.pos = win.wkey) AS kept
+       |  FROM l JOIN win USING (line)
+       |)
+       |SELECT doc_id, COUNT(*) AS n_lines,
+       |  CAST(SUM(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  COALESCE(string_agg(CASE WHEN kept THEN line END,
+       |                      ' ' ORDER BY pos), '') AS cleaned_text
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Spec hook: the (doc_id, pos, line, kept) occurrence frame. */
+  def lineDedupOccurrences(spark: SparkSession, sfDir: String): DataFrame =
+    lineOccurrences(spark, sfDir)
+
   /** x33 — FNV-1a 64-bit rolling content hash via the custom codegen
     * expression (rows-only check: the hash family is engine-specific;
     * CustomExprsSpec proves its groups coincide with sha256 groups). */
@@ -483,6 +561,65 @@ object TextAnalysis {
       |SELECT doc_id, fingerprint,
       |  COUNT(*) OVER (PARTITION BY fingerprint) AS n_sharing
       |FROM f ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------- x45 unigram-LM surprise scoring
+
+  /** x45 fixed-point scale for the per-word inverse probability. BIGINT
+    * bound: sum_surprise ≤ n_words(doc) · total_words · SCALE, safe to
+    * ~10¹² corpus words at 10⁶; past that, shrink SCALE or lift the
+    * accumulator to decimal(38,0) — same plan shape. */
+  val SurpriseScale = 1000000L
+
+  /** x45 — unigram language-model surprise per document (the CCNet-style
+    * "LM quality" gate, here with a corpus-self-trained unigram model):
+    * rare-word-heavy documents score high, common-word documents low.
+    * The usual statistic is mean −log p(word); like x37's tf-idf this
+    * engine uses the exact-integer member of the same monotone family —
+    * per-word surprise = (total_words · SCALE) DIV count(word), an exact
+    * BIGINT rational — so the DuckDB comparison is bit-exact (a float
+    * Σlog aggregates in engine-dependent order and can flip last ulps).
+    * Plan: explode → word-count aggregation (map-side combinable) →
+    * join back on `word` → per-doc sum. The count dim is
+    * vocabulary-bounded (Heaps' law), i.e. broadcastable at any corpus
+    * size; the single-row total is the established crossJoin shape. */
+  def unigramSurprise(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+    val cnt = words.groupBy($"word").agg(count(lit(1)).as("cnt"))
+    val tot = cnt.agg(sum($"cnt").as("total"))
+    words.join(cnt, "word")
+      .crossJoin(tot)
+      .withColumn("surp", expr(s"total * $SurpriseScale div cnt"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_words"), sum($"surp").as("sum_surprise"))
+      .withColumn("mean_surprise",
+        $"sum_surprise".cast("double") / $"n_words")
+      .select($"doc_id", $"lang", $"n_words", $"sum_surprise",
+        $"mean_surprise")
+      .orderBy($"doc_id")
+  }
+
+  val unigramSurpriseSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+       |  FROM documents
+       |), words AS (
+       |  SELECT * FROM w WHERE word <> ''
+       |), cnt AS (
+       |  SELECT word, COUNT(*) AS cnt FROM words GROUP BY word
+       |), tot AS (
+       |  SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnt
+       |), s AS (
+       |  SELECT doc_id, lang,
+       |    (tot.total * $SurpriseScale) // cnt.cnt AS surp
+       |  FROM words JOIN cnt USING (word) CROSS JOIN tot
+       |)
+       |SELECT doc_id, lang, COUNT(*) AS n_words,
+       |  CAST(SUM(surp) AS BIGINT) AS sum_surprise,
+       |  CAST(CAST(SUM(surp) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_surprise
+       |FROM s GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------- x42 repetition filter
 
