@@ -101,6 +101,8 @@ object SparkEntry {
     "x41_frame_sample"     -> (Multimodal.frameSample _),
     "x42_repetition_filter" -> (TextAnalysis.repetitionFilter _),
     "x43_chunk_tokens"     -> (TextAnalysis.chunkTokens _),
+    "x44_line_dedup"       -> (TextAnalysis.lineDedup _),
+    "x45_unigram_surprise" -> (TextAnalysis.unigramSurprise _),
     "e01_window_agg"       -> (Events.windowAgg _),
     "e02_sessionize"       -> (Events.sessionize _),
     "e03_json_props"       -> (Events.jsonProps _),
@@ -260,6 +262,8 @@ object SparkEntry {
     "x41_frame_sample"      -> Multimodal.frameSampleSql,
     "x42_repetition_filter" -> TextAnalysis.repetitionFilterSql,
     "x43_chunk_tokens"      -> TextAnalysis.chunkTokensSql,
+    "x44_line_dedup"        -> TextAnalysis.lineDedupSql,
+    "x45_unigram_surprise"  -> TextAnalysis.unigramSurpriseSql,
     "e01_window_agg"        -> Events.windowAggSql,
     "e02_sessionize"        -> Events.sessionizeSql,
     "e03_json_props"        -> Events.jsonPropsSql,

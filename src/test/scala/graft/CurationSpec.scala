@@ -107,4 +107,62 @@ class CurationSpec extends AnyFunSuite {
           r.getAs[String]("text").length)
     }
   }
+
+  test("x44 invariants: each distinct line survives exactly once, at its min key") {
+    import spark.implicits._
+    val occ = TextAnalysis.lineDedupOccurrences(spark, sf)
+      .groupBy($"line")
+      .agg(sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        min($"doc_id" * 1000000L + $"pos").as("min_key"),
+        min(when($"kept", $"doc_id" * 1000000L + $"pos")).as("kept_key"))
+      .collect()
+    assert(occ.nonEmpty)
+    occ.foreach { r =>
+      assert(r.getAs[Long]("n_kept") == 1L, s"line kept ${r.get(1)} times")
+      assert(r.getAs[Long]("kept_key") == r.getAs[Long]("min_key"),
+        s"winner is not the first occurrence: $r")
+    }
+  }
+
+  test("x44 reassembly: cleaned_text is the pos-ordered concat of kept lines") {
+    import spark.implicits._
+    val expected = TextAnalysis.lineDedupOccurrences(spark, sf)
+      .filter($"kept")
+      .groupBy($"doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct($"pos", $"line"))),
+        s => s.getField("line"))).as("exp"))
+    val out = TextAnalysis.lineDedup(spark, sf)
+      .join(expected, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_lines", $"n_dropped", $"cleaned_text",
+        coalesce($"exp", lit("")).as("exp"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[String]("cleaned_text") == r.getAs[String]("exp"),
+        s"doc ${r.get(0)}")
+      assert(r.getAs[Long]("n_dropped") >= 0 &&
+        r.getAs[Long]("n_dropped") <= r.getAs[Long]("n_lines"))
+    }
+  }
+
+  test("x45 invariants: surprise floor and self-trained totals") {
+    import spark.implicits._
+    val out = TextAnalysis.unigramSurprise(spark, sf).collect()
+    assert(out.nonEmpty)
+    // per-word surprise = (total·SCALE) div cnt ≥ SCALE (cnt ≤ total),
+    // so every doc mean is at least the fixed-point scale
+    out.foreach { r =>
+      assert(r.getAs[Double]("mean_surprise") >=
+        TextAnalysis.SurpriseScale.toDouble, s"doc ${r.get(0)}")
+      assert(r.getAs[Long]("n_words") > 0)
+    }
+    // the model is corpus-self-trained: Σ n_words across docs equals the
+    // corpus word total the probabilities were computed from
+    val sumWords = out.map(_.getAs[Long]("n_words")).sum
+    val corpusWords = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "").count()
+    assert(sumWords == corpusWords)
+  }
 }
