@@ -567,7 +567,15 @@ object Dedup {
     * to), the increment's bands probe them with an equi join on
     * (band, bh) — cost scales with the increment, never with
     * history × history. Candidates are exact-verified from the shingle
-    * arrays, so emitted pairs are exact (same guarantee as x11/x13). */
+    * arrays, so emitted pairs are exact (same guarantee as x11/x13) —
+    * which, against this full O(increment × history) Jaccard oracle,
+    * additionally requires LSH band recall = 1 at J ≥ 0.3. That holds
+    * for the same fixture reason documented at [[minhashLshPairs]]
+    * (planted dups all sit at J ≥ 0.85, where 8×4 banding is ≥ 0.997);
+    * a fixture planting mid-band pairs (0.3 ≤ J < 0.8) would fail this
+    * hash check, and x18 must then move to rows-only + the
+    * DedupSimilaritySpec slice-equivalence gate, under the same
+    * condition as x11. */
   def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = shingled(spark, sfDir)
