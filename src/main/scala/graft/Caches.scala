@@ -20,12 +20,21 @@ import scala.collection.concurrent.TrieMap
 object Caches {
   private val frames = TrieMap.empty[(SparkSession, String), DataFrame]
   private val values = TrieMap.empty[(SparkSession, String), Any]
+  // Per-key build locks: TrieMap.getOrElseUpdate may evaluate `build`
+  // concurrently in two threads (both results consistent, but an
+  // expensive build — e.g. IVF centroid training — would run twice).
+  private val locks = TrieMap.empty[(SparkSession, String), AnyRef]
+
+  private def locked[T](k: (SparkSession, String))(body: => T): T =
+    locks.getOrElseUpdate(k, new AnyRef).synchronized(body)
 
   /** Build-once persisted frame for this (session, key). */
   def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     frames.keys.filter(_._1.sparkContext.isStopped).foreach(frames.remove)
-    frames.getOrElseUpdate((spark, key),
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+    val k = (spark, key)
+    frames.get(k).getOrElse(locked(k) {
+      frames.getOrElseUpdate(k, build.persist(StorageLevel.MEMORY_AND_DISK))
+    })
   }
 
   /** Build-once plain value (e.g. a trained centroid table) under the
@@ -34,7 +43,10 @@ object Caches {
     * mismatch) the data frames it was trained on. */
   def memoValue[T](spark: SparkSession, key: String)(build: => T): T = {
     values.keys.filter(_._1.sparkContext.isStopped).foreach(values.remove)
-    values.getOrElseUpdate((spark, key), build).asInstanceOf[T]
+    val k = (spark, key)
+    values.get(k).getOrElse(locked(k) {
+      values.getOrElseUpdate(k, build)
+    }).asInstanceOf[T]
   }
 
   /** Register an EXTERNALLY persisted frame (e.g. the converged frontier
@@ -65,5 +77,6 @@ object Caches {
       }
     }
     values.keys.filter(_._1 eq spark).foreach(values.remove)
+    locks.keys.filter(_._1 eq spark).foreach(locks.remove)
   }
 }

@@ -62,20 +62,26 @@ object Sampling {
   /** x52 — deterministic MIXTURE resampling: the data-mixing step of a
     * training-data pipeline ("web at 25%, curated at 100%") as a pure
     * function of the document key — per-source keep-probability in
-    * permille, admission decided by a multiplicative hash of doc_id
-    * (Knuth's 2654435761), so the sample is reproducible across runs,
-    * engines and partitionings (never `rand()`), map-only, and
-    * monotone: lowering a source's weight only REMOVES docs (the kept
-    * set at w₁ ⊂ kept set at w₂ for w₁ < w₂ — stable ablations). */
+    * permille, admission decided by a 32-bit multiplicative hash of
+    * doc_id, so the sample is reproducible across runs, engines and
+    * partitionings (never `rand()`), map-only, and monotone: lowering a
+    * source's weight only REMOVES docs (the kept set at w₁ ⊂ kept set
+    * at w₂ for w₁ < w₂ — stable ablations). Overflow-safe at any
+    * doc_id: the key is masked to 32 bits and the Fibonacci multiplier
+    * 1640531527 is < 2³¹, so the product stays < 2⁶³ — Spark can't
+    * silently wrap negative and DuckDB can't raise BIGINT overflow
+    * (Knuth's 2654435761 > 2³¹ broke both for doc_id ≳ 3.5e9). */
   def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val weight =
       when($"source".isin("src0", "src1", "src2", "src3"), 1000)
         .when($"source".isin("src4", "src5", "src6", "src7", "src8", "src9"), 500)
         .otherwise(250)
+    val h = ($"doc_id".bitwiseAND(lit(4294967295L)) * lit(1640531527L)) %
+      lit(4294967296L) % 1000
     Tables.documents(spark, sfDir)
       .withColumn("w", weight)
-      .filter(($"doc_id" * lit(2654435761L)) % 1000 < $"w")
+      .filter(h < $"w")
       .select($"doc_id", $"source", $"w".cast("long").as("weight_permille"))
       .orderBy($"doc_id")
   }
@@ -87,7 +93,7 @@ object Sampling {
       |         WHEN source IN ('src4','src5','src6','src7','src8','src9') THEN 500
       |         ELSE 250 END AS w
       |  FROM documents) t
-      |WHERE (doc_id * 2654435761) % 1000 < w
+      |WHERE ((doc_id & 4294967295) * 1640531527) % 4294967296 % 1000 < w
       |ORDER BY doc_id""".stripMargin
 
   /** Per-source token budget for x53 (tokens ≈ whitespace words, the

@@ -337,4 +337,41 @@ object Similarity {
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
         explode(probeCellsOf($"v", cents, probes)).as("cell"))
   }
+
+  /** Semantic-dedup threshold: the fixture's planted semantic dups all
+    * sit in the 0.4-0.6 cosine band (no pair reaches 0.6 at sf0.01), so
+    * τ = 0.4 is the meaningful cut here; the policy is τ-independent. */
+  private val SemTau = 0.4
+
+  /** x23 — SEMANTIC dedup (the SemDeDup policy, Abbas et al. 2023,
+    * arXiv:2303.09540): drop every vector that has a lower-id neighbor
+    * at cos ≥ τ; each near-dup group keeps exactly its lowest-id
+    * representative. This is the embedding-space sibling of x15's
+    * MinHash survivor set — lexical dedup (x10-x15) can't see
+    * paraphrases; this can. The pair generator is x14's tiled exact
+    * self-join (bounded per-task memory, no broadcast nested loop); at
+    * 100 TB in the production τ ≥ 0.8 regime the sound sub-quadratic
+    * candidate generators are x21's sign-LSH buckets or x22's IVF cells
+    * (SemDeDup's own recipe: within-k-means-cluster pairs only) — the
+    * keep-lowest policy and this exact oracle are unchanged under
+    * either. */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val drops = cosineNearDupPairs(spark, sfDir)
+      .select($"id_b".as("vec_id")).distinct()
+    Tables.spread(Tables.embeddings(spark, sfDir))
+      .join(drops, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"label")
+      .orderBy($"vec_id")
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+       |)
+       |SELECT vec_id, label FROM e
+       |WHERE vec_id NOT IN (
+       |  SELECT b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.v, b.v) >= $SemTau)
+       |ORDER BY vec_id""".stripMargin
 }
