@@ -25,8 +25,15 @@ object Caches {
   // expensive build — e.g. IVF centroid training — would run twice).
   private val locks = TrieMap.empty[(SparkSession, String), AnyRef]
 
-  private def locked[T](k: (SparkSession, String))(body: => T): T =
+  private def locked[T](k: (SparkSession, String))(body: => T): T = {
+    // Locks for stopped sessions are swept here (like frames/values in
+    // memo/memoValue) so lock entries can't pin dead session references
+    // in a long-lived JVM. Live-session locks are NEVER removed — see
+    // clear() — so a key always maps to one lock object for the
+    // session's lifetime.
+    locks.keys.filter(_._1.sparkContext.isStopped).foreach(locks.remove)
     locks.getOrElseUpdate(k, new AnyRef).synchronized(body)
+  }
 
   /** Build-once persisted frame for this (session, key). */
   def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
@@ -77,6 +84,10 @@ object Caches {
       }
     }
     values.keys.filter(_._1 eq spark).foreach(values.remove)
-    locks.keys.filter(_._1 eq spark).foreach(locks.remove)
+    // Live-session locks stay: another thread may hold one mid-build,
+    // and removing it would mint a fresh lock for the next memo call —
+    // re-enabling the duplicate concurrent build the locks exist to
+    // prevent. They are tiny AnyRefs; stopped-session entries are swept
+    // by locked() on the next memo/memoValue call.
   }
 }

@@ -86,6 +86,7 @@ object SparkEntry {
     "x20_ann_bruteforce"   -> (Similarity.bruteForceTopK _),
     "x21_ann_lsh"          -> (Similarity.lshTopK _),
     "x22_ann_ivf"          -> (Similarity.ivfTopK _),
+    "x23_semantic_dedup"   -> (Similarity.semanticDedup _),
     "x30_text_quality"     -> (TextAnalysis.textQuality _),
     "x31_lang_id"          -> (TextAnalysis.langId _),
     "x32_fingerprint"      -> (TextAnalysis.fingerprint _),
@@ -249,6 +250,7 @@ object SparkEntry {
     "x19_decontaminate"     -> Dedup.decontaminateSql,
     "x16_corpus_curation"   -> Dedup.corpusCurationSql,
     "x20_ann_bruteforce"    -> Similarity.bruteForceTopKSql,
+    "x23_semantic_dedup"    -> Similarity.semanticDedupSql,
     "x30_text_quality"      -> TextAnalysis.textQualitySql,
     "x31_lang_id"           -> TextAnalysis.langIdSql,
     "x32_fingerprint"       -> TextAnalysis.fingerprintSql,

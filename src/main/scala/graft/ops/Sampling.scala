@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -71,14 +71,22 @@ object Sampling {
     * 1640531527 is < 2³¹, so the product stays < 2⁶³ — Spark can't
     * silently wrap negative and DuckDB can't raise BIGINT overflow
     * (Knuth's 2654435761 > 2³¹ broke both for doc_id ≳ 3.5e9). */
+  /** x52's admission hash as a reusable Column: permille bucket in
+    * [0, 1000) from the low 32 bits of the key. Factored out so the
+    * PropertySpec can pin the overflow-safety claim at the regime the
+    * fix was made for (doc_id ≈ 2⁴⁰, where the old Knuth multiplier
+    * overflowed int64 and wrapped negative). */
+  private[graft] def admitPermille(docId: Column): Column =
+    (docId.bitwiseAND(lit(4294967295L)) * lit(1640531527L)) %
+      lit(4294967296L) % 1000
+
   def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val weight =
       when($"source".isin("src0", "src1", "src2", "src3"), 1000)
         .when($"source".isin("src4", "src5", "src6", "src7", "src8", "src9"), 500)
         .otherwise(250)
-    val h = ($"doc_id".bitwiseAND(lit(4294967295L)) * lit(1640531527L)) %
-      lit(4294967296L) % 1000
+    val h = admitPermille($"doc_id")
     Tables.documents(spark, sfDir)
       .withColumn("w", weight)
       .filter(h < $"w")

@@ -87,6 +87,14 @@ object Similarity {
     * memory. */
   private val Tiles = 8
 
+  /** Near-dup cosine threshold, shared by x14's pair filter, its DuckDB
+    * oracle, and x23's SemDeDup oracle — ONE constant so the Spark path
+    * and the SQL oracles cannot silently diverge. The fixture's planted
+    * semantic dups all sit in the 0.4-0.6 cosine band (no pair reaches
+    * 0.6 at sf0.01), so τ = 0.4 is the meaningful cut here; both
+    * policies are τ-independent. */
+  private[graft] val NearDupTau = 0.4
+
   /** x14 — embedding-cosine near-dup pairs (exact threshold join; ids only
     * so the oracle is robust to last-ulp float differences).
     *
@@ -118,7 +126,7 @@ object Similarity {
       .withColumn("block", $"i" * Tiles + $"j")
     lhs.join(rhs, lhs("block") === rhs("block") && $"id_l" =!= $"id_r")
       .withColumn("cos", dot($"vl", $"vr") / ($"nl" * $"nr"))
-      .filter($"cos" >= 0.4)
+      .filter($"cos" >= NearDupTau)
       // same-tile blocks see each pair in both orders; canonicalize + dedup
       .select(least($"id_l", $"id_r").as("id_a"),
         greatest($"id_l", $"id_r").as("id_b"))
@@ -127,13 +135,13 @@ object Similarity {
   }
 
   val cosineNearDupPairsSql: String =
-    """WITH e AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      |)
-      |SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      |FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
-      |ORDER BY id_a, id_b""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.v, b.v) >= $NearDupTau
+       |ORDER BY id_a, id_b""".stripMargin
 
   private val SketchDims = 32
 
@@ -338,23 +346,21 @@ object Similarity {
         explode(probeCellsOf($"v", cents, probes)).as("cell"))
   }
 
-  /** Semantic-dedup threshold: the fixture's planted semantic dups all
-    * sit in the 0.4-0.6 cosine band (no pair reaches 0.6 at sf0.01), so
-    * τ = 0.4 is the meaningful cut here; the policy is τ-independent. */
-  private val SemTau = 0.4
-
   /** x23 — SEMANTIC dedup (the SemDeDup policy, Abbas et al. 2023,
     * arXiv:2303.09540): drop every vector that has a lower-id neighbor
-    * at cos ≥ τ; each near-dup group keeps exactly its lowest-id
-    * representative. This is the embedding-space sibling of x15's
+    * at cos ≥ τ; i.e. keep every vector with NO lower-id neighbor at the
+    * threshold. Note this keeps all local-id-minima, not one-per-group:
+    * a transitively connected chain (1~2, 2~3, 1!~3 at τ) keeps both 1
+    * and 3 — compute components (x17 dupClusters) if one-per-component
+    * semantics are wanted. This is the embedding-space sibling of x15's
     * MinHash survivor set — lexical dedup (x10-x15) can't see
     * paraphrases; this can. The pair generator is x14's tiled exact
-    * self-join (bounded per-task memory, no broadcast nested loop); at
-    * 100 TB in the production τ ≥ 0.8 regime the sound sub-quadratic
-    * candidate generators are x21's sign-LSH buckets or x22's IVF cells
-    * (SemDeDup's own recipe: within-k-means-cluster pairs only) — the
-    * keep-lowest policy and this exact oracle are unchanged under
-    * either. */
+    * self-join (bounded per-task memory, no broadcast nested loop) at
+    * the shared [[NearDupTau]]; at 100 TB in the production τ ≥ 0.8
+    * regime the sound sub-quadratic candidate generators are x21's
+    * sign-LSH buckets or x22's IVF cells (SemDeDup's own recipe:
+    * within-k-means-cluster pairs only) — the keep-no-lower-id policy
+    * and this exact oracle are unchanged under either. */
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val drops = cosineNearDupPairs(spark, sfDir)
@@ -372,6 +378,6 @@ object Similarity {
        |SELECT vec_id, label FROM e
        |WHERE vec_id NOT IN (
        |  SELECT b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
-       |  WHERE list_cosine_similarity(a.v, b.v) >= $SemTau)
+       |  WHERE list_cosine_similarity(a.v, b.v) >= $NearDupTau)
        |ORDER BY vec_id""".stripMargin
 }

@@ -139,6 +139,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("x23 SemDeDup keeps exactly the vectors with no lower-id neighbor") {
+    val pairs = Similarity.cosineNearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must plant near-dup pairs")
+    // pairs are canonical (id_a < id_b): a vector has a lower-id
+    // neighbor iff it appears as id_b
+    val dropped = pairs.map(_._2).toSet
+    val all = Tables.spread(Tables.embeddings(spark, sf))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = Similarity.semanticDedup(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(got.sorted.sameElements(got), "output ordered by vec_id")
+    assert(got.toSet == all -- dropped)
+    assert(got.toSet.contains(all.min), "global min id is always kept")
+    // survivors ∪ dropped partition the corpus
+    assert(got.size + dropped.size == all.size)
+  }
+
   test("x14 tiled cosine join: no nested-loop/cartesian over the corpus") {
     val plan = Similarity.cosineNearDupPairs(spark, sf)
       .queryExecution.executedPlan.toString

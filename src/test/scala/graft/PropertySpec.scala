@@ -111,6 +111,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("x52 admission hash is overflow-safe and monotone at doc_id ≈ 2⁴⁰") {
+    // The r6 fix exists FOR this regime: with the old Knuth multiplier
+    // (2654435761 > 2³¹) the masked-key product exceeded 2⁶³ — Spark
+    // wrapped negative (admitting everything), DuckDB raised BIGINT
+    // overflow. Fixture doc_ids are small, so the green x52 row alone
+    // would pass with the broken hash too; this pins the at-scale claim.
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ids: Seq[Long] = (0 until 2048).map(i => (1L << 40) + i * 104729L) ++
+      (0 until 64).map(i => (1L << 31) - 32 + i) ++ // 2³¹ boundary
+      (0 until 64).map(i => (1L << 32) - 32 + i) ++ // 2³² mask boundary
+      Seq(0L, 1L, Long.MaxValue)
+    // the test ids must actually exercise the overflow regime: the OLD
+    // multiplier wraps negative on them (guards against a fixture that
+    // never bites)
+    val oldWraps = ids.count(id => (id & 4294967295L) * 2654435761L < 0)
+    assert(oldWraps > 0, "no test id triggers the old overflow — regime untested")
+    val got = ids.toDF("doc_id")
+      .select($"doc_id", graft.ops.Sampling.admitPermille($"doc_id").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // (a) no negative wrap, always a permille bucket
+    got.foreach { case (id, h) =>
+      assert(h >= 0 && h < 1000, s"doc_id=$id h=$h out of [0,1000)")
+    }
+    // engine-independent semantics: matches an exact BigInt reference
+    got.foreach { case (id, h) =>
+      val ref = (((BigInt(id) & BigInt(4294967295L)) * BigInt(1640531527L))
+        .mod(BigInt(4294967296L))).mod(BigInt(1000)).toLong
+      assert(h == ref, s"doc_id=$id h=$h ref=$ref")
+    }
+    // (b) weight-monotonicity: kept set only grows with the weight
+    def kept(w: Long) = got.collect { case (id, h) if h < w => id }.toSet
+    assert(kept(250).subsetOf(kept(500)) && kept(500).subsetOf(kept(1000)))
+    // hash spreads: sequential high ids don't collapse into few buckets
+    assert(got.values.toSet.size > 500, s"only ${got.values.toSet.size} distinct buckets")
+  }
+
   test("trip type is always one of the reference's categories") {
     val cats = Set("Invalid Data", "Airport Transfer", "Admin/Management",
       "Round Trip", "Nile Cruise", "Special Operations", "Multi-Destination",

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Systemic guard against shipping an operator without registering it in
+  * the driver contract (the r5 x44/x45 and r6 x23 mistake): every public
+  * zero-arg `*Sql` oracle string on the op objects MUST be reachable from
+  * `SparkEntry.oracleSql` — either registered verbatim under some query
+  * key or embedded (a CTE fragment like `Trips.rawSql`) inside a
+  * registered oracle. An operator written with its oracle but left out of
+  * the registry fails this suite at `sbt test`, before the verify loop
+  * ever runs.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  /** Every object that hosts `(SparkSession, String) => DataFrame` ops
+    * and/or their `*Sql` oracle companions. A NEW op file must be added
+    * here — the count assertion below trips if the list drifts from the
+    * source tree. */
+  private val opObjects: Map[String, AnyRef] = Map(
+    "Analytics"       -> graft.ops.Analytics,
+    "Dedup"           -> graft.ops.Dedup,
+    "Events"          -> graft.ops.Events,
+    "LocationResolve" -> graft.ops.LocationResolve,
+    "Multimodal"      -> graft.ops.Multimodal,
+    "Relational"      -> graft.ops.Relational,
+    "Sampling"        -> graft.ops.Sampling,
+    "Similarity"      -> graft.ops.Similarity,
+    "TextAnalysis"    -> graft.ops.TextAnalysis,
+    "Transform"       -> graft.ops.Transform,
+    "Trips"           -> graft.ops.Trips,
+    "TypedOps"        -> graft.ops.TypedOps,
+    "PagedLanding"    -> graft.sources.PagedLanding,
+  )
+
+  /** Public zero-arg String members named `*Sql` on an op object.
+    * (Scala vals surface as zero-arg getter methods; `private` vals do
+    * not appear in `getMethods`.) */
+  private def sqlMembers(obj: AnyRef): Seq[(String, String)] =
+    obj.getClass.getMethods.toSeq
+      .filter(m => m.getName.endsWith("Sql") && m.getParameterCount == 0 &&
+        m.getReturnType == classOf[String])
+      .map(m => m.getName -> m.invoke(obj).asInstanceOf[String])
+
+  test("every public *Sql oracle is reachable from SparkEntry.oracleSql") {
+    val registered = SparkEntry.oracleSql.values.toSeq
+    val members = opObjects.toSeq.flatMap { case (objName, obj) =>
+      sqlMembers(obj).map { case (n, sql) => (s"$objName.$n", sql) }
+    }
+    // reflection must actually see the oracle vals, or the guard is vacuous
+    assert(members.size >= 55, s"only ${members.size} *Sql members found")
+    val unregistered = for {
+      (name, sql) <- members
+      if !registered.exists(_.contains(sql))
+    } yield name
+    assert(unregistered.isEmpty,
+      s"\nDEAD ORACLE(S) — written but not registered in SparkEntry: " +
+        s"${unregistered.mkString(", ")}.\nRegister the op in " +
+        "SparkEntry.queries AND its oracle in SparkEntry.oracleSql " +
+        "(or embed the fragment in a registered oracle).")
+  }
+
+  test("the op-object manifest covers the whole ops source tree") {
+    // If someone adds ops/NewFile.scala with an object, this spec must
+    // see it — a manifest that silently lags the tree guards nothing.
+    val opsDir = new java.io.File("src/main/scala/graft/ops")
+    assert(opsDir.isDirectory, s"expected ${opsDir.getAbsolutePath}")
+    val opFiles = opsDir.listFiles().map(_.getName)
+      .filter(_.endsWith(".scala")).map(_.stripSuffix(".scala")).toSet
+    val manifested = opObjects.keySet - "PagedLanding"
+    assert(manifested == opFiles,
+      s"manifest vs ops/ tree drift — missing: ${(opFiles -- manifested).mkString(", ")}; " +
+        s"stale: ${(manifested -- opFiles).mkString(", ")}")
+  }
+
+  test("oracle keys align with query keys; rows-only set is the documented one") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).mkString(", ")}")
+    // Queries with no DuckDB oracle get only the driver's weaker
+    // rows-only check — each needs an equivalence/recall/tolerance gate
+    // in the test suites, so the set is a closed, documented manifest.
+    val rowsOnly = Set("x01_approx_distinct", "x12_dedup_simhash",
+      "x21_ann_lsh", "x22_ann_ivf", "x33_fnv_fingerprint",
+      "x39_quality_prune_approx")
+    assert(q -- o == rowsOnly,
+      s"undocumented rows-only queries: ${(q -- o -- rowsOnly).mkString(", ")}; " +
+        s"stale rows-only entries: ${(rowsOnly -- (q -- o)).mkString(", ")}")
+  }
+}
