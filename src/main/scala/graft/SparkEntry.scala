@@ -118,6 +118,7 @@ object SparkEntry {
     "x51_source_cap"       -> (graft.ops.Sampling.sourceCap _),
     "x52_mixture_sample"   -> (graft.ops.Sampling.mixtureSample _),
     "x53_token_budget"     -> (graft.ops.Sampling.tokenBudget _),
+    "x54_unimax_alloc"     -> (graft.ops.Sampling.unimaxAlloc _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -280,5 +281,6 @@ object SparkEntry {
     "x51_source_cap"        -> graft.ops.Sampling.sourceCapSql,
     "x52_mixture_sample"    -> graft.ops.Sampling.mixtureSampleSql,
     "x53_token_budget"      -> graft.ops.Sampling.tokenBudgetSql,
+    "x54_unimax_alloc"      -> graft.ops.Sampling.unimaxAllocSql,
   )
 }

@@ -136,4 +136,95 @@ object Sampling {
        |      AS BIGINT) AS cum_tokens
        |  FROM documents) t
        |WHERE cum_tokens <= $TokensPerSource ORDER BY source, doc_id""".stripMargin
+
+  /** x54 knobs — total training budget as a permille of the corpus
+    * tokens (900 = the budget is 90% of the corpus, so the water level
+    * must bite somewhere), per-source consumption cap as a permille of
+    * that source's tokens (1000 = at most one epoch of any source; in
+    * UniMax's own budget ≫ corpus regime this is 2000-4000 and the
+    * algorithm is unchanged). */
+  val UnimaxBudgetPermille = 900L
+  val UnimaxEpochCapPermille = 1000L
+
+  /** x54 — UniMax-style budget allocation (Chung et al. 2023,
+    * arXiv:2304.09151): split a total token budget across sources so
+    * that no source exceeds its epoch cap and every uncapped source
+    * gets the same share — the greedy per-source loop of the paper is
+    * exactly water-filling, computed here in closed form. Sort sources
+    * by cap c₍ᵢ₎ ascending with prefix sums Pᵢ; f(m) = Pₘ + (k−m)·cₘ is
+    * non-decreasing in m, so the capped set is the largest prefix m*
+    * with f(m*) ≤ B and the water level is θ = (B − Pₘ*) div (k − m*):
+    * sources with rank ≤ m* get their full cap, the rest get θ. All
+    * arithmetic is exact BIGINT (permille knobs, DIV), so the oracle
+    * hash-matches.
+    *
+    * Scale shape: one shuffle (the per-source token sum over the
+    * corpus); everything after runs on the k-row source dimension — the
+    * rank window and the single-row (B, k, m*, Pₘ*) reduction are
+    * driver-scale frames, exactly like the percent-of-total pattern in
+    * q1/x38. At 100 TB: same plan, k is still tiny. */
+  def unimaxAlloc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perSource = Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .groupBy($"source").agg(sum($"n_tokens").as("n_tokens"))
+      .withColumn("cap_tokens",
+        expr(s"n_tokens * $UnimaxEpochCapPermille div 1000"))
+    val w = Window.orderBy($"cap_tokens", $"source")
+    val ranked = perSource
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("pfx", sum($"cap_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val dim = perSource.agg(
+      expr(s"sum(n_tokens) * $UnimaxBudgetPermille div 1000").as("budget"),
+      count(lit(1)).cast("long").as("k"))
+    val flagged = ranked.crossJoin(broadcast(dim))
+      .withColumn("fits", $"pfx" + ($"k" - $"rk") * $"cap_tokens" <= $"budget")
+    val star = flagged.agg(
+      coalesce(max(when($"fits", $"rk")), lit(0L)).as("m_star"),
+      coalesce(max(when($"fits", $"pfx")), lit(0L)).as("pfx_star"))
+    flagged.crossJoin(broadcast(star))
+      .withColumn("alloc_tokens",
+        when($"rk" <= $"m_star", $"cap_tokens").otherwise(
+          expr("(budget - pfx_star) div (k - m_star)")))
+      .withColumn("capped", $"rk" <= $"m_star")
+      .select($"source", $"n_tokens", $"cap_tokens", $"alloc_tokens", $"capped")
+      .orderBy($"source")
+  }
+
+  val unimaxAllocSql: String =
+    s"""WITH per_source AS (
+       |  SELECT source,
+       |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents GROUP BY source
+       |), capped AS (
+       |  SELECT source, n_tokens,
+       |    n_tokens * $UnimaxEpochCapPermille // 1000 AS cap_tokens
+       |  FROM per_source
+       |), ranked AS (
+       |  SELECT *,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cap_tokens, source) AS BIGINT) AS rk,
+       |    CAST(SUM(cap_tokens) OVER (ORDER BY cap_tokens, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pfx
+       |  FROM capped
+       |), dim AS (
+       |  SELECT CAST(SUM(n_tokens) AS BIGINT) * $UnimaxBudgetPermille // 1000
+       |      AS budget,
+       |    CAST(COUNT(*) AS BIGINT) AS k
+       |  FROM capped
+       |), star AS (
+       |  SELECT COALESCE(MAX(CASE WHEN fits THEN rk END), 0) AS m_star,
+       |    COALESCE(MAX(CASE WHEN fits THEN pfx END), 0) AS pfx_star
+       |  FROM (SELECT r.rk, r.pfx,
+       |          r.pfx + (d.k - r.rk) * r.cap_tokens <= d.budget AS fits
+       |        FROM ranked r, dim d) t
+       |)
+       |SELECT r.source, r.n_tokens, r.cap_tokens,
+       |  CAST(CASE WHEN r.rk <= s.m_star THEN r.cap_tokens
+       |       ELSE (d.budget - s.pfx_star) // (d.k - s.m_star) END AS BIGINT)
+       |    AS alloc_tokens,
+       |  r.rk <= s.m_star AS capped
+       |FROM ranked r, dim d, star s
+       |ORDER BY r.source""".stripMargin
 }

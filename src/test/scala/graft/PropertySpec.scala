@@ -149,6 +149,33 @@ class PropertySpec extends AnyFunSuite {
     assert(got.values.toSet.size > 500, s"only ${got.values.toSet.size} distinct buckets")
   }
 
+  test("x54 water-fill: caps respected, budget filled, level uniform") {
+    val spark = SparkSuite.spark
+    val rows = graft.ops.Sampling.unimaxAlloc(spark, SparkSuite.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val k = rows.length
+    assert(k > 1)
+    val (capped, uncapped) = rows.partition(_._5)
+    // the fixture must exercise BOTH branches or the oracle row is weak
+    assert(capped.nonEmpty, "no source hits its cap — water level never bites")
+    assert(uncapped.nonEmpty, "every source capped — budget never binds")
+    // capped sources get exactly their cap; nobody exceeds it
+    capped.foreach { case (s, _, cap, alloc, _) =>
+      assert(alloc == cap, s"$s capped but alloc=$alloc cap=$cap") }
+    rows.foreach { case (s, _, cap, alloc, _) =>
+      assert(alloc <= cap, s"$s alloc=$alloc exceeds cap=$cap") }
+    // one shared water level θ, at or above every capped source's cap
+    val levels = uncapped.map(_._4).distinct
+    assert(levels.length == 1, s"non-uniform water level: ${levels.toSeq}")
+    assert(capped.map(_._3).max <= levels.head)
+    // budget exhausted up to integer-floor slack (< 1 token per source)
+    val budget = rows.map(_._2).sum * graft.ops.Sampling.UnimaxBudgetPermille / 1000
+    val total = rows.map(_._4).sum
+    assert(total <= budget, s"total=$total over budget=$budget")
+    assert(budget - total < k, s"under-filled: total=$total budget=$budget")
+  }
+
   test("trip type is always one of the reference's categories") {
     val cats = Set("Invalid Data", "Airport Transfer", "Admin/Management",
       "Round Trip", "Nile Cruise", "Special Operations", "Multi-Destination",
