@@ -346,6 +346,151 @@ object Similarity {
         explode(probeCellsOf($"v", cents, probes)).as("cell"))
   }
 
+  // -------------------------------------------------------------- x25 PQ
+
+  /** PQ geometry: m subspaces × k codes. 16 subspaces of 4 dims over the
+    * 64-dim fixture embeddings, 16 centroids per subspace → a code row
+    * is 16 × 1 byte vs 256 bytes of float32 — a 16× smaller first-pass
+    * scan (the whole point at 100 TB: the ADC pass reads ONLY this
+    * narrow code table plus m·k-double codebooks, and per-query work is
+    * a table lookup per subspace, not a d-dim dot product). */
+  private[graft] val PqSubspaces = 16
+  private[graft] val PqCodes = 16
+  private val PqLloydRounds = 3
+
+  /** Unit-normalized vector split into the m subvectors, as an
+    * array-of-structs column ready to explode. */
+  private def pqSubvecs(v: Column, nrm: Column, dim: Int): Column = {
+    val d = dim / PqSubspaces
+    array((0 until PqSubspaces).map { s =>
+      struct(lit(s).as("s"), slice(transform(v, _ / nrm), s * d + 1, d).as("sv"))
+    }.toIndexedSeq: _*)
+  }
+
+  /** Argmin-L2 code for a subvector against one subspace's codebook —
+    * ‖sv − c‖² = ‖sv‖² − 2·sv·c + ‖c‖², and ‖sv‖² is constant under the
+    * argmin, so the scored array is ‖c‖² − 2·sv·c (pure codegen'd
+    * expressions, map-only assignment like [[cellOf]]). */
+  private def pqCodeOf(sv: Column, codebook: Array[Array[Double]]): Column = {
+    val scores = array(codebook.map { c =>
+      lit(c.map(x => x * x).sum) - lit(2.0) * dot(sv, litArr(c))
+    }.toIndexedSeq: _*)
+    (array_position(scores, array_min(scores)) - 1).cast("int")
+  }
+
+  /** Per-subspace codebooks trained with a few Lloyd rounds — ALL
+    * subspaces in one relational pass per round (assignment is map-only;
+    * the (s, code, pos) mean is one shuffle of skinny rows; the
+    * m·k·(dim/m) = k·dim-double codebook collect is a bounded dimension,
+    * like the IVF centroid table). Seeded init at the subvector scale
+    * (unit full vector → E‖sv‖² = 1/m); empty codes keep their previous
+    * centroid. At 100 TB the trainer runs on a bounded sample (standard
+    * PQ practice) and encoding stays map-only over the full corpus. */
+  private[graft] def pqCodebooksOf(all: DataFrame,
+      rounds: Int = PqLloydRounds): Array[Array[Array[Double]]] = {
+    val spark = all.sparkSession
+    import spark.implicits._
+    val dim = all.select(size($"v")).head.getInt(0)
+    val d = dim / PqSubspaces
+    val rnd = new scala.util.Random(17)
+    val compStd = 1.0 / math.sqrt(dim.toDouble)
+    var books = Array.fill(PqSubspaces, PqCodes)(
+      Array.fill(d)(rnd.nextGaussian() * compStd))
+    val subvecs = all
+      .select(explode(pqSubvecs($"v", $"nrm", dim)).as("e"))
+      .select($"e.s".as("s"), $"e.sv".as("sv"))
+    for (_ <- 0 until rounds) {
+      val b = books // stable capture for the expression tree
+      val codeCol = (0 until PqSubspaces).foldLeft(lit(-1)) { (acc, s) =>
+        when($"s" === s, pqCodeOf($"sv", b(s))).otherwise(acc)
+      }
+      val sums = subvecs.select($"s", codeCol.as("code"),
+          posexplode($"sv").as(Seq("pos", "x")))
+        .groupBy($"s", $"code", $"pos").agg(avg($"x").as("m"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      books = next
+    }
+    books
+  }
+
+  private def pqBooks(spark: SparkSession, sfDir: String): Array[Array[Array[Double]]] =
+    graft.Caches.memoValue(spark, s"pq-codebooks:$sfDir") {
+      pqCodebooksOf(corpus(spark, sfDir))
+    }
+
+  /** The compressed index: (vec_id, codes array<tinyint> of length m) —
+    * 16 bytes of payload per vector vs 256 float bytes, the only table
+    * the ADC pass scans. Memoized like the IVF index. */
+  private[graft] def pqIndex(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Caches.memo(spark, s"pq-index:$sfDir") {
+      import spark.implicits._
+      val books = pqBooks(spark, sfDir)
+      val dim = corpus(spark, sfDir).select(size($"v")).head.getInt(0)
+      corpus(spark, sfDir).select($"vec_id",
+        transform(pqSubvecs($"v", $"nrm", dim), e =>
+          (0 until PqSubspaces).foldLeft(lit(-1)) { (acc, s) =>
+            when(e.getField("s") === s, pqCodeOf(e.getField("sv"), books(s)))
+              .otherwise(acc)
+          }.cast("byte")).as("codes"))
+    }
+
+  /** x25 — ANN top-5 via PQ/ADC (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the quantized sibling
+    * of x21's rank-then-rescore. First pass scans ONLY the 16-byte code
+    * table and scores each vector as Σₛ LUT lookups — here the lookup is
+    * element_at into the m×k literal codebook arrays, dot(q̂ₛ, Cₛ[code])
+    * — keeps the top third per query (ntile, mirroring x21's candidate
+    * cut exactly so the two first passes are comparable: 16 B/vector
+    * here vs 256 B of sketch floats there), then exact-rescores
+    * candidates via an equi join to the full vectors. Approximate by
+    * design → rows-only driver check; recall gated in the spec. */
+  def pqTopK(spark: SparkSession, sfDir: String): DataFrame =
+    pqTopKOf(corpus(spark, sfDir), pqIndex(spark, sfDir),
+      pqBooks(spark, sfDir), 8, 5)
+
+  private[graft] def pqTopKOf(all: DataFrame, index: DataFrame,
+      books: Array[Array[Array[Double]]], nQueries: Int, topK: Int): DataFrame = {
+    val spark = all.sparkSession
+    import spark.implicits._
+    val dim = books.length * books(0)(0).length
+    val d = dim / PqSubspaces
+    val queries = all.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), transform($"v", _ / $"nrm").as("qhat"))
+    // ADC scan over the narrow code table: per subspace, look the code's
+    // centroid up in the literal codebook and dot it with the query's
+    // subvector — no full corpus vector is read in this pass
+    val adc = (0 until PqSubspaces).map { s =>
+      val cents = array(books(s).map(litArr).toIndexedSeq: _*)
+      dot(slice($"qhat", s * d + 1, d),
+        element_at(cents, element_at($"codes", s + 1).cast("int") + 1))
+    }.reduce(_ + _)
+    val candW = Window.partitionBy($"query_id")
+      .orderBy($"approx".desc, $"vec_id".asc)
+    val candidates = index.join(broadcast(queries),
+        $"vec_id" =!= $"query_id")
+      .withColumn("approx", adc)
+      .withColumn("tile", ntile(3).over(candW))
+      .filter($"tile" === 1)
+      .select($"query_id", $"vec_id")
+    // exact rescore: equi joins only, full vectors fetched for candidates
+    val scored = candidates
+      .join(all, "vec_id")
+      .join(broadcast(all.filter($"vec_id" < nQueries)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))),
+        "query_id")
+      .withColumn("cos", dot($"v", $"qv") / ($"nrm" * $"qn"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= topK)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** x23 — SEMANTIC dedup (the SemDeDup policy, Abbas et al. 2023,
     * arXiv:2303.09540): drop every vector that has a lower-id neighbor
     * at cos ≥ τ; i.e. keep every vector with NO lower-id neighbor at the

@@ -139,6 +139,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("x25 PQ-ADC recall@5 vs brute force; code table is 16 codes of 16") {
+    val bf = Similarity.bruteForceTopK(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(pq.contains).toDouble / bf.size
+    info(f"PQ recall@5=$recall%.3f (16-byte codes, top-1/3 rescore)")
+    assert(recall >= 0.8, s"recall=$recall")
+    // the compressed index really is m codes in [0, k): the 16-byte
+    // first-pass scan claim depends on it
+    val codes = Similarity.pqIndex(spark, sf).collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      val cs = r.getSeq[Byte](1)
+      assert(cs.length == Similarity.PqSubspaces)
+      cs.foreach(c => assert(c >= 0 && c < Similarity.PqCodes, s"code $c"))
+    }
+  }
+
   test("x23 SemDeDup keeps exactly the vectors with no lower-id neighbor") {
     val pairs = Similarity.cosineNearDupPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
