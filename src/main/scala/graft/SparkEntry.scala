@@ -25,11 +25,12 @@ import graft.ops.{Analytics, Dedup, Events, LocationResolve, Multimodal,
   *  - x: LLM-pipeline extensions (x1x dedup family, x2x similarity,
   *    x3x text analytics, x4x multimodal)
   *
-  * Every query has a DuckDB oracle except the seven whose output is
+  * Every query has a DuckDB oracle except the eight whose output is
   * engine-specific by design (x01 HLL, x12 simhash, x21 LSH-ANN, x22
-  * IVF-ANN, x25 PQ-ANN, x33 FNV, x39 approx-percentile prune) — those
-  * get the driver's rows-only check plus equality / recall / tolerance
-  * gates in the test suites. RegistrySpec pins this list.
+  * IVF-ANN, x25 PQ-ANN, x26 IVF-PQ-ANN, x33 FNV, x39 approx-percentile
+  * prune) — those get the driver's rows-only check plus equality /
+  * recall / tolerance gates in the test suites. RegistrySpec pins this
+  * list.
   */
 object SparkEntry {
 
@@ -88,6 +89,7 @@ object SparkEntry {
     "x22_ann_ivf"          -> (Similarity.ivfTopK _),
     "x23_semantic_dedup"   -> (Similarity.semanticDedup _),
     "x25_ann_pq"           -> (Similarity.pqTopK _),
+    "x26_ann_ivfpq"        -> (Similarity.ivfPqTopK _),
     "x30_text_quality"     -> (TextAnalysis.textQuality _),
     "x31_lang_id"          -> (TextAnalysis.langId _),
     "x32_fingerprint"      -> (TextAnalysis.fingerprint _),

@@ -427,16 +427,22 @@ object Similarity {
     * the ADC pass scans. Memoized like the IVF index. */
   private[graft] def pqIndex(spark: SparkSession, sfDir: String): DataFrame =
     graft.Caches.memo(spark, s"pq-index:$sfDir") {
-      import spark.implicits._
-      val books = pqBooks(spark, sfDir)
-      val dim = corpus(spark, sfDir).select(size($"v")).head.getInt(0)
-      corpus(spark, sfDir).select($"vec_id",
-        transform(pqSubvecs($"v", $"nrm", dim), e =>
-          (0 until PqSubspaces).foldLeft(lit(-1)) { (acc, s) =>
-            when(e.getField("s") === s, pqCodeOf(e.getField("sv"), books(s)))
-              .otherwise(acc)
-          }.cast("byte")).as("codes"))
+      pqIndexOf(corpus(spark, sfDir), pqBooks(spark, sfDir))
     }
+
+  /** Map-only encode of an arbitrary (vec_id, v, nrm) corpus. */
+  private[graft] def pqIndexOf(all: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = all.sparkSession
+    import spark.implicits._
+    val dim = books.length * books(0)(0).length
+    all.select($"vec_id",
+      transform(pqSubvecs($"v", $"nrm", dim), e =>
+        (0 until PqSubspaces).foldLeft(lit(-1)) { (acc, s) =>
+          when(e.getField("s") === s, pqCodeOf(e.getField("sv"), books(s)))
+            .otherwise(acc)
+        }.cast("byte")).as("codes"))
+  }
 
   /** x25 — ANN top-5 via PQ/ADC (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): the quantized sibling
@@ -452,22 +458,26 @@ object Similarity {
     pqTopKOf(corpus(spark, sfDir), pqIndex(spark, sfDir),
       pqBooks(spark, sfDir), 8, 5)
 
+  /** The ADC approximate-dot column: per subspace, look the code's
+    * centroid up in the literal codebook and dot it with the query's
+    * subvector — no full corpus vector is read where this evaluates. */
+  private def adcScore(books: Array[Array[Array[Double]]], qhat: Column,
+      codes: Column): Column = {
+    val d = books(0)(0).length
+    (0 until PqSubspaces).map { s =>
+      val cents = array(books(s).map(litArr).toIndexedSeq: _*)
+      dot(slice(qhat, s * d + 1, d),
+        element_at(cents, element_at(codes, s + 1).cast("int") + 1))
+    }.reduce(_ + _)
+  }
+
   private[graft] def pqTopKOf(all: DataFrame, index: DataFrame,
       books: Array[Array[Array[Double]]], nQueries: Int, topK: Int): DataFrame = {
     val spark = all.sparkSession
     import spark.implicits._
-    val dim = books.length * books(0)(0).length
-    val d = dim / PqSubspaces
     val queries = all.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), transform($"v", _ / $"nrm").as("qhat"))
-    // ADC scan over the narrow code table: per subspace, look the code's
-    // centroid up in the literal codebook and dot it with the query's
-    // subvector — no full corpus vector is read in this pass
-    val adc = (0 until PqSubspaces).map { s =>
-      val cents = array(books(s).map(litArr).toIndexedSeq: _*)
-      dot(slice($"qhat", s * d + 1, d),
-        element_at(cents, element_at($"codes", s + 1).cast("int") + 1))
-    }.reduce(_ + _)
+    val adc = adcScore(books, $"qhat", $"codes")
     val candW = Window.partitionBy($"query_id")
       .orderBy($"approx".desc, $"vec_id".asc)
     val candidates = index.join(broadcast(queries),
@@ -477,6 +487,70 @@ object Similarity {
       .filter($"tile" === 1)
       .select($"query_id", $"vec_id")
     // exact rescore: equi joins only, full vectors fetched for candidates
+    val scored = candidates
+      .join(all, "vec_id")
+      .join(broadcast(all.filter($"vec_id" < nQueries)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))),
+        "query_id")
+      .withColumn("cos", dot($"v", $"qv") / ($"nrm" * $"qn"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= topK)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  // ---------------------------------------------------------- x26 IVF-PQ
+
+  /** ADC candidates kept per query for exact rescoring (a small multiple
+    * of top-k, FAISS-style). */
+  private[graft] val IvfPqRescoreFactor = 4
+
+  /** The composed narrow index: (cell, vec_id, codes) — a cell id plus
+    * 16 bytes of codes per vector. Neither the probe join nor the ADC
+    * pass reads a full vector; at deployment this is the table written
+    * partitioned by `cell`. */
+  private[graft] def ivfPqIndex(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Caches.memo(spark, s"ivfpq-index:$sfDir") {
+      import spark.implicits._
+      ivfIndex(spark, sfDir).select($"vec_id", $"cell")
+        .join(pqIndex(spark, sfDir), "vec_id")
+    }
+
+  /** x26 — ANN top-5 via IVF-PQ, the composition of x22 and x25 and the
+    * standard production architecture (FAISS IVFPQ; Jégou et al. 2011
+    * §IV): probe the top-p cells per query (sublinear — touches ≈ p/k of
+    * the corpus, shrinking as k ∝ √n), ADC-score ONLY the probed cells'
+    * 16-byte code rows (memory-bound — no full vector read), keep
+    * [[IvfPqRescoreFactor]]·k candidates, exact-rescore those via an
+    * equi join to the full vectors. x22 bounds WHICH rows are touched;
+    * x25 bounds HOW MANY BYTES each touched row costs; the rescore pins
+    * exactness of the final ranking over the candidate set. Same
+    * clustered-regime caveat as x22 (gated on the planted-centroid
+    * fixture; isotropic data is the documented worst case). Rows-only
+    * driver check (approximate by design). */
+  def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame =
+    ivfPqTopKOf(corpus(spark, sfDir), ivfPqIndex(spark, sfDir),
+      centroids(spark, sfDir), pqBooks(spark, sfDir), 8, 5, IvfProbes)
+
+  private[graft] def ivfPqTopKOf(all: DataFrame, index: DataFrame,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      nQueries: Int, topK: Int, probes: Int): DataFrame = {
+    val spark = all.sparkSession
+    import spark.implicits._
+    // one row per (query, probed cell), carrying the normalized query
+    val qprobes = all.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), transform($"v", _ / $"nrm").as("qhat"),
+        explode(probeCellsOf($"v", cents, probes)).as("cell"))
+    val candW = Window.partitionBy($"query_id")
+      .orderBy($"approx".desc, $"vec_id".asc)
+    val candidates = index.join(broadcast(qprobes), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("approx", adcScore(books, $"qhat", $"codes"))
+      .withColumn("rk", row_number().over(candW))
+      .filter($"rk" <= IvfPqRescoreFactor * topK)
+      .select($"query_id", $"vec_id")
     val scored = candidates
       .join(all, "vec_id")
       .join(broadcast(all.filter($"vec_id" < nQueries)

@@ -279,6 +279,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally cells.unpersist()
   }
 
+  test("x26 IVF-PQ: recall >= 0.8 with probed-cell ADC and a 4k rescore cut") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    graft.functions.CustomExprs.register(spark)
+    val exact = topSets(Similarity.bruteForceTopKOf(clusteredCorpus, 8, 5))
+    val cents = Similarity.ivfCentroidsOf(clusteredCorpus)
+    val books = Similarity.pqCodebooksOf(clusteredCorpus)
+    val composed = clusteredCorpus
+      .withColumn("cell", Similarity.cellOf($"v", cents))
+      .select($"vec_id", $"cell")
+      .join(Similarity.pqIndexOf(clusteredCorpus, books), "vec_id")
+    val got = topSets(Similarity.ivfPqTopKOf(clusteredCorpus, composed,
+      cents, books, 8, 5, Similarity.IvfProbes))
+    val recall = exact.keys.toSeq
+      .map(q => (got.getOrElse(q, Set.empty) & exact(q)).size / 5.0)
+      .sum / exact.size
+    info(f"clustered fixture: IVF-PQ recall@5=$recall%.3f " +
+      f"(rescore cut ${Similarity.IvfPqRescoreFactor * 5} candidates/query)")
+    assert(recall >= 0.8, s"IVF-PQ recall=$recall on the clustered fixture")
+  }
+
   test("x22 index written partitioned by cell is file-level partition-pruned") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
