@@ -107,6 +107,7 @@ object SparkEntry {
     "x43_chunk_tokens"     -> (TextAnalysis.chunkTokens _),
     "x44_line_dedup"       -> (TextAnalysis.lineDedup _),
     "x45_unigram_surprise" -> (TextAnalysis.unigramSurprise _),
+    "x46_ref_coverage"     -> (TextAnalysis.refCoverage _),
     "e01_window_agg"       -> (Events.windowAgg _),
     "e02_sessionize"       -> (Events.sessionize _),
     "e03_json_props"       -> (Events.jsonProps _),
@@ -270,6 +271,7 @@ object SparkEntry {
     "x43_chunk_tokens"      -> TextAnalysis.chunkTokensSql,
     "x44_line_dedup"        -> TextAnalysis.lineDedupSql,
     "x45_unigram_surprise"  -> TextAnalysis.unigramSurpriseSql,
+    "x46_ref_coverage"      -> TextAnalysis.refCoverageSql,
     "e01_window_agg"        -> Events.windowAggSql,
     "e02_sessionize"        -> Events.sessionizeSql,
     "e03_json_props"        -> Events.jsonPropsSql,

@@ -723,4 +723,71 @@ object TextAnalysis {
        |  array_to_string(w[start : least(start + ${ChunkTokens - 1}, len(w))],
        |    ' ') AS chunk_text
        |FROM starts ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---------------------------------------------- x46 reference coverage
+
+  /** x46 knobs: the trusted-reference slice (doc_id ≡ 0 mod 13 — a
+    * distinct slice from x19's benchmark mod 17) and the admission
+    * threshold in permille of a doc's distinct bigrams that must appear
+    * in the reference (850 splits the fixture: coverage runs 588-1000
+    * with median ≈ 862 at both gate SFs, so both branches are
+    * exercised). */
+  val RefSliceMod = 13L
+  val RefCoveragePermille = 850L
+
+  /** x46 — reference-coverage data selection (the DSIR idea — Xie et
+    * al. 2023, arXiv:2302.03169 — with set-coverage in place of hashed
+    * importance weights so the score is EXACT): score every candidate
+    * document by the fraction of its distinct word bigrams that occur
+    * anywhere in a trusted reference slice, and admit docs at ≥
+    * [[RefCoveragePermille]]. All integer arithmetic — the admission
+    * test is cross-multiplied, never a float division — so the DuckDB
+    * oracle hash-matches. Docs with fewer than two words have no
+    * bigrams and are unscored (excluded), same both sides.
+    *
+    * Scale shape: one distinct-bigram shuffle, one equi join keyed on
+    * bigram against the (much smaller) reference bigram set, one
+    * per-doc aggregation. At 100 TB the reference set is the broadcast
+    * side when it fits (a curated reference usually does); here it
+    * stays a shuffle join since the fixture slice is 1/13 of the
+    * corpus. */
+  def refCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = split($"text", " ")
+    val bigrams = when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))))
+    val all = Tables.spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", explode(bigrams).as("ngram"))
+    val ref = all.filter($"doc_id" % RefSliceMod === 0)
+      .select($"ngram").distinct().withColumn("in_ref", lit(1L))
+    all.filter($"doc_id" % RefSliceMod =!= 0)
+      .join(ref, Seq("ngram"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce($"in_ref", lit(0L))).as("n_in_ref"))
+      .withColumn("admitted",
+        $"n_in_ref" * 1000 >= lit(RefCoveragePermille) * $"n_bigrams")
+      .orderBy($"doc_id")
+  }
+
+  val refCoverageSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), b AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(w), 1)),
+       |    i -> w[i] || ' ' || w[i+1]))) AS ngram
+       |  FROM d WHERE len(w) >= 2
+       |), ref AS (
+       |  SELECT DISTINCT ngram FROM b WHERE doc_id % $RefSliceMod = 0
+       |)
+       |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       |  CAST(SUM(CASE WHEN r.ngram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_in_ref,
+       |  CAST(SUM(CASE WHEN r.ngram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      * 1000 >= $RefCoveragePermille * COUNT(*) AS admitted
+       |FROM b LEFT JOIN ref r USING (ngram)
+       |WHERE b.doc_id % $RefSliceMod <> 0
+       |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
 }

@@ -165,4 +165,18 @@ class CurationSpec extends AnyFunSuite {
       .filter($"w" =!= "").count()
     assert(sumWords == corpusWords)
   }
+
+  test("x46 reference coverage: slice excluded, counts sane, both branches") {
+    val rows = TextAnalysis.refCoverage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nb, hit, adm) =>
+      assert(id % TextAnalysis.RefSliceMod != 0, s"reference doc $id scored")
+      assert(hit >= 0 && hit <= nb, s"doc $id hit=$hit of $nb")
+      assert(adm == (hit * 1000 >= TextAnalysis.RefCoveragePermille * nb))
+    }
+    // the threshold must split the fixture or the oracle row is weak
+    assert(rows.exists(_._4) && rows.exists(!_._4),
+      "threshold does not split the fixture")
+  }
 }
