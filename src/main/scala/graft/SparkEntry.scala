@@ -83,6 +83,7 @@ object SparkEntry {
     "x17_dup_clusters"     -> (Dedup.dupClusters _),
     "x18_incremental_dedup" -> (Dedup.incrementalDedup _),
     "x19_decontaminate"    -> (Dedup.decontaminate _),
+    "x47_span_decontaminate" -> (Dedup.spanDecontaminate _),
     "x16_corpus_curation"  -> (Dedup.corpusCuration _),
     "x20_ann_bruteforce"   -> (Similarity.bruteForceTopK _),
     "x21_ann_lsh"          -> (Similarity.lshTopK _),
@@ -253,6 +254,7 @@ object SparkEntry {
     "x17_dup_clusters"      -> Dedup.dupClustersSql,
     "x18_incremental_dedup" -> Dedup.incrementalDedupSql,
     "x19_decontaminate"     -> Dedup.decontaminateSql,
+    "x47_span_decontaminate" -> Dedup.spanDecontaminateSql,
     "x16_corpus_curation"   -> Dedup.corpusCurationSql,
     "x20_ann_bruteforce"    -> Similarity.bruteForceTopKSql,
     "x23_semantic_dedup"    -> Similarity.semanticDedupSql,

@@ -663,4 +663,64 @@ object Dedup {
        |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(b.sh)
        |      >= $ContaminationThreshold
        |ORDER BY train_id, bench_id""".stripMargin
+
+  // ------------------------------------------ x47 span decontamination
+
+  /** Exact-overlap window for x47 — 13 tokens, the GPT-3 report's
+    * decontamination n-gram (Brown et al. 2020, appendix C). */
+  val SpanNgramWidth = 13
+
+  /** x47 — exact n-gram SPAN decontamination: report every (train doc,
+    * benchmark doc) pair sharing a verbatim 13-token span, with the
+    * span count and the first token position in the training doc — the
+    * audit artifact exact-match decontamination produces (x19 is the
+    * coarse jaccard-containment FLAG; this is the span-level evidence).
+    *
+    * Shape: per-doc distinct (ngram, min pos) — two aggregations — then
+    * an equi join keyed on the ngram string (1:1 per doc pair and
+    * ngram after the distinct), then the pair aggregation. At 100 TB
+    * the benchmark side is tiny and broadcasts (as x19's inverted index
+    * does); joining on a 64-bit ngram hash instead of the string would
+    * shrink shuffle bytes but admit hash-collision false pairs, so the
+    * exact string stays the key here. All-integer output. */
+  def spanDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val n = SpanNgramWidth
+    val w = split($"text", " ")
+    val grams = when(size(w) < n,
+        array().cast("array<struct<pos:int,ng:string>>"))
+      .otherwise(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => struct(i.cast("int").as("pos"),
+          concat_ws(" ", slice(w, i, lit(n))).as("ng"))))
+    val perDoc = Tables.spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", explode(grams).as("e"))
+      .groupBy($"doc_id", $"e.ng".as("ng"))
+      .agg(min($"e.pos").as("pos"))
+    val bench = perDoc.filter($"doc_id" % 17 === 0)
+      .select($"doc_id".as("bench_id"), $"ng")
+    val train = perDoc.filter($"doc_id" % 17 =!= 0)
+      .select($"doc_id".as("train_id"), $"ng", $"pos")
+    train.join(broadcast(bench), "ng")
+      .groupBy($"train_id", $"bench_id")
+      .agg(count(lit(1)).as("n_shared_ngrams"),
+        min($"pos").as("first_train_pos"))
+      .orderBy($"train_id", $"bench_id")
+  }
+
+  val spanDecontaminateSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), g AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos,
+       |    array_to_string(w[i:i+${SpanNgramWidth - 1}], ' ') AS ng
+       |  FROM d, unnest(range(1, len(w) - ${SpanNgramWidth - 2})) t(i)
+       |  WHERE len(w) >= $SpanNgramWidth
+       |), per_doc AS (
+       |  SELECT doc_id, ng, MIN(pos) AS pos FROM g GROUP BY doc_id, ng
+       |)
+       |SELECT tr.doc_id AS train_id, b.doc_id AS bench_id,
+       |  COUNT(*) AS n_shared_ngrams, MIN(tr.pos) AS first_train_pos
+       |FROM per_doc tr JOIN per_doc b USING (ng)
+       |WHERE tr.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
+       |GROUP BY train_id, bench_id ORDER BY train_id, bench_id""".stripMargin
 }

@@ -80,12 +80,16 @@ object Sampling {
     (docId.bitwiseAND(lit(4294967295L)) * lit(1640531527L)) %
       lit(4294967296L) % 1000
 
+  /** x52's per-source keep-probability (permille) — shared with the
+    * streaming sibling so batch and stream admit the identical set. */
+  private[graft] def sourceWeight(source: Column): Column =
+    when(source.isin("src0", "src1", "src2", "src3"), 1000)
+      .when(source.isin("src4", "src5", "src6", "src7", "src8", "src9"), 500)
+      .otherwise(250)
+
   def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val weight =
-      when($"source".isin("src0", "src1", "src2", "src3"), 1000)
-        .when($"source".isin("src4", "src5", "src6", "src7", "src8", "src9"), 500)
-        .otherwise(250)
+    val weight = sourceWeight($"source")
     val h = admitPermille($"doc_id")
     Tables.documents(spark, sfDir)
       .withColumn("w", weight)

@@ -113,6 +113,24 @@ object Streaming {
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col("doc_id"), col("content_hash"))
 
+  /** x52 streaming sibling: deterministic mixture admission over a
+    * document stream. STATELESS by construction — admission is a pure
+    * function of (doc_id, source) via the shared
+    * [[graft.ops.Sampling.admitPermille]] hash and
+    * [[graft.ops.Sampling.sourceWeight]] — so there is no state store,
+    * no watermark, and replays/restarts admit the identical set the
+    * batch x52 does (StreamingSpec proves set equality over the finite
+    * replay). This is the property that makes hash admission (never
+    * `rand()`) the right mixing primitive for a continuous-ingest
+    * pipeline. */
+  def mixtureAdmit(docs: DataFrame): DataFrame = {
+    val w = graft.ops.Sampling.sourceWeight(col("source"))
+    docs
+      .filter(graft.ops.Sampling.admitPermille(col("doc_id")) < w)
+      .select(col("doc_id"), col("source"),
+        w.cast("long").as("weight_permille"))
+  }
+
   /** e07 streaming sibling: watermarked stream-stream interval join —
     * clicks joined to the same user's purchases within 10 minutes after
     * the click. Both sides carry a watermark and the join condition bounds

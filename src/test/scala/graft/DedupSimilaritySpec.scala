@@ -100,6 +100,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("x47 span pairs carry a real verbatim 13-token span at the position") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pairs = graft.ops.Dedup.spanDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(pairs.nonEmpty, "fixture must plant cross-slice verbatim spans")
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", split($"text", " ").as("w")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val n = graft.ops.Dedup.SpanNgramWidth
+    pairs.foreach { case (tid, bid, shared, pos) =>
+      assert(tid % 17 != 0 && bid % 17 == 0, s"($tid,$bid) wrong slices")
+      assert(shared >= 1)
+      // the reported first position really starts a span that appears
+      // verbatim in the benchmark doc — an independent string check
+      val span = texts(tid).slice(pos - 1, pos - 1 + n).mkString(" ")
+      assert(span.split(" ").length == n, s"span at $pos too short in $tid")
+      assert(texts(bid).sliding(n).map(_.mkString(" ")).contains(span),
+        s"span of ($tid,$bid) at pos=$pos not found verbatim in $bid")
+    }
+  }
+
   test("exact dedup groups cover all docs") {
     val agg = Dedup.exactDedup(spark, sf)
       .agg(org.apache.spark.sql.functions.sum("n_copies")).collect()(0).getLong(0)

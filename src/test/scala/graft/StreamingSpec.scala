@@ -92,4 +92,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == batch, "kept hash set must equal the batch dedup's")
     assert(got.length == batch.size, "exactly one survivor per hash")
   }
+
+  test("streaming mixture admission == batch x52 (stateless hash admit)") {
+    val streamed = Streaming.runToMemory(spark,
+      Streaming.mixtureAdmit(Streaming.documentsStream(spark, sf)),
+      "mix_admit", outputMode = "append")
+    val batch = graft.ops.Sampling.mixtureSample(spark, sf)
+      .select("doc_id", "weight_permille").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = streamed.select("doc_id", "weight_permille").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch, "stream must admit exactly the batch x52 set")
+    assert(got.nonEmpty)
+  }
 }
