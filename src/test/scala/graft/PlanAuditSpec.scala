@@ -86,6 +86,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("x25/x26: ADC scan and rescore never cartesian/nested-loop the corpus") {
+    // the 8-row query frame may broadcast (fine, like x21's sketches);
+    // the code table / full corpus must never enter a cartesian product
+    val pq = formatted(graft.ops.Similarity.pqTopK(spark, sf))
+    assert(!pq.contains("CartesianProduct"), pq.take(1500))
+    val ivfpq = formatted(graft.ops.Similarity.ivfPqTopK(spark, sf))
+    assert(!ivfpq.contains("CartesianProduct"), ivfpq.take(1500))
+    // x26's cell probe joins on the cell key like x22
+    assert("BroadcastHashJoin".r.findAllIn(ivfpq).length >= 2, ivfpq.take(2000))
+  }
+
+  test("x46/x47: ngram joins are hash equi joins, no nested loop") {
+    val cov = formatted(graft.ops.TextAnalysis.refCoverage(spark, sf))
+    assert(!cov.contains("CartesianProduct"), cov.take(1500))
+    assert(!cov.contains("BroadcastNestedLoopJoin"), cov.take(1500))
+    val span = formatted(graft.ops.Dedup.spanDecontaminate(spark, sf))
+    // the benchmark ngram side carries an explicit broadcast hint
+    assert("BroadcastHashJoin".r.findAllIn(span).length >= 2, span.take(2000))
+    assert(!span.contains("CartesianProduct"), span.take(1500))
+    assert(!span.contains("BroadcastNestedLoopJoin"), span.take(1500))
+  }
+
+  test("x54: heavy lifting is one corpus aggregation; dims stay broadcast") {
+    val plan = formatted(graft.ops.Sampling.unimaxAlloc(spark, sf))
+    // the two single-row reductions cross-join back via broadcast —
+    // never a shuffled cartesian over anything non-scalar
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
   test("n09: 100k-variant lookups stay broadcast joins, dim not inlined") {
     val q = graft.ops.LocationResolve.dictScale(spark, sf)
     val plan = formatted(q)
