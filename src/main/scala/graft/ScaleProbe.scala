@@ -22,11 +22,12 @@ object ScaleProbe {
     "x13_dedup_jaccard", "x15_neardup_survivors", "x16_corpus_curation",
     "x17_dup_clusters", "x18_incremental_dedup", "x19_decontaminate",
     "x20_ann_bruteforce", "x21_ann_lsh", "x22_ann_ivf", "x25_ann_pq",
-    "x26_ann_ivfpq", "x23_semantic_dedup",
+    "x26_ann_ivfpq", "x23_semantic_dedup", "x24_semantic_dedup_celled",
     "x30_text_quality", "x31_lang_id", "x32_fingerprint",
     "x33_fnv_fingerprint", "x34_pii_scrub", "x35_top_ngrams",
     "x36_boilerplate_lines", "x37_tfidf_top_term", "x38_quality_prune",
     "x39_quality_prune_approx", "x40_multimodal_meta", "x41_frame_sample",
+    "x48_wav_decode",
     "x42_repetition_filter", "x43_chunk_tokens", "x44_line_dedup",
     "x45_unigram_surprise", "x46_ref_coverage",
     "x50_split_counts", "x51_source_cap", "x52_mixture_sample",

@@ -25,12 +25,12 @@ import graft.ops.{Analytics, Dedup, Events, LocationResolve, Multimodal,
   *  - x: LLM-pipeline extensions (x1x dedup family, x2x similarity,
   *    x3x text analytics, x4x multimodal)
   *
-  * Every query has a DuckDB oracle except the eight whose output is
+  * Every query has a DuckDB oracle except the nine whose output is
   * engine-specific by design (x01 HLL, x12 simhash, x21 LSH-ANN, x22
-  * IVF-ANN, x25 PQ-ANN, x26 IVF-PQ-ANN, x33 FNV, x39 approx-percentile
-  * prune) — those get the driver's rows-only check plus equality /
-  * recall / tolerance gates in the test suites. RegistrySpec pins this
-  * list.
+  * IVF-ANN, x24 celled SemDeDup, x25 PQ-ANN, x26 IVF-PQ-ANN, x33 FNV,
+  * x39 approx-percentile prune) — those get the driver's rows-only
+  * check plus equality / recall / tolerance gates in the test suites.
+  * RegistrySpec pins this list.
   */
 object SparkEntry {
 
@@ -89,6 +89,7 @@ object SparkEntry {
     "x21_ann_lsh"          -> (Similarity.lshTopK _),
     "x22_ann_ivf"          -> (Similarity.ivfTopK _),
     "x23_semantic_dedup"   -> (Similarity.semanticDedup _),
+    "x24_semantic_dedup_celled" -> (Similarity.semanticDedupCelled _),
     "x25_ann_pq"           -> (Similarity.pqTopK _),
     "x26_ann_ivfpq"        -> (Similarity.ivfPqTopK _),
     "x30_text_quality"     -> (TextAnalysis.textQuality _),
@@ -104,6 +105,7 @@ object SparkEntry {
     "a03_pairs_generator"  -> (Analytics.pairsViaGenerator _),
     "x40_multimodal_meta"  -> (Multimodal.mediaMeta _),
     "x41_frame_sample"     -> (Multimodal.frameSample _),
+    "x48_wav_decode"       -> (Multimodal.wavDecode _),
     "x42_repetition_filter" -> (TextAnalysis.repetitionFilter _),
     "x43_chunk_tokens"     -> (TextAnalysis.chunkTokens _),
     "x44_line_dedup"       -> (TextAnalysis.lineDedup _),
@@ -269,6 +271,7 @@ object SparkEntry {
     "x37_tfidf_top_term"    -> TextAnalysis.tfidfTopTermSql,
     "x40_multimodal_meta"   -> Multimodal.mediaMetaSql,
     "x41_frame_sample"      -> Multimodal.frameSampleSql,
+    "x48_wav_decode"        -> Multimodal.wavDecodeSql,
     "x42_repetition_filter" -> TextAnalysis.repetitionFilterSql,
     "x43_chunk_tokens"      -> TextAnalysis.chunkTokensSql,
     "x44_line_dedup"        -> TextAnalysis.lineDedupSql,

@@ -113,9 +113,16 @@ object Similarity {
     * volume is n·B rows; per-task memory is bounded regardless of n.
     * For the tight-threshold regime (real near-dups, cos ≥ 0.8) the sound
     * sub-quadratic path is x21's sign-LSH / x11's banding. */
-  def cosineNearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def cosineNearDupPairs(spark: SparkSession, sfDir: String): DataFrame =
+    cosineNearDupPairsOf(corpus(spark, sfDir), NearDupTau)
+
+  /** The tiled exact pair generator over an arbitrary (vec_id, v, nrm)
+    * corpus at an arbitrary threshold — shared by x14 (fixture τ) and the
+    * x24 spec's exact-baseline on its planted high-τ fixture. */
+  private[graft] def cosineNearDupPairsOf(all: DataFrame, tau: Double): DataFrame = {
+    val spark = all.sparkSession
     import spark.implicits._
-    val tiled = corpus(spark, sfDir)
+    val tiled = all
       .withColumn("t", pmod($"vec_id", lit(Tiles)).cast("int"))
     // left side owns blocks (t, j ≥ t); right side owns blocks (i ≤ t, t)
     val lhs = tiled.select($"vec_id".as("id_l"), $"v".as("vl"), $"nrm".as("nl"),
@@ -126,7 +133,7 @@ object Similarity {
       .withColumn("block", $"i" * Tiles + $"j")
     lhs.join(rhs, lhs("block") === rhs("block") && $"id_l" =!= $"id_r")
       .withColumn("cos", dot($"vl", $"vr") / ($"nl" * $"nr"))
-      .filter($"cos" >= NearDupTau)
+      .filter($"cos" >= tau)
       // same-tile blocks see each pair in both orders; canonicalize + dedup
       .select(least($"id_l", $"id_r").as("id_a"),
         greatest($"id_l", $"id_r").as("id_b"))
@@ -576,10 +583,9 @@ object Similarity {
     * paraphrases; this can. The pair generator is x14's tiled exact
     * self-join (bounded per-task memory, no broadcast nested loop) at
     * the shared [[NearDupTau]]; at 100 TB in the production τ ≥ 0.8
-    * regime the sound sub-quadratic candidate generators are x21's
-    * sign-LSH buckets or x22's IVF cells (SemDeDup's own recipe:
-    * within-k-means-cluster pairs only) — the keep-no-lower-id policy
-    * and this exact oracle are unchanged under either. */
+    * regime use x24 ([[semanticDedupCelled]]) — SemDeDup's own
+    * within-k-means-cluster candidate generator over x22's IVF cells —
+    * whose keep-no-lower-id policy is identical. */
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val drops = cosineNearDupPairs(spark, sfDir)
@@ -599,4 +605,94 @@ object Similarity {
        |  SELECT b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
        |  WHERE list_cosine_similarity(a.v, b.v) >= $NearDupTau)
        |ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------ x24 celled SemDeDup
+
+  /** Production SemDeDup threshold for the celled variant. The Abbas et
+    * al. recipe operates at high similarity (their ε corresponds to
+    * cos ≳ 0.9); at this regime a near-dup pair is nearly colinear, so
+    * both endpoints land in the same coarse-quantizer cell — which is
+    * exactly why the paper generates candidates within k-means clusters
+    * only. */
+  private[graft] val SemDedupTauHigh = 0.8
+
+  /** Cells each vector is replicated to for candidate generation.
+    * Single assignment (the naive SemDeDup recipe) misses a near-dup
+    * pair whenever it straddles a Voronoi boundary — measured 7 of 80
+    * planted cos ≈ 0.99 pairs lost on the spec fixture. With top-2
+    * assignment a pair is missed only when the two vectors share NONE
+    * of their top-2 cells (a 3-cell corner case): the spec's planted
+    * set comes back complete. Candidate volume is p²·n²/k — the p² is
+    * the price of the recall. */
+  private[graft] val SemDedupAssignProbes = 2
+
+  /** Multi-probe cell assignment: (vec_id, v, nrm, cell) with each
+    * vector replicated to its top-p cells by centroid dot product. */
+  private[graft] def multiCellAssign(all: DataFrame,
+      cents: Array[Array[Double]], probes: Int): DataFrame = {
+    val spark = all.sparkSession
+    import spark.implicits._
+    all.select($"vec_id", $"v", $"nrm",
+      explode(probeCellsOf($"v", cents, probes)).as("cell"))
+  }
+
+  /** Within-cell near-dup candidate pairs over a cell-assigned
+    * (vec_id, v, nrm, cell) corpus: an equi self-join on the cell key
+    * with exact cosine rescoring — never an all-pairs product. A pair
+    * sharing several cells (multi-probe assignment) emits once.
+    *
+    * Scale shape: per-cell work is (p·n/k)² and total p²·n²/k, so with
+    * k ∝ n / targetCellRows (IVF practice) the candidate volume grows
+    * LINEARLY in n at a fixed cell size. The join key is `cell`, so an
+    * index persisted partitioned/bucketed by cell self-joins
+    * co-partitioned (no shuffle), and an oversized skewed cell is split
+    * by AQE skew-join handling. */
+  private[graft] def cellNearDupPairsOf(cells: DataFrame, tau: Double): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val lhs = cells.select($"cell", $"vec_id".as("id_a"), $"v".as("va"), $"nrm".as("na"))
+    val rhs = cells.select($"cell", $"vec_id".as("id_b"), $"v".as("vb"), $"nrm".as("nb"))
+    lhs.join(rhs, Seq("cell"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("cos", dot($"va", $"vb") / ($"na" * $"nb"))
+      .filter($"cos" >= tau)
+      .select($"id_a", $"id_b")
+      .distinct()
+  }
+
+  /** Keep-no-lower-id survivor ids of a cell-assigned corpus (possibly
+    * multi-probe-assigned, i.e. several rows per vec_id) — the
+    * composable form the x24 spec runs on its planted fixture. */
+  private[graft] def semanticDedupCelledOf(cells: DataFrame, tau: Double): DataFrame = {
+    val drops = cellNearDupPairsOf(cells, tau)
+      .select(col("id_b").as("vec_id")).distinct()
+    cells.select(col("vec_id")).distinct()
+      .join(drops, Seq("vec_id"), "left_anti")
+  }
+
+  /** x24 — SemDeDup with the paper's own sub-quadratic candidate
+    * generator (Abbas et al. 2023 §3: pairs within k-means clusters
+    * only), at the production τ where the recipe is sound: x22's IVF
+    * centroids provide the clusters, each vector is assigned to its
+    * top-2 cells ([[SemDedupAssignProbes]] — closing the
+    * Voronoi-boundary recall gap single assignment measurably has),
+    * candidates are within-cell pairs (equi join on the cell key —
+    * p²·n²/k total work, linear in n at fixed cell size), exact cosine
+    * rescore, then x23's keep-no-lower-id policy. Approximate by design
+    * (a τ-pair sharing none of its top-2 cells can be missed) →
+    * rows-only driver check; DedupSimilaritySpec gates celled ≡ exact
+    * pair AND survivor sets on a planted high-τ clustered fixture plus
+    * a candidate-pairs fraction < 20%. x23 is the exact sibling at the
+    * fixture's low-τ regime where no blocking family is sound. */
+  def semanticDedupCelled(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val assigned = multiCellAssign(corpus(spark, sfDir),
+      centroids(spark, sfDir), SemDedupAssignProbes)
+    val drops = cellNearDupPairsOf(assigned, SemDedupTauHigh)
+      .select($"id_b".as("vec_id")).distinct()
+    Tables.spread(Tables.embeddings(spark, sfDir))
+      .join(drops, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"label")
+      .orderBy($"vec_id")
+  }
 }

@@ -583,11 +583,30 @@ object TextAnalysis {
     * vocabulary-bounded (Heaps' law), i.e. broadcastable at any corpus
     * size; the single-row total is the established crossJoin shape. */
   def unigramSurprise(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = unigramWords(Tables.spread(Tables.documents(spark, sfDir)))
+    surpriseScores(words, unigramCounts(words))
+  }
+
+  /** (doc_id, lang, word) exploded non-empty words — the ONE tokenizer
+    * both the batch model trainer and the streaming incremental trainer
+    * use (a drifted split would silently diverge the two models). */
+  private[graft] def unigramWords(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val words = Tables.spread(Tables.documents(spark, sfDir))
-      .select($"doc_id", $"lang", explode(split($"text", " ")).as("word"))
+    docs.select($"doc_id", $"lang", explode(split($"text", " ")).as("word"))
       .filter($"word" =!= "")
-    val cnt = words.groupBy($"word").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The unigram model: (word, cnt) trained on a words frame. */
+  private[graft] def unigramCounts(words: DataFrame): DataFrame =
+    words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Score a words frame against an arbitrary (word, cnt) model — shared
+    * by batch x45 (model = the corpus itself) and the streaming
+    * incrementally-maintained model (Streaming.unigramModel). */
+  private[graft] def surpriseScores(words: DataFrame, cnt: DataFrame): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
     val tot = cnt.agg(sum($"cnt").as("total"))
     words.join(cnt, "word")
       .crossJoin(tot)

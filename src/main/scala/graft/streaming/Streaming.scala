@@ -131,6 +131,69 @@ object Streaming {
         w.cast("long").as("weight_permille"))
   }
 
+  /** x45 streaming sibling — the corpus-self-trained unigram LM
+    * maintained INCREMENTALLY: foreachBatch merges each micro-batch's
+    * word counts into a versioned parquet count dim (the x18
+    * persisted-index pattern applied to the LM model — the reference's
+    * 6-hour-cycle analog for the curation side). Count merge is
+    * associative and commutative, so after any ingested prefix —
+    * regardless of micro-batch boundaries or arrival order — the dim
+    * equals the batch-trained model on that prefix, and end-of-stream
+    * scoring with it reproduces batch x45 bit-exactly (StreamingSpec,
+    * 2-batch replayed split).
+    *
+    * Exactly-once without a transactional store: batch b merges the
+    * newest COMMITTED version with id < b (never the dir it is itself
+    * writing), writes `v<b>` idempotently (mode overwrite), and readers
+    * pick the newest version with a `_SUCCESS` marker — a retried batch
+    * recomputes byte-identical output from inputs a retry cannot have
+    * touched. The tokenizer and count shapes are shared with batch x45
+    * ([[graft.ops.TextAnalysis.unigramWords]]/`unigramCounts`) so the
+    * two trainers cannot drift. */
+  def unigramModelUpdate(dimDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val counts = graft.ops.TextAnalysis.unigramCounts(
+      graft.ops.TextAnalysis.unigramWords(batch))
+    val prior = modelVersions(dimDir).filter(_ < batchId)
+    val merged =
+      if (prior.isEmpty) counts
+      else spark.read.parquet(s"$dimDir/v${prior.max}")
+        .union(counts).groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+    merged.write.mode("overwrite").parquet(s"$dimDir/v$batchId")
+  }
+
+  /** Committed model versions (dirs `v<batchId>` carrying `_SUCCESS`). */
+  private def modelVersions(dimDir: String): Seq[Long] = {
+    val d = new java.io.File(dimDir)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .map(_.getName.drop(1).toLong)
+  }
+
+  /** The newest committed incremental model, or None before batch 0. */
+  def unigramModel(spark: SparkSession, dimDir: String): Option[DataFrame] =
+    modelVersions(dimDir) match {
+      case Seq() => None
+      case vs    => Some(spark.read.parquet(s"$dimDir/v${vs.max}"))
+    }
+
+  /** Run the incremental trainer over a documents stream to completion
+    * (AvailableNow over the staged landing dir). */
+  def trainUnigramModel(docs: DataFrame, dimDir: String,
+      ckptDir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dimDir))
+    val q = docs.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        unigramModelUpdate(dimDir)(df, batchId)
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** e07 streaming sibling: watermarked stream-stream interval join —
     * clicks joined to the same user's purchases within 10 minutes after
     * the click. Both sides carry a watermark and the join condition bounds

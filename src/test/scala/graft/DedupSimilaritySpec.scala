@@ -200,6 +200,75 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.size + dropped.size == all.size)
   }
 
+  /** Planted fixture for x24's production regime: well-separated
+    * clusters whose members sit at cos ≈ 0.2 from each other (far below
+    * τ = 0.8), plus planted near-copies at cos ≈ 0.99 — so the ONLY
+    * high-τ pairs are the planted (source, copy) ones. Deterministic
+    * seed. Returns the corpus and the planted pair set. */
+  private lazy val (semCorpus, plantedHighTau) = {
+    import spark.implicits._
+    val k = 8; val per = 100; val dim = 32; val nDups = 80
+    val rnd = new scala.util.Random(23)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val cents = Array.fill(k)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    val base = (0 until k * per).map { i =>
+      val g = Array.fill(dim)(rnd.nextGaussian())
+      (i.toLong, unit(cents(i % k).zip(g).map { case (a, x) => a + 0.35 * x }))
+    }
+    val dups = (0 until nDups).map { j =>
+      val (srcId, srcV) = base(j * (k * per / nDups))
+      val g = Array.fill(dim)(rnd.nextGaussian())
+      ((k * per + j).toLong, unit(srcV.zip(g).map { case (a, x) => a + 0.02 * x }),
+        srcId)
+    }
+    val df = (base ++ dups.map(d => (d._1, d._2))).toDF("vec_id", "v")
+      .withColumn("nrm", org.apache.spark.sql.functions.lit(1.0))
+      .persist()
+    (df, dups.map(d => (d._3, d._1)).toSet)
+  }
+
+  test("x24 celled SemDeDup ≡ exact at τ=0.8; candidate pairs < 20% of all pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.CustomExprs.register(spark)
+    val tau = Similarity.SemDedupTauHigh
+    val exactPairs = Similarity.cosineNearDupPairsOf(semCorpus, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the fixture plants pairs the threshold must catch — all of them
+    assert(plantedHighTau.subsetOf(exactPairs),
+      s"planted pairs missing from exact: ${plantedHighTau -- exactPairs}")
+    // k = 32 on 880 vectors: cells of ~28, candidate volume p²/k ≈ 1/8
+    // of all pairs (at deployment k ∝ n keeps cell size constant)
+    val cells = Similarity.multiCellAssign(semCorpus,
+        Similarity.ivfCentroidsOf(semCorpus, k = 32),
+        Similarity.SemDedupAssignProbes)
+      .persist()
+    try {
+      // top-2-cell candidates find the SAME pair set (at τ = 0.8 a
+      // qualifying pair is near-colinear; single assignment measurably
+      // loses boundary pairs — 7/80 here — multi-probe must not)
+      val celledPairs = Similarity.cellNearDupPairsOf(cells, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(celledPairs == exactPairs,
+        s"celled missed: ${exactPairs -- celledPairs}; extra: ${celledPairs -- exactPairs}")
+      // survivor set ≡ the exact policy's (keep-no-lower-id)
+      val all = semCorpus.select("vec_id").collect().map(_.getLong(0)).toSet
+      val got = Similarity.semanticDedupCelledOf(cells, tau)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got == all -- exactPairs.map(_._2))
+      // sub-quadratic gate (the x22 <20% pattern): pairs sharing a cell
+      // vs all n·(n−1)/2 — the work the celled generator actually does
+      val n = all.size.toLong
+      val cand = cells.groupBy($"cell").count()
+        .collect().map(r => { val c = r.getLong(1); c * (c - 1) / 2 }).sum
+      val frac = cand.toDouble / (n * (n - 1) / 2)
+      assert(frac < 0.20, s"candidate-pairs fraction $frac — cells not pruning")
+      info(f"x24: ${exactPairs.size} pairs, candidate fraction $frac%.3f")
+    } finally cells.unpersist()
+  }
+
   test("x14 tiled cosine join: no nested-loop/cartesian over the corpus") {
     val plan = Similarity.cosineNearDupPairs(spark, sf)
       .queryExecution.executedPlan.toString

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Multimodal
+
+/** x48 WAV codec: the decode path must be a REAL container parser, not
+  * the inverse of our own encoder — pinned against a hand-laid-out
+  * reference header and chunk layouts the encoder never produces. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  val sf = SparkSuite.sf
+  private def codec = new Multimodal.WavCodec
+
+  test("encode→decode round-trips format fields and payload size") {
+    val rnd = new scala.util.Random(5)
+    for (_ <- 0 until 50) {
+      val payload = Array.fill(rnd.nextInt(5000))(rnd.nextInt.toByte)
+      val rate = Seq(8000, 16000, 22050, 44100, 48000)(rnd.nextInt(5))
+      val ch = 1 + rnd.nextInt(2)
+      val m = codec.decode(codec.encode(payload, rate, ch, 16))
+      assert(m == Multimodal.WavMeta(rate, ch, 16, payload.length,
+        payload.length * 1000L / (rate.toLong * ch * 2)))
+    }
+  }
+
+  test("parses a foreign reference header it did not produce") {
+    // The canonical 44-byte PCM WAV header laid out by hand from the
+    // RIFF spec (44100 Hz stereo 16-bit, 8-byte payload), byte by byte —
+    // NOT built with the encoder, so a codec that merely inverts its own
+    // writer fails here.
+    def le32(v: Long): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    def le16(v: Int): Array[Byte] = Array(v, v >> 8).map(_.toByte)
+    val bytes =
+      "RIFF".getBytes ++ le32(36 + 8) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++
+        le32(44100) ++ le32(176400) ++ le16(4) ++ le16(16) ++
+        "data".getBytes ++ le32(8) ++ Array.fill[Byte](8)(0x7f)
+    val m = codec.decode(bytes)
+    assert(m == Multimodal.WavMeta(44100, 2, 16, 8, 8 * 1000L / 176400))
+  }
+
+  test("chunk walk skips extra chunks between fmt and data") {
+    // Real WAV files carry LIST/INFO, fact, cue chunks; the parser must
+    // walk by declared size (with the odd-size pad rule), not assume the
+    // canonical 44-byte layout.
+    def le32(v: Long): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    def le16(v: Int): Array[Byte] = Array(v, v >> 8).map(_.toByte)
+    val oddChunk = "LIST".getBytes ++ le32(5) ++
+      Array.fill[Byte](6)(0x42) // 5 declared + 1 pad byte
+    val bytes =
+      "RIFF".getBytes ++ le32(36 + 12 + 4) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+        oddChunk ++
+        "data".getBytes ++ le32(4) ++ Array.fill[Byte](4)(1)
+    val m = codec.decode(bytes)
+    assert(m == Multimodal.WavMeta(8000, 1, 16, 4, 4 * 1000L / 16000))
+  }
+
+  test("rejects non-WAV bytes") {
+    intercept[IllegalArgumentException](codec.decode("not a wav".getBytes))
+    intercept[IllegalArgumentException](
+      codec.decode("RIFX1234WAVE".getBytes)) // wrong magic
+    // RIFF but a different form type (e.g. AVI) must not parse as audio
+    intercept[IllegalArgumentException](
+      codec.decode("RIFF".getBytes ++ Array.fill[Byte](4)(0) ++ "AVI ".getBytes))
+  }
+
+  test("x48 blobs are genuine WAV containers; decode matches the generator") {
+    import spark.implicits._
+    val rows = Multimodal.wavFrame(spark, sf).as[(Long, Array[Byte])]
+      .take(20)
+    assert(rows.nonEmpty)
+    rows.foreach { case (docId, wav) =>
+      assert(new String(wav.slice(0, 4)) == "RIFF")
+      assert(new String(wav.slice(8, 12)) == "WAVE")
+      val m = codec.decode(wav)
+      assert(m.sampleRate == 8000 * (1 + (docId % 3).toInt))
+      assert(m.channels == 1 + (docId % 2).toInt)
+      assert(m.bitsPerSample == 16)
+      // declared payload really is there (even-padded container)
+      assert(wav.length.toLong == 44 + m.dataBytes + (m.dataBytes & 1))
+    }
+  }
+}

@@ -86,6 +86,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("x24: celled candidates are a hash equi self-join on cell, no nested loop") {
+    val plan = formatted(graft.ops.Similarity.semanticDedupCelled(spark, sf))
+    // the within-cell pair generator is an equi join on the cell key —
+    // a cartesian/nested-loop over the corpus here is exactly the O(n²)
+    // shape the celled variant exists to avoid
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("x25/x26: ADC scan and rescore never cartesian/nested-loop the corpus") {
     // the 8-row query frame may broadcast (fine, like x21's sketches);
     // the code table / full corpus must never enter a cartesian product

@@ -105,4 +105,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, "stream must admit exactly the batch x52 set")
     assert(got.nonEmpty)
   }
+
+  test("incremental unigram LM: 2-batch streamed model == batch model, scores == x45") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // stage the corpus as TWO parquet files so AvailableNow +
+    // maxFilesPerTrigger=1 replays it as two micro-batches
+    val landing = java.nio.file.Files.createTempDirectory("graft_ulm_landing")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_ulm_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, landing.resolve(s"$name.parquet"))
+    }
+    stage(docs.filter($"doc_id" % 2 === 0), "even")
+    stage(docs.filter($"doc_id" % 2 =!= 0), "odd")
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_ulm_dim").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ulm_ckpt").toString
+    Streaming.trainUnigramModel(
+      spark.readStream.schema(Streaming.documentsRawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(landing.toString),
+      dimDir, ckpt)
+    // it really ran incrementally: two committed model versions
+    val versions = new java.io.File(dimDir).listFiles()
+      .filter(_.getName.matches("v\\d+"))
+    assert(versions.length == 2, s"expected 2 micro-batches, got ${versions.toSeq}")
+    // final model ≡ the batch-trained model, word for word
+    val words = graft.ops.TextAnalysis.unigramWords(Tables.spread(docs))
+    val batchModel = graft.ops.TextAnalysis.unigramCounts(words)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamedModel = Streaming.unigramModel(spark, dimDir).get
+    val streamed = streamedModel
+      .collect().map(r => r.getAs[String]("word") -> r.getAs[Long]("cnt")).toMap
+    assert(streamed == batchModel, "incremental model drifted from batch model")
+    // scoring against the streamed model reproduces batch x45 bit-exactly
+    val scored = graft.ops.TextAnalysis.surpriseScores(words, streamedModel)
+      .collect().map(_.toSeq)
+    val batch = graft.ops.TextAnalysis.unigramSurprise(spark, sf)
+      .collect().map(_.toSeq)
+    assert(scored.toSeq == batch.toSeq)
+  }
 }
