@@ -21,6 +21,7 @@ object ScaleProbe {
     "x10_dedup_exact", "x11_dedup_minhash_lsh", "x12_dedup_simhash",
     "x13_dedup_jaccard", "x15_neardup_survivors", "x16_corpus_curation",
     "x17_dup_clusters", "x18_incremental_dedup", "x19_decontaminate",
+    "x27_bloom_decontaminate", "x28_soft_dedup",
     "x20_ann_bruteforce", "x21_ann_lsh", "x22_ann_ivf", "x25_ann_pq",
     "x26_ann_ivfpq", "x23_semantic_dedup", "x24_semantic_dedup_celled",
     "x30_text_quality", "x31_lang_id", "x32_fingerprint",
@@ -30,6 +31,7 @@ object ScaleProbe {
     "x48_wav_decode",
     "x42_repetition_filter", "x43_chunk_tokens", "x44_line_dedup",
     "x45_unigram_surprise", "x46_ref_coverage",
+    "x49_sequence_pack",
     "x50_split_counts", "x51_source_cap", "x52_mixture_sample",
     "x53_token_budget", "x54_unimax_alloc", "x14_cosine_neardup")
 

@@ -22,15 +22,16 @@ import graft.ops.{Analytics, Dedup, Events, LocationResolve, Multimodal,
   *  - q: composed reference queries (q1 pairs, q2 stats, q3 details,
   *    q4 master transform); a: array ops (a03 pair generator)
   *  - e: event streams (e01 windows, e02 sessions, e03 json, e04 dedup)
-  *  - x: LLM-pipeline extensions (x1x dedup family, x2x similarity,
-  *    x3x text analytics, x4x multimodal)
+  *  - x: LLM-pipeline extensions (x1x dedup family, x2x similarity /
+  *    sketch dedup, x3x text analytics, x4x multimodal + curation,
+  *    x5x splitting/sampling)
   *
-  * Every query has a DuckDB oracle except the nine whose output is
+  * Every query has a DuckDB oracle except the ten whose output is
   * engine-specific by design (x01 HLL, x12 simhash, x21 LSH-ANN, x22
-  * IVF-ANN, x24 celled SemDeDup, x25 PQ-ANN, x26 IVF-PQ-ANN, x33 FNV,
-  * x39 approx-percentile prune) — those get the driver's rows-only
-  * check plus equality / recall / tolerance gates in the test suites.
-  * RegistrySpec pins this list.
+  * IVF-ANN, x24 celled SemDeDup, x25 PQ-ANN, x26 IVF-PQ-ANN, x27 bloom
+  * decontamination, x33 FNV, x39 approx-percentile prune) — those get
+  * the driver's rows-only check plus equality / recall / tolerance
+  * gates in the test suites. RegistrySpec pins this list.
   */
 object SparkEntry {
 
@@ -81,8 +82,10 @@ object SparkEntry {
     "x14_cosine_neardup"   -> (Similarity.cosineNearDupPairs _),
     "x15_neardup_survivors" -> (Dedup.nearDupSurvivors _),
     "x17_dup_clusters"     -> (Dedup.dupClusters _),
+    "x28_soft_dedup"       -> (Dedup.softDedup _),
     "x18_incremental_dedup" -> (Dedup.incrementalDedup _),
     "x19_decontaminate"    -> (Dedup.decontaminate _),
+    "x27_bloom_decontaminate" -> (Dedup.bloomDecontaminate _),
     "x47_span_decontaminate" -> (Dedup.spanDecontaminate _),
     "x16_corpus_curation"  -> (Dedup.corpusCuration _),
     "x20_ann_bruteforce"   -> (Similarity.bruteForceTopK _),
@@ -126,6 +129,7 @@ object SparkEntry {
     "x52_mixture_sample"   -> (graft.ops.Sampling.mixtureSample _),
     "x53_token_budget"     -> (graft.ops.Sampling.tokenBudget _),
     "x54_unimax_alloc"     -> (graft.ops.Sampling.unimaxAlloc _),
+    "x49_sequence_pack"    -> (graft.ops.Sampling.sequencePack _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -254,6 +258,7 @@ object SparkEntry {
     "x14_cosine_neardup"    -> Similarity.cosineNearDupPairsSql,
     "x15_neardup_survivors" -> Dedup.nearDupSurvivorsSql,
     "x17_dup_clusters"      -> Dedup.dupClustersSql,
+    "x28_soft_dedup"        -> Dedup.softDedupSql,
     "x18_incremental_dedup" -> Dedup.incrementalDedupSql,
     "x19_decontaminate"     -> Dedup.decontaminateSql,
     "x47_span_decontaminate" -> Dedup.spanDecontaminateSql,
@@ -292,5 +297,6 @@ object SparkEntry {
     "x52_mixture_sample"    -> graft.ops.Sampling.mixtureSampleSql,
     "x53_token_budget"      -> graft.ops.Sampling.tokenBudgetSql,
     "x54_unimax_alloc"      -> graft.ops.Sampling.unimaxAllocSql,
+    "x49_sequence_pack"     -> graft.ops.Sampling.sequencePackSql,
   )
 }

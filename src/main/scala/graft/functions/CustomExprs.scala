@@ -132,6 +132,17 @@ object CustomExprs {
       es => VectorDot(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "scala_udf")
+    // Spark's OWN bloom-filter expressions (the machinery behind runtime
+    // bloom join pruning), surfaced as callable functions: the analyzer
+    // wraps the returned AggregateFunction exactly as it does for sum().
+    // bloom_agg(xxhash64(x), estItems, numBits) -> binary sketch;
+    // might_contain(<binary literal>, xxhash64(x)) -> boolean probe.
+    reg.createOrReplaceTempFunction("bloom_agg",
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es.head, es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("might_contain",
+      es => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es.head, es(1)), "scala_udf")
   }
 }
 

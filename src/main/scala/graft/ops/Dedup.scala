@@ -460,6 +460,54 @@ object Dedup {
        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM comp ORDER BY doc_id""".stripMargin
 
+  /** x28 — SOFT dedup (repetition-aware downweighting): keep every
+    * document but weight it by the inverse of its duplicate-cluster
+    * size — weight_ppm = 10⁶ div cluster_size, exact integer — the
+    * downweight-don't-delete alternative modern data recipes use when
+    * duplication frequency is itself signal (a doc mirrored 50× is
+    * probably boilerplate; one copy should still train, at 1/50 the
+    * epochs). Singletons weigh 1.0.
+    *
+    * Shape: composes x17's large/small-star cluster labels; the label
+    * table only covers docs that appear in the verified pair graph —
+    * a tiny fraction of the corpus — so the weight join is a BROADCAST
+    * hash join against the corpus scan at any scale. */
+  def softDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val clusters = dupClusters(spark, sfDir)
+      .select($"doc_id", $"cluster_size")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang")
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("cluster_size", coalesce($"cluster_size", lit(1L)))
+      .withColumn("weight_ppm", expr("1000000 div cluster_size"))
+      .select($"doc_id", $"lang", $"cluster_size", $"weight_ppm")
+      .orderBy($"doc_id")
+  }
+
+  val softDedupSql: String =
+    s"""WITH RECURSIVE p AS ($jaccardPairsSql),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM p
+       |  UNION SELECT id_b, id_a FROM p
+       |), reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), comp AS (
+       |  SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+       |), sized AS (
+       |  SELECT doc_id,
+       |    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+       |      AS cluster_size
+       |  FROM comp
+       |)
+       |SELECT d.doc_id, d.lang,
+       |  COALESCE(s.cluster_size, 1) AS cluster_size,
+       |  1000000 // COALESCE(s.cluster_size, 1) AS weight_ppm
+       |FROM documents d LEFT JOIN sized s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** x16 — corpus curation pipeline: the end-to-end training-data flow
     * composed from the pieces — quality filter → exact dedup (keep
     * first) → near-dup drop (trigram Jaccard ≥ 0.3, keep lower id) →
@@ -663,6 +711,68 @@ object Dedup {
        |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(b.sh)
        |      >= $ContaminationThreshold
        |ORDER BY train_id, bench_id""".stripMargin
+
+  // ---------------------------------------- x27 bloom decontamination
+
+  /** x27 sketch budget: sized a priori, independent of the blocklist —
+    * 100k expected items × 8 bits/item keeps the false-positive rate
+    * ≈ 1% at full load (far lower at fixture load). The sketch is
+    * ~100 KB however many shingles the benchmark suite accumulates. */
+  val BloomExpectedItems = 100000L
+  val BloomNumBits = 800000L
+
+  /** x27 — BLOOM-FILTER decontamination, the constant-size sibling of
+    * x19: flag a training doc when ≥ [[ContaminationThreshold]] of its
+    * own distinct shingles appear in the benchmark shingle universe.
+    * x19 broadcasts the benchmark inverted index — O(benchmark
+    * shingles) per executor, fine for a benchmark suite, impossible for
+    * a "never train on anything we have ever evaluated" blocklist of
+    * billions of shingles. The Bloom sketch is O(bits), fixed a priori;
+    * membership has ONE-SIDED error (no false negatives — a
+    * contaminated shingle can never slip through; false positives only
+    * over-flag, the safe direction for decontamination).
+    *
+    * Plan shape: one aggregation over the benchmark slice builds the
+    * sketch (Spark's own BloomFilterAggregate — the runtime bloom-join
+    * machinery, surfaced as a callable function in CustomExprs); the
+    * probe ships it as a plan literal (like the NLP dictionary) and
+    * counts hits per doc with a higher-order `filter` over the shingle
+    * array — MAP-ONLY, no explode, no join, no shuffle but the final
+    * ordering. Sketch bit layout is engine-specific → rows-only driver
+    * check; DedupSimilaritySpec gates flagged ⊇ exact-flagged (the
+    * no-false-negative claim) and per-doc hit inflation against an
+    * exact set-membership recomputation. */
+  /** The Bloom blocklist: a binary sketch over a documents frame's
+    * shingles (Spark sketch wire format, so it round-trips through
+    * `org.apache.spark.util.sketch.BloomFilter.readFrom` and merges by
+    * bitwise OR — insertion is idempotent and commutative, hence the
+    * serialized sketch is byte-identical however the inserts are
+    * batched or ordered; the streaming sibling's equivalence gate rests
+    * on exactly that). Null (no rows) never happens on a non-empty
+    * frame; callers streaming possibly-empty micro-batches guard it. */
+  private[graft] def bloomSketchOf(docs: DataFrame): Array[Byte] = {
+    val spark = docs.sparkSession
+    graft.functions.CustomExprs.register(spark)
+    docs.select(explode(shingles(col("text"))).as("s"))
+      .agg(expr(s"bloom_agg(xxhash64(s), ${BloomExpectedItems}L, ${BloomNumBits}L)"))
+      .head.getAs[Array[Byte]](0)
+  }
+
+  def bloomDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    val docs = shingled(spark, sfDir)
+    val isBench = $"doc_id" % 17 === 0
+    val sketch: Array[Byte] = bloomSketchOf(
+      Tables.documents(spark, sfDir).filter($"doc_id" % 17 === 0))
+    val nHits = size(filter($"sh", s =>
+      call_function("might_contain", lit(sketch), xxhash64(s)))).cast("long")
+    docs.filter(!isBench)
+      .select($"doc_id".as("train_id"), $"nsh".cast("long").as("n_shingles"),
+        nHits.as("n_hits"))
+      .filter($"n_hits" * 1.0 / $"n_shingles" >= ContaminationThreshold)
+      .orderBy($"train_id")
+  }
 
   // ------------------------------------------ x47 span decontamination
 

@@ -141,6 +141,55 @@ object Sampling {
        |  FROM documents) t
        |WHERE cum_tokens <= $TokensPerSource ORDER BY source, doc_id""".stripMargin
 
+  /** x49 sequence length (tokens per packed training sequence). */
+  val PackSeqLen = 512L
+
+  /** x49 — SEQUENCE PACKING, the concat-and-chunk step that turns a
+    * document stream into fixed-length training sequences (every LM
+    * pretraining pipeline ends with it): within each source, documents
+    * are concatenated in deterministic doc_id order and the token
+    * stream is cut every [[PackSeqLen]] tokens; each document reports
+    * its start offset and the first/last sequence it lands in (a doc
+    * spanning a cut gets `crosses_boundary` — the fraction of split
+    * docs is the signal packing pipelines monitor). Same plan shape as
+    * x53: one shuffle on `source`, a running-sum window per source
+    * partition, map-side arithmetic after — no global ordering is ever
+    * required because sources pack independently (the production
+    * layout: one packed shard family per source; a single global
+    * stream would serialize the cumsum). */
+  def sequencePack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("start_off", sum($"n_tokens").over(w) - $"n_tokens")
+      .withColumn("first_seq", expr(s"start_off div $PackSeqLen"))
+      .withColumn("last_seq",
+        expr(s"(start_off + n_tokens - 1) div $PackSeqLen"))
+      .withColumn("crosses_boundary", $"first_seq" =!= $"last_seq")
+      .select($"source", $"doc_id", $"n_tokens", $"start_off",
+        $"first_seq", $"last_seq", $"crosses_boundary")
+      .orderBy($"source", $"doc_id")
+  }
+
+  val sequencePackSql: String =
+    s"""SELECT source, doc_id, n_tokens, start_off,
+       |  start_off // $PackSeqLen AS first_seq,
+       |  (start_off + n_tokens - 1) // $PackSeqLen AS last_seq,
+       |  start_off // $PackSeqLen <> (start_off + n_tokens - 1) // $PackSeqLen
+       |    AS crosses_boundary
+       |FROM (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+       |      OVER (PARTITION BY source ORDER BY doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT)
+       |      - CAST(len(string_split(text, ' ')) AS BIGINT) AS start_off
+       |  FROM documents) t
+       |ORDER BY source, doc_id""".stripMargin
+
   /** x54 knobs — total training budget as a permille of the corpus
     * tokens (900 = the budget is 90% of the corpus, so the water level
     * must bite somewhere), per-source consumption cap as a permille of

@@ -194,6 +194,64 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** x27 streaming sibling — the decontamination BLOCKLIST maintained
+    * incrementally: each micro-batch of newly-evaluated benchmark docs
+    * bit-ORs its shingle sketch into the persisted Bloom blocklist
+    * ("never train on anything we have EVER evaluated" needs exactly
+    * this: the blocklist only grows, and the sketch stays a fixed
+    * [[graft.ops.Dedup.BloomNumBits]] however many benchmarks
+    * accumulate). Bloom insertion is an idempotent, commutative bitwise
+    * OR, so the merged sketch is BYTE-IDENTICAL to the batch-built one
+    * regardless of micro-batch boundaries, arrival order, or replays —
+    * a stronger streaming ≡ batch claim than set equality, and
+    * StreamingSpec asserts it at the byte level. Same versioned-dir
+    * exactly-once shape as [[unigramModelUpdate]]. */
+  def blocklistUpdate(dimDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    val bytes = graft.ops.Dedup.bloomSketchOf(batch)
+    val prior = modelVersions(dimDir).filter(_ < batchId)
+    val merged = (Option(bytes), prior) match {
+      case (None, Seq())   => return // empty first batch: nothing to commit
+      case (None, ps)      => Files.readAllBytes(
+        Paths.get(s"$dimDir/v${ps.max}/sketch.bin"))
+      case (Some(b), Seq()) => b
+      case (Some(b), ps)   =>
+        import org.apache.spark.util.sketch.BloomFilter
+        val acc = BloomFilter.readFrom(new java.io.ByteArrayInputStream(
+          Files.readAllBytes(Paths.get(s"$dimDir/v${ps.max}/sketch.bin"))))
+        acc.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+        val out = new java.io.ByteArrayOutputStream()
+        acc.writeTo(out)
+        out.toByteArray
+    }
+    val vdir = Paths.get(s"$dimDir/v$batchId")
+    Files.createDirectories(vdir)
+    Files.write(vdir.resolve("sketch.bin"), merged)
+    Files.write(vdir.resolve("_SUCCESS"), Array.emptyByteArray) // commit marker
+  }
+
+  /** The newest committed blocklist sketch, or None before batch 0. */
+  def blocklist(dimDir: String): Option[Array[Byte]] =
+    modelVersions(dimDir) match {
+      case Seq() => None
+      case vs    => Some(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dimDir/v${vs.max}/sketch.bin")))
+    }
+
+  /** Run the incremental blocklist builder over a benchmark-doc stream
+    * to completion (AvailableNow). */
+  def buildBlocklist(docs: DataFrame, dimDir: String, ckptDir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dimDir))
+    val q = docs.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        blocklistUpdate(dimDir)(df, batchId)
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** e07 streaming sibling: watermarked stream-stream interval join —
     * clicks joined to the same user's purchases within 10 minutes after
     * the click. Both sides carry a watermark and the join condition bounds

@@ -100,6 +100,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("x27 bloom decontamination: superset of exact, bounded over-count") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val thr = Dedup.ContaminationThreshold
+    // exact recomputation of the SAME statistic with a real set
+    val sh = Tables.documents(spark, sf)
+      .select($"doc_id", Dedup.shingles($"text").as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val benchUniverse = sh.filter(_._1 % 17 == 0).flatMap(_._2).toSet
+    val exact = sh.filter(_._1 % 17 != 0).map { case (id, s) =>
+      (id, s.size, s.count(benchUniverse.contains))
+    }
+    val exactFlagged = exact.filter { case (_, n, h) => h * 1.0 / n >= thr }
+      .map(_._1).toSet
+    assert(exactFlagged.nonEmpty,
+      "fixture must plant cross-slice near-dups that trip the threshold")
+    val got = Dedup.bloomDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // one-sided error: nothing exact-flagged may escape the sketch
+    assert(exactFlagged.subsetOf(got.map(_._1).toSet),
+      s"bloom MISSED contaminated docs: ${exactFlagged -- got.map(_._1).toSet}")
+    // false positives only inflate hit counts, and only within the
+    // configured fpp budget (~1% at full load; generous 2% + 1 slack)
+    val exactHits = exact.map(t => t._1 -> t._3).toMap
+    got.foreach { case (id, n, hits) =>
+      val eh = exactHits(id)
+      assert(hits >= eh, s"doc $id bloom hits $hits < exact $eh")
+      assert(hits - eh <= 1 + 0.02 * n, s"doc $id inflation ${hits - eh}/$n")
+    }
+    info(s"x27: ${got.length} flagged (exact ${exactFlagged.size}); " +
+      s"extra-flagged ${got.map(_._1).toSet.size - exactFlagged.size}")
+  }
+
   test("x47 span pairs carry a real verbatim 13-token span at the position") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -95,6 +95,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("x27: bloom probe is map-only — no join anywhere in the plan") {
+    // the whole point vs x19: the blocklist is a plan literal, so the
+    // probe plan is scan → HOF filter → sort. Any Join here means the
+    // sketch fell out of the literal and the operator regressed to a
+    // broadcast-index shape.
+    val plan = formatted(graft.ops.Dedup.bloomDecontaminate(spark, sf))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
   test("x25/x26: ADC scan and rescore never cartesian/nested-loop the corpus") {
     // the 8-row query frame may broadcast (fine, like x21's sketches);
     // the code table / full corpus must never enter a cartesian product

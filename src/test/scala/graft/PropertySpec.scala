@@ -176,6 +176,33 @@ class PropertySpec extends AnyFunSuite {
     assert(budget - total < k, s"under-filled: total=$total budget=$budget")
   }
 
+  test("x49 packing: offsets tile each source; seq count = ceil(total/len)") {
+    val spark = SparkSuite.spark
+    val C = graft.ops.Sampling.PackSeqLen
+    val rows = graft.ops.Sampling.sequencePack(spark, SparkSuite.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      // offsets tile the source's token stream with no gap or overlap
+      var expectedOff = 0L
+      docs.sortBy(_._2).foreach { case (_, id, n, off, first, last, crosses) =>
+        assert(off == expectedOff, s"$src doc $id off=$off expected=$expectedOff")
+        expectedOff += n
+        // sequence indices follow from the offsets and nothing else
+        assert(first == off / C && last == (off + n - 1) / C)
+        assert(crosses == (first != last))
+      }
+      // the packed shard count is exactly ceil(total / seqlen)
+      val total = docs.map(_._3).sum
+      assert(docs.map(_._6).max == (total - 1) / C,
+        s"$src: last sequence index vs total=$total")
+    }
+    // the fixture must actually exercise boundary-crossing docs
+    assert(rows.exists(_._7), "no doc crosses a sequence boundary")
+    assert(rows.exists(!_._7), "every doc crosses — fixture degenerate")
+  }
+
   test("trip type is always one of the reference's categories") {
     val cats = Set("Invalid Data", "Airport Transfer", "Admin/Management",
       "Round Trip", "Nile Cruise", "Special Operations", "Multi-Destination",

@@ -106,22 +106,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  /** Stage a frame as N single parquet files in a fresh landing dir so
+    * AvailableNow + maxFilesPerTrigger=1 replays it as N micro-batches. */
+  private def stageLanding(prefix: String,
+      parts: Seq[org.apache.spark.sql.DataFrame]): String = {
+    val landing = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_landing")
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, landing.resolve(s"part$i.parquet"))
+    }
+    landing.toString
+  }
+
   test("incremental unigram LM: 2-batch streamed model == batch model, scores == x45") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
-    // stage the corpus as TWO parquet files so AvailableNow +
-    // maxFilesPerTrigger=1 replays it as two micro-batches
-    val landing = java.nio.file.Files.createTempDirectory("graft_ulm_landing")
-    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft_ulm_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = new java.io.File(tmp.toString).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.copy(part.toPath, landing.resolve(s"$name.parquet"))
-    }
-    stage(docs.filter($"doc_id" % 2 === 0), "even")
-    stage(docs.filter($"doc_id" % 2 =!= 0), "odd")
+    val landing = java.nio.file.Paths.get(stageLanding("ulm", Seq(
+      docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 =!= 0))))
     val dimDir = java.nio.file.Files.createTempDirectory("graft_ulm_dim").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ulm_ckpt").toString
     Streaming.trainUnigramModel(
@@ -146,5 +151,29 @@ class StreamingSpec extends AnyFunSuite {
     val batch = graft.ops.TextAnalysis.unigramSurprise(spark, sf)
       .collect().map(_.toSeq)
     assert(scored.toSeq == batch.toSeq)
+  }
+
+  test("incremental bloom blocklist: streamed sketch byte-identical to batch") {
+    import spark.implicits._
+    // benchmark docs arrive in two waves (two eval suites landing)
+    val bench = Tables.documents(spark, sf).filter($"doc_id" % 17 === 0)
+    val landing = stageLanding("blk", Seq(
+      bench.filter($"doc_id" % 2 === 0), bench.filter($"doc_id" % 2 =!= 0)))
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_blk_dim").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_blk_ckpt").toString
+    Streaming.buildBlocklist(
+      spark.readStream.schema(Streaming.documentsRawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(landing),
+      dimDir, ckpt)
+    val versions = new java.io.File(dimDir).listFiles()
+      .filter(_.getName.matches("v\\d+"))
+    assert(versions.length == 2, s"expected 2 micro-batches, got ${versions.toSeq}")
+    // bit-OR merge ⇒ the accumulated sketch equals the batch-built one
+    // BYTE for byte (stronger than flagged-set equality: every future
+    // probe of either sketch gives identical answers by construction)
+    val streamed = Streaming.blocklist(dimDir).get
+    val batchSketch = graft.ops.Dedup.bloomSketchOf(bench)
+    assert(java.util.Arrays.equals(streamed, batchSketch),
+      "streamed blocklist diverged from the batch-built sketch")
   }
 }
