@@ -31,6 +31,10 @@ object Bench {
     () => graft.ops.Similarity.corpus(spark, dir),
     () => graft.ops.Dedup.minhashLshPairs(spark, dir),
     () => graft.ops.Similarity.ivfIndex(spark, dir),
+    // noop-writing the merge table trains + memoizes the BPE artifact,
+    // so x55/x56 timed runs measure the encode, not the training (the
+    // training cost lands in cache_build_sec like every other index)
+    () => graft.ops.TextAnalysis.bpeMerges(spark, dir),
   )
 
   /** Build the shared frames untimed, returning the build seconds.

@@ -31,7 +31,7 @@ object ScaleProbe {
     "x48_wav_decode",
     "x42_repetition_filter", "x43_chunk_tokens", "x44_line_dedup",
     "x45_unigram_surprise", "x46_ref_coverage",
-    "x49_sequence_pack",
+    "x49_sequence_pack", "x55_bpe_merges", "x56_bpe_tokenize",
     "x50_split_counts", "x51_source_cap", "x52_mixture_sample",
     "x53_token_budget", "x54_unimax_alloc", "x14_cosine_neardup")
 

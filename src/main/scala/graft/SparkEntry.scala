@@ -26,12 +26,14 @@ import graft.ops.{Analytics, Dedup, Events, LocationResolve, Multimodal,
   *    sketch dedup, x3x text analytics, x4x multimodal + curation,
   *    x5x splitting/sampling)
   *
-  * Every query has a DuckDB oracle except the ten whose output is
-  * engine-specific by design (x01 HLL, x12 simhash, x21 LSH-ANN, x22
-  * IVF-ANN, x24 celled SemDeDup, x25 PQ-ANN, x26 IVF-PQ-ANN, x27 bloom
-  * decontamination, x33 FNV, x39 approx-percentile prune) — those get
-  * the driver's rows-only check plus equality / recall / tolerance
-  * gates in the test suites. RegistrySpec pins this list.
+  * Every query has a DuckDB oracle except the twelve whose output is
+  * engine-specific or not SQL-expressible by design (x01 HLL, x12
+  * simhash, x21 LSH-ANN, x22 IVF-ANN, x24 celled SemDeDup, x25 PQ-ANN,
+  * x26 IVF-PQ-ANN, x27 bloom decontamination, x33 FNV, x39
+  * approx-percentile prune, x55/x56 iterative BPE) — those get the
+  * driver's rows-only check plus equality / recall / tolerance /
+  * clean-room-reference gates in the test suites. RegistrySpec pins
+  * this list.
   */
 object SparkEntry {
 
@@ -114,6 +116,8 @@ object SparkEntry {
     "x44_line_dedup"       -> (TextAnalysis.lineDedup _),
     "x45_unigram_surprise" -> (TextAnalysis.unigramSurprise _),
     "x46_ref_coverage"     -> (TextAnalysis.refCoverage _),
+    "x55_bpe_merges"       -> (TextAnalysis.bpeMerges _),
+    "x56_bpe_tokenize"     -> (TextAnalysis.bpeTokenize _),
     "e01_window_agg"       -> (Events.windowAgg _),
     "e02_sessionize"       -> (Events.sessionize _),
     "e03_json_props"       -> (Events.jsonProps _),

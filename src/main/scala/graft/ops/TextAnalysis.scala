@@ -809,4 +809,130 @@ object TextAnalysis {
        |FROM b LEFT JOIN ref r USING (ngram)
        |WHERE b.doc_id % $RefSliceMod <> 0
        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+
+  // ------------------------------------------------ x55 BPE tokenizer
+
+  /** Merge rounds for the x55 trainer (a real tokenizer runs 30k-100k;
+    * the algorithm and plan shape are identical at any count). */
+  val BpeMergeRounds = 20
+
+  /** One greedy left-to-right BPE merge application over a symbol
+    * sequence — the exact application rule of Sennrich et al. 2016
+    * (non-overlapping, leftmost first). Shared by the distributed
+    * trainer (as a UDF over the vocabulary dim) and the spec's
+    * clean-room reference implementation. */
+  private[graft] def bpeApplyMerge(syms: Seq[String], l: String,
+      r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** x55 — BPE TOKENIZER TRAINING (Sennrich et al. 2016, the byte-pair
+    * encoding merge loop behind GPT/LLaMA-family tokenizers) as an
+    * iterative relational computation: per round, count adjacent symbol
+    * pairs weighted by word frequency, merge the most frequent pair
+    * (deterministic count-desc, pair-asc tiebreak), repeat. Output is
+    * the learned merge table (rank, left, right, pair_count) — the
+    * artifact a tokenizer ships.
+    *
+    * Scale shape: the ONLY corpus-sized pass is the initial word count;
+    * every round after runs on the (word, freq) VOCABULARY dim, which
+    * is Heaps-law bounded (this is how production BPE trainers work —
+    * they train on word counts, not the raw stream). Per round: one
+    * pair-count aggregation over the vocab dim, a 1-row argmax collect,
+    * and a map-only merge application (UDF on the bounded dim — the
+    * same confinement rule as the NLP fuzzy tier); localCheckpoint per
+    * round truncates the growing lineage (the x17 lesson). The merge
+    * loop is driver-orchestrated like ccStars/Lloyd — bounded rounds,
+    * k-row collects only. Iterative argmax is not SQL-expressible →
+    * rows-only driver check; CurationSpec pins the merge table against
+    * a clean-room single-machine reference run, plus invariants. */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    bpeMergeTable(spark, sfDir)
+      .toDF("rank", "left", "right", "pair_count")
+      .orderBy($"rank")
+  }
+
+  /** The learned merge table, memoized per (session, sfDir) — x56's
+    * encode step reuses the artifact instead of re-training. */
+  private[graft] def bpeMergeTable(spark: SparkSession,
+      sfDir: String): Seq[(Int, String, String, Long)] =
+    graft.Caches.memoValue(spark, s"bpe-merges:$sfDir") {
+      import spark.implicits._
+      val mergeUdf = udf(bpeApplyMerge _)
+      // the vocabulary dim: one corpus pass, Heaps-law bounded thereafter
+      var vocab = Tables.spread(Tables.documents(spark, sfDir))
+        .select(explode(split($"text", " ")).as("w"))
+        .filter($"w" =!= "")
+        .groupBy($"w").agg(count(lit(1)).as("freq"))
+        .select(split($"w", "").as("syms"), $"freq")
+        .localCheckpoint()
+      val adjPairs = transform(
+        sequence(lit(1), size($"syms") - 1),
+        i => struct(element_at($"syms", i).as("l"),
+          element_at($"syms", i + 1).as("r")))
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var exhausted = false
+      for (rank <- 1 to BpeMergeRounds if !exhausted) {
+        val top = vocab.filter(size($"syms") >= 2)
+          .select($"freq", explode(adjPairs).as("p"))
+          .groupBy($"p.l", $"p.r").agg(sum($"freq").as("cnt"))
+          .orderBy($"cnt".desc, $"l".asc, $"r".asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((rank, l, r, cnt))
+          vocab = vocab
+            .select(mergeUdf($"syms", lit(l), lit(r)).as("syms"), $"freq")
+            .localCheckpoint()
+        }
+      }
+      merges.toSeq
+    }
+
+  /** x56 — BPE TOKENIZATION with the learned merge table (the encode
+    * step a tokenizer runs over the whole corpus): apply x55's merges
+    * in rank order to every word, emit per-doc token statistics and the
+    * chars-per-token compression ratio (permille, exact integer) —
+    * the standard signal for "is this text tokenizer-friendly".
+    *
+    * Shape: the merge table is a k-row driver artifact (memoized);
+    * application runs once per DISTINCT word — the dictionary
+    * confinement trick the NLP tiers use, sound because BPE merges
+    * never cross word boundaries — then a broadcast join back to the
+    * exploded corpus (the distinct-word dim is Heaps-law bounded =
+    * broadcastable at any corpus size) and one per-doc aggregation.
+    * Iterative merges are not SQL-expressible → rows-only driver
+    * check; CurationSpec replays the encode on the collected dictionary
+    * and pins per-word token counts + bounds invariants. */
+  def bpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val merges = bpeMergeTable(spark, sfDir).map(m => (m._2, m._3))
+    val encode = udf { (w: String) =>
+      var syms: Seq[String] = w.split("").toSeq
+      merges.foreach { case (l, r) => syms = bpeApplyMerge(syms, l, r) }
+      syms.length
+    }
+    val words = Tables.spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+    val dict = words.select($"w").distinct()
+      .withColumn("n_toks", encode($"w").cast("long"))
+    words.join(broadcast(dict), "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"n_toks").as("n_tokens"),
+        sum(length($"w")).cast("long").as("n_word_chars"))
+      .withColumn("chars_per_token_permille",
+        expr("n_word_chars * 1000 div n_tokens"))
+      .orderBy($"doc_id")
+  }
 }

@@ -179,4 +179,79 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.exists(_._4) && rows.exists(!_._4),
       "threshold does not split the fixture")
   }
+
+  test("x55 BPE merge table == clean-room single-machine reference run") {
+    // Reference: the Sennrich et al. algorithm executed in plain Scala
+    // on the collected word-frequency table — no Spark, no shared code
+    // except bpeApplyMerge (the merge-application rule under test via
+    // the UDF path anyway). The distributed trainer must reproduce the
+    // merge table exactly, tiebreaks included.
+    import spark.implicits._
+    val wordFreq = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("w")).filter($"w" =!= "")
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    var vocab = wordFreq.map { case (w, f) => (w.split("").toSeq, f) }
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (rank <- 1 to TextAnalysis.BpeMergeRounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), cnt) = counts.toSeq
+          .minBy { case ((l, r), c) => (-c, l, r) } // count desc, pair asc
+        expected += ((rank, l, r, cnt))
+        vocab = vocab.map { case (syms, f) =>
+          (TextAnalysis.bpeApplyMerge(syms, l, r), f)
+        }
+      }
+    }
+    val got = TextAnalysis.bpeMerges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.length == TextAnalysis.BpeMergeRounds,
+      s"fixture exhausted early: ${got.length} merges")
+    assert(got.toSeq == expected.toSeq)
+    // learned merges include at least one multi-char compound (a merge
+    // built on an earlier merge — the property that makes BPE BPE)
+    assert(got.exists(m => m._2.length > 1 || m._3.length > 1),
+      "no second-order merge learned — fixture or trainer degenerate")
+  }
+
+  test("x56 BPE encode: per-doc token sums replay exactly; bounds hold") {
+    import spark.implicits._
+    val merges = TextAnalysis.bpeMerges(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def encode(w: String): Int = {
+      var syms: Seq[String] = w.split("").toSeq
+      merges.foreach { case (l, r) =>
+        syms = TextAnalysis.bpeApplyMerge(syms, l, r)
+      }
+      syms.length
+    }
+    val expected = Tables.documents(spark, sf)
+      .select($"doc_id", split($"text", " ").as("ws")).collect()
+      .map { r =>
+        val ws = r.getSeq[String](1).filter(_.nonEmpty)
+        r.getLong(0) -> (ws.length.toLong, ws.map(encode(_).toLong).sum,
+          ws.map(_.length.toLong).sum)
+      }.toMap
+    val got = TextAnalysis.bpeTokenize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, nWords, nToks, nChars, cpt) =>
+      val (eWords, eToks, eChars) = expected(id)
+      assert((nWords, nToks, nChars) == (eWords, eToks, eChars),
+        s"doc $id: got ($nWords,$nToks,$nChars) expected ($eWords,$eToks,$eChars)")
+      // one token per word minimum; never more tokens than characters;
+      // merges actually compress (ratio > 1000 somewhere is checked below)
+      assert(nToks >= nWords && nToks <= nChars, s"doc $id bounds")
+      assert(cpt == nChars * 1000 / nToks, s"doc $id ratio")
+    }
+    assert(got.exists(_._5 > 1000),
+      "no document compressed below 1 char/token — merges never applied?")
+  }
 }
