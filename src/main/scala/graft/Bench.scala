@@ -31,6 +31,12 @@ object Bench {
     () => graft.ops.Similarity.corpus(spark, dir),
     () => graft.ops.Dedup.minhashLshPairs(spark, dir),
     () => graft.ops.Similarity.ivfIndex(spark, dir),
+    // the PQ code table + the composed IVF-PQ index (building them also
+    // trains the codebooks) — without these, x25/x26's cold Lloyd
+    // training would be charged to no query at all under min-of-2 and
+    // excluded from cache_build_sec, silently understating a cold run
+    () => graft.ops.Similarity.pqIndex(spark, dir),
+    () => graft.ops.Similarity.ivfPqIndex(spark, dir),
     // noop-writing the merge table trains + memoizes the BPE artifact,
     // so x55/x56 timed runs measure the encode, not the training (the
     // training cost lands in cache_build_sec like every other index)

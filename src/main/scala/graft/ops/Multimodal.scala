@@ -156,6 +156,10 @@ object Multimodal {
       var rate = -1; var ch = -1; var bits = -1; var dataLen = -1L
       while (buf.remaining >= 8 && dataLen < 0) {
         val id = tag(); val size = buf.getInt()
+        // a negative declared size (u32 > 2³¹ can't fit our buffers
+        // anyway) would make the skip/fmt advance non-positive and spin
+        // this walk forever on corrupt input — throw, never hang a task
+        require(size >= 0, s"bad chunk size $size in '$id'")
         if (id == "fmt ") {
           val start = buf.position()
           val fmt = buf.getShort()
@@ -164,7 +168,7 @@ object Multimodal {
           buf.getInt(); buf.getShort() // byte rate / block align: derived
           bits = buf.getShort()
           buf.position(start + size + (size & 1))
-        } else if (id == "data") dataLen = size.toLong & 0xffffffffL
+        } else if (id == "data") dataLen = size.toLong
         else buf.position(buf.position() + size + (size & 1)) // skip chunk
       }
       require(rate > 0 && bits > 0 && ch > 0, "missing or bad fmt chunk")

@@ -365,12 +365,15 @@ object Similarity {
   private[graft] val PqCodes = 16
   private val PqLloydRounds = 3
 
-  /** Unit-normalized vector split into the m subvectors, as an
-    * array-of-structs column ready to explode. */
-  private def pqSubvecs(v: Column, nrm: Column, dim: Int): Column = {
+  /** An already-normalized vector split into the m subvectors, as an
+    * array-of-structs column ready to explode. Callers MUST pass a
+    * projected normalized column (never an inline `transform(v, _/nrm)`
+    * expression — inlined, the 64-element division would re-execute
+    * once per subspace slice, a 16× constant on the encode pass). */
+  private def pqSubvecs(vhat: Column, dim: Int): Column = {
     val d = dim / PqSubspaces
     array((0 until PqSubspaces).map { s =>
-      struct(lit(s).as("s"), slice(transform(v, _ / nrm), s * d + 1, d).as("sv"))
+      struct(lit(s).as("s"), slice(vhat, s * d + 1, d).as("sv"))
     }.toIndexedSeq: _*)
   }
 
@@ -404,7 +407,8 @@ object Similarity {
     var books = Array.fill(PqSubspaces, PqCodes)(
       Array.fill(d)(rnd.nextGaussian() * compStd))
     val subvecs = all
-      .select(explode(pqSubvecs($"v", $"nrm", dim)).as("e"))
+      .withColumn("vhat", transform($"v", _ / $"nrm"))
+      .select(explode(pqSubvecs($"vhat", dim)).as("e"))
       .select($"e.s".as("s"), $"e.sv".as("sv"))
     for (_ <- 0 until rounds) {
       val b = books // stable capture for the expression tree
@@ -443,12 +447,13 @@ object Similarity {
     val spark = all.sparkSession
     import spark.implicits._
     val dim = books.length * books(0)(0).length
-    all.select($"vec_id",
-      transform(pqSubvecs($"v", $"nrm", dim), e =>
-        (0 until PqSubspaces).foldLeft(lit(-1)) { (acc, s) =>
-          when(e.getField("s") === s, pqCodeOf(e.getField("sv"), books(s)))
-            .otherwise(acc)
-        }.cast("byte")).as("codes"))
+    all.withColumn("vhat", transform($"v", _ / $"nrm"))
+      .select($"vec_id",
+        transform(pqSubvecs($"vhat", dim), e =>
+          (0 until PqSubspaces).foldLeft(lit(-1)) { (acc, s) =>
+            when(e.getField("s") === s, pqCodeOf(e.getField("sv"), books(s)))
+              .otherwise(acc)
+          }.cast("byte")).as("codes"))
   }
 
   /** x25 — ANN top-5 via PQ/ADC (Jégou et al. 2011, "Product

@@ -772,11 +772,14 @@ object TextAnalysis {
     * corpus. */
   def refCoverage(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = split($"text", " ")
-    val bigrams = when(size(w) < 2, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))))
+    // words as a projected column, never the split expression inlined
+    // into the lambda (the x42 interpreted-HOF lesson: an inlined split
+    // re-executes per lambda element — O(words²) per doc)
+    val bigrams = when(size($"w") < 2, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), size($"w") - 1),
+        i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1)))))
     val all = Tables.spread(Tables.documents(spark, sfDir))
+      .withColumn("w", split($"text", " "))
       .select($"doc_id", explode(bigrams).as("ngram"))
     val ref = all.filter($"doc_id" % RefSliceMod === 0)
       .select($"ngram").distinct().withColumn("in_ref", lit(1L))

@@ -162,6 +162,20 @@ object Streaming {
     merged.write.mode("overwrite").parquet(s"$dimDir/v$batchId")
   }
 
+  /** A dim dir and its stream checkpoint share ONE lifecycle: version
+    * ids are micro-batch ids, which restart at 0 under a fresh
+    * checkpoint — resuming into a dimDir populated by a PREVIOUS
+    * lineage would silently merge/serve the old run's state (its max
+    * version can shadow the new run's). Refuse the mismatch up front. */
+  private def requireSharedLifecycle(dimDir: String, ckptDir: String): Unit = {
+    val freshCkpt = !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ckptDir, "offsets"))
+    require(!(freshCkpt && modelVersions(dimDir).nonEmpty),
+      s"$dimDir already holds versions from another stream lineage but " +
+        s"checkpoint $ckptDir is fresh — use a new dim dir (or the old " +
+        "checkpoint) so batch ids and versions stay aligned")
+  }
+
   /** Committed model versions (dirs `v<batchId>` carrying `_SUCCESS`). */
   private def modelVersions(dimDir: String): Seq[Long] = {
     val d = new java.io.File(dimDir)
@@ -184,6 +198,7 @@ object Streaming {
   def trainUnigramModel(docs: DataFrame, dimDir: String,
       ckptDir: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dimDir))
+    requireSharedLifecycle(dimDir, ckptDir)
     val q = docs.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         unigramModelUpdate(dimDir)(df, batchId)
@@ -242,6 +257,7 @@ object Streaming {
     * to completion (AvailableNow). */
   def buildBlocklist(docs: DataFrame, dimDir: String, ckptDir: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dimDir))
+    requireSharedLifecycle(dimDir, ckptDir)
     val q = docs.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         blocklistUpdate(dimDir)(df, batchId)

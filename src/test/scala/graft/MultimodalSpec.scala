@@ -59,6 +59,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m == Multimodal.WavMeta(8000, 1, 16, 4, 4 * 1000L / 16000))
   }
 
+  test("corrupt chunk sizes throw instead of hanging the chunk walk") {
+    // a declared size of -8 once made the skip branch advance by zero —
+    // an infinite loop in an executor task; the parser must throw
+    def le32(v: Long): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    val bytes = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le32(-8L & 0xffffffffL) ++ Array.fill[Byte](16)(0)
+    intercept[IllegalArgumentException](codec.decode(bytes))
+  }
+
   test("rejects non-WAV bytes") {
     intercept[IllegalArgumentException](codec.decode("not a wav".getBytes))
     intercept[IllegalArgumentException](

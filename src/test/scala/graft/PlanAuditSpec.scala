@@ -115,6 +115,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(ivfpq).length >= 2, ivfpq.take(2000))
   }
 
+  test("x46/x47: the words split stays a projection, never inside a lambda") {
+    // an inlined split re-executes per lambda element in interpreted
+    // HOF eval (O(words²) per doc — the measured x42 lesson); every
+    // occurrence of the split in the optimized plan must be a plain
+    // `... AS w#` projection (one per document scan), not part of a
+    // Generate/lambda/filter line
+    Seq("x46" -> graft.ops.TextAnalysis.refCoverage(spark, sf),
+        "x47" -> graft.ops.Dedup.spanDecontaminate(spark, sf))
+      .foreach { case (name, df) =>
+        val plan = df.queryExecution.optimizedPlan.toString
+        val lines = plan.linesIterator.filter(_.contains("split(text")).toSeq
+        assert(lines.nonEmpty, s"$name: no split in plan?")
+        lines.foreach { l =>
+          assert(l.contains("AS w#") && !l.contains("lambdafunction"),
+            s"$name: split escaped its projection:\n${l.trim.take(400)}")
+        }
+      }
+  }
+
   test("x46/x47: ngram joins are hash equi joins, no nested loop") {
     val cov = formatted(graft.ops.TextAnalysis.refCoverage(spark, sf))
     assert(!cov.contains("CartesianProduct"), cov.take(1500))
