@@ -753,7 +753,8 @@ object Dedup {
   private[graft] def bloomSketchOf(docs: DataFrame): Array[Byte] = {
     val spark = docs.sparkSession
     graft.functions.CustomExprs.register(spark)
-    docs.select(explode(shingles(col("text"))).as("s"))
+    docs.withColumn("w", split(col("text"), " ")) // shinglesOfWords PERF note
+      .select(explode(shinglesOfWords(col("w"))).as("s"))
       .agg(expr(s"bloom_agg(xxhash64(s), ${BloomExpectedItems}L, ${BloomNumBits}L)"))
       .head.getAs[Array[Byte]](0)
   }

@@ -171,11 +171,14 @@ object TextAnalysis {
     * every vocabulary/phrase-mining job). */
   def topNgrams(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = split($"text", " ")
-    val bigrams = when(size(w) < 2, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))))
+    // words as a projected column, never the split inlined into the
+    // lambda (the x42 interpreted-HOF lesson — measured 40× at the 10×
+    // probe before this projection)
+    val bigrams = when(size($"w") < 2, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), size($"w") - 1),
+        i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1)))))
     Tables.spread(Tables.documents(spark, sfDir))
+      .withColumn("w", split($"text", " "))
       .select($"doc_id", explode(bigrams).as("ngram"))
       .groupBy($"ngram")
       .agg(count(lit(1)).as("doc_freq"))
@@ -403,14 +406,24 @@ object TextAnalysis {
     * shuffles hash on `line`, so they share a partitioning) → per-doc
     * regroup. The line-df table is the only corpus-sized intermediate —
     * exactly the two-pass shape of the C4 boilerplate rule at scale. */
+  /** The fixed-8-word line chunking shared by x36 and x44, over a
+    * PROJECTED words column `w` (never the split expression inlined
+    * into the lambda — the x42 interpreted-HOF lesson: an inlined split
+    * re-executes per chunk, O(words²) per doc). ONE definition so the
+    * two line-level ops can't drift. */
+  private def lineChunks: Column = {
+    val nChunks = greatest(ceil(size(col("w")) / lit(LineWords.toDouble)),
+      lit(1L)).cast("int")
+    transform(sequence(lit(0), nChunks - 1),
+      i => struct(i.as("pos"),
+        concat_ws(" ",
+          slice(col("w"), i * LineWords + 1, lit(LineWords))).as("line")))
+  }
+
   def boilerplateScrub(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = split($"text", " ")
-    val nChunks = greatest(ceil(size(w) / lit(LineWords.toDouble)), lit(1L))
-      .cast("int")
-    val lines = transform(sequence(lit(0), nChunks - 1),
-      i => struct(i.as("pos"),
-        concat_ws(" ", slice(w, i * LineWords + 1, lit(LineWords))).as("line")))
+    // words projected, never inlined into the chunk lambda (x42 lesson)
+    val lines = lineChunks
     // deliberately NOT persisted, unlike the shingle tables: the exploded
     // line frame has exactly one consumer pair inside one query, its
     // recompute is a narrow scan+chunk expression, and at 100 TB pinning
@@ -418,6 +431,7 @@ object TextAnalysis {
     // second pass (AQE exchange reuse dedupes the shared scan+repartition
     // prefix at runtime anyway)
     val exploded = Tables.spread(Tables.documents(spark, sfDir))
+      .withColumn("w", split($"text", " "))
       .select($"doc_id", explode(lines).as("l"))
       .select($"doc_id", $"l.pos".as("pos"), $"l.line".as("line"))
     val lineDf = exploded.groupBy($"line")
@@ -468,14 +482,9 @@ object TextAnalysis {
     * combiner cell, not an O(df log df) sort partition. */
   private def lineOccurrences(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = split($"text", " ")
-    val nChunks = greatest(ceil(size(w) / lit(LineWords.toDouble)), lit(1L))
-      .cast("int")
-    val lines = transform(sequence(lit(0), nChunks - 1),
-      i => struct(i.as("pos"),
-        concat_ws(" ", slice(w, i * LineWords + 1, lit(LineWords))).as("line")))
     val exploded = Tables.spread(Tables.documents(spark, sfDir))
-      .select($"doc_id", explode(lines).as("l"))
+      .withColumn("w", split($"text", " "))
+      .select($"doc_id", explode(lineChunks).as("l"))
       .select($"doc_id", $"l.pos".as("pos"), $"l.line".as("line"))
     val winner = exploded.groupBy($"line")
       .agg(min($"doc_id" * 1000000L + $"pos").as("wkey"))

@@ -131,6 +131,16 @@ object Streaming {
         w.cast("long").as("weight_permille"))
   }
 
+  /** STREAM-STATIC enrichment — the standard slowly-changing-dimension
+    * pattern of a streaming pipeline: each micro-batch of events joins
+    * a static (batch) dimension, re-planned per batch so dim updates
+    * between batches are picked up, with the dim broadcast (no stream
+    * shuffle, no state store — stream-static joins need none). Left
+    * join: an event never blocks on a missing dim row. StreamingSpec
+    * proves the finite replay equals the batch join exactly. */
+  def staticEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   /** x45 streaming sibling — the corpus-self-trained unigram LM
     * maintained INCREMENTALLY: foreachBatch merges each micro-batch's
     * word counts into a versioned parquet count dim (the x18

@@ -115,13 +115,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(ivfpq).length >= 2, ivfpq.take(2000))
   }
 
-  test("x46/x47: the words split stays a projection, never inside a lambda") {
+  test("ngram/line ops: the words split stays a projection, never in a lambda") {
     // an inlined split re-executes per lambda element in interpreted
-    // HOF eval (O(words²) per doc — the measured x42 lesson); every
-    // occurrence of the split in the optimized plan must be a plain
-    // `... AS w#` projection (one per document scan), not part of a
-    // Generate/lambda/filter line
-    Seq("x46" -> graft.ops.TextAnalysis.refCoverage(spark, sf),
+    // HOF eval (O(words²) per doc — the x42 lesson, re-measured this
+    // round: x35 ran 40× at the 10× probe before this projection);
+    // every occurrence of the split in the optimized plan must be a
+    // plain `... AS w#` projection (one per document scan), never part
+    // of a lambda-bearing Generate/Project line
+    Seq("x35" -> graft.ops.TextAnalysis.topNgrams(spark, sf),
+        "x36" -> graft.ops.TextAnalysis.boilerplateScrub(spark, sf),
+        "x44" -> graft.ops.TextAnalysis.lineDedup(spark, sf),
+        "x46" -> graft.ops.TextAnalysis.refCoverage(spark, sf),
         "x47" -> graft.ops.Dedup.spanDecontaminate(spark, sf))
       .foreach { case (name, df) =>
         val plan = df.queryExecution.optimizedPlan.toString

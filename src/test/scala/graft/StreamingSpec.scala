@@ -121,6 +121,26 @@ class StreamingSpec extends AnyFunSuite {
     landing.toString
   }
 
+  test("stream-static broadcast enrichment == batch join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = Tables.customer(spark, sf)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    val streamed = Streaming.runToMemory(spark,
+      Streaming.staticEnrich(Streaming.eventsStream(spark, sf), dim)
+        .select($"event_id", $"user_id", $"c_mktsegment"),
+      "static_enrich")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = Tables.events(spark, sf)
+      .join(dim, Seq("user_id"), "left")
+      .select($"event_id", $"user_id", $"c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // the dim must actually enrich (not all-null) or the test is vacuous
+    assert(streamed.exists(_._3 != null), "no event matched the dimension")
+  }
+
   test("incremental unigram LM: 2-batch streamed model == batch model, scores == x45") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
