@@ -155,21 +155,28 @@ object Multimodal {
       require(tag() == "WAVE", "not a WAVE form")
       var rate = -1; var ch = -1; var bits = -1; var dataLen = -1L
       while (buf.remaining >= 8 && dataLen < 0) {
-        val id = tag(); val size = buf.getInt()
-        // a negative declared size (u32 > 2³¹ can't fit our buffers
-        // anyway) would make the skip/fmt advance non-positive and spin
-        // this walk forever on corrupt input — throw, never hang a task
-        require(size >= 0, s"bad chunk size $size in '$id'")
+        // chunk sizes are UNSIGNED 32-bit per the RIFF spec — read as
+        // u32 so a > 2 GiB data declaration still parses (the payload is
+        // never read; only its size is). Chunks that must be WALKED PAST
+        // are bounded by what's actually in the buffer, which also
+        // guarantees forward progress (a signed read once made a corrupt
+        // size of -8 advance the walk by zero — an executor-task hang)
+        val id = tag(); val size = buf.getInt().toLong & 0xffffffffL
         if (id == "fmt ") {
+          require(size >= 16 && size <= buf.remaining,
+            s"bad fmt chunk size $size")
           val start = buf.position()
           val fmt = buf.getShort()
           require(fmt == 1, s"not PCM: format tag $fmt")
           ch = buf.getShort(); rate = buf.getInt()
           buf.getInt(); buf.getShort() // byte rate / block align: derived
           bits = buf.getShort()
-          buf.position(start + size + (size & 1))
-        } else if (id == "data") dataLen = size.toLong
-        else buf.position(buf.position() + size + (size & 1)) // skip chunk
+          buf.position(start + size.toInt + (size & 1).toInt)
+        } else if (id == "data") dataLen = size
+        else { // skip chunk
+          require(size <= buf.remaining, s"chunk '$id' overruns container")
+          buf.position(buf.position() + size.toInt + (size & 1).toInt)
+        }
       }
       require(rate > 0 && bits > 0 && ch > 0, "missing or bad fmt chunk")
       require(dataLen >= 0, "missing data chunk")

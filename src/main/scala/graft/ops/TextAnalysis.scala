@@ -169,17 +169,22 @@ object TextAnalysis {
   /** x35 — corpus-level n-gram statistics: top-50 word bigrams by
     * document frequency (explode → two-level aggregation; the shape of
     * every vocabulary/phrase-mining job). */
+  /** Per-doc distinct bigrams over a PROJECTED words column `w` (never
+    * the split expression inlined into the lambda — the x42
+    * interpreted-HOF lesson: an inlined split re-executes per element,
+    * O(words²) per doc; measured 40× on x35 at the 10× probe before
+    * the projection). ONE definition shared by x35 and x46 so the two
+    * bigram ops can't drift. */
+  private def distinctBigrams: Column =
+    when(size(col("w")) < 2, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))))
+
   def topNgrams(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // words as a projected column, never the split inlined into the
-    // lambda (the x42 interpreted-HOF lesson — measured 40× at the 10×
-    // probe before this projection)
-    val bigrams = when(size($"w") < 2, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(sequence(lit(1), size($"w") - 1),
-        i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1)))))
     Tables.spread(Tables.documents(spark, sfDir))
       .withColumn("w", split($"text", " "))
-      .select($"doc_id", explode(bigrams).as("ngram"))
+      .select($"doc_id", explode(distinctBigrams).as("ngram"))
       .groupBy($"ngram")
       .agg(count(lit(1)).as("doc_freq"))
       .orderBy($"doc_freq".desc, $"ngram")
@@ -781,15 +786,9 @@ object TextAnalysis {
     * corpus. */
   def refCoverage(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // words as a projected column, never the split expression inlined
-    // into the lambda (the x42 interpreted-HOF lesson: an inlined split
-    // re-executes per lambda element — O(words²) per doc)
-    val bigrams = when(size($"w") < 2, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(sequence(lit(1), size($"w") - 1),
-        i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1)))))
     val all = Tables.spread(Tables.documents(spark, sfDir))
-      .withColumn("w", split($"text", " "))
-      .select($"doc_id", explode(bigrams).as("ngram"))
+      .withColumn("w", split($"text", " ")) // see distinctBigrams PERF note
+      .select($"doc_id", explode(distinctBigrams).as("ngram"))
     val ref = all.filter($"doc_id" % RefSliceMod === 0)
       .select($"ngram").distinct().withColumn("in_ref", lit(1L))
     all.filter($"doc_id" % RefSliceMod =!= 0)

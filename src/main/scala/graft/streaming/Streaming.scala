@@ -165,12 +165,27 @@ object Streaming {
     val counts = graft.ops.TextAnalysis.unigramCounts(
       graft.ops.TextAnalysis.unigramWords(batch))
     val prior = modelVersions(dimDir).filter(_ < batchId)
+    requirePredecessorState(dimDir, batchId, prior)
     val merged =
       if (prior.isEmpty) counts
       else spark.read.parquet(s"$dimDir/v${prior.max}")
         .union(counts).groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
     merged.write.mode("overwrite").parquet(s"$dimDir/v$batchId")
   }
+
+  /** The fresh-DIM direction of the lifecycle guard: a resumed batch
+    * (id ≥ 1) whose predecessor version is gone means the dim dir was
+    * emptied or swapped mid-lineage — merging would silently serve a
+    * "model"/blocklist containing only this batch's data. Batch-0
+    * retries have no predecessor and pass (offsets are logged before
+    * the batch function runs, so a crash mid-batch-0 legitimately
+    * resumes onto an empty dim). [[requireSharedLifecycle]] catches the
+    * fresh-CHECKPOINT direction at start-up. */
+  private def requirePredecessorState(dimDir: String, batchId: Long,
+      prior: Seq[Long]): Unit =
+    require(batchId == 0 || prior.nonEmpty,
+      s"batch $batchId resumed but $dimDir holds no prior committed " +
+        "version — dim dir and checkpoint have diverged")
 
   /** A dim dir and its stream checkpoint share ONE lifecycle: version
     * ids are micro-batch ids, which restart at 0 under a fresh
@@ -235,8 +250,20 @@ object Streaming {
     import java.nio.file.{Files, Paths}
     val bytes = graft.ops.Dedup.bloomSketchOf(batch)
     val prior = modelVersions(dimDir).filter(_ < batchId)
+    requirePredecessorState(dimDir, batchId, prior)
+    // an empty micro-batch still COMMITS (an empty sketch / the carried
+    // prior): every processed batch id must leave a version behind, or
+    // the predecessor-state guard above couldn't tell "batch was empty"
+    // from "accumulated state was lost"
+    def emptySketch: Array[Byte] = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(
+        graft.ops.Dedup.BloomExpectedItems, graft.ops.Dedup.BloomNumBits)
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      out.toByteArray
+    }
     val merged = (Option(bytes), prior) match {
-      case (None, Seq())   => return // empty first batch: nothing to commit
+      case (None, Seq())   => emptySketch
       case (None, ps)      => Files.readAllBytes(
         Paths.get(s"$dimDir/v${ps.max}/sketch.bin"))
       case (Some(b), Seq()) => b

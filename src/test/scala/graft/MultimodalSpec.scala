@@ -60,13 +60,31 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("corrupt chunk sizes throw instead of hanging the chunk walk") {
-    // a declared size of -8 once made the skip branch advance by zero —
-    // an infinite loop in an executor task; the parser must throw
+    // a declared skip-chunk size beyond the container (-8 read signed
+    // once advanced the walk by zero — an infinite loop in an executor
+    // task); the parser must throw, never spin
     def le32(v: Long): Array[Byte] =
       Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
     val bytes = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
       "LIST".getBytes ++ le32(-8L & 0xffffffffL) ++ Array.fill[Byte](16)(0)
     intercept[IllegalArgumentException](codec.decode(bytes))
+  }
+
+  test("data sizes are u32: a 3 GiB declaration is metadata-readable") {
+    // chunk sizes are unsigned per the RIFF spec; the data payload is
+    // never read (decode stops at its header), so a high-bit size must
+    // parse, not throw — truncated-prefix metadata extraction relies on it
+    def le32(v: Long): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    def le16(v: Int): Array[Byte] = Array(v, v >> 8).map(_.toByte)
+    val big = 0xC0000000L // 3 GiB
+    val bytes = "RIFF".getBytes ++ le32(36 + big) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(big)
+    val m = codec.decode(bytes)
+    assert(m.dataBytes == big)
+    assert(m.durationMs == big * 1000L / 16000)
   }
 
   test("rejects non-WAV bytes") {

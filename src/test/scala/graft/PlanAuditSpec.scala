@@ -138,6 +138,22 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
+  test("x25 encode: normalization projected once, not re-inlined per subspace") {
+    // the same interpreted-HOF defect class as the split gate above:
+    // the inline transform(v, _/nrm) form re-executed the 64-element
+    // normalization once per subspace slice (16×). Projected as `vhat`,
+    // the norm column is referenced exactly once in the plan — a
+    // re-inline would reference it per subspace.
+    val plan = graft.ops.Similarity.pqIndex(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // the division by the norm must appear once (the vhat projection);
+    // the re-inlined form carries it inside all 16 subspace slices
+    val divisions = "/ nrm#\\d+".r.findAllIn(plan).length
+    assert(divisions <= 1, s"norm division appears $divisions times — " +
+      s"vhat re-inlined?\n${plan.take(1200)}")
+    assert(plan.contains("vhat#"), plan.take(600))
+  }
+
   test("x46/x47: ngram joins are hash equi joins, no nested loop") {
     val cov = formatted(graft.ops.TextAnalysis.refCoverage(spark, sf))
     assert(!cov.contains("CartesianProduct"), cov.take(1500))
