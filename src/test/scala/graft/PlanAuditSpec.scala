@@ -144,14 +144,19 @@ class PlanAuditSpec extends AnyFunSuite {
     // normalization once per subspace slice (16×). Projected as `vhat`,
     // the norm column is referenced exactly once in the plan — a
     // re-inline would reference it per subspace.
-    val plan = graft.ops.Similarity.pqIndex(spark, sf)
+    // note the cache manager may substitute the memoized pqIndex frame
+    // into this plan (suite-order-dependent); InMemoryRelation prints
+    // its stored child plan, so the signatures below survive either way
+    val all = graft.ops.Similarity.corpus(spark, sf)
+    val plan = graft.ops.Similarity
+      .pqIndexOf(all, graft.ops.Similarity.pqCodebooksOf(all))
       .queryExecution.optimizedPlan.toString
-    // the division by the norm must appear once (the vhat projection);
-    // the re-inlined form carries it inside all 16 subspace slices
-    val divisions = "/ nrm#\\d+".r.findAllIn(plan).length
-    assert(divisions <= 1, s"norm division appears $divisions times — " +
-      s"vhat re-inlined?\n${plan.take(1200)}")
-    assert(plan.contains("vhat#"), plan.take(600))
+    // projected form: every subspace slices the vhat ATTRIBUTE; the
+    // re-inlined form slices a transform(...) expression directly
+    assert("slice\\(vhat#\\d+".r.findAllIn(plan).length >= 16,
+      s"subspace slices not on the projected vhat\n${plan.take(1200)}")
+    assert(!plan.contains("slice(transform("),
+      s"normalization re-inlined into a subspace slice\n${plan.take(1200)}")
   }
 
   test("x46/x47: ngram joins are hash equi joins, no nested loop") {
