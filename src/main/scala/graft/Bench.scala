@@ -50,7 +50,9 @@ object Bench {
   def prewarm(spark: SparkSession,
       frames: Seq[() => org.apache.spark.sql.DataFrame]): Double = {
     val t0 = System.nanoTime()
-    frames.foreach { f =>
+    frames.zipWithIndex.foreach { case (f, i) =>
+      // forensics: name the in-flight build if the JVM dies mid-prewarm
+      System.err.println(s"[prewarm] start frame ${i + 1}/${frames.size}")
       try f().write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[prewarm] failed (continuing): $e")
@@ -67,6 +69,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // A contended host must degrade to SLOW, never to DEAD: round-7's
+      // official record was exit 56 (executor declared the driver
+      // heartbeat-unreachable after a GC-pause thrash) on code that ran
+      // the same 85 queries in 52 s on a quiet slice. Stretch the
+      // failure-detection windows so a multi-minute stall is survived.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: absorb JVM/codegen/session init so the first timed
@@ -97,7 +106,15 @@ object Bench {
     // query: 1.2 s quiet vs 5.1 s under a contended scheduler slice, so
     // two samples aren't enough to hit a quiet one)
     val tripleSampled = Set("x17_dup_clusters")
+    // guard against a silent no-op if a query is ever renamed: a stale
+    // name here would quietly drop the query back to min-of-2 sampling
+    require(tripleSampled.subsetOf(SparkEntry.queries.keySet),
+      s"tripleSampled names unknown queries: " +
+        (tripleSampled -- SparkEntry.queries.keySet).mkString(","))
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // crash forensics: if the JVM dies mid-run, the last start line on
+      // stderr names the in-flight query (round-7's rc=1 record gave zero)
+      System.err.println(s"[bench] start $name")
       val n = if (tripleSampled(name)) 3 else 2
       val samples = Seq.fill(n)(timeOnce(fn)).filter(_ >= 0)
       name -> (if (samples.isEmpty) -1.0 else samples.min)

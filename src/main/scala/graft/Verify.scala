@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // survive contended-host GC stalls as SLOW, not exit-56 DEAD
+      // (see Bench.scala — round-7's official bench record was a
+      // heartbeat-failure crash on code that passed on a quiet slice)
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -19,6 +24,8 @@ object Verify {
     var ok = 0
     var failed = 0
     SparkEntry.queries.foreach { case (name, fn) =>
+      // forensics: if the JVM dies mid-run, stderr names the in-flight query
+      System.err.println(s"[verify] start $name")
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -119,8 +119,17 @@ object CustomExprs {
   def simhash64(c: Column): Column =
     org.apache.spark.sql.functions.call_function("simhash64", c)
 
-  /** SQL registration (spark.sql("SELECT token_sort_ratio(a,b) …")). */
-  def register(spark: SparkSession): Unit = {
+  /** SQL registration (spark.sql("SELECT token_sort_ratio(a,b) …")).
+    * Once per session: callers invoke this per query, and re-registering
+    * logs a "function replaced" WARN per function per call — 7×N lines
+    * that drowned round-7's 2,000-char crash tail. The memoValue guard
+    * shares the Caches lifecycle, so a new session re-registers. */
+  def register(spark: SparkSession): Unit =
+    graft.Caches.memoValue(spark, "#customExprsRegistered") {
+      registerNow(spark); true
+    }
+
+  private def registerNow(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("token_sort_ratio",
       es => TokenSortRatio(es.head, es(1)), "scala_udf")

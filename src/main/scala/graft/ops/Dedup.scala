@@ -715,11 +715,13 @@ object Dedup {
   // ---------------------------------------- x27 bloom decontamination
 
   /** x27 sketch budget: sized a priori, independent of the blocklist —
-    * 100k expected items × 8 bits/item keeps the false-positive rate
-    * ≈ 1% at full load (far lower at fixture load). The sketch is
-    * ~100 KB however many shingles the benchmark suite accumulates. */
+    * 100k expected items × 10 bits/item gives false-positive rate
+    * ≈ 0.9% at full load (optimal k ≈ 7 hashes; far lower at fixture
+    * load), inside the spec's per-doc 2%+1 inflation budget with margin
+    * (8 bits/item would sit at ~2.2%, the budget's edge). The sketch is
+    * ~125 KB however many shingles the benchmark suite accumulates. */
   val BloomExpectedItems = 100000L
-  val BloomNumBits = 800000L
+  val BloomNumBits = 1000000L
 
   /** x27 — BLOOM-FILTER decontamination, the constant-size sibling of
     * x19: flag a training doc when ≥ [[ContaminationThreshold]] of its

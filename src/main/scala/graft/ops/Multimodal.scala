@@ -179,6 +179,11 @@ object Multimodal {
         }
       }
       require(rate > 0 && bits > 0 && ch > 0, "missing or bad fmt chunk")
+      // integer PCM frames are whole bytes per sample; without this a
+      // declared bitsPerSample of 1-7 makes bits/8 truncate to 0 and
+      // durationMs divide by zero (ArithmeticException instead of the
+      // intended validation failure)
+      require(bits >= 8 && bits % 8 == 0, s"non-byte-aligned PCM bits $bits")
       require(dataLen >= 0, "missing data chunk")
       val byteRate = rate.toLong * ch * (bits / 8)
       WavMeta(rate, ch, bits, dataLen, dataLen * 1000L / byteRate)

@@ -278,7 +278,16 @@ object Streaming {
     }
     val vdir = Paths.get(s"$dimDir/v$batchId")
     Files.createDirectories(vdir)
-    Files.write(vdir.resolve("sketch.bin"), merged)
+    // commit via temp + atomic rename: a retried already-committed batch
+    // must never truncate-and-rewrite sketch.bin in place while the prior
+    // _SUCCESS still stands — a concurrent blocklist() reader could
+    // observe a half-written sketch. After the move, the committed bytes
+    // are either the old complete sketch or the new identical one.
+    val tmp = vdir.resolve("sketch.bin.tmp")
+    Files.write(tmp, merged)
+    Files.move(tmp, vdir.resolve("sketch.bin"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     Files.write(vdir.resolve("_SUCCESS"), Array.emptyByteArray) // commit marker
   }
 
