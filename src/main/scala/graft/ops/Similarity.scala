@@ -215,13 +215,37 @@ object Similarity {
 
   // ------------------------------------------------------------- x22 IVF
 
-  /** Coarse-quantizer cell count / probed cells per query. 16 cells ×
-    * 2 probes = candidate fraction ≈ 1/8 of the corpus per query (the
-    * spec asserts < 20% measured). At deployment k scales like √n (IVF
-    * practice) and probes stays a small constant, so the touched fraction
-    * FALLS as the corpus grows — the sublinear property x21's
-    * whole-corpus sketch scan lacks. */
-  private[graft] val IvfCells = 16
+  /** Coarse-quantizer sizing: the cell count is DERIVED FROM THE CORPUS
+    * SIZE, k = max([[IvfMinCells]], ⌈n / [[IvfTargetCellRows]]⌉), so the
+    * expected cell population stays ≈ [[IvfTargetCellRows]] however big
+    * the corpus is. With probes a small constant, the probe's touched
+    * fraction p/k then FALLS as the corpus grows (the sublinear property
+    * x21's whole-corpus sketch scan lacks), and x24's within-cell
+    * candidate volume p²·n²/k grows LINEARLY in n instead of
+    * quadratically — the 10× probe measured the quadratic term emerging
+    * when k was a compile-time 16 (PLANS.md), which is why this is
+    * computed, not configured. DedupSimilaritySpec pins cell population
+    * and touched fraction at two corpus sizes 4× apart.
+    *
+    * Representation bound: centroids are plan literals (codegen'd dot
+    * products), which is the right shape up to a few hundred cells. At
+    * k beyond [[IvfMaxLiteralCells]] the centroid table must become a
+    * broadcast-join dimension instead of an expression — capped loudly
+    * here rather than silently compiling a megabyte expression tree. */
+  private[graft] val IvfMinCells = 16
+  private[graft] val IvfTargetCellRows = 256
+  private[graft] val IvfMaxLiteralCells = 256
+  private[graft] def ivfCellCount(n: Long): Int = {
+    val k = math.max(IvfMinCells.toLong,
+      (n + IvfTargetCellRows - 1) / IvfTargetCellRows)
+    if (k > IvfMaxLiteralCells) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ivfCellCount: n=$n wants $k cells; capping at $IvfMaxLiteralCells " +
+          "(literal-codebook representation bound — switch the centroid " +
+          "table to a broadcast dimension to go further)")
+      IvfMaxLiteralCells
+    } else k.toInt
+  }
   private[graft] val IvfProbes = 2
   private val IvfLloydRounds = 3
 
@@ -265,18 +289,21 @@ object Similarity {
     * trainer runs on a bounded sample — standard IVF practice — and the
     * assignment pass stays map-only over the full corpus). Empty cells
     * keep their previous centroid. */
-  private[graft] def ivfCentroidsOf(all: DataFrame, k: Int = IvfCells,
+  private[graft] def ivfCentroidsOf(all: DataFrame, k: Int = 0,
       rounds: Int = IvfLloydRounds): Array[Array[Double]] = {
     val spark = all.sparkSession
     import spark.implicits._
+    // k = 0 (the default) sizes the quantizer from the corpus count —
+    // one cheap count on a memoized/persisted frame, paid once per index
+    val kk = if (k > 0) k else ivfCellCount(all.count())
     val dim = all.select(size($"v")).head.getInt(0)
-    var cents = ivfSeedCentroids(k, dim)
+    var cents = ivfSeedCentroids(kk, dim)
     for (_ <- 0 until rounds) {
       val sums = all.select(cellOf($"v", cents).as("cell"),
           posexplode($"v").as(Seq("pos", "x")))
         .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
         .collect()
-      val next = Array.tabulate(k)(i => cents(i).clone())
+      val next = Array.tabulate(kk)(i => cents(i).clone())
       sums.foreach { r =>
         next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
       }
@@ -313,8 +340,9 @@ object Similarity {
     * as the index); per query, probe only the top-p cells and exact-
     * rescore inside them. Unlike x21's rank-then-rescore (which reads
     * EVERY corpus sketch row per query batch), the probe touches ≈ p/k
-    * of the corpus — and with k ∝ √n the fraction shrinks as the corpus
-    * grows. The isotropic fixture is the known worst case for partition
+    * of the corpus — and with k sized from the corpus count
+    * ([[ivfCellCount]]: fixed target cell population) the fraction
+    * shrinks as the corpus grows. The isotropic fixture is the known worst case for partition
     * indexes (recall plateaus ≈ 0.6 — measured and documented in
     * PLANS.md, which is WHY x21 exists); on clustered embeddings — the
     * regime IVF is for — recall ≥ 0.8 at < 20% touched rows is gated by
@@ -533,7 +561,7 @@ object Similarity {
   /** x26 — ANN top-5 via IVF-PQ, the composition of x22 and x25 and the
     * standard production architecture (FAISS IVFPQ; Jégou et al. 2011
     * §IV): probe the top-p cells per query (sublinear — touches ≈ p/k of
-    * the corpus, shrinking as k ∝ √n), ADC-score ONLY the probed cells'
+    * the corpus, shrinking as [[ivfCellCount]] grows k with n), ADC-score ONLY the probed cells'
     * 16-byte code rows (memory-bound — no full vector read), keep
     * [[IvfPqRescoreFactor]]·k candidates, exact-rescore those via an
     * equi join to the full vectors. x22 bounds WHICH rows are touched;
@@ -678,7 +706,9 @@ object Similarity {
   /** x24 — SemDeDup with the paper's own sub-quadratic candidate
     * generator (Abbas et al. 2023 §3: pairs within k-means clusters
     * only), at the production τ where the recipe is sound: x22's IVF
-    * centroids provide the clusters, each vector is assigned to its
+    * centroids provide the clusters (k sized from the corpus count via
+    * [[ivfCellCount]], so cell size — and with it the per-cell pair
+    * volume — stays fixed as n grows), each vector is assigned to its
     * top-2 cells ([[SemDedupAssignProbes]] — closing the
     * Voronoi-boundary recall gap single assignment measurably has),
     * candidates are within-cell pairs (equi join on the cell key —

@@ -302,6 +302,79 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally cells.unpersist()
   }
 
+  test("ivfCellCount: floor, linear regime, and literal-representation cap") {
+    import Similarity.{IvfMinCells, IvfTargetCellRows, IvfMaxLiteralCells}
+    // floor: small corpora keep the minimum quantizer
+    assert(Similarity.ivfCellCount(1) == IvfMinCells)
+    assert(Similarity.ivfCellCount(IvfMinCells * IvfTargetCellRows) == IvfMinCells)
+    // linear regime: k tracks ⌈n / target⌉ so E[cell size] stays ≈ target
+    assert(Similarity.ivfCellCount(64L * IvfTargetCellRows) == 64)
+    assert(Similarity.ivfCellCount(64L * IvfTargetCellRows + 1) == 65)
+    // cap: the literal-codebook bound is enforced, not overrun
+    assert(Similarity.ivfCellCount(100L * 1000 * 1000) == IvfMaxLiteralCells)
+  }
+
+  /** Clustered corpus generator at an arbitrary size (same recipe as
+    * [[clusteredCorpus]]; enough true clusters that the trained
+    * quantizer has real structure to find at both test sizes). */
+  private def clusteredCorpusOf(n: Int, seed: Int) = {
+    import spark.implicits._
+    val kTrue = 32; val dim = 16
+    val rnd = new scala.util.Random(seed)
+    def unit(v: Array[Double]) = {
+      val m = math.sqrt(v.map(x => x * x).sum); v.map(_ / m)
+    }
+    val cents = Array.fill(kTrue)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    (0 until n).map { i =>
+      val c = cents(i % kTrue)
+      val g = Array.fill(dim)(rnd.nextGaussian())
+      (i.toLong, unit(c.zip(g).map { case (a, x) => a + 0.35 * x }))
+    }.toDF("vec_id", "v")
+      .withColumn("nrm", org.apache.spark.sql.functions.lit(1.0))
+      .persist()
+  }
+
+  test("adaptive k: cell candidate volume ~flat and touched fraction falls across 4× growth") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.CustomExprs.register(spark)
+    // two sizes past the k floor (floor × target = 4096), 4× apart
+    val sizes = Seq(16 * Similarity.IvfTargetCellRows,
+      64 * Similarity.IvfTargetCellRows)
+    val stats = sizes.zipWithIndex.map { case (n, i) =>
+      val corpus = clusteredCorpusOf(n, seed = 31 + i)
+      val k = Similarity.ivfCellCount(n.toLong)
+      val cents = Similarity.ivfCentroidsOf(corpus, k)
+      val cells = corpus
+        .withColumn("cell", Similarity.cellOf($"v", cents)).persist()
+      try {
+        // expected within-cell candidate pairs PER ROW = Σ cᵢ(cᵢ−1)/2 / n
+        // — the work x24's generator does per corpus row; fixed target
+        // cell size must keep it ~constant as n (and with it k) grows
+        val candPerRow = cells.groupBy($"cell").count()
+          .collect().map { r => val c = r.getLong(1); c * (c - 1) / 2.0 }
+          .sum / n
+        // x22 probe cost: fraction of corpus rows the top-p probe rescores
+        val cellSizes = cells.groupBy($"cell").count()
+        val touched = Similarity.ivfProbes(cells, cents, 8, Similarity.IvfProbes)
+          .select($"query_id", $"cell").join(cellSizes, "cell")
+          .agg(sum($"count")).collect()(0).getLong(0) / (8.0 * n)
+        (k, candPerRow, touched)
+      } finally { cells.unpersist(); corpus.unpersist() }
+    }
+    val Seq((k1, cand1, touch1), (k2, cand2, touch2)) = stats
+    info(f"n=${sizes(0)}: k=$k1 candPerRow=$cand1%.1f touched=$touch1%.3f; " +
+      f"n=${sizes(1)}: k=$k2 candPerRow=$cand2%.1f touched=$touch2%.3f")
+    assert(k2 == 4 * k1, s"k did not track n: $k1 -> $k2")
+    // ~flat per-row candidate volume (was 4× under compile-time k=16:
+    // the quadratic term PLANS.md measured at the 10× probe)
+    assert(cand2 / cand1 < 2.0,
+      s"per-row candidate volume grew ${cand2 / cand1}× across 4× corpus growth")
+    // probe touched fraction must FALL as k grows with n
+    assert(touch2 < touch1,
+      s"touched fraction did not fall: $touch1 -> $touch2")
+  }
+
   test("x14 tiled cosine join: no nested-loop/cartesian over the corpus") {
     val plan = Similarity.cosineNearDupPairs(spark, sf)
       .queryExecution.executedPlan.toString
