@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: media as opaque `binary` with typed
-  * metadata. The container has no image/video codec libraries, so those
-  * decode steps are a clearly-marked deterministic STUB (Decoder below);
-  * audio is decoded FOR REAL — [[WavCodec]] parses genuine RIFF/WAVE
-  * containers with pure byte arithmetic (x48). Everything around the
+  * metadata. The container has no image/video codec libraries, so the
+  * compressed-codec decode steps are a clearly-marked deterministic STUB
+  * (Decoder below); the codec-free container families are decoded FOR
+  * REAL with pure byte arithmetic — [[WavCodec]] parses genuine
+  * RIFF/WAVE audio (x48) and [[BmpCodec]] genuine BI_RGB bitmaps
+  * (x57). Everything around the
   * decode — schema, batched per-partition decoder lifecycle, frame
   * explosion, partitioning — is the real shape a 100 TB media pipeline
   * needs (the Scala analog of mapInPandas is Dataset.mapPartitions with
@@ -249,6 +251,171 @@ object Multimodal {
       |  len AS data_bytes,
       |  (len * 1000) // (rate * ch * 2) AS duration_ms
       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ x57 BMP
+
+  /** Parsed BMP metadata — everything read from the blob bytes alone. */
+  final case class BmpMeta(width: Int, height: Int, bitsPerPixel: Int,
+      rowStride: Int, pixelBytes: Long, topDown: Boolean)
+
+  /** A real (if minimal) uncompressed-BMP codec — the visual-format
+    * sibling of [[WavCodec]], retiring the labeled image decode stub for
+    * the one image family a codec-free container CAN decode: BMP's
+    * BITMAPFILEHEADER + BITMAPINFOHEADER are fixed-offset little-endian
+    * integers, no entropy coding.
+    *
+    * `encode` writes a genuine BI_RGB bitmap (8-bpp grayscale-palette or
+    * 24/32-bpp, 4-byte-aligned row strides, optional top-down negative
+    * height). `decode` is a real header parser: it validates the BM
+    * magic, reads the pixel-data offset from the file header, accepts
+    * any BITMAPINFOHEADER-compatible header (biSize ≥ 40 — V4/V5 are
+    * supersets, so foreign files with the longer headers parse too),
+    * decodes the negative-height top-down convention, recomputes the
+    * spec's 4-byte-aligned stride, and falls back to stride × height
+    * when biSizeImage is 0 (legal for BI_RGB). MultimodalSpec pins it
+    * against a hand-laid-out foreign header it did not produce. */
+  final class BmpCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    def encode(payload: Array[Byte], width: Int, bpp: Int,
+        topDown: Boolean): Array[Byte] = {
+      require(width > 0 && Set(8, 24, 32)(bpp), s"bad encode params $width/$bpp")
+      val rowBytes = width * bpp / 8
+      val h = math.max(1, (payload.length + rowBytes - 1) / rowBytes)
+      val stride = (width * bpp + 31) / 32 * 4
+      val paletteLen = if (bpp == 8) 256 * 4 else 0
+      val pixelOffset = 14 + 40 + paletteLen
+      val imageSize = stride * h
+      val buf = ByteBuffer.allocate(pixelOffset + imageSize)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte)
+      buf.putInt(pixelOffset + imageSize) // file size
+      buf.putInt(0)                       // reserved
+      buf.putInt(pixelOffset)             // bfOffBits
+      buf.putInt(40)                      // biSize: BITMAPINFOHEADER
+      buf.putInt(width)
+      buf.putInt(if (topDown) -h else h)  // negative height = top-down
+      buf.putShort(1)                     // planes
+      buf.putShort(bpp.toShort)
+      buf.putInt(0)                       // BI_RGB
+      buf.putInt(imageSize)
+      buf.putInt(2835).putInt(2835)       // 72 DPI in px/metre
+      buf.putInt(if (bpp == 8) 256 else 0) // biClrUsed
+      buf.putInt(0)                       // biClrImportant
+      if (bpp == 8) (0 until 256).foreach { i => // grayscale palette BGRA
+        buf.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte)
+      }
+      // payload packed row-wise; inter-row alignment padding stays zero
+      var off = 0
+      for (r <- 0 until h if off < payload.length) {
+        val n = math.min(rowBytes, payload.length - off)
+        buf.position(pixelOffset + r * stride)
+        buf.put(payload, off, n)
+        off += rowBytes
+      }
+      buf.array()
+    }
+
+    def decode(blob: Array[Byte]): BmpMeta = {
+      val buf = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
+      require(buf.remaining >= 14 + 40, "truncated BMP header")
+      require(buf.get() == 'B'.toByte && buf.get() == 'M'.toByte,
+        "not a BM bitmap")
+      buf.getInt() // declared file size (trailing truncation tolerated)
+      buf.getInt() // reserved
+      val pixelOffset = buf.getInt().toLong & 0xffffffffL // u32 offsets
+      val biSize = buf.getInt().toLong & 0xffffffffL
+      require(biSize >= 40 && biSize <= buf.remaining + 4,
+        s"unsupported info-header size $biSize") // 40=V1; V4/V5 supersets ok
+      val w = buf.getInt()
+      val hRaw = buf.getInt()
+      require(w > 0 && hRaw != 0 && hRaw != Int.MinValue,
+        s"bad dimensions ${w}x$hRaw")
+      val topDown = hRaw < 0
+      val h = math.abs(hRaw)
+      require(buf.getShort() == 1, "planes must be 1")
+      val bpp = buf.getShort().toInt
+      require(Set(1, 4, 8, 16, 24, 32)(bpp), s"bad bit depth $bpp")
+      val compression = buf.getInt()
+      require(compression == 0, s"only BI_RGB supported, got $compression")
+      val imageSize = buf.getInt().toLong & 0xffffffffL
+      // the pixel array must start after the headers (palette included
+      // in the offset) and inside the container
+      require(pixelOffset >= 14 + biSize && pixelOffset <= blob.length,
+        s"pixel offset $pixelOffset outside container")
+      val stride = (w.toLong * bpp + 31) / 32 * 4
+      require(stride <= Int.MaxValue, s"stride overflow for width $w")
+      // biSizeImage MAY be 0 for BI_RGB; the spec stride recomputes it
+      val pixelBytes = if (imageSize != 0) imageSize else stride * h
+      BmpMeta(w, h, bpp, stride.toInt, pixelBytes, topDown)
+    }
+  }
+
+  /** documents → (doc_id, genuine BMP blob): each document's text bytes
+    * packed as the pixel array of a real BI_RGB bitmap, with per-doc
+    * geometry (width 8-32 px, 8/24/32 bpp, every 5th image top-down).
+    * One codec instance per partition, like [[wavFrame]]. */
+  def bmpFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = new BmpCodec
+        it.map { case (docId, payload) =>
+          (docId, codec.encode(payload,
+            width = 8 + (docId % 25).toInt,
+            bpp = Array(8, 24, 32)((docId % 3).toInt),
+            topDown = docId % 5 == 0))
+        }
+      }
+      .toDF("doc_id", "bmp")
+  }
+
+  /** x57 — REAL image metadata decode: parse the BMP container bytes
+    * (magic, file-header offset, BITMAPINFOHEADER fields — nothing from
+    * the row but the blob) into width / height / bit depth / row stride
+    * / pixel-array size / top-down orientation. The DuckDB oracle
+    * recomputes every field from the generator parameters (including
+    * the 4-byte row-alignment stride rule), so the parse is checked
+    * byte-exactly; MultimodalSpec additionally pins the parser against
+    * a foreign reference header and layouts the encoder never emits
+    * (V5 header sizes, zero biSizeImage). */
+  def bmpDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    bmpFrame(spark, sfDir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = new BmpCodec // once per partition, like a real codec
+        it.map { case (docId, bmp) =>
+          val m = codec.decode(bmp)
+          (docId, m.width, m.height, m.bitsPerPixel, m.rowStride,
+            m.pixelBytes, m.topDown)
+        }
+      }
+      .toDF("doc_id", "width", "height", "bits_per_pixel", "row_stride",
+        "pixel_bytes", "top_down")
+      .orderBy($"doc_id")
+  }
+
+  val bmpDecodeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS len,
+      |    8 + (doc_id % 25) AS w,
+      |    ([8,24,32])[CAST(doc_id % 3 AS INT) + 1] AS bpp,
+      |    (doc_id % 5 = 0) AS top_down
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, w, bpp, top_down,
+      |    greatest(1, (len + (w * bpp // 8) - 1) // (w * bpp // 8)) AS h,
+      |    ((w * bpp + 31) // 32) * 4 AS stride
+      |  FROM m
+      |)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(bpp AS INT) AS bits_per_pixel, CAST(stride AS INT) AS row_stride,
+      |  CAST(stride * h AS BIGINT) AS pixel_bytes, top_down
+      |FROM g ORDER BY doc_id""".stripMargin
 
   /** x41 via mapPartitions — the batched-decoder plumbing (one Decoder per
     * partition, analogous to mapInPandas batch decode). Verified equal to

@@ -96,6 +96,84 @@ class MultimodalSpec extends AnyFunSuite {
       codec.decode("RIFF".getBytes ++ Array.fill[Byte](4)(0) ++ "AVI ".getBytes))
   }
 
+  // ---------------------------------------------------------- x57 BMP
+  private def bmpCodec = new Multimodal.BmpCodec
+  private def le32(v: Long): Array[Byte] =
+    Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+  private def le16(v: Int): Array[Byte] = Array(v, v >> 8).map(_.toByte)
+
+  test("BMP encode→decode round-trips geometry fields") {
+    val rnd = new scala.util.Random(9)
+    for (_ <- 0 until 50) {
+      val payload = Array.fill(1 + rnd.nextInt(5000))(rnd.nextInt.toByte)
+      val w = 1 + rnd.nextInt(64)
+      val bpp = Seq(8, 24, 32)(rnd.nextInt(3))
+      val topDown = rnd.nextBoolean()
+      val rowBytes = w * bpp / 8
+      val h = math.max(1, (payload.length + rowBytes - 1) / rowBytes)
+      val stride = (w * bpp + 31) / 32 * 4
+      val m = bmpCodec.decode(bmpCodec.encode(payload, w, bpp, topDown))
+      assert(m == Multimodal.BmpMeta(w, h, bpp, stride,
+        stride.toLong * h, topDown))
+    }
+  }
+
+  test("parses a foreign BMP reference header it did not produce") {
+    // the classic 2×2 24-bit BI_RGB example, laid out by hand from the
+    // BMP spec byte by byte — NOT built with the encoder, so a codec
+    // that merely inverts its own writer fails here
+    val bytes = "BM".getBytes ++ le32(70) ++ le16(0) ++ le16(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(16) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++
+      Array.fill[Byte](16)(0xff.toByte)
+    val m = bmpCodec.decode(bytes)
+    assert(m == Multimodal.BmpMeta(2, 2, 24, 8, 16, topDown = false))
+  }
+
+  test("BMP: V5 header size, zero biSizeImage fallback, top-down height") {
+    // a 124-byte BITMAPV5HEADER (a superset of V1 — real files carry
+    // these), biSizeImage = 0 (legal for BI_RGB → stride × |height|),
+    // height −1 (top-down row order): layouts the encoder never emits
+    val off = 14 + 124
+    val bytes = "BM".getBytes ++ le32(off + 12L) ++ le16(0) ++ le16(0) ++
+      le32(off.toLong) ++
+      le32(124) ++ le32(3) ++ le32(-1L & 0xffffffffL) ++ le16(1) ++
+      le16(24) ++ le32(0) ++ le32(0) ++ le32(2835) ++ le32(2835) ++
+      le32(0) ++ le32(0) ++
+      Array.fill[Byte](124 - 40)(0) ++ Array.fill[Byte](12)(1)
+    val m = bmpCodec.decode(bytes)
+    assert(m == Multimodal.BmpMeta(3, 1, 24, 12, 12, topDown = true))
+  }
+
+  test("BMP: rejects non-bitmaps, compressed forms, and corrupt headers") {
+    intercept[IllegalArgumentException](bmpCodec.decode("not a bmp".getBytes))
+    // a compressed bitmap (BI_RLE8) must be refused, never mis-sized
+    val rle = bmpCodec.encode(Array[Byte](1, 2, 3), 4, 8, topDown = false)
+    rle(30) = 1 // biCompression ← BI_RLE8
+    intercept[IllegalArgumentException](bmpCodec.decode(rle))
+    // a pixel offset pointing outside the container must be refused
+    val bad = bmpCodec.encode(Array[Byte](1, 2, 3), 4, 24, topDown = false)
+    bad(10) = 0x7f // bfOffBits low byte → far beyond the blob...
+    intercept[IllegalArgumentException](bmpCodec.decode(bad))
+  }
+
+  test("x57 blobs are genuine BMP containers; decode matches the generator") {
+    import spark.implicits._
+    val rows = Multimodal.bmpFrame(spark, sf).as[(Long, Array[Byte])]
+      .take(20)
+    assert(rows.nonEmpty)
+    rows.foreach { case (docId, bmp) =>
+      assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+      val m = bmpCodec.decode(bmp)
+      assert(m.width == 8 + (docId % 25).toInt)
+      assert(m.bitsPerPixel == Array(8, 24, 32)((docId % 3).toInt))
+      assert(m.topDown == (docId % 5 == 0))
+      // the declared pixel array really is there, palette included
+      val paletteLen = if (m.bitsPerPixel == 8) 1024 else 0
+      assert(bmp.length.toLong == 14 + 40 + paletteLen + m.pixelBytes)
+    }
+  }
+
   test("x48 blobs are genuine WAV containers; decode matches the generator") {
     import spark.implicits._
     val rows = Multimodal.wavFrame(spark, sf).as[(Long, Array[Byte])]
