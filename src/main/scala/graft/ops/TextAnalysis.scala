@@ -918,13 +918,38 @@ object TextAnalysis {
     * Shape: the merge table is a k-row driver artifact (memoized);
     * application runs once per DISTINCT word — the dictionary
     * confinement trick the NLP tiers use, sound because BPE merges
-    * never cross word boundaries — then a broadcast join back to the
-    * exploded corpus (the distinct-word dim is Heaps-law bounded =
-    * broadcastable at any corpus size) and one per-doc aggregation.
+    * never cross word boundaries — then a join back to the exploded
+    * corpus and one per-doc aggregation. The distinct-word dim grows
+    * sub-linearly (Heaps' law) on natural text, but a 100 TB web crawl's
+    * "word" set (typos, URLs, hex blobs) can still reach billions of
+    * entries and blow an unconditional broadcast, so the join side is
+    * GUARDED: broadcast only while the memoized distinct-word count is
+    * ≤ [[BpeBroadcastMaxWords]], plain shuffle join (still one shuffle
+    * of the small dim, not the corpus re-encode) beyond it.
     * Iterative merges are not SQL-expressible → rows-only driver
-    * check; CurationSpec replays the encode on the collected dictionary
-    * and pins per-word token counts + bounds invariants. */
+    * check; CurationSpec replays the encode on the collected dictionary,
+    * pins per-word token counts + bounds invariants, and proves the two
+    * join paths byte-identical. */
   def bpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nWords = graft.Caches.memoValue(spark, s"bpe-dict-count:$sfDir") {
+      Tables.spread(Tables.documents(spark, sfDir))
+        .select(explode(split($"text", " ")).as("w"))
+        .filter($"w" =!= "").select($"w").distinct().count()
+    }
+    bpeTokenizeVia(spark, sfDir, broadcastDim = nWords <= BpeBroadcastMaxWords)
+  }
+
+  /** Broadcast budget for the x56 dictionary dim: ~words × (avg word +
+    * 8-byte count) must stay well inside a 1-8 GB executor broadcast
+    * budget; 50M words × ~20 B ≈ 1 GB is the conservative ceiling. */
+  private[graft] val BpeBroadcastMaxWords = 50000000L
+
+  /** Both join regimes of x56, spec-provable equal: the encode-per-
+    * distinct-word dim either broadcasts (small-dict fast path) or
+    * shuffle-joins (the web-scale fallback the guard selects). */
+  private[graft] def bpeTokenizeVia(spark: SparkSession, sfDir: String,
+      broadcastDim: Boolean): DataFrame = {
     import spark.implicits._
     val merges = bpeMergeTable(spark, sfDir).map(m => (m._2, m._3))
     val encode = udf { (w: String) =>
@@ -937,7 +962,7 @@ object TextAnalysis {
       .filter($"w" =!= "")
     val dict = words.select($"w").distinct()
       .withColumn("n_toks", encode($"w").cast("long"))
-    words.join(broadcast(dict), "w")
+    words.join(if (broadcastDim) broadcast(dict) else dict, "w")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum($"n_toks").as("n_tokens"),

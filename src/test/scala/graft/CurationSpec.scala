@@ -254,4 +254,26 @@ class CurationSpec extends AnyFunSuite {
     assert(got.exists(_._5 > 1000),
       "no document compressed below 1 char/token — merges never applied?")
   }
+
+  test("x56 broadcast guard: both join regimes produce identical rows") {
+    // the public entry picks broadcast vs shuffle join from the memoized
+    // distinct-word count (web-scale dictionaries must not broadcast);
+    // the two paths must be indistinguishable in output
+    val bc = TextAnalysis.bpeTokenizeVia(spark, sf, broadcastDim = true)
+    val sj = TextAnalysis.bpeTokenizeVia(spark, sf, broadcastDim = false)
+    assert(bc.schema == sj.schema)
+    val a = bc.collect().map(_.toSeq).toSeq
+    val b = sj.collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b, "join-path divergence in x56")
+    // the guard must really change the plan: the broadcast path carries
+    // the hint, the fallback must NOT (AQE may still small-table-BHJ the
+    // fallback at test scale — that's its call, not a forced hint that
+    // would OOM a web-scale dictionary)
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    assert(hinted(bc), "broadcast path lost its hint")
+    assert(!hinted(sj), "fallback path still forces a broadcast hint")
+  }
 }
