@@ -609,9 +609,10 @@ object Similarity {
     * arXiv:2303.09540): drop every vector that has a lower-id neighbor
     * at cos ≥ τ; i.e. keep every vector with NO lower-id neighbor at the
     * threshold. Note this keeps all local-id-minima, not one-per-group:
-    * a transitively connected chain (1~2, 2~3, 1!~3 at τ) keeps both 1
-    * and 3 — compute components (x17 dupClusters) if one-per-component
-    * semantics are wanted. This is the embedding-space sibling of x15's
+    * a transitive chain whose middle holds the min (2~3, 1~3, 1!~2 at
+    * τ) keeps both 1 and 2 of one duplicate component — x29
+    * ([[semanticDedupCC]]) closes the chain with connected components
+    * when one-per-component semantics are wanted. This is the embedding-space sibling of x15's
     * MinHash survivor set — lexical dedup (x10-x15) can't see
     * paraphrases; this can. The pair generator is x14's tiled exact
     * self-join (bounded per-task memory, no broadcast nested loop) at
@@ -638,6 +639,61 @@ object Similarity {
        |  SELECT b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
        |  WHERE list_cosine_similarity(a.v, b.v) >= $NearDupTau)
        |ORDER BY vec_id""".stripMargin
+
+  // --------------------------------------- x29 one-per-component SemDeDup
+
+  /** x29 — one-survivor-PER-COMPONENT SemDeDup: x23 keeps every vector
+    * with no lower-id neighbor at τ, which on a transitive chain
+    * (1~2, 2~3, 1!~3) keeps BOTH endpoints {1, 3}; this variant closes
+    * the chain with x17's connected components (large/small-star,
+    * O(log n) rounds) and keeps exactly ONE vector — the minimum id —
+    * per component, the semantics SemDeDup's "keep one exemplar per
+    * duplicate group" prose actually describes. Singletons (no neighbor
+    * at τ) are kept untouched as in x23.
+    *
+    * Scale shape: the pair graph is the shared x14 tiled exact join
+    * (τ-regime caveats documented there); CC is O(log n) rounds over
+    * the pair graph ONLY — a tiny fraction of the corpus — and the
+    * final drop set joins back LEFT ANTI against the corpus scan, so
+    * the full embedding table is never shuffled. */
+  def semanticDedupCC(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Caches.untrack(spark, s"semdedup-cc-labels:$sfDir")
+    val pairs = cosineNearDupPairs(spark, sfDir).select($"id_a", $"id_b")
+    val (labels, _) = Dedup.ccStars(pairs)
+    graft.Caches.track(spark, s"semdedup-cc-labels:$sfDir", labels)
+    val drops = labels.filter($"id" =!= $"label").select($"id".as("vec_id"))
+    Tables.spread(Tables.embeddings(spark, sfDir))
+      .join(drops, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"label")
+      .orderBy($"vec_id")
+  }
+
+  /** Oracle: recursive-CTE transitive closure over the exact cosine
+    * pair graph (fixture-scale only); a node's component id is the min
+    * of its reachable set (self included via any a→b→a path), and a
+    * vector survives iff it is outside the graph or IS that minimum. */
+  val semanticDedupCCSql: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.v, b.v) >= $NearDupTau
+       |), edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM p
+       |  UNION SELECT id_b, id_a FROM p
+       |), reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, g.b FROM reach r JOIN edges g ON r.b = g.a
+       |), comp AS (
+       |  SELECT a AS vec_id, MIN(b) AS cid FROM reach GROUP BY a
+       |)
+       |SELECT emb.vec_id, emb.label FROM embeddings emb
+       |LEFT JOIN comp c ON emb.vec_id = c.vec_id
+       |WHERE c.vec_id IS NULL OR c.cid = emb.vec_id
+       |ORDER BY emb.vec_id""".stripMargin
 
   // ------------------------------------------------ x24 celled SemDeDup
 

@@ -233,6 +233,57 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.size + dropped.size == all.size)
   }
 
+  test("x29 one-per-component: exactly the component minima survive") {
+    val pairs = Similarity.cosineNearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // driver-side closure on the collected fixture pair graph
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    def component(seed: Long): Set[Long] = {
+      var seen = Set(seed); var frontier = Set(seed)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= next; frontier = next
+      }
+      seen
+    }
+    val inGraph = adj.keySet
+    val minima = inGraph.filter(id => component(id).min == id)
+    val all = Tables.spread(Tables.embeddings(spark, sf))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = Similarity.semanticDedupCC(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == (all -- inGraph) ++ minima,
+      "survivors must be singletons + one min-id exemplar per component")
+    // and x29 ⊆ x23: closing chains can only drop MORE than the
+    // no-lower-id-neighbor policy, never resurrect a dropped vector
+    val x23 = Similarity.semanticDedup(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.subsetOf(x23))
+  }
+
+  test("x29 vs x23 on a transitive chain: the chain collapses to one") {
+    import spark.implicits._
+    // 2~3, 1~3, 1!~2 — the chain whose MIDDLE holds the component min:
+    // x23's pairwise policy keeps 2 (its only neighbor, 3, is higher)
+    // as well as 1, i.e. TWO vectors of one duplicate component;
+    // component semantics keep exactly {1}. Proven on the composable CC
+    // engine the query runs (the sf corpus need not contain such a
+    // chain at τ).
+    val pairs = Seq((2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val (labels, _) = Dedup.ccStars(pairs)
+    try {
+      val survivors = labels.collect()
+        .collect { case r if r.getLong(0) == r.getLong(1) => r.getLong(0) }
+      assert(survivors.toSeq == Seq(1L), "one exemplar per chain component")
+      // x23's policy on the same graph: drop every id appearing as the
+      // canonical pair's id_b (the has-a-lower-neighbor side) → keeps 2
+      val pairwiseKept = Set(1L, 2L, 3L) -- Set(3L, 3L)
+      assert(pairwiseKept == Set(1L, 2L), "x23 keeps two of the component")
+    } finally labels.unpersist()
+  }
+
   /** Planted fixture for x24's production regime: well-separated
     * clusters whose members sit at cos ≈ 0.2 from each other (far below
     * τ = 0.8), plus planted near-copies at cos ≈ 0.99 — so the ONLY
