@@ -68,12 +68,17 @@ object Dedup {
     * materialize-the-signature-table step of a dedup pipeline. */
   private[graft] def shingled(spark: SparkSession, sfDir: String): DataFrame =
     graft.Caches.memo(spark, s"shingled:$sfDir") {
-      import spark.implicits._
-      Tables.spread(Tables.documents(spark, sfDir))
-        .withColumn("w", split($"text", " ")) // see shinglesOfWords PERF note
-        .select($"doc_id", shinglesOfWords($"w").as("sh"))
-        .withColumn("nsh", size($"sh"))
+      shingledOf(Tables.spread(Tables.documents(spark, sfDir)))
     }
+
+  /** The shingle computation over an arbitrary (doc_id, text, …) frame —
+    * the composable form a streaming micro-batch runs (no memo: a batch
+    * is consumed once). */
+  private[graft] def shingledOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " ")) // see shinglesOfWords PERF note
+      .select(col("doc_id"), shinglesOfWords(col("w")).as("sh"))
+      .withColumn("nsh", size(col("sh")))
 
   /** Skew guard for the inverted-index join: shingles appearing in more
     * than max(floor, ceil(frac·n_docs)) docs are dropped from CANDIDATE
@@ -223,7 +228,7 @@ object Dedup {
   /** (doc_id, band, bh) LSH band keys over a (doc_id, sh, nsh) shingle
     * frame — the banded index both the batch self-join (x11) and the
     * incremental history probe (x18) hang off. */
-  private def bandsOf(docs: DataFrame): DataFrame = {
+  private[graft] def bandsOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val inv = docs.select($"doc_id", explode($"sh").as("s"))

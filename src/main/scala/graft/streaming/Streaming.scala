@@ -314,6 +314,112 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** x18 streaming sibling — incremental NEAR-DUP dedup: the LSH band
+    * index persisted per micro-batch and PROBED by every subsequent
+    * batch, so continuous ingestion pays batch × matching-bucket cost
+    * per arrival, never history × history. Each micro-batch:
+    *
+    *  1. probes the accumulated index — the union of all committed
+    *     prior version slices — with its own band keys (the same
+    *     (band, bh) equi join as batch x18),
+    *  2. exact-verifies candidates from the stored shingle arrays at
+    *     the same J ≥ 0.3 gate (emitted pairs are exact, as everywhere
+    *     in the dedup family),
+    *  3. writes its verified (inc_id, hist_id, jaccard) pairs to an
+    *     idempotent per-batch output dir, and
+    *  4. commits its OWN bands + shingles as version `v<batchId>`.
+    *
+    * Unlike the unigram/blocklist dims (merged state, rewritten per
+    * batch), the band index is APPEND-ONLY: versions are disjoint batch
+    * slices and the index is their union — per-batch write cost scales
+    * with the batch, not the accumulated history, which is what makes
+    * the pattern sustainable on an unbounded stream (at scale each
+    * slice is a partition of one bucketed table keyed by (band, bh)).
+    * Same versioned-dir exactly-once shape as [[unigramModelUpdate]]:
+    * a retried batch recomputes byte-identical slices and pairs from
+    * inputs a retry cannot have touched, and readers only see versions
+    * with a `_SUCCESS` marker. StreamingSpec replays a 2-wave split
+    * (history wave, then increment wave) and proves the streamed pair
+    * set ≡ batch x18's on the same split. */
+  def bandIndexUpdate(dimDir: String, pairsDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    val spark = batch.sparkSession
+    val prior = modelVersions(dimDir).filter(_ < batchId)
+    requirePredecessorState(dimDir, batchId, prior)
+    val docs = graft.ops.Dedup.shingledOf(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = graft.ops.Dedup.bandsOf(docs)
+    val pairs =
+      if (prior.isEmpty)
+        // batch 0 probes an empty index — commit an empty pair slice so
+        // the pairs dir mirrors processed batches (same reasoning as the
+        // blocklist's empty-batch commit)
+        spark.emptyDataFrame
+          .select(lit(0L).as("inc_id"), lit(0L).as("hist_id"),
+            lit(0.0).as("jaccard")).limit(0)
+      else {
+        val hist = spark.read.parquet(
+          prior.map(p => s"$dimDir/v$p/docs"): _*)
+        val histBands = spark.read.parquet(
+          prior.map(p => s"$dimDir/v$p/bands"): _*)
+        val cand = bands.as("a").join(histBands.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+          .select(col("a.doc_id").as("inc_id"), col("b.doc_id").as("hist_id"))
+          .distinct()
+        cand
+          .join(docs.select(col("doc_id").as("inc_id"),
+            col("sh").as("sh_a"), col("nsh").as("na")), "inc_id")
+          .join(hist.select(col("doc_id").as("hist_id"),
+            col("sh").as("sh_b"), col("nsh").as("nb")), "hist_id")
+          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("jaccard",
+            col("inter") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jaccard") >= 0.3)
+          .select(col("inc_id"), col("hist_id"), col("jaccard"))
+      }
+    pairs.write.mode("overwrite").parquet(s"$pairsDir/b$batchId")
+    // commit this batch's index slice LAST, marker after both writes:
+    // a crash between the slice writes leaves no _SUCCESS, so readers
+    // and resumed lineages never see a half-committed version
+    docs.write.mode("overwrite").parquet(s"$dimDir/v$batchId/docs")
+    bands.write.mode("overwrite").parquet(s"$dimDir/v$batchId/bands")
+    docs.unpersist(blocking = false)
+    Files.write(Paths.get(s"$dimDir/v$batchId/_SUCCESS"),
+      Array.emptyByteArray)
+  }
+
+  /** Run the incremental near-dup dedup over a documents stream to
+    * completion (AvailableNow): maintains the band index under
+    * `dimDir`, emits per-batch verified pair slices under `pairsDir`. */
+  def buildBandIndex(docs: DataFrame, dimDir: String, pairsDir: String,
+      ckptDir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dimDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pairsDir))
+    requireSharedLifecycle(dimDir, ckptDir)
+    val q = docs.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        bandIndexUpdate(dimDir, pairsDir)(df, batchId)
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** All near-dup pairs the stream has emitted so far (union of the
+    * per-batch slices), or an empty frame before any batch. */
+  def streamedNearDupPairs(spark: SparkSession, pairsDir: String): DataFrame = {
+    val slices = Option(new java.io.File(pairsDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+      .map(_.getPath)
+    if (slices.isEmpty)
+      spark.emptyDataFrame
+        .select(lit(0L).as("inc_id"), lit(0L).as("hist_id"),
+          lit(0.0).as("jaccard")).limit(0)
+    else spark.read.parquet(slices: _*)
+  }
+
   /** e07 streaming sibling: watermarked stream-stream interval join —
     * clicks joined to the same user's purchases within 10 minutes after
     * the click. Both sides carry a watermark and the join condition bounds

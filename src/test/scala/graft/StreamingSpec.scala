@@ -173,6 +173,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(scored.toSeq == batch.toSeq)
   }
 
+  test("incremental near-dup dedup: 2-wave streamed pairs == batch x18") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // wave 1 lands x18's history slice, wave 2 its increment slice —
+    // the streamed probe of wave 2 against wave 1's committed index
+    // must reproduce the batch increment-vs-history join exactly
+    val landing = stageLanding("bnd", Seq(
+      docs.filter($"doc_id" % 5 =!= 0), docs.filter($"doc_id" % 5 === 0)))
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_bnd_dim").toString
+    val pairsDir = java.nio.file.Files.createTempDirectory("graft_bnd_pairs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bnd_ckpt").toString
+    Streaming.buildBandIndex(
+      spark.readStream.schema(Streaming.documentsRawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(landing),
+      dimDir, pairsDir, ckpt)
+    // it really ran incrementally: two committed index slices, two pair
+    // slices (batch 0's empty by construction)
+    val versions = new java.io.File(dimDir).listFiles()
+      .filter(_.getName.matches("v\\d+"))
+    assert(versions.length == 2, s"expected 2 micro-batches, got ${versions.toSeq}")
+    val streamed = Streaming.streamedNearDupPairs(spark, pairsDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.ops.Dedup.incrementalDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.nonEmpty, "fixture must produce cross-wave pairs")
+    assert(streamed == batch,
+      "streamed incremental pairs diverged from batch x18")
+  }
+
   test("incremental bloom blocklist: streamed sketch byte-identical to batch") {
     import spark.implicits._
     // benchmark docs arrive in two waves (two eval suites landing)
