@@ -876,38 +876,60 @@ object TextAnalysis {
   private[graft] def bpeMergeTable(spark: SparkSession,
       sfDir: String): Seq[(Int, String, String, Long)] =
     graft.Caches.memoValue(spark, s"bpe-merges:$sfDir") {
-      import spark.implicits._
-      val mergeUdf = udf(bpeApplyMerge _)
-      // the vocabulary dim: one corpus pass, Heaps-law bounded thereafter
-      var vocab = Tables.spread(Tables.documents(spark, sfDir))
-        .select(explode(split($"text", " ")).as("w"))
-        .filter($"w" =!= "")
-        .groupBy($"w").agg(count(lit(1)).as("freq"))
-        .select(split($"w", "").as("syms"), $"freq")
-        .localCheckpoint()
-      val adjPairs = transform(
-        sequence(lit(1), size($"syms") - 1),
-        i => struct(element_at($"syms", i).as("l"),
-          element_at($"syms", i + 1).as("r")))
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-      var exhausted = false
-      for (rank <- 1 to BpeMergeRounds if !exhausted) {
-        val top = vocab.filter(size($"syms") >= 2)
-          .select($"freq", explode(adjPairs).as("p"))
-          .groupBy($"p.l", $"p.r").agg(sum($"freq").as("cnt"))
-          .orderBy($"cnt".desc, $"l".asc, $"r".asc)
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += ((rank, l, r, cnt))
-          vocab = vocab
-            .select(mergeUdf($"syms", lit(l), lit(r)).as("syms"), $"freq")
-            .localCheckpoint()
-        }
-      }
-      merges.toSeq
+      bpeTrain(bpeVocab(spark, sfDir), BpeMergeRounds)
     }
+
+  /** The (syms, freq) vocabulary dim — the trainer's working set and
+    * the ONLY corpus-sized pass of BPE training. Measured on the
+    * fixture family (PLANS.md round-8 row): 31 distinct words per
+    * 270,704 running words at sf0.1 and 310 per 2,707,040 at the 10×
+    * probe (the probe's per-replica suffixing is the vocab WORST case —
+    * it mints a disjoint vocabulary per replica — and the rows/words
+    * ratio still holds at ~10⁻⁴), so per-round cost is vocab-bounded,
+    * ≈4 orders below corpus-bounded. */
+  private[graft] def bpeVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.documents(spark, sfDir))
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .select(split($"w", "").as("syms"), $"freq")
+  }
+
+  /** The driver-orchestrated merge loop over an arbitrary vocabulary
+    * dim — parameterized rounds so the spec can run a 100-round
+    * training (5× the registered depth) and pin that round cost stays
+    * vocab-bounded. Every round touches exactly the vocab dim's rows:
+    * merges rewrite `syms` in place and never add rows. */
+  private[graft] def bpeTrain(vocab0: DataFrame,
+      rounds: Int): Seq[(Int, String, String, Long)] = {
+    val spark = vocab0.sparkSession
+    import spark.implicits._
+    val mergeUdf = udf(bpeApplyMerge _)
+    var vocab = vocab0.localCheckpoint()
+    val adjPairs = transform(
+      sequence(lit(1), size($"syms") - 1),
+      i => struct(element_at($"syms", i).as("l"),
+        element_at($"syms", i + 1).as("r")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (rank <- 1 to rounds if !exhausted) {
+      val top = vocab.filter(size($"syms") >= 2)
+        .select($"freq", explode(adjPairs).as("p"))
+        .groupBy($"p.l", $"p.r").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"l".asc, $"r".asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, cnt))
+        vocab = vocab
+          .select(mergeUdf($"syms", lit(l), lit(r)).as("syms"), $"freq")
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
 
   /** x56 — BPE TOKENIZATION with the learned merge table (the encode
     * step a tokenizer runs over the whole corpus): apply x55's merges

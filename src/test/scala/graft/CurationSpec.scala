@@ -255,6 +255,36 @@ class CurationSpec extends AnyFunSuite {
       "no document compressed below 1 char/token — merges never applied?")
   }
 
+  test("x55 Heaps bound: vocab dim ≪ corpus words; 100-round training stays vocab-bounded") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val total = Tables.spread(Tables.documents(spark, sf))
+      .select(explode(split($"text", " ")).as("w")).filter($"w" =!= "")
+      .count()
+    val vocab = TextAnalysis.bpeVocab(spark, sf)
+    val nVocab = vocab.count()
+    // the scale claim as an invariant, not prose: per-round training
+    // cost is vocab-bounded, ≥2 orders below corpus-bounded (measured
+    // 31 words / 270,704 running at sf0.1; 310 / 2,707,040 at the 10×
+    // probe — PLANS.md round-8 row)
+    assert(nVocab * 100 <= total,
+      s"vocab $nVocab not ≪ $total corpus words — Heaps story broken")
+    // 5× the registered merge depth on the same dim: rounds only
+    // rewrite syms (never add rows), so deep training must complete
+    // with contiguous ranks and the registered table as its prefix
+    val deep = TextAnalysis.bpeTrain(vocab, 100)
+    assert(deep.size <= 100)
+    assert(deep.map(_._1) == (1 to deep.size), "ranks must be contiguous")
+    val reg = TextAnalysis.bpeMergeTable(spark, sf)
+    assert(deep.take(reg.size) == reg,
+      "deep run is not an extension of the registered table — trainer nondeterministic")
+    // greedy argmax on pair counts is non-increasing (a new pair (xy,z)
+    // needs an xy occurrence, so its count ≤ the merge that minted xy)
+    val cnts = deep.map(_._4)
+    assert(cnts.zip(cnts.drop(1)).forall { case (a, b) => a >= b },
+      "pair counts increased across rounds — argmax broken")
+  }
+
   test("x56 broadcast guard: both join regimes produce identical rows") {
     // the public entry picks broadcast vs shuffle join from the memoized
     // distinct-word count (web-scale dictionaries must not broadcast);
