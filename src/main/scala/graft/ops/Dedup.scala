@@ -513,6 +513,74 @@ object Dedup {
        |FROM documents d LEFT JOIN sized s ON d.doc_id = s.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** x59 — KEEP-BEST dedup survivor selection: within each near-dup
+    * cluster keep the HIGHEST-QUALITY document (x30's blended score;
+    * tie → lower doc_id), not the lowest-id one — the survivor policy
+    * curation recipes actually want (min-id keeps whichever shard
+    * happened to ingest first; keep-best keeps the cleanest copy).
+    * Singletons pass through labeled as their own cluster.
+    *
+    * Shape: clusters come from x17's CC labels over the verified pair
+    * graph — a tiny dim relative to the corpus — so the rank window
+    * runs ONLY on the clustered slice (corpus ⋈ broadcast label dim,
+    * window over cluster_id on that small frame), and the untouched
+    * singleton majority is a broadcast LEFT ANTI of the same dim:
+    * the full corpus is never shuffled by the window. Quality is the
+    * shared [[TextAnalysis.qualityScore]] column, so policy and x30
+    * cannot drift. */
+  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val clusters = dupClusters(spark, sfDir)
+      .select($"doc_id", $"cluster_id")
+    val docs = Tables.spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", $"lang",
+        TextAnalysis.qualityScore($"text").as("quality_score"))
+    val clustered = docs.join(broadcast(clusters), "doc_id")
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"quality_score".desc, $"doc_id".asc)
+    val best = clustered
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"doc_id", $"cluster_id", $"quality_score", $"lang")
+    val singletons = docs
+      .join(broadcast(clusters.select($"doc_id")), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"doc_id".as("cluster_id"), $"quality_score", $"lang")
+    best.union(singletons).orderBy($"doc_id")
+  }
+
+  /** Oracle: the x17 recursive-CTE closure for cluster ids + x30's
+    * quality formula + a per-cluster rank window (fixture scale only;
+    * double ordering is sound because both engines compute the
+    * hash-green x30 score bit-identically). */
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE p AS ($jaccardPairsSql),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM p
+       |  UNION SELECT id_b, id_a FROM p
+       |), reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), comp AS (
+       |  SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+       |), scored AS (
+       |  SELECT doc_id, lang,
+       |    ${graft.ops.TextAnalysis.qualityScoreSqlExpr(
+             "string_split(text, ' ')", "CAST(LENGTH(text) AS BIGINT)")}
+       |      AS quality_score
+       |  FROM documents
+       |), labeled AS (
+       |  SELECT s.doc_id, COALESCE(c.cluster_id, s.doc_id) AS cluster_id,
+       |    s.quality_score, s.lang
+       |  FROM scored s LEFT JOIN comp c ON s.doc_id = c.doc_id
+       |), ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |    ORDER BY quality_score DESC, doc_id ASC) AS rk
+       |  FROM labeled
+       |)
+       |SELECT doc_id, cluster_id, quality_score, lang FROM ranked
+       |WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
   /** x16 — corpus curation pipeline: the end-to-end training-data flow
     * composed from the pieces — quality filter → exact dedup (keep
     * first) → near-dup drop (trigram Jaccard ≥ 0.3, keep lower id) →

@@ -36,7 +36,7 @@ object TextAnalysis {
 
   /** The same blend as DuckDB SQL over a word-list column `w` and a
     * char-count column `nChars`. */
-  private def qualityScoreSqlExpr(w: String, nChars: String): String = {
+  private[graft] def qualityScoreSqlExpr(w: String, nChars: String): String = {
     val stops = stopwords.map(s => s"'$s'").mkString(", ")
     s"(len(list_distinct($w)) * 1.0 / len($w)) * 0.5 +\n" +
       s"    (1.0 - len(list_filter($w, x -> x IN ($stops))) * 1.0 / len($w)) * 0.3 +\n" +

@@ -255,6 +255,39 @@ class CurationSpec extends AnyFunSuite {
       "no document compressed below 1 char/token — merges never applied?")
   }
 
+  test("x59 keep-best: survivor is each cluster's quality argmax; singletons intact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val clusters = graft.ops.Dedup.dupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.nonEmpty, "fixture must produce dup clusters")
+    val quality = Tables.documents(spark, sf)
+      .select($"doc_id", TextAnalysis.qualityScore($"text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = graft.ops.Dedup.dedupKeepBest(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exactly one survivor per cluster + every singleton
+    val singles = quality.keySet -- clusters.keySet
+    assert(got.length == clusters.values.toSet.size + singles.size)
+    got.foreach { case (id, cid, q) =>
+      assert(q == quality(id))
+      if (singles(id)) assert(cid == id, s"singleton $id relabeled")
+      else {
+        val members = clusters.collect { case (d, c) if c == cid => d }
+        val best = members.maxBy(m => (quality(m), -m))
+        assert(id == best, s"cluster $cid kept $id, not argmax $best")
+      }
+    }
+    // the policy genuinely differs from min-id somewhere on the fixture,
+    // or the test (and the operator) would be vacuously x15
+    val minIdSurvivors = clusters.values.toSet.map { c: Long =>
+      clusters.collect { case (d, cc) if cc == c => d }.min
+    }
+    assert(got.exists { case (id, cid, _) =>
+      !singles(id) && !minIdSurvivors(id) },
+      "keep-best never disagreed with keep-min-id on this fixture")
+  }
+
   test("x55 Heaps bound: vocab dim ≪ corpus words; 100-round training stays vocab-bounded") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
