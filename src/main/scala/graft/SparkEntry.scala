@@ -114,6 +114,7 @@ object SparkEntry {
     "x41_frame_sample"     -> (Multimodal.frameSample _),
     "x48_wav_decode"       -> (Multimodal.wavDecode _),
     "x57_bmp_decode"       -> (Multimodal.bmpDecode _),
+    "x58_avi_decode"       -> (Multimodal.aviDecode _),
     "x42_repetition_filter" -> (TextAnalysis.repetitionFilter _),
     "x43_chunk_tokens"     -> (TextAnalysis.chunkTokens _),
     "x44_line_dedup"       -> (TextAnalysis.lineDedup _),
@@ -287,6 +288,7 @@ object SparkEntry {
     "x41_frame_sample"      -> Multimodal.frameSampleSql,
     "x48_wav_decode"        -> Multimodal.wavDecodeSql,
     "x57_bmp_decode"        -> Multimodal.bmpDecodeSql,
+    "x58_avi_decode"        -> Multimodal.aviDecodeSql,
     "x42_repetition_filter" -> TextAnalysis.repetitionFilterSql,
     "x43_chunk_tokens"      -> TextAnalysis.chunkTokensSql,
     "x44_line_dedup"        -> TextAnalysis.lineDedupSql,

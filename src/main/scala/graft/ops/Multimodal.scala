@@ -9,8 +9,10 @@ import org.apache.spark.sql.types._
   * compressed-codec decode steps are a clearly-marked deterministic STUB
   * (Decoder below); the codec-free container families are decoded FOR
   * REAL with pure byte arithmetic — [[WavCodec]] parses genuine
-  * RIFF/WAVE audio (x48) and [[BmpCodec]] genuine BI_RGB bitmaps
-  * (x57). Everything around the
+  * RIFF/WAVE audio (x48), [[BmpCodec]] genuine BI_RGB bitmaps (x57),
+  * and [[AviCodec]] genuine AVI video containers (x58; frame payloads
+  * stay stubbed — THAT is where the entropy codec the container lacks
+  * would sit). Everything around the
   * decode — schema, batched per-partition decoder lifecycle, frame
   * explosion, partitioning — is the real shape a 100 TB media pipeline
   * needs (the Scala analog of mapInPandas is Dataset.mapPartitions with
@@ -416,6 +418,214 @@ object Multimodal {
       |  CAST(bpp AS INT) AS bits_per_pixel, CAST(stride AS INT) AS row_stride,
       |  CAST(stride * h AS BIGINT) AS pixel_bytes, top_down
       |FROM g ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ x58 AVI
+
+  /** Parsed AVI metadata — everything read from the container bytes. */
+  final case class AviMeta(width: Int, height: Int, usecPerFrame: Long,
+      totalFrames: Long, fpsPermille: Long, codec: String)
+
+  /** A real (if minimal) AVI container codec — the VIDEO sibling of
+    * [[WavCodec]]/[[BmpCodec]], retiring the labeled video decode stub
+    * for what a codec-free container CAN decode: the AVI RIFF layout
+    * (`RIFF…AVI ` → `LIST hdrl` → `avih` main header + `LIST strl` →
+    * `strh` stream headers) is fixed-offset little-endian integers; only
+    * the frame PAYLOAD needs an entropy codec, and that stays stubbed.
+    *
+    * `encode` writes a genuine single-video-stream AVI (hdrl with a
+    * 56-byte avih, one strl carrying a 56-byte 'vids' strh + 40-byte
+    * BITMAPINFOHEADER strf, movi with the payload as one `00dc` chunk,
+    * even-pad rule throughout). `decode` is a real walker: it validates
+    * the RIFF/`AVI ` magics, walks top-level chunks with u32 sizes,
+    * descends into `hdrl`/`strl` LISTs (and ONLY those — `movi` is
+    * skipped by size, the production behavior for metadata extraction:
+    * never scan the payload), reads the avih geometry/timing fields and
+    * the FIRST `vids` stream's codec fourcc + dwScale/dwRate/dwLength,
+    * and tolerates unknown chunks (JUNK, idx1, extra streams) by the
+    * skip rule. MultimodalSpec pins it against a hand-laid foreign
+    * layout (JUNK chunk, odd-size chunk, trailing idx1) it did not
+    * produce. */
+  final class AviCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.nio.charset.StandardCharsets.US_ASCII
+
+    def encode(payload: Array[Byte], width: Int, height: Int, rateHz: Int,
+        scale: Int, totalFrames: Int, codec: String): Array[Byte] = {
+      require(width > 0 && height > 0 && rateHz > 0 && scale > 0 &&
+        totalFrames >= 0 && codec.length == 4, "bad encode params")
+      val padded = payload.length + (payload.length & 1)
+      val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40)) // type+avih+strl
+      val moviSize = 4 + 8 + padded
+      val buf = ByteBuffer.allocate(12 + 8 + hdrlSize + 8 + moviSize)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      def fourcc(s: String): Unit = buf.put(s.getBytes(US_ASCII))
+      fourcc("RIFF"); buf.putInt(4 + 8 + hdrlSize + 8 + moviSize)
+      fourcc("AVI ")
+      fourcc("LIST"); buf.putInt(hdrlSize); fourcc("hdrl")
+      fourcc("avih"); buf.putInt(56)
+      buf.putInt((1000000L * scale / rateHz).toInt) // dwMicroSecPerFrame
+      buf.putInt(0)                // dwMaxBytesPerSec
+      buf.putInt(0)                // dwPaddingGranularity
+      buf.putInt(0)                // dwFlags
+      buf.putInt(totalFrames)      // dwTotalFrames
+      buf.putInt(0)                // dwInitialFrames
+      buf.putInt(1)                // dwStreams
+      buf.putInt(0)                // dwSuggestedBufferSize
+      buf.putInt(width).putInt(height)
+      (0 until 4).foreach(_ => buf.putInt(0)) // dwReserved
+      fourcc("LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+      fourcc("strh"); buf.putInt(56)
+      fourcc("vids"); fourcc(codec)
+      buf.putInt(0)                // dwFlags
+      buf.putShort(0); buf.putShort(0) // wPriority / wLanguage
+      buf.putInt(0)                // dwInitialFrames
+      buf.putInt(scale)            // dwScale
+      buf.putInt(rateHz)           // dwRate  (fps = rate / scale)
+      buf.putInt(0)                // dwStart
+      buf.putInt(totalFrames)      // dwLength
+      buf.putInt(0)                // dwSuggestedBufferSize
+      buf.putInt(0)                // dwQuality
+      buf.putInt(0)                // dwSampleSize
+      buf.putShort(0); buf.putShort(0) // rcFrame left/top
+      buf.putShort(width.toShort); buf.putShort(height.toShort)
+      fourcc("strf"); buf.putInt(40)
+      buf.putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER
+      buf.putShort(1); buf.putShort(24)
+      buf.putInt(0); buf.putInt(0)
+      buf.putInt(0).putInt(0).putInt(0).putInt(0)
+      fourcc("LIST"); buf.putInt(moviSize); fourcc("movi")
+      fourcc("00dc"); buf.putInt(payload.length)
+      buf.put(payload) // trailing pad byte (if any) stays zero
+      buf.array()
+    }
+
+    def decode(blob: Array[Byte]): AviMeta = {
+      val buf = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, US_ASCII)
+      }
+      require(buf.remaining >= 12 && tag() == "RIFF", "not a RIFF container")
+      buf.getInt() // container size (trailing truncation tolerated)
+      require(tag() == "AVI ", "not an AVI form")
+      var width = -1; var height = -1; var usec = -1L; var frames = -1L
+      var scale = -1L; var rate = -1L; var codec: String = null
+      def walk(start: Int, end: Int): Unit = {
+        buf.position(start)
+        while (buf.position() + 8 <= end) {
+          val id = tag()
+          // u32 chunk sizes (the x48 lesson: a signed read of a corrupt
+          // size can stall the walk); walked-past chunks are bounded by
+          // the enclosing region, guaranteeing forward progress
+          val size = buf.getInt().toLong & 0xffffffffL
+          val body = buf.position()
+          require(body + size <= end, s"chunk '$id' overruns container")
+          if (id == "LIST" && size >= 4) {
+            val lt = tag()
+            // descend ONLY into header lists; movi (the payload) and
+            // unknown lists are skipped by size — metadata extraction
+            // must never scan frame data
+            if (lt == "hdrl" || lt == "strl")
+              walk(body + 4, (body + size).toInt)
+          } else if (id == "avih") {
+            require(size >= 56, s"short avih chunk $size")
+            usec = buf.getInt().toLong & 0xffffffffL
+            buf.getInt(); buf.getInt(); buf.getInt()
+            frames = buf.getInt().toLong & 0xffffffffL
+            buf.getInt(); buf.getInt(); buf.getInt()
+            width = buf.getInt(); height = buf.getInt()
+          } else if (id == "strh" && codec == null) {
+            require(size >= 56, s"short strh chunk $size")
+            val fccType = tag()
+            val handler = tag()
+            if (fccType == "vids") {
+              codec = handler
+              buf.getInt(); buf.getShort(); buf.getShort(); buf.getInt()
+              scale = buf.getInt().toLong & 0xffffffffL
+              rate = buf.getInt().toLong & 0xffffffffL
+            }
+          }
+          buf.position(body + size.toInt + (size & 1).toInt)
+        }
+      }
+      walk(buf.position(), blob.length)
+      require(width > 0 && height > 0 && usec >= 0 && frames >= 0,
+        "missing or bad avih header")
+      require(codec != null, "no vids stream header")
+      require(scale > 0 && rate > 0, s"bad vids timing $rate/$scale")
+      AviMeta(width, height, usec, frames, rate * 1000L / scale, codec)
+    }
+  }
+
+  /** documents → (doc_id, genuine AVI blob): each document's text bytes
+    * packed as the single `00dc` movi chunk of a real AVI container,
+    * with per-doc geometry, frame-rate fraction (including the NTSC
+    * 1001-scale rates), frame count, and codec fourcc. One codec
+    * instance per partition, like [[wavFrame]]. */
+  def aviFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = new AviCodec
+        val fourccs = Array("MJPG", "I420", "DIB ")
+        it.map { case (docId, payload) =>
+          val i4 = (docId % 4).toInt
+          (docId, codec.encode(payload,
+            width = 16 * (1 + (docId % 8).toInt),
+            height = 12 * (1 + (docId % 6).toInt),
+            rateHz = Array(24000, 30000, 25, 60)(i4),
+            scale = Array(1001, 1001, 1, 1)(i4),
+            totalFrames = 1 + (docId % 120).toInt,
+            codec = fourccs((docId % 3).toInt)))
+        }
+      }
+      .toDF("doc_id", "avi")
+  }
+
+  /** x58 — REAL video-container metadata decode: parse the AVI bytes
+    * (RIFF magics, hdrl/strl LIST descent, avih geometry/timing, vids
+    * strh codec + rate fraction — nothing from the row but the blob)
+    * into width / height / µs-per-frame / frame count / exact-integer
+    * fps permille / codec fourcc. The DuckDB oracle recomputes every
+    * field from the generator parameters (including both integer
+    * divisions), so the parse is checked byte-exactly; MultimodalSpec
+    * additionally pins the walker against a foreign layout with JUNK /
+    * odd-size / idx1 chunks the encoder never emits. */
+  def aviDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    aviFrame(spark, sfDir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = new AviCodec // once per partition, like a real codec
+        it.map { case (docId, avi) =>
+          val m = codec.decode(avi)
+          (docId, m.width, m.height, m.usecPerFrame, m.totalFrames,
+            m.fpsPermille, m.codec)
+        }
+      }
+      .toDF("doc_id", "width", "height", "usec_per_frame", "total_frames",
+        "fps_permille", "codec")
+      .orderBy($"doc_id")
+  }
+
+  val aviDecodeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    16 * (1 + doc_id % 8) AS w,
+      |    12 * (1 + doc_id % 6) AS h,
+      |    ([24000,30000,25,60])[CAST(doc_id % 4 AS INT) + 1] AS rate,
+      |    ([1001,1001,1,1])[CAST(doc_id % 4 AS INT) + 1] AS scale,
+      |    1 + doc_id % 120 AS frames,
+      |    (['MJPG','I420','DIB '])[CAST(doc_id % 3 AS INT) + 1] AS codec
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(1000000 * scale // rate AS BIGINT) AS usec_per_frame,
+      |  CAST(frames AS BIGINT) AS total_frames,
+      |  CAST(rate * 1000 // scale AS BIGINT) AS fps_permille,
+      |  codec
+      |FROM m ORDER BY doc_id""".stripMargin
 
   /** x41 via mapPartitions — the batched-decoder plumbing (one Decoder per
     * partition, analogous to mapInPandas batch decode). Verified equal to

@@ -174,6 +174,93 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------- x58 AVI
+  private def aviCodec = new Multimodal.AviCodec
+
+  test("AVI encode→decode round-trips every header field") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 50) {
+      val payload = Array.fill(rnd.nextInt(3000))(rnd.nextInt.toByte)
+      val w = 2 + rnd.nextInt(1920); val h = 2 + rnd.nextInt(1080)
+      val (rate, scale) =
+        Seq((24000, 1001), (30000, 1001), (25, 1), (60, 1), (120000, 1001))(
+          rnd.nextInt(5))
+      val frames = rnd.nextInt(100000)
+      val codec = Seq("MJPG", "I420", "DIB ", "FFV1")(rnd.nextInt(4))
+      val m = aviCodec.decode(
+        aviCodec.encode(payload, w, h, rate, scale, frames, codec))
+      assert(m == Multimodal.AviMeta(w, h, 1000000L * scale / rate,
+        frames, rate * 1000L / scale, codec))
+    }
+  }
+
+  test("parses a foreign AVI layout it did not produce") {
+    // hand-laid from the AVI spec: a JUNK chunk BEFORE hdrl, an
+    // odd-size vendor chunk exercising the even-pad rule, an audio strl
+    // before the video strl (first-vids selection), and a trailing idx1
+    // — none of which the encoder emits
+    def le32(v: Long): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    def le16(v: Int): Array[Byte] = Array(v, v >> 8).map(_.toByte)
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    val avih = fcc("avih") ++ le32(56) ++ le32(40000) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(250) ++ le32(0) ++ le32(2) ++ le32(0) ++
+      le32(320) ++ le32(240) ++ Array.fill[Byte](16)(0)
+    val strhAud = fcc("strh") ++ le32(56) ++ fcc("auds") ++ fcc("    ") ++
+      Array.fill[Byte](48)(0)
+    val strlAud = fcc("LIST") ++ le32(4 + strhAud.length) ++ fcc("strl") ++ strhAud
+    val strhVid = fcc("strh") ++ le32(56) ++ fcc("vids") ++ fcc("XVID") ++
+      le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(25) ++
+      le32(0) ++ le32(250) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(320) ++ le16(240)
+    val vendor = fcc("vndr") ++ le32(3) ++ Array[Byte](1, 2, 3, 0) // odd+pad
+    val strlVid = fcc("LIST") ++ le32(4 + strhVid.length + vendor.length) ++
+      fcc("strl") ++ strhVid ++ vendor
+    val hdrl = fcc("LIST") ++
+      le32(4 + avih.length + strlAud.length + strlVid.length) ++ fcc("hdrl") ++
+      avih ++ strlAud ++ strlVid
+    val junk = fcc("JUNK") ++ le32(8) ++ Array.fill[Byte](8)(0x55)
+    val idx1 = fcc("idx1") ++ le32(16) ++ Array.fill[Byte](16)(0)
+    val body = junk ++ hdrl ++ idx1
+    val bytes = fcc("RIFF") ++ le32(4 + body.length) ++ fcc("AVI ") ++ body
+    val m = aviCodec.decode(bytes)
+    assert(m == Multimodal.AviMeta(320, 240, 40000L, 250L, 25000L, "XVID"))
+  }
+
+  test("AVI: rejects non-AVI RIFF forms and headerless containers") {
+    intercept[IllegalArgumentException](aviCodec.decode("junk".getBytes))
+    // a valid RIFF that is a WAVE, not an AVI
+    val wav = new Multimodal.WavCodec
+    intercept[IllegalArgumentException](
+      aviCodec.decode(wav.encode(Array[Byte](1, 2), 8000, 1, 16)))
+    // an AVI form with no hdrl: must refuse, not return garbage
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    def le32(v: Long): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    intercept[IllegalArgumentException](aviCodec.decode(
+      fcc("RIFF") ++ le32(4) ++ fcc("AVI ")))
+  }
+
+  test("x58 blobs are genuine AVI containers; decode matches the generator") {
+    import spark.implicits._
+    val rows = Multimodal.aviFrame(spark, sf).as[(Long, Array[Byte])]
+      .take(20)
+    assert(rows.nonEmpty)
+    rows.foreach { case (docId, avi) =>
+      assert(new String(avi.slice(0, 4), "US-ASCII") == "RIFF")
+      assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+      val m = aviCodec.decode(avi)
+      assert(m.width == 16 * (1 + (docId % 8).toInt))
+      assert(m.height == 12 * (1 + (docId % 6).toInt))
+      assert(m.totalFrames == 1 + docId % 120)
+      assert(m.codec == Seq("MJPG", "I420", "DIB ")((docId % 3).toInt))
+      // the movi payload really is in there, even-padded
+      val declared = java.nio.ByteBuffer.wrap(avi, 4, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt()
+      assert(avi.length == 8 + declared)
+    }
+  }
+
   test("x48 blobs are genuine WAV containers; decode matches the generator") {
     import spark.implicits._
     val rows = Multimodal.wavFrame(spark, sf).as[(Long, Array[Byte])]
