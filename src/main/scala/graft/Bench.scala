@@ -30,6 +30,14 @@ object Bench {
     () => graft.ops.Dedup.curationShingled(spark, dir),
     () => graft.ops.Similarity.corpus(spark, dir),
     () => graft.ops.Dedup.minhashLshPairs(spark, dir),
+    // the CC label dims (x17/x28/x59 and x29 consumers) — same
+    // shared-artifact convention: built once untimed, cold cost in
+    // cache_build_sec. x29's prewarm runs the full query because the
+    // memoValue label build lives inside it; the cosine PAIR frame
+    // itself stays un-memoized (see Similarity.cosineNearDupPairs) so
+    // x14's timed row keeps measuring the real tiled join
+    () => graft.ops.Dedup.ccLabels(spark, dir),
+    () => graft.ops.Similarity.semanticDedupCC(spark, dir),
     () => graft.ops.Similarity.ivfIndex(spark, dir),
     // the PQ code table + the composed IVF-PQ index (building them also
     // trains the codebooks) — without these, x25/x26's cold Lloyd

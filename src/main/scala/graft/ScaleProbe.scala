@@ -25,6 +25,8 @@ object ScaleProbe {
     "x27_bloom_decontaminate", "x28_soft_dedup",
     "x20_ann_bruteforce", "x21_ann_lsh", "x22_ann_ivf", "x25_ann_pq",
     "x26_ann_ivfpq", "x23_semantic_dedup", "x24_semantic_dedup_celled",
+    "x29_semantic_dedup_cc", "x59_dedup_keep_best",
+    "x57_bmp_decode", "x58_avi_decode",
     "x30_text_quality", "x31_lang_id", "x32_fingerprint",
     "x33_fnv_fingerprint", "x34_pii_scrub", "x35_top_ngrams",
     "x36_boilerplate_lines", "x37_tfidf_top_term", "x38_quality_prune",
@@ -44,6 +46,9 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // same contended-host survival settings as Bench/Verify
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warmup

@@ -115,6 +115,12 @@ object Similarity {
     * sub-quadratic path is x21's sign-LSH / x11's banding. */
   def cosineNearDupPairs(spark: SparkSession, sfDir: String): DataFrame =
     cosineNearDupPairsOf(corpus(spark, sfDir), NearDupTau)
+  // NOTE deliberately NOT memoized: persisting this frame would make
+  // Spark's plan-cache substitution serve x14's identical plan from the
+  // cache (measured: 2.9 s → 0.09 s), silently erasing the one number
+  // PLANS.md keeps as the honest intrinsic-O(n²) measurement. x29
+  // memoizes its derived LABEL dim instead, which shares no plan with
+  // x14's output.
 
   /** The tiled exact pair generator over an arbitrary (vec_id, v, nrm)
     * corpus at an arbitrary threshold — shared by x14 (fixture τ) and the
@@ -658,10 +664,14 @@ object Similarity {
     * the full embedding table is never shuffled. */
   def semanticDedupCC(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    graft.Caches.untrack(spark, s"semdedup-cc-labels:$sfDir")
-    val pairs = cosineNearDupPairs(spark, sfDir).select($"id_a", $"id_b")
-    val (labels, _) = Dedup.ccStars(pairs)
-    graft.Caches.track(spark, s"semdedup-cc-labels:$sfDir", labels)
+    // the label dim is the memoized shared artifact (built once per
+    // session, like Dedup.ccLabels; Bench prewarms this query so the
+    // pair join + CC rounds land in cache_build_sec)
+    val labels = graft.Caches.memoValue(spark, s"semdedup-cc-labels:$sfDir") {
+      val pairs = cosineNearDupPairs(spark, sfDir).select($"id_a", $"id_b")
+      val (l, _) = Dedup.ccStars(pairs)
+      graft.Caches.track(spark, s"semdedup-cc-labels:$sfDir", l)
+    }
     val drops = labels.filter($"id" =!= $"label").select($"id".as("vec_id"))
     Tables.spread(Tables.embeddings(spark, sfDir))
       .join(drops, Seq("vec_id"), "left_anti")
