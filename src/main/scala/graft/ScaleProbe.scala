@@ -21,7 +21,7 @@ object ScaleProbe {
     "x10_dedup_exact", "x11_dedup_minhash_lsh", "x12_dedup_simhash",
     "x13_dedup_jaccard", "x15_neardup_survivors", "x16_corpus_curation",
     "x17_dup_clusters", "x18_incremental_dedup", "x19_decontaminate",
-    "x47_span_decontaminate",
+    "x47_span_decontaminate", "x60_repeated_spans",
     "x27_bloom_decontaminate", "x28_soft_dedup",
     "x20_ann_bruteforce", "x21_ann_lsh", "x22_ann_ivf", "x25_ann_pq",
     "x26_ann_ivfpq", "x23_semantic_dedup", "x24_semantic_dedup_celled",

@@ -97,6 +97,7 @@ object SparkEntry {
     "x24_semantic_dedup_celled" -> (Similarity.semanticDedupCelled _),
     "x29_semantic_dedup_cc" -> (Similarity.semanticDedupCC _),
     "x59_dedup_keep_best"  -> (Dedup.dedupKeepBest _),
+    "x60_repeated_spans"   -> (Dedup.repeatedSpans _),
     "x25_ann_pq"           -> (Similarity.pqTopK _),
     "x26_ann_ivfpq"        -> (Similarity.ivfPqTopK _),
     "x30_text_quality"     -> (TextAnalysis.textQuality _),
@@ -275,6 +276,7 @@ object SparkEntry {
     "x23_semantic_dedup"    -> Similarity.semanticDedupSql,
     "x29_semantic_dedup_cc" -> Similarity.semanticDedupCCSql,
     "x59_dedup_keep_best"   -> Dedup.dedupKeepBestSql,
+    "x60_repeated_spans"    -> Dedup.repeatedSpansSql,
     "x30_text_quality"      -> TextAnalysis.textQualitySql,
     "x31_lang_id"           -> TextAnalysis.langIdSql,
     "x32_fingerprint"       -> TextAnalysis.fingerprintSql,

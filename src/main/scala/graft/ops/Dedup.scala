@@ -876,23 +876,31 @@ object Dedup {
     * does); joining on a 64-bit ngram hash instead of the string would
     * shrink shuffle bytes but admit hash-collision false pairs, so the
     * exact string stays the key here. All-integer output. */
-  def spanDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-doc distinct 13-token spans with first position — the shared
+    * frame x47 (cross-slice decontamination) and x60 (within-corpus
+    * repeated-span audit) both hang off. The words array MUST be a
+    * projected column, never the split expression inlined into the
+    * lambda — an inlined split re-executes once per lambda element in
+    * interpreted HOF eval, turning the gram pass O(words²) per doc
+    * (the measured x42 lesson, 12.9 s vs 0.5 s). */
+  private[graft] def spanPerDoc(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val n = SpanNgramWidth
-    // the words array MUST be a projected column, never the split
-    // expression inlined into the lambda — an inlined split re-executes
-    // once per lambda element in interpreted HOF eval, turning the gram
-    // pass O(words²) per doc (the measured x42 lesson, 12.9 s vs 0.5 s)
     val grams = when(size($"w") < n,
         array().cast("array<struct<pos:int,ng:string>>"))
       .otherwise(transform(sequence(lit(1), size($"w") - (n - 1)),
         i => struct(i.cast("int").as("pos"),
           concat_ws(" ", slice($"w", i, lit(n))).as("ng"))))
-    val perDoc = Tables.spread(Tables.documents(spark, sfDir))
+    Tables.spread(Tables.documents(spark, sfDir))
       .withColumn("w", split($"text", " "))
       .select($"doc_id", explode(grams).as("e"))
       .groupBy($"doc_id", $"e.ng".as("ng"))
       .agg(min($"e.pos").as("pos"))
+  }
+
+  def spanDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = spanPerDoc(spark, sfDir)
     val bench = perDoc.filter($"doc_id" % 17 === 0)
       .select($"doc_id".as("bench_id"), $"ng")
     val train = perDoc.filter($"doc_id" % 17 =!= 0)
@@ -920,4 +928,43 @@ object Dedup {
        |FROM per_doc tr JOIN per_doc b USING (ng)
        |WHERE tr.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
        |GROUP BY train_id, bench_id ORDER BY train_id, bench_id""".stripMargin
+
+  /** x60 — REPEATED-SPAN audit: the most-duplicated verbatim 13-token
+    * spans across the whole corpus with the number of distinct docs
+    * carrying each — the memorization-risk report of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): verbatim text repeated across many training
+    * docs is what models regurgitate, and this table is what you read
+    * before choosing a dedup threshold. x44 answers it at line
+    * granularity; this is the fixed-width token-span form that catches
+    * repeats crossing line boundaries.
+    *
+    * Shape: the shared per-doc distinct span frame (one explode + one
+    * two-key aggregation), a global count per span (second shuffle),
+    * then top-k = TakeOrderedAndProject — per-partition heaps, k rows
+    * to the driver, never a full sort. Span membership is per-doc
+    * DISTINCT, so a doc repeating a span internally counts once —
+    * n_docs is cross-doc duplication, the signal that matters. */
+  def repeatedSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spanPerDoc(spark, sfDir)
+      .groupBy($"ng".as("span"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"n_docs".desc, $"span".asc)
+      .limit(50)
+  }
+
+  val repeatedSpansSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), g AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(w[i:i+${SpanNgramWidth - 1}], ' ') AS span
+       |  FROM d, unnest(range(1, len(w) - ${SpanNgramWidth - 2})) t(i)
+       |  WHERE len(w) >= $SpanNgramWidth
+       |)
+       |SELECT span, COUNT(*) AS n_docs FROM g
+       |GROUP BY span HAVING COUNT(*) >= 2
+       |ORDER BY n_docs DESC, span ASC LIMIT 50""".stripMargin
 }

@@ -233,6 +233,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.size + dropped.size == all.size)
   }
 
+  test("x60 repeated spans: top-k plan shape, ordering, distinct-doc counts") {
+    val df = Dedup.repeatedSpans(spark, sf)
+    // top-k must be per-partition heaps + driver merge, never a global sort
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"), "x60 lost its top-k plan")
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty, "fixture plants cross-doc duplicate spans")
+    assert(rows.forall(_._2 >= 2))
+    val counts = rows.map(_._2)
+    assert(counts.zip(counts.drop(1)).forall { case (a, b) => a >= b })
+    // distinct-doc membership: recount the top span from the raw frame
+    val (topSpan, topCount) = rows.head
+    import spark.implicits._
+    val recount = Dedup.spanPerDoc(spark, sf)
+      .filter($"ng" === topSpan).select($"doc_id").distinct().count()
+    assert(recount == topCount, s"span membership drifted: $recount vs $topCount")
+  }
+
   test("x29 one-per-component: exactly the component minima survive") {
     val pairs = Similarity.cosineNearDupPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
