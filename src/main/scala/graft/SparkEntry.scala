@@ -98,6 +98,7 @@ object SparkEntry {
     "x29_semantic_dedup_cc" -> (Similarity.semanticDedupCC _),
     "x59_dedup_keep_best"  -> (Dedup.dedupKeepBest _),
     "x60_repeated_spans"   -> (Dedup.repeatedSpans _),
+    "x61_prototypicality"  -> (Similarity.prototypicality _),
     "x25_ann_pq"           -> (Similarity.pqTopK _),
     "x26_ann_ivfpq"        -> (Similarity.ivfPqTopK _),
     "x30_text_quality"     -> (TextAnalysis.textQuality _),

@@ -796,4 +796,58 @@ object Similarity {
       .select($"vec_id", $"label")
       .orderBy($"vec_id")
   }
+
+  // ------------------------------------------------ x61 prototypicality
+
+  /** Fraction of each cell kept by x61 — the most-prototypical 80%,
+    * the ballpark SSL-prototype pruning operates in. */
+  private[graft] val ProtoKeepFraction = 0.8
+
+  /** x61 — PROTOTYPICALITY pruning (the semantic-quality companion to
+    * SemDeDup from the same literature: Sorscher et al. 2022
+    * "Beyond neural scaling laws", arXiv:2206.14486, SSL prototypes —
+    * also DataComp's embedding filters): rank every vector by cosine to
+    * its OWN cluster centroid and keep the most-prototypical
+    * [[ProtoKeepFraction]] of each cell — embedding-space outliers
+    * (noise, mislabeled content, off-distribution scrapes) rank at the
+    * bottom of whatever cell they fall into and are dropped. Dedup
+    * removes redundancy; this removes isolation — the two ends of the
+    * same density spectrum.
+    *
+    * Shape: rides x22's memoized cell index (map-only assignment,
+    * already built); cosine-to-own-centroid is a literal-array lookup
+    * by cell id (k ≤ 256 centroids as plan literals — the x22
+    * representation) so scoring is map-only; the rank window partitions
+    * by `cell`, whose population is fixed by [[ivfCellCount]], so
+    * window state per task is bounded as n grows. Centroids are not
+    * SQL-expressible → rows-only driver check; DedupSimilaritySpec
+    * plants noise outliers in the clustered fixture and gates that they
+    * are dropped while per-cell keep counts hold exactly. */
+  def prototypicality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    prototypicalityOf(ivfIndex(spark, sfDir), centroids(spark, sfDir))
+      .orderBy($"vec_id")
+  }
+
+  /** The pruning plan over an arbitrary (vec_id, v, nrm, cell) index. */
+  private[graft] def prototypicalityOf(cells: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    val centArr = array(cents.toIndexedSeq.map(litArr): _*)
+    val centNrm = array(cents.toIndexedSeq
+      .map(c => lit(math.sqrt(c.map(x => x * x).sum))): _*)
+    val scored = cells.withColumn("cos",
+      dot($"v", element_at(centArr, $"cell" + 1)) /
+        ($"nrm" * element_at(centNrm, $"cell" + 1)))
+    val rankW = Window.partitionBy($"cell")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    val cellW = Window.partitionBy($"cell")
+    scored
+      .withColumn("rk", row_number().over(rankW))
+      .withColumn("n_cell", count(lit(1)).over(cellW))
+      .filter($"rk" <= ceil($"n_cell" * lit(ProtoKeepFraction)))
+      .select($"vec_id", $"cell", $"rk", $"n_cell")
+  }
 }

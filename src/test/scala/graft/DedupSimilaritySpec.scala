@@ -233,6 +233,53 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.size + dropped.size == all.size)
   }
 
+  test("x61 prototypicality: planted outliers dropped, per-cell keep counts exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    // TIGHT clustered corpus (0.1 jitter — cos-to-centroid ≈ 0.93) +
+    // pure-noise outliers (best-cell cosine ≈ 0.5 in 16 dims): an
+    // outlier lands in SOME Voronoi cell but far below the members'
+    // cosine band, so it must rank at the cell's bottom and be pruned.
+    // clusteredCorpusOf's 0.35 jitter is deliberately NOT used here —
+    // at that spread members are nearly as diffuse as noise and no
+    // density method can (or should) separate them.
+    val rnd = new scala.util.Random(23)
+    val dim = 16; val kTrue = 32
+    def unit(v: Array[Double]) = {
+      val m = math.sqrt(v.map(x => x * x).sum); v.map(_ / m)
+    }
+    val trueCents = Array.fill(kTrue)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    val members = (0 until 4096).map { i =>
+      val c = trueCents(i % kTrue)
+      val g = Array.fill(dim)(rnd.nextGaussian())
+      (i.toLong, unit(c.zip(g).map { case (a, x) => a + 0.1 * x }))
+    }.toDF("vec_id", "v").withColumn("nrm", lit(1.0))
+    val outliers = (0 until 64).map { i =>
+      (100000L + i, unit(Array.fill(dim)(rnd.nextGaussian())))
+    }.toDF("vec_id", "v").withColumn("nrm", lit(1.0))
+    val all = members.union(outliers).persist()
+    val cents = Similarity.ivfCentroidsOf(all)
+    val cells = all.withColumn("cell", Similarity.cellOf($"v", cents))
+    val kept = Similarity.prototypicalityOf(cells, cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val keptIds = kept.map(_._1).toSet
+    // per-cell counts: exactly ceil(0.8 * n_cell) survivors
+    val cellSizes = cells.groupBy($"cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val keptPerCell = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    cellSizes.foreach { case (c, n) =>
+      assert(keptPerCell.getOrElse(c, 0) == math.ceil(n * 0.8).toLong,
+        s"cell $c kept ${keptPerCell.getOrElse(c, 0)} of $n")
+    }
+    // the noise vectors overwhelmingly rank below the tight members
+    val outlierIds = outliers.collect().map(_.getLong(0)).toSet
+    val keptOutliers = keptIds.intersect(outlierIds)
+    assert(keptOutliers.size <= outlierIds.size / 4,
+      s"${keptOutliers.size} of ${outlierIds.size} planted outliers survived pruning")
+    all.unpersist()
+  }
+
   test("x60 repeated spans: top-k plan shape, ordering, distinct-doc counts") {
     val df = Dedup.repeatedSpans(spark, sf)
     // top-k must be per-partition heaps + driver merge, never a global sort
