@@ -25,7 +25,7 @@ object ScaleProbe {
     "x27_bloom_decontaminate", "x28_soft_dedup",
     "x20_ann_bruteforce", "x21_ann_lsh", "x22_ann_ivf", "x25_ann_pq",
     "x26_ann_ivfpq", "x23_semantic_dedup", "x24_semantic_dedup_celled",
-    "x29_semantic_dedup_cc", "x59_dedup_keep_best",
+    "x29_semantic_dedup_cc", "x59_dedup_keep_best", "x61_prototypicality",
     "x57_bmp_decode", "x58_avi_decode",
     "x30_text_quality", "x31_lang_id", "x32_fingerprint",
     "x33_fnv_fingerprint", "x34_pii_scrub", "x35_top_ngrams",
@@ -33,7 +33,7 @@ object ScaleProbe {
     "x39_quality_prune_approx", "x40_multimodal_meta", "x41_frame_sample",
     "x48_wav_decode",
     "x42_repetition_filter", "x43_chunk_tokens", "x44_line_dedup",
-    "x45_unigram_surprise", "x46_ref_coverage",
+    "x45_unigram_surprise", "x46_ref_coverage", "x62_bigram_surprise",
     "x49_sequence_pack", "x55_bpe_merges", "x56_bpe_tokenize",
     "x50_split_counts", "x51_source_cap", "x52_mixture_sample",
     "x53_token_budget", "x54_unimax_alloc", "x14_cosine_neardup")

@@ -121,6 +121,7 @@ object SparkEntry {
     "x43_chunk_tokens"     -> (TextAnalysis.chunkTokens _),
     "x44_line_dedup"       -> (TextAnalysis.lineDedup _),
     "x45_unigram_surprise" -> (TextAnalysis.unigramSurprise _),
+    "x62_bigram_surprise"  -> (TextAnalysis.bigramSurprise _),
     "x46_ref_coverage"     -> (TextAnalysis.refCoverage _),
     "x55_bpe_merges"       -> (TextAnalysis.bpeMerges _),
     "x56_bpe_tokenize"     -> (TextAnalysis.bpeTokenize _),
@@ -296,6 +297,7 @@ object SparkEntry {
     "x43_chunk_tokens"      -> TextAnalysis.chunkTokensSql,
     "x44_line_dedup"        -> TextAnalysis.lineDedupSql,
     "x45_unigram_surprise"  -> TextAnalysis.unigramSurpriseSql,
+    "x62_bigram_surprise"   -> TextAnalysis.bigramSurpriseSql,
     "x46_ref_coverage"      -> TextAnalysis.refCoverageSql,
     "e01_window_agg"        -> Events.windowAggSql,
     "e02_sessionize"        -> Events.sessionizeSql,

@@ -654,6 +654,77 @@ object TextAnalysis {
        |  CAST(CAST(SUM(surp) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_surprise
        |FROM s GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- x62 bigram-LM surprise scoring
+
+  /** x62 — BIGRAM language-model surprise per document: the conditional
+    * upgrade of x45 (KenLM-style fluency, one order up): per position
+    * i ≥ 2, surprise of wᵢ given wᵢ₋₁ = (context_count(wᵢ₋₁) · SCALE)
+    * DIV bigram_count(wᵢ₋₁, wᵢ) — the exact-integer member of the
+    * −log p(wᵢ | wᵢ₋₁) monotone family, same bit-exact-parity trick as
+    * x45/x37. Context counts are BIGRAM-context totals (bigrams whose
+    * first word is w), not raw unigram counts, so per-context
+    * conditional probabilities sum to exactly 1 — proper LM semantics
+    * (a doc's final word conditions nothing and contributes no mass).
+    * x45 scores "rare words"; this scores "rare transitions" — word
+    * soup with plausible vocabulary but scrambled order (spam keyword
+    * stuffing, shuffled boilerplate) passes x45 and fails here.
+    *
+    * Shape: one positional-bigram explode (projected filtered words
+    * array — the x42 lesson), a bigram-count aggregation and its
+    * first-word rollup (both map-side combinable), one equi join back
+    * on the bigram key, one per-doc sum. The bigram dim grows ~V·b
+    * (b = avg branching) — larger than x45's vocab dim but still far
+    * below corpus positions; it is NOT broadcast-hinted (the x56
+    * lesson: web-scale noise vocabularies can blow any fixed budget —
+    * the shuffle join is the safe default and AQE upgrades it when the
+    * dim is small). Docs with fewer than 2 words carry no bigram and
+    * are excluded, same both sides. */
+  def bigramSurprise(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bigrams = when(size($"w") < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size($"w") - 1),
+        i => struct(element_at($"w", i).as("w1"),
+          element_at($"w", i + 1).as("w2"))))
+    val bg = Tables.spread(Tables.documents(spark, sfDir))
+      .withColumn("w", filter(split($"text", " "), x => x =!= ""))
+      .select($"doc_id", $"lang", explode(bigrams).as("b"))
+      .select($"doc_id", $"lang", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val cnt2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val cnt1 = cnt2.groupBy($"w1").agg(sum($"c2").as("c1"))
+    bg.join(cnt2, Seq("w1", "w2")).join(cnt1, Seq("w1"))
+      .withColumn("surp", expr(s"c1 * $SurpriseScale div c2"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"surp").as("sum_surprise"))
+      .withColumn("mean_surprise",
+        $"sum_surprise".cast("double") / $"n_bigrams")
+      .select($"doc_id", $"lang", $"n_bigrams", $"sum_surprise",
+        $"mean_surprise")
+      .orderBy($"doc_id")
+  }
+
+  val bigramSurpriseSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents
+       |), bg AS (
+       |  SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
+       |  FROM d, unnest(range(1, len(w))) t(i)
+       |  WHERE len(w) >= 2
+       |), cnt2 AS (
+       |  SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2
+       |), cnt1 AS (
+       |  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM cnt2 GROUP BY w1
+       |), s AS (
+       |  SELECT doc_id, lang, (cnt1.c1 * $SurpriseScale) // cnt2.c2 AS surp
+       |  FROM bg JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1)
+       |)
+       |SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+       |  CAST(SUM(surp) AS BIGINT) AS sum_surprise,
+       |  CAST(CAST(SUM(surp) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_surprise
+       |FROM s GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------- x42 repetition filter
 
   /** Keep docs whose duplicated-trigram fraction is at most this (the

@@ -255,6 +255,37 @@ class CurationSpec extends AnyFunSuite {
       "no document compressed below 1 char/token — merges never applied?")
   }
 
+  test("x62 bigram surprise: driver replay exact; mass and floor invariants") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text").collect()
+    val bgs = docs.flatMap { r =>
+      val w = r.getString(2).split(" ").filter(_.nonEmpty)
+      w.zip(w.drop(1)).map(p => (r.getLong(0), r.getString(1), p))
+    }
+    assert(bgs.nonEmpty)
+    val c2 = bgs.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val c1 = bgs.groupBy(_._3._1).view.mapValues(_.length.toLong).toMap
+    // conditional mass: per context, bigram counts sum to the context
+    // count by construction — the property that makes this a proper LM
+    assert(c1.forall { case (w1, n) =>
+      c2.collect { case (b, c) if b._1 == w1 => c }.sum == n
+    })
+    val expected = bgs.groupBy(b => (b._1, b._2)).view.mapValues { xs =>
+      (xs.length.toLong,
+        xs.map(b => c1(b._3._1) * 1000000L / c2(b._3)).sum)
+    }.toMap
+    val got = TextAnalysis.bigramSurprise(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, s) = expected((r.getLong(0), r.getString(1)))
+      assert((r.getLong(2), r.getLong(3)) == (n, s),
+        s"doc ${r.getLong(0)} replay mismatch")
+      // c1 ≥ c2 always ⇒ every transition's surprise ≥ 1 · SCALE
+      assert(r.getLong(3) >= r.getLong(2) * 1000000L)
+    }
+  }
+
   test("x59 keep-best: survivor is each cluster's quality argmax; singletons intact") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
