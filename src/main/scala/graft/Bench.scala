@@ -109,11 +109,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // min-of-3 for the iterative many-small-jobs queries (x17 launches a
-    // Spark job per CC round — the suite's most contention-sensitive
-    // query: 1.2 s quiet vs 5.1 s under a contended scheduler slice, so
-    // two samples aren't enough to hit a quiet one)
-    val tripleSampled = Set("x17_dup_clusters")
+    // min-of-3 slot for iterative many-small-jobs queries (one Spark job
+    // per driver-orchestrated round — contention-sensitive because two
+    // samples rarely both land on a quiet scheduler slice). Currently
+    // EMPTY: x17 earned the slot while its CC rounds ran per-call, but
+    // this round memoized the label dim into prewarm (cache_build_sec),
+    // so its timed samples are now a window over a persisted dim.
+    val tripleSampled = Set.empty[String]
     // guard against a silent no-op if a query is ever renamed: a stale
     // name here would quietly drop the query back to min-of-2 sampling
     require(tripleSampled.subsetOf(SparkEntry.queries.keySet),

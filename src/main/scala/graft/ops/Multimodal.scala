@@ -544,7 +544,12 @@ object Multimodal {
               rate = buf.getInt().toLong & 0xffffffffL
             }
           }
-          buf.position(body + size.toInt + (size & 1).toInt)
+          // clamp the pad-byte advance to the region end: a final
+          // odd-size chunk with its RIFF pad byte omitted (common from
+          // writers that skip the trailing pad) ends exactly at `end`,
+          // and positioning past it would throw instead of honoring
+          // the trailing-truncation tolerance above
+          buf.position(math.min(body + size + (size & 1L), end.toLong).toInt)
         }
       }
       walk(buf.position(), blob.length)

@@ -668,7 +668,14 @@ object Similarity {
     // session, like Dedup.ccLabels; Bench prewarms this query so the
     // pair join + CC rounds land in cache_build_sec)
     val labels = graft.Caches.memoValue(spark, s"semdedup-cc-labels:$sfDir") {
-      val pairs = cosineNearDupPairs(spark, sfDir).select($"id_a", $"id_b")
+      // localCheckpoint the pair edge set before CC: ccStars scans its
+      // input three times (edges checkpoint + both sides of the nodes
+      // union), and the O(n²) tiled cosine join is the suite's most
+      // expensive — without this it would execute 3× per cold session.
+      // localCheckpoint (not persist) keeps the CacheManager empty, so
+      // x14's no-plan-cache-substitution honesty note still holds.
+      val pairs = cosineNearDupPairs(spark, sfDir)
+        .select($"id_a", $"id_b").localCheckpoint()
       val (l, _) = Dedup.ccStars(pairs)
       graft.Caches.track(spark, s"semdedup-cc-labels:$sfDir", l)
     }

@@ -1025,10 +1025,10 @@ object TextAnalysis {
     * join paths byte-identical. */
   def bpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // count via the SAME helper the merge table trains on, so the guard
+    // stays coupled to the dictionary it sizes if the word rule changes
     val nWords = graft.Caches.memoValue(spark, s"bpe-dict-count:$sfDir") {
-      Tables.spread(Tables.documents(spark, sfDir))
-        .select(explode(split($"text", " ")).as("w"))
-        .filter($"w" =!= "").select($"w").distinct().count()
+      bpeVocab(spark, sfDir).count()
     }
     bpeTokenizeVia(spark, sfDir, broadcastDim = nWords <= BpeBroadcastMaxWords)
   }

@@ -345,6 +345,15 @@ object Streaming {
       batch: DataFrame, batchId: Long): Unit = {
     import java.nio.file.{Files, Paths}
     val spark = batch.sparkSession
+    // replay of an ALREADY-COMMITTED batch (foreachBatch commits its
+    // offsets before the epoch is logged, so a crash in that window
+    // replays the batch): the marker is written last, so its presence
+    // means docs, bands AND the pair slice are all fully on disk — and
+    // a recompute is byte-identical by construction. Rewriting in
+    // place would tear the version down under a concurrent reader
+    // (mode overwrite deletes first), the exact half-committed-read
+    // hazard blocklistUpdate avoids via atomic rename. Skip instead.
+    if (Files.isRegularFile(Paths.get(s"$dimDir/v$batchId/_SUCCESS"))) return
     val prior = modelVersions(dimDir).filter(_ < batchId)
     requirePredecessorState(dimDir, batchId, prior)
     val docs = graft.ops.Dedup.shingledOf(batch)
@@ -397,6 +406,18 @@ object Streaming {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dimDir))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pairsDir))
     requireSharedLifecycle(dimDir, ckptDir)
+    // the pairs dir shares the same lifecycle: batch ids restart at 0
+    // under a fresh checkpoint, and a longer dead lineage's extra
+    // b<k> slices would survive the new run's overwrites and be
+    // silently unioned into streamedNearDupPairs
+    val freshCkpt = !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ckptDir, "offsets"))
+    val staleSlices = Option(new java.io.File(pairsDir).listFiles())
+      .toSeq.flatten.exists(f => f.isDirectory && f.getName.matches("b\\d+"))
+    require(!(freshCkpt && staleSlices),
+      s"$pairsDir already holds pair slices from another stream lineage " +
+        s"but checkpoint $ckptDir is fresh — use a new pairs dir (or the " +
+        "old checkpoint) so batch ids and slices stay aligned")
     val q = docs.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         bandIndexUpdate(dimDir, pairsDir)(df, batchId)

@@ -11,6 +11,13 @@ class MultimodalSpec extends AnyFunSuite {
   val sf = SparkSuite.sf
   private def codec = new Multimodal.WavCodec
 
+  // shared little-endian encoders for ALL hand-laid RIFF/BMP fixtures in
+  // this suite — one definition so byte-layout fixes reach every test
+  private def le32(v: Long): Array[Byte] =
+    Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+  private def le16(v: Int): Array[Byte] = Array(v, v >> 8).map(_.toByte)
+  private def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
   test("encode→decode round-trips format fields and payload size") {
     val rnd = new scala.util.Random(5)
     for (_ <- 0 until 50) {
@@ -28,9 +35,6 @@ class MultimodalSpec extends AnyFunSuite {
     // RIFF spec (44100 Hz stereo 16-bit, 8-byte payload), byte by byte —
     // NOT built with the encoder, so a codec that merely inverts its own
     // writer fails here.
-    def le32(v: Long): Array[Byte] =
-      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
-    def le16(v: Int): Array[Byte] = Array(v, v >> 8).map(_.toByte)
     val bytes =
       "RIFF".getBytes ++ le32(36 + 8) ++ "WAVE".getBytes ++
         "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++
@@ -44,9 +48,6 @@ class MultimodalSpec extends AnyFunSuite {
     // Real WAV files carry LIST/INFO, fact, cue chunks; the parser must
     // walk by declared size (with the odd-size pad rule), not assume the
     // canonical 44-byte layout.
-    def le32(v: Long): Array[Byte] =
-      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
-    def le16(v: Int): Array[Byte] = Array(v, v >> 8).map(_.toByte)
     val oddChunk = "LIST".getBytes ++ le32(5) ++
       Array.fill[Byte](6)(0x42) // 5 declared + 1 pad byte
     val bytes =
@@ -63,8 +64,6 @@ class MultimodalSpec extends AnyFunSuite {
     // a declared skip-chunk size beyond the container (-8 read signed
     // once advanced the walk by zero — an infinite loop in an executor
     // task); the parser must throw, never spin
-    def le32(v: Long): Array[Byte] =
-      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
     val bytes = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
       "LIST".getBytes ++ le32(-8L & 0xffffffffL) ++ Array.fill[Byte](16)(0)
     intercept[IllegalArgumentException](codec.decode(bytes))
@@ -74,9 +73,6 @@ class MultimodalSpec extends AnyFunSuite {
     // chunk sizes are unsigned per the RIFF spec; the data payload is
     // never read (decode stops at its header), so a high-bit size must
     // parse, not throw — truncated-prefix metadata extraction relies on it
-    def le32(v: Long): Array[Byte] =
-      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
-    def le16(v: Int): Array[Byte] = Array(v, v >> 8).map(_.toByte)
     val big = 0xC0000000L // 3 GiB
     val bytes = "RIFF".getBytes ++ le32(36 + big) ++ "WAVE".getBytes ++
       "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
@@ -98,9 +94,6 @@ class MultimodalSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------- x57 BMP
   private def bmpCodec = new Multimodal.BmpCodec
-  private def le32(v: Long): Array[Byte] =
-    Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
-  private def le16(v: Int): Array[Byte] = Array(v, v >> 8).map(_.toByte)
 
   test("BMP encode→decode round-trips geometry fields") {
     val rnd = new scala.util.Random(9)
@@ -199,10 +192,6 @@ class MultimodalSpec extends AnyFunSuite {
     // odd-size vendor chunk exercising the even-pad rule, an audio strl
     // before the video strl (first-vids selection), and a trailing idx1
     // — none of which the encoder emits
-    def le32(v: Long): Array[Byte] =
-      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
-    def le16(v: Int): Array[Byte] = Array(v, v >> 8).map(_.toByte)
-    def fcc(s: String) = s.getBytes("US-ASCII")
     val avih = fcc("avih") ++ le32(56) ++ le32(40000) ++ le32(0) ++ le32(0) ++
       le32(0) ++ le32(250) ++ le32(0) ++ le32(2) ++ le32(0) ++
       le32(320) ++ le32(240) ++ Array.fill[Byte](16)(0)
@@ -227,6 +216,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m == Multimodal.AviMeta(320, 240, 40000L, 250L, 25000L, "XVID"))
   }
 
+  test("AVI: tolerates an unpadded odd-size final chunk") {
+    // writers commonly omit the RIFF pad byte after the LAST chunk; the
+    // walk's pad advance must clamp to the container end, not position
+    // one past it (which threw before the clamp)
+    val avih = fcc("avih") ++ le32(56) ++ le32(40000) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(10) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(64) ++ le32(48) ++ Array.fill[Byte](16)(0)
+    val strhVid = fcc("strh") ++ le32(56) ++ fcc("vids") ++ fcc("MJPG") ++
+      le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(25) ++
+      Array.fill[Byte](28)(0)
+    val strl = fcc("LIST") ++ le32(4 + strhVid.length) ++ fcc("strl") ++ strhVid
+    val hdrl = fcc("LIST") ++ le32(4 + avih.length + strl.length) ++
+      fcc("hdrl") ++ avih ++ strl
+    // final top-level chunk: 17 declared bytes, NO trailing pad byte
+    val tail = fcc("vndr") ++ le32(17) ++ Array.fill[Byte](17)(0x7e)
+    val body = hdrl ++ tail
+    val bytes = fcc("RIFF") ++ le32(4 + body.length) ++ fcc("AVI ") ++ body
+    val m = aviCodec.decode(bytes)
+    assert(m == Multimodal.AviMeta(64, 48, 40000L, 10L, 25000L, "MJPG"))
+  }
+
   test("AVI: rejects non-AVI RIFF forms and headerless containers") {
     intercept[IllegalArgumentException](aviCodec.decode("junk".getBytes))
     // a valid RIFF that is a WAVE, not an AVI
@@ -234,9 +244,6 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       aviCodec.decode(wav.encode(Array[Byte](1, 2), 8000, 1, 16)))
     // an AVI form with no hdrl: must refuse, not return garbage
-    def fcc(s: String) = s.getBytes("US-ASCII")
-    def le32(v: Long): Array[Byte] =
-      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
     intercept[IllegalArgumentException](aviCodec.decode(
       fcc("RIFF") ++ le32(4) ++ fcc("AVI ")))
   }

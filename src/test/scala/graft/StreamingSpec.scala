@@ -200,6 +200,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "fixture must produce cross-wave pairs")
     assert(streamed == batch,
       "streamed incremental pairs diverged from batch x18")
+
+    // replay of an already-committed batch is a NO-OP: the marker stands,
+    // so the update must not tear down and rewrite the version (the
+    // half-committed-read hazard) — even when handed a DIFFERENT batch
+    // frame, whose recompute would visibly change the pair slice
+    def snapshot(dir: String): Map[String, Long] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .map(f => f.getName -> f.lastModified()).toMap
+    val beforeV1 = snapshot(s"$dimDir/v1/docs")
+    val beforeB1 = snapshot(s"$pairsDir/b1")
+    assert(beforeV1.nonEmpty && beforeB1.nonEmpty)
+    Streaming.bandIndexUpdate(dimDir, pairsDir)(
+      docs.filter($"doc_id" % 7 === 0), 1L)
+    assert(snapshot(s"$dimDir/v1/docs") == beforeV1,
+      "replayed committed batch rewrote its version dir")
+    assert(snapshot(s"$pairsDir/b1") == beforeB1,
+      "replayed committed batch rewrote its pair slice")
+
+    // the pairs dir shares the dim/checkpoint lifecycle: a fresh
+    // checkpoint + fresh dim over a pairs dir holding a dead lineage's
+    // slices must be refused, not silently unioned
+    val dim2 = java.nio.file.Files.createTempDirectory("graft_bnd_dim2").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_bnd_ck2").toString
+    val ex = intercept[IllegalArgumentException] {
+      Streaming.buildBandIndex(
+        spark.readStream.schema(Streaming.documentsRawSchema)
+          .option("maxFilesPerTrigger", 1).parquet(landing),
+        dim2, pairsDir, ckpt2)
+    }
+    assert(ex.getMessage.contains("another stream lineage"))
   }
 
   test("incremental bloom blocklist: streamed sketch byte-identical to batch") {
