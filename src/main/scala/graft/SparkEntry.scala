@@ -117,6 +117,8 @@ object SparkEntry {
     "x48_wav_decode"       -> (Multimodal.wavDecode _),
     "x57_bmp_decode"       -> (Multimodal.bmpDecode _),
     "x58_avi_decode"       -> (Multimodal.aviDecode _),
+    "x63_png_decode"       -> (Multimodal.pngDecode _),
+    "x64_jpeg_decode"      -> (Multimodal.jpegDecode _),
     "x42_repetition_filter" -> (TextAnalysis.repetitionFilter _),
     "x43_chunk_tokens"     -> (TextAnalysis.chunkTokens _),
     "x44_line_dedup"       -> (TextAnalysis.lineDedup _),
@@ -293,6 +295,8 @@ object SparkEntry {
     "x48_wav_decode"        -> Multimodal.wavDecodeSql,
     "x57_bmp_decode"        -> Multimodal.bmpDecodeSql,
     "x58_avi_decode"        -> Multimodal.aviDecodeSql,
+    "x63_png_decode"        -> Multimodal.pngDecodeSql,
+    "x64_jpeg_decode"       -> Multimodal.jpegDecodeSql,
     "x42_repetition_filter" -> TextAnalysis.repetitionFilterSql,
     "x43_chunk_tokens"      -> TextAnalysis.chunkTokensSql,
     "x44_line_dedup"        -> TextAnalysis.lineDedupSql,

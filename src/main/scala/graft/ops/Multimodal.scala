@@ -632,6 +632,422 @@ object Multimodal {
       |  codec
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ x63 PNG
+
+  /** Parsed PNG metadata — everything read from the blob bytes alone. */
+  final case class PngMeta(width: Int, height: Int, bitDepth: Int,
+      colorType: Int, channels: Int, interlaced: Boolean, idatBytes: Long)
+
+  /** A real (if minimal) PNG container codec — the big-endian sibling of
+    * [[BmpCodec]], covering the image format a web crawl actually
+    * carries. PNG is chunked: 4-byte big-endian length, 4-byte type,
+    * data, CRC-32 over type+data; IHDR first, IDAT carries a zlib
+    * stream, IEND last.
+    *
+    * `encode` writes a spec-conforming file: correct signature, CRC'd
+    * chunks, and an IDAT whose zlib stream is GENUINE — hand-rolled
+    * STORED-deflate blocks (BTYPE=00, ≤65535 bytes each) + Adler-32,
+    * which any inflater decompresses (MultimodalSpec proves it with
+    * `java.util.zip.Inflater`) while keeping the compressed size the
+    * closed form `2 + 5·max(1,⌈n/65535⌉) + n + 4` the DuckDB oracle
+    * recomputes. Scanlines carry the mandatory filter byte (0 = None).
+    *
+    * `decode` is a real parser: validates the 8-byte signature, walks
+    * chunks by declared length with u32 bounds checks, REQUIRES IHDR
+    * first (per spec) and verifies its CRC-32, validates bit-depth /
+    * color-type combinations, sums the payload bytes of every IDAT
+    * chunk (real writers split IDAT), and stops at IEND. The pixel
+    * stream itself is never inflated — metadata extraction at scale
+    * must not decompress payloads. */
+  final class PngCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.nio.charset.StandardCharsets.US_ASCII
+
+    private val Signature: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def channelsOf(colorType: Int): Int = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case ct => throw new IllegalArgumentException(s"bad color type $ct")
+    }
+
+    private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes(US_ASCII)
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      ByteBuffer.allocate(12 + data.length).order(ByteOrder.BIG_ENDIAN)
+        .putInt(data.length).put(t).put(data)
+        .putInt(crc.getValue.toInt).array()
+    }
+
+    /** Genuine zlib stream from STORED deflate blocks: any inflater
+      * round-trips it, and its length is closed-form in the raw size. */
+    private[graft] def zlibStored(raw: Array[Byte]): Array[Byte] = {
+      val nBlocks = math.max(1, (raw.length + 65534) / 65535)
+      val out = ByteBuffer.allocate(2 + 5 * nBlocks + raw.length + 4)
+      out.put(0x78.toByte).put(0x01.toByte) // CMF/FLG: 32k window, FCHECK ok
+      var off = 0
+      for (i <- 0 until nBlocks) {
+        val n = math.min(65535, raw.length - off)
+        out.put(if (i == nBlocks - 1) 1.toByte else 0.toByte) // BFINAL, BTYPE=00
+        out.put((n & 0xff).toByte).put(((n >> 8) & 0xff).toByte)
+        out.put((~n & 0xff).toByte).put(((~n >> 8) & 0xff).toByte)
+        out.put(raw, off, n)
+        off += n
+      }
+      val ad = new java.util.zip.Adler32
+      ad.update(raw)
+      out.putInt(ad.getValue.toInt) // Adler-32 is big-endian in zlib
+      out.array()
+    }
+
+    def encode(payload: Array[Byte], width: Int, bitDepth: Int,
+        colorType: Int): Array[Byte] = {
+      require(width > 0 && Set(8, 16)(bitDepth) && Set(0, 2, 6)(colorType),
+        s"bad encode params $width/$bitDepth/$colorType")
+      val rowBytes = width * channelsOf(colorType) * bitDepth / 8
+      val h = math.max(1, (payload.length + rowBytes - 1) / rowBytes)
+      // scanlines: mandatory filter byte (0 = None) + row data, zero-padded
+      val raw = new Array[Byte](h * (1 + rowBytes))
+      for (r <- 0 until h) {
+        val srcOff = r * rowBytes
+        val n = math.max(0, math.min(rowBytes, payload.length - srcOff))
+        if (n > 0)
+          System.arraycopy(payload, srcOff, raw, r * (1 + rowBytes) + 1, n)
+      }
+      val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+        .putInt(width).putInt(h)
+        .put(bitDepth.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+        .array()
+      Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zlibStored(raw)) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+
+    def decode(blob: Array[Byte]): PngMeta = {
+      require(blob.length >= 8 + 25 + 12, "truncated PNG") // sig+IHDR+IEND
+      require(java.util.Arrays.equals(blob.slice(0, 8), Signature),
+        "not a PNG signature")
+      val buf = ByteBuffer.wrap(blob).order(ByteOrder.BIG_ENDIAN).position(8)
+      def chunkHeader(): (Long, String) = {
+        val len = buf.getInt().toLong & 0xffffffffL
+        require(len <= Int.MaxValue, s"chunk length $len exceeds spec max")
+        val t = new Array[Byte](4); buf.get(t)
+        require(len + 4 <= buf.remaining,
+          s"chunk '${new String(t, US_ASCII)}' overruns container")
+        (len, new String(t, US_ASCII))
+      }
+      // IHDR MUST be the first chunk (spec §5.6); verify its CRC — a
+      // cheap constant-size integrity check (payload chunks are skipped
+      // by length, so their CRCs would cost a full scan: not metadata)
+      val (ihdrLen, ihdrType) = chunkHeader()
+      require(ihdrType == "IHDR" && ihdrLen == 13,
+        s"first chunk must be IHDR[13], got $ihdrType[$ihdrLen]")
+      val ihdrStart = buf.position()
+      val w = buf.getInt(); val h = buf.getInt()
+      val depth = buf.get() & 0xff
+      val colorType = buf.get() & 0xff
+      require(buf.get() == 0, "bad compression method")
+      require(buf.get() == 0, "bad filter method")
+      val interlace = buf.get() & 0xff
+      require(interlace == 0 || interlace == 1, s"bad interlace $interlace")
+      val declaredCrc = buf.getInt()
+      val crc = new java.util.zip.CRC32
+      crc.update(blob, ihdrStart - 4, 4 + 13) // type + data
+      require(crc.getValue.toInt == declaredCrc, "IHDR CRC mismatch")
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+      val okDepth = colorType match {
+        case 0 => Set(1, 2, 4, 8, 16)(depth)
+        case 3 => Set(1, 2, 4, 8)(depth)
+        case 2 | 4 | 6 => Set(8, 16)(depth)
+        case _ => false
+      }
+      require(okDepth, s"bad depth/color combination $depth/$colorType")
+      var idatBytes = 0L
+      var sawIend = false
+      while (!sawIend && buf.remaining >= 12) {
+        val (len, typ) = chunkHeader()
+        if (typ == "IDAT") idatBytes += len
+        else if (typ == "IEND") sawIend = true
+        buf.position(buf.position() + len.toInt + 4) // data + CRC
+      }
+      require(sawIend, "no IEND chunk")
+      require(idatBytes > 0, "no IDAT data")
+      PngMeta(w, h, depth, colorType, channelsOf(colorType),
+        interlace == 1, idatBytes)
+    }
+  }
+
+  /** documents → (doc_id, genuine PNG blob): each document's text bytes
+    * packed as the filtered scanlines of a real PNG (grayscale / RGB /
+    * RGBA, 8- or 16-bit). One codec instance per partition. */
+  def pngFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = new PngCodec
+        it.map { case (docId, payload) =>
+          (docId, codec.encode(payload,
+            width = 8 + (docId % 24).toInt,
+            bitDepth = Array(8, 8, 8, 16)((docId % 4).toInt),
+            colorType = Array(0, 2, 6)((docId % 3).toInt)))
+        }
+      }
+      .toDF("doc_id", "png")
+  }
+
+  /** x63 — REAL PNG metadata decode: parse the container bytes (magic,
+    * big-endian chunk walk, IHDR fields + CRC-32 verification, summed
+    * multi-IDAT payload size — nothing from the row but the blob) into
+    * width / height / bit depth / color type / channels / interlace /
+    * IDAT byte count. The DuckDB oracle recomputes every field from the
+    * generator parameters, INCLUDING the zlib stream size via the
+    * stored-block closed form, so the parse is checked byte-exactly;
+    * MultimodalSpec additionally inflates the IDAT stream back to the
+    * payload and pins the parser against foreign layouts (ancillary
+    * chunks, split IDAT) the encoder never emits. */
+  def pngDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pngFrame(spark, sfDir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = new PngCodec // once per partition, like a real codec
+        it.map { case (docId, png) =>
+          val m = codec.decode(png)
+          (docId, m.width, m.height, m.bitDepth, m.colorType, m.channels,
+            m.interlaced, m.idatBytes)
+        }
+      }
+      .toDF("doc_id", "width", "height", "bit_depth", "color_type",
+        "channels", "interlaced", "idat_bytes")
+      .orderBy($"doc_id")
+  }
+
+  val pngDecodeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS len,
+      |    8 + (doc_id % 24) AS w,
+      |    ([8,8,8,16])[CAST(doc_id % 4 AS INT) + 1] AS depth,
+      |    ([0,2,6])[CAST(doc_id % 3 AS INT) + 1] AS ct
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, len, w, depth, ct,
+      |    CASE ct WHEN 0 THEN 1 WHEN 2 THEN 3 ELSE 4 END AS ch
+      |  FROM m
+      |), g AS (
+      |  SELECT doc_id, w, depth, ct, ch,
+      |    greatest(1, (len + (w * ch * depth // 8) - 1)
+      |                  // (w * ch * depth // 8)) AS h,
+      |    w * ch * depth // 8 AS rowbytes
+      |  FROM c
+      |), z AS (
+      |  SELECT doc_id, w, h, depth, ct, ch,
+      |    h * (1 + rowbytes) AS raw
+      |  FROM g
+      |)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(depth AS INT) AS bit_depth, CAST(ct AS INT) AS color_type,
+      |  CAST(ch AS INT) AS channels, FALSE AS interlaced,
+      |  CAST(2 + 5 * greatest(1, (raw + 65534) // 65535) + raw + 4
+      |       AS BIGINT) AS idat_bytes
+      |FROM z ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- x64 JPEG
+
+  /** Parsed JPEG metadata — everything read from the blob bytes alone. */
+  final case class JpegMeta(width: Int, height: Int, precision: Int,
+      nComponents: Int, progressive: Boolean, scanBytes: Long)
+
+  /** A real (if minimal) JPEG/JFIF segment codec — THE format of crawled
+    * images. JPEG is a marker stream: `FFD8` SOI, then segments of
+    * `FF<marker>` + 2-byte big-endian length (inclusive), until SOS,
+    * after which entropy-coded data runs with `FF00` byte-stuffing and
+    * `FFD0-D7` restart markers until `FFD9` EOI.
+    *
+    * `encode` writes well-formed JFIF plumbing — APP0, DQT, SOF0/SOF2
+    * (baseline/progressive) with real geometry, DHT, SOS — and packs
+    * the payload as the entropy stream with genuine byte-stuffing
+    * (every `FF` payload byte becomes `FF00`, exactly what a real
+    * encoder's bitstream writer does).
+    *
+    * `decode` is a real marker walk: validates SOI, tolerates fill
+    * bytes before markers (spec B.1.1.2), skips segments by declared
+    * length, extracts geometry from the FIRST SOFn frame header
+    * (`C0-CF` minus `C4` DHT / `C8` JPG / `CC` DAC), classifies
+    * progressive (SOF2), then counts entropy bytes through the scan —
+    * un-stuffing `FF00`, skipping restart markers — to EOI. Entropy
+    * payloads are never Huffman-decoded: metadata extraction must not
+    * decode image data. */
+  final class JpegCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.nio.charset.StandardCharsets.US_ASCII
+
+    private def seg(marker: Int, data: Array[Byte]): Array[Byte] =
+      ByteBuffer.allocate(4 + data.length).order(ByteOrder.BIG_ENDIAN)
+        .put(0xff.toByte).put(marker.toByte)
+        .putShort((data.length + 2).toShort).put(data).array()
+
+    def encode(payload: Array[Byte], width: Int, height: Int,
+        nComponents: Int, progressive: Boolean): Array[Byte] = {
+      require(width > 0 && width <= 65535 && height > 0 && height <= 65535,
+        s"bad geometry ${width}x$height")
+      require(nComponents == 1 || nComponents == 3, s"bad ncomp $nComponents")
+      val app0 = "JFIF ".getBytes(US_ASCII) ++
+        Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0) // v1.1, no units, 1:1, no thumb
+      val dqt = Array(0.toByte) ++ Array.tabulate[Byte](64)(i => (i + 1).toByte)
+      val sof = ByteBuffer.allocate(6 + 3 * nComponents)
+        .order(ByteOrder.BIG_ENDIAN)
+        .put(8.toByte).putShort(height.toShort).putShort(width.toShort)
+        .put(nComponents.toByte)
+      for (c <- 1 to nComponents)
+        sof.put(c.toByte).put(0x11.toByte).put(0.toByte)
+      val dht = Array[Byte](0) ++
+        (Array[Byte](1) ++ Array.fill[Byte](15)(0)) ++ Array[Byte](0)
+      val sos = ByteBuffer.allocate(4 + 2 * nComponents)
+        .order(ByteOrder.BIG_ENDIAN).put(nComponents.toByte)
+      for (c <- 1 to nComponents) sos.put(c.toByte).put(0.toByte)
+      sos.put(0.toByte).put(63.toByte).put(0.toByte) // spectral selection
+      // entropy stream with genuine byte-stuffing
+      val nFF = payload.count(_ == 0xff.toByte)
+      val scan = new Array[Byte](payload.length + nFF)
+      var o = 0
+      payload.foreach { b =>
+        scan(o) = b; o += 1
+        if (b == 0xff.toByte) { scan(o) = 0; o += 1 }
+      }
+      Array(0xff.toByte, 0xd8.toByte) ++                      // SOI
+        seg(0xe0, app0) ++ seg(0xdb, dqt) ++
+        seg(if (progressive) 0xc2 else 0xc0, sof.array()) ++
+        seg(0xc4, dht) ++ seg(0xda, sos.array()) ++
+        scan ++ Array(0xff.toByte, 0xd9.toByte)               // EOI
+    }
+
+    def decode(blob: Array[Byte]): JpegMeta = {
+      require(blob.length >= 4 && blob(0) == 0xff.toByte &&
+        blob(1) == 0xd8.toByte, "not a JPEG (no SOI)")
+      val buf = ByteBuffer.wrap(blob).order(ByteOrder.BIG_ENDIAN).position(2)
+      var width = -1; var height = -1; var precision = -1; var nComp = -1
+      var progressive = false
+      var scanBytes = -1L
+      var done = false
+      while (!done) {
+        require(buf.remaining >= 2, "truncated before EOI")
+        require(buf.get() == 0xff.toByte, "expected marker")
+        var marker = buf.get() & 0xff
+        while (marker == 0xff) marker = buf.get() & 0xff // fill bytes
+        marker match {
+          case 0xd9 => done = true // EOI before any scan: geometry-only file
+          case 0xda =>             // SOS: skip header, walk entropy data
+            require(width > 0, "SOS before SOFn frame header")
+            val len = buf.getShort() & 0xffff
+            require(len >= 2 && len - 2 <= buf.remaining, "bad SOS length")
+            buf.position(buf.position() + len - 2)
+            if (scanBytes < 0) scanBytes = 0
+            var inScan = true
+            while (inScan) {
+              require(buf.remaining >= 1, "truncated scan (no EOI)")
+              val b = buf.get()
+              if (b != 0xff.toByte) scanBytes += 1
+              else {
+                require(buf.remaining >= 1, "truncated marker in scan")
+                val m2 = buf.get() & 0xff
+                if (m2 == 0x00) scanBytes += 1      // stuffed FF data byte
+                else if (m2 >= 0xd0 && m2 <= 0xd7) () // restart marker
+                else if (m2 == 0xd9) { inScan = false; done = true }
+                else {                               // next segment marker
+                  inScan = false
+                  buf.position(buf.position() - 2)
+                }
+              }
+            }
+          case m if m >= 0xc0 && m <= 0xcf &&
+              m != 0xc4 && m != 0xc8 && m != 0xcc =>
+            val len = buf.getShort() & 0xffff
+            require(len >= 8, s"short SOF length $len")
+            if (width < 0) { // first frame header wins (spec: one per frame)
+              precision = buf.get() & 0xff
+              height = buf.getShort() & 0xffff
+              width = buf.getShort() & 0xffff
+              nComp = buf.get() & 0xff
+              progressive = m == 0xc2
+              require(width > 0 && height > 0, s"bad SOF dims ${width}x$height")
+              require(nComp >= 1 && nComp <= 4, s"bad component count $nComp")
+              buf.position(buf.position() + (len - 8))
+            } else buf.position(buf.position() + (len - 2))
+          case _ => // APPn/DQT/DHT/COM/...: skip by declared length
+            val len = buf.getShort() & 0xffff
+            require(len >= 2 && len - 2 <= buf.remaining,
+              f"segment ff$marker%02x overruns container")
+            buf.position(buf.position() + len - 2)
+        }
+      }
+      require(width > 0, "no SOFn frame header")
+      JpegMeta(width, height, precision, nComp, progressive,
+        math.max(0L, scanBytes))
+    }
+  }
+
+  /** documents → (doc_id, genuine JPEG blob): each document's text bytes
+    * packed as the (byte-stuffed) entropy stream of a real JFIF file
+    * with per-doc geometry. One codec instance per partition. */
+  def jpegFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = new JpegCodec
+        it.map { case (docId, payload) =>
+          (docId, codec.encode(payload,
+            width = 8 * (1 + (docId % 40).toInt),
+            height = 8 * (1 + (docId % 30).toInt),
+            nComponents = Array(1, 3)((docId % 2).toInt),
+            progressive = docId % 4 == 0))
+        }
+      }
+      .toDF("doc_id", "jpeg")
+  }
+
+  /** x64 — REAL JPEG metadata decode: marker-walk the JFIF bytes (SOI,
+    * segment lengths, first-SOFn geometry/precision/components,
+    * baseline-vs-progressive classification, entropy-scan byte count
+    * through byte-stuffing and restart markers — nothing from the row
+    * but the blob). The oracle recomputes every field from the
+    * generator parameters; `scan_bytes` equals the raw payload length
+    * because UTF-8 text contains no 0xFF byte (the un-stuffing logic
+    * itself is pinned by MultimodalSpec on binary payloads WITH 0xFF
+    * bytes, plus a foreign layout with restart markers and a COM
+    * segment the encoder never emits). */
+  def jpegDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    jpegFrame(spark, sfDir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = new JpegCodec // once per partition, like a real codec
+        it.map { case (docId, jpeg) =>
+          val m = codec.decode(jpeg)
+          (docId, m.width, m.height, m.precision, m.nComponents,
+            m.progressive, m.scanBytes)
+        }
+      }
+      .toDF("doc_id", "width", "height", "precision", "n_components",
+        "progressive", "scan_bytes")
+      .orderBy($"doc_id")
+  }
+
+  val jpegDecodeSql: String =
+    """SELECT doc_id,
+      |  CAST(8 * (1 + doc_id % 40) AS INT) AS width,
+      |  CAST(8 * (1 + doc_id % 30) AS INT) AS height,
+      |  CAST(8 AS INT) AS precision,
+      |  CAST(([1,3])[CAST(doc_id % 2 AS INT) + 1] AS INT) AS n_components,
+      |  (doc_id % 4 = 0) AS progressive,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS scan_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** x41 via mapPartitions — the batched-decoder plumbing (one Decoder per
     * partition, analogous to mapInPandas batch decode). Verified equal to
     * the expression form in MultimodalSpec. */

@@ -284,4 +284,173 @@ class MultimodalSpec extends AnyFunSuite {
       assert(wav.length.toLong == 44 + m.dataBytes + (m.dataBytes & 1))
     }
   }
+
+  // ---------------------------------------------------------- x63 PNG
+  private def pngCodec = new Multimodal.PngCodec
+
+  private def be32(v: Long): Array[Byte] =
+    Array(v >> 24, v >> 16, v >> 8, v).map(_.toByte)
+
+  /** PNG chunk with a REAL CRC — for hand-laying foreign layouts. */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32
+    crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+    be32(data.length) ++ typ.getBytes("US-ASCII") ++ data ++ be32(crc.getValue)
+  }
+  private val pngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    .map(_.toByte)
+
+  test("PNG encode→decode round-trips header fields; IDAT genuinely inflates") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 30) {
+      val payload = Array.fill(rnd.nextInt(150000))(rnd.nextInt.toByte)
+      val w = 1 + rnd.nextInt(64)
+      val (depth, ct) = Seq((8, 0), (8, 2), (8, 6), (16, 0), (16, 2))(
+        rnd.nextInt(5))
+      val png = pngCodec.encode(payload, w, depth, ct)
+      val m = pngCodec.decode(png)
+      val ch = Seq(1, 0, 3, 0, 2, 0, 4)(ct)
+      val rowBytes = w * ch * depth / 8
+      val h = math.max(1, (payload.length + rowBytes - 1) / rowBytes)
+      val raw = h * (1 + rowBytes)
+      assert(m == Multimodal.PngMeta(w, h, depth, ct, ch, false,
+        2L + 5 * math.max(1, (raw + 65534) / 65535) + raw + 4))
+      // the zlib stream is GENUINE: a stock Inflater recovers the
+      // filter-byte-prefixed scanlines, payload intact (>64 KiB payloads
+      // exercise the multi-block stored framing)
+      val idatOff = 8 + 12 + 13 + 8 // sig + IHDR chunk + IDAT len/type
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(png, idatOff, m.idatBytes.toInt)
+      val out = new Array[Byte](raw)
+      assert(inf.inflate(out) == raw && inf.finished())
+      val recovered = (0 until h).flatMap { r =>
+        assert(out(r * (1 + rowBytes)) == 0, "filter byte must be None")
+        out.slice(r * (1 + rowBytes) + 1, (r + 1) * (1 + rowBytes))
+      }.toArray
+      assert(java.util.Arrays.equals(recovered.take(payload.length), payload))
+    }
+  }
+
+  test("parses a foreign PNG layout: ancillary chunks, split IDAT, interlace") {
+    // hand-laid with chunks the encoder never emits: pHYs + tEXt before
+    // the image data, the zlib stream SPLIT across three IDAT chunks
+    // (real writers emit ~32 KiB IDATs), Adam7 interlace flag set
+    val ihdr = be32(640) ++ be32(480) ++
+      Array[Byte](8, 3, 0, 0, 1) // 8-bit palette, interlaced
+    val zlib = pngCodec.zlibStored(Array.fill[Byte](100)(0x5a))
+    val (a, rest) = zlib.splitAt(40)
+    val (b, c) = rest.splitAt(30)
+    val png = pngSig ++ pngChunk("IHDR", ihdr) ++
+      pngChunk("pHYs", be32(2835) ++ be32(2835) ++ Array[Byte](1)) ++
+      pngChunk("tEXt", "Software graft".getBytes("US-ASCII")) ++
+      pngChunk("IDAT", a) ++ pngChunk("IDAT", b) ++ pngChunk("IDAT", c) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    val m = pngCodec.decode(png)
+    assert(m == Multimodal.PngMeta(640, 480, 8, 3, 1, true, zlib.length))
+  }
+
+  test("PNG: rejects bad signature, corrupted IHDR CRC, invalid combos") {
+    intercept[IllegalArgumentException](pngCodec.decode("not a png".getBytes))
+    val good = pngCodec.encode(Array[Byte](1, 2, 3), 4, 8, 0)
+    // flip one IHDR data byte without fixing its CRC: must refuse
+    val corrupt = good.clone()
+    corrupt(8 + 8 + 4) = (corrupt(8 + 8 + 4) ^ 1).toByte
+    intercept[IllegalArgumentException](pngCodec.decode(corrupt))
+    // depth 16 is illegal for palette color (type 3)
+    val badCombo = pngSig ++
+      pngChunk("IHDR", be32(4) ++ be32(4) ++ Array[Byte](16, 3, 0, 0, 0)) ++
+      pngChunk("IDAT", pngCodec.zlibStored(Array[Byte](0))) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    intercept[IllegalArgumentException](pngCodec.decode(badCombo))
+    // IHDR not first (spec violation): must refuse
+    val notFirst = pngSig ++
+      pngChunk("tEXt", "x y".getBytes("US-ASCII")) ++
+      pngChunk("IHDR", be32(4) ++ be32(4) ++ Array[Byte](8, 0, 0, 0, 0)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    intercept[IllegalArgumentException](pngCodec.decode(notFirst))
+  }
+
+  test("x63 blobs are genuine PNGs; decode matches the generator") {
+    import spark.implicits._
+    val rows = Multimodal.pngFrame(spark, sf).as[(Long, Array[Byte])]
+      .take(20)
+    assert(rows.nonEmpty)
+    rows.foreach { case (docId, png) =>
+      assert(java.util.Arrays.equals(png.slice(0, 8), pngSig))
+      val m = pngCodec.decode(png)
+      assert(m.width == 8 + (docId % 24).toInt)
+      assert(m.bitDepth == Seq(8, 8, 8, 16)((docId % 4).toInt))
+      assert(m.colorType == Seq(0, 2, 6)((docId % 3).toInt))
+    }
+  }
+
+  // ---------------------------------------------------------- x64 JPEG
+  private def jpegCodec = new Multimodal.JpegCodec
+
+  test("JPEG encode→decode round-trips; 0xFF payloads exercise un-stuffing") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 0 until 30) {
+      // binary payload: ~1/256 of bytes are 0xFF, so the scan REALLY
+      // contains stuffed FF00 sequences the decoder must not count twice
+      val payload = Array.fill(rnd.nextInt(5000))(rnd.nextInt.toByte)
+      val w = 1 + rnd.nextInt(2000)
+      val h = 1 + rnd.nextInt(2000)
+      val ncomp = Seq(1, 3)(rnd.nextInt(2))
+      val prog = rnd.nextBoolean()
+      val m = jpegCodec.decode(jpegCodec.encode(payload, w, h, ncomp, prog))
+      assert(m == Multimodal.JpegMeta(w, h, 8, ncomp, prog, payload.length))
+    }
+  }
+
+  test("parses a foreign JPEG layout: COM, fill bytes, restart markers") {
+    import java.nio.ByteBuffer
+    def seg(marker: Int, data: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte) ++
+        Array(((data.length + 2) >> 8).toByte, (data.length + 2).toByte) ++ data
+    val sof = ByteBuffer.allocate(9)
+      .put(12.toByte) // 12-bit precision (extended sequential allows it)
+      .putShort(768.toShort).putShort(1024.toShort) // height THEN width
+      .put(1.toByte).put(1.toByte).put(0x11.toByte).put(0.toByte).array()
+    val sos = Array[Byte](1, 1, 0, 0, 63, 0)
+    // scan: 5 data bytes, a stuffed FF (counts as ONE), an RST0 marker
+    // (counts as ZERO), 3 more bytes, then EOI
+    val scan = Array[Byte](1, 2, 3, 4, 5) ++
+      Array(0xff.toByte, 0x00.toByte) ++
+      Array(0xff.toByte, 0xd0.toByte) ++ Array[Byte](6, 7, 8)
+    val jpg = Array(0xff.toByte, 0xd8.toByte) ++
+      seg(0xfe, "a comment".getBytes("US-ASCII")) ++ // COM, never emitted
+      Array(0xff.toByte) ++ // fill byte before the next marker (B.1.1.2)
+      seg(0xc1, sof) ++     // SOF1 extended sequential, never emitted
+      seg(0xda, sos) ++ scan ++ Array(0xff.toByte, 0xd9.toByte)
+    val m = jpegCodec.decode(jpg)
+    assert(m == Multimodal.JpegMeta(1024, 768, 12, 1, false, 9L))
+  }
+
+  test("JPEG: rejects missing SOI, missing SOF, truncated scans") {
+    intercept[IllegalArgumentException](jpegCodec.decode("nope".getBytes))
+    // SOI + EOI with no frame header: refuse, not garbage geometry
+    intercept[IllegalArgumentException](jpegCodec.decode(
+      Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)))
+    // a scan that never reaches EOI must throw, not run off the buffer
+    val good = jpegCodec.encode(Array[Byte](1, 2, 3), 8, 8, 1, false)
+    intercept[IllegalArgumentException](
+      jpegCodec.decode(good.dropRight(2)))
+  }
+
+  test("x64 blobs are genuine JPEGs; decode matches the generator") {
+    import spark.implicits._
+    val rows = Multimodal.jpegFrame(spark, sf).as[(Long, Array[Byte])]
+      .take(20)
+    assert(rows.nonEmpty)
+    rows.foreach { case (docId, jpg) =>
+      assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+      assert((jpg(jpg.length - 2) & 0xff) == 0xff &&
+        (jpg(jpg.length - 1) & 0xff) == 0xd9)
+      val m = jpegCodec.decode(jpg)
+      assert(m.width == 8 * (1 + (docId % 40).toInt))
+      assert(m.height == 8 * (1 + (docId % 30).toInt))
+      assert(m.nComponents == Seq(1, 3)((docId % 2).toInt))
+      assert(m.progressive == (docId % 4 == 0))
+    }
+  }
 }
