@@ -895,7 +895,7 @@ object Multimodal {
       require(width > 0 && width <= 65535 && height > 0 && height <= 65535,
         s"bad geometry ${width}x$height")
       require(nComponents == 1 || nComponents == 3, s"bad ncomp $nComponents")
-      val app0 = "JFIF ".getBytes(US_ASCII) ++
+      val app0 = ("JFIF" + "\u0000").getBytes(US_ASCII) ++
         Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0) // v1.1, no units, 1:1, no thumb
       val dqt = Array(0.toByte) ++ Array.tabulate[Byte](64)(i => (i + 1).toByte)
       val sof = ByteBuffer.allocate(6 + 3 * nComponents)
