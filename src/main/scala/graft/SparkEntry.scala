@@ -26,14 +26,14 @@ import graft.ops.{Analytics, Dedup, Events, LocationResolve, Multimodal,
   *    sketch dedup, x3x text analytics, x4x multimodal + curation,
   *    x5x splitting/sampling)
   *
-  * Every query has a DuckDB oracle except the twelve whose output is
-  * engine-specific or not SQL-expressible by design (x01 HLL, x12
-  * simhash, x21 LSH-ANN, x22 IVF-ANN, x24 celled SemDeDup, x25 PQ-ANN,
-  * x26 IVF-PQ-ANN, x27 bloom decontamination, x33 FNV, x39
-  * approx-percentile prune, x55/x56 iterative BPE) — those get the
-  * driver's rows-only check plus equality / recall / tolerance /
-  * clean-room-reference gates in the test suites. RegistrySpec pins
-  * this list.
+  * Every query has a DuckDB oracle except the rows-only set pinned by
+  * RegistrySpec (the single source of truth for its membership) —
+  * queries whose output is engine-specific or not SQL-expressible by
+  * design (HLL sketches, simhash, the ANN family, bloom
+  * decontamination, FNV, approx-percentile prune, iterative BPE, IVF
+  * prototypicality). Those get the driver's rows-only check plus
+  * equality / recall / tolerance / clean-room-reference gates in the
+  * test suites.
   */
 object SparkEntry {
 

@@ -122,12 +122,20 @@ object CustomExprs {
   /** SQL registration (spark.sql("SELECT token_sort_ratio(a,b) …")).
     * Once per session: callers invoke this per query, and re-registering
     * logs a "function replaced" WARN per function per call — 7×N lines
-    * that drowned round-7's 2,000-char crash tail. The memoValue guard
-    * shares the Caches lifecycle, so a new session re-registers. */
-  def register(spark: SparkSession): Unit =
-    graft.Caches.memoValue(spark, "#customExprsRegistered") {
-      registerNow(spark); true
-    }
+    * that drowned round-7's 2,000-char crash tail. The guard lives in
+    * its OWN per-session map, not Caches.memoValue: Caches.clear()
+    * runs at the end of every Verify/Bench pass while the functions
+    * stay registered in the session, so a Caches-lifecycle guard would
+    * re-register (and re-WARN) on the next pass of the same session.
+    * Stopped-session entries are swept on each call, like Caches. */
+  private val registered =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Boolean]
+
+  def register(spark: SparkSession): Unit = {
+    registered.keys.filter(_.sparkContext.isStopped).foreach(registered.remove)
+    registered.getOrElseUpdate(spark, { registerNow(spark); true })
+    ()
+  }
 
   private def registerNow(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

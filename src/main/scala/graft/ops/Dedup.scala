@@ -480,22 +480,49 @@ object Dedup {
     * probably boilerplate; one copy should still train, at 1/50 the
     * epochs). Singletons weigh 1.0.
     *
-    * Shape: composes x17's large/small-star cluster labels; the label
-    * table only covers docs that appear in the verified pair graph —
-    * a tiny fraction of the corpus — so the weight join is a BROADCAST
-    * hash join against the corpus scan at any scale. */
-  def softDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    * Shape: composes x17's large/small-star cluster labels. The label
+    * dim holds one row per document in any verified near-dup cluster —
+    * on a clean corpus that is a sliver, but on a web crawl dup
+    * fractions of 30-50% are routine, so the dim GROWS WITH THE CORPUS
+    * and an unconditional broadcast is an OOM at 100 TB. The weight
+    * join is therefore GUARDED the same way x56 guards its dictionary
+    * dim: broadcast hash join while the memoized label count is ≤
+    * [[CcBroadcastMaxLabels]], plain shuffle join beyond it (one
+    * shuffle of the label dim + corpus ids, never all-pairs). */
+  def softDedup(spark: SparkSession, sfDir: String): DataFrame =
+    softDedupVia(spark, sfDir,
+      broadcastDim = ccLabelCount(spark, sfDir) <= CcBroadcastMaxLabels)
+
+  /** Both join paths of x28; DedupSimilaritySpec pins them identical. */
+  private[graft] def softDedupVia(spark: SparkSession, sfDir: String,
+      broadcastDim: Boolean): DataFrame = {
     import spark.implicits._
     val clusters = dupClusters(spark, sfDir)
       .select($"doc_id", $"cluster_size")
+    val dim = if (broadcastDim) broadcast(clusters) else clusters
     Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang")
-      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .join(dim, Seq("doc_id"), "left")
       .withColumn("cluster_size", coalesce($"cluster_size", lit(1L)))
       .withColumn("weight_ppm", expr("1000000 div cluster_size"))
       .select($"doc_id", $"lang", $"cluster_size", $"weight_ppm")
       .orderBy($"doc_id")
   }
+
+  /** Broadcast budget for the CC label dim (x28/x59): rows are two
+    * BIGINTs plus hash-relation overhead (~24 B effective), so 40 M
+    * labels ≈ 1 GB — the same conservative executor-broadcast ceiling
+    * [[TextAnalysis.BpeBroadcastMaxWords]] assumes. Beyond it the dup
+    * fraction of the corpus is large enough that a shuffle join is the
+    * correct plan anyway. */
+  private[graft] val CcBroadcastMaxLabels = 40000000L
+
+  /** Memoized row count of [[ccLabels]] — sizes the x28/x59 broadcast
+    * guard; counting the already-persisted label frame is free. */
+  private[graft] def ccLabelCount(spark: SparkSession, sfDir: String): Long =
+    graft.Caches.memoValue(spark, s"cc-label-count:$sfDir") {
+      ccLabels(spark, sfDir).count()
+    }
 
   val softDedupSql: String =
     s"""WITH RECURSIVE p AS ($jaccardPairsSql),
@@ -528,21 +555,30 @@ object Dedup {
     * Singletons pass through labeled as their own cluster.
     *
     * Shape: clusters come from x17's CC labels over the verified pair
-    * graph — a tiny dim relative to the corpus — so the rank window
-    * runs ONLY on the clustered slice (corpus ⋈ broadcast label dim,
-    * window over cluster_id on that small frame), and the untouched
-    * singleton majority is a broadcast LEFT ANTI of the same dim:
-    * the full corpus is never shuffled by the window. Quality is the
-    * shared [[TextAnalysis.qualityScore]] column, so policy and x30
-    * cannot drift. */
-  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    * graph, so the rank window runs ONLY on the clustered slice
+    * (corpus ⋈ label dim, window over cluster_id on that frame) and
+    * the untouched singleton majority is a LEFT ANTI of the same dim:
+    * the full corpus is never shuffled by the window. The label dim
+    * grows with the corpus dup count (30-50% on a web crawl), so both
+    * joins are GUARDED like x28/x56: broadcast while the memoized
+    * label count is ≤ [[CcBroadcastMaxLabels]], shuffle join beyond.
+    * Quality is the shared [[TextAnalysis.qualityScore]] column, so
+    * policy and x30 cannot drift. */
+  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame =
+    dedupKeepBestVia(spark, sfDir,
+      broadcastDim = ccLabelCount(spark, sfDir) <= CcBroadcastMaxLabels)
+
+  /** Both join paths of x59; DedupSimilaritySpec pins them identical. */
+  private[graft] def dedupKeepBestVia(spark: SparkSession, sfDir: String,
+      broadcastDim: Boolean): DataFrame = {
     import spark.implicits._
     val clusters = dupClusters(spark, sfDir)
       .select($"doc_id", $"cluster_id")
+    def dim(df: DataFrame): DataFrame = if (broadcastDim) broadcast(df) else df
     val docs = Tables.spread(Tables.documents(spark, sfDir))
       .select($"doc_id", $"lang",
         TextAnalysis.qualityScore($"text").as("quality_score"))
-    val clustered = docs.join(broadcast(clusters), "doc_id")
+    val clustered = docs.join(dim(clusters), "doc_id")
     val w = Window.partitionBy($"cluster_id")
       .orderBy($"quality_score".desc, $"doc_id".asc)
     val best = clustered
@@ -550,7 +586,7 @@ object Dedup {
       .filter($"rk" === 1)
       .select($"doc_id", $"cluster_id", $"quality_score", $"lang")
     val singletons = docs
-      .join(broadcast(clusters.select($"doc_id")), Seq("doc_id"), "left_anti")
+      .join(dim(clusters.select($"doc_id")), Seq("doc_id"), "left_anti")
       .select($"doc_id", $"doc_id".as("cluster_id"), $"quality_score", $"lang")
     best.union(singletons).orderBy($"doc_id")
   }

@@ -429,10 +429,21 @@ object Streaming {
   }
 
   /** All near-dup pairs the stream has emitted so far (union of the
-    * per-batch slices), or an empty frame before any batch. */
-  def streamedNearDupPairs(spark: SparkSession, pairsDir: String): DataFrame = {
+    * per-batch slices), or an empty frame before any batch. Only
+    * slices whose batch COMMITTED are read: [[bandIndexUpdate]] writes
+    * the pair slice before the version marker, so a crash in that
+    * window leaves an uncommitted `b<k>` on disk — recovery replay
+    * overwrites it byte-identically, but a reader between crash and
+    * replay must not see it, so each slice is gated on the
+    * `v<k>/_SUCCESS` marker in `dimDir` (the single commit point for
+    * the batch). */
+  def streamedNearDupPairs(spark: SparkSession, dimDir: String,
+      pairsDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
     val slices = Option(new java.io.File(pairsDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+      .filter(f => Files.isRegularFile(
+        Paths.get(s"$dimDir/v${f.getName.drop(1)}/_SUCCESS")))
       .map(_.getPath)
     if (slices.isEmpty)
       spark.emptyDataFrame

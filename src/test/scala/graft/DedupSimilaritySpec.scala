@@ -155,6 +155,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("x28/x59 CC-label broadcast guard: both join regimes identical") {
+    // the label dim grows with corpus dup count (30-50% of a web crawl),
+    // so the public entries gate the broadcast hint on the memoized label
+    // count with a shuffle-join fallback — same discipline as x56. The
+    // two paths must be output-identical, and only the broadcast path
+    // may carry a forced hint (AQE may still choose a BHJ for the
+    // fallback at fixture scale — its call, not a forced one).
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    for ((name, via) <- Seq(
+        ("x28", (b: Boolean) => Dedup.softDedupVia(spark, sf, b)),
+        ("x59", (b: Boolean) => Dedup.dedupKeepBestVia(spark, sf, b)))) {
+      val bc = via(true)
+      val sj = via(false)
+      assert(bc.schema == sj.schema, s"$name schema drift across join paths")
+      val a = bc.collect().map(_.toSeq).toSeq
+      val b = sj.collect().map(_.toSeq).toSeq
+      assert(a.nonEmpty && a == b, s"$name join-path divergence")
+      assert(hinted(bc), s"$name broadcast path lost its hint")
+      assert(!hinted(sj), s"$name fallback path still forces a broadcast hint")
+    }
+    // the fixture's label dim is far below the ceiling, so the public
+    // entry must resolve to the broadcast regime here
+    assert(Dedup.ccLabelCount(spark, sf) <= Dedup.CcBroadcastMaxLabels)
+  }
+
   test("exact dedup groups cover all docs") {
     val agg = Dedup.exactDedup(spark, sf)
       .agg(org.apache.spark.sql.functions.sum("n_copies")).collect()(0).getLong(0)

@@ -193,13 +193,22 @@ class StreamingSpec extends AnyFunSuite {
     val versions = new java.io.File(dimDir).listFiles()
       .filter(_.getName.matches("v\\d+"))
     assert(versions.length == 2, s"expected 2 micro-batches, got ${versions.toSeq}")
-    val streamed = Streaming.streamedNearDupPairs(spark, pairsDir)
+    val streamed = Streaming.streamedNearDupPairs(spark, dimDir, pairsDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val batch = graft.ops.Dedup.incrementalDedup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(streamed.nonEmpty, "fixture must produce cross-wave pairs")
     assert(streamed == batch,
       "streamed incremental pairs diverged from batch x18")
+
+    // a pair slice whose batch never committed (crash between the pair
+    // write and the version marker) must be invisible to readers: plant
+    // an orphan b99 with no v99/_SUCCESS and prove the union ignores it
+    Streaming.streamedNearDupPairs(spark, dimDir, pairsDir)
+      .limit(1).write.mode("overwrite").parquet(s"$pairsDir/b99")
+    val gated = Streaming.streamedNearDupPairs(spark, dimDir, pairsDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gated == batch, "uncommitted pair slice leaked into the union")
 
     // replay of an already-committed batch is a NO-OP: the marker stands,
     // so the update must not tear down and rewrite the version (the
