@@ -233,24 +233,23 @@ object Similarity {
     * computed, not configured. DedupSimilaritySpec pins cell population
     * and touched fraction at two corpus sizes 4× apart.
     *
-    * Representation bound: centroids are plan literals (codegen'd dot
-    * products), which is the right shape up to a few hundred cells. At
-    * k beyond [[IvfMaxLiteralCells]] the centroid table must become a
-    * broadcast-join dimension instead of an expression — capped loudly
-    * here rather than silently compiling a megabyte expression tree. */
+    * Representation regime: up to [[IvfMaxLiteralCells]] the centroids
+    * are plan literals (codegen'd dot products — the cheapest map-only
+    * assignment); beyond it the SAME centroid table becomes a
+    * broadcast-join DIMENSION and assignment/probing are a join plus a
+    * min-by-distance aggregation ([[assignCellsVia]]/[[multiProbeVia]]),
+    * so k keeps tracking ⌈n/target⌉ with no ceiling — a megabyte
+    * expression tree is never compiled, and the sublinear probe claim
+    * holds at any corpus size. The two regimes are output-identical
+    * (same dot arithmetic, same tiebreak) — spec-pinned. */
   private[graft] val IvfMinCells = 16
   private[graft] val IvfTargetCellRows = 256
   private[graft] val IvfMaxLiteralCells = 256
   private[graft] def ivfCellCount(n: Long): Int = {
     val k = math.max(IvfMinCells.toLong,
       (n + IvfTargetCellRows - 1) / IvfTargetCellRows)
-    if (k > IvfMaxLiteralCells) {
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"ivfCellCount: n=$n wants $k cells; capping at $IvfMaxLiteralCells " +
-          "(literal-codebook representation bound — switch the centroid " +
-          "table to a broadcast dimension to go further)")
-      IvfMaxLiteralCells
-    } else k.toInt
+    // 100 TB sanity: Int is ample (2³¹ cells × 256 rows ≫ any corpus)
+    k.toInt
   }
   private[graft] val IvfProbes = 2
   private val IvfLloydRounds = 3
@@ -288,6 +287,77 @@ object Similarity {
     transform(slice(reverse(array_sort(scored)), 1, p), s => s.getField("cell"))
   }
 
+  /** The centroid table as a broadcast-join DIMENSION — the
+    * representation beyond [[IvfMaxLiteralCells]]: one row per cell,
+    * k×dim doubles total (at k = 400k cells / 100 M vectors and dim 64
+    * that is ~200 MB — inside the broadcast budget, far outside the
+    * expression-tree one). */
+  private[graft] def centroidDim(spark: SparkSession,
+      cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) =>
+      (i, c, math.sqrt(c.map(x => x * x).sum))
+    }.toSeq.toDF("cell", "cv", "cn")
+  }
+
+  /** Nearest-centroid assignment in either representation regime,
+    * appending a `cell` column to `df` (which must carry a `vec_id` row
+    * key and the raw vector under `v`). Literal regime: map-only
+    * [[cellOf]]. Join regime: broadcast the centroid dim, score every
+    * (row, cell), min-by-distance per row — the per-key fan-out is
+    * collapsed map-side (all k score rows for a key are co-located by
+    * the broadcast join, so partial aggregation shuffles ≈ one row per
+    * vector, not k). Tiebreak matches [[cellOf]] exactly (max dot,
+    * then lowest cell), so the regimes are output-identical —
+    * spec-pinned. */
+  private[graft] def assignCellsVia(df: DataFrame,
+      cents: Array[Array[Double]], literal: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (literal) df.withColumn("cell", cellOf($"v", cents))
+    else {
+      val others = df.columns.filterNot(_ == "vec_id").toSeq
+      val cellAgg = min_by($"cell",
+        struct((-dot($"v", $"cv")).as("nd"), $"cell")).as("cell")
+      val aggs = cellAgg +: others.map(c => first(col(c)).as(c))
+      df.join(broadcast(centroidDim(spark, cents)))
+        .groupBy($"vec_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .select((df.columns :+ "cell").map(col).toIndexedSeq: _*)
+    }
+  }
+
+  /** Regime-switched assignment: the public composition point. */
+  private[graft] def assignCells(df: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    assignCellsVia(df, cents, cents.length <= IvfMaxLiteralCells)
+
+  /** Top-p multi-probe assignment in either regime: one output row per
+    * (input row, probed cell), keyed by `keyCol`, probing with the raw
+    * vector in `vCol`. Join regime: score rows are the SKINNY
+    * (key, cell, dot) projection, ranked per key, then joined back —
+    * the n×k fan-out never carries the vectors through a shuffle.
+    * Tiebreak matches [[probeCellsOf]] (descending (dot, cell)), so
+    * the regimes are output-identical — spec-pinned. */
+  private[graft] def multiProbeVia(df: DataFrame, keyCol: String,
+      vCol: String, cents: Array[Array[Double]], p: Int,
+      literal: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (literal)
+      df.withColumn("cell", explode(probeCellsOf(col(vCol), cents, p)))
+    else {
+      val scored = df.select(col(keyCol), col(vCol))
+        .join(broadcast(centroidDim(spark, cents)))
+        .select(col(keyCol), $"cell", dot(col(vCol), $"cv").as("#s"))
+      val w = Window.partitionBy(col(keyCol)).orderBy($"#s".desc, $"cell".desc)
+      val top = scored.withColumn("#rk", row_number().over(w))
+        .filter($"#rk" <= p).select(col(keyCol), $"cell")
+      df.join(top, keyCol)
+        .select((df.columns :+ "cell").map(col).toIndexedSeq: _*)
+    }
+  }
+
   /** k-means coarse quantizer trained with a few Lloyd rounds from the
     * seeded init. Per round: map-only assignment, then a (cell, pos)
     * mean — one shuffle of n·dim skinny rows — and a k×dim driver
@@ -303,10 +373,11 @@ object Similarity {
     // one cheap count on a memoized/persisted frame, paid once per index
     val kk = if (k > 0) k else ivfCellCount(all.count())
     val dim = all.select(size($"v")).head.getInt(0)
+    val literal = kk <= IvfMaxLiteralCells
     var cents = ivfSeedCentroids(kk, dim)
     for (_ <- 0 until rounds) {
-      val sums = all.select(cellOf($"v", cents).as("cell"),
-          posexplode($"v").as(Seq("pos", "x")))
+      val sums = assignCellsVia(all.select($"vec_id", $"v"), cents, literal)
+        .select($"cell", posexplode($"v").as(Seq("pos", "x")))
         .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
         .collect()
       val next = Array.tabulate(kk)(i => cents(i).clone())
@@ -336,9 +407,7 @@ object Similarity {
     * pruning; in-session it's the persisted index the probe join hits. */
   private[graft] def ivfIndex(spark: SparkSession, sfDir: String): DataFrame =
     graft.Caches.memo(spark, s"ivf-index:$sfDir") {
-      import spark.implicits._
-      corpus(spark, sfDir)
-        .withColumn("cell", cellOf($"v", centroids(spark, sfDir)))
+      assignCells(corpus(spark, sfDir), centroids(spark, sfDir))
     }
 
   /** x22 — ANN top-5 via an IVF-style partition-pruned index: assign
@@ -382,9 +451,11 @@ object Similarity {
       nQueries: Int, probes: Int): DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
-    cells.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
-        explode(probeCellsOf($"v", cents, probes)).as("cell"))
+    multiProbeVia(
+      cells.filter($"vec_id" < nQueries)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn")),
+      "query_id", "qv", cents, probes,
+      literal = cents.length <= IvfMaxLiteralCells)
   }
 
   // -------------------------------------------------------------- x25 PQ
@@ -586,9 +657,15 @@ object Similarity {
     val spark = all.sparkSession
     import spark.implicits._
     // one row per (query, probed cell), carrying the normalized query
-    val qprobes = all.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), transform($"v", _ / $"nrm").as("qhat"),
-        explode(probeCellsOf($"v", cents, probes)).as("cell"))
+    // (probing on the RAW vector like x22 — scale-invariant argmax —
+    // so both regimes and both ops rank cells identically)
+    val qprobes = multiProbeVia(
+      all.filter($"vec_id" < nQueries)
+        .select($"vec_id".as("query_id"), $"v",
+          transform($"v", _ / $"nrm").as("qhat")),
+      "query_id", "v", cents, probes,
+      literal = cents.length <= IvfMaxLiteralCells)
+      .select($"query_id", $"qhat", $"cell")
     val candW = Window.partitionBy($"query_id")
       .orderBy($"approx".desc, $"vec_id".asc)
     val candidates = index.join(broadcast(qprobes), Seq("cell"))
@@ -738,8 +815,9 @@ object Similarity {
       cents: Array[Array[Double]], probes: Int): DataFrame = {
     val spark = all.sparkSession
     import spark.implicits._
-    all.select($"vec_id", $"v", $"nrm",
-      explode(probeCellsOf($"v", cents, probes)).as("cell"))
+    multiProbeVia(all.select($"vec_id", $"v", $"nrm"),
+      "vec_id", "v", cents, probes,
+      literal = cents.length <= IvfMaxLiteralCells)
   }
 
   /** Within-cell near-dup candidate pairs over a cell-assigned
@@ -838,16 +916,31 @@ object Similarity {
 
   /** The pruning plan over an arbitrary (vec_id, v, nrm, cell) index. */
   private[graft] def prototypicalityOf(cells: DataFrame,
-      cents: Array[Array[Double]]): DataFrame = {
+      cents: Array[Array[Double]]): DataFrame =
+    prototypicalityVia(cells, cents,
+      literal = cents.length <= IvfMaxLiteralCells)
+
+  /** Both scoring regimes of x61: literal element_at lookup for small
+    * codebooks, own-cell broadcast-dim equi join beyond
+    * [[IvfMaxLiteralCells]] — identical cosine arithmetic, so the
+    * regimes are output-identical (spec-pinned). */
+  private[graft] def prototypicalityVia(cells: DataFrame,
+      cents: Array[Array[Double]], literal: Boolean): DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
     graft.functions.CustomExprs.register(spark)
-    val centArr = array(cents.toIndexedSeq.map(litArr): _*)
-    val centNrm = array(cents.toIndexedSeq
-      .map(c => lit(math.sqrt(c.map(x => x * x).sum))): _*)
-    val scored = cells.withColumn("cos",
-      dot($"v", element_at(centArr, $"cell" + 1)) /
-        ($"nrm" * element_at(centNrm, $"cell" + 1)))
+    val scored =
+      if (literal) {
+        val centArr = array(cents.toIndexedSeq.map(litArr): _*)
+        val centNrm = array(cents.toIndexedSeq
+          .map(c => lit(math.sqrt(c.map(x => x * x).sum))): _*)
+        cells.withColumn("cos",
+          dot($"v", element_at(centArr, $"cell" + 1)) /
+            ($"nrm" * element_at(centNrm, $"cell" + 1)))
+      } else
+        cells.join(broadcast(centroidDim(spark, cents)), "cell")
+          .withColumn("cos", dot($"v", $"cv") / ($"nrm" * $"cn"))
+          .drop("cv", "cn")
     val rankW = Window.partitionBy($"cell")
       .orderBy($"cos".desc, $"vec_id".asc)
     val cellW = Window.partitionBy($"cell")

@@ -446,7 +446,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally cells.unpersist()
   }
 
-  test("ivfCellCount: floor, linear regime, and literal-representation cap") {
+  test("ivfCellCount: floor and uncapped linear regime") {
     import Similarity.{IvfMinCells, IvfTargetCellRows, IvfMaxLiteralCells}
     // floor: small corpora keep the minimum quantizer
     assert(Similarity.ivfCellCount(1) == IvfMinCells)
@@ -454,8 +454,103 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // linear regime: k tracks ⌈n / target⌉ so E[cell size] stays ≈ target
     assert(Similarity.ivfCellCount(64L * IvfTargetCellRows) == 64)
     assert(Similarity.ivfCellCount(64L * IvfTargetCellRows + 1) == 65)
-    // cap: the literal-codebook bound is enforced, not overrun
-    assert(Similarity.ivfCellCount(100L * 1000 * 1000) == IvfMaxLiteralCells)
+    // NO ceiling: past the literal-representation bound the centroid
+    // table becomes a broadcast-join dimension, so k keeps tracking n
+    // (the sublinear-probe property must not quietly degrade at scale)
+    assert(Similarity.ivfCellCount(100L * 1000 * 1000) == 390625)
+    assert(390625 > IvfMaxLiteralCells)
+  }
+
+  test("IVF centroid regimes: broadcast-dim join ≡ literal expressions") {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    // same dot arithmetic, same tiebreaks — assignment, multi-probe and
+    // x61 scoring must be output-IDENTICAL across the two centroid
+    // representations (the join regime is what runs beyond 256 cells)
+    val cents = Similarity.ivfCentroidsOf(clusteredCorpus, k = 20)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    val aLit = Similarity.assignCellsVia(clusteredCorpus, cents, literal = true)
+    val aJoin = Similarity.assignCellsVia(clusteredCorpus, cents, literal = false)
+    assert(aLit.columns.toSeq == aJoin.columns.toSeq)
+    assert(pairsOf(aLit) == pairsOf(aJoin), "assignment regimes diverge")
+    val pLit = Similarity.multiProbeVia(clusteredCorpus, "vec_id", "v",
+      cents, 2, literal = true)
+    val pJoin = Similarity.multiProbeVia(clusteredCorpus, "vec_id", "v",
+      cents, 2, literal = false)
+    assert(pairsOf(pLit) == pairsOf(pJoin), "multi-probe regimes diverge")
+    val idx = aLit.persist()
+    try {
+      val xLit = Similarity.prototypicalityVia(idx, cents, literal = true)
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+      val xJoin = Similarity.prototypicalityVia(idx, cents, literal = false)
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+      assert(xLit == xJoin, "x61 scoring regimes diverge")
+    } finally idx.unpersist()
+  }
+
+  test("IVF across the 256-cell boundary: k uncapped, population holds, recall holds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.CustomExprs.register(spark)
+    // two corpus sizes straddling the literal-representation boundary:
+    // below it the index builds from literal centroids, above it from
+    // the broadcast centroid dim — BOTH must keep E[cell size] ≈ target
+    // and a working probe (recall ≥ 0.8 at < 20% touched)
+    def tightCorpusOf(kTrue: Int, seed: Int) = {
+      val dim = 8; val per = Similarity.IvfTargetCellRows
+      val rnd = new scala.util.Random(seed)
+      def unit(v: Array[Double]) = {
+        val m = math.sqrt(v.map(x => x * x).sum); v.map(_ / m)
+      }
+      val cents = Array.fill(kTrue)(unit(Array.fill(dim)(rnd.nextGaussian())))
+      (0 until kTrue * per).map { i =>
+        val c = cents(i % kTrue)
+        val g = Array.fill(dim)(rnd.nextGaussian())
+        (i.toLong, unit(c.zip(g).map { case (a, x) => a + 0.15 * x }))
+      }.toDF("vec_id", "v").withColumn("nrm", lit(1.0)).persist()
+    }
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((kTrue, seed) <- Seq((250, 41), (264, 43))) {
+      val corpus = tightCorpusOf(kTrue, seed)
+      try {
+        val n = corpus.count()
+        val k = Similarity.ivfCellCount(n)
+        assert(k == kTrue, s"k=$k for n=$n — ivfCellCount drifted")
+        if (kTrue > Similarity.IvfMaxLiteralCells)
+          assert(k > Similarity.IvfMaxLiteralCells, "case must cross the boundary")
+        val cents = Similarity.ivfCentroidsOf(corpus, k)
+        val cells = Similarity.assignCells(corpus, cents).persist()
+        try {
+          // population: mean over nonempty cells stays near the target
+          // (k tracks n, so this is the no-quiet-degradation gate)
+          val pops = cells.groupBy($"cell").count()
+            .collect().map(_.getLong(1))
+          val mean = pops.sum.toDouble / pops.length
+          assert(pops.length >= k / 2,
+            s"only ${pops.length} of $k cells populated")
+          assert(mean <= 2.0 * Similarity.IvfTargetCellRows,
+            s"mean cell population $mean — target lost past the boundary")
+          val exact = topSets(Similarity.bruteForceTopKOf(corpus, 8, 5))
+          val got = topSets(Similarity.ivfTopKOf(
+            cells, cents, 8, 5, Similarity.IvfProbes))
+          val recall = exact.keys.toSeq
+            .map(q => (got.getOrElse(q, Set.empty) & exact(q)).size / 5.0)
+            .sum / exact.size
+          val cellSizes = cells.groupBy($"cell").count()
+          val touched = Similarity.ivfProbes(cells, cents, 8, Similarity.IvfProbes)
+            .select($"query_id", $"cell").join(cellSizes, "cell")
+            .agg(sum($"count")).collect()(0).getLong(0) / (8.0 * n)
+          info(f"k=$k: mean cell=$mean%.0f recall=$recall%.2f touched=$touched%.4f")
+          assert(recall >= 0.8, s"recall=$recall at k=$k")
+          assert(touched < 0.20, s"touched=$touched at k=$k")
+        } finally cells.unpersist()
+      } finally corpus.unpersist()
+    }
   }
 
   /** Clustered corpus generator at an arbitrary size (same recipe as
