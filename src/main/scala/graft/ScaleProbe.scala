@@ -27,7 +27,8 @@ object ScaleProbe {
     "x26_ann_ivfpq", "x23_semantic_dedup", "x24_semantic_dedup_celled",
     "x29_semantic_dedup_cc", "x59_dedup_keep_best", "x61_prototypicality",
     "x57_bmp_decode", "x58_avi_decode", "x63_png_decode",
-    "x64_jpeg_decode",
+    "x64_jpeg_decode", "x65_bmp_pixel_stats", "x67_wav_pcm_stats",
+    "x68_png_pixel_stats",
     "x30_text_quality", "x31_lang_id", "x32_fingerprint",
     "x33_fnv_fingerprint", "x34_pii_scrub", "x35_top_ngrams",
     "x36_boilerplate_lines", "x37_tfidf_top_term", "x38_quality_prune",

@@ -119,6 +119,9 @@ object SparkEntry {
     "x58_avi_decode"       -> (Multimodal.aviDecode _),
     "x63_png_decode"       -> (Multimodal.pngDecode _),
     "x64_jpeg_decode"      -> (Multimodal.jpegDecode _),
+    "x65_bmp_pixel_stats"  -> (Multimodal.bmpPixelStats _),
+    "x67_wav_pcm_stats"    -> (Multimodal.wavPcmStats _),
+    "x68_png_pixel_stats"  -> (Multimodal.pngPixelStats _),
     "x42_repetition_filter" -> (TextAnalysis.repetitionFilter _),
     "x43_chunk_tokens"     -> (TextAnalysis.chunkTokens _),
     "x44_line_dedup"       -> (TextAnalysis.lineDedup _),
@@ -297,6 +300,9 @@ object SparkEntry {
     "x58_avi_decode"        -> Multimodal.aviDecodeSql,
     "x63_png_decode"        -> Multimodal.pngDecodeSql,
     "x64_jpeg_decode"       -> Multimodal.jpegDecodeSql,
+    "x65_bmp_pixel_stats"   -> Multimodal.bmpPixelStatsSql,
+    "x67_wav_pcm_stats"     -> Multimodal.wavPcmStatsSql,
+    "x68_png_pixel_stats"   -> Multimodal.pngPixelStatsSql,
     "x42_repetition_filter" -> TextAnalysis.repetitionFilterSql,
     "x43_chunk_tokens"      -> TextAnalysis.chunkTokensSql,
     "x44_line_dedup"        -> TextAnalysis.lineDedupSql,

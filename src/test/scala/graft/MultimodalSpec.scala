@@ -453,4 +453,124 @@ class MultimodalSpec extends AnyFunSuite {
       assert(m.progressive == (docId % 4 == 0))
     }
   }
+
+  // ------------------------------------------- x65/x67/x68 content stats
+
+  test("PNG unfilter reconstructs Sub/Up/Average/Paeth-filtered scanlines") {
+    // an independent forward-filter (spec §9) the codec must invert —
+    // our encoder only emits filter 0, so this is the foreign case
+    def fwd(ftype: Int, row: Array[Int], prev: Array[Int],
+        fpp: Int): Array[Byte] = {
+      row.indices.map { i =>
+        val a = if (i >= fpp) row(i - fpp) else 0
+        val b = prev(i)
+        val c = if (i >= fpp) prev(i - fpp) else 0
+        val x = ftype match {
+          case 0 => row(i)
+          case 1 => row(i) - a
+          case 2 => row(i) - b
+          case 3 => row(i) - (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            row(i) - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        (x & 0xff).toByte
+      }.toArray
+    }
+    val rnd = new scala.util.Random(23)
+    for ((depth, ct, ch) <- Seq((8, 0, 1), (8, 2, 3), (16, 6, 4))) {
+      val w = 5
+      val rowBytes = w * ch * depth / 8
+      val recon = Array.fill(5)(Array.fill(rowBytes)(rnd.nextInt(256)))
+      val zero = Array.fill(rowBytes)(0)
+      val fpp = math.max(1, ch * depth / 8)
+      val raw = recon.zipWithIndex.flatMap { case (row, r) =>
+        val prev = if (r == 0) zero else recon(r - 1)
+        (r % 5).toByte +: fwd(r % 5, row, prev, fpp) // filters 0,1,2,3,4
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(5).put(depth.toByte).put(ct.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      val png = pngSig ++ pngChunk("IHDR", ihdr) ++
+        pngChunk("IDAT", pngCodec.zlibStored(raw)) ++
+        pngChunk("IEND", Array.emptyByteArray)
+      val got = pngCodec.unfilteredPixels(png)
+      assert(java.util.Arrays.equals(got,
+        recon.flatten.map(v => (v & 0xff).toByte)),
+        s"unfilter mismatch at depth=$depth ct=$ct")
+    }
+  }
+
+  test("x65/x67/x68 stats equal payload-computed references") {
+    import spark.implicits._
+    // the decoded-container stats must equal what the raw payload bytes
+    // say directly — decode adds container structure, never content
+    val texts = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .take(30).toMap
+    def bytesOf(id: Long): Array[Byte] = texts(id).getBytes("UTF-8")
+
+    val bmp = Multimodal.bmpPixelStats(spark, sf)
+      .filter($"doc_id".isin(texts.keys.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(bmp.nonEmpty)
+    bmp.foreach { case (id, (sum, meanMilli, mx)) =>
+      val p = bytesOf(id).map(_ & 0xff)
+      assert(sum == p.map(_.toLong).sum, s"x65 byte_sum doc $id")
+      assert(mx == (if (p.isEmpty) 0 else p.max), s"x65 max_byte doc $id")
+      val w = 8 + (id % 25).toInt
+      val bpp = Seq(8, 24, 32)((id % 3).toInt)
+      val rb = w * bpp / 8
+      val h = math.max(1, (p.length + rb - 1) / rb)
+      assert(meanMilli == p.map(_.toLong).sum * 1000 / (w.toLong * h * (bpp / 8)),
+        s"x65 mean_milli doc $id")
+    }
+
+    val wav = Multimodal.wavPcmStats(spark, sf)
+      .filter($"doc_id".isin(texts.keys.toSeq: _*))
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(wav.nonEmpty)
+    wav.foreach { case (id, (n, peak, sumSq, rms)) =>
+      val p = bytesOf(id)
+      val samples = (0 until p.length / 2).map { j =>
+        (p(2 * j + 1) << 8) | (p(2 * j) & 0xff)
+      }
+      assert(n == samples.size, s"x67 n_samples doc $id")
+      assert(peak == (if (samples.isEmpty) 0L
+        else samples.map(s => math.abs(s.toLong)).max), s"x67 peak doc $id")
+      assert(sumSq == samples.map(s => s.toLong * s).sum, s"x67 sum_sq doc $id")
+      val expRms = if (samples.isEmpty) 0L
+        else math.floor(math.sqrt(sumSq.toDouble / n) * 1000).toLong
+      assert(rms == expRms, s"x67 rms doc $id")
+    }
+
+    val png = Multimodal.pngPixelStats(spark, sf)
+      .filter($"doc_id".isin(texts.keys.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(png.nonEmpty)
+    png.foreach { case (id, (sum, meanMilli, mx)) =>
+      val p = bytesOf(id).map(_ & 0xff)
+      assert(sum == p.map(_.toLong).sum, s"x68 byte_sum doc $id")
+      assert(mx == (if (p.isEmpty) 0 else p.max), s"x68 max_byte doc $id")
+      val w = 8 + (id % 24).toInt
+      val depth = Seq(8, 8, 8, 16)((id % 4).toInt)
+      val ch = Seq(1, 0, 3, 0, 2, 0, 4)(Seq(0, 2, 6)((id % 3).toInt))
+      val rb = w * ch * depth / 8
+      val h = math.max(1, (p.length + rb - 1) / rb)
+      assert(meanMilli == p.map(_.toLong).sum * 1000 / (h.toLong * rb),
+        s"x68 mean_milli doc $id")
+    }
+  }
+
+  test("x67 odd-length payload drops the trailing half-sample") {
+    val wavCodec = new Multimodal.WavCodec
+    val wav = wavCodec.encode(Array[Byte](10, 20, 30), 8000, 1, 16)
+    val (off, len) = wavCodec.dataRange(wav)
+    assert(len == 3 && off == 44)
+    // one full sample (10, 20) = 0x140A little-endian = 5130
+    assert(((wav(off + 1) << 8) | (wav(off) & 0xff)) == 5130)
+  }
 }
