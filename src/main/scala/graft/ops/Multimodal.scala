@@ -1176,8 +1176,11 @@ object Multimodal {
   // ----------------------------------------------------------- x64 JPEG
 
   /** Parsed JPEG metadata — everything read from the blob bytes alone. */
+  /** orientation 0 / exifDatetime "" mean "no EXIF APP1 present" —
+    * EXIF orientation values are 1-8, so 0 is unambiguous. */
   final case class JpegMeta(width: Int, height: Int, precision: Int,
-      nComponents: Int, progressive: Boolean, scanBytes: Long)
+      nComponents: Int, progressive: Boolean, scanBytes: Long,
+      orientation: Int = 0, exifDatetime: String = "")
 
   /** A real (if minimal) JPEG/JFIF segment codec — THE format of crawled
     * images. JPEG is a marker stream: `FFD8` SOI, then segments of
@@ -1208,11 +1211,43 @@ object Multimodal {
         .put(0xff.toByte).put(marker.toByte)
         .putShort((data.length + 2).toShort).put(data).array()
 
+    /** A minimal EXIF APP1 payload: `Exif` + two NULs + TIFF header
+      * (either byte order) + one IFD0 holding Orientation (0x0112,
+      * SHORT) and DateTime (0x0132, 20-byte ASCII at an offset past the
+      * IFD) — the two tags crawled-image pipelines filter on first. */
+    private def exifApp1(orientation: Int, datetime: String,
+        bigEndian: Boolean): Array[Byte] = {
+      require(orientation >= 1 && orientation <= 8, "bad orientation")
+      require(datetime.length == 19, "EXIF DateTime is 'YYYY:MM:DD HH:MM:SS'")
+      val tiff = ByteBuffer.allocate(8 + 2 + 2 * 12 + 4 + 20)
+        .order(if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+      tiff.put((if (bigEndian) "MM" else "II").getBytes(US_ASCII))
+      tiff.putShort(42).putInt(8) // magic, IFD0 at offset 8
+      tiff.putShort(2)            // two directory entries, tag-sorted
+      tiff.putShort(0x0112.toShort).putShort(3).putInt(1) // SHORT ×1
+      tiff.putShort(orientation.toShort).putShort(0)      // value, pad
+      val strOff = 8 + 2 + 2 * 12 + 4
+      tiff.putShort(0x0132.toShort).putShort(2).putInt(20) // ASCII ×20
+      tiff.putInt(strOff)
+      tiff.putInt(0) // no next IFD
+      tiff.put(datetime.getBytes(US_ASCII)).put(0.toByte) // NUL-terminated
+      "Exif".getBytes(US_ASCII) ++ Array[Byte](0, 0) ++ tiff.array()
+    }
+
     def encode(payload: Array[Byte], width: Int, height: Int,
-        nComponents: Int, progressive: Boolean): Array[Byte] = {
+        nComponents: Int, progressive: Boolean): Array[Byte] =
+      encode(payload, width, height, nComponents, progressive,
+        exif = None, exifBigEndian = false)
+
+    def encode(payload: Array[Byte], width: Int, height: Int,
+        nComponents: Int, progressive: Boolean,
+        exif: Option[(Int, String)], exifBigEndian: Boolean): Array[Byte] = {
       require(width > 0 && width <= 65535 && height > 0 && height <= 65535,
         s"bad geometry ${width}x$height")
       require(nComponents == 1 || nComponents == 3, s"bad ncomp $nComponents")
+      val app1 = exif.map { case (o, dt) =>
+        seg(0xe1, exifApp1(o, dt, exifBigEndian))
+      }.getOrElse(Array.emptyByteArray)
       val app0 = ("JFIF" + "\u0000").getBytes(US_ASCII) ++
         Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0) // v1.1, no units, 1:1, no thumb
       val dqt = Array(0.toByte) ++ Array.tabulate[Byte](64)(i => (i + 1).toByte)
@@ -1237,10 +1272,54 @@ object Multimodal {
         if (b == 0xff.toByte) { scan(o) = 0; o += 1 }
       }
       Array(0xff.toByte, 0xd8.toByte) ++                      // SOI
-        seg(0xe0, app0) ++ seg(0xdb, dqt) ++
+        seg(0xe0, app0) ++ app1 ++ seg(0xdb, dqt) ++
         seg(if (progressive) 0xc2 else 0xc0, sof.array()) ++
         seg(0xc4, dht) ++ seg(0xda, sos.array()) ++
         scan ++ Array(0xff.toByte, 0xd9.toByte)               // EOI
+    }
+
+    /** (orientation, datetime) if an APP1 payload is EXIF; None for
+      * other APP1 flavors (XMP etc.). TIFF rules honored: either byte
+      * order, magic 42, SHORT values inline in the 4-byte value field,
+      * ASCII values ≤ 4 bytes inline / longer at an offset — all
+      * bounds-checked against the APP1 segment. */
+    private def parseExifApp1(blob: Array[Byte], off: Int,
+        len: Int): Option[(Int, String)] = {
+      if (len < 14 || blob(off) != 'E'.toByte || blob(off + 1) != 'x'.toByte ||
+        blob(off + 2) != 'i'.toByte || blob(off + 3) != 'f'.toByte ||
+        blob(off + 4) != 0 || blob(off + 5) != 0) return None
+      val t0 = off + 6; val tlen = len - 6
+      val bo = (blob(t0) & 0xff, blob(t0 + 1) & 0xff) match {
+        case (0x49, 0x49) => ByteOrder.LITTLE_ENDIAN
+        case (0x4d, 0x4d) => ByteOrder.BIG_ENDIAN
+        case _ => throw new IllegalArgumentException("bad EXIF byte order")
+      }
+      val tb = ByteBuffer.wrap(blob, t0, tlen).slice().order(bo)
+      require((tb.getShort(2) & 0xffff) == 42, "bad TIFF magic in EXIF")
+      val ifd = tb.getInt(4)
+      require(ifd >= 8 && ifd + 2 <= tlen, "IFD0 offset outside APP1")
+      val n = tb.getShort(ifd) & 0xffff
+      var orient = 0; var dt = ""
+      for (i <- 0 until n) {
+        val e = ifd + 2 + 12 * i
+        require(e + 12 <= tlen, "IFD entry overruns APP1")
+        val tag = tb.getShort(e) & 0xffff
+        val typ = tb.getShort(e + 2) & 0xffff
+        val cnt = tb.getInt(e + 4)
+        if (tag == 0x0112 && typ == 3 && cnt == 1)
+          orient = tb.getShort(e + 8) & 0xffff
+        else if (tag == 0x0132 && typ == 2 && cnt >= 1 && cnt <= 64) {
+          val strOff = if (cnt <= 4) e + 8 else tb.getInt(e + 8)
+          require(strOff >= 0 && strOff + cnt <= tlen,
+            "EXIF DateTime outside APP1")
+          val raw = new Array[Byte](cnt)
+          var j = 0
+          while (j < cnt) { raw(j) = tb.get(strOff + j); j += 1 }
+          val z = raw.indexOf(0.toByte)
+          dt = new String(raw, 0, if (z >= 0) z else cnt, US_ASCII)
+        }
+      }
+      if (orient == 0 && dt.isEmpty) None else Some((orient, dt))
     }
 
     def decode(blob: Array[Byte]): JpegMeta = {
@@ -1250,6 +1329,7 @@ object Multimodal {
       var width = -1; var height = -1; var precision = -1; var nComp = -1
       var progressive = false
       var scanBytes = -1L
+      var orientation = 0; var exifDt = ""
       var done = false
       while (!done) {
         require(buf.remaining >= 2, "truncated before EOI")
@@ -1295,6 +1375,21 @@ object Multimodal {
               require(nComp >= 1 && nComp <= 4, s"bad component count $nComp")
               buf.position(buf.position() + (len - 8))
             } else buf.position(buf.position() + (len - 2))
+          case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
+            // TEM / RSTn carry NO length word — legal only inside a
+            // scan; reading a "length" here would misparse the next two
+            // bytes and surface as a confusing overrun. Reject cleanly.
+            throw new IllegalArgumentException(
+              f"standalone marker ff$m%02x outside a scan")
+          case 0xe1 => // APP1: parse EXIF (first one wins), skip others
+            val len = buf.getShort() & 0xffff
+            require(len >= 2 && len - 2 <= buf.remaining,
+              "segment ffe1 overruns container")
+            if (orientation == 0 && exifDt.isEmpty)
+              parseExifApp1(blob, buf.position(), len - 2).foreach {
+                case (o, dt) => orientation = o; exifDt = dt
+              }
+            buf.position(buf.position() + len - 2)
           case _ => // APPn/DQT/DHT/COM/...: skip by declared length
             val len = buf.getShort() & 0xffff
             require(len >= 2 && len - 2 <= buf.remaining,
@@ -1304,7 +1399,7 @@ object Multimodal {
       }
       require(width > 0, "no SOFn frame header")
       JpegMeta(width, height, precision, nComp, progressive,
-        math.max(0L, scanBytes))
+        math.max(0L, scanBytes), orientation, exifDt)
     }
   }
 
@@ -1323,7 +1418,10 @@ object Multimodal {
             width = 8 * (1 + (docId % 40).toInt),
             height = 8 * (1 + (docId % 30).toInt),
             nComponents = Array(1, 3)((docId % 2).toInt),
-            progressive = docId % 4 == 0))
+            progressive = docId % 4 == 0,
+            exif = Some((1 + (docId % 8).toInt,
+              f"2024:06:${1 + (docId % 28)}%02d ${docId % 24}%02d:${docId % 60}%02d:00")),
+            exifBigEndian = docId % 2 == 1)) // both TIFF byte orders
         }
       }
       .toDF("doc_id", "jpeg")
@@ -1332,13 +1430,16 @@ object Multimodal {
   /** x64 — REAL JPEG metadata decode: marker-walk the JFIF bytes (SOI,
     * segment lengths, first-SOFn geometry/precision/components,
     * baseline-vs-progressive classification, entropy-scan byte count
-    * through byte-stuffing and restart markers — nothing from the row
-    * but the blob). The oracle recomputes every field from the
+    * through byte-stuffing and restart markers, APP1 EXIF TIFF parse —
+    * orientation + DateTime, both byte orders — nothing from the row
+    * but the blob). Orientation is the FIRST thing a crawled-image
+    * pipeline filters on. The oracle recomputes every field from the
     * generator parameters; `scan_bytes` equals the raw payload length
     * because UTF-8 text contains no 0xFF byte (the un-stuffing logic
     * itself is pinned by MultimodalSpec on binary payloads WITH 0xFF
-    * bytes, plus a foreign layout with restart markers and a COM
-    * segment the encoder never emits). */
+    * bytes, plus foreign layouts — restart markers, COM segment,
+    * hand-laid big-endian EXIF with extra tags — the encoder never
+    * emits). */
   def jpegDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     jpegFrame(spark, sfDir)
@@ -1348,11 +1449,11 @@ object Multimodal {
         it.map { case (docId, jpeg) =>
           val m = codec.decode(jpeg)
           (docId, m.width, m.height, m.precision, m.nComponents,
-            m.progressive, m.scanBytes)
+            m.progressive, m.scanBytes, m.orientation, m.exifDatetime)
         }
       }
       .toDF("doc_id", "width", "height", "precision", "n_components",
-        "progressive", "scan_bytes")
+        "progressive", "scan_bytes", "orientation", "exif_datetime")
       .orderBy($"doc_id")
   }
 
@@ -1363,7 +1464,10 @@ object Multimodal {
       |  CAST(8 AS INT) AS precision,
       |  CAST(([1,3])[CAST(doc_id % 2 AS INT) + 1] AS INT) AS n_components,
       |  (doc_id % 4 = 0) AS progressive,
-      |  CAST(octet_length(encode(text)) AS BIGINT) AS scan_bytes
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS scan_bytes,
+      |  CAST(1 + doc_id % 8 AS INT) AS orientation,
+      |  printf('2024:06:%02d %02d:%02d:00',
+      |    1 + doc_id % 28, doc_id % 24, doc_id % 60) AS exif_datetime
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** x41 via mapPartitions — the batched-decoder plumbing (one Decoder per

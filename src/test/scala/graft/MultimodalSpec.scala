@@ -451,6 +451,68 @@ class MultimodalSpec extends AnyFunSuite {
       assert(m.height == 8 * (1 + (docId % 30).toInt))
       assert(m.nComponents == Seq(1, 3)((docId % 2).toInt))
       assert(m.progressive == (docId % 4 == 0))
+      // the generator stamps EXIF in both TIFF byte orders
+      assert(m.orientation == 1 + (docId % 8).toInt)
+      assert(m.exifDatetime ==
+        f"2024:06:${1 + (docId % 28)}%02d ${docId % 24}%02d:${docId % 60}%02d:00")
+    }
+  }
+
+  test("JPEG EXIF: round-trips both byte orders; foreign TIFF layout parses") {
+    // encoder round-trip, LE and BE
+    for (be <- Seq(false, true)) {
+      val jpg = jpegCodec.encode(Array[Byte](1, 2, 3), 16, 8, 1, false,
+        exif = Some((6, "2023:12:25 08:30:00")), exifBigEndian = be)
+      val m = jpegCodec.decode(jpg)
+      assert(m.orientation == 6 && m.exifDatetime == "2023:12:25 08:30:00",
+        s"EXIF round-trip failed (bigEndian=$be)")
+    }
+    // a hand-laid FOREIGN EXIF the encoder never produces: big-endian
+    // TIFF, IFD0 at a non-minimal offset, a Make tag (0x010F) BEFORE
+    // orientation, and the DateTime string placed after the IFD
+    val bb = java.nio.ByteBuffer.allocate(200)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    val t0 = bb.position() // TIFF origin
+    bb.put("MM".getBytes("US-ASCII")).putShort(42).putInt(16) // IFD0 at 16
+    bb.put(Array.fill[Byte](8)(0x55)) // 8 bytes of padding before the IFD
+    bb.putShort(3) // three entries
+    bb.putShort(0x010f.toShort).putShort(2).putInt(4)
+      .put("ACME".getBytes("US-ASCII"))              // Make, inline ASCII
+    bb.putShort(0x0112.toShort).putShort(3).putInt(1)
+      .putShort(8).putShort(0)                       // orientation = 8
+    val strOff = 16 + 2 + 3 * 12 + 4 // past the IFD and next-IFD pointer
+    bb.putShort(0x0132.toShort).putShort(2).putInt(20).putInt(strOff)
+    bb.putInt(0) // next IFD
+    assert(bb.position() == t0 + strOff)
+    bb.put("2020:01:02 03:04:05".getBytes("US-ASCII")).put(0.toByte)
+    val app1 = java.util.Arrays.copyOf(bb.array(), bb.position())
+    def seg(marker: Int, data: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((data.length + 2) >> 8).toByte, ((data.length + 2) & 0xff).toByte) ++
+        data
+    val sof = Array[Byte](8, 0, 8, 0, 16, 1, 1, 0x11, 0)
+    val jpg = Array(0xff.toByte, 0xd8.toByte) ++ seg(0xe1, app1) ++
+      seg(0xc0, sof) ++ Array(0xff.toByte, 0xd9.toByte)
+    val m = jpegCodec.decode(jpg)
+    assert(m.orientation == 8 && m.exifDatetime == "2020:01:02 03:04:05")
+    // a non-EXIF APP1 (XMP) is skipped without EXIF fields
+    val xmp = "http://ns.adobe.com/xap/1.0/".getBytes("US-ASCII")
+    val m2 = jpegCodec.decode(Array(0xff.toByte, 0xd8.toByte) ++
+      seg(0xe1, xmp) ++ seg(0xc0, sof) ++ Array(0xff.toByte, 0xd9.toByte))
+    assert(m2.orientation == 0 && m2.exifDatetime == "")
+  }
+
+  test("JPEG: standalone markers outside a scan are rejected cleanly") {
+    // TEM (0x01) and RSTn (0xd0-0xd7) carry no length word; a naive
+    // length read would misparse the following bytes as a segment size
+    // and fail with a confusing overrun instead of a clear rejection
+    for (marker <- Seq(0x01, 0xd0, 0xd7)) {
+      val bad = Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, marker.toByte,
+        0xff.toByte, 0xd9.toByte)
+      val e = intercept[IllegalArgumentException](jpegCodec.decode(bad))
+      assert(e.getMessage.contains("standalone marker"),
+        s"marker $marker: ${e.getMessage}")
     }
   }
 
