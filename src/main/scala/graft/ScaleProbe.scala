@@ -38,7 +38,8 @@ object ScaleProbe {
     "x45_unigram_surprise", "x46_ref_coverage", "x62_bigram_surprise",
     "x49_sequence_pack", "x55_bpe_merges", "x56_bpe_tokenize",
     "x50_split_counts", "x51_source_cap", "x52_mixture_sample",
-    "x53_token_budget", "x54_unimax_alloc", "x14_cosine_neardup")
+    "x53_token_budget", "x54_unimax_alloc", "x66_pipeline_e2e",
+    "x14_cosine_neardup")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops.{Analytics, Dedup, Events, LocationResolve, Multimodal,
-  Relational, Similarity, TextAnalysis, Transform}
+  Pipeline, Relational, Similarity, TextAnalysis, Transform}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt;
   * COVERAGE.md maps every SURVEY §2 operator to its query/test gate.
@@ -120,6 +120,7 @@ object SparkEntry {
     "x63_png_decode"       -> (Multimodal.pngDecode _),
     "x64_jpeg_decode"      -> (Multimodal.jpegDecode _),
     "x65_bmp_pixel_stats"  -> (Multimodal.bmpPixelStats _),
+    "x66_pipeline_e2e"     -> (Pipeline.pipelineE2e _),
     "x67_wav_pcm_stats"    -> (Multimodal.wavPcmStats _),
     "x68_png_pixel_stats"  -> (Multimodal.pngPixelStats _),
     "x42_repetition_filter" -> (TextAnalysis.repetitionFilter _),
@@ -301,6 +302,7 @@ object SparkEntry {
     "x63_png_decode"        -> Multimodal.pngDecodeSql,
     "x64_jpeg_decode"       -> Multimodal.jpegDecodeSql,
     "x65_bmp_pixel_stats"   -> Multimodal.bmpPixelStatsSql,
+    "x66_pipeline_e2e"      -> Pipeline.pipelineE2eSql,
     "x67_wav_pcm_stats"     -> Multimodal.wavPcmStatsSql,
     "x68_png_pixel_stats"   -> Multimodal.pngPixelStatsSql,
     "x42_repetition_filter" -> TextAnalysis.repetitionFilterSql,

@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** x66 — the END-TO-END LLM training-data pipeline, composing the proven
+  * stages the way a production curation run chains them (the analog of
+  * the reference's full-cycle composition, `Main.py:549-569`, which
+  * chains extract → clean → analyze → sink):
+  *
+  *   quality prune (x38) → exact dedup (x10) → near-dup CC keep-best
+  *   (x59) → benchmark decontamination (x19) → mixture sampling (x52)
+  *   → per-source token budget (x53) → train/val/test split (x50)
+  *
+  * Each stage applies the SAME policy as its standalone query —
+  * thresholds, hash families and tiebreaks are shared code, so the
+  * composition cannot drift from the parts — but runs on the previous
+  * stage's survivors, which is the composition semantics a pipeline
+  * actually wants (dedup what survived pruning; budget what survived
+  * sampling). Corpus-level artifacts keep their standalone scope: the
+  * quality thresholds are the full-corpus per-language quartiles, the
+  * near-dup cluster labels are the memoized full-corpus CC dim (built
+  * once per corpus version, x28/x59's broadcast guard applies), and the
+  * contamination pair set compares against the full benchmark slice.
+  *
+  * Scale shape: the expensive artifacts (shingle index, pair graph, CC
+  * labels) are the memoized shared frames every dedup query reuses; the
+  * pipeline itself adds one broadcast threshold join, one hash-groupBy
+  * (shuffle ∝ surviving rows), one label join (guarded broadcast), two
+  * anti joins against small dims, a map-side sampling filter, and one
+  * final shuffle on `source` for the budget window — every inter-stage
+  * boundary shrinks the data before the next shuffle, and nothing here
+  * introduces a plan shape the standalone queries have not already
+  * proven at the 10× probe. The full chain is SQL-expressible, so the
+  * driver hash-checks the composition end to end.
+  */
+object Pipeline {
+
+  def pipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.spread(Tables.documents(spark, sfDir))
+    // 1. quality prune — x38's exact policy (per-lang q25 + ulp slack)
+    val scored = docs.select($"doc_id", $"lang", $"source", $"text",
+      TextAnalysis.qualityScore($"text").as("quality_score"))
+    val thresholds = scored.groupBy($"lang")
+      .agg(expr("percentile(quality_score, 0.25)").as("q25"))
+    val pruned = scored.join(broadcast(thresholds), "lang")
+      .filter($"quality_score" >= $"q25" - lit(1e-12))
+      .select($"doc_id", $"lang", $"source", $"text", $"quality_score")
+    // 2. exact dedup — x10's keeper policy (min doc_id per sha256)
+    val keepers = pruned
+      .groupBy(sha2($"text", 256).as("h"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val exact = pruned.join(keepers, Seq("doc_id"), "left_semi")
+    // 3. near-dup keep-best — x59's policy over the memoized full-corpus
+    //    CC labels, ranked among the CURRENT survivors (x28/x59's
+    //    broadcast guard: the label dim grows with corpus dup count)
+    val clusters = Dedup.dupClusters(spark, sfDir)
+      .select($"doc_id", $"cluster_id")
+    val bcast =
+      Dedup.ccLabelCount(spark, sfDir) <= Dedup.CcBroadcastMaxLabels
+    def dim(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    val rkW = Window.partitionBy($"cluster_id")
+      .orderBy($"quality_score".desc, $"doc_id".asc)
+    val best = exact.join(dim(clusters), "doc_id")
+      .withColumn("rk", row_number().over(rkW))
+      .filter($"rk" === 1)
+      .select($"doc_id", $"lang", $"source", $"text", $"quality_score")
+    val singles = exact
+      .join(dim(clusters.select($"doc_id")), Seq("doc_id"), "left_anti")
+    val survivors = best.unionByName(singles)
+    // 4. decontaminate — x19's containment pairs; bench slice excluded
+    val contaminated = Dedup.decontaminate(spark, sfDir)
+      .select($"train_id".as("doc_id")).distinct()
+    val clean = survivors.filter($"doc_id" % 17 =!= 0)
+      .join(dim(contaminated), Seq("doc_id"), "left_anti")
+    // 5. mixture sample — x52's pure-key-function admission
+    val sampled = clean
+      .withColumn("weight_permille",
+        Sampling.sourceWeight($"source").cast("long"))
+      .filter(Sampling.admitPermille($"doc_id") < $"weight_permille")
+    // 6. token budget — x53's per-source running sum over survivors
+    val budgetW = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sampled
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(budgetW))
+      .filter($"cum_tokens" <= Sampling.TokensPerSource)
+      // 7. split — x50's deterministic doc_id rule
+      .withColumn("split",
+        when($"doc_id" % 10 < 8, "train")
+          .when($"doc_id" % 10 === 8, "val")
+          .otherwise("test"))
+      .select($"doc_id", $"lang", $"source", $"quality_score",
+        $"weight_permille", $"n_tokens", $"cum_tokens", $"split")
+      .orderBy($"doc_id")
+  }
+
+  /** The composed oracle: every stage's standalone oracle fragment,
+    * chained as CTEs in the same order (cluster labels via the x17
+    * recursive-CTE closure — fixture scale only). */
+  val pipelineE2eSql: String =
+    s"""WITH RECURSIVE pp AS (${Dedup.jaccardPairsSql}),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pp
+       |  UNION SELECT id_b, id_a FROM pp
+       |), reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), comp AS (
+       |  SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+       |), dd AS (
+       |  SELECT doc_id, lang, source, text, string_split(text, ' ') AS w,
+       |    CAST(LENGTH(text) AS BIGINT) AS n_chars
+       |  FROM documents
+       |), sc AS (
+       |  SELECT doc_id, lang, source, text,
+       |    ${TextAnalysis.qualityScoreSqlExpr("w", "n_chars")}
+       |      AS quality_score
+       |  FROM dd
+       |), th AS (
+       |  SELECT lang, quantile_cont(quality_score, 0.25) AS q25
+       |  FROM sc GROUP BY lang
+       |), pr AS (
+       |  SELECT sc.doc_id, sc.lang, sc.source, sc.text, sc.quality_score
+       |  FROM sc JOIN th ON sc.lang = th.lang
+       |  WHERE quality_score >= q25 - 1e-12
+       |), kp AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM pr GROUP BY sha256(text)
+       |), ex AS (
+       |  SELECT pr.* FROM pr JOIN kp ON pr.doc_id = kp.doc_id
+       |), bst AS (
+       |  SELECT doc_id FROM (
+       |    SELECT ex.doc_id, ROW_NUMBER() OVER (
+       |      PARTITION BY comp.cluster_id
+       |      ORDER BY ex.quality_score DESC, ex.doc_id ASC) AS rk
+       |    FROM ex JOIN comp ON ex.doc_id = comp.doc_id) t
+       |  WHERE rk = 1
+       |), sv AS (
+       |  SELECT ex.* FROM ex LEFT JOIN comp ON ex.doc_id = comp.doc_id
+       |  WHERE comp.doc_id IS NULL OR ex.doc_id IN (SELECT doc_id FROM bst)
+       |), ds AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), ss AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(w) - 1, 1)),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM ds
+       |), ctm AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM ss a JOIN ss b ON a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
+       |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(b.sh)
+       |        >= ${Dedup.ContaminationThreshold}
+       |), cl AS (
+       |  SELECT sv.* FROM sv
+       |  WHERE sv.doc_id % 17 <> 0
+       |    AND sv.doc_id NOT IN (SELECT doc_id FROM ctm)
+       |), ad AS (
+       |  SELECT *, CASE
+       |      WHEN source IN ('src0','src1','src2','src3') THEN 1000
+       |      WHEN source IN ('src4','src5','src6','src7','src8','src9') THEN 500
+       |      ELSE 250 END AS wgt
+       |  FROM cl
+       |  WHERE ((doc_id & 4294967295) * 1640531527) % 4294967296 % 1000 <
+       |    CASE WHEN source IN ('src0','src1','src2','src3') THEN 1000
+       |         WHEN source IN ('src4','src5','src6','src7','src8','src9') THEN 500
+       |         ELSE 250 END
+       |), tk AS (
+       |  SELECT doc_id, lang, source, quality_score,
+       |    CAST(wgt AS BIGINT) AS weight_permille,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+       |      OVER (PARTITION BY source ORDER BY doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum_tokens
+       |  FROM ad
+       |)
+       |SELECT doc_id, lang, source, quality_score, weight_permille,
+       |  n_tokens, cum_tokens,
+       |  CASE WHEN doc_id % 10 < 8 THEN 'train'
+       |       WHEN doc_id % 10 = 8 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM tk WHERE cum_tokens <= ${Sampling.TokensPerSource}
+       |ORDER BY doc_id""".stripMargin
+}

@@ -23,6 +23,7 @@ class RegistrySpec extends AnyFunSuite {
     "Events"          -> graft.ops.Events,
     "LocationResolve" -> graft.ops.LocationResolve,
     "Multimodal"      -> graft.ops.Multimodal,
+    "Pipeline"        -> graft.ops.Pipeline,
     "Relational"      -> graft.ops.Relational,
     "Sampling"        -> graft.ops.Sampling,
     "Similarity"      -> graft.ops.Similarity,
