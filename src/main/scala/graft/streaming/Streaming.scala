@@ -452,6 +452,148 @@ object Streaming {
     else spark.read.parquet(slices: _*)
   }
 
+  /** x59 streaming sibling — incremental KEEP-BEST survivors: maintain
+    * the per-cluster best-quality survivor dim continuously as
+    * documents arrive, composed over the streamed band index
+    * ([[bandIndexUpdate]]). Each micro-batch:
+    *
+    *  1. updates the band index and emits cross-batch verified pairs
+    *     (delegated — idempotent, shared committed state),
+    *  2. verifies its own INTRA-batch pairs from the just-committed
+    *     band slice (the one pair family the cross-probe never sees:
+    *     a pair is either within a batch or across batches, so the
+    *     accumulated union is exactly the full-corpus LSH pair set),
+    *  3. writes the batch's (doc_id, quality_score, lang) attribute
+    *     slice — append-only, cost ∝ batch, the doc-level quality
+    *     table a curation pipeline materializes anyway (x30),
+    *  4. rewrites the MERGED survivor dim: CC labels over the
+    *     accumulated pair graph (cost ∝ pair graph, which holds only
+    *     verified near-dups — never corpus-sized), quality joined for
+    *     cluster members only, per-cluster rank window. Labels +
+    *     survivors are the versioned merged dim (the
+    *     [[unigramModelUpdate]] pattern); docs + intra-pair slices are
+    *     append-only (the band-index pattern).
+    *
+    * Same exactly-once discipline: recompute from committed inputs is
+    * deterministic, the `_SUCCESS` marker is written last, and a replay
+    * of a committed batch is a no-op. The singleton majority never
+    * enters state — readers anti-join it at read time, like batch x59.
+    * StreamingSpec replays a 2-wave split and proves the streamed
+    * survivor set ≡ batch x59 on the full corpus. */
+  def keepBestUpdate(dimDir: String, pairsDir: String, survDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    val spark = batch.sparkSession
+    // 1. band index + cross pairs (skips itself if already committed)
+    bandIndexUpdate(dimDir, pairsDir)(batch, batchId)
+    if (Files.isRegularFile(Paths.get(s"$survDir/v$batchId/_SUCCESS"))) return
+    val prior = modelVersions(survDir).filter(_ < batchId)
+    requirePredecessorState(survDir, batchId, prior)
+    // 2. intra-batch pairs from the committed band slice (same verify
+    //    as the cross probe: equi join on (band, bh), exact jaccard)
+    val docsSh = spark.read.parquet(s"$dimDir/v$batchId/docs")
+    val bands = spark.read.parquet(s"$dimDir/v$batchId/bands")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val intra = cand
+      .join(docsSh.select(col("doc_id").as("id_a"),
+        col("sh").as("sh_a"), col("nsh").as("na")), "id_a")
+      .join(docsSh.select(col("doc_id").as("id_b"),
+        col("sh").as("sh_b"), col("nsh").as("nb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("id_a"), col("id_b"))
+    intra.write.mode("overwrite").parquet(s"$survDir/v$batchId/intra")
+    // 3. the batch's doc-attribute slice (append-only)
+    batch
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.qualityScore(col("text")).as("quality_score"),
+        col("lang"))
+      .write.mode("overwrite").parquet(s"$survDir/v$batchId/docs")
+    // 4. merged survivor dim over the accumulated pair graph
+    val versions = prior :+ batchId
+    val cross = streamedNearDupPairs(spark, dimDir, pairsDir)
+      .select(col("inc_id").as("id_a"), col("hist_id").as("id_b"))
+    val intraAll = spark.read.parquet(
+      versions.map(v => s"$survDir/v$v/intra"): _*)
+    val pairs = cross.union(intraAll)
+    val (labels, survivors) =
+      if (pairs.isEmpty) {
+        val l = spark.emptyDataFrame
+          .select(lit(0L).as("id"), lit(0L).as("label")).limit(0)
+        val s = spark.emptyDataFrame
+          .select(lit(0L).as("doc_id"), lit(0L).as("cluster_id"),
+            lit(0.0).as("quality_score"), lit("").as("lang")).limit(0)
+        (l, s)
+      } else {
+        val (lbl, _) = graft.ops.Dedup.ccStars(pairs)
+        val quality = spark.read.parquet(
+          versions.map(v => s"$survDir/v$v/docs"): _*)
+        val members = quality.join(
+          lbl.select(col("id").as("doc_id"), col("label").as("cluster_id")),
+          "doc_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))
+          .orderBy(col("quality_score").desc, col("doc_id").asc)
+        val best = members
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("doc_id"), col("cluster_id"),
+            col("quality_score"), col("lang"))
+        (lbl, best)
+      }
+    labels.write.mode("overwrite").parquet(s"$survDir/v$batchId/labels")
+    survivors.write.mode("overwrite").parquet(s"$survDir/v$batchId/survivors")
+    labels.unpersist(blocking = false) // ccStars persists its result
+    Files.write(Paths.get(s"$survDir/v$batchId/_SUCCESS"),
+      Array.emptyByteArray)
+  }
+
+  /** Run the incremental keep-best dedup over a documents stream to
+    * completion (AvailableNow), maintaining band index, pair slices and
+    * the survivor dim. */
+  def buildKeepBest(docs: DataFrame, dimDir: String, pairsDir: String,
+      survDir: String, ckptDir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dimDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pairsDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(survDir))
+    requireSharedLifecycle(dimDir, ckptDir)
+    requireSharedLifecycle(survDir, ckptDir)
+    val q = docs.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        keepBestUpdate(dimDir, pairsDir, survDir)(df, batchId)
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The full keep-best survivor set as of the latest committed
+    * version: per-cluster best rows from the merged dim plus the
+    * singleton majority (every streamed doc not in any cluster),
+    * labeled as its own cluster — the batch-x59 output shape. */
+  def streamedKeepBestSurvivors(spark: SparkSession,
+      survDir: String): DataFrame = {
+    val versions = modelVersions(survDir).sorted
+    require(versions.nonEmpty, s"no committed survivor version in $survDir")
+    val latest = versions.max
+    val best = spark.read.parquet(s"$survDir/v$latest/survivors")
+    val labels = spark.read.parquet(s"$survDir/v$latest/labels")
+    val docs = spark.read.parquet(
+      versions.map(v => s"$survDir/v$v/docs"): _*)
+    val singletons = docs
+      .join(labels.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        col("quality_score"), col("lang"))
+    best.unionByName(singletons)
+  }
+
   /** e07 streaming sibling: watermarked stream-stream interval join —
     * clicks joined to the same user's purchases within 10 minutes after
     * the click. Both sides carry a watermark and the join condition bounds

@@ -173,6 +173,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(scored.toSeq == batch.toSeq)
   }
 
+  test("incremental keep-best survivors: 2-wave replay == batch x59") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // wave 1 then wave 2 covers the whole corpus, so the incrementally
+    // maintained survivor dim must converge to batch x59's output —
+    // same clusters (cross + intra pairs = the full LSH pair set), same
+    // quality formula, same rank tiebreak
+    val landing = stageLanding("kb", Seq(
+      docs.filter($"doc_id" % 5 =!= 0), docs.filter($"doc_id" % 5 === 0)))
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_kb_dim").toString
+    val pairsDir = java.nio.file.Files.createTempDirectory("graft_kb_pairs").toString
+    val survDir = java.nio.file.Files.createTempDirectory("graft_kb_surv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kb_ckpt").toString
+    Streaming.buildKeepBest(
+      spark.readStream.schema(Streaming.documentsRawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(landing),
+      dimDir, pairsDir, survDir, ckpt)
+    // it really ran incrementally: two committed survivor versions
+    val versions = new java.io.File(survDir).listFiles()
+      .filter(_.getName.matches("v\\d+"))
+    assert(versions.length == 2, s"expected 2 versions, got ${versions.toSeq}")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id", "quality_score", "lang")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    val streamed = rows(Streaming.streamedKeepBestSurvivors(spark, survDir))
+    val batch = rows(graft.ops.Dedup.dedupKeepBest(spark, sf))
+    assert(streamed.nonEmpty)
+    // the fixture must exercise real clusters, not just singletons
+    assert(streamed.exists { case (d, c, _, _) => d != c },
+      "no multi-doc cluster reached the streamed survivor dim")
+    assert(streamed == batch,
+      s"streamed keep-best diverged from batch x59: " +
+        s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+
+    // replay of the committed final batch is a no-op (marker discipline)
+    def snapshot(dir: String): Map[String, Long] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = snapshot(s"$survDir/v1/survivors")
+    assert(before.nonEmpty)
+    Streaming.keepBestUpdate(dimDir, pairsDir, survDir)(
+      docs.filter($"doc_id" % 7 === 0), 1L)
+    assert(snapshot(s"$survDir/v1/survivors") == before,
+      "replay of a committed batch rewrote the survivor dim")
+  }
+
   test("incremental near-dup dedup: 2-wave streamed pairs == batch x18") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
