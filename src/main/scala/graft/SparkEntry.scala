@@ -30,7 +30,7 @@ import graft.ops.{Analytics, Dedup, Events, LocationResolve, Multimodal,
   * RegistrySpec (the single source of truth for its membership) —
   * queries whose output is engine-specific or not SQL-expressible by
   * design (HLL sketches, simhash, the ANN family, bloom
-  * decontamination, FNV, approx-percentile prune, iterative BPE, IVF
+  * decontamination, approx-percentile prune, iterative BPE, IVF
   * prototypicality). Those get the driver's rows-only check plus
   * equality / recall / tolerance / clean-room-reference gates in the
   * test suites.
@@ -121,6 +121,7 @@ object SparkEntry {
     "x64_jpeg_decode"      -> (Multimodal.jpegDecode _),
     "x65_bmp_pixel_stats"  -> (Multimodal.bmpPixelStats _),
     "x66_pipeline_e2e"     -> (Pipeline.pipelineE2e _),
+    "x69_quality_classifier" -> (TextAnalysis.qualityClassifier _),
     "x67_wav_pcm_stats"    -> (Multimodal.wavPcmStats _),
     "x68_png_pixel_stats"  -> (Multimodal.pngPixelStats _),
     "x42_repetition_filter" -> (TextAnalysis.repetitionFilter _),
@@ -288,6 +289,7 @@ object SparkEntry {
     "x30_text_quality"      -> TextAnalysis.textQualitySql,
     "x31_lang_id"           -> TextAnalysis.langIdSql,
     "x32_fingerprint"       -> TextAnalysis.fingerprintSql,
+    "x33_fnv_fingerprint"   -> TextAnalysis.fnvFingerprintSql,
     "a03_pairs_generator"   -> Analytics.pairsViaGeneratorSql,
     "x34_pii_scrub"         -> TextAnalysis.piiScrubSql,
     "x35_top_ngrams"        -> TextAnalysis.topNgramsSql,
@@ -303,6 +305,7 @@ object SparkEntry {
     "x64_jpeg_decode"       -> Multimodal.jpegDecodeSql,
     "x65_bmp_pixel_stats"   -> Multimodal.bmpPixelStatsSql,
     "x66_pipeline_e2e"      -> Pipeline.pipelineE2eSql,
+    "x69_quality_classifier" -> TextAnalysis.qualityClassifierSql,
     "x67_wav_pcm_stats"     -> Multimodal.wavPcmStatsSql,
     "x68_png_pixel_stats"   -> Multimodal.pngPixelStatsSql,
     "x42_repetition_filter" -> TextAnalysis.repetitionFilterSql,

@@ -375,6 +375,78 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** x69 feature-hash geometry: 2¹⁶ buckets (fastText's default
+    * hashing-trick order of magnitude, scaled to the fixture). */
+  private[graft] val ClassifierBuckets = 65536L
+
+  /** Deterministic stand-in "trained" weight for a feature bucket, in
+    * exact integer MICRO-units ∈ [-10⁶, 10⁶]: a Knuth-hash spread of
+    * the bucket id. A stand-in because the sandbox has no labeled
+    * quality data to train on — the SHAPE (hashed bag-of-words,
+    * weight-vector lookup, map-only scoring) is the real fastText /
+    * DataComp-classifier deployment shape, and integer weights keep
+    * the whole op hash-exact against the oracle. */
+  private[graft] def bucketWeightMicro(bucket: Column): Column =
+    (bucket * lit(2654435761L)) % lit(2000001L) - lit(1000000L)
+
+  /** x69 — MODEL-BASED quality classification, the fastText-style
+    * filter modern data recipes run after heuristic pruning (CCNet,
+    * LLaMA's Wikipedia-reference classifier, DataComp's fasttext
+    * baselines): hash each word into one of [[ClassifierBuckets]]
+    * feature buckets (FNV-1a 64 → pmod — the hashing trick; no
+    * vocabulary dim exists at all), look up the bucket's weight, and
+    * score the document by its summed feature weights; `kept` is the
+    * positive-margin decision. Scoring is a PURE MAP over documents —
+    * the weight "vector" is arithmetic on the bucket id here, and a
+    * genuinely trained one is a k·4-byte broadcast array an executor
+    * holds once — so at 100 TB the filter costs one corpus scan, no
+    * shuffle, no join (the property that makes classifier filtering
+    * viable at crawl scale). The oracle replays word-level FNV-1a,
+    * bucketing and the weight formula in DuckDB, so the whole scoring
+    * path is hash-exact end to end. */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", split($"text", " ").as("w"))
+      .select($"doc_id", $"lang",
+        size($"w").cast("long").as("n_words"),
+        aggregate(
+          transform($"w", x => bucketWeightMicro(
+            pmod(call_function("fnv1a64", x), lit(ClassifierBuckets)))),
+          lit(0L), (acc, x) => acc + x).as("feat_sum_micro"))
+      .withColumn("kept", $"feat_sum_micro" > 0)
+      .orderBy($"doc_id")
+  }
+
+  /** Word-level FNV-1a replayed inside a list lambda (same recurrence
+    * as [[fnvFingerprintSql]], over each word's bytes), then the same
+    * bucket/weight integer arithmetic. */
+  val qualityClassifierSql: String = {
+    val byteAt =
+      "(strpos('0123456789ABCDEF', substr(hex(encode(x)), CAST(2*i+1 AS INT), 1))-1)*16" +
+        " + (strpos('0123456789ABCDEF', substr(hex(encode(x)), CAST(2*i+2 AS INT), 1))-1)"
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+       |), f AS (
+       |  SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(w, x ->
+       |      (CAST(list_reduce(
+       |         list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |           list_transform(range(0, octet_length(encode(x))),
+       |             i -> CAST($byteAt AS HUGEINT))),
+       |         (acc, y) -> (xor(acc, y) * 1099511628211)
+       |                       % CAST(18446744073709551616 AS HUGEINT))
+       |         % $ClassifierBuckets AS BIGINT)
+       |       * 2654435761) % 2000001 - 1000000
+       |    )) AS BIGINT) AS feat_sum_micro
+       |  FROM d
+       |)
+       |SELECT doc_id, lang, n_words, feat_sum_micro,
+       |  feat_sum_micro > 0 AS kept
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   val qualityPruneSql: String = {
     s"""WITH d AS (
        |  SELECT doc_id, lang, source, string_split(text, ' ') AS w,
@@ -550,8 +622,13 @@ object TextAnalysis {
     lineOccurrences(spark, sfDir)
 
   /** x33 — FNV-1a 64-bit rolling content hash via the custom codegen
-    * expression (rows-only check: the hash family is engine-specific;
-    * CustomExprsSpec proves its groups coincide with sha256 groups). */
+    * expression. Hash-checked since round 9: the oracle REPLAYS the
+    * exact FNV-1a byte recurrence in DuckDB (hex-nibble byte
+    * extraction, HUGEINT accumulator with mod-2⁶⁴ wrap-around multiply,
+    * signed-BIGINT conversion at the end), so the custom expression is
+    * pinned byte-for-byte against an independent implementation —
+    * CustomExprsSpec additionally proves its groups coincide with
+    * sha256 groups. */
   def fnvFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.functions.CustomExprs.register(spark)
@@ -561,6 +638,38 @@ object TextAnalysis {
       .withColumn("n_sharing",
         count(lit(1)).over(Window.partitionBy($"fnv64")))
       .orderBy($"doc_id")
+  }
+
+  /** The FNV-1a 64 recurrence replayed independently in DuckDB:
+    * bytes from hex nibbles, HUGEINT accumulator, xor-then-multiply
+    * with an explicit mod-2⁶⁴ wrap (DuckDB BIGINT errors on overflow
+    * instead of wrapping), then the unsigned→signed two's-complement
+    * conversion to match the JVM Long the expression returns. */
+  val fnvFingerprintSql: String = {
+    val byteAt =
+      "(strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1))-1)*16" +
+        " + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1))-1)"
+    s"""WITH d AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS len
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id, list_reduce(
+       |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |      list_transform(range(0, len), i -> CAST($byteAt AS HUGEINT))),
+       |    (acc, x) -> (xor(acc, x) * 1099511628211)
+       |                  % CAST(18446744073709551616 AS HUGEINT)) AS fnvu
+       |  FROM d
+       |), g AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN fnvu >= CAST(9223372036854775808 AS HUGEINT)
+       |      THEN fnvu - CAST(18446744073709551616 AS HUGEINT)
+       |      ELSE fnvu END AS BIGINT) AS fnv64
+       |  FROM f
+       |)
+       |SELECT doc_id, fnv64,
+       |  COUNT(*) OVER (PARTITION BY fnv64) AS n_sharing
+       |FROM g ORDER BY doc_id""".stripMargin
   }
 
   val fingerprintSql: String =

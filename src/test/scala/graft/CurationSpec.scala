@@ -370,4 +370,44 @@ class CurationSpec extends AnyFunSuite {
     assert(hinted(bc), "broadcast path lost its hint")
     assert(!hinted(sj), "fallback path still forces a broadcast hint")
   }
+
+  test("x69 classifier scoring == clean-room reference; decision balanced") {
+    import spark.implicits._
+    // independent re-implementation of the whole scoring path: FNV-1a
+    // over utf-8 word bytes, bucket, integer-micro weight, sum
+    def refFnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.getBytes("UTF-8").foreach { b =>
+        h ^= (b & 0xffL); h *= 0x100000001b3L
+      }
+      h
+    }
+    def refScore(text: String): (Long, Long) = {
+      val words = text.split(" ", -1)
+      val sum = words.map { w =>
+        val b = java.lang.Math.floorMod(refFnv(w), 65536L)
+        (b * 2654435761L) % 2000001L - 1000000L
+      }.sum
+      (words.length.toLong, sum)
+    }
+    val got = graft.ops.TextAnalysis.qualityClassifier(spark, sf)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(texts.nonEmpty && got.size == texts.length)
+    texts.foreach { case (id, text) =>
+      val (n, sum) = refScore(text)
+      val (gn, gsum, gkept) = got(id)
+      assert(gn == n, s"doc $id n_words $gn != $n")
+      assert(gsum == sum, s"doc $id feat_sum $gsum != $sum")
+      assert(gkept == (sum > 0), s"doc $id kept flag")
+    }
+    // pseudo-random weights over a hash spread: the decision must not
+    // degenerate to all-kept/none-kept (which would hide a sign bug).
+    // The fraction itself is corpus-dependent — shared common words
+    // dominate every doc's sum, so it is NOT centered on 0.5.
+    val keptFrac = got.values.count(_._3).toDouble / got.size
+    assert(keptFrac > 0.02 && keptFrac < 0.98, s"kept fraction $keptFrac")
+  }
 }
