@@ -122,6 +122,7 @@ object SparkEntry {
     "x65_bmp_pixel_stats"  -> (Multimodal.bmpPixelStats _),
     "x66_pipeline_e2e"     -> (Pipeline.pipelineE2e _),
     "x69_quality_classifier" -> (TextAnalysis.qualityClassifier _),
+    "x70_substring_rewrite" -> (Dedup.substringDedupRewrite _),
     "x67_wav_pcm_stats"    -> (Multimodal.wavPcmStats _),
     "x68_png_pixel_stats"  -> (Multimodal.pngPixelStats _),
     "x42_repetition_filter" -> (TextAnalysis.repetitionFilter _),
@@ -306,6 +307,7 @@ object SparkEntry {
     "x65_bmp_pixel_stats"   -> Multimodal.bmpPixelStatsSql,
     "x66_pipeline_e2e"      -> Pipeline.pipelineE2eSql,
     "x69_quality_classifier" -> TextAnalysis.qualityClassifierSql,
+    "x70_substring_rewrite"  -> Dedup.substringDedupRewriteSql,
     "x67_wav_pcm_stats"     -> Multimodal.wavPcmStatsSql,
     "x68_png_pixel_stats"   -> Multimodal.pngPixelStatsSql,
     "x42_repetition_filter" -> TextAnalysis.repetitionFilterSql,

@@ -1003,4 +1003,122 @@ object Dedup {
        |SELECT span, COUNT(*) AS n_docs FROM g
        |GROUP BY span HAVING COUNT(*) >= 2
        |ORDER BY n_docs DESC, span ASC LIMIT 50""".stripMargin
+
+  /** Occurrence key packing (doc_id, pos) into one orderable BIGINT so
+    * "globally first occurrence" is a plain MIN. pos < 10⁹ always (a
+    * doc with 10⁹ tokens is not a document); doc_id < 9.2×10⁹ at the
+    * packing limit — ~10⁹ docs per corpus version, comfortably above a
+    * 100 TB crawl's doc count (≈10⁸ at 1 MB/doc). */
+  private def occKey(docId: Column, pos: Column): Column =
+    docId * lit(1000000000L) + pos
+
+  /** x70 — exact-substring DEDUP REWRITE, the span-level complement of
+    * doc-level dedup (Lee et al. 2022, arXiv:2107.06499 "ExactSubstr":
+    * duplicated passages inside otherwise-distinct documents drive
+    * memorization, and doc-granularity dedup never sees them). x60
+    * AUDITS the repeated spans; this op REMOVES them: every
+    * [[SpanNgramWidth]]-token span occurring in ≥2 distinct documents
+    * is cut from every position except the globally first (min
+    * (doc_id, pos) — the keep-one rule, so each passage still trains
+    * exactly once), and each document is reassembled from its
+    * surviving tokens. A token survives iff NO flagged span occurrence
+    * covers it, so overlapping flagged spans union naturally.
+    *
+    * Shape, and why it scales: (1) one gram explode — shuffle ∝ corpus
+    * token positions (the 13× string inflation is the price of the
+    * relational form; Lee et al.'s suffix array is the single-machine
+    * alternative that does not distribute); (2) the frequent-span dim
+    * is grouped from the same frame (map-side combinable) and joined
+    * back BY THE EXACT SPAN STRING — a 64-bit gram hash would shrink
+    * shuffle bytes but admit collision false-cuts, x47's reasoning;
+    * AQE broadcasts the dim when small, shuffle-joins beyond (dup-span
+    * dims grow with the corpus — the x28 lesson, so no unconditional
+    * hint); (3) flagged starts collapse to one sorted array per doc
+    * (bounded by doc length), and the rewrite is a per-row map: an
+    * index-aware `filter` HOF probing the flagged-start array — cost
+    * O(len × flags) per doc, no second corpus shuffle. Docs with no
+    * flagged span keep `clean_text == text` via the left join. */
+  def substringDedupRewrite(spark: SparkSession, sfDir: String): DataFrame =
+    substringRewriteCore(spark,
+      Tables.spread(Tables.documents(spark, sfDir))
+        .select(col("doc_id"), col("text")))
+
+  /** Core over any (doc_id, text) frame — spec entry for planted
+    * corpora. */
+  private[graft] def substringRewriteCore(spark: SparkSession,
+      docs0: DataFrame): DataFrame = {
+    import spark.implicits._
+    val n = SpanNgramWidth
+    val docs = docs0.withColumn("w", split($"text", " "))
+    val grams = when(size($"w") < n,
+        array().cast("array<struct<pos:int,ng:string>>"))
+      .otherwise(transform(sequence(lit(1), size($"w") - (n - 1)),
+        i => struct(i.cast("int").as("pos"),
+          concat_ws(" ", slice($"w", i, lit(n))).as("ng"))))
+    val g = docs.select($"doc_id", explode(grams).as("e"))
+      .select($"doc_id", $"e.pos".as("pos"), $"e.ng".as("ng"))
+    val freq = g.groupBy($"ng")
+      .agg(countDistinct($"doc_id").as("nd"),
+        min(occKey($"doc_id", $"pos")).as("first_key"))
+      .filter($"nd" >= 2)
+      .select($"ng", $"first_key")
+    val flagged = g.join(freq, "ng")
+      .filter(occKey($"doc_id", $"pos") =!= $"first_key")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_set($"pos")).as("fs"))
+    val fsCol = coalesce($"fs", array().cast("array<int>"))
+    val kept = filter($"w", (_, i) =>
+      !exists(fsCol, s => s <= i + 1 && i + 1 < s + n))
+    docs.join(flagged, Seq("doc_id"), "left")
+      .select($"doc_id",
+        size($"w").cast("long").as("n_words"),
+        coalesce(size($"fs"), lit(0)).cast("long").as("n_dup_occurrences"),
+        (size($"w") - size(kept)).cast("long").as("n_removed"),
+        concat_ws(" ", kept).as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: identical keep-first semantics, with the per-token
+    * coverage test as a range LEFT JOIN (position j covered by flagged
+    * start s iff s ≤ j < s+13) instead of the HOF — an independent
+    * formulation of the same rewrite. */
+  val substringDedupRewriteSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), g AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos,
+       |    array_to_string(w[i:i+${SpanNgramWidth - 1}], ' ') AS ng
+       |  FROM d, unnest(range(1, len(w) - ${SpanNgramWidth - 2})) t(i)
+       |  WHERE len(w) >= $SpanNgramWidth
+       |), freq AS (
+       |  SELECT ng, MIN(doc_id * 1000000000 + pos) AS first_key
+       |  FROM g GROUP BY ng HAVING COUNT(DISTINCT doc_id) >= 2
+       |), fl AS (
+       |  SELECT g.doc_id, g.pos FROM g JOIN freq USING (ng)
+       |  WHERE g.doc_id * 1000000000 + g.pos <> freq.first_key
+       |), toks AS (
+       |  SELECT doc_id, CAST(j AS INT) AS j, w[CAST(j AS INT)] AS tok
+       |  FROM d, unnest(range(1, len(w) + 1)) t(j)
+       |), cov AS (
+       |  SELECT t.doc_id, t.j, t.tok, COUNT(f.pos) AS ncov
+       |  FROM toks t LEFT JOIN fl f
+       |    ON f.doc_id = t.doc_id AND f.pos <= t.j
+       |       AND t.j < f.pos + $SpanNgramWidth
+       |  GROUP BY t.doc_id, t.j, t.tok
+       |), agg AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN ncov = 0 THEN 0 ELSE 1 END) AS n_removed,
+       |    COALESCE(string_agg(CASE WHEN ncov = 0 THEN tok END,
+       |                        ' ' ORDER BY j), '') AS clean_text
+       |  FROM cov GROUP BY doc_id
+       |), flc AS (
+       |  SELECT doc_id, COUNT(*) AS n_flagged FROM fl GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(flc.n_flagged, 0) AS BIGINT) AS n_dup_occurrences,
+       |  CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(a.clean_text, '') AS clean_text
+       |FROM d LEFT JOIN flc ON d.doc_id = flc.doc_id
+       |       LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }

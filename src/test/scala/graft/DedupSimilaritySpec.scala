@@ -761,4 +761,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(f.contains("cell=3") || f.contains("cell=7"),
         s"scanned a non-probed partition's file: $f"))
   }
+
+  test("x70 planted corpus: keep-first rewrite, overlap union, round trip") {
+    import spark.implicits._
+    // S = a 13-token span planted in docs 1 and 2; doc 3 is unique.
+    val span = (1 to 13).map(i => s"s$i").mkString(" ")
+    val pre1 = "alpha beta gamma"; val post1 = "delta epsilon"
+    val pre2 = "zeta"; val post2 = "eta theta iota"
+    val docs = Seq(
+      (1L, s"$pre1 $span $post1"),
+      (2L, s"$pre2 $span $post2"),
+      (3L, "unique words only here nothing repeated at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringRewriteCore(spark, docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // doc 1 holds the globally first occurrence -> untouched
+    assert(out(1L) == (18L, 0L, 0L, s"$pre1 $span $post1"))
+    // doc 2's occurrence is cut; surrounding tokens survive
+    assert(out(2L) == (17L, 1L, 13L, s"$pre2 $post2"))
+    // doc 3 never matched anything
+    assert(out(3L)._4 == "unique words only here nothing repeated at all")
+
+    // overlap union: doc 12 repeats doc 11's 14-token run, which carries
+    // TWO overlapping flagged 13-gram occurrences; removed tokens are the
+    // union (14), not 2x13
+    val over = (1 to 14).map(i => s"o$i").mkString(" ")
+    val docs2 = Seq((11L, s"$over tail1"), (12L, s"head1 $over"))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.substringRewriteCore(spark, docs2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out2(11L) == (0L, 0L, s"$over tail1"))
+    assert(out2(12L) == (2L, 14L, "head1"))
+  }
 }
