@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops.{Analytics, Dedup, Events, LocationResolve, Multimodal,
-  Pipeline, Relational, Similarity, TextAnalysis, Transform}
+  Pipeline, Relational, Sampling, Similarity, TextAnalysis, Transform}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt;
   * COVERAGE.md maps every SURVEY §2 operator to its query/test gate.
@@ -123,6 +123,7 @@ object SparkEntry {
     "x66_pipeline_e2e"     -> (Pipeline.pipelineE2e _),
     "x69_quality_classifier" -> (TextAnalysis.qualityClassifier _),
     "x70_substring_rewrite" -> (Dedup.substringDedupRewrite _),
+    "x71_leakage_free_split" -> (Sampling.leakageFreeSplit _),
     "x67_wav_pcm_stats"    -> (Multimodal.wavPcmStats _),
     "x68_png_pixel_stats"  -> (Multimodal.pngPixelStats _),
     "x42_repetition_filter" -> (TextAnalysis.repetitionFilter _),
@@ -308,6 +309,7 @@ object SparkEntry {
     "x66_pipeline_e2e"      -> Pipeline.pipelineE2eSql,
     "x69_quality_classifier" -> TextAnalysis.qualityClassifierSql,
     "x70_substring_rewrite"  -> Dedup.substringDedupRewriteSql,
+    "x71_leakage_free_split" -> Sampling.leakageFreeSplitSql,
     "x67_wav_pcm_stats"     -> Multimodal.wavPcmStatsSql,
     "x68_png_pixel_stats"   -> Multimodal.pngPixelStatsSql,
     "x42_repetition_filter" -> TextAnalysis.repetitionFilterSql,

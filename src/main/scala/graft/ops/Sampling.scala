@@ -280,4 +280,76 @@ object Sampling {
        |  r.rk <= s.m_star AS capped
        |FROM ranked r, dim d, star s
        |ORDER BY r.source""".stripMargin
+
+  /** x71 — LEAKAGE-FREE split: x50's deterministic 8/1/1 assignment
+    * keyed by the near-dup CLUSTER representative instead of the raw
+    * document id, so every near-duplicate cluster lands wholly on one
+    * side. A doc_id-keyed split leaks: near-identical documents straddle
+    * train and test, and held-out evaluation silently measures
+    * memorization (the group-aware-split rule of thumb; near-dup
+    * clusters are the groups a text corpus actually has). The key is
+    * `coalesce(cc_label, doc_id)` — the label is the component's min
+    * doc id ([[graft.ops.Dedup.ccLabels]], the x17 artifact a pipeline
+    * materializes once per corpus version), so singletons reduce
+    * EXACTLY to x50's assignment and clustered docs inherit their
+    * representative's.
+    *
+    * Scale: one left join of the corpus against the label dim —
+    * broadcast while the memoized label count fits
+    * [[graft.ops.Dedup.CcBroadcastMaxLabels]], shuffle join beyond
+    * (web-crawl dup fractions make the dim corpus-sized — the x28
+    * lesson), then one map-side-combinable aggregation. */
+  def leakageFreeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    leakageFreeAssign(spark, sfDir,
+        broadcastDim =
+          Dedup.ccLabelCount(spark, sfDir) <= Dedup.CcBroadcastMaxLabels)
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"label".isNull, 0L).otherwise(1L)).as("n_clustered"))
+      .orderBy($"split", $"lang")
+  }
+
+  /** Per-doc assignment, both join regimes — the spec surface for the
+    * no-cluster-spans-two-splits gate and broadcast/shuffle parity. */
+  private[graft] def leakageFreeAssign(spark: SparkSession, sfDir: String,
+      broadcastDim: Boolean): DataFrame = {
+    import spark.implicits._
+    val labels = Dedup.ccLabels(spark, sfDir)
+      .select($"id".as("doc_id"), $"label")
+    val dim = if (broadcastDim) broadcast(labels) else labels
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang")
+      .join(dim, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce($"label", $"doc_id"))
+      .withColumn("split",
+        when($"rep" % 10 < 8, "train")
+          .when($"rep" % 10 === 8, "val")
+          .otherwise("test"))
+  }
+
+  /** Oracle: recursive-CTE CC labels (x17's formulation) feeding the
+    * same representative-keyed modulo assignment. */
+  val leakageFreeSplitSql: String =
+    s"""WITH RECURSIVE p AS (${Dedup.jaccardPairsSql}),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM p
+       |  UNION SELECT id_b, id_a FROM p
+       |), reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), comp AS (
+       |  SELECT a AS doc_id, MIN(b) AS label FROM reach GROUP BY a
+       |), asg AS (
+       |  SELECT d.doc_id, d.lang, c.label,
+       |    CASE WHEN COALESCE(c.label, d.doc_id) % 10 < 8 THEN 'train'
+       |         WHEN COALESCE(c.label, d.doc_id) % 10 = 8 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |)
+       |SELECT split, lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN label IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_clustered
+       |FROM asg GROUP BY split, lang ORDER BY split, lang""".stripMargin
 }

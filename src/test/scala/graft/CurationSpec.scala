@@ -371,6 +371,42 @@ class CurationSpec extends AnyFunSuite {
     assert(!hinted(sj), "fallback path still forces a broadcast hint")
   }
 
+  test("x71 leakage-free split: clusters never straddle; regimes agree") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val asg = graft.ops.Sampling.leakageFreeAssign(spark, sf,
+      broadcastDim = true).persist()
+    try {
+      // the leakage property: every cluster sees exactly one split
+      val straddling = asg.filter($"label".isNotNull)
+        .groupBy($"label")
+        .agg(countDistinct($"split").as("nsplits"))
+        .filter($"nsplits" > 1).count()
+      assert(straddling == 0, s"$straddling clusters straddle splits")
+      // non-vacuous: the naive doc_id-keyed split DOES leak on this
+      // fixture (some cluster spans two naive splits), so the rep-keyed
+      // assignment is doing real work
+      val naiveLeaks = asg.filter($"label".isNotNull)
+        .withColumn("naive", $"doc_id" % 10)
+        .withColumn("nsplit", when($"naive" < 8, "train")
+          .when($"naive" === 8, "val").otherwise("test"))
+        .groupBy($"label")
+        .agg(countDistinct($"nsplit").as("n"))
+        .filter($"n" > 1).count()
+      assert(naiveLeaks > 0, "fixture has no cluster the naive split leaks")
+      // singletons reduce exactly to x50's assignment
+      val singletonDrift = asg.filter($"label".isNull)
+        .filter($"split" =!= when($"doc_id" % 10 < 8, "train")
+          .when($"doc_id" % 10 === 8, "val").otherwise("test")).count()
+      assert(singletonDrift == 0)
+      // both join regimes produce identical assignments
+      val shuffled = graft.ops.Sampling.leakageFreeAssign(spark, sf,
+        broadcastDim = false)
+      assert(asg.select("doc_id", "split").except(
+        shuffled.select("doc_id", "split")).count() == 0)
+    } finally asg.unpersist()
+  }
+
   test("x69 classifier scoring == clean-room reference; decision balanced") {
     import spark.implicits._
     // independent re-implementation of the whole scoring path: FNV-1a
