@@ -126,7 +126,9 @@ class PlanAuditSpec extends AnyFunSuite {
         "x36" -> graft.ops.TextAnalysis.boilerplateScrub(spark, sf),
         "x44" -> graft.ops.TextAnalysis.lineDedup(spark, sf),
         "x46" -> graft.ops.TextAnalysis.refCoverage(spark, sf),
-        "x47" -> graft.ops.Dedup.spanDecontaminate(spark, sf))
+        "x47" -> graft.ops.Dedup.spanDecontaminate(spark, sf),
+        "x69" -> graft.ops.TextAnalysis.qualityClassifier(spark, sf),
+        "x70" -> graft.ops.Dedup.substringDedupRewrite(spark, sf))
       .foreach { case (name, df) =>
         val plan = df.queryExecution.optimizedPlan.toString
         val lines = plan.linesIterator.filter(_.contains("split(text")).toSeq
