@@ -33,7 +33,7 @@ object ScaleProbe {
     "x33_fnv_fingerprint", "x34_pii_scrub", "x35_top_ngrams",
     "x36_boilerplate_lines", "x37_tfidf_top_term", "x38_quality_prune",
     "x69_quality_classifier", "x70_substring_rewrite",
-    "x71_leakage_free_split",
+    "x71_leakage_free_split", "x72_shuffle_shards",
     "x39_quality_prune_approx", "x40_multimodal_meta", "x41_frame_sample",
     "x48_wav_decode",
     "x42_repetition_filter", "x43_chunk_tokens", "x44_line_dedup",

@@ -124,6 +124,7 @@ object SparkEntry {
     "x69_quality_classifier" -> (TextAnalysis.qualityClassifier _),
     "x70_substring_rewrite" -> (Dedup.substringDedupRewrite _),
     "x71_leakage_free_split" -> (Sampling.leakageFreeSplit _),
+    "x72_shuffle_shards"   -> (Sampling.shuffleShards _),
     "x67_wav_pcm_stats"    -> (Multimodal.wavPcmStats _),
     "x68_png_pixel_stats"  -> (Multimodal.pngPixelStats _),
     "x42_repetition_filter" -> (TextAnalysis.repetitionFilter _),
@@ -310,6 +311,7 @@ object SparkEntry {
     "x69_quality_classifier" -> TextAnalysis.qualityClassifierSql,
     "x70_substring_rewrite"  -> Dedup.substringDedupRewriteSql,
     "x71_leakage_free_split" -> Sampling.leakageFreeSplitSql,
+    "x72_shuffle_shards"     -> Sampling.shuffleShardsSql,
     "x67_wav_pcm_stats"     -> Multimodal.wavPcmStatsSql,
     "x68_png_pixel_stats"   -> Multimodal.pngPixelStatsSql,
     "x42_repetition_filter" -> TextAnalysis.repetitionFilterSql,

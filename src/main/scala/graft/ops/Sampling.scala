@@ -352,4 +352,71 @@ object Sampling {
        |  CAST(SUM(CASE WHEN label IS NULL THEN 0 ELSE 1 END) AS BIGINT)
        |    AS n_clustered
        |FROM asg GROUP BY split, lang ORDER BY split, lang""".stripMargin
+
+  /** x72 shard count. Fixture-sized; in production shards are chosen so
+    * corpus_bytes / shards ≈ the target output-file size, and the count
+    * MUST divide 2⁶⁴ (be a power of two) for the signed/unsigned modulo
+    * identity the scaladoc below relies on. */
+  private[graft] val ShuffleShards = 32L
+
+  /** x72 — deterministic corpus SHUFFLE-AND-SHARD: the training-order
+    * step. Every epoch must read documents in a fixed pseudo-random
+    * order, reproducible across runs, engines and partitionings — so
+    * the permutation is a pure function of the key (never `rand()`,
+    * x52's rule): order key = FNV-1a 64 of the doc_id's decimal string
+    * (the custom codegen expression, oracle-replayable byte for byte),
+    * shard = pmod(key, [[ShuffleShards]]), position = rank of the key
+    * within the shard.
+    *
+    * Scale: one corpus map (the hash) + ONE shuffle keyed by shard,
+    * each shard sorted independently by the window — corpus/shards
+    * rows per sort, the local-sort-per-shard pattern that replaces a
+    * global total sort (whose range-partition step is the scale
+    * bottleneck of naive orderBy). Signed/unsigned subtlety, pinned by
+    * the oracle: Spark orders the SIGNED hash with the sign bit
+    * flipped (`h XOR Long.MinValue` — signed order of the flipped
+    * value IS unsigned order of h), DuckDB orders the raw unsigned
+    * HUGEINT accumulator; pmod(signed, 32) equals unsigned mod 32
+    * because 32 divides 2⁶⁴. */
+  def shuffleShards(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    val h = call_function("fnv1a64", $"doc_id".cast("string"))
+    val w = Window.partitionBy($"shard")
+      .orderBy($"ukey", $"doc_id")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", h.as("h"))
+      .withColumn("shard", pmod($"h", lit(ShuffleShards)).cast("int"))
+      .withColumn("ukey", $"h".bitwiseXOR(lit(Long.MinValue)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"shard", $"doc_id", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
+  /** Oracle: the FNV-1a recurrence over the doc_id's decimal-string
+    * bytes (ASCII, so encode() is identity), kept UNSIGNED as HUGEINT —
+    * modulo and rank order on the unsigned value match the engine's
+    * flipped-sign-bit trick exactly. */
+  val shuffleShardsSql: String = {
+    val byteAt =
+      "(strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1))-1)*16" +
+        " + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1))-1)"
+    s"""WITH d AS (
+       |  SELECT doc_id, hex(encode(CAST(doc_id AS VARCHAR))) AS hx,
+       |    octet_length(encode(CAST(doc_id AS VARCHAR))) AS len
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id, list_reduce(
+       |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |      list_transform(range(0, len), i -> CAST($byteAt AS HUGEINT))),
+       |    (acc, x) -> (xor(acc, x) * 1099511628211)
+       |                  % CAST(18446744073709551616 AS HUGEINT)) AS fnvu
+       |  FROM d
+       |)
+       |SELECT CAST(fnvu % $ShuffleShards AS INT) AS shard, doc_id,
+       |  CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY fnvu % $ShuffleShards
+       |    ORDER BY fnvu, doc_id) AS BIGINT) AS pos
+       |FROM f ORDER BY shard, pos""".stripMargin
+  }
 }

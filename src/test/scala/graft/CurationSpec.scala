@@ -407,6 +407,40 @@ class CurationSpec extends AnyFunSuite {
     } finally asg.unpersist()
   }
 
+  test("x72 shuffle-shards: true permutation, clean-room FNV ranks, real shuffle") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = graft.ops.Sampling.shuffleShards(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val ids = Tables.documents(spark, sf)
+      .select($"doc_id").as[Long].collect().sorted
+    // every doc exactly once, across all 32 shards, positions contiguous
+    assert(out.map(_._2).sorted.sameElements(ids))
+    val byShard = out.groupBy(_._1)
+    assert(byShard.keySet == (0 until 32).toSet, "empty shard on fixture")
+    byShard.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+    }
+    // clean-room: recompute the unsigned-FNV order independently
+    def refFnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      h
+    }
+    val ref = ids.map { id =>
+      val h = refFnv(id.toString)
+      (java.lang.Math.floorMod(h, 32L).toInt, id, h ^ Long.MinValue)
+    }.groupBy(_._1).toSeq.flatMap { case (shard, rows) =>
+      rows.toSeq.sortBy(r => (r._3, r._2)).zipWithIndex
+        .map { case ((_, id, _), i) => (shard, id, i + 1L) }
+    }.toSet
+    assert(out.toSet == ref)
+    // it actually shuffles: within some shard, doc_id order != pos order
+    assert(byShard.values.exists(rows =>
+      !rows.sortBy(_._3).map(_._2).sameElements(rows.map(_._2).sorted)),
+      "permutation degenerate: every shard in doc_id order")
+  }
+
   test("x69 classifier scoring == clean-room reference; decision balanced") {
     import spark.implicits._
     // independent re-implementation of the whole scoring path: FNV-1a
