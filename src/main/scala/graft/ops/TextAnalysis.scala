@@ -404,6 +404,16 @@ object TextAnalysis {
     * viable at crawl scale). The oracle replays word-level FNV-1a,
     * bucketing and the weight formula in DuckDB, so the whole scoring
     * path is hash-exact end to end. */
+  /** x69's summed-margin score over a PROJECTED words-array column —
+    * shared with the streaming sibling so batch and stream score
+    * identically (and so the split stays out of the lambda, the
+    * PlanAuditSpec rule). */
+  private[graft] def classifierScoreMicro(w: Column): Column =
+    aggregate(
+      transform(w, x => bucketWeightMicro(
+        pmod(call_function("fnv1a64", x), lit(ClassifierBuckets)))),
+      lit(0L), (acc, x) => acc + x)
+
   def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.functions.CustomExprs.register(spark)
@@ -411,10 +421,7 @@ object TextAnalysis {
       .select($"doc_id", $"lang", split($"text", " ").as("w"))
       .select($"doc_id", $"lang",
         size($"w").cast("long").as("n_words"),
-        aggregate(
-          transform($"w", x => bucketWeightMicro(
-            pmod(call_function("fnv1a64", x), lit(ClassifierBuckets)))),
-          lit(0L), (acc, x) => acc + x).as("feat_sum_micro"))
+        classifierScoreMicro($"w").as("feat_sum_micro"))
       .withColumn("kept", $"feat_sum_micro" > 0)
       .orderBy($"doc_id")
   }

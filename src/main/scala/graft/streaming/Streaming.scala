@@ -131,6 +131,23 @@ object Streaming {
         w.cast("long").as("weight_permille"))
   }
 
+  /** x69 streaming sibling: model-based quality filtering AT INGEST —
+    * the point a crawl pipeline actually runs its classifier, before
+    * anything lands. STATELESS like [[mixtureAdmit]]: the score is a
+    * pure function of the text via the shared
+    * [[graft.ops.TextAnalysis.classifierScoreMicro]] path (hashed
+    * bag-of-words, no vocabulary dim, no state store, no watermark), so
+    * replays admit exactly the batch x69 kept set. */
+  def classifierAdmit(docs: DataFrame): DataFrame = {
+    graft.functions.CustomExprs.register(docs.sparkSession)
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("feat_sum_micro",
+        graft.ops.TextAnalysis.classifierScoreMicro(col("w")))
+      .filter(col("feat_sum_micro") > 0)
+      .select(col("doc_id"), col("lang"), col("feat_sum_micro"))
+  }
+
   /** STREAM-STATIC enrichment — the standard slowly-changing-dimension
     * pattern of a streaming pipeline: each micro-batch of events joins
     * a static (batch) dimension, re-planned per batch so dim updates

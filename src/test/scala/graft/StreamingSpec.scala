@@ -106,6 +106,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming classifier admission == batch x69 kept set (stateless)") {
+    val streamed = Streaming.runToMemory(spark,
+      Streaming.classifierAdmit(Streaming.documentsStream(spark, sf)),
+      "clf_admit", outputMode = "append")
+    val batch = graft.ops.TextAnalysis.qualityClassifier(spark, sf)
+      .filter("kept").select("doc_id", "feat_sum_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = streamed.select("doc_id", "feat_sum_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch, "stream must admit exactly the batch x69 kept set")
+    assert(got.nonEmpty)
+  }
+
   /** Stage a frame as N single parquet files in a fresh landing dir so
     * AvailableNow + maxFilesPerTrigger=1 replays it as N micro-batches. */
   private def stageLanding(prefix: String,
