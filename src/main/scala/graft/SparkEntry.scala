@@ -125,6 +125,7 @@ object SparkEntry {
     "x70_substring_rewrite" -> (Dedup.substringDedupRewrite _),
     "x71_leakage_free_split" -> (Sampling.leakageFreeSplit _),
     "x72_shuffle_shards"   -> (Sampling.shuffleShards _),
+    "x73_corpus_datasheet" -> (Pipeline.corpusDatasheet _),
     "x67_wav_pcm_stats"    -> (Multimodal.wavPcmStats _),
     "x68_png_pixel_stats"  -> (Multimodal.pngPixelStats _),
     "x42_repetition_filter" -> (TextAnalysis.repetitionFilter _),
@@ -312,6 +313,7 @@ object SparkEntry {
     "x70_substring_rewrite"  -> Dedup.substringDedupRewriteSql,
     "x71_leakage_free_split" -> Sampling.leakageFreeSplitSql,
     "x72_shuffle_shards"     -> Sampling.shuffleShardsSql,
+    "x73_corpus_datasheet"   -> Pipeline.corpusDatasheetSql,
     "x67_wav_pcm_stats"     -> Multimodal.wavPcmStatsSql,
     "x68_png_pixel_stats"   -> Multimodal.pngPixelStatsSql,
     "x42_repetition_filter" -> TextAnalysis.repetitionFilterSql,

@@ -186,4 +186,77 @@ object Pipeline {
        |       ELSE 'test' END AS split
        |FROM tk WHERE cum_tokens <= ${Sampling.TokensPerSource}
        |ORDER BY doc_id""".stripMargin
+
+  /** x73 — the CORPUS DATASHEET: the per-language summary a pipeline
+    * materializes alongside every corpus version (the "datasheets for
+    * datasets" practice, Gebru et al. 2021, arXiv:1803.09010 — and the
+    * first artifact anyone debugging a training run asks for): document
+    * and token volumes, source diversity, near-dup exposure, and the
+    * token-length distribution, per language plus an ALL rollup row.
+    *
+    * Shape: one corpus map (token count) + ONE left join against the
+    * memoized CC label dim (x28's guarded broadcast — dup fractions
+    * grow with the corpus) + ONE rollup aggregation, every agg
+    * map-side combinable except the exact median (sort-based
+    * percentile; at 100 TB swap for approx_percentile exactly as
+    * x38→x39 does — the datasheet tolerates sketch error, the oracle
+    * compare here does not). All counters are exact integers so the
+    * report is hash-reproducible; the median is the one double
+    * (deterministic: sort + midpoint interpolation, no float
+    * accumulation order). */
+  def corpusDatasheet(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val labels = Dedup.ccLabels(spark, sfDir)
+      .select($"id".as("doc_id"), $"label")
+    val bcast =
+      Dedup.ccLabelCount(spark, sfDir) <= Dedup.CcBroadcastMaxLabels
+    val dim = if (bcast) broadcast(labels) else labels
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"source",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .join(dim, Seq("doc_id"), "left")
+      .rollup($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        countDistinct($"source").as("n_sources"),
+        sum(when($"label".isNull, 0L).otherwise(1L)).as("n_dup_docs"),
+        min($"n_tokens").as("min_tokens"),
+        max($"n_tokens").as("max_tokens"),
+        expr("percentile(n_tokens, 0.5)").as("p50_tokens"))
+      .withColumn("lang", coalesce($"lang", lit("ALL")))
+      .orderBy($"lang")
+  }
+
+  /** Oracle: GROUP BY ROLLUP with the same exact-integer aggs; DuckDB's
+    * `median` over BIGINT interpolates the even-count midpoint like
+    * Spark's `percentile(_, 0.5)`. */
+  val corpusDatasheetSql: String =
+    s"""WITH RECURSIVE p AS (${Dedup.jaccardPairsSql}),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM p
+       |  UNION SELECT id_b, id_a FROM p
+       |), reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), comp AS (
+       |  SELECT a AS doc_id, MIN(b) AS label FROM reach GROUP BY a
+       |), d AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), j AS (
+       |  SELECT d.*, comp.label FROM d LEFT JOIN comp USING (doc_id)
+       |)
+       |SELECT COALESCE(lang, 'ALL') AS lang,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       |  CAST(SUM(CASE WHEN label IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_dup_docs,
+       |  MIN(n_tokens) AS min_tokens,
+       |  MAX(n_tokens) AS max_tokens,
+       |  CAST(quantile_cont(n_tokens, 0.5) AS DOUBLE) AS p50_tokens
+       |FROM j GROUP BY ROLLUP (lang)
+       |ORDER BY COALESCE(lang, 'ALL')""".stripMargin
 }

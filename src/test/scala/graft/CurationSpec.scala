@@ -441,6 +441,20 @@ class CurationSpec extends AnyFunSuite {
       "permutation degenerate: every shard in doc_id order")
   }
 
+  test("x73 datasheet: ALL row is the sum of language rows; dup count matches x17") {
+    import spark.implicits._
+    val rows = graft.ops.Pipeline.corpusDatasheet(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    val langs = rows.keySet - "ALL"
+    assert(langs.nonEmpty && rows.contains("ALL"))
+    assert(rows("ALL")._1 == langs.toSeq.map(rows(_)._1).sum, "n_docs rollup")
+    assert(rows("ALL")._2 == langs.toSeq.map(rows(_)._2).sum, "n_tokens rollup")
+    assert(rows("ALL")._3 == langs.toSeq.map(rows(_)._3).sum, "n_dup_docs rollup")
+    val dupDocs = graft.ops.Dedup.dupClusters(spark, sf).count()
+    assert(rows("ALL")._3 == dupDocs, "dup exposure must equal x17's label dim")
+  }
+
   test("x69 classifier scoring == clean-room reference; decision balanced") {
     import spark.implicits._
     // independent re-implementation of the whole scoring path: FNV-1a
