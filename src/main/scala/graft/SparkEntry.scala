@@ -126,6 +126,7 @@ object SparkEntry {
     "x71_leakage_free_split" -> (Sampling.leakageFreeSplit _),
     "x72_shuffle_shards"   -> (Sampling.shuffleShards _),
     "x73_corpus_datasheet" -> (Pipeline.corpusDatasheet _),
+    "x74_datasheet_approx" -> (Pipeline.corpusDatasheetApprox _),
     "x67_wav_pcm_stats"    -> (Multimodal.wavPcmStats _),
     "x68_png_pixel_stats"  -> (Multimodal.pngPixelStats _),
     "x42_repetition_filter" -> (TextAnalysis.repetitionFilter _),

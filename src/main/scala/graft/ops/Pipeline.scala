@@ -259,4 +259,38 @@ object Pipeline {
        |  CAST(quantile_cont(n_tokens, 0.5) AS DOUBLE) AS p50_tokens
        |FROM j GROUP BY ROLLUP (lang)
        |ORDER BY COALESCE(lang, 'ALL')""".stripMargin
+
+  /** x74 — the datasheet AT SCALE: same report shape as
+    * [[corpusDatasheet]] with the two non-mergeable aggregates swapped
+    * for their one-pass sketch forms — `approx_percentile` (t-digest)
+    * for the median, exactly the x38→x39 swap, and
+    * `approx_count_distinct` (HyperLogLog++) for source diversity,
+    * whose exact form under a rollup is the ONE expensive piece of x73
+    * at 100 TB (exact distinct expands every row per grouping set
+    * before the shuffle; the HLL sketch is fixed-size and merges).
+    * Engine-specific sketches → rows-only check; CurationSpec gates
+    * every column against exact x73 (counters identical, sketches
+    * within tolerance). */
+  def corpusDatasheetApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val labels = Dedup.ccLabels(spark, sfDir)
+      .select($"id".as("doc_id"), $"label")
+    val bcast =
+      Dedup.ccLabelCount(spark, sfDir) <= Dedup.CcBroadcastMaxLabels
+    val dim = if (bcast) broadcast(labels) else labels
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"source",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .join(dim, Seq("doc_id"), "left")
+      .rollup($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        approx_count_distinct($"source").as("n_sources"),
+        sum(when($"label".isNull, 0L).otherwise(1L)).as("n_dup_docs"),
+        min($"n_tokens").as("min_tokens"),
+        max($"n_tokens").as("max_tokens"),
+        expr("approx_percentile(n_tokens, 0.5, 10000)").as("p50_tokens"))
+      .withColumn("lang", coalesce($"lang", lit("ALL")))
+      .orderBy($"lang")
+  }
 }

@@ -455,6 +455,29 @@ class CurationSpec extends AnyFunSuite {
     assert(rows("ALL")._3 == dupDocs, "dup exposure must equal x17's label dim")
   }
 
+  test("x74 approx datasheet: counters exact, sketch columns within tolerance") {
+    def byLang(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6),
+          r.get(7).toString.toDouble)
+      }.toMap
+    val exact = byLang(graft.ops.Pipeline.corpusDatasheet(spark, sf))
+    val approx = byLang(graft.ops.Pipeline.corpusDatasheetApprox(spark, sf))
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (lang, e) =>
+      val a = approx(lang)
+      assert(a._1 == e._1 && a._2 == e._2 && a._4 == e._4 &&
+        a._5 == e._5 && a._6 == e._6, s"$lang: exact counters drifted")
+      // HLL++ at default rsd 0.05; fixture cardinalities are tiny so the
+      // sketch is near-exact, but the gate allows the documented error
+      assert(math.abs(a._3 - e._3) <= math.max(1L, (0.1 * e._3).toLong),
+        s"$lang: n_sources approx=${a._3} exact=${e._3}")
+      assert(math.abs(a._7 - e._7) <= math.max(1.0, 0.02 * e._7),
+        s"$lang: p50 approx=${a._7} exact=${e._7}")
+    }
+  }
+
   test("x69 classifier scoring == clean-room reference; decision balanced") {
     import spark.implicits._
     // independent re-implementation of the whole scoring path: FNV-1a

@@ -102,7 +102,7 @@ class RegistrySpec extends AnyFunSuite {
     val rowsOnly = Set("x01_approx_distinct", "x12_dedup_simhash",
       "x21_ann_lsh", "x22_ann_ivf", "x24_semantic_dedup_celled",
       "x25_ann_pq", "x26_ann_ivfpq", "x27_bloom_decontaminate",
-      "x39_quality_prune_approx",
+      "x39_quality_prune_approx", "x74_datasheet_approx",
       "x55_bpe_merges", "x56_bpe_tokenize", "x61_prototypicality")
     assert(q -- o == rowsOnly,
       s"undocumented rows-only queries: ${(q -- o -- rowsOnly).mkString(", ")}; " +
