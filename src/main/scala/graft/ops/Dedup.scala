@@ -1043,29 +1043,31 @@ object Dedup {
       Tables.spread(Tables.documents(spark, sfDir))
         .select(col("doc_id"), col("text")))
 
-  /** Core over any (doc_id, text) frame — spec entry for planted
-    * corpora. */
-  private[graft] def substringRewriteCore(spark: SparkSession,
-      docs0: DataFrame): DataFrame = {
+  /** All span occurrences (doc_id, pos, ng) of a frame carrying a
+    * PROJECTED words-array column `w` — shared by the batch rewrite and
+    * the streaming span index. */
+  private[graft] def gramsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val n = SpanNgramWidth
-    val docs = docs0.withColumn("w", split($"text", " "))
     val grams = when(size($"w") < n,
         array().cast("array<struct<pos:int,ng:string>>"))
       .otherwise(transform(sequence(lit(1), size($"w") - (n - 1)),
         i => struct(i.cast("int").as("pos"),
           concat_ws(" ", slice($"w", i, lit(n))).as("ng"))))
-    val g = docs.select($"doc_id", explode(grams).as("e"))
+    docs.select($"doc_id", explode(grams).as("e"))
       .select($"doc_id", $"e.pos".as("pos"), $"e.ng".as("ng"))
-    val freq = g.groupBy($"ng")
-      .agg(countDistinct($"doc_id").as("nd"),
-        min(occKey($"doc_id", $"pos")).as("first_key"))
-      .filter($"nd" >= 2)
-      .select($"ng", $"first_key")
-    val flagged = g.join(freq, "ng")
-      .filter(occKey($"doc_id", $"pos") =!= $"first_key")
-      .groupBy($"doc_id")
-      .agg(sort_array(collect_set($"pos")).as("fs"))
+  }
+
+  /** The rewrite projection shared by batch x70 and the streaming
+    * sibling: reassemble each doc of `docs` (with projected `w`) from
+    * the tokens no flagged start covers. `flagged` is (doc_id, fs) with
+    * fs a sorted int array of cut span starts (1-based). */
+  private[graft] def rewriteFromFlags(docs: DataFrame,
+      flagged: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = SpanNgramWidth
     val fsCol = coalesce($"fs", array().cast("array<int>"))
     val kept = filter($"w", (_, i) =>
       !exists(fsCol, s => s <= i + 1 && i + 1 < s + n))
@@ -1075,8 +1077,31 @@ object Dedup {
         coalesce(size($"fs"), lit(0)).cast("long").as("n_dup_occurrences"),
         (size($"w") - size(kept)).cast("long").as("n_removed"),
         concat_ws(" ", kept).as("clean_text"))
-      .orderBy($"doc_id")
   }
+
+  /** Core over any (doc_id, text) frame — spec entry for planted
+    * corpora. */
+  private[graft] def substringRewriteCore(spark: SparkSession,
+      docs0: DataFrame): DataFrame = {
+    import spark.implicits._
+    val docs = docs0.withColumn("w", split($"text", " "))
+    val g = gramsOf(docs)
+    val freq = g.groupBy($"ng")
+      .agg(countDistinct($"doc_id").as("nd"),
+        min(occKey($"doc_id", $"pos")).as("first_key"))
+      .filter($"nd" >= 2)
+      .select($"ng", $"first_key")
+    val flagged = g.join(freq, "ng")
+      .filter(occKey($"doc_id", $"pos") =!= $"first_key")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_set($"pos")).as("fs"))
+    rewriteFromFlags(docs, flagged).orderBy($"doc_id")
+  }
+
+  /** [[occKey]] for callers outside this file (the streaming sibling
+    * must rank within-batch occurrences identically). */
+  private[graft] def occKeyOf(docId: Column, pos: Column): Column =
+    occKey(docId, pos)
 
   /** Oracle: identical keep-first semantics, with the per-token
     * coverage test as a range LEFT JOIN (position j covered by flagged

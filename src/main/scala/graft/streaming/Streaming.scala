@@ -415,6 +415,115 @@ object Streaming {
       Array.emptyByteArray)
   }
 
+  /** x70 streaming sibling — incremental SUBSTRING dedup: the
+    * frequent-span problem at ingest. Each arriving batch is rewritten
+    * against the accumulated span index (every distinct 13-token span
+    * of every prior batch, append-only version slices like
+    * [[bandIndexUpdate]]'s): an occurrence is cut if its span was EVER
+    * seen before (history wins — the already-emitted first occurrence
+    * is immutable), or if it repeats across ≥2 distinct docs within
+    * the batch and is not the batch's first (batch x70's rule applied
+    * to the slice). Per-batch cost: batch grams × (index probe + one
+    * batch-local aggregation) — never history × history, and the index
+    * write is the batch's distinct spans only.
+    *
+    * Relation to batch x70, provable on doc_id-ordered waves: the
+    * stream's cut set is a SUBSET of batch x70's (every streamed cut
+    * has an earlier same-span occurrence, which batch flags too), with
+    * equality unless a span repeats WITHIN an early doc and only later
+    * crosses the doc boundary — the one case whose batch verdict
+    * (`cut the early doc's internal repeat`) would require rewriting
+    * already-emitted output, which streaming by definition cannot do.
+    * StreamingSpec pins exact equality on the fixture's range-split
+    * waves and the subset guarantee is structural. */
+  def spanIndexUpdate(dimDir: String, outDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    val spark = batch.sparkSession
+    // committed replay is a no-op (same reasoning as bandIndexUpdate)
+    if (Files.isRegularFile(Paths.get(s"$dimDir/v$batchId/_SUCCESS"))) return
+    val prior = modelVersions(dimDir).filter(_ < batchId)
+    requirePredecessorState(dimDir, batchId, prior)
+    val docs = batch.select(col("doc_id"), col("text"))
+      .withColumn("w", split(col("text"), " "))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = graft.ops.Dedup.gramsOf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val histHits =
+      if (prior.isEmpty)
+        g.select(col("doc_id"), col("pos")).limit(0)
+      else {
+        val hist = spark.read.parquet(
+          prior.map(p => s"$dimDir/v$p/spans"): _*)
+        g.join(hist, Seq("ng"), "left_semi").select(col("doc_id"), col("pos"))
+      }
+    val key = graft.ops.Dedup.occKeyOf(col("doc_id"), col("pos"))
+    val batchStats = g.groupBy(col("ng"))
+      .agg(countDistinct(col("doc_id")).as("nd"), min(key).as("first_key"))
+      .filter(col("nd") >= 2)
+    val batchCuts = g.join(batchStats, "ng")
+      .filter(key =!= col("first_key"))
+      .select(col("doc_id"), col("pos"))
+    val flagged = histHits.union(batchCuts).distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("fs"))
+    graft.ops.Dedup.rewriteFromFlags(docs, flagged)
+      .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+    // commit the span slice LAST, marker after both writes — readers
+    // gate output slices on the version marker (streamedRewrites)
+    g.select(col("ng")).distinct()
+      .write.mode("overwrite").parquet(s"$dimDir/v$batchId/spans")
+    g.unpersist(blocking = false)
+    docs.unpersist(blocking = false)
+    Files.write(Paths.get(s"$dimDir/v$batchId/_SUCCESS"),
+      Array.emptyByteArray)
+  }
+
+  /** Every committed batch's rewritten documents (the stream's output
+    * corpus so far). Slices gate on the `v<k>/_SUCCESS` marker exactly
+    * like [[streamedNearDupPairs]] — an output slice whose batch never
+    * committed is invisible. */
+  def streamedRewrites(spark: SparkSession, dimDir: String,
+      outDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val slices = Option(new java.io.File(outDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+      .filter(f => Files.isRegularFile(
+        Paths.get(s"$dimDir/v${f.getName.drop(1)}/_SUCCESS")))
+      .map(_.getPath)
+    if (slices.isEmpty)
+      spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("n_words"),
+          lit(0L).as("n_dup_occurrences"), lit(0L).as("n_removed"),
+          lit("").as("clean_text")).limit(0)
+    else spark.read.parquet(slices: _*)
+  }
+
+  /** Run the incremental substring dedup over a documents stream to
+    * completion (AvailableNow): maintains the span index under
+    * `dimDir`, emits per-batch rewritten docs under `outDir`. Same
+    * shared-lifecycle rule as [[buildBandIndex]]: a fresh checkpoint
+    * over an outDir holding a dead lineage's slices is refused. */
+  def buildSpanIndex(docs: DataFrame, dimDir: String, outDir: String,
+      ckptDir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dimDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    requireSharedLifecycle(dimDir, ckptDir)
+    val freshCkpt = !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ckptDir, "offsets"))
+    val staleSlices = Option(new java.io.File(outDir).listFiles())
+      .toSeq.flatten.exists(f => f.isDirectory && f.getName.matches("b\\d+"))
+    require(!(freshCkpt && staleSlices),
+      s"$outDir already holds rewrite slices from another stream " +
+        s"lineage but checkpoint $ckptDir is fresh — use a new out dir")
+    val q = docs.writeStream
+      .foreachBatch(spanIndexUpdate(dimDir, outDir) _)
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run the incremental near-dup dedup over a documents stream to
     * completion (AvailableNow): maintains the band index under
     * `dimDir`, emits per-batch verified pair slices under `pairsDir`. */

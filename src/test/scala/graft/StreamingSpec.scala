@@ -233,6 +233,55 @@ class StreamingSpec extends AnyFunSuite {
       "replay of a committed batch rewrote the survivor dim")
   }
 
+  test("incremental substring dedup: 2-wave rewrites == batch x70") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // RANGE-split waves (arrival order = doc_id order): the regime in
+    // which the streamed keep-first (history wins) coincides with batch
+    // x70's keep-first (min doc_id, pos) — see spanIndexUpdate scaladoc
+    val mid = docs.selectExpr("percentile(doc_id, 0.5)").collect()(0)
+      .getDouble(0).toLong
+    val landing = stageLanding("spn", Seq(
+      docs.filter($"doc_id" <= mid), docs.filter($"doc_id" > mid)))
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_spn_dim").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_spn_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_spn_ckpt").toString
+    Streaming.buildSpanIndex(
+      spark.readStream.schema(Streaming.documentsRawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(landing),
+      dimDir, outDir, ckpt)
+    val versions = new java.io.File(dimDir).listFiles()
+      .filter(_.getName.matches("v\\d+"))
+    assert(versions.length == 2, s"expected 2 micro-batches, got ${versions.toSeq}")
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_words", "n_dup_occurrences", "n_removed",
+        "clean_text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+    val streamed = rowSet(Streaming.streamedRewrites(spark, dimDir, outDir))
+    val batch = rowSet(graft.ops.Dedup.substringDedupRewrite(spark, sf))
+    assert(streamed.exists(_._4 > 0), "fixture must produce cross-wave cuts")
+    assert(streamed == batch,
+      "streamed substring rewrite diverged from batch x70")
+
+    // an output slice whose batch never committed must be invisible
+    Streaming.streamedRewrites(spark, dimDir, outDir)
+      .limit(1).write.mode("overwrite").parquet(s"$outDir/b99")
+    assert(rowSet(Streaming.streamedRewrites(spark, dimDir, outDir)) == batch,
+      "uncommitted rewrite slice leaked into the union")
+
+    // committed replay is a no-op even with a different frame
+    def snapshot(dir: String): Map[String, Long] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = snapshot(s"$outDir/b1")
+    assert(before.nonEmpty)
+    Streaming.spanIndexUpdate(dimDir, outDir)(
+      docs.filter($"doc_id" % 7 === 0), 1L)
+    assert(snapshot(s"$outDir/b1") == before,
+      "replayed committed batch rewrote its output slice")
+  }
+
   test("incremental near-dup dedup: 2-wave streamed pairs == batch x18") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
