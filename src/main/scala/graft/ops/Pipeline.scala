@@ -293,4 +293,174 @@ object Pipeline {
       .withColumn("lang", coalesce($"lang", lit("ALL")))
       .orderBy($"lang")
   }
+
+  /** x75 — pipeline v2, INGEST TO TRAINING ORDER: the modern-recipe
+    * composition of the round's classifier/substring/split/shuffle
+    * stages, complementing x66 (which chains the heuristic-era stages):
+    *
+    *   classifier admit (x69) → exact dedup (x10's keeper rule) →
+    *   substring rewrite over the survivors (x70) → leakage-free
+    *   split (x71, full-corpus CC labels) → shuffle-shard (x72)
+    *
+    * Composition semantics as in x66: every stage applies its
+    * standalone policy via SHARED CODE, each stage runs on the
+    * previous stage's survivors (the substring frequent-span dim is
+    * computed within the surviving slice — cut what survives, not what
+    * was already dropped), and corpus-level artifacts keep corpus
+    * scope (the CC label dim is the memoized full-corpus artifact,
+    * guarded broadcast as everywhere). The final (shard, pos) is
+    * ranked within (split, shard) so each split's shards are
+    * independently contiguous training files.
+    *
+    * Scale shape: one classifier map (no shuffle) → hash-groupBy on
+    * sha256 (shuffle ∝ kept rows) → x70's gram pipeline on the shrunk
+    * slice → guarded label join → shard window. Nothing here has a
+    * plan shape the standalone ops haven't carried through the 10×
+    * probe; every boundary shrinks the data first. */
+  def pipelineV2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    val docs = Tables.spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", $"lang", $"text")
+    // 1. classifier admission — x69's exact scoring path
+    val admitted = docs
+      .withColumn("w0", split($"text", " "))
+      .withColumn("feat_sum_micro",
+        TextAnalysis.classifierScoreMicro($"w0"))
+      .filter($"feat_sum_micro" > 0)
+      .select($"doc_id", $"lang", $"text", $"feat_sum_micro")
+    // 2. exact dedup — x10's keeper policy (min doc_id per sha256)
+    val keepers = admitted
+      .groupBy(sha2($"text", 256).as("h"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val exact = admitted.join(keepers, Seq("doc_id"), "left_semi")
+    // 3. substring rewrite within the surviving slice — x70's policy
+    val rewritten = Dedup.substringRewriteCore(spark,
+        exact.select($"doc_id", $"text"))
+      .select($"doc_id", $"n_removed", $"clean_text")
+    val surv = exact.join(rewritten, "doc_id")
+    // 4. leakage-free split — x71's representative-keyed assignment
+    //    over the memoized full-corpus label dim (guarded broadcast)
+    val labels = Dedup.ccLabels(spark, sfDir)
+      .select($"id".as("doc_id"), $"label")
+    val bcast =
+      Dedup.ccLabelCount(spark, sfDir) <= Dedup.CcBroadcastMaxLabels
+    val dim = if (bcast) broadcast(labels) else labels
+    val split8 = surv.join(dim, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce($"label", $"doc_id"))
+      .withColumn("split",
+        when($"rep" % 10 < 8, "train")
+          .when($"rep" % 10 === 8, "val")
+          .otherwise("test"))
+    // 5. shuffle-shard — x72's hash order, ranked within (split, shard)
+    val h = call_function("fnv1a64", $"doc_id".cast("string"))
+    val w = Window.partitionBy($"split", $"shard")
+      .orderBy($"ukey", $"doc_id")
+    split8
+      .withColumn("h", h)
+      .withColumn("shard", pmod($"h", lit(Sampling.ShuffleShards)).cast("int"))
+      .withColumn("ukey", $"h".bitwiseXOR(lit(Long.MinValue)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"doc_id", $"lang", $"feat_sum_micro", $"n_removed",
+        $"clean_text", $"split", $"shard", $"pos")
+      .orderBy($"split", $"shard", $"pos")
+  }
+
+  /** The composed v2 oracle: each stage's standalone oracle fragment
+    * chained in order — the x69 FNV word-scoring lambda as the
+    * admission WHERE, x10's sha keeper, x70's coverage-join rewrite on
+    * the surviving slice, the x17 recursive-CTE labels for the split
+    * key, and the x72 unsigned-FNV shard rank. */
+  val pipelineV2Sql: String = {
+    val wordByte =
+      "(strpos('0123456789ABCDEF', substr(hex(encode(x)), CAST(2*i+1 AS INT), 1))-1)*16" +
+        " + (strpos('0123456789ABCDEF', substr(hex(encode(x)), CAST(2*i+2 AS INT), 1))-1)"
+    val idByte =
+      "(strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1))-1)*16" +
+        " + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1))-1)"
+    val n = Dedup.SpanNgramWidth
+    s"""WITH RECURSIVE p AS (${Dedup.jaccardPairsSql}),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM p
+       |  UNION SELECT id_b, id_a FROM p
+       |), reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), comp AS (
+       |  SELECT a AS doc_id, MIN(b) AS label FROM reach GROUP BY a
+       |), adm AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(list_sum(list_transform(string_split(text, ' '), x ->
+       |      (CAST(list_reduce(
+       |         list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |           list_transform(range(0, octet_length(encode(x))),
+       |             i -> CAST($wordByte AS HUGEINT))),
+       |         (acc, y) -> (xor(acc, y) * 1099511628211)
+       |                       % CAST(18446744073709551616 AS HUGEINT))
+       |         % ${TextAnalysis.ClassifierBuckets} AS BIGINT)
+       |       * 2654435761) % 2000001 - 1000000
+       |    )) AS BIGINT) AS feat_sum_micro
+       |  FROM documents
+       |), kept AS (
+       |  SELECT * FROM adm WHERE feat_sum_micro > 0
+       |), kp AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY sha256(text)
+       |), ex AS (
+       |  SELECT kept.* FROM kept JOIN kp ON kept.doc_id = kp.doc_id
+       |), d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM ex
+       |), g AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos,
+       |    array_to_string(w[i:i+${n - 1}], ' ') AS ng
+       |  FROM d, unnest(range(1, len(w) - ${n - 2})) t(i)
+       |  WHERE len(w) >= $n
+       |), freq AS (
+       |  SELECT ng, MIN(doc_id * 1000000000 + pos) AS first_key
+       |  FROM g GROUP BY ng HAVING COUNT(DISTINCT doc_id) >= 2
+       |), fl AS (
+       |  SELECT g.doc_id, g.pos FROM g JOIN freq USING (ng)
+       |  WHERE g.doc_id * 1000000000 + g.pos <> freq.first_key
+       |), toks AS (
+       |  SELECT doc_id, CAST(j AS INT) AS j, w[CAST(j AS INT)] AS tok
+       |  FROM d, unnest(range(1, len(w) + 1)) t(j)
+       |), cov AS (
+       |  SELECT t.doc_id, t.j, t.tok, COUNT(f.pos) AS ncov
+       |  FROM toks t LEFT JOIN fl f
+       |    ON f.doc_id = t.doc_id AND f.pos <= t.j AND t.j < f.pos + $n
+       |  GROUP BY t.doc_id, t.j, t.tok
+       |), rew AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN ncov = 0 THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS n_removed,
+       |    COALESCE(string_agg(CASE WHEN ncov = 0 THEN tok END,
+       |                        ' ' ORDER BY j), '') AS clean_text
+       |  FROM cov GROUP BY doc_id
+       |), sp AS (
+       |  SELECT ex.doc_id, ex.lang, ex.feat_sum_micro,
+       |    COALESCE(rew.n_removed, 0) AS n_removed,
+       |    COALESCE(rew.clean_text, '') AS clean_text,
+       |    CASE WHEN COALESCE(comp.label, ex.doc_id) % 10 < 8 THEN 'train'
+       |         WHEN COALESCE(comp.label, ex.doc_id) % 10 = 8 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM ex LEFT JOIN rew ON ex.doc_id = rew.doc_id
+       |          LEFT JOIN comp ON ex.doc_id = comp.doc_id
+       |), fv AS (
+       |  SELECT sp.*, list_reduce(
+       |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |      list_transform(range(0, octet_length(encode(hx0))),
+       |        i -> CAST($idByte AS HUGEINT))),
+       |    (acc, x) -> (xor(acc, x) * 1099511628211)
+       |                  % CAST(18446744073709551616 AS HUGEINT)) AS fnvu
+       |  FROM (SELECT sp.*, CAST(doc_id AS VARCHAR) AS hx0,
+       |          hex(encode(CAST(doc_id AS VARCHAR))) AS hx FROM sp) sp
+       |)
+       |SELECT doc_id, lang, feat_sum_micro, n_removed, clean_text, split,
+       |  CAST(fnvu % ${Sampling.ShuffleShards} AS INT) AS shard,
+       |  CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY split, fnvu % ${Sampling.ShuffleShards}
+       |    ORDER BY fnvu, doc_id) AS BIGINT) AS pos
+       |FROM fv ORDER BY split, shard, pos""".stripMargin
+  }
 }
