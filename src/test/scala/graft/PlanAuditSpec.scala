@@ -115,6 +115,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(ivfpq).length >= 2, ivfpq.take(2000))
   }
 
+  test("round-9 ops: no cartesian/nested-loop anywhere; x69/x72 stay join-free") {
+    // the new family is all equi joins + windows; a cartesian or BNLJ
+    // sneaking in (e.g. the x70 freq join losing its key) is a corpus²
+    // regression at scale
+    Seq("x70" -> graft.ops.Dedup.substringDedupRewrite(spark, sf),
+        "x71" -> graft.ops.Sampling.leakageFreeSplit(spark, sf),
+        "x73" -> graft.ops.Pipeline.corpusDatasheet(spark, sf),
+        "x74" -> graft.ops.Pipeline.corpusDatasheetApprox(spark, sf),
+        "x75" -> graft.ops.Pipeline.pipelineV2(spark, sf))
+      .foreach { case (name, df) =>
+        val plan = formatted(df)
+        assert(!plan.contains("CartesianProduct"), s"$name\n${plan.take(1500)}")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name\n${plan.take(1500)}")
+      }
+    // x69 scoring and x72 sharding are pure map / map+window: any Join
+    // means the weight vector or hash fell out of the plan literals
+    val clf = formatted(graft.ops.TextAnalysis.qualityClassifier(spark, sf))
+    assert(!clf.contains("Join"), clf.take(2000))
+    val shrd = formatted(graft.ops.Sampling.shuffleShards(spark, sf))
+    assert(!shrd.contains("Join"), shrd.take(2000))
+  }
+
   test("ngram/line ops: the words split stays a projection, never in a lambda") {
     // an inlined split re-executes per lambda element in interpreted
     // HOF eval (O(words²) per doc — the x42 lesson, re-measured this
