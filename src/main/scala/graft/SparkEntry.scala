@@ -128,6 +128,7 @@ object SparkEntry {
     "x73_corpus_datasheet" -> (Pipeline.corpusDatasheet _),
     "x74_datasheet_approx" -> (Pipeline.corpusDatasheetApprox _),
     "x75_pipeline_v2"      -> (Pipeline.pipelineV2 _),
+    "x76_decontam_rewrite" -> (Dedup.decontaminateRewrite _),
     "x67_wav_pcm_stats"    -> (Multimodal.wavPcmStats _),
     "x68_png_pixel_stats"  -> (Multimodal.pngPixelStats _),
     "x42_repetition_filter" -> (TextAnalysis.repetitionFilter _),
@@ -317,6 +318,7 @@ object SparkEntry {
     "x72_shuffle_shards"     -> Sampling.shuffleShardsSql,
     "x73_corpus_datasheet"   -> Pipeline.corpusDatasheetSql,
     "x75_pipeline_v2"        -> Pipeline.pipelineV2Sql,
+    "x76_decontam_rewrite"   -> Dedup.decontaminateRewriteSql,
     "x67_wav_pcm_stats"     -> Multimodal.wavPcmStatsSql,
     "x68_png_pixel_stats"   -> Multimodal.pngPixelStatsSql,
     "x42_repetition_filter" -> TextAnalysis.repetitionFilterSql,

@@ -1103,6 +1103,92 @@ object Dedup {
   private[graft] def occKeyOf(docId: Column, pos: Column): Column =
     occKey(docId, pos)
 
+  /** x76 — DECONTAMINATION REWRITE, the surgical form of x19/x47:
+    * instead of dropping a contaminated training document wholesale
+    * (x19's flag) or merely reporting the shared spans (x47's audit),
+    * cut every verbatim [[SpanNgramWidth]]-token benchmark span OUT of
+    * the training text and keep the rest — the remove-the-leak-keep-
+    * the-document policy, which preserves training mass that doc-level
+    * decontamination throws away (a 2000-word doc quoting one
+    * benchmark sentence loses 13 tokens, not 2000). Coverage unions
+    * overlapping benchmark spans exactly as x70's rewrite does; a doc
+    * that is pure benchmark text rewrites to empty rather than
+    * surviving dedup by its unshared tokens.
+    *
+    * Shape: bench per-doc distinct spans (tiny slice → broadcast-able
+    * dim, x47's reasoning) semi-joined against ALL train gram
+    * positions (shuffle ∝ train token positions, the x70 price), then
+    * the shared flagged-starts rewrite — no second corpus shuffle. */
+  def decontaminateRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val all = Tables.spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", $"text")
+    decontaminateRewriteCore(
+      all.filter($"doc_id" % 17 =!= 0),
+      all.filter($"doc_id" % 17 === 0)).orderBy($"doc_id")
+  }
+
+  /** Core over any (train, bench) doc frames — spec entry. */
+  private[graft] def decontaminateRewriteCore(train0: DataFrame,
+      bench0: DataFrame): DataFrame = {
+    val spark = train0.sparkSession
+    import spark.implicits._
+    val train = train0.withColumn("w", split($"text", " "))
+    val benchSpans = gramsOf(bench0.withColumn("w", split($"text", " ")))
+      .select($"ng").distinct()
+    val flagged = gramsOf(train)
+      .join(broadcast(benchSpans), Seq("ng"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_set($"pos")).as("fs"))
+    rewriteFromFlags(train, flagged)
+      .select($"doc_id", $"n_words",
+        $"n_dup_occurrences".as("n_contam_occurrences"),
+        $"n_removed", $"clean_text")
+  }
+
+  /** Oracle: x47's bench/train split + x70's coverage-join rewrite,
+    * with the flag set being every train position of a bench span. */
+  val decontaminateRewriteSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), g AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos,
+       |    array_to_string(w[i:i+${SpanNgramWidth - 1}], ' ') AS ng
+       |  FROM d, unnest(range(1, len(w) - ${SpanNgramWidth - 2})) t(i)
+       |  WHERE len(w) >= $SpanNgramWidth
+       |), bs AS (
+       |  SELECT DISTINCT ng FROM g WHERE doc_id % 17 = 0
+       |), fl AS (
+       |  SELECT g.doc_id, g.pos FROM g JOIN bs USING (ng)
+       |  WHERE g.doc_id % 17 <> 0
+       |), toks AS (
+       |  SELECT doc_id, CAST(j AS INT) AS j, w[CAST(j AS INT)] AS tok
+       |  FROM d, unnest(range(1, len(w) + 1)) t(j)
+       |  WHERE doc_id % 17 <> 0
+       |), cov AS (
+       |  SELECT t.doc_id, t.j, t.tok, COUNT(f.pos) AS ncov
+       |  FROM toks t LEFT JOIN fl f
+       |    ON f.doc_id = t.doc_id AND f.pos <= t.j
+       |       AND t.j < f.pos + $SpanNgramWidth
+       |  GROUP BY t.doc_id, t.j, t.tok
+       |), agg AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN ncov = 0 THEN 0 ELSE 1 END) AS n_removed,
+       |    COALESCE(string_agg(CASE WHEN ncov = 0 THEN tok END,
+       |                        ' ' ORDER BY j), '') AS clean_text
+       |  FROM cov GROUP BY doc_id
+       |), flc AS (
+       |  SELECT doc_id, COUNT(*) AS n_flagged FROM fl GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(flc.n_flagged, 0) AS BIGINT) AS n_contam_occurrences,
+       |  CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(a.clean_text, '') AS clean_text
+       |FROM d LEFT JOIN flc ON d.doc_id = flc.doc_id
+       |       LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |WHERE d.doc_id % 17 <> 0
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Oracle: identical keep-first semantics, with the per-token
     * coverage test as a range LEFT JOIN (position j covered by flagged
     * start s iff s ≤ j < s+13) instead of the HOF — an independent

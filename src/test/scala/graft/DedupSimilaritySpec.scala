@@ -795,4 +795,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out2(11L) == (0L, 0L, s"$over tail1"))
     assert(out2(12L) == (2L, 14L, "head1"))
   }
+
+  test("x76 planted corpus: bench spans cut from train, pure-bench doc empties") {
+    import spark.implicits._
+    val span = (1 to 13).map(i => s"b$i").mkString(" ")
+    val bench = Seq((100L, s"$span trailing benchmark words here"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"prefix words $span suffix words"),   // quotes the benchmark
+      (2L, "completely unrelated training text"), // untouched
+      (3L, span))                                 // pure benchmark text
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminateRewriteCore(train, bench)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == (17L, 1L, 13L, "prefix words suffix words"))
+    assert(out(2L) == (4L, 0L, 0L, "completely unrelated training text"))
+    assert(out(3L) == (13L, 1L, 13L, ""))
+    assert(out.size == 3, "bench docs must not appear in the output")
+  }
 }
