@@ -1038,10 +1038,13 @@ object Dedup {
     * index-aware `filter` HOF probing the flagged-start array — cost
     * O(len × flags) per doc, no second corpus shuffle. Docs with no
     * flagged span keep `clean_text == text` via the left join. */
-  def substringDedupRewrite(spark: SparkSession, sfDir: String): DataFrame =
+  def substringDedupRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     substringRewriteCore(spark,
       Tables.spread(Tables.documents(spark, sfDir))
         .select(col("doc_id"), col("text")))
+      .orderBy($"doc_id")
+  }
 
   /** All span occurrences (doc_id, pos, ng) of a frame carrying a
     * PROJECTED words-array column `w` — shared by the batch rewrite and
@@ -1080,7 +1083,9 @@ object Dedup {
   }
 
   /** Core over any (doc_id, text) frame — spec entry for planted
-    * corpora. */
+    * corpora and the x75 composition stage. UNORDERED: the public op
+    * adds the oracle-determinism sort, so composing pipelines don't
+    * pay a useless mid-plan SortExec. */
   private[graft] def substringRewriteCore(spark: SparkSession,
       docs0: DataFrame): DataFrame = {
     import spark.implicits._
@@ -1095,7 +1100,7 @@ object Dedup {
       .filter(occKey($"doc_id", $"pos") =!= $"first_key")
       .groupBy($"doc_id")
       .agg(sort_array(collect_set($"pos")).as("fs"))
-    rewriteFromFlags(docs, flagged).orderBy($"doc_id")
+    rewriteFromFlags(docs, flagged)
   }
 
   /** [[occKey]] for callers outside this file (the streaming sibling
