@@ -41,13 +41,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as nanos-long and truncate to microseconds
-    * (exactly what DuckDB's µs-native timestamps do on the same file). */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some fixture
+    * generations and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others —
+    * the generator's writer version decides. Adapt to what the footer
+    * actually says instead of assuming one: nanos read as long (the
+    * vectorized reader rejects NANOS) and truncate to µs, exactly what
+    * DuckDB's µs-native timestamps do on the same file; µs-NTZ cast to
+    * the session-zone instant (sessions here pin UTC, so the wall clock
+    * is preserved and matches DuckDB's naive read). The public column is
+    * always TimestampType either way. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          raw("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

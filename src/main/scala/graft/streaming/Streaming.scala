@@ -15,15 +15,24 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** events schema as stored (ts = parquet TIMESTAMP(NANOS) read as long
-    * via nanosAsLong, converted to microsecond timestamps downstream). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events schema as stored, with `ts` typed to match the fixture
+    * generation at hand (see [[graft.Tables.events]]): TIMESTAMP(NANOS)
+    * fixtures read `ts` as a nanos long via nanosAsLong; TIMESTAMP(MICROS,
+    * NTZ) fixtures read it as TimestampNTZ. The file stream source needs
+    * the schema up front, so probe the footer once through the batch
+    * reader (driver-side, metadata only — no data scan). */
+  private def eventsRawSchema(spark: SparkSession, sfDir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType =
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType), // nanos-long or µs-NTZ, per fixture
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
 
   /** Stage a single fixture file into a deterministic per-source /tmp
     * directory via symlink (the file-stream source requires a directory —
@@ -42,13 +51,19 @@ object Streaming {
     dir.toString
   }
 
-  /** S3-equivalent source: replay the events parquet as a file stream. */
+  /** S3-equivalent source: replay the events parquet as a file stream.
+    * The `ts` normalization mirrors [[graft.Tables.events]] so the
+    * streamed and batch frames are column-identical. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
+    val raw = spark.readStream
+      .schema(eventsRawSchema(spark, sfDir))
       .parquet(stagedStreamDir("events", sfDir, "events.parquet"))
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", raw("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** e01 streaming sibling: watermarked tumbling-window aggregation. */
