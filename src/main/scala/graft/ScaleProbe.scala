@@ -56,6 +56,9 @@ object ScaleProbe {
       // same contended-host survival settings as Bench/Verify
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "600s")
+      // pin UTC like every other entry point (Bench/Verify/SparkSuite):
+      // Tables.events' NTZ→TimestampType cast reads session-local instants
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warmup

@@ -60,7 +60,13 @@ object Tables {
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts",
           raw("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
+      // contract is nanos-as-long or µs-NTZ only; a silent pass-through
+      // here would mask a fixture/reader-config drift (e.g. NTZ inference
+      // disabled yielding TimestampType with a zone already applied) and
+      // shift every e-query window downstream. Fail loudly instead.
+      case other => sys.error(
+        s"events.ts: unexpected physical type $other (expected LongType " +
+          "nanos or TimestampNTZType micros — fixture or reader-config drift)")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")

@@ -254,6 +254,24 @@ object Similarity {
   private[graft] val IvfProbes = 2
   private val IvfLloydRounds = 3
 
+  /** Lloyd TRAINING is bounded to a deterministic hash-sample of at most
+    * ~[[TrainSampleCap]] vectors (standard IVF/PQ practice — FAISS trains
+    * coarse quantizers on a bounded sample as a matter of course):
+    * `pmod(xxhash64(vec_id), ⌈n/cap⌉) = 0` keeps every stride-th id with
+    * no rand() (identical across runs/executors/retries), and the per-
+    * round (cell, pos) mean + k×dim collect now scan/aggregate the
+    * SAMPLE, so no `.collect()` in the trainer path has a row count that
+    * grows with the corpus (the collect is ≤ min(k, sample)×dim rows,
+    * ≤ cap×dim). Full-corpus work stays map-only assignment/encode.
+    * Below the cap the sample IS the corpus — small fixtures and every
+    * existing spec train exactly as before. Sample-vs-full recall parity
+    * at two corpus sizes is pinned in DedupSimilaritySpec. */
+  private[graft] val TrainSampleCap: Long = 1L << 20
+  private[graft] def trainSampleOf(df: DataFrame, n: Long,
+      cap: Long = TrainSampleCap): DataFrame =
+    if (n <= cap) df
+    else df.filter(pmod(xxhash64(col("vec_id")), lit((n + cap - 1) / cap)) === 0)
+
   /** array<double> literal column. */
   private def litArr(c: Array[Double]): Column =
     array(c.map(lit).toIndexedSeq: _*)
@@ -359,37 +377,51 @@ object Similarity {
   }
 
   /** k-means coarse quantizer trained with a few Lloyd rounds from the
-    * seeded init. Per round: map-only assignment, then a (cell, pos)
-    * mean — one shuffle of n·dim skinny rows — and a k×dim driver
-    * collect (the centroid table IS a broadcast dimension; at 100 TB the
-    * trainer runs on a bounded sample — standard IVF practice — and the
-    * assignment pass stays map-only over the full corpus). Empty cells
-    * keep their previous centroid. */
+    * seeded init, over the BOUNDED [[trainSampleOf]] hash-sample (the
+    * full corpus below the cap). Per round: map-only assignment of the
+    * sample, then a (cell, pos) mean — one shuffle of ≤ cap·dim skinny
+    * rows — and a ≤ min(k, cap)×dim driver collect. The driver-held
+    * centroid ARRAY stays k×dim because that table IS the broadcast
+    * dimension every assignment/probe joins against (~200 MB at 100 M
+    * vectors, dim 64 — the broadcast budget, not a trainer artifact).
+    * The full corpus is never scanned by the trainer; assignment over it
+    * stays map-only in [[ivfIndex]]. Empty cells keep their previous
+    * (seeded) centroid. */
   private[graft] def ivfCentroidsOf(all: DataFrame, k: Int = 0,
-      rounds: Int = IvfLloydRounds): Array[Array[Double]] = {
+      rounds: Int = IvfLloydRounds,
+      sampleCap: Long = TrainSampleCap): Array[Array[Double]] = {
     val spark = all.sparkSession
     import spark.implicits._
-    // k = 0 (the default) sizes the quantizer from the corpus count —
-    // one cheap count on a memoized/persisted frame, paid once per index
-    val kk = if (k > 0) k else ivfCellCount(all.count())
+    // one cheap count on a memoized/persisted frame, paid once per index:
+    // sizes the quantizer (k = 0 default) AND decides the sample stride
+    val n = all.count()
+    val kk = if (k > 0) k else ivfCellCount(n)
     val dim = all.select(size($"v")).head.getInt(0)
     val literal = kk <= IvfMaxLiteralCells
-    var cents = ivfSeedCentroids(kk, dim)
-    for (_ <- 0 until rounds) {
-      val sums = assignCellsVia(all.select($"vec_id", $"v"), cents, literal)
-        .select($"cell", posexplode($"v").as(Seq("pos", "x")))
-        .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
-        .collect()
-      val next = Array.tabulate(kk)(i => cents(i).clone())
-      sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    val sampled = n > sampleCap
+    val train0 = trainSampleOf(all.select($"vec_id", $"v"), n, sampleCap)
+    // persist the sample iff the filter engaged: Lloyd re-reads it every
+    // round, and re-scanning the full corpus per round just to re-filter
+    // would forfeit the bound's whole I/O advantage
+    val train = if (sampled) train0.persist() else train0
+    try {
+      var cents = ivfSeedCentroids(kk, dim)
+      for (_ <- 0 until rounds) {
+        val sums = assignCellsVia(train, cents, literal)
+          .select($"cell", posexplode($"v").as(Seq("pos", "x")))
+          .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
+          .collect()
+        val next = Array.tabulate(kk)(i => cents(i).clone())
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        }
+        cents = next.map { c =>
+          val nn = math.sqrt(c.map(x => x * x).sum)
+          if (nn == 0) c else c.map(_ / nn)
+        }
       }
-      cents = next.map { c =>
-        val n = math.sqrt(c.map(x => x * x).sum)
-        if (n == 0) c else c.map(_ / n)
-      }
-    }
-    cents
+      cents
+    } finally if (sampled) { train.unpersist(); () }
   }
 
   /** Memoized per-(session, sfDir) centroid table — held in the shared
@@ -499,23 +531,30 @@ object Similarity {
     * m·k·(dim/m) = k·dim-double codebook collect is a bounded dimension,
     * like the IVF centroid table). Seeded init at the subvector scale
     * (unit full vector → E‖sv‖² = 1/m); empty codes keep their previous
-    * centroid. At 100 TB the trainer runs on a bounded sample (standard
-    * PQ practice) and encoding stays map-only over the full corpus. */
+    * centroid. Training scans only the bounded [[trainSampleOf]]
+    * hash-sample (standard PQ practice); encoding stays map-only over
+    * the full corpus in [[pqIndexOf]]. */
   private[graft] def pqCodebooksOf(all: DataFrame,
-      rounds: Int = PqLloydRounds): Array[Array[Array[Double]]] = {
+      rounds: Int = PqLloydRounds,
+      sampleCap: Long = TrainSampleCap): Array[Array[Array[Double]]] = {
     val spark = all.sparkSession
     import spark.implicits._
+    val n = all.count()
     val dim = all.select(size($"v")).head.getInt(0)
     val d = dim / PqSubspaces
     val rnd = new scala.util.Random(17)
     val compStd = 1.0 / math.sqrt(dim.toDouble)
     var books = Array.fill(PqSubspaces, PqCodes)(
       Array.fill(d)(rnd.nextGaussian() * compStd))
-    val subvecs = all
+    val sampled = n > sampleCap
+    val subvecs0 = trainSampleOf(all, n, sampleCap)
       .withColumn("vhat", transform($"v", _ / $"nrm"))
       .select(explode(pqSubvecs($"vhat", dim)).as("e"))
       .select($"e.s".as("s"), $"e.sv".as("sv"))
-    for (_ <- 0 until rounds) {
+    // persist iff the sample filter engaged — same rationale as the IVF
+    // trainer: Lloyd re-reads the sample once per round
+    val subvecs = if (sampled) subvecs0.persist() else subvecs0
+    try for (_ <- 0 until rounds) {
       val b = books // stable capture for the expression tree
       val codeCol = (0 until PqSubspaces).foldLeft(lit(-1)) { (acc, s) =>
         when($"s" === s, pqCodeOf($"sv", b(s))).otherwise(acc)
@@ -529,7 +568,7 @@ object Similarity {
         next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
       }
       books = next
-    }
+    } finally if (sampled) { subvecs.unpersist(); () }
     books
   }
 

