@@ -197,20 +197,51 @@ object Pipeline {
     * Shape: one corpus map (token count) + ONE left join against the
     * memoized CC label dim (x28's guarded broadcast — dup fractions
     * grow with the corpus) + ONE rollup aggregation, every agg
-    * map-side combinable except the exact median (sort-based
-    * percentile; at 100 TB swap for approx_percentile exactly as
-    * x38→x39 does — the datasheet tolerates sketch error, the oracle
-    * compare here does not). All counters are exact integers so the
-    * report is hash-reproducible; the median is the one double
-    * (deterministic: sort + midpoint interpolation, no float
-    * accumulation order). */
-  def corpusDatasheet(spark: SparkSession, sfDir: String): DataFrame = {
+    * map-side combinable except the median. All counters are exact
+    * integers so the report is hash-reproducible; the median is the one
+    * double (deterministic in both regimes).
+    *
+    * Median REGIME GATE (the same count-gated pattern as the CC label
+    * broadcast): up to [[DatasheetExactMedianMaxRows]] corpus rows the
+    * exact sort-based `percentile` runs (deterministic midpoint
+    * interpolation — what the DuckDB oracle compares hash-exact); above
+    * it the exact form's per-group sorted value buffer is the one
+    * unbounded-memory agg in the report, so the SAME column switches to
+    * `approx_percentile` (t-digest, fixed-size, mergeable — the x38→x39
+    * swap, applied automatically instead of by manual query choice).
+    * Both-regime parity is spec-pinned in CurationSpec; x74 stays the
+    * full sketch form (HLL source diversity too) for users who want the
+    * one-pass report at any size. */
+  def corpusDatasheet(spark: SparkSession, sfDir: String): DataFrame =
+    datasheetVia(spark, sfDir,
+      exactMedian = docCount(spark, sfDir) <= DatasheetExactMedianMaxRows)
+
+  /** Exact-median regime bound: 100M corpus rows keeps the largest
+    * per-group sorted buffer (the ALL rollup group = the whole corpus)
+    * around ~800 MB of longs spread across that group's sort — beyond
+    * it the t-digest sketch takes over. Fixtures sit far below, so the
+    * oracle always exercises the exact regime. */
+  private[graft] val DatasheetExactMedianMaxRows: Long = 100L * 1000 * 1000
+
+  /** Memoized corpus row count — one cheap count per (session, sfDir),
+    * shared by every regime gate that needs corpus magnitude. */
+  private[graft] def docCount(spark: SparkSession, sfDir: String): Long =
+    graft.Caches.memoValue(spark, s"doc-count:$sfDir") {
+      Tables.documents(spark, sfDir).count()
+    }
+
+  /** The datasheet in an explicit median regime (spec entry point). */
+  private[graft] def datasheetVia(spark: SparkSession, sfDir: String,
+      exactMedian: Boolean): DataFrame = {
     import spark.implicits._
     val labels = Dedup.ccLabels(spark, sfDir)
       .select($"id".as("doc_id"), $"label")
     val bcast =
       Dedup.ccLabelCount(spark, sfDir) <= Dedup.CcBroadcastMaxLabels
     val dim = if (bcast) broadcast(labels) else labels
+    val p50 =
+      if (exactMedian) expr("percentile(n_tokens, 0.5)")
+      else expr("approx_percentile(n_tokens, 0.5, 10000)").cast("double")
     Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang", $"source",
         size(split($"text", " ")).cast("long").as("n_tokens"))
@@ -222,7 +253,7 @@ object Pipeline {
         sum(when($"label".isNull, 0L).otherwise(1L)).as("n_dup_docs"),
         min($"n_tokens").as("min_tokens"),
         max($"n_tokens").as("max_tokens"),
-        expr("percentile(n_tokens, 0.5)").as("p50_tokens"))
+        p50.as("p50_tokens"))
       .withColumn("lang", coalesce($"lang", lit("ALL")))
       .orderBy($"lang")
   }

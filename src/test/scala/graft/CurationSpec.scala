@@ -455,6 +455,30 @@ class CurationSpec extends AnyFunSuite {
     assert(rows("ALL")._3 == dupDocs, "dup exposure must equal x17's label dim")
   }
 
+  test("x73 median regime gate: exact at fixture scale, approx regime within tolerance") {
+    // fixture sits far below the 100M-row bound → the registered query
+    // IS the exact regime (what the DuckDB oracle hash-matches)
+    assert(graft.ops.Pipeline.docCount(spark, sf) <=
+      graft.ops.Pipeline.DatasheetExactMedianMaxRows)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val registered = rowsOf(graft.ops.Pipeline.corpusDatasheet(spark, sf))
+    val exact = rowsOf(graft.ops.Pipeline.datasheetVia(spark, sf,
+      exactMedian = true))
+    assert(registered == exact, "gate did not pick the exact regime")
+    // the over-threshold regime: every exact counter identical, the one
+    // sketch column (t-digest median) within x74's tolerance
+    val approx = rowsOf(graft.ops.Pipeline.datasheetVia(spark, sf,
+      exactMedian = false))
+    assert(approx.map(_.take(7)) == exact.map(_.take(7)),
+      "approx regime drifted an exact counter")
+    exact.zip(approx).foreach { case (e, a) =>
+      val (ep, ap) = (e(7).toString.toDouble, a(7).toString.toDouble)
+      assert(math.abs(ap - ep) <= math.max(1.0, 0.02 * ep),
+        s"${e.head}: p50 approx=$ap exact=$ep")
+    }
+  }
+
   test("x74 approx datasheet: counters exact, sketch columns within tolerance") {
     def byLang(df: org.apache.spark.sql.DataFrame) =
       df.collect().map { r =>
