@@ -297,6 +297,8 @@ object SparkEntry {
     "x31_lang_id"           -> TextAnalysis.langIdSql,
     "x32_fingerprint"       -> TextAnalysis.fingerprintSql,
     "x33_fnv_fingerprint"   -> TextAnalysis.fnvFingerprintSql,
+    "x12_dedup_simhash"     -> Dedup.simhashPairsSql,
+    "x21_ann_lsh"           -> Similarity.lshTopKSql,
     "a03_pairs_generator"   -> Analytics.pairsViaGeneratorSql,
     "x34_pii_scrub"         -> TextAnalysis.piiScrubSql,
     "x35_top_ngrams"        -> TextAnalysis.topNgramsSql,

@@ -64,11 +64,13 @@ object CustomExprs {
 
   /** 64-bit SimHash fingerprint of a space-separated text as ONE codegen'd
     * map-side expression (x12's signature stage). Semantics are exactly
-    * the relational formulation it replaces — xxhash64(word, seed 42) per
-    * non-empty word, ±1 vote per bit, bit set iff votes > 0 — but with no
-    * word explode and no 64-column aggregate: at 100 TB the signature
-    * stage becomes a pure map over documents instead of a words-sized
-    * shuffle. */
+    * the relational formulation it replaces — fnv1a64(word) per non-empty
+    * word, ±1 vote per bit, bit set iff votes > 0 — but with no word
+    * explode and no 64-column aggregate: at 100 TB the signature stage
+    * becomes a pure map over documents instead of a words-sized shuffle.
+    * The word-hash family is FNV-1a (not xxhash64) so the whole x12
+    * pipeline is integer arithmetic a DuckDB oracle replays bit-exactly
+    * — the same reasoning that made x33 hash-checkable. */
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
@@ -181,11 +183,12 @@ object ExprImpl {
     s
   }
 
-  /** SimHash-64 over space-separated words: xxhash64 (seed 42, matching
-    * Spark's `xxhash64` built-in) per non-empty word hashed straight off
-    * the UTF8String bytes (0x20 never occurs inside a UTF-8 multibyte
-    * sequence, so byte-level splitting is exact), ±1 vote per bit, bit
-    * set iff votes > 0. Zero allocations per row beyond the vote array. */
+  /** SimHash-64 over space-separated words: fnv1a64 per non-empty word
+    * hashed straight off the UTF8String bytes (0x20 never occurs inside
+    * a UTF-8 multibyte sequence, so byte-level splitting is exact), ±1
+    * vote per bit, bit set iff votes > 0. Zero allocations per row
+    * beyond the vote array. FNV-1a as the word-hash family keeps x12
+    * DuckDB-replayable (x33's recurrence per word). */
   def simhash64(s: UTF8String): Long = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
@@ -197,8 +200,7 @@ object ExprImpl {
       if (i == n ||
           org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
         if (i > start) {
-          val h = org.apache.spark.sql.catalyst.expressions.XXH64
-            .hashUnsafeBytes(base, off + start, i - start, 42L)
+          val h = fnv1a64Range(base, off + start, i - start)
           var j = 0
           while (j < 64) {
             if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -216,6 +218,19 @@ object ExprImpl {
       j += 1
     }
     sim
+  }
+
+  /** FNV-1a 64 over an unsafe byte range — allocation-free word-hash
+    * core shared by [[simhash64]]'s splitter. */
+  private def fnv1a64Range(base: AnyRef, off: Long, len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < len) {
+      h ^= (org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
   }
 
   /** FNV-1a 64-bit over UTF-8 bytes — an order-sensitive rolling

@@ -264,8 +264,11 @@ object Dedup {
   }
 
   /** x12 — SimHash near-dup: 64-bit sign-vote over word hashes, blocked by
-    * 8×8-bit chunks, hamming ≤ 6 verified with bit_count(xor). Rows-only
-    * check (the hash family is engine-specific by design).
+    * 8×8-bit chunks, hamming ≤ 6 verified with bit_count(xor). HASH-checked
+    * since round 10: the word-hash family is FNV-1a, so the oracle replays
+    * the whole pipeline — per-word byte recurrence (x33's HUGEINT replay,
+    * applied per word), ±1 bit votes, signed signature assembly, chunk
+    * blocking, hamming verify — as pure integer SQL in DuckDB.
     *
     * The signature stage is the custom codegen'd [[graft.functions
     * .CustomExprs.SimHash64]] expression — a pure map over documents. The
@@ -296,10 +299,11 @@ object Dedup {
     * reference implementation for the spec's expression≡aggregate gate. */
   def simhashSigsViaAgg(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
     val words = Tables.spread(Tables.documents(spark, sfDir))
       .select($"doc_id", explode(split($"text", " ")).as("w"))
       .filter($"w" =!= "")
-      .withColumn("h", xxhash64($"w"))
+      .withColumn("h", call_function("fnv1a64", $"w"))
     val bitVotes = (0 until 64).map { j =>
       sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
         .as(s"v$j")
@@ -331,6 +335,60 @@ object Dedup {
       .filter($"hamming" <= 6)
       .select($"id_a", $"id_b", $"hamming")
       .orderBy($"id_a", $"id_b")
+  }
+
+  /** x12's oracle: the FNV-1a word hash, sign-vote signature, chunk
+    * blocking and hamming verify replayed as integer SQL. Signature
+    * assembly sums distinct powers of two in signed BIGINT (bit 63 added
+    * as Long.MinValue — `1 << 63` would overflow); chunk extraction and
+    * xor/bit_count then run on the same signed 64-bit values Spark holds,
+    * where arithmetic-shift-then-mask equals logical-shift-then-mask. */
+  val simhashPairsSql: String = {
+    val byteAt =
+      "(strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1))-1)*16" +
+        " + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1))-1)"
+    s"""WITH w0 AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+       |), w AS (
+       |  SELECT doc_id, hex(encode(word)) AS hx,
+       |    octet_length(encode(word)) AS len
+       |  FROM w0 WHERE word <> ''
+       |), wf AS (
+       |  SELECT doc_id, list_reduce(
+       |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |      list_transform(range(0, len), i -> CAST($byteAt AS HUGEINT))),
+       |    (acc, x) -> (xor(acc, x) * 1099511628211)
+       |                  % CAST(18446744073709551616 AS HUGEINT)) AS hu
+       |  FROM w
+       |), hb AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+       |      THEN hu - CAST(18446744073709551616 AS HUGEINT)
+       |      ELSE hu END AS BIGINT) AS h
+       |  FROM wf
+       |), v AS (
+       |  SELECT doc_id, j,
+       |    SUM(CASE WHEN ((h >> CAST(j AS INT)) & 1) = 1 THEN 1 ELSE -1 END)
+       |      AS vote
+       |  FROM hb, range(0, 64) t(j) GROUP BY doc_id, j
+       |), sig AS (
+       |  SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN
+       |      CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+       |           ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END
+       |    ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM v GROUP BY doc_id
+       |), ck AS (
+       |  SELECT doc_id, simhash, c, (simhash >> CAST(8*c AS INT)) & 255 AS cv
+       |  FROM sig, range(0, 8) t(c)
+       |), p AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM ck a JOIN ck b
+       |    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM p WHERE bit_count(xor(sa, sb)) <= 6
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Connected components via alternating large-star/small-star (the

@@ -185,9 +185,59 @@ object Similarity {
     * sketch score (`ntile(3)`), and fetch full vectors ONLY for those
     * candidates via an equi join for exact cosine rescoring. Measured
     * recall@5 ≈ 0.88 at exactly 1/3 full-vector scan (gate 0.8 in
-    * DedupSimilaritySpec). Rows-only driver check (approximate by design). */
+    * DedupSimilaritySpec). HASH-checked since round 10: approximate
+    * relative to exact top-k, but fully deterministic given the seeded
+    * planes — [[lshTopKSql]] inlines the plane constants and replays
+    * sketch, ntile candidate cut and exact rescore in DuckDB. */
   def lshTopK(spark: SparkSession, sfDir: String): DataFrame =
     lshTopKOf(corpus(spark, sfDir), 8, 5)
+
+  /** x21's oracle: the seeded projection family inlined as literal
+    * plane vectors (Double.toString round-trips through DuckDB's
+    * parser), then the same sketch → ntile(3) top-third → exact-rescore
+    * arithmetic. The approx score Σₚ skₓ[p]·sk_q[p] is summed by a
+    * per-plane join + SUM group — float addition order differs from the
+    * engine's sequential dot, but candidate membership is decided by an
+    * ORDER BY over scores separated far beyond double round-off on this
+    * fixture (and rank comes from the exact rescore, the same arithmetic
+    * x20's hash-green oracle already trusts). */
+  def lshTopKSql: String = {
+    val planeRows = sketchPlanes.zipWithIndex.map { case (p, i) =>
+      p.map(_.toString).mkString(s"($i, [", ", ", "])")
+    }.mkString(",\n       ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+       |), pl(p, w) AS (VALUES
+       |  $planeRows),
+       |proj AS (
+       |  SELECT vec_id, p,
+       |    list_dot_product(v, CAST(w AS DOUBLE[])) / nrm AS pr
+       |  FROM n, pl
+       |), ap AS (
+       |  SELECT q.vec_id AS query_id, x.vec_id AS vec_id,
+       |    SUM(x.pr * q.pr) AS approx
+       |  FROM proj x JOIN proj q USING (p)
+       |  WHERE q.vec_id < 8 AND x.vec_id <> q.vec_id
+       |  GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      NTILE(3) OVER (PARTITION BY query_id
+       |        ORDER BY approx DESC, vec_id ASC) AS tile
+       |    FROM ap) WHERE tile = 1
+       |), scored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |      ORDER BY list_cosine_similarity(x.v, q.v) DESC, c.vec_id ASC)
+       |      AS rank
+       |  FROM cand c
+       |  JOIN e x ON x.vec_id = c.vec_id
+       |  JOIN e q ON q.vec_id = c.query_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+       |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   private[graft] def lshTopKOf(all: DataFrame, nQueries: Int,
       topK: Int): DataFrame = {

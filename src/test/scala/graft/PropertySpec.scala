@@ -82,9 +82,7 @@ class PropertySpec extends AnyFunSuite {
       val got = graft.functions.ExprImpl.simhash64(UTF8String.fromString(s))
       val votes = new Array[Int](64)
       s.split(" ").filter(_.nonEmpty).foreach { w =>
-        val u = UTF8String.fromString(w)
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        val h = graft.functions.ExprImpl.fnv1a64(UTF8String.fromString(w))
         (0 until 64).foreach { j =>
           if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
         }

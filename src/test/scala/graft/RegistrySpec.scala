@@ -99,8 +99,11 @@ class RegistrySpec extends AnyFunSuite {
     // Queries with no DuckDB oracle get only the driver's weaker
     // rows-only check — each needs an equivalence/recall/tolerance gate
     // in the test suites, so the set is a closed, documented manifest.
-    val rowsOnly = Set("x01_approx_distinct", "x12_dedup_simhash",
-      "x21_ann_lsh", "x22_ann_ivf", "x24_semantic_dedup_celled",
+    // x12 and x21 left this set in round 10: x12's word hash moved to
+    // FNV-1a (pipeline = pure integer SQL), x21 inlines its seeded
+    // planes — both now replay end-to-end in DuckDB.
+    val rowsOnly = Set("x01_approx_distinct",
+      "x22_ann_ivf", "x24_semantic_dedup_celled",
       "x25_ann_pq", "x26_ann_ivfpq", "x27_bloom_decontaminate",
       "x39_quality_prune_approx", "x74_datasheet_approx",
       "x55_bpe_merges", "x56_bpe_tokenize", "x61_prototypicality")
