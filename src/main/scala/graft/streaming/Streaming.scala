@@ -514,6 +514,103 @@ object Streaming {
     else spark.read.parquet(slices: _*)
   }
 
+  /** x76 streaming sibling — incremental DECONTAMINATION REWRITE over a
+    * train-documents stream against a STATIC benchmark span dim.
+    *
+    * The structural difference from the x70 sibling above: benchmarks
+    * are a fixed artifact, so the dim never grows and each micro-batch
+    * depends ONLY on its own docs plus the dim — probe (left-semi on
+    * the exact span string, x47's no-hash-collision reasoning), flag
+    * starts, rewrite (shared [[graft.ops.Dedup.rewriteFromFlags]]),
+    * write the slice. Streamed output therefore equals batch x76
+    * EXACTLY on ANY wave split (no keep-first cross-batch coupling),
+    * and no version chain is needed: the parquet committer's _SUCCESS
+    * inside each `b<k>` slice is the single commit point (x70's
+    * separate `v<k>` marker exists only to make its TWO per-batch
+    * artifacts atomic — here there is one), and a foreachBatch replay
+    * of a torn slice overwrites it byte-identically.
+    *
+    * At 100 TB: per-batch cost is batch grams × one broadcast-dim
+    * probe — the x18 band-index property (work ∝ increment, never ∝
+    * history), with an even stronger guarantee because the dim is
+    * constant. */
+  def benchSpanDim(bench: DataFrame, dimDir: String): Unit =
+    graft.ops.Dedup.gramsOf(
+        bench.select(col("doc_id"), col("text"))
+          .withColumn("w", split(col("text"), " ")))
+      .select(col("ng")).distinct()
+      .write.mode("overwrite").parquet(s"$dimDir/spans")
+
+  /** One micro-batch of the decontamination rewrite (foreachBatch
+    * body). Committed replay short-circuits on the slice's own
+    * _SUCCESS. */
+  def decontamRewriteUpdate(dimDir: String, outDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    if (Files.isRegularFile(Paths.get(s"$outDir/b$batchId/_SUCCESS"))) return
+    val spark = batch.sparkSession
+    // bench spans are tiny relative to any training corpus (x47's
+    // broadcast reasoning, same as batch x76's core)
+    val dim = broadcast(spark.read.parquet(s"$dimDir/spans"))
+    val docs = batch.select(col("doc_id"), col("text"))
+      .withColumn("w", split(col("text"), " "))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val flagged = graft.ops.Dedup.gramsOf(docs)
+      .join(dim, Seq("ng"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("fs"))
+    graft.ops.Dedup.rewriteFromFlags(docs, flagged)
+      .select(col("doc_id"), col("n_words"),
+        col("n_dup_occurrences").as("n_contam_occurrences"),
+        col("n_removed"), col("clean_text"))
+      .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+    docs.unpersist(blocking = false)
+  }
+
+  /** Run the incremental decontamination rewrite to completion
+    * (AvailableNow). The bench dim must already exist ([[benchSpanDim]]
+    * — it is lifecycle-independent precisely because it is static);
+    * the fresh-checkpoint-vs-stale-slices guard mirrors
+    * [[buildSpanIndex]]. */
+  def buildDecontamRewrites(train: DataFrame, dimDir: String,
+      outDir: String, ckptDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    require(Files.exists(Paths.get(s"$dimDir/spans")),
+      s"bench span dim missing under $dimDir — run benchSpanDim first")
+    Files.createDirectories(Paths.get(outDir))
+    val freshCkpt = !Files.exists(Paths.get(ckptDir, "offsets"))
+    val staleSlices = Option(new java.io.File(outDir).listFiles())
+      .toSeq.flatten.exists(f => f.isDirectory && f.getName.matches("b\\d+"))
+    require(!(freshCkpt && staleSlices),
+      s"$outDir already holds rewrite slices from another stream " +
+        s"lineage but checkpoint $ckptDir is fresh — use a new out dir")
+    val q = train.writeStream
+      .foreachBatch(decontamRewriteUpdate(dimDir, outDir) _)
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Every committed batch's decontaminated documents. A slice is
+    * committed iff its own parquet _SUCCESS exists (see
+    * [[decontamRewriteUpdate]] — the slice is this sibling's single
+    * per-batch artifact). */
+  def streamedDecontamRewrites(spark: SparkSession,
+      outDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val slices = Option(new java.io.File(outDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+      .filter(f => Files.isRegularFile(Paths.get(s"${f.getPath}/_SUCCESS")))
+      .map(_.getPath)
+    if (slices.isEmpty)
+      spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("n_words"),
+          lit(0L).as("n_contam_occurrences"), lit(0L).as("n_removed"),
+          lit("").as("clean_text")).limit(0)
+    else spark.read.parquet(slices: _*)
+  }
+
   /** Run the incremental substring dedup over a documents stream to
     * completion (AvailableNow): maintains the span index under
     * `dimDir`, emits per-batch rewritten docs under `outDir`. Same

@@ -282,6 +282,62 @@ class StreamingSpec extends AnyFunSuite {
       "replayed committed batch rewrote its output slice")
   }
 
+  test("incremental decontamination rewrite: 2-wave streamed == batch x76") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // the SAME train/bench split as batch x76 (bench = doc_id % 17 == 0);
+    // an arbitrary mid-split of the train slice — equality must hold on
+    // ANY wave split because the bench dim is static (no cross-batch
+    // keep-first coupling, unlike x70's sibling)
+    val bench = docs.filter($"doc_id" % 17 === 0)
+    val train = docs.filter($"doc_id" % 17 =!= 0)
+    val mid = train.selectExpr("percentile(doc_id, 0.5)").collect()(0)
+      .getDouble(0).toLong
+    val landing = stageLanding("dcr", Seq(
+      train.filter($"doc_id" <= mid), train.filter($"doc_id" > mid)))
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dcr_dim").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_dcr_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dcr_ckpt").toString
+    Streaming.benchSpanDim(bench, dimDir)
+    Streaming.buildDecontamRewrites(
+      spark.readStream.schema(Streaming.documentsRawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(landing),
+      dimDir, outDir, ckpt)
+    // it really ran incrementally: two committed output slices
+    val slices = new java.io.File(outDir).listFiles()
+      .filter(_.getName.matches("b\\d+"))
+    assert(slices.length == 2, s"expected 2 slices, got ${slices.toSeq}")
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_words", "n_contam_occurrences", "n_removed",
+        "clean_text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+    val streamed = rowSet(Streaming.streamedDecontamRewrites(spark, outDir))
+    val batch = rowSet(graft.ops.Dedup.decontaminateRewrite(spark, sf))
+    assert(streamed.exists(_._3 > 0), "fixture must produce real contam cuts")
+    assert(streamed == batch,
+      s"streamed decontam rewrite diverged from batch x76: " +
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+
+    // a slice without its _SUCCESS marker (torn write) must be invisible
+    Streaming.streamedDecontamRewrites(spark, outDir)
+      .limit(1).write.mode("overwrite").parquet(s"$outDir/b99")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$outDir/b99/_SUCCESS"))
+    assert(rowSet(Streaming.streamedDecontamRewrites(spark, outDir)) == batch,
+      "torn rewrite slice leaked into the union")
+
+    // committed replay is a no-op even with a different frame
+    def snapshot(dir: String): Map[String, Long] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = snapshot(s"$outDir/b1")
+    assert(before.nonEmpty)
+    Streaming.decontamRewriteUpdate(dimDir, outDir)(
+      docs.filter($"doc_id" % 7 === 0), 1L)
+    assert(snapshot(s"$outDir/b1") == before,
+      "replayed committed batch rewrote its output slice")
+  }
+
   test("incremental near-dup dedup: 2-wave streamed pairs == batch x18") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
