@@ -672,10 +672,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
-  test("frame sampling: mapPartitions plumbing equals expression form") {
-    val a = Multimodal.frameSample(spark, sf).collect().map(_.toSeq)
-    val b = Multimodal.frameSampleViaMapPartitions(spark, sf).collect().map(_.toSeq)
-    assert(a.toSeq == b.toSeq)
+  test("x41 frame features: image/audio stripes measured from real decode") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rows = Multimodal.frameSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent recompute for one image doc and one audio doc: stripe
+    // means over payload bytes (image: zero-padded to full scanlines)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def stripeMeans(bytes: Array[Int], L: Long, nf: Long): Seq[Long] =
+      (0L until nf).map { f =>
+        val s = (f * L / nf).toInt; val e = ((f + 1) * L / nf).toInt
+        if (e <= s) 0L
+        else (s until e).map(i => if (i < bytes.length) bytes(i).toLong else 0L)
+          .sum / (e - s)
+      }
+    val imgId = docs.keys.filter(d => d % 3 == 0 && docs(d).nonEmpty).min
+    val pay = docs(imgId).getBytes("UTF-8").map(_ & 0xff)
+    val rowBytes = (8 + imgId % 24) * Array(1, 3, 4)(((imgId / 3) % 3).toInt)
+    val L = math.max(1, (pay.length + rowBytes - 1) / rowBytes) * rowBytes
+    val expectImg = stripeMeans(pay, L, 1L + pay.length % 8)
+    assert(rows.filter(_._1 == imgId).sortBy(_._2).map(_._3).toSeq == expectImg,
+      s"image doc $imgId frame features diverged from pixel recompute")
+    val audId = docs.keys.filter(d => d % 3 == 1 && docs(d).nonEmpty).min
+    val apay = docs(audId).getBytes("UTF-8").map(_ & 0xff)
+    val expectAud = stripeMeans(apay, apay.length.toLong, 1L + apay.length % 8)
+    assert(rows.filter(_._1 == audId).sortBy(_._2).map(_._3).toSeq == expectAud,
+      s"audio doc $audId frame features diverged from PCM recompute")
+    // video rows keep the documented stub arithmetic
+    val vidId = docs.keys.filter(_ % 3 == 2).min
+    val vlen = docs(vidId).getBytes("UTF-8").length.toLong
+    assert(rows.filter(_._1 == vidId).sortBy(_._2).map(_._3).toSeq ==
+      (0L until (1L + vlen % 8)).map(f => (vlen * 7 + f * 13) % 256),
+      s"video doc $vidId stub features diverged")
   }
 
   test("ccStars: 64-node path converges in O(log n) rounds, not O(diameter)") {
