@@ -1040,17 +1040,21 @@ object TextAnalysis {
     * artifact a tokenizer ships.
     *
     * Scale shape: the ONLY corpus-sized pass is the initial word count;
-    * every round after runs on the (word, freq) VOCABULARY dim, which
-    * is Heaps-law bounded (this is how production BPE trainers work —
-    * they train on word counts, not the raw stream). Per round: one
-    * pair-count aggregation over the vocab dim, a 1-row argmax collect,
-    * and a map-only merge application (UDF on the bounded dim — the
-    * same confinement rule as the NLP fuzzy tier); localCheckpoint per
-    * round truncates the growing lineage (the x17 lesson). The merge
-    * loop is driver-orchestrated like ccStars/Lloyd — bounded rounds,
-    * k-row collects only. Iterative argmax is not SQL-expressible →
-    * rows-only driver check; CurationSpec pins the merge table against
-    * a clean-room single-machine reference run, plus invariants. */
+    * everything after runs on the (word, freq) VOCABULARY dim, which is
+    * Heaps-law bounded (this is how production BPE trainers work — they
+    * train on word counts, not the raw stream). Since round 10 the
+    * trainer is REGIME-GATED ([[bpeTrain]]): a dim under
+    * [[BpeLocalTrainMaxWords]] is collected once and the merge loop
+    * runs on the driver — zero Spark jobs per round, the
+    * production-standard single-node trainer; a larger dim runs the
+    * distributed loop with BATCHED top-m symbol-disjoint merge
+    * selection ([[bpeTrainBatched]]) — ~batch-size× fewer driver round
+    * trips than one-merge-per-round, provably the same merge table.
+    * localCheckpoint per rewrite truncates the growing lineage (the x17
+    * lesson). Iterative argmax is not SQL-expressible → rows-only
+    * driver check; CurationSpec pins the merge table against a
+    * clean-room single-machine reference run, pins all three trainer
+    * paths equal, plus invariants. */
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     bpeMergeTable(spark, sfDir)
@@ -1083,26 +1087,84 @@ object TextAnalysis {
       .select(split($"w", "").as("syms"), $"freq")
   }
 
-  /** The driver-orchestrated merge loop over an arbitrary vocabulary
-    * dim — parameterized rounds so the spec can run a 100-round
-    * training (5× the registered depth) and pin that round cost stays
-    * vocab-bounded. Every round touches exactly the vocab dim's rows:
-    * merges rewrite `syms` in place and never add rows. */
+  /** Regime gate for BPE training. The vocabulary dim is Heaps-law
+    * bounded, so even web-scale corpora often land under a single-node
+    * budget — and the production-standard trainer (Sennrich's reference,
+    * HF tokenizers) runs the merge loop over collected word counts on
+    * one machine. Below the gate we do exactly that: collect the dim
+    * ONCE and run the loop locally — ZERO Spark jobs per round and
+    * trivially identical semantics. Above it, the distributed loop runs
+    * with BATCHED merge selection ([[bpeTrainBatched]]): top-m
+    * symbol-disjoint merges per pair-count job, cutting driver round
+    * trips by the accepted batch size. 1M words × ~300 B of split-sym
+    * overhead ≈ 300 MB driver heap — conservative. */
+  private[graft] val BpeLocalTrainMaxWords = 1000000L
+
+  /** Candidate window per batched round (the m in top-m). */
+  private[graft] val BpeBatchWindow = 64
+
+  /** The merge trainer over an arbitrary vocabulary dim — parameterized
+    * rounds so the spec can run a 100-round training (5× the registered
+    * depth) and pin that round cost stays vocab-bounded. Dispatches on
+    * the regime gate; both paths are parity-pinned in CurationSpec
+    * against [[bpeTrainSequential]], the one-merge-per-round reference. */
   private[graft] def bpeTrain(vocab0: DataFrame,
+      rounds: Int): Seq[(Int, String, String, Long)] = {
+    val spark = vocab0.sparkSession
+    import spark.implicits._
+    val vocab = vocab0.localCheckpoint()
+    if (vocab.count() <= BpeLocalTrainMaxWords)
+      bpeTrainLocal(
+        vocab.as[(Seq[String], Long)].collect().toSeq, rounds)
+    else
+      bpeTrainBatched(vocab, rounds)._1
+  }
+
+  /** Single-node merge loop over collected (syms, freq) word counts —
+    * the under-gate path. Same argmax key and greedy left-to-right
+    * apply as the distributed forms. */
+  private[graft] def bpeTrainLocal(vocab0: Seq[(Seq[String], Long)],
+      rounds: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = vocab0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (rank <- 1 to rounds if !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, freq) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + freq
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((rank, l, r, cnt))
+        vocab = vocab.map { case (syms, freq) =>
+          (bpeApplyMerge(syms, l, r), freq)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The original one-merge-per-round distributed loop — kept as the
+    * parity REFERENCE for both production paths (it is the definition
+    * of BPE merge order). One pair-count job + one checkpoint per
+    * merge. */
+  private[graft] def bpeTrainSequential(vocab0: DataFrame,
       rounds: Int): Seq[(Int, String, String, Long)] = {
     val spark = vocab0.sparkSession
     import spark.implicits._
     val mergeUdf = udf(bpeApplyMerge _)
     var vocab = vocab0.localCheckpoint()
-    val adjPairs = transform(
-      sequence(lit(1), size($"syms") - 1),
-      i => struct(element_at($"syms", i).as("l"),
-        element_at($"syms", i + 1).as("r")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     for (rank <- 1 to rounds if !exhausted) {
       val top = vocab.filter(size($"syms") >= 2)
-        .select($"freq", explode(adjPairs).as("p"))
+        .select($"freq", explode(bpeAdjPairs).as("p"))
         .groupBy($"p.l", $"p.r").agg(sum($"freq").as("cnt"))
         .orderBy($"cnt".desc, $"l".asc, $"r".asc)
         .limit(1).collect()
@@ -1116,6 +1178,91 @@ object TextAnalysis {
       }
     }
     merges.toSeq
+  }
+
+  private def bpeAdjPairs = transform(
+    sequence(lit(1), size(col("syms")) - 1),
+    i => struct(element_at(col("syms"), i).as("l"),
+      element_at(col("syms"), i + 1).as("r")))
+
+  /** BATCHED merge selection — the above-gate distributed path. Per
+    * round: ONE pair-count job fetches the top-[[BpeBatchWindow]]
+    * candidates, and a maximal prefix of them is accepted under a rule
+    * that makes the batch provably equal to running the sequential
+    * argmax that many times:
+    *
+    *  - PREFIX-DISJOINT: scan candidates in (cnt desc, l, r) order;
+    *    STOP at the first one sharing a symbol with any accepted pair
+    *    (everything below it may gain/lose count from the accepted
+    *    merges, so nothing past that point can be trusted this round);
+    *  - STRICT BOUND: let cBound = the stopping candidate's count (or
+    *    the window tail's count if the window filled without overlap —
+    *    unseen candidates can tie it). Keep only accepted pairs with
+    *    cnt > cBound, because a merge of (l,r) can CREATE pairs like
+    *    (x, l+r) whose count is bounded by count(x, l) — an overlapping
+    *    candidate, hence ≤ cBound — so every created pair scores
+    *    strictly below every kept pair and cannot alter the argmax
+    *    order within the batch. Destroyed occurrences only ever lower
+    *    overlapping (= rejected) pairs; disjoint survivors keep exact
+    *    counts and their tiebreak order.
+    *
+    *  The head candidate is always kept (it IS the sequential argmax),
+    *  so progress is guaranteed; accepted merges are applied in rank
+    *  order inside one vocab rewrite + checkpoint. Returns the merge
+    *  table and the number of driver round trips (the spec's job-count
+    *  gate). */
+  private[graft] def bpeTrainBatched(vocab0: DataFrame, rounds: Int,
+      window: Int = BpeBatchWindow): (Seq[(Int, String, String, Long)], Int) = {
+    val spark = vocab0.sparkSession
+    import spark.implicits._
+    val multiMergeUdf = udf { (syms: Seq[String], ls: Seq[String], rs: Seq[String]) =>
+      var s = syms
+      var i = 0
+      while (i < ls.length) { s = bpeApplyMerge(s, ls(i), rs(i)); i += 1 }
+      s
+    }
+    var vocab = vocab0.localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var roundTrips = 0
+    var exhausted = false
+    while (merges.length < rounds && !exhausted) {
+      val w = math.min(window, rounds - merges.length + 1)
+      val top = vocab.filter(size($"syms") >= 2)
+        .select($"freq", explode(bpeAdjPairs).as("p"))
+        .groupBy($"p.l", $"p.r").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"l".asc, $"r".asc)
+        .limit(w).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      roundTrips += 1
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var stopCnt = -1L // count of the first overlapping candidate
+        var i = 0
+        while (i < top.length && stopCnt < 0 && accepted.length < rounds - merges.length) {
+          val (l, r, cnt) = top(i)
+          if (used(l) || used(r)) stopCnt = cnt
+          else { accepted += top(i); used += l; used += r }
+          i += 1
+        }
+        // unseen candidates beyond a filled window can tie its tail
+        val cBound = if (stopCnt >= 0) stopCnt
+          else if (top.length == w) top.last._3
+          else -1L
+        val kept = accepted.head +: accepted.tail.filter(_._3 > cBound)
+        kept.foreach { case (l, r, cnt) =>
+          merges += ((merges.length + 1, l, r, cnt))
+        }
+        vocab = vocab
+          .select(multiMergeUdf($"syms",
+            typedLit(kept.map(_._1).toSeq),
+            typedLit(kept.map(_._2).toSeq)).as("syms"),
+            $"freq")
+          .localCheckpoint()
+      }
+    }
+    (merges.toSeq, roundTrips)
   }
 
   /** x56 — BPE TOKENIZATION with the learned merge table (the encode

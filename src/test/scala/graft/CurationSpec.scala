@@ -220,6 +220,42 @@ class CurationSpec extends AnyFunSuite {
       "no second-order merge learned — fixture or trainer degenerate")
   }
 
+  test("x55 trainer regimes: local, batched, sequential yield one merge table") {
+    import spark.implicits._
+    val vocab = TextAnalysis.bpeVocab(spark, sf).localCheckpoint()
+    val rounds = TextAnalysis.BpeMergeRounds
+    // the fixture sits under the local gate — the registered path is the
+    // zero-jobs-per-round collected loop
+    assert(vocab.count() <= TextAnalysis.BpeLocalTrainMaxWords)
+    val seqT = TextAnalysis.bpeTrainSequential(vocab, rounds)
+    val (batT, trips) = TextAnalysis.bpeTrainBatched(vocab, rounds)
+    val locT = TextAnalysis.bpeTrainLocal(
+      vocab.as[(Seq[String], Long)].collect().toSeq, rounds)
+    assert(seqT.length == rounds)
+    assert(batT == seqT, s"batched diverged: ${batT.diff(seqT).take(3)}")
+    assert(locT == seqT, s"local diverged: ${locT.diff(seqT).take(3)}")
+    // the batching must actually cut driver round trips vs one per merge
+    info(s"batched trainer: ${seqT.length} merges in $trips round trips")
+    assert(trips < seqT.length,
+      s"batching saved nothing: $trips trips for ${seqT.length} merges")
+
+    // adversarial planted vocab: heavy count ties + shared symbols, the
+    // regime where naive top-m batching breaks merge-order parity
+    val planted = Seq(
+      (Seq("a", "b", "a", "b"), 7L), (Seq("b", "a", "b", "a"), 7L),
+      (Seq("a", "a", "a", "a"), 7L), (Seq("c", "d"), 7L),
+      (Seq("d", "c", "d"), 7L), (Seq("e", "f", "e", "f"), 3L),
+      (Seq("x", "y"), 5L), (Seq("y", "x", "y"), 5L),
+      (Seq("p", "q", "r", "s"), 4L), (Seq("q", "r"), 4L)
+    ).toDF("syms", "freq").localCheckpoint()
+    val seqP = TextAnalysis.bpeTrainSequential(planted, 12)
+    val (batP, _) = TextAnalysis.bpeTrainBatched(planted, 12)
+    val locP = TextAnalysis.bpeTrainLocal(
+      planted.as[(Seq[String], Long)].collect().toSeq, 12)
+    assert(batP == seqP, s"batched diverged on ties: ${batP.diff(seqP).take(3)}")
+    assert(locP == seqP, s"local diverged on ties: ${locP.diff(seqP).take(3)}")
+  }
+
   test("x56 BPE encode: per-doc token sums replay exactly; bounds hold") {
     import spark.implicits._
     val merges = TextAnalysis.bpeMerges(spark, sf).collect()
