@@ -299,6 +299,8 @@ object SparkEntry {
     "x33_fnv_fingerprint"   -> TextAnalysis.fnvFingerprintSql,
     "x12_dedup_simhash"     -> Dedup.simhashPairsSql,
     "x21_ann_lsh"           -> Similarity.lshTopKSql,
+    "x55_bpe_merges"        -> TextAnalysis.bpeMergesSql,
+    "x56_bpe_tokenize"      -> TextAnalysis.bpeTokenizeSql,
     "a03_pairs_generator"   -> Analytics.pairsViaGeneratorSql,
     "x34_pii_scrub"         -> TextAnalysis.piiScrubSql,
     "x35_top_ngrams"        -> TextAnalysis.topNgramsSql,

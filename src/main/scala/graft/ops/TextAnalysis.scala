@@ -1051,8 +1051,10 @@ object TextAnalysis {
     * selection ([[bpeTrainBatched]]) — ~batch-size× fewer driver round
     * trips than one-merge-per-round, provably the same merge table.
     * localCheckpoint per rewrite truncates the growing lineage (the x17
-    * lesson). Iterative argmax is not SQL-expressible → rows-only
-    * driver check; CurationSpec pins the merge table against a
+    * lesson). HASH-checked since round 10: the fixed round count lets
+    * [[bpeMergesSql]] unroll the whole merge loop as chained DuckDB
+    * CTEs, so the oracle rederives the argmax sequence independently;
+    * CurationSpec additionally pins the merge table against a
     * clean-room single-machine reference run, pins all three trainer
     * paths equal, plus invariants. */
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1185,6 +1187,88 @@ object TextAnalysis {
     i => struct(element_at(col("syms"), i).as("l"),
       element_at(col("syms"), i + 1).as("r")))
 
+  /** The CTE prefix shared by the x55/x56 oracles: the ENTIRE merge
+    * loop replayed in DuckDB with the [[BpeMergeRounds]] rounds
+    * UNROLLED as chained CTE stages — per round, a pair-count over the
+    * current vocabulary symbolization, the (cnt desc, l, r) argmax
+    * (binary string collation = Spark's UTF8 ordering), and the greedy
+    * left-to-right merge application as a list_reduce fold (elements
+    * wrapped in single-item lists so the accumulator and element types
+    * unify; the fold's "merge with previous" rule reproduces
+    * non-overlapping L2R application exactly — "a a a a" → [aa, aa]).
+    * Exhaustion degrades gracefully: an empty argmax row empties every
+    * later stage via the cross join, ending the merge list exactly
+    * where the engine's loop stops. "Iterative argmax is not
+    * SQL-expressible" stopped being true the moment the round count
+    * became a fixed constant to unroll. The vocab stages are
+    * AS MATERIALIZED: each v(k-1) is referenced twice (pair count +
+    * rewrite), so DuckDB's default CTE inlining would expand the chain
+    * 2^rounds-fold — the first un-hinted run died on file handles
+    * before it could die of arithmetic. */
+  private def bpeTrainingCtes: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS MATERIALIZED (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |  FROM documents
+             |), wf AS (
+             |  SELECT w, COUNT(*) AS freq FROM w0 WHERE w <> '' GROUP BY w
+             |), v0 AS MATERIALIZED (
+             |  SELECT w, freq, list_transform(range(1, length(w)+1),
+             |    i -> substr(w, CAST(i AS INT), 1)) AS syms
+             |  FROM wf
+             |)""".stripMargin
+    for (k <- 1 to BpeMergeRounds) {
+      val prev = s"v${k - 1}"
+      sb ++= s""", p$k AS (
+                |  SELECT syms[CAST(i AS INT)] AS l,
+                |    syms[CAST(i AS INT)+1] AS r, SUM(freq) AS cnt
+                |  FROM $prev, UNNEST(range(1, len(syms))) AS t(i)
+                |  GROUP BY 1, 2
+                |), m$k AS (
+                |  SELECT l, r, cnt FROM p$k
+                |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+                |), v$k AS MATERIALIZED (
+                |  SELECT w, freq, list_reduce(
+                |    list_prepend(CAST([] AS VARCHAR[]),
+                |      list_transform(syms, x -> [x])),
+                |    (acc, x) -> CASE
+                |        WHEN len(acc) > 0 AND acc[-1] = m.l AND x[1] = m.r
+                |        THEN list_append(array_pop_back(acc), m.l || m.r)
+                |        ELSE list_append(acc, x[1]) END) AS syms
+                |  FROM $prev, m$k m
+                |)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** x55's oracle: the unrolled training replay; one row per argmax. */
+  def bpeMergesSql: String =
+    bpeTrainingCtes + "\n" +
+      (1 to BpeMergeRounds).map { k =>
+        s"""SELECT $k AS rank, l AS "left", r AS "right",
+           |  CAST(cnt AS BIGINT) AS pair_count FROM m$k""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY rank")
+
+  /** x56's oracle: the final vocabulary state v<rounds> IS the encode
+    * result for every corpus word (the corpus and the training corpus
+    * are the same frame), so per-word token count = final symbol count,
+    * joined back to the exploded corpus. */
+  def bpeTokenizeSql: String =
+    bpeTrainingCtes +
+      s""", enc AS (
+         |  SELECT w, CAST(len(syms) AS BIGINT) AS n_toks
+         |  FROM v$BpeMergeRounds
+         |), agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_words, SUM(n_toks) AS n_tokens,
+         |    CAST(SUM(length(w)) AS BIGINT) AS n_word_chars
+         |  FROM w0 JOIN enc USING (w) WHERE w <> '' GROUP BY doc_id
+         |)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens, n_word_chars,
+         |  n_word_chars * 1000 // CAST(n_tokens AS BIGINT)
+         |    AS chars_per_token_permille
+         |FROM agg ORDER BY doc_id""".stripMargin
+
   /** BATCHED merge selection — the above-gate distributed path. Per
     * round: ONE pair-count job fetches the top-[[BpeBatchWindow]]
     * candidates, and a maximal prefix of them is accepted under a rule
@@ -1282,10 +1366,11 @@ object TextAnalysis {
     * GUARDED: broadcast only while the memoized distinct-word count is
     * ≤ [[BpeBroadcastMaxWords]], plain shuffle join (still one shuffle
     * of the small dim, not the corpus re-encode) beyond it.
-    * Iterative merges are not SQL-expressible → rows-only driver
-    * check; CurationSpec replays the encode on the collected dictionary,
-    * pins per-word token counts + bounds invariants, and proves the two
-    * join paths byte-identical. */
+    * HASH-checked since round 10: [[bpeTokenizeSql]] replays training
+    * unrolled and reads each word's token count off the final
+    * vocabulary state; CurationSpec replays the encode on the collected
+    * dictionary, pins per-word token counts + bounds invariants, and
+    * proves the two join paths byte-identical. */
   def bpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // count via the SAME helper the merge table trains on, so the guard

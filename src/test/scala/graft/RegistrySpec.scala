@@ -99,14 +99,17 @@ class RegistrySpec extends AnyFunSuite {
     // Queries with no DuckDB oracle get only the driver's weaker
     // rows-only check — each needs an equivalence/recall/tolerance gate
     // in the test suites, so the set is a closed, documented manifest.
-    // x12 and x21 left this set in round 10: x12's word hash moved to
-    // FNV-1a (pipeline = pure integer SQL), x21 inlines its seeded
-    // planes — both now replay end-to-end in DuckDB.
+    // x12/x21/x55/x56 left this set in round 10: x12's word hash moved
+    // to FNV-1a (pipeline = pure integer SQL), x21 inlines its seeded
+    // planes, and x55/x56 unroll the fixed-count merge loop as chained
+    // CTEs — all four now replay end-to-end in DuckDB. The rest are
+    // engine-specific wire formats (HLL/t-digest/bloom) or depend on
+    // Lloyd-trained centroids no static SQL can rederive.
     val rowsOnly = Set("x01_approx_distinct",
       "x22_ann_ivf", "x24_semantic_dedup_celled",
       "x25_ann_pq", "x26_ann_ivfpq", "x27_bloom_decontaminate",
       "x39_quality_prune_approx", "x74_datasheet_approx",
-      "x55_bpe_merges", "x56_bpe_tokenize", "x61_prototypicality")
+      "x61_prototypicality")
     assert(q -- o == rowsOnly,
       s"undocumented rows-only queries: ${(q -- o -- rowsOnly).mkString(", ")}; " +
         s"stale rows-only entries: ${(rowsOnly -- (q -- o)).mkString(", ")}")
