@@ -301,6 +301,9 @@ object SparkEntry {
     "x21_ann_lsh"           -> Similarity.lshTopKSql,
     "x55_bpe_merges"        -> TextAnalysis.bpeMergesSql,
     "x56_bpe_tokenize"      -> TextAnalysis.bpeTokenizeSql,
+    "x22_ann_ivf"           -> Similarity.ivfTopKSql,
+    "x24_semantic_dedup_celled" -> Similarity.semanticDedupCelledSql,
+    "x61_prototypicality"   -> Similarity.prototypicalitySql,
     "a03_pairs_generator"   -> Analytics.pairsViaGeneratorSql,
     "x34_pii_scrub"         -> TextAnalysis.piiScrubSql,
     "x35_top_ngrams"        -> TextAnalysis.topNgramsSql,

@@ -269,6 +269,143 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** x22's oracle: the ENTIRE IVF path replayed in DuckDB — the same
+    * unrolling insight as the x55 oracle (a fixed round count is just
+    * CTE stages). The seeded init centroids are inlined as literal
+    * vectors (like x21's planes), the [[IvfLloydRounds]] Lloyd rounds
+    * unroll as assignment → (cell, pos) mean → empty-cell carry-over →
+    * renormalize stages, then index assignment, top-[[IvfProbes]]
+    * multi-probe (ties: higher cell — [[probeCellsOf]]'s reversed
+    * sort) and exact rescore. Fixture-pinned constants: k = 16 (the
+    * [[IvfMinCells]] floor holds up to 4096 vectors — far above the
+    * oracle's sf0.01 corpus; a bigger corpus would hash-mismatch
+    * loudly, not silently), dim = 64, no train-sample stride (n ≪
+    * cap). Assignment ties break to the LOWEST cell
+    * (array_position-of-max = first max), probe ties to the highest —
+    * both replayed. Vocabulary-style MATERIALIZED hints keep the
+    * round chain from exponential re-inlining. */
+  private def ivfOracleFinalCents = s"c$IvfLloydRounds"
+
+  /** Shared oracle prolog: corpus + seeded init + unrolled Lloyd
+    * rounds + final index assignment `idx` over the trained centroids
+    * `c<rounds>` — the CTE base x22/x24/x61's oracles all build on. */
+  private def ivfOracleProlog: String = {
+    val k = IvfMinCells
+    val dim = 64
+    val rounds = IvfLloydRounds
+    val seeds = ivfSeedCentroids(k, dim)
+    val c0 = seeds.zipWithIndex.map { case (c, i) =>
+      c.map(_.toString).mkString(s"($i, [", ", ", "])")
+    }.mkString(",\n  ")
+    def assign(name: String, cents: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT n.vec_id, n.v, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |        ORDER BY list_dot_product(n.v, c.cw) DESC, c.cell ASC) AS rk
+         |    FROM n, $cents c) WHERE rk = 1
+         |)""".stripMargin
+    val lloyd = (1 to rounds).map { r =>
+      s"""${assign(s"a$r", s"c${r - 1}")}, m$r AS (
+         |  SELECT cell, CAST(i AS INT) - 1 AS pos,
+         |    AVG(v[CAST(i AS INT)]) AS mv
+         |  FROM a$r, UNNEST(range(1, ${dim + 1})) t(i)
+         |  GROUP BY cell, pos
+         |), x$r AS (
+         |  SELECT g.cell, g.j, COALESCE(m.mv, g.pv) AS val
+         |  FROM (
+         |    SELECT p.cell, CAST(j AS INT) AS j,
+         |      p.cw[CAST(j AS INT)] AS pv
+         |    FROM c${r - 1} p, UNNEST(range(1, ${dim + 1})) t(j)) g
+         |  LEFT JOIN m$r m ON m.cell = g.cell AND m.pos = g.j - 1
+         |), c$r AS MATERIALIZED (
+         |  SELECT cell,
+         |    CASE WHEN nrm2 = 0 THEN cw2
+         |         ELSE list_transform(cw2, x -> x / nrm2) END AS cw
+         |  FROM (
+         |    SELECT cell, list(val ORDER BY j) AS cw2,
+         |      sqrt(SUM(val * val)) AS nrm2
+         |    FROM x$r GROUP BY cell)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS MATERIALIZED (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+       |), c0(cell, cw) AS (VALUES
+       |  $c0),
+       |$lloyd, ${assign("idx", s"c$rounds")}""".stripMargin
+  }
+
+  def ivfTopKSql: String =
+    ivfOracleProlog +
+      s""", pr AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.v, c.cw) DESC, c.cell DESC) AS rk
+       |    FROM n q, $ivfOracleFinalCents c WHERE q.vec_id < 8)
+       |  WHERE rk <= $IvfProbes
+       |), cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM pr p JOIN idx a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |), scored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |      ORDER BY list_dot_product(x.v, q.v) / (x.nrm * q.nrm) DESC,
+       |        c.vec_id ASC) AS rank
+       |  FROM cand c
+       |  JOIN n x ON x.vec_id = c.vec_id
+       |  JOIN n q ON q.vec_id = c.query_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+       |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** x24's oracle on the same trained-centroid prolog: top-2 multi-cell
+    * assignment (probe tiebreak: higher cell), within-cell pairs at
+    * τ = [[SemDedupTauHigh]] with exact cosine, keep-no-lower-id. */
+  def semanticDedupCelledSql: String =
+    ivfOracleProlog +
+      s""", mp AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.v, c.cw) DESC, c.cell DESC) AS rk
+       |    FROM n, $ivfOracleFinalCents c)
+       |  WHERE rk <= $SemDedupAssignProbes
+       |), drops AS (
+       |  SELECT DISTINCT b.vec_id AS id_b
+       |  FROM mp a JOIN mp b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN n x ON x.vec_id = a.vec_id
+       |  JOIN n y ON y.vec_id = b.vec_id
+       |  WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm)
+       |          >= $SemDedupTauHigh
+       |)
+       |SELECT e.vec_id, e.label FROM embeddings e
+       |LEFT JOIN drops d ON e.vec_id = d.id_b
+       |WHERE d.id_b IS NULL ORDER BY e.vec_id""".stripMargin
+
+  /** x61's oracle: cosine to the own trained centroid, per-cell
+    * prototypicality rank, keep the top [[ProtoKeepFraction]]. */
+  def prototypicalitySql: String =
+    ivfOracleProlog +
+      s""", sc AS (
+       |  SELECT a.vec_id, a.cell,
+       |    list_dot_product(a.v, c.cw) /
+       |      (sqrt(list_dot_product(a.v, a.v)) *
+       |       sqrt(list_dot_product(c.cw, c.cw))) AS cos
+       |  FROM idx a JOIN $ivfOracleFinalCents c ON c.cell = a.cell
+       |), rk AS (
+       |  SELECT vec_id, cell,
+       |    ROW_NUMBER() OVER (PARTITION BY cell
+       |      ORDER BY cos DESC, vec_id ASC) AS rk,
+       |    COUNT(*) OVER (PARTITION BY cell) AS n_cell
+       |  FROM sc
+       |)
+       |SELECT vec_id, cell, CAST(rk AS INT) AS rk,
+       |  CAST(n_cell AS BIGINT) AS n_cell
+       |FROM rk WHERE rk <= CEIL(n_cell * $ProtoKeepFraction)
+       |ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------------- x22 IVF
 
   /** Coarse-quantizer sizing: the cell count is DERIVED FROM THE CORPUS
