@@ -304,6 +304,8 @@ object SparkEntry {
     "x22_ann_ivf"           -> Similarity.ivfTopKSql,
     "x24_semantic_dedup_celled" -> Similarity.semanticDedupCelledSql,
     "x61_prototypicality"   -> Similarity.prototypicalitySql,
+    "x25_ann_pq"            -> Similarity.pqTopKSql,
+    "x26_ann_ivfpq"         -> Similarity.ivfPqTopKSql,
     "a03_pairs_generator"   -> Analytics.pairsViaGeneratorSql,
     "x34_pii_scrub"         -> TextAnalysis.piiScrubSql,
     "x35_top_ngrams"        -> TextAnalysis.topNgramsSql,

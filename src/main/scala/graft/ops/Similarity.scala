@@ -406,6 +406,144 @@ object Similarity {
        |FROM rk WHERE rk <= CEIL(n_cell * $ProtoKeepFraction)
        |ORDER BY vec_id""".stripMargin
 
+  /** PQ oracle prolog (appended after [[ivfOracleProlog]] when cells
+    * are needed, or used standalone): normalized subvectors, seeded
+    * codebook literals, [[PqLloydRounds]] unrolled training rounds
+    * (argmin by the engine's ‖c‖² − 2·sv·c score, ties to the lowest
+    * code; per-(s, code, pos) means; empty-code carry-over; NO
+    * normalization — PQ books aren't unit), and the final code
+    * assignment `cd`. */
+  private def pqOracleCtes: String = {
+    val dim = 64
+    val d = dim / PqSubspaces
+    val rounds = PqLloydRounds
+    val b0 = pqSeedBooks(dim).zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, code) =>
+        c.map(_.toString).mkString(s"($s, $code, [", ", ", "])")
+      }
+    }.mkString(",\n  ")
+    def assign(name: String, books: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, s, sv, code FROM (
+         |    SELECT sv.vec_id, sv.s, sv.sv, b.code,
+         |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s
+         |        ORDER BY (list_dot_product(b.cw, b.cw)
+         |          - 2.0 * list_dot_product(sv.sv, b.cw)) ASC,
+         |          b.code ASC) AS rk
+         |    FROM sv, $books b WHERE b.s = sv.s) WHERE rk = 1
+         |)""".stripMargin
+    val lloyd = (1 to rounds).map { r =>
+      s"""${assign(s"q$r", s"b${r - 1}")}, mm$r AS (
+         |  SELECT s, code, CAST(i AS INT) - 1 AS pos,
+         |    AVG(sv[CAST(i AS INT)]) AS mv
+         |  FROM q$r, UNNEST(range(1, ${d + 1})) t(i)
+         |  GROUP BY s, code, pos
+         |), b$r AS MATERIALIZED (
+         |  SELECT s, code, list(val ORDER BY j) AS cw FROM (
+         |    SELECT g.s, g.code, g.j, COALESCE(m.mv, g.pv) AS val
+         |    FROM (
+         |      SELECT p.s, p.code, CAST(j AS INT) AS j,
+         |        p.cw[CAST(j AS INT)] AS pv
+         |      FROM b${r - 1} p, UNNEST(range(1, ${d + 1})) t(j)) g
+         |    LEFT JOIN mm$r m
+         |      ON m.s = g.s AND m.code = g.code AND m.pos = g.j - 1)
+         |  GROUP BY s, code
+         |)""".stripMargin
+    }.mkString(", ")
+    s""", sv AS MATERIALIZED (
+       |  SELECT vec_id, CAST(s AS INT) AS s,
+       |    list_transform(v, x -> x / nrm)
+       |      [CAST(s * $d + 1 AS INT):CAST(s * $d + $d AS INT)] AS sv
+       |  FROM n, UNNEST(range(0, $PqSubspaces)) t(s)
+       |), b0(s, code, cw) AS (VALUES
+       |  $b0),
+       |$lloyd, ${assign("cd", s"b$rounds")}""".stripMargin
+  }
+
+  private def pqOracleFinalBooks = s"b$PqLloydRounds"
+
+  /** The ADC score replayed with the engine's left-to-right subspace
+    * summation (list_reduce fold over s-ordered terms — a SUM group
+    * would reassociate the float adds). */
+  private def adcCtes: String =
+    s""", qh AS (
+       |  SELECT vec_id AS query_id,
+       |    list_transform(v, x -> x / nrm) AS qhat
+       |  FROM n WHERE vec_id < 8
+       |), terms AS (
+       |  SELECT q.query_id, c.vec_id, c.s,
+       |    list_dot_product(
+       |      q.qhat[CAST(c.s * 4 + 1 AS INT):CAST(c.s * 4 + 4 AS INT)],
+       |      b.cw) AS term
+       |  FROM qh q, cd c
+       |  JOIN $pqOracleFinalBooks b ON b.s = c.s AND b.code = c.code
+       |  WHERE c.vec_id <> q.query_id
+       |), ap AS MATERIALIZED (
+       |  SELECT query_id, vec_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(term ORDER BY s)), (a, x) -> a + x) AS approx
+       |  FROM terms GROUP BY query_id, vec_id
+       |)""".stripMargin
+
+  /** x25's oracle: unrolled PQ training + ADC first pass + ntile(3)
+    * candidate cut + exact rescore — x21's oracle shape over the
+    * quantized index. */
+  def pqTopKSql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), n AS MATERIALIZED (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+       |)""".stripMargin +
+      pqOracleCtes + adcCtes +
+      s""", cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      NTILE(3) OVER (PARTITION BY query_id
+       |        ORDER BY approx DESC, vec_id ASC) AS tile
+       |    FROM ap) WHERE tile = 1
+       |), scored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |      ORDER BY list_dot_product(x.v, q.v) / (x.nrm * q.nrm) DESC,
+       |        c.vec_id ASC) AS rank
+       |  FROM cand c
+       |  JOIN n x ON x.vec_id = c.vec_id
+       |  JOIN n q ON q.vec_id = c.query_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+       |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** x26's oracle: the x22 probe composed with the x25 ADC — probed
+    * cells only, top [[IvfPqRescoreFactor]]·k ADC candidates, exact
+    * rescore. */
+  def ivfPqTopKSql: String =
+    ivfOracleProlog + pqOracleCtes + adcCtes +
+      s""", pr AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.v, c.cw) DESC, c.cell DESC) AS rk
+       |    FROM n q, $ivfOracleFinalCents c WHERE q.vec_id < 8)
+       |  WHERE rk <= $IvfProbes
+       |), cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT a.query_id, a.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY a.query_id
+       |        ORDER BY a.approx DESC, a.vec_id ASC) AS rk
+       |    FROM ap a
+       |    JOIN idx i ON i.vec_id = a.vec_id
+       |    JOIN pr p ON p.query_id = a.query_id AND p.cell = i.cell)
+       |  WHERE rk <= ${IvfPqRescoreFactor * 5}
+       |), scored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |      ORDER BY list_dot_product(x.v, q.v) / (x.nrm * q.nrm) DESC,
+       |        c.vec_id ASC) AS rank
+       |  FROM cand c
+       |  JOIN n x ON x.vec_id = c.vec_id
+       |  JOIN n q ON q.vec_id = c.query_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+       |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------------- x22 IVF
 
   /** Coarse-quantizer sizing: the cell count is DERIVED FROM THE CORPUS
@@ -712,6 +850,16 @@ object Similarity {
     (array_position(scores, array_min(scores)) - 1).cast("int")
   }
 
+  /** Seeded codebook init, shared by the trainer and the x25/x26 SQL
+    * oracles (which inline these exact doubles as literals). */
+  private def pqSeedBooks(dim: Int): Array[Array[Array[Double]]] = {
+    val d = dim / PqSubspaces
+    val rnd = new scala.util.Random(17)
+    val compStd = 1.0 / math.sqrt(dim.toDouble)
+    Array.fill(PqSubspaces, PqCodes)(
+      Array.fill(d)(rnd.nextGaussian() * compStd))
+  }
+
   /** Per-subspace codebooks trained with a few Lloyd rounds — ALL
     * subspaces in one relational pass per round (assignment is map-only;
     * the (s, code, pos) mean is one shuffle of skinny rows; the
@@ -728,11 +876,7 @@ object Similarity {
     import spark.implicits._
     val n = all.count()
     val dim = all.select(size($"v")).head.getInt(0)
-    val d = dim / PqSubspaces
-    val rnd = new scala.util.Random(17)
-    val compStd = 1.0 / math.sqrt(dim.toDouble)
-    var books = Array.fill(PqSubspaces, PqCodes)(
-      Array.fill(d)(rnd.nextGaussian() * compStd))
+    var books = pqSeedBooks(dim)
     val sampled = n > sampleCap
     val subvecs0 = trainSampleOf(all, n, sampleCap)
       .withColumn("vhat", transform($"v", _ / $"nrm"))

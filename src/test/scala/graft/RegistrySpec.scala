@@ -105,17 +105,15 @@ class RegistrySpec extends AnyFunSuite {
     // CTEs — all four now replay end-to-end in DuckDB. The rest are
     // engine-specific wire formats (HLL/t-digest/bloom) or depend on
     // Lloyd-trained centroids no static SQL can rederive.
-    // ...and x22/x24/x61 followed: their Lloyd rounds unroll the same
-    // way with the seeded init inlined (Similarity.ivfOracleProlog).
-    // x01/x27/x39/x74 are engine-specific WIRE formats (HLL++,
-    // t-digest, Spark's bloom bit layout) — a DuckDB replay would be
-    // reimplementing Spark sketch internals, which the tolerance/
-    // equivalence suite gates cover more honestly. x25/x26's PQ
-    // codebooks are unrollable in principle (same Lloyd shape) but
-    // carry 16 subspace × 16 code argmin stages per round; left
-    // recall-gated.
+    // ...and x22/x24/x61/x25/x26 followed: IVF and PQ Lloyd rounds
+    // unroll the same way with the seeded inits inlined
+    // (Similarity.ivfOracleProlog / pqOracleCtes). The four left are
+    // engine-specific WIRE formats (HLL++, t-digest, Spark's bloom bit
+    // layout) — a DuckDB replay would be reimplementing Spark sketch
+    // internals, which the tolerance/equivalence suite gates cover
+    // more honestly.
     val rowsOnly = Set("x01_approx_distinct",
-      "x25_ann_pq", "x26_ann_ivfpq", "x27_bloom_decontaminate",
+      "x27_bloom_decontaminate",
       "x39_quality_prune_approx", "x74_datasheet_approx")
     assert(q -- o == rowsOnly,
       s"undocumented rows-only queries: ${(q -- o -- rowsOnly).mkString(", ")}; " +
