@@ -138,6 +138,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!shrd.contains("Join"), shrd.take(2000))
   }
 
+  test("x41 real-decode form: map-only per-partition codec, no join, one sort") {
+    // the registered x41 is now the batched per-partition decoder
+    // (mapPartitions — the mapInPandas analog); its plan must stay scan
+    // → deserialize/map → serialize → final sort. A Join or Aggregate
+    // appearing here means the per-format decode stopped being a pure
+    // map over the document scan.
+    val plan = formatted(graft.ops.Multimodal.frameSample(spark, sf))
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(!plan.contains("HashAggregate"), plan.take(2000))
+    assert(plan.contains("MapPartitions"), plan.take(2000))
+  }
+
   test("ngram/line ops: the words split stays a projection, never in a lambda") {
     // an inlined split re-executes per lambda element in interpreted
     // HOF eval (O(words²) per doc — the x42 lesson, re-measured this
