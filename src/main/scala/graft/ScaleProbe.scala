@@ -35,7 +35,7 @@ object ScaleProbe {
     "x69_quality_classifier", "x70_substring_rewrite",
     "x71_leakage_free_split", "x72_shuffle_shards",
     "x73_corpus_datasheet", "x74_datasheet_approx", "x75_pipeline_v2",
-    "x76_decontam_rewrite",
+    "x76_decontam_rewrite", "x77_rejection_ledger",
     "x39_quality_prune_approx", "x40_multimodal_meta", "x41_frame_sample",
     "x48_wav_decode",
     "x42_repetition_filter", "x43_chunk_tokens", "x44_line_dedup",

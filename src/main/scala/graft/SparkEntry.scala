@@ -129,6 +129,7 @@ object SparkEntry {
     "x74_datasheet_approx" -> (Pipeline.corpusDatasheetApprox _),
     "x75_pipeline_v2"      -> (Pipeline.pipelineV2 _),
     "x76_decontam_rewrite" -> (Dedup.decontaminateRewrite _),
+    "x77_rejection_ledger" -> (Pipeline.rejectionLedger _),
     "x67_wav_pcm_stats"    -> (Multimodal.wavPcmStats _),
     "x68_png_pixel_stats"  -> (Multimodal.pngPixelStats _),
     "x42_repetition_filter" -> (TextAnalysis.repetitionFilter _),
@@ -328,6 +329,7 @@ object SparkEntry {
     "x73_corpus_datasheet"   -> Pipeline.corpusDatasheetSql,
     "x75_pipeline_v2"        -> Pipeline.pipelineV2Sql,
     "x76_decontam_rewrite"   -> Dedup.decontaminateRewriteSql,
+    "x77_rejection_ledger"   -> Pipeline.rejectionLedgerSql,
     "x67_wav_pcm_stats"     -> Multimodal.wavPcmStatsSql,
     "x68_png_pixel_stats"   -> Multimodal.pngPixelStatsSql,
     "x42_repetition_filter" -> TextAnalysis.repetitionFilterSql,

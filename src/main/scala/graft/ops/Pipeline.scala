@@ -398,6 +398,83 @@ object Pipeline {
       .orderBy($"split", $"shard", $"pos")
   }
 
+  /** x77 — the pipeline REJECTION LEDGER: one row per ORIGINAL corpus
+    * document naming the first x75 stage that rejected it
+    * (`classifier` | `exact_dup`) or `kept`, with the evidence a
+    * pipeline operator debugs from — the classifier score, and for
+    * dup-rejections the keeper document the text lost to. This is the
+    * first artifact anyone asks for when a 100 TB corpus shrinks
+    * unexpectedly between versions ("which stage ate 40% of
+    * my docs?"), and the per-stage drop COUNTS any run report needs
+    * are one groupBy over it. Only stages 1-2 of the v2 chain drop
+    * whole documents (the rewrite/split/shard stages transform or
+    * route), so the ledger covers the full kept/dropped partition of
+    * the corpus — spec-pinned against x75's survivor set.
+    *
+    * Shape: the SAME shared policies as the pipeline (x69's scoring
+    * expression, x10's min-id keeper rule), evaluated in one pass —
+    * a classifier map, then ONE window over the sha256 key (the same
+    * shuffle x10's groupBy pays; no join). The keeper is the min
+    * doc_id among ADMITTED sharers, exactly the pipeline's stage-2
+    * rule on stage-1 survivors. */
+  def rejectionLedger(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    val w = Window.partitionBy($"h")
+    Tables.spread(Tables.documents(spark, sfDir))
+      .select($"doc_id", $"text")
+      .withColumn("w0", split($"text", " "))
+      .withColumn("feat_sum_micro",
+        TextAnalysis.classifierScoreMicro($"w0"))
+      .withColumn("h", sha2($"text", 256))
+      .withColumn("keeper",
+        min(when($"feat_sum_micro" > 0, $"doc_id")).over(w))
+      .select($"doc_id", $"feat_sum_micro",
+        when($"feat_sum_micro" <= 0, lit("classifier"))
+          .when($"doc_id" =!= $"keeper", lit("exact_dup"))
+          .otherwise(lit("kept")).as("stage"),
+        when($"feat_sum_micro" <= 0, lit(null).cast("long"))
+          .otherwise($"keeper").as("keeper_id"))
+      .orderBy($"doc_id")
+  }
+
+  /** x77's oracle: the x69 scoring replay + a window min over the
+    * sha256 partition (DuckDB's sha256 hex string is only a partition
+    * key — it never crosses the engine boundary). */
+  val rejectionLedgerSql: String = {
+    val wordByte =
+      "(strpos('0123456789ABCDEF', substr(hex(encode(x)), CAST(2*i+1 AS INT), 1))-1)*16" +
+        " + (strpos('0123456789ABCDEF', substr(hex(encode(x)), CAST(2*i+2 AS INT), 1))-1)"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+       |), f AS (
+       |  SELECT doc_id, text,
+       |    CAST(list_sum(list_transform(w, x ->
+       |      (CAST(list_reduce(
+       |         list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |           list_transform(range(0, octet_length(encode(x))),
+       |             i -> CAST($wordByte AS HUGEINT))),
+       |         (acc, y) -> (xor(acc, y) * 1099511628211)
+       |                       % CAST(18446744073709551616 AS HUGEINT))
+       |         % ${TextAnalysis.ClassifierBuckets} AS BIGINT)
+       |       * 2654435761) % 2000001 - 1000000
+       |    )) AS BIGINT) AS feat_sum_micro
+       |  FROM d
+       |), k AS (
+       |  SELECT doc_id, feat_sum_micro,
+       |    MIN(CASE WHEN feat_sum_micro > 0 THEN doc_id END)
+       |      OVER (PARTITION BY sha256(text)) AS keeper
+       |  FROM f
+       |)
+       |SELECT doc_id, feat_sum_micro,
+       |  CASE WHEN feat_sum_micro <= 0 THEN 'classifier'
+       |       WHEN doc_id <> keeper THEN 'exact_dup'
+       |       ELSE 'kept' END AS stage,
+       |  CASE WHEN feat_sum_micro <= 0 THEN CAST(NULL AS BIGINT)
+       |       ELSE keeper END AS keeper_id
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   /** The composed v2 oracle: each stage's standalone oracle fragment
     * chained in order — the x69 FNV word-scoring lambda as the
     * admission WHERE, x10's sha keeper, x70's coverage-join rewrite on

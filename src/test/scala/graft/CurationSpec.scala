@@ -477,6 +477,70 @@ class CurationSpec extends AnyFunSuite {
       "permutation degenerate: every shard in doc_id order")
   }
 
+  test("x77 rejection ledger partitions the corpus; kept set == x75 survivors") {
+    import spark.implicits._
+    val ledger = graft.ops.Pipeline.rejectionLedger(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val total = Tables.documents(spark, sf).count()
+    assert(ledger.length == total, "one ledger row per original doc")
+    // the verdicts partition the corpus and each row's evidence is
+    // self-consistent with its verdict
+    ledger.foreach { case (id, feat, stage, keeper) =>
+      stage match {
+        case "classifier" => assert(feat <= 0 && keeper.isEmpty, s"doc $id")
+        case "exact_dup" =>
+          assert(feat > 0 && keeper.exists(_ < id), s"doc $id")
+        case "kept" => assert(feat > 0 && keeper.contains(id), s"doc $id")
+        case other => fail(s"doc $id: unknown stage $other")
+      }
+    }
+    // only stages 1-2 of the v2 chain drop documents, so the ledger's
+    // kept set must be exactly the pipeline's surviving doc_ids
+    val kept = ledger.collect { case (id, _, "kept", _) => id }.toSet
+    val surv = graft.ops.Pipeline.pipelineV2(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == surv,
+      s"ledger kept-set diverged from x75 survivors: " +
+        s"missing=${(surv -- kept).take(3)} extra=${(kept -- surv).take(3)}")
+    // verdict coverage is data-driven: classifier+kept must both occur
+    // (the score map is ~balanced by construction), and exact_dup rows
+    // exist iff some admitted text is shared — the fixture's documents
+    // are unique, so prove the verdict on a planted duplicate instead
+    assert(Set("classifier", "kept").subsetOf(ledger.map(_._3).toSet),
+      "degenerate fixture")
+    val admittedTexts = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, _) =>
+        ledger.find(_._1 == id).exists(_._3 != "classifier") }
+    val dupTexts = admittedTexts.groupBy(_._2).exists(_._2.length > 1)
+    assert(ledger.exists(_._3 == "exact_dup") == dupTexts,
+      s"exact_dup verdicts inconsistent with corpus dup structure")
+    // planted duplicate: a copy of a kept doc must lose to it by min-id
+    import spark.implicits._
+    val keptDoc = ledger.collectFirst { case (id, _, "kept", _) => id }.get
+    val keptText = admittedTexts.toMap.apply(keptDoc)
+    val planted = Seq((keptDoc, keptText), (keptDoc + 1000000L, keptText),
+      (keptDoc + 2000000L, "")).toDF("doc_id", "text")
+    graft.functions.CustomExprs.register(spark)
+    val w2 = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+    val plantedLedger = planted
+      .withColumn("w0", org.apache.spark.sql.functions.split($"text", " "))
+      .withColumn("feat", TextAnalysis.classifierScoreMicro($"w0"))
+      .withColumn("h", org.apache.spark.sql.functions.sha2($"text", 256))
+      .withColumn("keeper", org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.when($"feat" > 0, $"doc_id")).over(w2))
+      .select($"doc_id",
+        org.apache.spark.sql.functions.when($"feat" <= 0, "classifier")
+          .when($"doc_id" =!= $"keeper", "exact_dup")
+          .otherwise("kept").as("stage"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(plantedLedger(keptDoc) == "kept")
+    assert(plantedLedger(keptDoc + 1000000L) == "exact_dup",
+      "planted duplicate did not lose to the min-id keeper")
+  }
+
   test("x73 datasheet: ALL row is the sum of language rows; dup count matches x17") {
     import spark.implicits._
     val rows = graft.ops.Pipeline.corpusDatasheet(spark, sf).collect()
