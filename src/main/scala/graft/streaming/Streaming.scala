@@ -611,6 +611,103 @@ object Streaming {
     else spark.read.parquet(slices: _*)
   }
 
+  /** x77 streaming sibling — incremental REJECTION LEDGER: verdicts
+    * for each arriving micro-batch against the ACCUMULATED sha→keeper
+    * dim, x18-band-index style (probe ∝ batch, never ∝ history):
+    *
+    *  - classifier verdicts are map-only on the batch (x69 scoring);
+    *  - a batch doc whose sha is already committed is `exact_dup`
+    *    against the HISTORICAL keeper (keep-first: history wins, the
+    *    streaming analog of batch x77's min-id rule — coincides with
+    *    batch exactly on doc_id-ordered waves, the x70 sibling's
+    *    provability regime);
+    *  - shas new to history take their batch-local min admitted id as
+    *    keeper; that slice is appended to the dim.
+    *
+    * Two artifacts per batch (ledger slice + dim slice) → the x70
+    * marker discipline: both writes, THEN the `v<k>/_SUCCESS` marker;
+    * readers gate on the marker; committed replay is a no-op. */
+  def ledgerUpdate(dimDir: String, outDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    if (Files.isRegularFile(Paths.get(s"$dimDir/v$batchId/_SUCCESS"))) return
+    val spark = batch.sparkSession
+    graft.functions.CustomExprs.register(spark)
+    val prior = modelVersions(dimDir).filter(_ < batchId)
+    requirePredecessorState(dimDir, batchId, prior)
+    val scored = batch.select(col("doc_id"), col("text"))
+      .withColumn("w0", split(col("text"), " "))
+      .withColumn("feat_sum_micro",
+        graft.ops.TextAnalysis.classifierScoreMicro(col("w0")))
+      .withColumn("h", sha2(col("text"), 256))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist =
+      if (prior.isEmpty)
+        scored.select(col("h"), col("doc_id").as("hist_keeper")).limit(0)
+      else spark.read.parquet(prior.map(p => s"$dimDir/v$p/shas"): _*)
+        .toDF("h", "hist_keeper")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val ledger = scored
+      .withColumn("batch_keeper",
+        min(when(col("feat_sum_micro") > 0, col("doc_id"))).over(w))
+      .join(hist, Seq("h"), "left")
+      .withColumn("keeper", coalesce(col("hist_keeper"), col("batch_keeper")))
+      .select(col("doc_id"), col("feat_sum_micro"),
+        when(col("feat_sum_micro") <= 0, lit("classifier"))
+          .when(col("doc_id") =!= col("keeper"), lit("exact_dup"))
+          .otherwise(lit("kept")).as("stage"),
+        when(col("feat_sum_micro") <= 0, lit(null).cast("long"))
+          .otherwise(col("keeper")).as("keeper_id"))
+    ledger.write.mode("overwrite").parquet(s"$outDir/b$batchId")
+    // dim slice: shas NEW to history, keyed by their batch keeper
+    scored.filter(col("feat_sum_micro") > 0)
+      .groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+      .join(hist, Seq("h"), "left_anti")
+      .write.mode("overwrite").parquet(s"$dimDir/v$batchId/shas")
+    scored.unpersist(blocking = false)
+    Files.write(Paths.get(s"$dimDir/v$batchId/_SUCCESS"),
+      Array.emptyByteArray)
+  }
+
+  /** Every committed batch's ledger rows, gated on the version marker
+    * like [[streamedRewrites]]. */
+  def streamedLedger(spark: SparkSession, dimDir: String,
+      outDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val slices = Option(new java.io.File(outDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+      .filter(f => Files.isRegularFile(
+        Paths.get(s"$dimDir/v${f.getName.drop(1)}/_SUCCESS")))
+      .map(_.getPath)
+    if (slices.isEmpty)
+      spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("feat_sum_micro"),
+          lit("").as("stage"), lit(0L).as("keeper_id")).limit(0)
+    else spark.read.parquet(slices: _*)
+  }
+
+  /** Run the incremental ledger to completion (AvailableNow); same
+    * lifecycle guards as [[buildSpanIndex]]. */
+  def buildLedger(docs: DataFrame, dimDir: String, outDir: String,
+      ckptDir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dimDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    requireSharedLifecycle(dimDir, ckptDir)
+    val freshCkpt = !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ckptDir, "offsets"))
+    val staleSlices = Option(new java.io.File(outDir).listFiles())
+      .toSeq.flatten.exists(f => f.isDirectory && f.getName.matches("b\\d+"))
+    require(!(freshCkpt && staleSlices),
+      s"$outDir already holds ledger slices from another stream " +
+        s"lineage but checkpoint $ckptDir is fresh — use a new out dir")
+    val q = docs.writeStream
+      .foreachBatch(ledgerUpdate(dimDir, outDir) _)
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run the incremental substring dedup over a documents stream to
     * completion (AvailableNow): maintains the span index under
     * `dimDir`, emits per-batch rewritten docs under `outDir`. Same

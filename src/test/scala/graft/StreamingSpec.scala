@@ -338,6 +338,53 @@ class StreamingSpec extends AnyFunSuite {
       "replayed committed batch rewrote its output slice")
   }
 
+  test("incremental rejection ledger: 2-wave streamed == batch x77") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // RANGE-split waves: the regime where streamed keep-first (history
+    // wins) coincides with batch x77's global min-id keeper
+    val mid = docs.selectExpr("percentile(doc_id, 0.5)").collect()(0)
+      .getDouble(0).toLong
+    val landing = stageLanding("ldg", Seq(
+      docs.filter($"doc_id" <= mid), docs.filter($"doc_id" > mid)))
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_ldg_dim").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ldg_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ldg_ckpt").toString
+    Streaming.buildLedger(
+      spark.readStream.schema(Streaming.documentsRawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(landing),
+      dimDir, outDir, ckpt)
+    val versions = new java.io.File(dimDir).listFiles()
+      .filter(_.getName.matches("v\\d+"))
+    assert(versions.length == 2, s"expected 2 micro-batches, got ${versions.toSeq}")
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "feat_sum_micro", "stage", "keeper_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val streamed = rowSet(Streaming.streamedLedger(spark, dimDir, outDir))
+    val batch = rowSet(graft.ops.Pipeline.rejectionLedger(spark, sf))
+    assert(streamed == batch,
+      s"streamed ledger diverged from batch x77: " +
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+
+    // an output slice whose batch never committed must be invisible
+    Streaming.streamedLedger(spark, dimDir, outDir)
+      .limit(1).write.mode("overwrite").parquet(s"$outDir/b99")
+    assert(rowSet(Streaming.streamedLedger(spark, dimDir, outDir)) == batch,
+      "uncommitted ledger slice leaked into the union")
+
+    // committed replay is a no-op even with a different frame
+    def snapshot(dir: String): Map[String, Long] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = snapshot(s"$outDir/b1")
+    assert(before.nonEmpty)
+    Streaming.ledgerUpdate(dimDir, outDir)(
+      docs.filter($"doc_id" % 7 === 0), 1L)
+    assert(snapshot(s"$outDir/b1") == before,
+      "replayed committed batch rewrote its ledger slice")
+  }
+
   test("incremental near-dup dedup: 2-wave streamed pairs == batch x18") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
