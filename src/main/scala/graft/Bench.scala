@@ -130,8 +130,23 @@ object Bench {
     // native iteration order is unspecified and could change on any
     // insertion, silently reordering the record between rounds).
     val order = SparkEntry.queries.keys.toSeq.sorted
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // tolerant parse: a malformed env value must degrade to the default,
+    // never throw AFTER the expensive prewarm with no JSON record on any
+    // channel (the round-1/7 "parsed: null" failure mode)
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(v => v.trim.toIntOption.orElse {
+        System.err.println(s"[bench] bad SPARK_GRAFT_BENCH_PASSES '$v', using 3")
+        None
+      }).getOrElse(3)
     require(passes >= 2, "need >=2 passes for cross-pass minima")
+    // contention self-report canary: a renamed query must fail LOUDLY
+    // here, BEFORE the timed run — not silently emit the same -1 marker
+    // a genuine canary failure uses (the stale-name lesson from the old
+    // tripleSampled guard), and not crash after the run with no record
+    val canary = "t01_top30_orders"
+    val canaryPinnedSec = 0.10
+    require(SparkEntry.queries.contains(canary),
+      s"contention canary '$canary' is not a registered query — renamed?")
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     val passTotals = (0 until passes).map { p =>
@@ -161,13 +176,17 @@ object Bench {
     // round 1 with no code change; its best-of-N is therefore a direct
     // probe of host quality. ~1 = quiet; >>1 = every pass was contended
     // and the whole record should be read with that multiplier in mind.
-    val canary = "t01_top30_orders"
-    val canaryPinnedSec = 0.10
     val contentionIndex = results.toMap.get(canary) match {
       case Some(v) if v > 0 => v / canaryPinnedSec
       case _ => -1.0
     }
-    val passJson = passTotals.map(v => f"$v%.3f").mkString("[", ",", "]")
+    // Locale.ROOT: the default-locale f"%.3f" renders comma decimals on
+    // e.g. de_DE JVMs, silently corrupting the one machine-readable
+    // record (every other numeric field is locale-independent toString)
+    val passJson = passTotals
+      .map(v => String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(v)))
+      .mkString("[", ",", "]")
     // headline "value" deliberately LAST: the driver's tail-capture
     // truncated the leading fields of round-1/2 records, so the one field
     // that matters must survive any suffix of the line

@@ -1142,7 +1142,7 @@ object TextAnalysis {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        val ((l, r), cnt) = counts.min(bpePairOrdering)
         merges += ((rank, l, r, cnt))
         vocab = vocab.map { case (syms, freq) =>
           (bpeApplyMerge(syms, l, r), freq)
@@ -1151,6 +1151,39 @@ object TextAnalysis {
     }
     merges.toSeq
   }
+
+  /** Unsigned UTF-8 byte comparison — Spark's UTF8String ordering and
+    * DuckDB's binary collation. Java's String.compareTo compares UTF-16
+    * code units, which ranks U+E000..U+FFFD AFTER supplementary-plane
+    * characters (emoji) instead of before — a local trainer using it
+    * would break count-tie merge parity with the distributed trainers
+    * and the SQL oracle on astral-plane text. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+    val n = math.min(ab.length, bb.length)
+    var i = 0
+    while (i < n) {
+      val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    ab.length - bb.length
+  }
+
+  /** The trainer argmax key — count desc, then (l, r) ascending in
+    * UTF-8 byte order, matching orderBy(cnt desc, l, r) exactly. */
+  private val bpePairOrdering: Ordering[((String, String), Long)] =
+    new Ordering[((String, String), Long)] {
+      def compare(x: ((String, String), Long),
+          y: ((String, String), Long)): Int = {
+        val c = java.lang.Long.compare(y._2, x._2)
+        if (c != 0) c
+        else {
+          val cl = utf8Compare(x._1._1, y._1._1)
+          if (cl != 0) cl else utf8Compare(x._1._2, y._1._2)
+        }
+      }
+    }
 
   /** The original one-merge-per-round distributed loop — kept as the
     * parity REFERENCE for both production paths (it is the definition
@@ -1196,9 +1229,14 @@ object TextAnalysis {
     * wrapped in single-item lists so the accumulator and element types
     * unify; the fold's "merge with previous" rule reproduces
     * non-overlapping L2R application exactly — "a a a a" → [aa, aa]).
-    * Exhaustion degrades gracefully: an empty argmax row empties every
-    * later stage via the cross join, ending the merge list exactly
-    * where the engine's loop stops. "Iterative argmax is not
+    * Exhaustion degrades gracefully: an empty argmax empties the merge
+    * LIST (empty m<k> rows union to nothing) while the VOCAB chain
+    * keeps flowing — each rewrite stage reads its round's argmax
+    * through a scalar-subquery single row (mo<k>), whose NULL l/r make
+    * the fold's merge condition falsy and the rewrite a no-op. (A bare
+    * cross join against an empty m<k> would instead empty the vocab
+    * and zero x56's encode — caught in round-10 review.) "Iterative
+    * argmax is not
     * SQL-expressible" stopped being true the moment the round count
     * became a fixed constant to unroll. The vocab stages are
     * AS MATERIALIZED: each v(k-1) is referenced twice (pair count +
@@ -1227,6 +1265,8 @@ object TextAnalysis {
                 |), m$k AS (
                 |  SELECT l, r, cnt FROM p$k
                 |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+                |), mo$k AS (
+                |  SELECT (SELECT l FROM m$k) AS l, (SELECT r FROM m$k) AS r
                 |), v$k AS MATERIALIZED (
                 |  SELECT w, freq, list_reduce(
                 |    list_prepend(CAST([] AS VARCHAR[]),
@@ -1235,7 +1275,7 @@ object TextAnalysis {
                 |        WHEN len(acc) > 0 AND acc[-1] = m.l AND x[1] = m.r
                 |        THEN list_append(array_pop_back(acc), m.l || m.r)
                 |        ELSE list_append(acc, x[1]) END) AS syms
-                |  FROM $prev, m$k m
+                |  FROM $prev, mo$k m
                 |)""".stripMargin
     }
     sb.toString
