@@ -133,12 +133,14 @@ object Bench {
     // tolerant parse: a malformed env value must degrade to the default,
     // never throw AFTER the expensive prewarm with no JSON record on any
     // channel (the round-1/7 "parsed: null" failure mode)
+    // < 2 passes can't take cross-pass minima — clamp to the default
+    // instead of throwing (a well-formed '1' must not crash post-prewarm
+    // any more than a malformed value may)
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-      .flatMap(v => v.trim.toIntOption.orElse {
+      .flatMap(v => v.trim.toIntOption.filter(_ >= 2).orElse {
         System.err.println(s"[bench] bad SPARK_GRAFT_BENCH_PASSES '$v', using 3")
         None
       }).getOrElse(3)
-    require(passes >= 2, "need >=2 passes for cross-pass minima")
     // contention self-report canary: a renamed query must fail LOUDLY
     // here, BEFORE the timed run — not silently emit the same -1 marker
     // a genuine canary failure uses (the stale-name lesson from the old

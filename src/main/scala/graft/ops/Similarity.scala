@@ -465,7 +465,11 @@ object Similarity {
   /** The ADC score replayed with the engine's left-to-right subspace
     * summation (list_reduce fold over s-ordered terms — a SUM group
     * would reassociate the float adds). */
-  private def adcCtes: String =
+  private def adcCtes: String = {
+    // subvector width derived exactly as the engine derives it — a
+    // hardcoded 4 would silently skew ADC scores if PqSubspaces or the
+    // embedding dim ever changed
+    val d = 64 / PqSubspaces
     s""", qh AS (
        |  SELECT vec_id AS query_id,
        |    list_transform(v, x -> x / nrm) AS qhat
@@ -473,7 +477,7 @@ object Similarity {
        |), terms AS (
        |  SELECT q.query_id, c.vec_id, c.s,
        |    list_dot_product(
-       |      q.qhat[CAST(c.s * 4 + 1 AS INT):CAST(c.s * 4 + 4 AS INT)],
+       |      q.qhat[CAST(c.s * $d + 1 AS INT):CAST(c.s * $d + $d AS INT)],
        |      b.cw) AS term
        |  FROM qh q, cd c
        |  JOIN $pqOracleFinalBooks b ON b.s = c.s AND b.code = c.code
@@ -484,6 +488,7 @@ object Similarity {
        |      list(term ORDER BY s)), (a, x) -> a + x) AS approx
        |  FROM terms GROUP BY query_id, vec_id
        |)""".stripMargin
+  }
 
   /** x25's oracle: unrolled PQ training + ADC first pass + ntile(3)
     * candidate cut + exact rescore — x21's oracle shape over the

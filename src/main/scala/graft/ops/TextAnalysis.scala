@@ -1319,6 +1319,14 @@ object TextAnalysis {
     *    STOP at the first one sharing a symbol with any accepted pair
     *    (everything below it may gain/lose count from the accepted
     *    merges, so nothing past that point can be trusted this round);
+    *  - SELF-PAIR STOP: an accepted candidate with l == r is ALSO a
+    *    scan stopper (stopCnt = its count). A self-merge creates pairs
+    *    like (ll, l) / (ll, ll) whose counts are bounded only by the
+    *    self-pair's OWN count — not by any overlapping rejected
+    *    candidate — so nothing at or below that count can be trusted
+    *    this round. The strict-bound filter below then drops the
+    *    self-pair itself unless it is the head (where it is the exact
+    *    sequential argmax and always sound);
     *  - STRICT BOUND: let cBound = the stopping candidate's count (or
     *    the window tail's count if the window filled without overlap —
     *    unseen candidates can tie it). Keep only accepted pairs with
@@ -1367,7 +1375,12 @@ object TextAnalysis {
         while (i < top.length && stopCnt < 0 && accepted.length < rounds - merges.length) {
           val (l, r, cnt) = top(i)
           if (used(l) || used(r)) stopCnt = cnt
-          else { accepted += top(i); used += l; used += r }
+          else {
+            accepted += top(i); used += l; used += r
+            // self-merge creates pairs bounded only by its own count —
+            // stop here; the > cBound filter drops this pair unless head
+            if (l == r) stopCnt = cnt
+          }
           i += 1
         }
         // unseen candidates beyond a filled window can tie its tail

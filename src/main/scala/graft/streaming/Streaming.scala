@@ -645,7 +645,10 @@ object Streaming {
       if (prior.isEmpty)
         scored.select(col("h"), col("doc_id").as("hist_keeper")).limit(0)
       else spark.read.parquet(prior.map(p => s"$dimDir/v$p/shas"): _*)
-        .toDF("h", "hist_keeper")
+        // by NAME — the slice is written via groupBy/agg/join, whose
+        // column order is an implementation detail a positional rename
+        // would silently mislabel
+        .select(col("h"), col("keeper").as("hist_keeper"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val ledger = scored
       .withColumn("batch_keeper",

@@ -254,6 +254,35 @@ class CurationSpec extends AnyFunSuite {
       planted.as[(Seq[String], Long)].collect().toSeq, 12)
     assert(batP == seqP, s"batched diverged on ties: ${batP.diff(seqP).take(3)}")
     assert(locP == seqP, s"local diverged on ties: ${locP.diff(seqP).take(3)}")
+
+    // self-pair regime: a run of repeated characters makes the argmax a
+    // self-pair (a,a); its merge CREATES (aa,a)/(aa,aa) pairs bounded
+    // only by its own count, so a later-accepted disjoint lower-count
+    // pair (b,c) would jump ahead of the created (aa,a) the sequential
+    // argmax picks next — the scan must stop at the accepted self-pair
+    val selfP = Seq(
+      (Seq("a", "a", "a", "a", "a"), 10L), (Seq("b", "c"), 9L)
+    ).toDF("syms", "freq").localCheckpoint()
+    val seqS = TextAnalysis.bpeTrainSequential(selfP, 3)
+    val (batS, _) = TextAnalysis.bpeTrainBatched(selfP, 3)
+    val locS = TextAnalysis.bpeTrainLocal(
+      selfP.as[(Seq[String], Long)].collect().toSeq, 3)
+    assert(seqS.map(m => (m._2, m._3, m._4)) ==
+      Seq(("a", "a", 40L), ("aa", "a", 10L), ("aa", "aaa", 10L)),
+      s"sequential reference drifted: $seqS")
+    assert(batS == seqS, s"batched diverged on self-pair: $batS vs $seqS")
+    assert(locS == seqS, s"local diverged on self-pair: $locS vs $seqS")
+
+    // self-pair mid-prefix: a strictly-greater disjoint pair ahead of
+    // the self-pair must survive; everything at/after the self-pair's
+    // count must not be batched past it
+    val selfP2 = Seq(
+      (Seq("x", "y"), 50L),
+      (Seq("a", "a", "a", "a", "a"), 10L), (Seq("b", "c"), 9L)
+    ).toDF("syms", "freq").localCheckpoint()
+    val seqS2 = TextAnalysis.bpeTrainSequential(selfP2, 4)
+    val (batS2, _) = TextAnalysis.bpeTrainBatched(selfP2, 4)
+    assert(batS2 == seqS2, s"batched diverged mid-prefix: $batS2 vs $seqS2")
   }
 
   test("x56 BPE encode: per-doc token sums replay exactly; bounds hold") {
