@@ -351,13 +351,14 @@ object Pipeline {
   def pipelineV2(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.functions.CustomExprs.register(spark)
+    val wts = TextAnalysis.classifierWeights(spark, sfDir)
     val docs = Tables.spread(Tables.documents(spark, sfDir))
       .select($"doc_id", $"lang", $"text")
     // 1. classifier admission — x69's exact scoring path
     val admitted = docs
       .withColumn("w0", split($"text", " "))
       .withColumn("feat_sum_micro",
-        TextAnalysis.classifierScoreMicro($"w0"))
+        TextAnalysis.classifierScoreMicro($"w0", wts))
       .filter($"feat_sum_micro" > 0)
       .select($"doc_id", $"lang", $"text", $"feat_sum_micro")
     // 2. exact dedup — x10's keeper policy (min doc_id per sha256)
@@ -420,12 +421,13 @@ object Pipeline {
   def rejectionLedger(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.functions.CustomExprs.register(spark)
+    val wts = TextAnalysis.classifierWeights(spark, sfDir)
     val w = Window.partitionBy($"h")
     Tables.spread(Tables.documents(spark, sfDir))
       .select($"doc_id", $"text")
       .withColumn("w0", split($"text", " "))
       .withColumn("feat_sum_micro",
-        TextAnalysis.classifierScoreMicro($"w0"))
+        TextAnalysis.classifierScoreMicro($"w0", wts))
       .withColumn("h", sha2($"text", 256))
       .withColumn("keeper",
         min(when($"feat_sum_micro" > 0, $"doc_id")).over(w))
@@ -442,24 +444,12 @@ object Pipeline {
     * sha256 partition (DuckDB's sha256 hex string is only a partition
     * key — it never crosses the engine boundary). */
   val rejectionLedgerSql: String = {
-    val wordByte =
-      "(strpos('0123456789ABCDEF', substr(hex(encode(x)), CAST(2*i+1 AS INT), 1))-1)*16" +
-        " + (strpos('0123456789ABCDEF', substr(hex(encode(x)), CAST(2*i+2 AS INT), 1))-1)"
-    s"""WITH d AS (
+    s"""WITH ${TextAnalysis.classifierTrainingCtes},
+       |d AS MATERIALIZED (
        |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
-       |), f AS (
-       |  SELECT doc_id, text,
-       |    CAST(list_sum(list_transform(w, x ->
-       |      (CAST(list_reduce(
-       |         list_prepend(CAST(14695981039346656037 AS HUGEINT),
-       |           list_transform(range(0, octet_length(encode(x))),
-       |             i -> CAST($wordByte AS HUGEINT))),
-       |         (acc, y) -> (xor(acc, y) * 1099511628211)
-       |                       % CAST(18446744073709551616 AS HUGEINT))
-       |         % ${TextAnalysis.ClassifierBuckets} AS BIGINT)
-       |       * 2654435761) % 2000001 - 1000000
-       |    )) AS BIGINT) AS feat_sum_micro
-       |  FROM d
+       |)${TextAnalysis.classifierScoreCtes("d", "clf_sc")}, f AS (
+       |  SELECT d.doc_id, d.text, s.feat_sum_micro
+       |  FROM d JOIN clf_sc s ON d.doc_id = s.doc_id
        |), k AS (
        |  SELECT doc_id, feat_sum_micro,
        |    MIN(CASE WHEN feat_sum_micro > 0 THEN doc_id END)
@@ -481,14 +471,16 @@ object Pipeline {
     * the surviving slice, the x17 recursive-CTE labels for the split
     * key, and the x72 unsigned-FNV shard rank. */
   val pipelineV2Sql: String = {
-    val wordByte =
-      "(strpos('0123456789ABCDEF', substr(hex(encode(x)), CAST(2*i+1 AS INT), 1))-1)*16" +
-        " + (strpos('0123456789ABCDEF', substr(hex(encode(x)), CAST(2*i+2 AS INT), 1))-1)"
     val idByte =
       "(strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1))-1)*16" +
         " + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1))-1)"
     val n = Dedup.SpanNgramWidth
-    s"""WITH RECURSIVE p AS (${Dedup.jaccardPairsSql}),
+    s"""WITH RECURSIVE ${TextAnalysis.classifierTrainingCtes},
+       |doc0 AS MATERIALIZED (
+       |  SELECT doc_id, lang, text, string_split(text, ' ') AS w
+       |  FROM documents
+       |)${TextAnalysis.classifierScoreCtes("doc0", "clf_sc")},
+       |p AS (${Dedup.jaccardPairsSql}),
        |edges AS (
        |  SELECT id_a AS a, id_b AS b FROM p
        |  UNION SELECT id_b, id_a FROM p
@@ -499,18 +491,8 @@ object Pipeline {
        |), comp AS (
        |  SELECT a AS doc_id, MIN(b) AS label FROM reach GROUP BY a
        |), adm AS (
-       |  SELECT doc_id, lang, text,
-       |    CAST(list_sum(list_transform(string_split(text, ' '), x ->
-       |      (CAST(list_reduce(
-       |         list_prepend(CAST(14695981039346656037 AS HUGEINT),
-       |           list_transform(range(0, octet_length(encode(x))),
-       |             i -> CAST($wordByte AS HUGEINT))),
-       |         (acc, y) -> (xor(acc, y) * 1099511628211)
-       |                       % CAST(18446744073709551616 AS HUGEINT))
-       |         % ${TextAnalysis.ClassifierBuckets} AS BIGINT)
-       |       * 2654435761) % 2000001 - 1000000
-       |    )) AS BIGINT) AS feat_sum_micro
-       |  FROM documents
+       |  SELECT d0.doc_id, d0.lang, d0.text, s.feat_sum_micro
+       |  FROM doc0 d0 JOIN clf_sc s ON d0.doc_id = s.doc_id
        |), kept AS (
        |  SELECT * FROM adm WHERE feat_sum_micro > 0
        |), kp AS (

@@ -376,83 +376,333 @@ object TextAnalysis {
   }
 
   /** x69 feature-hash geometry: 2¹⁶ buckets (fastText's default
-    * hashing-trick order of magnitude, scaled to the fixture). */
+    * hashing-trick order of magnitude, scaled to the fixture), plus one
+    * intercept slot one past the hash range. */
   private[graft] val ClassifierBuckets = 65536L
+  private[graft] val ClassifierBiasBucket: Long = ClassifierBuckets
+  /** Fixed GD round count and step divisor — COMPILE-TIME constants so
+    * the oracle can unroll training as chained CTEs (the x22/x55
+    * trick). Step = −grad / (n_train · EtaDen): a 0.1 learning rate in
+    * micro units, tuned on the fixture (held-out accuracy plateaus
+    * ~0.81 here; more rounds keep helping but inflate the unrolled
+    * oracle roughly linearly in both size and DuckDB planning time). */
+  private[graft] val ClassifierGdRounds = 128
+  private[graft] val ClassifierGdEtaDen = 10L
+  /** Margin clamp before the rational sigmoid: keeps 500000·s inside
+    * Long on the Spark side while leaving any realistic margin
+    * untouched (the sigmoid is saturated to within 10⁻⁶ of its limit
+    * long before |s| = 10¹²). */
+  private[graft] val ClassifierMarginClamp = 1000000000000L
+  /** Training-doc stride-sample cap (the [[graft.ops.Similarity]]
+    * trainSampleOf pattern — classifiers train on bounded samples at
+    * crawl scale as a matter of course) and the triple-count gate below
+    * which the zero-jobs-per-round driver-local loop runs. */
+  private[graft] val ClassifierTrainDocCap: Long = 1L << 20
+  private[graft] val ClassifierLocalMaxTriples: Long = 1L << 22
 
-  /** Deterministic stand-in "trained" weight for a feature bucket, in
-    * exact integer MICRO-units ∈ [-10⁶, 10⁶]: a Knuth-hash spread of
-    * the bucket id. A stand-in because the sandbox has no labeled
-    * quality data to train on — the SHAPE (hashed bag-of-words,
-    * weight-vector lookup, map-only scoring) is the real fastText /
-    * DataComp-classifier deployment shape, and integer weights keep
-    * the whole op hash-exact against the oracle. */
-  private[graft] def bucketWeightMicro(bucket: Column): Column =
-    (bucket * lit(2654435761L)) % lit(2000001L) - lit(1000000L)
+  /** Deterministic training corpus: the doc_id % 4 ≠ 0 slice — the
+    * % 4 = 0 quarter is NEVER trained on, so CurationSpec can score it
+    * as genuinely held-out — stride-sampled down to
+    * ~[[ClassifierTrainDocCap]] docs above the cap (`pmod(xxhash64(id),
+    * ⌈n/cap⌉) = 0`, no rand(); a no-op at fixture scale, so the oracle
+    * replays the below-cap regime — same contract as Lloyd's
+    * TrainSampleCap). */
+  private def classifierTrainDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 4 =!= 0).select($"doc_id", $"text")
+    val n = t.count()
+    if (n <= ClassifierTrainDocCap) t
+    else t.filter(pmod(xxhash64($"doc_id"),
+      lit((n + ClassifierTrainDocCap - 1) / ClassifierTrainDocCap)) === 0)
+  }
+
+  /** The TRAINED x69 model: a dense Long[2¹⁶+1] (hash-bucket weights +
+    * intercept at [[ClassifierBiasBucket]]), memoized per (session,
+    * corpus) and built by [[classifierTrainLocal]] /
+    * [[classifierTrainDistributed]] — real training code, not hand-set
+    * constants.
+    *
+    * LABELS are distilled from an independent heuristic: a train-slice
+    * doc is positive iff its x30 quality blend ≥ the slice's lower
+    * median — the CCNet/fastText teacher-student shape (score with a
+    * cheap reference signal, distill into a hashed-BoW model that then
+    * generalizes to unseen text with no feature pipeline).
+    *
+    * TRAINER: full-batch gradient descent on a logistic objective for
+    * [[ClassifierGdRounds]] fixed rounds in EXACT integer micro-unit
+    * arithmetic — margins, the rational sigmoid
+    * p = ½ + s/(2·(1+|s|)) (micro: 500000 + 500000·s div (10⁶+|s|)),
+    * residuals, gradients and updates are all Long ops, so every sum
+    * is associative and the result is bit-identical under any
+    * partitioning, executor count, or summation order. That is what
+    * lets one merge table serve three gates: the local and distributed
+    * regimes are provably equal (CurationSpec), and the oracle replays
+    * all rounds as unrolled MATERIALIZED CTEs in DuckDB
+    * ([[classifierTrainingCtes]]) with the same truncating integer
+    * division (Scala `/` ≡ DuckDB `//`, both toward zero). */
+  private[graft] def classifierWeights(spark: SparkSession, sfDir: String): Array[Long] =
+    graft.Caches.memoValue(spark, s"classifier-weights:$sfDir") {
+      import spark.implicits._
+      graft.functions.CustomExprs.register(spark)
+      val docs = classifierTrainDocs(spark, sfDir)
+        .select($"doc_id", split($"text", " ").as("w"),
+          qualityScore($"text").as("qs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nDocs = docs.count()
+      // lower median: the ((n+1) div 2)-th smallest quality value —
+      // a deterministic element of the multiset (no tie ambiguity, no
+      // float averaging), replayed by row_number in the oracle
+      val thr = docs.orderBy($"qs").limit(((nDocs + 1) / 2).toInt)
+        .orderBy($"qs".desc).select($"qs").head.getDouble(0)
+      val labels = docs.select($"doc_id",
+        when($"qs" >= thr, 1L).otherwise(0L).as("y"))
+      val triples = docs
+        .select($"doc_id", explode($"w").as("x"))
+        .select($"doc_id",
+          pmod(call_function("fnv1a64", $"x"), lit(ClassifierBuckets)).as("bucket"))
+        .unionAll(docs.select($"doc_id", lit(ClassifierBiasBucket).as("bucket")))
+        .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("c"))
+      val nTriples = triples.count()
+      val trained =
+        if (nTriples <= ClassifierLocalMaxTriples)
+          classifierTrainLocal(
+            triples.as[(Long, Long, Long)].collect().toSeq,
+            labels.as[(Long, Long)].collect().toMap,
+            ClassifierGdRounds, ClassifierGdEtaDen)
+        else classifierTrainDistributed(triples, labels,
+          ClassifierGdRounds, ClassifierGdEtaDen)
+      docs.unpersist(blocking = false)
+      val arr = new Array[Long](ClassifierBuckets.toInt + 1)
+      trained.foreach { case (b, v) => arr(b.toInt) = v }
+      arr
+    }
+
+  /** Below-gate trainer: the (doc, bucket, count) triples and labels
+    * are collected ONCE (bounded by [[ClassifierLocalMaxTriples]]) and
+    * all [[ClassifierGdRounds]] rounds run driver-side with zero Spark
+    * jobs — the x55 local-regime shape. */
+  private[graft] def classifierTrainLocal(triples: Seq[(Long, Long, Long)],
+      labels: Map[Long, Long], rounds: Int, etaDen: Long): Map[Long, Long] = {
+    val byDoc = triples.groupBy(_._1)
+    val docs = labels.keys.toArray.sorted.map { d =>
+      val t = byDoc.getOrElse(d, Nil)
+      (t.map(_._2).toArray, t.map(_._3).toArray, labels(d))
+    }
+    val n = docs.length.toLong
+    val w = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    var t = 0
+    while (t < rounds) {
+      val grad = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      docs.foreach { case (bs, cs, y) =>
+        var s = 0L
+        var i = 0
+        while (i < bs.length) { s += cs(i) * w(bs(i)); i += 1 }
+        val sc = math.max(-ClassifierMarginClamp, math.min(ClassifierMarginClamp, s))
+        val p = 500000L + 500000L * sc / (1000000L + math.abs(sc))
+        val r = p - y * 1000000L
+        i = 0
+        while (i < bs.length) { grad(bs(i)) += r * cs(i); i += 1 }
+      }
+      grad.foreach { case (b, g) => w(b) = w(b) - g / (n * etaDen) }
+      t += 1
+    }
+    w.toMap
+  }
+
+  /** Above-gate trainer: per round ONE margins-residuals-gradient
+    * aggregation over the (persisted) triples — the weight dim (≤2¹⁶+1
+    * rows) broadcasts out, the integer gradient groupBy-bucket comes
+    * back. Integer sums make the round deterministic regardless of
+    * partitioning, so this is bit-equal to the local loop (CurationSpec
+    * pins it) and the gradient collect is bounded by the bucket count,
+    * never the corpus. */
+  private[graft] def classifierTrainDistributed(triples: DataFrame,
+      labels: DataFrame, rounds: Int, etaDen: Long): Map[Long, Long] = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val tr = triples.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lb = labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = lb.count()
+    var w = Map.empty[Long, Long]
+    var t = 0
+    while (t < rounds) {
+      val wDf = w.toSeq.toDF("bucket", "wt")
+      val resid = tr.join(broadcast(wDf), Seq("bucket"), "left")
+        .groupBy($"doc_id")
+        .agg(sum($"c" * coalesce($"wt", lit(0L))).as("s"))
+        .withColumn("sc", greatest(least($"s", lit(ClassifierMarginClamp)),
+          lit(-ClassifierMarginClamp)))
+        .join(lb, "doc_id")
+        // div = truncating integer division, matching Scala / exactly
+        .withColumn("r",
+          expr("500000 + (500000 * sc) div (1000000 + abs(sc)) - y * 1000000"))
+      val grad = tr.join(resid.select($"doc_id", $"r"), "doc_id")
+        .groupBy($"bucket").agg(sum($"r" * $"c").as("g"))
+        .as[(Long, Long)].collect()
+      w = w ++ grad.map { case (b, g) => b -> (w.getOrElse(b, 0L) - g / (n * etaDen)) }
+      t += 1
+    }
+    tr.unpersist(blocking = false)
+    lb.unpersist(blocking = false)
+    w
+  }
+
+  /** x69's summed-margin score over a PROJECTED words-array column —
+    * shared by batch, the pipelines and the streaming siblings so every
+    * consumer scores identically. The trained weight vector rides along
+    * as ONE dense array literal (512 KiB — the "k·4-byte broadcast
+    * array an executor holds once"); the intercept initialises the
+    * fold, each word costs one O(1) element_at. Scoring stays a PURE
+    * MAP over documents — no vocabulary dim, no shuffle, no join — the
+    * property that makes classifier filtering viable at crawl scale. */
+  private[graft] def classifierScoreMicro(w: Column, weights: Array[Long]): Column = {
+    require(weights.length == ClassifierBuckets.toInt + 1,
+      s"dense weights + intercept expected, got ${weights.length}")
+    val arr = typedLit(weights.take(ClassifierBuckets.toInt).toSeq)
+    aggregate(
+      transform(w, x => element_at(arr,
+        (pmod(call_function("fnv1a64", x), lit(ClassifierBuckets)) + lit(1L))
+          .cast("int"))),
+      lit(weights(ClassifierBuckets.toInt)),
+      (acc, x) => acc + x)
+  }
 
   /** x69 — MODEL-BASED quality classification, the fastText-style
     * filter modern data recipes run after heuristic pruning (CCNet,
     * LLaMA's Wikipedia-reference classifier, DataComp's fasttext
     * baselines): hash each word into one of [[ClassifierBuckets]]
     * feature buckets (FNV-1a 64 → pmod — the hashing trick; no
-    * vocabulary dim exists at all), look up the bucket's weight, and
-    * score the document by its summed feature weights; `kept` is the
-    * positive-margin decision. Scoring is a PURE MAP over documents —
-    * the weight "vector" is arithmetic on the bucket id here, and a
-    * genuinely trained one is a k·4-byte broadcast array an executor
-    * holds once — so at 100 TB the filter costs one corpus scan, no
-    * shuffle, no join (the property that makes classifier filtering
-    * viable at crawl scale). The oracle replays word-level FNV-1a,
-    * bucketing and the weight formula in DuckDB, so the whole scoring
-    * path is hash-exact end to end. */
-  /** x69's summed-margin score over a PROJECTED words-array column —
-    * shared with the streaming sibling so batch and stream score
-    * identically (and so the split stays out of the lambda, the
-    * PlanAuditSpec rule). */
-  private[graft] def classifierScoreMicro(w: Column): Column =
-    aggregate(
-      transform(w, x => bucketWeightMicro(
-        pmod(call_function("fnv1a64", x), lit(ClassifierBuckets)))),
-      lit(0L), (acc, x) => acc + x)
-
+    * vocabulary dim exists at all), look up the bucket's TRAINED weight
+    * ([[classifierWeights]]), and score the document by intercept +
+    * summed feature weights; `kept` is the positive-margin decision.
+    * The oracle replays the ENTIRE path — training rounds unrolled,
+    * then word-level FNV-1a bucketing and the weight join — so scoring
+    * is hash-exact end to end against a model DuckDB trained itself. */
   def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.functions.CustomExprs.register(spark)
+    val wts = classifierWeights(spark, sfDir)
     Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang", split($"text", " ").as("w"))
       .select($"doc_id", $"lang",
         size($"w").cast("long").as("n_words"),
-        classifierScoreMicro($"w").as("feat_sum_micro"))
+        classifierScoreMicro($"w", wts).as("feat_sum_micro"))
       .withColumn("kept", $"feat_sum_micro" > 0)
       .orderBy($"doc_id")
   }
 
-  /** Word-level FNV-1a replayed inside a list lambda (same recurrence
-    * as [[fnvFingerprintSql]], over each word's bytes), then the same
-    * bucket/weight integer arithmetic. */
-  val qualityClassifierSql: String = {
+  /** FNV-1a-64(word) % [[ClassifierBuckets]] as a DuckDB scalar over a
+    * word column — the oracle's replay of the fnv1a64/pmod bucketing
+    * (same recurrence as [[fnvFingerprintSql]], over the word's UTF-8
+    * bytes). */
+  private def wordBucketSqlExpr(c: String): String = {
     val byteAt =
-      "(strpos('0123456789ABCDEF', substr(hex(encode(x)), CAST(2*i+1 AS INT), 1))-1)*16" +
-        " + (strpos('0123456789ABCDEF', substr(hex(encode(x)), CAST(2*i+2 AS INT), 1))-1)"
-    s"""WITH d AS (
-       |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
-       |), f AS (
-       |  SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_words,
-       |    CAST(list_sum(list_transform(w, x ->
-       |      (CAST(list_reduce(
-       |         list_prepend(CAST(14695981039346656037 AS HUGEINT),
-       |           list_transform(range(0, octet_length(encode(x))),
-       |             i -> CAST($byteAt AS HUGEINT))),
-       |         (acc, y) -> (xor(acc, y) * 1099511628211)
-       |                       % CAST(18446744073709551616 AS HUGEINT))
-       |         % $ClassifierBuckets AS BIGINT)
-       |       * 2654435761) % 2000001 - 1000000
-       |    )) AS BIGINT) AS feat_sum_micro
-       |  FROM d
-       |)
-       |SELECT doc_id, lang, n_words, feat_sum_micro,
-       |  feat_sum_micro > 0 AS kept
-       |FROM f ORDER BY doc_id""".stripMargin
+      s"(strpos('0123456789ABCDEF', substr(hex(encode($c)), CAST(2*i+1 AS INT), 1))-1)*16" +
+        s" + (strpos('0123456789ABCDEF', substr(hex(encode($c)), CAST(2*i+2 AS INT), 1))-1)"
+    s"""CAST(list_reduce(
+       |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |        list_transform(range(0, octet_length(encode($c))),
+       |          i -> CAST($byteAt AS HUGEINT))),
+       |      (acc, fb) -> (xor(acc, fb) * 1099511628211)
+       |                     % CAST(18446744073709551616 AS HUGEINT))
+       |    % $ClassifierBuckets AS BIGINT)""".stripMargin
   }
+
+  /** The x69 TRAINING REPLAY: every CTE a DuckDB re-derivation of what
+    * [[classifierWeights]] computes — train slice, quality labels with
+    * the lower-median threshold, hashed-BoW triples with the intercept
+    * row, then [[ClassifierGdRounds]] unrolled GD rounds (integer
+    * micro-unit margins → rational sigmoid → gradient → update, `//`
+    * matching Scala's truncating `/`). Ends with `clf_w(bucket, wt)`,
+    * the final weight table x69/x75/x77's scoring joins consume. Every
+    * multiply-referenced CTE is MATERIALIZED (the DuckDB inliner rule —
+    * see x55). */
+  private[graft] def classifierTrainingCtes: String = {
+    val clamp = ClassifierMarginClamp
+    val rounds = (0 until ClassifierGdRounds).map { t =>
+      s"""clf_g$t AS MATERIALIZED (
+         |  SELECT wb.bucket,
+         |    SUM((500000 + (500000*ms.sc)//(1000000+abs(ms.sc))
+         |         - yy.y*1000000) * wb.c) AS g
+         |  FROM clf_wb wb
+         |  JOIN (SELECT wb2.doc_id,
+         |          GREATEST(LEAST(COALESCE(SUM(wb2.c * w.wt), 0),
+         |            $clamp), -$clamp) AS sc
+         |        FROM clf_wb wb2
+         |        LEFT JOIN clf_w$t w ON wb2.bucket = w.bucket
+         |        GROUP BY wb2.doc_id) ms ON wb.doc_id = ms.doc_id
+         |  JOIN clf_y yy ON wb.doc_id = yy.doc_id
+         |  GROUP BY wb.bucket
+         |), clf_w${t + 1} AS MATERIALIZED (
+         |  SELECT g.bucket,
+         |    CAST(COALESCE(w.wt, 0)
+         |      - g.g//((SELECT n FROM clf_n) * $ClassifierGdEtaDen)
+         |      AS BIGINT) AS wt
+         |  FROM clf_g$t g LEFT JOIN clf_w$t w ON g.bucket = w.bucket
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""clf_d AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |    CAST(LENGTH(text) AS BIGINT) AS n_chars
+       |  FROM documents WHERE doc_id % 4 != 0
+       |), clf_q AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ${qualityScoreSqlExpr("w", "n_chars")} AS qs
+       |  FROM clf_d
+       |), clf_thr AS MATERIALIZED (
+       |  SELECT qs AS t FROM (
+       |    SELECT qs, row_number() OVER (ORDER BY qs) AS rn FROM clf_q) r
+       |  WHERE rn = (SELECT (count(*)+1)//2 FROM clf_q)
+       |), clf_y AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN qs >= (SELECT t FROM clf_thr) THEN 1 ELSE 0 END AS y
+       |  FROM clf_q
+       |), clf_n AS MATERIALIZED (SELECT count(*) AS n FROM clf_y),
+       |clf_wb AS MATERIALIZED (
+       |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT doc_id, ${wordBucketSqlExpr("x")} AS bucket
+       |    FROM (SELECT doc_id, unnest(w) AS x FROM clf_d) u
+       |    UNION ALL SELECT doc_id, $ClassifierBiasBucket AS bucket FROM clf_q
+       |  ) b GROUP BY doc_id, bucket
+       |), clf_w0 AS MATERIALIZED (
+       |  SELECT CAST(NULL AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS wt
+       |  WHERE 1=0
+       |), $rounds,
+       |clf_w AS MATERIALIZED (
+       |  SELECT bucket, wt FROM clf_w$ClassifierGdRounds
+       |)""".stripMargin
+  }
+
+  /** Scoring CTE over a docs CTE exposing (doc_id, w): intercept +
+    * Σ_word-occurrences wt[bucket(word)] — unseen buckets contribute 0
+    * (SUM skips the unmatched-join NULLs), exactly the dense-array
+    * semantics of [[classifierScoreMicro]]. */
+  private[graft] def classifierScoreCtes(src: String, out: String): String =
+    s""", $out AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |    CAST((SELECT wt FROM clf_w WHERE bucket = $ClassifierBiasBucket)
+       |      + COALESCE(SUM(cw.wt), 0) AS BIGINT) AS feat_sum_micro
+       |  FROM $src d
+       |  LEFT JOIN (
+       |    SELECT doc_id, ${wordBucketSqlExpr("x")} AS bucket
+       |    FROM (SELECT doc_id, unnest(w) AS x FROM $src) u
+       |  ) wx ON wx.doc_id = d.doc_id
+       |  LEFT JOIN clf_w cw ON cw.bucket = wx.bucket
+       |  GROUP BY d.doc_id
+       |)""".stripMargin
+
+  /** x69's oracle: train the model in DuckDB (unrolled rounds), then
+    * score every document with the trained weight table. */
+  def qualityClassifierSql: String =
+    s"""WITH $classifierTrainingCtes,
+       |doc0 AS MATERIALIZED (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+       |)${classifierScoreCtes("doc0", "clf_sc")}
+       |SELECT d.doc_id, d.lang, CAST(len(d.w) AS BIGINT) AS n_words,
+       |  s.feat_sum_micro, s.feat_sum_micro > 0 AS kept
+       |FROM doc0 d JOIN clf_sc s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   val qualityPruneSql: String = {
     s"""WITH d AS (

@@ -149,16 +149,19 @@ object Streaming {
   /** x69 streaming sibling: model-based quality filtering AT INGEST —
     * the point a crawl pipeline actually runs its classifier, before
     * anything lands. STATELESS like [[mixtureAdmit]]: the score is a
-    * pure function of the text via the shared
+    * pure function of the text and the FROZEN trained weights (the
+    * batch-trained [[graft.ops.TextAnalysis.classifierWeights]] model,
+    * shipped with the query as a constant array — exactly how a crawl
+    * pipeline deploys an offline-trained classifier) via the shared
     * [[graft.ops.TextAnalysis.classifierScoreMicro]] path (hashed
     * bag-of-words, no vocabulary dim, no state store, no watermark), so
     * replays admit exactly the batch x69 kept set. */
-  def classifierAdmit(docs: DataFrame): DataFrame = {
+  def classifierAdmit(docs: DataFrame, weights: Array[Long]): DataFrame = {
     graft.functions.CustomExprs.register(docs.sparkSession)
     docs
       .withColumn("w", split(col("text"), " "))
       .withColumn("feat_sum_micro",
-        graft.ops.TextAnalysis.classifierScoreMicro(col("w")))
+        graft.ops.TextAnalysis.classifierScoreMicro(col("w"), weights))
       .filter(col("feat_sum_micro") > 0)
       .select(col("doc_id"), col("lang"), col("feat_sum_micro"))
   }
@@ -627,7 +630,7 @@ object Streaming {
     * Two artifacts per batch (ledger slice + dim slice) → the x70
     * marker discipline: both writes, THEN the `v<k>/_SUCCESS` marker;
     * readers gate on the marker; committed replay is a no-op. */
-  def ledgerUpdate(dimDir: String, outDir: String)(
+  def ledgerUpdate(dimDir: String, outDir: String, weights: Array[Long])(
       batch: DataFrame, batchId: Long): Unit = {
     import java.nio.file.{Files, Paths}
     if (Files.isRegularFile(Paths.get(s"$dimDir/v$batchId/_SUCCESS"))) return
@@ -638,7 +641,7 @@ object Streaming {
     val scored = batch.select(col("doc_id"), col("text"))
       .withColumn("w0", split(col("text"), " "))
       .withColumn("feat_sum_micro",
-        graft.ops.TextAnalysis.classifierScoreMicro(col("w0")))
+        graft.ops.TextAnalysis.classifierScoreMicro(col("w0"), weights))
       .withColumn("h", sha2(col("text"), 256))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hist =
@@ -692,7 +695,7 @@ object Streaming {
   /** Run the incremental ledger to completion (AvailableNow); same
     * lifecycle guards as [[buildSpanIndex]]. */
   def buildLedger(docs: DataFrame, dimDir: String, outDir: String,
-      ckptDir: String): Unit = {
+      ckptDir: String, weights: Array[Long]): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dimDir))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     requireSharedLifecycle(dimDir, ckptDir)
@@ -704,7 +707,7 @@ object Streaming {
       s"$outDir already holds ledger slices from another stream " +
         s"lineage but checkpoint $ckptDir is fresh — use a new out dir")
     val q = docs.writeStream
-      .foreachBatch(ledgerUpdate(dimDir, outDir) _)
+      .foreachBatch(ledgerUpdate(dimDir, outDir, weights) _)
       .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
       .start()

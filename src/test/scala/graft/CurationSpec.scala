@@ -556,7 +556,8 @@ class CurationSpec extends AnyFunSuite {
     val w2 = org.apache.spark.sql.expressions.Window.partitionBy($"h")
     val plantedLedger = planted
       .withColumn("w0", org.apache.spark.sql.functions.split($"text", " "))
-      .withColumn("feat", TextAnalysis.classifierScoreMicro($"w0"))
+      .withColumn("feat", TextAnalysis.classifierScoreMicro($"w0",
+        TextAnalysis.classifierWeights(spark, sf)))
       .withColumn("h", org.apache.spark.sql.functions.sha2($"text", 256))
       .withColumn("keeper", org.apache.spark.sql.functions.min(
         org.apache.spark.sql.functions.when($"feat" > 0, $"doc_id")).over(w2))
@@ -634,7 +635,10 @@ class CurationSpec extends AnyFunSuite {
   test("x69 classifier scoring == clean-room reference; decision balanced") {
     import spark.implicits._
     // independent re-implementation of the whole scoring path: FNV-1a
-    // over utf-8 word bytes, bucket, integer-micro weight, sum
+    // over utf-8 word bytes, bucket, trained-weight lookup, intercept,
+    // sum. (Training itself is independently replayed by the DuckDB
+    // oracle's unrolled CTEs and by the held-out/regime tests below.)
+    val wts = TextAnalysis.classifierWeights(spark, sf)
     def refFnv(s: String): Long = {
       var h = 0xcbf29ce484222325L
       s.getBytes("UTF-8").foreach { b =>
@@ -644,9 +648,8 @@ class CurationSpec extends AnyFunSuite {
     }
     def refScore(text: String): (Long, Long) = {
       val words = text.split(" ", -1)
-      val sum = words.map { w =>
-        val b = java.lang.Math.floorMod(refFnv(w), 65536L)
-        (b * 2654435761L) % 2000001L - 1000000L
+      val sum = wts(65536) + words.map { w =>
+        wts(java.lang.Math.floorMod(refFnv(w), 65536L).toInt)
       }.sum
       (words.length.toLong, sum)
     }
@@ -663,11 +666,69 @@ class CurationSpec extends AnyFunSuite {
       assert(gsum == sum, s"doc $id feat_sum $gsum != $sum")
       assert(gkept == (sum > 0), s"doc $id kept flag")
     }
-    // pseudo-random weights over a hash spread: the decision must not
-    // degenerate to all-kept/none-kept (which would hide a sign bug).
-    // The fraction itself is corpus-dependent — shared common words
-    // dominate every doc's sum, so it is NOT centered on 0.5.
+    // the trained decision must not degenerate to all-kept/none-kept
+    // (a sign bug or a diverged trainer would); positives are ~half the
+    // corpus by the median-label construction
     val keptFrac = got.values.count(_._3).toDouble / got.size
     assert(keptFrac > 0.02 && keptFrac < 0.98, s"kept fraction $keptFrac")
+  }
+
+  test("x69 trained weights: held-out accuracy beats majority class") {
+    import spark.implicits._
+    // labels re-derived from the independent signal exactly as the
+    // trainer defines them: x30's quality blend, thresholded at the
+    // TRAIN slice's lower median — then accuracy measured ONLY on the
+    // doc_id % 4 == 0 quarter the trainer never saw
+    val q = graft.ops.TextAnalysis.textQuality(spark, sf)
+      .select($"doc_id", $"quality_score").as[(Long, Double)].collect().toMap
+    val trainQ = q.collect { case (id, s) if id % 4 != 0 => s }.toArray.sorted
+    val thr = trainQ((trainQ.length - 1) / 2)
+    val kept = graft.ops.TextAnalysis.qualityClassifier(spark, sf)
+      .select($"doc_id", $"kept").as[(Long, Boolean)].collect().toMap
+    val held = q.keys.filter(_ % 4 == 0).toSeq
+    assert(held.nonEmpty)
+    val pos = held.count(id => q(id) >= thr)
+    val majority = math.max(pos, held.size - pos).toDouble / held.size
+    val correct = held.count(id => kept(id) == (q(id) >= thr))
+    val accuracy = correct.toDouble / held.size
+    info(f"held-out accuracy $accuracy%.3f vs majority $majority%.3f " +
+      f"(n=${held.size}, pos=$pos)")
+    assert(accuracy > majority,
+      f"trained classifier ($accuracy%.3f) must beat the majority class " +
+        f"($majority%.3f) on the held-out quarter")
+  }
+
+  test("x69 trainer regimes: local and distributed GD are bit-equal") {
+    import spark.implicits._
+    // a planted corpus with heavy bucket collisions is unnecessary —
+    // the fixture's own training frames exercise both paths; 16 rounds
+    // keep the distributed run's job count testable while proving the
+    // per-round arithmetic identical (equality holds round by round)
+    val docs = Tables.documents(spark, sf)
+      .filter($"doc_id" % 4 =!= 0)
+      .select($"doc_id", split($"text", " ").as("w"),
+        graft.ops.TextAnalysis.qualityScore($"text").as("qs"))
+    graft.functions.CustomExprs.register(spark)
+    val n = docs.count()
+    val thr = docs.orderBy($"qs").limit(((n + 1) / 2).toInt)
+      .orderBy($"qs".desc).select($"qs").head.getDouble(0)
+    val labels = docs.select($"doc_id",
+      when($"qs" >= thr, 1L).otherwise(0L).as("y"))
+    val triples = docs
+      .select($"doc_id", explode($"w").as("x"))
+      .select($"doc_id", pmod(call_function("fnv1a64", $"x"),
+        lit(TextAnalysis.ClassifierBuckets)).as("bucket"))
+      .unionAll(docs.select($"doc_id",
+        lit(TextAnalysis.ClassifierBiasBucket).as("bucket")))
+      .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("c"))
+    val local = TextAnalysis.classifierTrainLocal(
+      triples.as[(Long, Long, Long)].collect().toSeq,
+      labels.as[(Long, Long)].collect().toMap, 16,
+      TextAnalysis.ClassifierGdEtaDen)
+    val dist = TextAnalysis.classifierTrainDistributed(
+      triples, labels, 16, TextAnalysis.ClassifierGdEtaDen)
+    assert(local.filter(_._2 != 0L) == dist.filter(_._2 != 0L),
+      s"regimes diverged: ${local.toSeq.diff(dist.toSeq).take(3)}")
+    assert(local.nonEmpty && local.values.exists(_ != 0L))
   }
 }

@@ -108,7 +108,8 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming classifier admission == batch x69 kept set (stateless)") {
     val streamed = Streaming.runToMemory(spark,
-      Streaming.classifierAdmit(Streaming.documentsStream(spark, sf)),
+      Streaming.classifierAdmit(Streaming.documentsStream(spark, sf),
+        graft.ops.TextAnalysis.classifierWeights(spark, sf)),
       "clf_admit", outputMode = "append")
     val batch = graft.ops.TextAnalysis.qualityClassifier(spark, sf)
       .filter("kept").select("doc_id", "feat_sum_micro").collect()
@@ -353,7 +354,7 @@ class StreamingSpec extends AnyFunSuite {
     Streaming.buildLedger(
       spark.readStream.schema(Streaming.documentsRawSchema)
         .option("maxFilesPerTrigger", 1).parquet(landing),
-      dimDir, outDir, ckpt)
+      dimDir, outDir, ckpt, graft.ops.TextAnalysis.classifierWeights(spark, sf))
     val versions = new java.io.File(dimDir).listFiles()
       .filter(_.getName.matches("v\\d+"))
     assert(versions.length == 2, s"expected 2 micro-batches, got ${versions.toSeq}")
@@ -379,7 +380,8 @@ class StreamingSpec extends AnyFunSuite {
         .map(f => f.getName -> f.lastModified()).toMap
     val before = snapshot(s"$outDir/b1")
     assert(before.nonEmpty)
-    Streaming.ledgerUpdate(dimDir, outDir)(
+    Streaming.ledgerUpdate(dimDir, outDir,
+        graft.ops.TextAnalysis.classifierWeights(spark, sf))(
       docs.filter($"doc_id" % 7 === 0), 1L)
     assert(snapshot(s"$outDir/b1") == before,
       "replayed committed batch rewrote its ledger slice")
