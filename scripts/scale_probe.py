@@ -10,9 +10,12 @@ than exploding combinatorially:
   sets are disjoint ACROSS replicas (no cross-replica Jaccard pairs) while
   each replica keeps the original within-replica dup structure. doc_id
   offset 10M per replica; n_chars recomputed.
-- embeddings: replica r rotates the vector by r positions (norm-preserving,
-  decorrelating - exact replicas would add C(10,2) cos=1.0 pairs per
-  vector and distort x14's output size superlinearly). vec_id offset 10M.
+- embeddings: replica r rotates the vector by r % dim positions
+  (norm-preserving, decorrelating - exact replicas would add C(R,2)
+  cos=1.0 pairs per vector and distort x14's output size superlinearly)
+  and NEGATES it for r >= dim (rotation repeats with period dim=64, so
+  at 100 replicas r and r-64 would otherwise be exact duplicates; the
+  negated sibling has cosine -1, never a near-dup). vec_id offset 10M.
 
 This is builder tooling only (like check.py), not engine code.
 """
@@ -47,7 +50,10 @@ COPY (
 con.sql(f"""
 COPY (
   SELECT e.vec_id + r.range * 10000000 AS vec_id,
-    CAST(list_concat(e.embedding[r.range + 1:], e.embedding[1:r.range])
+    CAST(list_transform(
+      list_concat(e.embedding[(r.range % 64) + 1:],
+                  e.embedding[1:(r.range % 64)]),
+      x -> CASE WHEN r.range >= 64 THEN -x ELSE x END)
          AS FLOAT[]) AS embedding,
     e.label
   FROM read_parquet('{SRC}/embeddings.parquet') e, range({REPLICAS}) r

@@ -5,18 +5,22 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: media as opaque `binary` with typed
-  * metadata. The container has no image/video codec libraries, so the
-  * compressed-codec decode steps are a clearly-marked deterministic STUB
-  * (Decoder below); the codec-free container families are decoded FOR
-  * REAL with pure byte arithmetic — [[WavCodec]] parses genuine
-  * RIFF/WAVE audio (x48), [[BmpCodec]] genuine BI_RGB bitmaps (x57),
-  * and [[AviCodec]] genuine AVI video containers (x58; frame payloads
-  * stay stubbed — THAT is where the entropy codec the container lacks
-  * would sit). Everything around the
-  * decode — schema, batched per-partition decoder lifecycle, frame
-  * explosion, partitioning — is the real shape a 100 TB media pipeline
-  * needs (the Scala analog of mapInPandas is Dataset.mapPartitions with
-  * one decoder instance per partition, amortizing model/codec init).
+  * metadata. The container has no image/video codec libraries; the
+  * codec-free container families are decoded FOR REAL with pure byte
+  * arithmetic — [[WavCodec]] parses genuine RIFF/WAVE audio (x48),
+  * [[BmpCodec]] genuine BI_RGB bitmaps (x57), [[PngCodec]] genuine
+  * PNGs down to the pixels (JDK inflate + unfilter), and [[AviCodec]]
+  * genuine AVI video containers (x58) including the uncompressed
+  * BI_RGB ('DIB ') frame payloads (x41). Entropy-coded payloads the
+  * sandbox genuinely cannot decode take an explicit REJECTION path
+  * (x41's `rejected:MJPG` rows), never an arithmetic stand-in — the
+  * one remaining labeled stub is x40's generic-blob brightness, whose
+  * raw text payload has no container to decode at all. Everything
+  * around the decode — schema, batched per-partition decoder
+  * lifecycle, frame explosion, partitioning — is the real shape a
+  * 100 TB media pipeline needs (the Scala analog of mapInPandas is
+  * Dataset.mapPartitions with one decoder instance per partition,
+  * amortizing model/codec init).
   *
   * The stand-in blob is the UTF-8 encoding of `documents.text`, which
   * keeps every derived quantity deterministic and oracle-checkable.
@@ -76,8 +80,9 @@ object Multimodal {
       |  ((240 + (byte_size % 720)) * 128) // (320 + (byte_size % 1280)) AS thumb_h
       |FROM m ORDER BY doc_id""".stripMargin
 
-  /** x41 — frame sampling with REAL per-format decode (since round 10;
-    * previously all three media families used the arithmetic stub):
+  /** x41 — frame sampling with REAL per-format decode for every media
+    * family (image + audio since round 10; video since round 11 — the
+    * arithmetic stub is fully retired):
     *
     *  - image docs (doc_id % 3 == 0): the payload is PNG-encoded with
     *    x63's generator geometry and then genuinely decoded BACK — JDK
@@ -88,16 +93,24 @@ object Multimodal {
     *  - audio docs (doc_id % 3 == 1): the payload is wrapped as genuine
     *    RIFF/WAVE and the PCM data chunk is located by the real chunk
     *    walk ([[WavCodec.dataRange]]); stripe mean over the PCM bytes;
-    *  - video docs (doc_id % 3 == 2): the [[Decoder]] stub remains —
-    *    the one family whose entropy codec a codec-free container
-    *    genuinely lacks (AVI container parsing is real in x58; frame
-    *    PAYLOAD decode is what has no in-JVM codec).
+    *  - video docs (doc_id % 3 == 2): the payload is wrapped as a
+    *    genuine AVI ([[AviCodec.encodeVideoFrames]]). Streams whose
+    *    sub-family ((doc_id/3) % 3 < 2) carry uncompressed BI_RGB
+    *    ('DIB ', 24/32 bpp) frames are DECODED FOR REAL — the movi
+    *    chunk walk + the strf stride law ([[AviCodec.dibFrameBytes]]),
+    *    stripe means over the stride-padded pixel rows (alignment
+    *    zeros are bytes of the real frame buffer, like PNG's row
+    *    padding). The entropy-coded sub-family (MJPG) takes the honest
+    *    REJECTION path: NULL feature + `rejected:MJPG` status — a
+    *    codec-free container must refuse to fake what it cannot
+    *    decode, never emit arithmetic stand-ins.
     *
     * One codec instance per partition (the mapInPandas-batch analog);
-    * the frame count 1 + len % 8 is unchanged from the stub form, so
-    * sampling geometry and row counts are identical — only the feature
-    * became a measured value. Oracle: per-format closed-form replay
-    * from the generator payload (stripe sums of payload bytes; PNG row
+    * the frame count 1 + len % 8 is unchanged, so sampling geometry
+    * and row counts are identical across families — accepted rows
+    * carry a measured value, rejected rows carry the reason. Oracle:
+    * per-format closed-form replay from the generator payload (stripe
+    * sums of payload bytes at their stride-mapped positions; row
     * padding enters the denominator only). */
   def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -105,53 +118,68 @@ object Multimodal {
       .select($"doc_id", encode($"text", "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        // once per partition, like real codec init
         val png = new PngCodec; val wav = new WavCodec
-        val stub = new Decoder // once per partition, like real codec init
+        val avi = new AviCodec
         it.flatMap { case (docId, payload) =>
           val nFrames = 1L + payload.length % 8
-          // decoded byte stream per family; None = stub family (video)
-          val decoded: Option[Array[Byte]] = (docId % 3) match {
+          // decoded byte stream per family; Left = honest rejection
+          // (entropy-coded video stream, no in-JVM codec)
+          val decoded: Either[String, Array[Byte]] = (docId % 3) match {
             case 0 =>
               val blob = png.encode(payload,
                 width = 8 + (docId % 24).toInt, bitDepth = 8,
                 colorType = Array(0, 2, 6)(((docId / 3) % 3).toInt))
-              Some(png.unfilteredPixels(blob))
+              Right(png.unfilteredPixels(blob))
             case 1 =>
               val blob = wav.encode(payload,
                 sampleRate = Array(8000, 16000, 24000)(((docId / 3) % 3).toInt),
                 channels = 1 + ((docId / 3) % 2).toInt, bits = 16)
               val (off, len) = wav.dataRange(blob)
-              Some(java.util.Arrays.copyOfRange(blob, off, off + len.toInt))
-            case _ => None
+              Right(java.util.Arrays.copyOfRange(blob, off, off + len.toInt))
+            case _ =>
+              val sub = ((docId / 3) % 3).toInt
+              val blob = avi.encodeVideoFrames(payload,
+                width = 8 + (docId % 24).toInt,
+                bpp = Array(24, 32, 24)(sub),
+                fourcc4 = if (sub == 2) "MJPG" else "DIB ")
+              avi.dibFrameBytes(blob) // rejects MJPG from the blob itself
+          }
+          val status = decoded match {
+            case Left(fcc) => "rejected:" + fcc
+            case Right(_) => Seq("png", "pcm", "dib")((docId % 3).toInt)
           }
           (0L until nFrames).map { f =>
-            val feature = decoded match {
-              case Some(bs) =>
+            val feature: Option[Long] = decoded match {
+              case Right(bs) =>
                 val L = bs.length.toLong
                 val s = (f * L / nFrames).toInt
                 val e = ((f + 1) * L / nFrames).toInt
-                if (e <= s) 0L
+                if (e <= s) Some(0L)
                 else {
                   var sum = 0L; var i = s
                   while (i < e) { sum += bs(i) & 0xff; i += 1 }
-                  sum / (e - s)
+                  Some(sum / (e - s))
                 }
-              case None => stub.frameFeature(payload, f)
+              case Left(_) => None
             }
-            (docId, f, feature)
+            (docId, f, feature, status)
           }
         }
       }
-      .toDF("doc_id", "frame_idx", "feature")
+      .toDF("doc_id", "frame_idx", "feature", "status")
       .orderBy($"doc_id", $"frame_idx")
   }
 
   /** x41's oracle: per-format stripe means recomputed closed-form from
-    * the payload bytes. Image stripe geometry runs over the PADDED
-    * pixel length L = ceil(len/rowbytes)·rowbytes (pad bytes are zeros:
-    * they add nothing to the sum but do count in the denominator, which
-    * is e−s); audio runs over the exact payload; video replays the
-    * stub arithmetic. */
+    * the payload bytes. Image/DIB-video stripe geometry runs over the
+    * PADDED pixel length (pad bytes are zeros: they add nothing to the
+    * sum but do count in the denominator, which is e−s); each payload
+    * byte j lands at its stride-mapped position (j ÷ rowbytes)·stride
+    * + j mod rowbytes — the identity for PNG, whose only padding is
+    * the tail scanline, and the 4-byte-alignment law for the AVI DIB
+    * frame. Audio runs over the exact payload; the MJPG sub-family
+    * replays the rejection (NULL feature + reason status). */
   val frameSampleSql: String = {
     val byteAt =
       "(strpos('0123456789ABCDEF', substr(hx, CAST(2*j+1 AS INT), 1))-1)*16" +
@@ -159,59 +187,59 @@ object Multimodal {
     s"""WITH m AS (
        |  SELECT doc_id, hex(encode(text)) AS hx,
        |    CAST(octet_length(encode(text)) AS BIGINT) AS len,
-       |    CAST(doc_id % 3 AS INT) AS mt
+       |    CAST(doc_id % 3 AS INT) AS mt,
+       |    CAST((doc_id // 3) % 3 AS INT) AS sub
        |  FROM documents
        |), geo AS (
-       |  SELECT doc_id, len, mt,
-       |    CASE mt WHEN 0 THEN
-       |      (8 + (doc_id % 24)) *
-       |        ([1,3,4])[CAST((doc_id // 3) % 3 AS INT) + 1]
-       |      ELSE NULL END AS rowbytes
+       |  SELECT doc_id, len, mt, sub,
+       |    CASE WHEN mt = 0 THEN (8 + (doc_id % 24)) * ([1,3,4])[sub + 1]
+       |         WHEN mt = 2 AND sub < 2
+       |           THEN (8 + (doc_id % 24)) * (([24,32])[sub + 1] // 8)
+       |         ELSE NULL END AS rowbytes,
+       |    CASE WHEN mt = 2 AND sub < 2
+       |         THEN (((8 + (doc_id % 24)) * ([24,32])[sub + 1] + 31) // 32) * 4
+       |         ELSE NULL END AS vstride
        |  FROM m
        |), bl AS (
-       |  SELECT doc_id, len, mt,
-       |    CASE mt
-       |      WHEN 0 THEN greatest(1, (len + rowbytes - 1) // rowbytes)
+       |  SELECT doc_id, len, mt, sub, rowbytes,
+       |    COALESCE(vstride, rowbytes) AS stride,
+       |    CASE
+       |      WHEN mt = 0 THEN greatest(1, (len + rowbytes - 1) // rowbytes)
        |                    * rowbytes
-       |      WHEN 1 THEN len
+       |      WHEN mt = 1 THEN len
+       |      WHEN mt = 2 AND sub < 2
+       |        THEN greatest(1, (len + rowbytes - 1) // rowbytes) * vstride
        |      ELSE 0 END AS L,
        |    1 + len % 8 AS nf
        |  FROM geo
        |), fr AS (
-       |  SELECT doc_id, len, mt, L, nf, CAST(f AS BIGINT) AS f,
+       |  SELECT doc_id, len, mt, sub, L, nf, CAST(f AS BIGINT) AS f,
        |    (f * L) // nf AS s, ((f + 1) * L) // nf AS e
        |  FROM bl, UNNEST(range(0, nf)) AS t(f)
        |), by AS (
-       |  SELECT doc_id, CAST(j AS BIGINT) AS j, $byteAt AS v
-       |  FROM m, UNNEST(range(0, len)) AS u(j)
-       |  WHERE mt IN (0, 1)
+       |  SELECT b.doc_id,
+       |    CASE WHEN b.mt = 1 THEN CAST(j AS BIGINT)
+       |         ELSE (j // b.rowbytes) * b.stride + (j % b.rowbytes)
+       |         END AS p,
+       |    $byteAt AS v
+       |  FROM bl b JOIN m ON m.doc_id = b.doc_id,
+       |    UNNEST(range(0, b.len)) AS u(j)
+       |  WHERE b.mt IN (0, 1) OR (b.mt = 2 AND b.sub < 2)
        |), feat AS (
-       |  SELECT fr.doc_id, fr.f,
+       |  SELECT fr.doc_id, fr.f, fr.mt, fr.sub,
        |    CASE
-       |      WHEN fr.mt = 2 THEN (fr.len * 7 + fr.f * 13) % 256
+       |      WHEN fr.mt = 2 AND fr.sub = 2 THEN NULL
        |      WHEN fr.e <= fr.s THEN 0
        |      ELSE COALESCE(SUM(b.v), 0) // (fr.e - fr.s) END AS feature
        |  FROM fr LEFT JOIN by b
-       |    ON b.doc_id = fr.doc_id AND b.j >= fr.s AND b.j < fr.e
-       |  GROUP BY fr.doc_id, fr.f, fr.mt, fr.len, fr.s, fr.e
+       |    ON b.doc_id = fr.doc_id AND b.p >= fr.s AND b.p < fr.e
+       |  GROUP BY fr.doc_id, fr.f, fr.mt, fr.sub, fr.len, fr.s, fr.e
        |)
-       |SELECT doc_id, f AS frame_idx, CAST(feature AS BIGINT) AS feature
+       |SELECT doc_id, f AS frame_idx, CAST(feature AS BIGINT) AS feature,
+       |  CASE mt WHEN 0 THEN 'png' WHEN 1 THEN 'pcm'
+       |    ELSE CASE WHEN sub = 2 THEN 'rejected:MJPG' ELSE 'dib' END
+       |    END AS status
        |FROM feat ORDER BY doc_id, frame_idx""".stripMargin
-  }
-
-  /** The decode STUB — stands in ONLY for the video frame-payload codec
-    * (the one media family a codec-free container cannot decode; image
-    * and audio decode for real above). Deterministic on the blob bytes;
-    * expensive-init is simulated so the per-partition amortization
-    * pattern is honest. */
-  final class Decoder {
-    val initialized = true // real codec init would happen here, once
-    def decodeBrightness(blob: Array[Byte], docId: Long): Long =
-      (blob.length.toLong * 31 + docId) % 256
-    def sampleFrames(blob: Array[Byte]): Seq[Long] =
-      0L until (1L + blob.length % 8)
-    def frameFeature(blob: Array[Byte], frame: Long): Long =
-      (blob.length.toLong * 7 + frame * 13) % 256
   }
 
   // ------------------------------------------------------------ x48 WAV
@@ -842,6 +870,151 @@ object Multimodal {
       require(codec != null, "no vids stream header")
       require(scale > 0 && rate > 0, s"bad vids timing $rate/$scale")
       AviMeta(width, height, usec, frames, rate * 1000L / scale, codec)
+    }
+
+    /** x41's video fixture writer: a genuine single-stream AVI whose
+      * strf BITMAPINFOHEADER declares the REAL frame geometry. For the
+      * uncompressed stream (`fourcc4 = "DIB "`) the movi `00db` chunk
+      * carries the payload packed as a BI_RGB pixel array — row-wise at
+      * the spec's 4-byte-aligned stride, exactly [[BmpCodec.encode]]'s
+      * pixel-pack rule — with biCompression 0 and biSizeImage
+      * stride·h. For an entropy-coded stream the `00dc` chunk carries
+      * the payload opaquely and biCompression carries the handler
+      * fourcc, the signal [[dibFrameBytes]] honestly rejects on. */
+    def encodeVideoFrames(payload: Array[Byte], width: Int, bpp: Int,
+        fourcc4: String, rateHz: Int = 25, scale: Int = 1): Array[Byte] = {
+      require(width > 0 && Set(8, 24, 32)(bpp) && fourcc4.length == 4 &&
+        rateHz > 0 && scale > 0, s"bad encode params $width/$bpp/$fourcc4")
+      val raw = fourcc4 == "DIB "
+      val rowBytes = width * bpp / 8
+      val h = math.max(1, (payload.length + rowBytes - 1) / rowBytes)
+      val stride = (width * bpp + 31) / 32 * 4
+      val frameLen = if (raw) stride * h else payload.length
+      val padded = frameLen + (frameLen & 1)
+      val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val moviSize = 4 + 8 + padded
+      val buf = ByteBuffer.allocate(12 + 8 + hdrlSize + 8 + moviSize)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      def fourcc(s: String): Unit = buf.put(s.getBytes(US_ASCII))
+      fourcc("RIFF"); buf.putInt(4 + 8 + hdrlSize + 8 + moviSize)
+      fourcc("AVI ")
+      fourcc("LIST"); buf.putInt(hdrlSize); fourcc("hdrl")
+      fourcc("avih"); buf.putInt(56)
+      buf.putInt((1000000L * scale / rateHz).toInt)
+      buf.putInt(0); buf.putInt(0); buf.putInt(0)
+      buf.putInt(1)                     // dwTotalFrames: one movi chunk
+      buf.putInt(0); buf.putInt(1); buf.putInt(0)
+      buf.putInt(width).putInt(h)
+      (0 until 4).foreach(_ => buf.putInt(0))
+      fourcc("LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+      fourcc("strh"); buf.putInt(56)
+      fourcc("vids"); fourcc(fourcc4)
+      buf.putInt(0); buf.putShort(0); buf.putShort(0); buf.putInt(0)
+      buf.putInt(scale); buf.putInt(rateHz)
+      buf.putInt(0); buf.putInt(1)      // dwStart / dwLength
+      buf.putInt(0); buf.putInt(0); buf.putInt(0)
+      buf.putShort(0); buf.putShort(0)
+      buf.putShort(width.toShort); buf.putShort(h.toShort)
+      fourcc("strf"); buf.putInt(40)
+      buf.putInt(40).putInt(width).putInt(h) // BITMAPINFOHEADER
+      buf.putShort(1); buf.putShort(bpp.toShort)
+      // biCompression: 0 = BI_RGB for the raw stream; the handler
+      // fourcc (the VfW convention) for entropy-coded streams
+      buf.putInt(if (raw) 0 else
+        fourcc4.getBytes(US_ASCII).zipWithIndex
+          .map { case (b, i) => (b & 0xff) << (8 * i) }.sum)
+      buf.putInt(frameLen)              // biSizeImage
+      buf.putInt(0).putInt(0).putInt(0).putInt(0)
+      fourcc("LIST"); buf.putInt(moviSize); fourcc("movi")
+      fourcc(if (raw) "00db" else "00dc"); buf.putInt(frameLen)
+      if (raw) {
+        // payload packed row-wise; inter-row alignment padding stays 0
+        val base = buf.position()
+        var off = 0; var r = 0
+        while (r < h && off < payload.length) {
+          val n = math.min(rowBytes, payload.length - off)
+          buf.position(base + r * stride)
+          buf.put(payload, off, n)
+          off += rowBytes; r += 1
+        }
+      } else buf.put(payload)
+      buf.array()
+    }
+
+    /** x41's REAL video frame decode for the one stream family a
+      * codec-free container CAN decode: walks the RIFF layout (hdrl /
+      * strl for the vids strh handler + strf BITMAPINFOHEADER, movi
+      * for the `##db`/`##dc` frame chunks), and
+      *
+      *  - when the stream is uncompressed (biCompression 0 AND handler
+      *    `DIB `): returns Right(concatenated frame chunk bytes) — the
+      *    stride-padded BI_RGB pixel rows the strf header describes,
+      *    each frame chunk validated against the stride·h frame size
+      *    law;
+      *  - otherwise: returns Left(handler fourcc) — the honest
+      *    REJECTION for entropy-coded streams (MJPG, I420 …), which a
+      *    container walker without the codec must refuse to fake.
+      */
+    def dibFrameBytes(blob: Array[Byte]): Either[String, Array[Byte]] = {
+      val buf = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, US_ASCII)
+      }
+      require(buf.remaining >= 12 && tag() == "RIFF", "not a RIFF container")
+      buf.getInt()
+      require(tag() == "AVI ", "not an AVI form")
+      var codec: String = null
+      var inVids = false
+      var biComp = -1; var bpp = -1; var w = -1; var h = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def walk(start: Int, end: Int): Unit = {
+        buf.position(start)
+        while (buf.position() + 8 <= end) {
+          val id = tag()
+          val size = buf.getInt().toLong & 0xffffffffL
+          val body = buf.position()
+          require(body + size <= end, s"chunk '$id' overruns container")
+          if (id == "LIST" && size >= 4) {
+            val lt = tag()
+            // unlike the metadata walk, the FRAME decode descends into
+            // movi too — the frame payload is exactly what it reads
+            if (lt == "hdrl" || lt == "strl" || lt == "movi")
+              walk(body + 4, (body + size).toInt)
+          } else if (id == "strh" && size >= 56) {
+            val fccType = tag(); val handler = tag()
+            inVids = fccType == "vids" && codec == null
+            if (inVids) codec = handler
+          } else if (id == "strf" && inVids && biComp < 0) {
+            require(size >= 40, s"short strf chunk $size")
+            buf.getInt() // biSize
+            w = buf.getInt(); h = math.abs(buf.getInt())
+            buf.getShort() // planes
+            bpp = buf.getShort().toInt
+            biComp = buf.getInt()
+          } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+              (id.endsWith("db") || id.endsWith("dc"))) {
+            frames += ((body, size.toInt))
+          }
+          buf.position(math.min(body + size + (size & 1L), end.toLong).toInt)
+        }
+      }
+      walk(buf.position(), blob.length)
+      require(codec != null && biComp >= 0, "no vids strh/strf headers")
+      if (biComp != 0 || codec != "DIB ") Left(codec.trim)
+      else {
+        require(w > 0 && h > 0 && Set(8, 24, 32)(bpp),
+          s"bad DIB geometry ${w}x$h@$bpp")
+        val stride = (w.toLong * bpp + 31) / 32 * 4
+        val frameSize = stride * h
+        val out = new Array[Byte](frames.map(_._2).sum)
+        var at = 0
+        frames.foreach { case (off, len) =>
+          require(len.toLong == frameSize,
+            s"DIB frame chunk $len violates stride*h = $frameSize")
+          System.arraycopy(blob, off, out, at, len); at += len
+        }
+        Right(out)
+      }
     }
   }
 

@@ -672,40 +672,61 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
-  test("x41 frame features: image/audio stripes measured from real decode") {
-    import org.apache.spark.unsafe.types.UTF8String
+  test("x41 frame features: image/audio/video stripes from real decode") {
     val rows = Multimodal.frameSample(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // independent recompute for one image doc and one audio doc: stripe
-    // means over payload bytes (image: zero-padded to full scanlines)
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3)))
+    // independent recompute for one doc per family: stripe means over
+    // payload bytes at their stride-mapped positions (zero padding
+    // counts in the denominator only)
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
-    def stripeMeans(bytes: Array[Int], L: Long, nf: Long): Seq[Long] =
+    def strideMeans(bytes: Array[Int], rowBytes: Int, stride: Int,
+        nf: Long): Seq[Long] = {
+      val h = math.max(1, (bytes.length + rowBytes - 1) / rowBytes)
+      val padded = new Array[Long](h * stride)
+      bytes.zipWithIndex.foreach { case (v, j) =>
+        padded((j / rowBytes) * stride + (j % rowBytes)) = v.toLong
+      }
+      val L = padded.length.toLong
       (0L until nf).map { f =>
         val s = (f * L / nf).toInt; val e = ((f + 1) * L / nf).toInt
-        if (e <= s) 0L
-        else (s until e).map(i => if (i < bytes.length) bytes(i).toLong else 0L)
-          .sum / (e - s)
+        if (e <= s) 0L else (s until e).map(padded).sum / (e - s)
       }
+    }
     val imgId = docs.keys.filter(d => d % 3 == 0 && docs(d).nonEmpty).min
     val pay = docs(imgId).getBytes("UTF-8").map(_ & 0xff)
-    val rowBytes = (8 + imgId % 24) * Array(1, 3, 4)(((imgId / 3) % 3).toInt)
-    val L = math.max(1, (pay.length + rowBytes - 1) / rowBytes) * rowBytes
-    val expectImg = stripeMeans(pay, L, 1L + pay.length % 8)
-    assert(rows.filter(_._1 == imgId).sortBy(_._2).map(_._3).toSeq == expectImg,
+    val rowBytes =
+      (8 + imgId % 24).toInt * Array(1, 3, 4)(((imgId / 3) % 3).toInt)
+    val expectImg = strideMeans(pay, rowBytes, rowBytes, 1L + pay.length % 8)
+    val img = rows.filter(_._1 == imgId).sortBy(_._2)
+    assert(img.map(_._3.get).toSeq == expectImg && img.forall(_._4 == "png"),
       s"image doc $imgId frame features diverged from pixel recompute")
     val audId = docs.keys.filter(d => d % 3 == 1 && docs(d).nonEmpty).min
     val apay = docs(audId).getBytes("UTF-8").map(_ & 0xff)
-    val expectAud = stripeMeans(apay, apay.length.toLong, 1L + apay.length % 8)
-    assert(rows.filter(_._1 == audId).sortBy(_._2).map(_._3).toSeq == expectAud,
+    val expectAud = strideMeans(apay, math.max(1, apay.length),
+      math.max(1, apay.length), 1L + apay.length % 8)
+    val aud = rows.filter(_._1 == audId).sortBy(_._2)
+    assert(aud.map(_._3.get).toSeq == expectAud && aud.forall(_._4 == "pcm"),
       s"audio doc $audId frame features diverged from PCM recompute")
-    // video rows keep the documented stub arithmetic
-    val vidId = docs.keys.filter(_ % 3 == 2).min
-    val vlen = docs(vidId).getBytes("UTF-8").length.toLong
-    assert(rows.filter(_._1 == vidId).sortBy(_._2).map(_._3).toSeq ==
-      (0L until (1L + vlen % 8)).map(f => (vlen * 7 + f * 13) % 256),
-      s"video doc $vidId stub features diverged")
+    // DIB video rows: measured means over the REAL movi frame bytes at
+    // the 4-byte-aligned stride (24 bpp so stride > rowbytes exercises
+    // the alignment mapping)
+    val dibId = docs.keys
+      .filter(d => d % 3 == 2 && (d / 3) % 3 == 0 && docs(d).nonEmpty).min
+    val vpay = docs(dibId).getBytes("UTF-8").map(_ & 0xff)
+    val vRow = (8 + dibId % 24).toInt * 3
+    val vStride = ((8 + dibId % 24).toInt * 24 + 31) / 32 * 4
+    val expectVid = strideMeans(vpay, vRow, vStride, 1L + vpay.length % 8)
+    val vid = rows.filter(_._1 == dibId).sortBy(_._2)
+    assert(vid.map(_._3.get).toSeq == expectVid && vid.forall(_._4 == "dib"),
+      s"video doc $dibId frame features diverged from DIB recompute")
+    // MJPG video rows: the honest rejection — NULL feature + reason
+    val mjId = docs.keys.filter(d => d % 3 == 2 && (d / 3) % 3 == 2).min
+    val mj = rows.filter(_._1 == mjId)
+    assert(mj.nonEmpty && mj.forall(r => r._3.isEmpty &&
+      r._4 == "rejected:MJPG"), s"MJPG doc $mjId rejection rows diverged")
   }
 
   test("ccStars: 64-node path converges in O(log n) rounds, not O(diameter)") {

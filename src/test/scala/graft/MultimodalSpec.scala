@@ -268,6 +268,89 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI DIB frames: encode→decode round-trips stride-mapped pixels") {
+    val rnd = new scala.util.Random(41)
+    for (_ <- 0 until 50) {
+      val payload = Array.fill(rnd.nextInt(2000))(rnd.nextInt.toByte)
+      val w = 1 + rnd.nextInt(64)
+      val bpp = Seq(8, 24, 32)(rnd.nextInt(3))
+      val blob = aviCodec.encodeVideoFrames(payload, w, bpp, "DIB ")
+      val rowBytes = w * bpp / 8
+      val h = math.max(1, (payload.length + rowBytes - 1) / rowBytes)
+      val stride = (w * bpp + 31) / 32 * 4
+      val bs = aviCodec.dibFrameBytes(blob)
+        .getOrElse(fail("DIB stream rejected"))
+      assert(bs.length == stride * h, "frame bytes violate stride*h")
+      // every payload byte at its stride-mapped position; padding zero
+      val expect = new Array[Byte](stride * h)
+      payload.zipWithIndex.foreach { case (b, j) =>
+        expect((j / rowBytes) * stride + (j % rowBytes)) = b
+      }
+      assert(java.util.Arrays.equals(bs, expect), "pixel bytes diverged")
+      // the container is still a valid x58 metadata decode
+      assert(aviCodec.decode(blob).codec == "DIB ")
+    }
+  }
+
+  test("AVI DIB frame decode walks a foreign multi-chunk movi layout") {
+    // hand-laid: TWO 00db frame chunks (real writers emit one chunk
+    // per frame), a JUNK inside movi, and a trailing idx1 — the
+    // single-chunk encoder never produces this
+    val w = 3; val bpp = 24 // stride 12, rowBytes 9: real alignment gap
+    val stride = 12; val h = 2
+    val f0 = Array.tabulate[Byte](stride * h)(i => (i + 1).toByte)
+    val f1 = Array.tabulate[Byte](stride * h)(i => (100 + i).toByte)
+    val avih = fcc("avih") ++ le32(56) ++ le32(40000) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(2) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ Array.fill[Byte](16)(0)
+    val strh = fcc("strh") ++ le32(56) ++ fcc("vids") ++ fcc("DIB ") ++
+      le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(25) ++
+      Array.fill[Byte](28)(0)
+    val strf = fcc("strf") ++ le32(40) ++ le32(40) ++ le32(w) ++ le32(h) ++
+      le16(1) ++ le16(bpp) ++ le32(0) ++ le32(stride * h) ++
+      Array.fill[Byte](16)(0)
+    val strl = fcc("LIST") ++ le32(4 + strh.length + strf.length) ++
+      fcc("strl") ++ strh ++ strf
+    val hdrl = fcc("LIST") ++ le32(4 + avih.length + strl.length) ++
+      fcc("hdrl") ++ avih ++ strl
+    val junk = fcc("JUNK") ++ le32(4) ++ Array.fill[Byte](4)(0x55)
+    val movi = fcc("LIST") ++
+      le32(4 + (8 + f0.length) + junk.length + (8 + f1.length)) ++
+      fcc("movi") ++ fcc("00db") ++ le32(f0.length) ++ f0 ++ junk ++
+      fcc("00db") ++ le32(f1.length) ++ f1
+    val idx1 = fcc("idx1") ++ le32(16) ++ Array.fill[Byte](16)(0)
+    val body = hdrl ++ movi ++ idx1
+    val bytes = fcc("RIFF") ++ le32(4 + body.length) ++ fcc("AVI ") ++ body
+    val bs = aviCodec.dibFrameBytes(bytes)
+      .getOrElse(fail("foreign DIB stream rejected"))
+    assert(java.util.Arrays.equals(bs, f0 ++ f1),
+      "concatenated frame bytes diverged")
+    // a frame chunk violating the stride*h law must throw, not decode
+    val short = bytes.indexOfSlice(fcc("00db") ++ le32(f1.length))
+    val corrupt = bytes.clone()
+    corrupt(short + 4) = (f1.length - 1).toByte // shrink declared size
+    intercept[IllegalArgumentException](aviCodec.dibFrameBytes(corrupt))
+  }
+
+  test("AVI entropy-coded streams are rejected with the handler fourcc") {
+    val payload = "not really mjpeg bytes".getBytes("US-ASCII")
+    for (fourcc <- Seq("MJPG", "I420")) {
+      val blob = aviCodec.encodeVideoFrames(payload, 16, 24, fourcc)
+      assert(aviCodec.dibFrameBytes(blob) == Left(fourcc.trim),
+        s"$fourcc must reject")
+      // and the metadata walk still reads it (rejection ≠ unparseable)
+      assert(aviCodec.decode(blob).codec == fourcc)
+    }
+    // biCompression is authoritative: a stream CLAIMING 'DIB ' but
+    // carrying a nonzero compression tag must still reject
+    val dib = aviCodec.encodeVideoFrames(payload, 16, 24, "DIB ")
+    val strfAt = dib.indexOfSlice(fcc("strf"))
+    val lying = dib.clone()
+    lying(strfAt + 8 + 4 + 4 + 4 + 2 + 2) = 1 // biCompression = BI_RLE8
+    assert(lying(strfAt + 8 + 16) == 1, "offset check")
+    assert(aviCodec.dibFrameBytes(lying) == Left("DIB"))
+  }
+
   test("x48 blobs are genuine WAV containers; decode matches the generator") {
     import spark.implicits._
     val rows = Multimodal.wavFrame(spark, sf).as[(Long, Array[Byte])]
