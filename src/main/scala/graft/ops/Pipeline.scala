@@ -367,6 +367,24 @@ object Pipeline {
       .agg(min($"doc_id").as("doc_id"))
       .select($"doc_id")
     val exact = admitted.join(keepers, Seq("doc_id"), "left_semi")
+    v2TransformStages(spark, sfDir, exact)
+      .select($"doc_id", $"lang", $"feat_sum_micro", $"n_removed",
+        $"clean_text", $"split", $"shard", $"pos")
+      .orderBy($"split", $"shard", $"pos")
+  }
+
+  /** Stages 3-5 of the v2 pipeline — the TRANSFORM stages (they reshape
+    * or route, never drop): x70's substring rewrite within the
+    * surviving slice, x71's leakage-free split over the memoized
+    * full-corpus CC label dim, x72's hash-ordered shard rank. One
+    * definition shared by [[pipelineV2]] and [[rejectionLedger]], so
+    * the ledger's evidence columns are the pipeline's outputs by
+    * construction, not a replica that can drift. Input: the stage-2
+    * survivors with at least (doc_id, text); output: the input columns
+    * plus (n_removed, clean_text, split, shard, pos). */
+  private[graft] def v2TransformStages(spark: SparkSession, sfDir: String,
+      exact: DataFrame): DataFrame = {
+    import spark.implicits._
     // 3. substring rewrite within the surviving slice — x70's policy
     val rewritten = Dedup.substringRewriteCore(spark,
         exact.select($"doc_id", $"text"))
@@ -394,36 +412,44 @@ object Pipeline {
       .withColumn("shard", pmod($"h", lit(Sampling.ShuffleShards)).cast("int"))
       .withColumn("ukey", $"h".bitwiseXOR(lit(Long.MinValue)))
       .withColumn("pos", row_number().over(w).cast("long"))
-      .select($"doc_id", $"lang", $"feat_sum_micro", $"n_removed",
-        $"clean_text", $"split", $"shard", $"pos")
-      .orderBy($"split", $"shard", $"pos")
+      .drop("rep", "label", "h", "ukey")
   }
 
-  /** x77 — the pipeline REJECTION LEDGER: one row per ORIGINAL corpus
-    * document naming the first x75 stage that rejected it
-    * (`classifier` | `exact_dup`) or `kept`, with the evidence a
-    * pipeline operator debugs from — the classifier score, and for
-    * dup-rejections the keeper document the text lost to. This is the
-    * first artifact anyone asks for when a 100 TB corpus shrinks
-    * unexpectedly between versions ("which stage ate 40% of
-    * my docs?"), and the per-stage drop COUNTS any run report needs
-    * are one groupBy over it. Only stages 1-2 of the v2 chain drop
-    * whole documents (the rewrite/split/shard stages transform or
-    * route), so the ledger covers the full kept/dropped partition of
-    * the corpus — spec-pinned against x75's survivor set.
+  /** x77 — the pipeline REJECTION LEDGER, full per-stage provenance
+    * (since round 11): one row per ORIGINAL corpus document answering
+    * "what happened to doc N" across the WHOLE v2 pipeline —
     *
-    * Shape: the SAME shared policies as the pipeline (x69's scoring
-    * expression, x10's min-id keeper rule), evaluated in one pass —
-    * a classifier map, then ONE window over the sha256 key (the same
-    * shuffle x10's groupBy pays; no join). The keeper is the min
-    * doc_id among ADMITTED sharers, exactly the pipeline's stage-2
-    * rule on stage-1 survivors. */
+    *  - the first x75 stage that rejected it (`classifier` |
+    *    `exact_dup`) or `kept`, with the classifier score and, for
+    *    dup-rejections, the keeper document the text lost to;
+    *  - for kept docs, the TRANSFORM stages' evidence: the token count
+    *    the x70 substring rewrite removed (`n_removed`) and the
+    *    (split, shard, pos) training-file routing — NULL for dropped
+    *    docs, which never reached those stages.
+    *
+    * This is the first artifact anyone asks for when a 100 TB corpus
+    * shrinks unexpectedly between versions ("which stage ate 40% of my
+    * docs?" / "where did doc N end up?"); per-stage drop counts and
+    * routing audits are one groupBy over it.
+    *
+    * Shape: the SAME shared policies as the pipeline, in one pass over
+    * the corpus — a classifier map, then ONE window over the sha256
+    * key (the same shuffle x10's groupBy pays; both verdict branches
+    * reuse that exchange). The kept slice then flows through
+    * [[v2TransformStages]] — literally the pipeline's stage-3-5 code,
+    * so the evidence equals x75's outputs by construction; those
+    * stages' own shuffles are over SURVIVORS (and x70's span dim),
+    * never a second full-corpus shuffle. Dropped rows ride the union
+    * with typed NULL evidence. The streaming sibling
+    * ([[graft.streaming.Streaming.ledgerUpdate]]) keeps verdict scope:
+    * split/shard/pos are corpus-global ranks a micro-batch cannot
+    * know, exactly the columns the spec compares by name. */
   def rejectionLedger(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.functions.CustomExprs.register(spark)
     val wts = TextAnalysis.classifierWeights(spark, sfDir)
     val w = Window.partitionBy($"h")
-    Tables.spread(Tables.documents(spark, sfDir))
+    val base = Tables.spread(Tables.documents(spark, sfDir))
       .select($"doc_id", $"text")
       .withColumn("w0", split($"text", " "))
       .withColumn("feat_sum_micro",
@@ -431,51 +457,68 @@ object Pipeline {
       .withColumn("h", sha2($"text", 256))
       .withColumn("keeper",
         min(when($"feat_sum_micro" > 0, $"doc_id")).over(w))
-      .select($"doc_id", $"feat_sum_micro",
+      .withColumn("stage",
         when($"feat_sum_micro" <= 0, lit("classifier"))
           .when($"doc_id" =!= $"keeper", lit("exact_dup"))
-          .otherwise(lit("kept")).as("stage"),
-        when($"feat_sum_micro" <= 0, lit(null).cast("long"))
-          .otherwise($"keeper").as("keeper_id"))
-      .orderBy($"doc_id")
+          .otherwise(lit("kept")))
+    val verdictCols = Seq($"doc_id", $"feat_sum_micro", $"stage",
+      when($"feat_sum_micro" <= 0, lit(null).cast("long"))
+        .otherwise($"keeper").as("keeper_id"))
+    val dropped = base.filter($"stage" =!= "kept")
+      .select(verdictCols :+ lit(null).cast("long").as("n_removed") :+
+        lit(null).cast("string").as("split") :+
+        lit(null).cast("int").as("shard") :+
+        lit(null).cast("long").as("pos"): _*)
+    val kept = v2TransformStages(spark, sfDir, base.filter($"stage" === "kept"))
+      .select(verdictCols :+ $"n_removed" :+ $"split" :+ $"shard" :+
+        $"pos": _*)
+    dropped.unionByName(kept).orderBy($"doc_id")
   }
 
-  /** x77's oracle: the x69 scoring replay + a window min over the
-    * sha256 partition (DuckDB's sha256 hex string is only a partition
-    * key — it never crosses the engine boundary). */
-  val rejectionLedgerSql: String = {
-    s"""WITH ${TextAnalysis.classifierTrainingCtes},
-       |d AS MATERIALIZED (
-       |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
-       |)${TextAnalysis.classifierScoreCtes("d", "clf_sc")}, f AS (
-       |  SELECT d.doc_id, d.text, s.feat_sum_micro
-       |  FROM d JOIN clf_sc s ON d.doc_id = s.doc_id
-       |), k AS (
+  /** x77's oracle: the base verdict replay (x69 scoring + a window min
+    * over the sha256 partition — DuckDB's sha256 hex string is only a
+    * partition key; it never crosses the engine boundary) LEFT JOINed
+    * to the full v2-pipeline replay ([[v2Ctes]] — the same CTE chain
+    * the x75 oracle selects from) for the kept docs' transform-stage
+    * evidence. */
+  val rejectionLedgerSql: String =
+    s"""WITH RECURSIVE $v2Ctes, led AS (
        |  SELECT doc_id, feat_sum_micro,
        |    MIN(CASE WHEN feat_sum_micro > 0 THEN doc_id END)
        |      OVER (PARTITION BY sha256(text)) AS keeper
-       |  FROM f
+       |  FROM adm
        |)
-       |SELECT doc_id, feat_sum_micro,
-       |  CASE WHEN feat_sum_micro <= 0 THEN 'classifier'
-       |       WHEN doc_id <> keeper THEN 'exact_dup'
+       |SELECT l.doc_id, l.feat_sum_micro,
+       |  CASE WHEN l.feat_sum_micro <= 0 THEN 'classifier'
+       |       WHEN l.doc_id <> l.keeper THEN 'exact_dup'
        |       ELSE 'kept' END AS stage,
-       |  CASE WHEN feat_sum_micro <= 0 THEN CAST(NULL AS BIGINT)
-       |       ELSE keeper END AS keeper_id
-       |FROM k ORDER BY doc_id""".stripMargin
-  }
+       |  CASE WHEN l.feat_sum_micro <= 0 THEN CAST(NULL AS BIGINT)
+       |       ELSE l.keeper END AS keeper_id,
+       |  v.n_removed, v.split, v.shard, v.pos
+       |FROM led l LEFT JOIN v2out v ON l.doc_id = v.doc_id
+       |ORDER BY l.doc_id""".stripMargin
 
   /** The composed v2 oracle: each stage's standalone oracle fragment
     * chained in order — the x69 FNV word-scoring lambda as the
     * admission WHERE, x10's sha keeper, x70's coverage-join rewrite on
     * the surviving slice, the x17 recursive-CTE labels for the split
     * key, and the x72 unsigned-FNV shard rank. */
-  val pipelineV2Sql: String = {
+  val pipelineV2Sql: String =
+    s"""WITH RECURSIVE $v2Ctes
+       |SELECT doc_id, lang, feat_sum_micro, n_removed, clean_text, split,
+       |  shard, pos
+       |FROM v2out ORDER BY split, shard, pos""".stripMargin
+
+  /** The v2 oracle's CTE chain, shared by [[pipelineV2Sql]] and
+    * [[rejectionLedgerSql]] exactly as [[v2TransformStages]] is shared
+    * by the engine paths: `adm` scores every corpus doc, `v2out` is
+    * the finished x75 relation. */
+  private lazy val v2Ctes: String = {
     val idByte =
       "(strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1))-1)*16" +
         " + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1))-1)"
     val n = Dedup.SpanNgramWidth
-    s"""WITH RECURSIVE ${TextAnalysis.classifierTrainingCtes},
+    s"""${TextAnalysis.classifierTrainingCtes},
        |doc0 AS MATERIALIZED (
        |  SELECT doc_id, lang, text, string_split(text, ' ') AS w
        |  FROM documents
@@ -545,12 +588,13 @@ object Pipeline {
        |                  % CAST(18446744073709551616 AS HUGEINT)) AS fnvu
        |  FROM (SELECT sp.*, CAST(doc_id AS VARCHAR) AS hx0,
        |          hex(encode(CAST(doc_id AS VARCHAR))) AS hx FROM sp) sp
-       |)
-       |SELECT doc_id, lang, feat_sum_micro, n_removed, clean_text, split,
-       |  CAST(fnvu % ${Sampling.ShuffleShards} AS INT) AS shard,
-       |  CAST(ROW_NUMBER() OVER (
-       |    PARTITION BY split, fnvu % ${Sampling.ShuffleShards}
-       |    ORDER BY fnvu, doc_id) AS BIGINT) AS pos
-       |FROM fv ORDER BY split, shard, pos""".stripMargin
+       |), v2out AS (
+       |  SELECT doc_id, lang, feat_sum_micro, n_removed, clean_text, split,
+       |    CAST(fnvu % ${Sampling.ShuffleShards} AS INT) AS shard,
+       |    CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY split, fnvu % ${Sampling.ShuffleShards}
+       |      ORDER BY fnvu, doc_id) AS BIGINT) AS pos
+       |  FROM fv
+       |)""".stripMargin
   }
 }

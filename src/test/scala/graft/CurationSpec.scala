@@ -532,6 +532,31 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == surv,
       s"ledger kept-set diverged from x75 survivors: " +
         s"missing=${(surv -- kept).take(3)} extra=${(kept -- surv).take(3)}")
+    // transform-stage provenance (since r11): kept rows carry EXACTLY
+    // x75's (n_removed, split, shard, pos) for that doc; dropped rows
+    // carry typed NULL evidence (they never reached those stages)
+    val evidence = graft.ops.Pipeline.rejectionLedger(spark, sf)
+      .select("doc_id", "stage", "n_removed", "split", "shard", "pos")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        Option(r.getString(3)),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    val v2rows = graft.ops.Pipeline.pipelineV2(spark, sf)
+      .select("doc_id", "n_removed", "split", "shard", "pos").collect()
+      .map(r => r.getLong(0) ->
+        (Some(r.getLong(1)), Some(r.getString(2)), Some(r.getInt(3)),
+          Some(r.getLong(4)))).toMap
+    evidence.foreach { case (id, (stage, nRem, spl, shd, pos)) =>
+      if (stage == "kept")
+        assert((nRem, spl, shd, pos) == v2rows(id),
+          s"doc $id kept evidence diverged from x75: " +
+            s"${(nRem, spl, shd, pos)} vs ${v2rows(id)}")
+      else
+        assert(nRem.isEmpty && spl.isEmpty && shd.isEmpty && pos.isEmpty,
+          s"doc $id dropped row leaked transform evidence")
+    }
     // verdict coverage is data-driven: classifier+kept must both occur
     // (the score map is ~balanced by construction), and exact_dup rows
     // exist iff some admitted text is shared — the fixture's documents
