@@ -714,6 +714,183 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** x73/x74 streaming sibling — the corpus DATASHEET maintained
+    * incrementally per micro-batch. Everything the report needs is
+    * kept in MERGEABLE state, so after any ingested prefix the
+    * composed datasheet equals batch x73 on that prefix EXACTLY —
+    * counters, min/max, sources, dup counts, and the interpolated
+    * median — on ANY wave split (no ordering regime):
+    *
+    *  - `hist`: per-(lang, n_tokens) doc counts — counts merge where
+    *    running quantiles don't, and the reader recomputes the EXACT
+    *    interpolated median from the merged histogram (its size is
+    *    langs × distinct doc lengths — a dim, not a corpus, at any
+    *    scale; x74's t-digest is the fallback if doc lengths were
+    *    unbounded);
+    *  - `src`: per-(lang, source) counts → exact `n_sources` (the
+    *    rollup-exploding exact distinct x74 avoids is free here
+    *    because the dim already holds the distinct pairs; HLL would
+    *    drop the second grouping column at crawl-source cardinality);
+    *  - `sh`+`inv`: append-only shingle slices (x18's index pattern on
+    *    the x13 EXACT inverted index). Each batch finds its
+    *    within-batch pairs via the shared [[graft.ops.Dedup
+    *    .jaccardPairsOf]] and its cross-history pairs by probing the
+    *    accumulated postings — a J ≥ 0.3 pair shares ≥ 23% of its
+    *    shingle union, so one shared shingle ALWAYS exists and the
+    *    probe is exact candidate generation (verification recomputes
+    *    exact Jaccard from the stored arrays); the streamed pair set
+    *    is the batch pair set by construction, so `n_dup_docs` (the
+    *    pair-graph node count per lang) matches batch x73 exactly;
+    *  - `pairs`: per-batch discovered pair slices with BOTH endpoint
+    *    langs embedded (inc from the batch, hist from the stored
+    *    slice), so the reader never joins back to the corpus.
+    *
+    * Same versioned-dir exactly-once shape as [[unigramModelUpdate]]
+    * (merged hist/src rewritten per version; sh/inv/pairs append-only
+    * slices; `_SUCCESS` marker last; committed replay is a no-op). */
+  def datasheetUpdate(dimDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    if (Files.isRegularFile(Paths.get(s"$dimDir/v$batchId/_SUCCESS"))) return
+    val spark = batch.sparkSession
+    val prior = modelVersions(dimDir).filter(_ < batchId)
+    requirePredecessorState(dimDir, batchId, prior)
+    val docs = batch.select(col("doc_id"), col("lang"), col("source"),
+        col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def merged(name: String, batchCounts: DataFrame,
+        keys: Seq[String]): DataFrame =
+      if (prior.isEmpty) batchCounts
+      else spark.read.parquet(s"$dimDir/v${prior.max}/$name")
+        .unionByName(batchCounts)
+        .groupBy(keys.map(col): _*).agg(sum(col("cnt")).as("cnt"))
+    val hist = merged("hist",
+      docs.select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .groupBy("lang", "n_tokens").agg(count(lit(1)).as("cnt")),
+      Seq("lang", "n_tokens"))
+    val src = merged("src",
+      docs.groupBy("lang", "source").agg(count(lit(1)).as("cnt")),
+      Seq("lang", "source"))
+    // near-dup pairs: within-batch (the shared exact x13 path) plus the
+    // cross-history probe of the accumulated inverted index
+    val sh = graft.ops.Dedup.shingledOf(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val langOf = docs.select(col("doc_id"), col("lang"))
+    val within = graft.ops.Dedup.jaccardPairsOf(
+        sh.select("doc_id", "sh", "nsh"))
+      .join(langOf.select(col("doc_id").as("id_a"), col("lang").as("lang_a")),
+        "id_a")
+      .join(langOf.select(col("doc_id").as("id_b"), col("lang").as("lang_b")),
+        "id_b")
+      .select("id_a", "lang_a", "id_b", "lang_b")
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val pairs =
+      if (prior.isEmpty) within
+      else {
+        val histSh = spark.read.parquet(prior.map(p => s"$dimDir/v$p/sh"): _*)
+        val histInv = spark.read.parquet(prior.map(p => s"$dimDir/v$p/inv"): _*)
+        val cand = inv.as("a").join(histInv.as("b"), col("a.s") === col("b.s"))
+          .select(col("a.doc_id").as("inc_id"), col("b.doc_id").as("hist_id"))
+          .distinct()
+        val cross = cand
+          .join(sh.select(col("doc_id").as("inc_id"), col("sh").as("sh_a"),
+            col("nsh").as("na"), col("lang").as("lang_a")), "inc_id")
+          .join(histSh.select(col("doc_id").as("hist_id"), col("sh").as("sh_b"),
+            col("nsh").as("nb"), col("lang").as("lang_b")), "hist_id")
+          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("jaccard",
+            col("inter") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jaccard") >= 0.3)
+          .select(col("inc_id").as("id_a"), col("lang_a"),
+            col("hist_id").as("id_b"), col("lang_b"))
+        within.unionByName(cross)
+      }
+    // slices first, marker last (bandIndexUpdate's commit discipline)
+    hist.write.mode("overwrite").parquet(s"$dimDir/v$batchId/hist")
+    src.write.mode("overwrite").parquet(s"$dimDir/v$batchId/src")
+    pairs.write.mode("overwrite").parquet(s"$dimDir/v$batchId/pairs")
+    sh.write.mode("overwrite").parquet(s"$dimDir/v$batchId/sh")
+    inv.write.mode("overwrite").parquet(s"$dimDir/v$batchId/inv")
+    sh.unpersist(blocking = false)
+    docs.unpersist(blocking = false)
+    Files.write(Paths.get(s"$dimDir/v$batchId/_SUCCESS"),
+      Array.emptyByteArray)
+  }
+
+  /** The composed streamed datasheet — batch x73's exact report shape
+    * ((lang | ALL) × counters × exact interpolated median) assembled
+    * from the newest committed state: merged hist/src dims plus the
+    * union of committed pair slices. Dim-sized work only — nothing
+    * here touches the corpus. */
+  def streamedDatasheet(spark: SparkSession, dimDir: String): DataFrame = {
+    import spark.implicits._
+    val vs = modelVersions(dimDir)
+    require(vs.nonEmpty, s"no committed datasheet versions under $dimDir")
+    val hist0 = spark.read.parquet(s"$dimDir/v${vs.max}/hist")
+    val src0 = spark.read.parquet(s"$dimDir/v${vs.max}/src")
+    val pairs = spark.read.parquet(vs.map(v => s"$dimDir/v$v/pairs"): _*)
+    // per-lang rows ∪ the ALL rollup row, all from the same dims
+    val hist = hist0.select($"lang".as("g"), $"n_tokens", $"cnt")
+      .unionByName(hist0.groupBy($"n_tokens").agg(sum($"cnt").as("cnt"))
+        .select(lit("ALL").as("g"), $"n_tokens", $"cnt"))
+    val tot = hist.groupBy($"g").agg(
+      sum($"cnt").as("n_docs"),
+      sum($"cnt" * $"n_tokens").as("n_tokens"),
+      min($"n_tokens").as("min_tokens"),
+      max($"n_tokens").as("max_tokens"))
+    // exact interpolated median from the histogram: 0-based order
+    // statistics lo = (n-1)/2 and hi = n/2 (equal when n is odd),
+    // p50 = their mean — `percentile(_, 0.5)` semantics exactly
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"n_tokens")
+    val med = hist.withColumn("cum", sum($"cnt").over(wCum))
+      .join(tot.select($"g", $"n_docs"), "g")
+      .groupBy($"g").agg(
+        // `div`, not `/`: Spark's / on longs is double division, and a
+        // fractional rank threshold would shift the order statistic
+        min(when($"cum" >= expr("(n_docs - 1) div 2 + 1"), $"n_tokens"))
+          .as("vlo"),
+        min(when($"cum" >= expr("n_docs div 2 + 1"), $"n_tokens"))
+          .as("vhi"))
+      .select($"g", (($"vlo" + $"vhi") / 2.0).as("p50_tokens"))
+    val srcCnt = src0.groupBy($"lang".as("g"))
+      .agg(countDistinct($"source").as("n_sources"))
+      .unionByName(src0.agg(countDistinct($"source").as("n_sources"))
+        .select(lit("ALL").as("g"), $"n_sources"))
+    val members = pairs.select($"id_a".as("doc_id"), $"lang_a".as("lang"))
+      .unionByName(pairs.select($"id_b".as("doc_id"), $"lang_b".as("lang")))
+      .distinct()
+    val dup = members.groupBy($"lang".as("g"))
+      .agg(count(lit(1)).as("n_dup_docs"))
+      .unionByName(members.agg(count(lit(1)).as("n_dup_docs"))
+        .select(lit("ALL").as("g"), $"n_dup_docs"))
+    tot.join(srcCnt, "g")
+      .join(dup, Seq("g"), "left")
+      .join(med, "g")
+      .select($"g".as("lang"), $"n_docs", $"n_tokens", $"n_sources",
+        coalesce($"n_dup_docs", lit(0L)).as("n_dup_docs"),
+        $"min_tokens", $"max_tokens", $"p50_tokens")
+      .orderBy($"lang")
+  }
+
+  /** Run the incremental datasheet over a documents stream to
+    * completion (AvailableNow); same lifecycle guards as the other
+    * versioned dims. */
+  def buildDatasheet(docs: DataFrame, dimDir: String,
+      ckptDir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dimDir))
+    requireSharedLifecycle(dimDir, ckptDir)
+    val q = docs.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        datasheetUpdate(dimDir)(df, batchId)
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run the incremental substring dedup over a documents stream to
     * completion (AvailableNow): maintains the span index under
     * `dimDir`, emits per-batch rewritten docs under `outDir`. Same

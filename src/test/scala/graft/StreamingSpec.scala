@@ -387,6 +387,50 @@ class StreamingSpec extends AnyFunSuite {
       "replayed committed batch rewrote its ledger slice")
   }
 
+  test("incremental datasheet: 2-wave streamed report == batch x73 exactly") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // parity split, NOT a range split: the datasheet's merge/probe
+    // design claims exactness on ANY wave boundary (unlike the
+    // ledger's keep-first regime) — near-dup pairs land both within
+    // and across these waves
+    val landing = stageLanding("dsh", Seq(
+      docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1)))
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dsh_dim").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dsh_ckpt").toString
+    Streaming.buildDatasheet(
+      spark.readStream.schema(Streaming.documentsRawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(landing),
+      dimDir, ckpt)
+    val versions = new java.io.File(dimDir).listFiles()
+      .filter(_.getName.matches("v\\d+"))
+    assert(versions.length == 2, s"expected 2 micro-batches, got ${versions.toSeq}")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7))).toSet
+    val streamed = rows(Streaming.streamedDatasheet(spark, dimDir))
+    val batch = rows(graft.ops.Pipeline.corpusDatasheet(spark, sf))
+    // EXACT equality on every column — counters, sources, dup counts,
+    // and the interpolated median (recomputed from the merged
+    // histogram, not a sketch); x74's tolerance gate is subsumed
+    assert(streamed == batch,
+      s"streamed datasheet diverged from batch x73: " +
+        s"missing=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
+    // the dup counters must be exercised, or the cross-wave probe is
+    // untested — the fixture corpus carries near-dup pairs
+    assert(streamed.exists(_._5 > 0), "no dup members in fixture")
+    // committed replay is a no-op even with a different frame
+    def snapshot(dir: String): Map[String, Long] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = snapshot(s"$dimDir/v1/hist")
+    assert(before.nonEmpty)
+    Streaming.datasheetUpdate(dimDir)(docs.filter($"doc_id" % 7 === 0), 1L)
+    assert(snapshot(s"$dimDir/v1/hist") == before,
+      "replayed committed batch rewrote its datasheet state")
+  }
+
   test("incremental near-dup dedup: 2-wave streamed pairs == batch x18") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
