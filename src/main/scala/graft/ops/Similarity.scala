@@ -1026,21 +1026,29 @@ object Similarity {
     ivfPqTopKOf(corpus(spark, sfDir), ivfPqIndex(spark, sfDir),
       centroids(spark, sfDir), pqBooks(spark, sfDir), 8, 5, IvfProbes)
 
-  private[graft] def ivfPqTopKOf(all: DataFrame, index: DataFrame,
-      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
-      nQueries: Int, topK: Int, probes: Int): DataFrame = {
+  /** One row per (query, probed cell), carrying the normalized query
+    * (probing on the RAW vector like x22 — scale-invariant argmax — so
+    * both regimes and both ops rank cells identically). Shared by the
+    * in-session probe and the materialized-index probe. */
+  private[graft] def ivfPqProbes(all: DataFrame, cents: Array[Array[Double]],
+      nQueries: Int, probes: Int): DataFrame = {
     val spark = all.sparkSession
     import spark.implicits._
-    // one row per (query, probed cell), carrying the normalized query
-    // (probing on the RAW vector like x22 — scale-invariant argmax —
-    // so both regimes and both ops rank cells identically)
-    val qprobes = multiProbeVia(
+    multiProbeVia(
       all.filter($"vec_id" < nQueries)
         .select($"vec_id".as("query_id"), $"v",
           transform($"v", _ / $"nrm").as("qhat")),
       "query_id", "v", cents, probes,
       literal = cents.length <= IvfMaxLiteralCells)
       .select($"query_id", $"qhat", $"cell")
+  }
+
+  private[graft] def ivfPqTopKOf(all: DataFrame, index: DataFrame,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      nQueries: Int, topK: Int, probes: Int): DataFrame = {
+    val spark = all.sparkSession
+    import spark.implicits._
+    val qprobes = ivfPqProbes(all, cents, nQueries, probes)
     val candW = Window.partitionBy($"query_id")
       .orderBy($"approx".desc, $"vec_id".asc)
     val candidates = index.join(broadcast(qprobes), Seq("cell"))
@@ -1061,6 +1069,56 @@ object Similarity {
       .filter($"rank" <= topK)
       .select($"query_id", $"vec_id".as("neighbor_id"), $"rank")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** DEPLOYMENT form of the x26 index: the (vec_id, codes, cell) table
+    * written as CELL-PARTITIONED parquet — one file per cell (the
+    * repartition keys each cell's rows to one task, the production
+    * small-files discipline), so a probe's candidate fetch becomes
+    * FILE-LEVEL partition pruning instead of an in-session join. This
+    * is the claim x22/x26's scaladoc makes ("at deployment this is the
+    * table written partitioned by cell"), made runnable and
+    * spec-proven. */
+  private[graft] def materializeIvfPqIndex(spark: SparkSession,
+      sfDir: String, indexDir: String): Unit =
+    ivfPqIndex(spark, sfDir)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+
+  /** x26 over the MATERIALIZED index: the probed cells become a literal
+    * IN-list partition filter on the parquet read — Catalyst prunes to
+    * the matching partition directories before any file is opened
+    * (`PartitionFilters` in the scan node; PlanAuditSpec asserts it and
+    * counts touched files ∝ probed cells). The probe dim is
+    * nQueries × p rows — a driver-side collect of cell ids, exactly
+    * the lookup a serving layer does against its routing table. The
+    * downstream ADC + rescore is [[ivfPqTopKOf]] unchanged, so the
+    * result is row-identical to in-session x26 — spec-pinned. */
+  /** The distinct cell ids the query batch probes — nQueries × p ints,
+    * the driver-side routing lookup of a serving layer. */
+  private[graft] def probedCellIds(spark: SparkSession, sfDir: String,
+      nQueries: Int = 8, probes: Int = IvfProbes): Array[Int] = {
+    import spark.implicits._
+    ivfPqProbes(corpus(spark, sfDir), centroids(spark, sfDir),
+        nQueries, probes)
+      .select($"cell").distinct().collect().map(_.getInt(0)).sorted
+  }
+
+  /** The pruned read of the materialized index: a literal IN-list on
+    * the partition column, so Catalyst prunes partition directories
+    * before any file is opened. */
+  private[graft] def prunedIndexRead(spark: SparkSession, indexDir: String,
+      cellList: Array[Int]): DataFrame =
+    spark.read.parquet(indexDir)
+      .filter(col("cell").isin(cellList.map(Int.box).toIndexedSeq: _*))
+
+  private[graft] def ivfPqTopKMaterialized(spark: SparkSession,
+      sfDir: String, indexDir: String, nQueries: Int = 8, topK: Int = 5,
+      probes: Int = IvfProbes): DataFrame = {
+    val pruned = prunedIndexRead(spark, indexDir,
+      probedCellIds(spark, sfDir, nQueries, probes))
+    ivfPqTopKOf(corpus(spark, sfDir), pruned, centroids(spark, sfDir),
+      pqBooks(spark, sfDir), nQueries, topK, probes)
   }
 
   /** x23 — SEMANTIC dedup (the SemDeDup policy, Abbas et al. 2023,

@@ -138,6 +138,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!shrd.contains("Join"), shrd.take(2000))
   }
 
+  test("x26 materialized index: partition filters prune files ∝ probes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    graft.ops.Similarity.materializeIvfPqIndex(spark, sf, dir)
+    val cells = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName)
+    assert(cells.length > 1, "index must be laid out as cell= partitions")
+    // one data file per cell partition (the repartition-by-cell
+    // small-files discipline)
+    cells.foreach { c =>
+      val files = new java.io.File(s"$dir/$c").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"$c holds $files files, expected 1")
+    }
+    val out = graft.ops.Similarity.ivfPqTopKMaterialized(spark, sf, dir)
+    // 1. the scan must carry a pushed cell partition predicate —
+    //    file-level pruning, not a post-scan filter
+    val plan = formatted(out)
+    // the literal probe list compiles to an INSET partition predicate
+    // (Catalyst's optimized in-set form; small lists print as `IN (`)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("cell") &&
+        (l.contains("INSET") || l.contains("IN ("))),
+      s"no pushed cell partition filter among: $pf")
+    // 2. touched-file count == probed-cell count (< total cells):
+    //    partition pruning means unprobed cells' files are never read
+    val probed = graft.ops.Similarity.probedCellIds(spark, sf)
+    assert(probed.length < cells.length, "fixture must not probe every cell")
+    val touchedFiles = graft.ops.Similarity
+      .prunedIndexRead(spark, dir, probed)
+      .select(input_file_name()).distinct().count()
+    assert(touchedFiles == probed.length,
+      s"pruned scan read $touchedFiles files for ${probed.length} probed " +
+        s"cells of ${cells.length}")
+    // 3. the materialized path returns x26's exact rows
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(rows(out) == rows(graft.ops.Similarity.ivfPqTopK(spark, sf)),
+      "materialized-index x26 diverged from the in-session path")
+  }
+
   test("x41 real-decode form: map-only per-partition codec, no join, one sort") {
     // the registered x41 is now the batched per-partition decoder
     // (mapPartitions — the mapInPandas analog); its plan must stay scan
