@@ -27,6 +27,14 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
 REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# rotate-and-negate decorrelation covers exactly 2*dim = 128 replicas:
+# replica r and r-128 rotate AND negate identically, so anything beyond
+# silently plants exact-duplicate embeddings (cos = 1.0 pairs) that
+# superlinearly distort the quadratic shapes' output — the very artifact
+# the negation exists to prevent. Fail loudly instead.
+assert REPLICAS <= 128, (
+    f"REPLICAS={REPLICAS} > 128 replays the rotation/negation period; "
+    "add a second decorrelation term before sweeping beyond 128x")
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()

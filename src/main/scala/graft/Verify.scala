@@ -10,6 +10,14 @@ object Verify {
     // spot checks of a changed oracle without the full 113-query dump
     // (the driver always runs the full form)
     val subset = if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // a typo'd or stale name must fail LOUDLY (the Bench canary rule) —
+    // otherwise the spot check runs zero queries, writes nothing, and
+    // exits 0, silently "validating" the very change it was meant to test
+    subset.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s) in subset arg: ${unknown.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -244,22 +244,38 @@ object Dedup {
       .select($"doc_id", $"bk.band".as("band"), $"bk.bh".as("bh"))
   }
 
-  private def buildMinhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val docs = shingled(spark, sfDir)
-    val bands = bandsOf(docs)
-    val cand = bands.as("a").join(bands.as("b"),
+  /** Within-set LSH candidate pairs: the (band, bh) self-join with
+    * id_a < id_b dedup — the candidate-generation head shared by batch
+    * x11 and the streamed datasheet's within-batch stage. */
+  private[graft] def bandSelfCandidates(bands: DataFrame): DataFrame =
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val left = docs.select($"doc_id".as("id_a"), $"sh".as("sh_a"), $"nsh".as("na"))
-    val right = docs.select($"doc_id".as("id_b"), $"sh".as("sh_b"), $"nsh".as("nb"))
-    cand.join(left, "id_a").join(right, "id_b")
-      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
-      .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter"))
-      .filter($"jaccard" >= 0.3)
-      .select($"id_a", $"id_b", $"jaccard")
+
+  /** Exact-Jaccard verification of an (id_a, id_b) candidate frame
+    * against (doc_id, sh, nsh) shingle frames — the shared tail of every
+    * banded path (batch x11, the x18 streaming probe, the streamed
+    * datasheet): J recomputed from the stored arrays, kept at the dedup
+    * family's J ≥ 0.3 gate. Emitted pairs are exact; only candidate
+    * RECALL is the banding's concern. */
+  private[graft] def verifyJaccard(cand: DataFrame, left: DataFrame,
+      right: DataFrame): DataFrame =
+    cand
+      .join(left.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+        col("nsh").as("na")), "id_a")
+      .join(right.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+        col("nsh").as("nb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  private def buildMinhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = shingled(spark, sfDir)
+    verifyJaccard(bandSelfCandidates(bandsOf(docs)), docs, docs)
       .orderBy($"id_a", $"id_b")
   }
 

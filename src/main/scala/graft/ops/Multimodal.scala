@@ -966,6 +966,13 @@ object Multimodal {
       var codec: String = null
       var inVids = false
       var biComp = -1; var bpp = -1; var w = -1; var h = -1
+      // AVI stream numbering: the Nth strl in hdrl is stream N, and its
+      // movi chunks are tagged `NNdb`/`NNdc` — so frame chunks must be
+      // filtered to the SELECTED vids stream's index, or a second
+      // stream's frames would be blended into (or trip the stride law
+      // of) the first one's decode. hdrl precedes movi in any spec-
+      // conforming file, so the index is known before frames arrive.
+      var strhSeen = 0; var vidsIdx = -1
       val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       def walk(start: Int, end: Int): Unit = {
         buf.position(start)
@@ -983,7 +990,8 @@ object Multimodal {
           } else if (id == "strh" && size >= 56) {
             val fccType = tag(); val handler = tag()
             inVids = fccType == "vids" && codec == null
-            if (inVids) codec = handler
+            if (inVids) { codec = handler; vidsIdx = strhSeen }
+            strhSeen += 1
           } else if (id == "strf" && inVids && biComp < 0) {
             require(size >= 40, s"short strf chunk $size")
             buf.getInt() // biSize
@@ -992,7 +1000,8 @@ object Multimodal {
             bpp = buf.getShort().toInt
             biComp = buf.getInt()
           } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
-              (id.endsWith("db") || id.endsWith("dc"))) {
+              (id.endsWith("db") || id.endsWith("dc")) &&
+              (id(0) - '0') * 10 + (id(1) - '0') == vidsIdx) {
             frames += ((body, size.toInt))
           }
           buf.position(math.min(body + size + (size & 1L), end.toLong).toInt)

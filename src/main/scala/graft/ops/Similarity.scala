@@ -1045,10 +1045,18 @@ object Similarity {
 
   private[graft] def ivfPqTopKOf(all: DataFrame, index: DataFrame,
       cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
-      nQueries: Int, topK: Int, probes: Int): DataFrame = {
+      nQueries: Int, topK: Int, probes: Int): DataFrame =
+    ivfPqTopKVia(all, index, ivfPqProbes(all, cents, nQueries, probes),
+      books, nQueries, topK)
+
+  /** The ADC + rescore tail over an ALREADY-ROUTED probe frame — split
+    * out so the materialized-index path can route once and feed both
+    * the partition filter and this join from the same rows. */
+  private[graft] def ivfPqTopKVia(all: DataFrame, index: DataFrame,
+      qprobes: DataFrame, books: Array[Array[Array[Double]]],
+      nQueries: Int, topK: Int): DataFrame = {
     val spark = all.sparkSession
     import spark.implicits._
-    val qprobes = ivfPqProbes(all, cents, nQueries, probes)
     val candW = Window.partitionBy($"query_id")
       .orderBy($"approx".desc, $"vec_id".asc)
     val candidates = index.join(broadcast(qprobes), Seq("cell"))
@@ -1085,15 +1093,6 @@ object Similarity {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
 
-  /** x26 over the MATERIALIZED index: the probed cells become a literal
-    * IN-list partition filter on the parquet read — Catalyst prunes to
-    * the matching partition directories before any file is opened
-    * (`PartitionFilters` in the scan node; PlanAuditSpec asserts it and
-    * counts touched files ∝ probed cells). The probe dim is
-    * nQueries × p rows — a driver-side collect of cell ids, exactly
-    * the lookup a serving layer does against its routing table. The
-    * downstream ADC + rescore is [[ivfPqTopKOf]] unchanged, so the
-    * result is row-identical to in-session x26 — spec-pinned. */
   /** The distinct cell ids the query batch probes — nQueries × p ints,
     * the driver-side routing lookup of a serving layer. */
   private[graft] def probedCellIds(spark: SparkSession, sfDir: String,
@@ -1112,13 +1111,31 @@ object Similarity {
     spark.read.parquet(indexDir)
       .filter(col("cell").isin(cellList.map(Int.box).toIndexedSeq: _*))
 
+  /** x26 over the MATERIALIZED index: the probed cells become a literal
+    * IN-list partition filter on the parquet read — Catalyst prunes to
+    * the matching partition directories before any file is opened
+    * (`PartitionFilters` in the scan node; PlanAuditSpec asserts it and
+    * counts touched files ∝ probed cells). The routing runs ONCE: the
+    * collected (query, qhat, cell) rows — nQueries × p of them, the
+    * lookup a serving layer does against its routing table — feed BOTH
+    * the partition IN-list and the ADC join dim, so the filter cells
+    * and the join probes cannot drift and the centroid argmax isn't
+    * paid twice. The downstream ADC + rescore is [[ivfPqTopKVia]]
+    * unchanged, so the result is row-identical to in-session x26 —
+    * spec-pinned. */
   private[graft] def ivfPqTopKMaterialized(spark: SparkSession,
       sfDir: String, indexDir: String, nQueries: Int = 8, topK: Int = 5,
       probes: Int = IvfProbes): DataFrame = {
-    val pruned = prunedIndexRead(spark, indexDir,
-      probedCellIds(spark, sfDir, nQueries, probes))
-    ivfPqTopKOf(corpus(spark, sfDir), pruned, centroids(spark, sfDir),
-      pqBooks(spark, sfDir), nQueries, topK, probes)
+    import spark.implicits._
+    val routed = ivfPqProbes(corpus(spark, sfDir), centroids(spark, sfDir),
+        nQueries, probes)
+      .select($"query_id".cast("long"), $"qhat", $"cell".cast("int"))
+      .as[(Long, Seq[Double], Int)].collect()
+    val cells = routed.map(_._3).distinct.sorted
+    val qprobes = spark.createDataset(routed.toIndexedSeq)
+      .toDF("query_id", "qhat", "cell")
+    ivfPqTopKVia(corpus(spark, sfDir), prunedIndexRead(spark, indexDir, cells),
+      qprobes, pqBooks(spark, sfDir), nQueries, topK)
   }
 
   /** x23 — SEMANTIC dedup (the SemDeDup policy, Abbas et al. 2023,

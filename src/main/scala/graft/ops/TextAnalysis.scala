@@ -463,6 +463,10 @@ object TextAnalysis {
           pmod(call_function("fnv1a64", $"x"), lit(ClassifierBuckets)).as("bucket"))
         .unionAll(docs.select($"doc_id", lit(ClassifierBiasBucket).as("bucket")))
         .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("c"))
+        // persisted BEFORE the gate count: both regimes re-read the frame
+        // right after (collect / per-round scans), and without the persist
+        // the corpus-wide explode+shuffle would run twice
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nTriples = triples.count()
       val trained =
         if (nTriples <= ClassifierLocalMaxTriples)
@@ -472,6 +476,7 @@ object TextAnalysis {
             ClassifierGdRounds, ClassifierGdEtaDen)
         else classifierTrainDistributed(triples, labels,
           ClassifierGdRounds, ClassifierGdEtaDen)
+      triples.unpersist(blocking = false)
       docs.unpersist(blocking = false)
       val arr = new Array[Long](ClassifierBuckets.toInt + 1)
       trained.foreach { case (b, v) => arr(b.toInt) = v }

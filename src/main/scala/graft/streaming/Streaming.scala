@@ -409,18 +409,11 @@ object Streaming {
           prior.map(p => s"$dimDir/v$p/bands"): _*)
         val cand = bands.as("a").join(histBands.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
-          .select(col("a.doc_id").as("inc_id"), col("b.doc_id").as("hist_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .distinct()
-        cand
-          .join(docs.select(col("doc_id").as("inc_id"),
-            col("sh").as("sh_a"), col("nsh").as("na")), "inc_id")
-          .join(hist.select(col("doc_id").as("hist_id"),
-            col("sh").as("sh_b"), col("nsh").as("nb")), "hist_id")
-          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-          .withColumn("jaccard",
-            col("inter") / (col("na") + col("nb") - col("inter")))
-          .filter(col("jaccard") >= 0.3)
-          .select(col("inc_id"), col("hist_id"), col("jaccard"))
+        graft.ops.Dedup.verifyJaccard(cand, docs, hist)
+          .select(col("id_a").as("inc_id"), col("id_b").as("hist_id"),
+            col("jaccard"))
       }
     pairs.write.mode("overwrite").parquet(s"$pairsDir/b$batchId")
     // commit this batch's index slice LAST, marker after both writes:
@@ -731,22 +724,30 @@ object Streaming {
     *    rollup-exploding exact distinct x74 avoids is free here
     *    because the dim already holds the distinct pairs; HLL would
     *    drop the second grouping column at crawl-source cardinality);
-    *  - `sh`+`inv`: append-only shingle slices (x18's index pattern on
-    *    the x13 EXACT inverted index). Each batch finds its
-    *    within-batch pairs via the shared [[graft.ops.Dedup
-    *    .jaccardPairsOf]] and its cross-history pairs by probing the
-    *    accumulated postings — a J ≥ 0.3 pair shares ≥ 23% of its
-    *    shingle union, so one shared shingle ALWAYS exists and the
-    *    probe is exact candidate generation (verification recomputes
-    *    exact Jaccard from the stored arrays); the streamed pair set
-    *    is the batch pair set by construction, so `n_dup_docs` (the
-    *    pair-graph node count per lang) matches batch x73 exactly;
+    *  - `sh`+`bands`: append-only shingle + LSH band slices (exactly
+    *    x18's index pattern). Batch x73's `n_dup_docs` comes from
+    *    [[graft.ops.Dedup.ccLabels]] ← [[graft.ops.Dedup
+    *    .minhashLshPairs]], i.e. the 8×4 banded MinHash index with
+    *    exact-Jaccard verification — so the streamed sibling uses THE
+    *    SAME engine: within-batch pairs from the band self-join,
+    *    cross-history pairs from probing the accumulated band slices,
+    *    both exact-verified from the stored shingle arrays via the
+    *    shared [[graft.ops.Dedup.verifyJaccard]]. A doc's band keys
+    *    depend only on its own shingles (deterministic xxhash64
+    *    family, no stored coefficients), so a pair is a candidate
+    *    independent of which wave each endpoint landed in: within ∪
+    *    cross over all batches is batch `minhashLshPairs`' pair set on
+    *    ANY corpus and ANY split. (An earlier form used the exact
+    *    x13 inverted index here, which matches batch only where LSH
+    *    recall is total, and whose per-batch df cap made the candidate
+    *    set wave-dependent — StreamingSpec now plants a mid-band pair
+    *    the banding provably misses to pin the engine choice);
     *  - `pairs`: per-batch discovered pair slices with BOTH endpoint
     *    langs embedded (inc from the batch, hist from the stored
     *    slice), so the reader never joins back to the corpus.
     *
     * Same versioned-dir exactly-once shape as [[unigramModelUpdate]]
-    * (merged hist/src rewritten per version; sh/inv/pairs append-only
+    * (merged hist/src rewritten per version; sh/bands/pairs append-only
     * slices; `_SUCCESS` marker last; committed replay is a no-op). */
   def datasheetUpdate(dimDir: String)(batch: DataFrame, batchId: Long): Unit = {
     import java.nio.file.{Files, Paths}
@@ -771,39 +772,39 @@ object Streaming {
     val src = merged("src",
       docs.groupBy("lang", "source").agg(count(lit(1)).as("cnt")),
       Seq("lang", "source"))
-    // near-dup pairs: within-batch (the shared exact x13 path) plus the
-    // cross-history probe of the accumulated inverted index
+    // near-dup pairs: the SAME 8×4 banded index as batch x73's dup
+    // counter (ccLabels ← minhashLshPairs) — within-batch band
+    // self-join plus the cross-history band probe, both exact-verified
+    // from the stored shingle arrays (see the scaladoc above for why
+    // banding, not the exact inverted index, is the correct engine)
     val sh = graft.ops.Dedup.shingledOf(docs)
       .join(docs.select("doc_id", "lang"), "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = graft.ops.Dedup.bandsOf(sh)
     val langOf = docs.select(col("doc_id"), col("lang"))
-    val within = graft.ops.Dedup.jaccardPairsOf(
-        sh.select("doc_id", "sh", "nsh"))
+    val within = graft.ops.Dedup.verifyJaccard(
+        graft.ops.Dedup.bandSelfCandidates(bands), sh, sh)
       .join(langOf.select(col("doc_id").as("id_a"), col("lang").as("lang_a")),
         "id_a")
       .join(langOf.select(col("doc_id").as("id_b"), col("lang").as("lang_b")),
         "id_b")
       .select("id_a", "lang_a", "id_b", "lang_b")
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val pairs =
       if (prior.isEmpty) within
       else {
         val histSh = spark.read.parquet(prior.map(p => s"$dimDir/v$p/sh"): _*)
-        val histInv = spark.read.parquet(prior.map(p => s"$dimDir/v$p/inv"): _*)
-        val cand = inv.as("a").join(histInv.as("b"), col("a.s") === col("b.s"))
-          .select(col("a.doc_id").as("inc_id"), col("b.doc_id").as("hist_id"))
+        val histBands = spark.read.parquet(
+          prior.map(p => s"$dimDir/v$p/bands"): _*)
+        val cand = bands.as("a").join(histBands.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .distinct()
-        val cross = cand
-          .join(sh.select(col("doc_id").as("inc_id"), col("sh").as("sh_a"),
-            col("nsh").as("na"), col("lang").as("lang_a")), "inc_id")
-          .join(histSh.select(col("doc_id").as("hist_id"), col("sh").as("sh_b"),
-            col("nsh").as("nb"), col("lang").as("lang_b")), "hist_id")
-          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-          .withColumn("jaccard",
-            col("inter") / (col("na") + col("nb") - col("inter")))
-          .filter(col("jaccard") >= 0.3)
-          .select(col("inc_id").as("id_a"), col("lang_a"),
-            col("hist_id").as("id_b"), col("lang_b"))
+        val cross = graft.ops.Dedup.verifyJaccard(cand, sh, histSh)
+          .join(langOf.select(col("doc_id").as("id_a"),
+            col("lang").as("lang_a")), "id_a")
+          .join(histSh.select(col("doc_id").as("id_b"),
+            col("lang").as("lang_b")), "id_b")
+          .select("id_a", "lang_a", "id_b", "lang_b")
         within.unionByName(cross)
       }
     // slices first, marker last (bandIndexUpdate's commit discipline)
@@ -811,7 +812,7 @@ object Streaming {
     src.write.mode("overwrite").parquet(s"$dimDir/v$batchId/src")
     pairs.write.mode("overwrite").parquet(s"$dimDir/v$batchId/pairs")
     sh.write.mode("overwrite").parquet(s"$dimDir/v$batchId/sh")
-    inv.write.mode("overwrite").parquet(s"$dimDir/v$batchId/inv")
+    bands.write.mode("overwrite").parquet(s"$dimDir/v$batchId/bands")
     sh.unpersist(blocking = false)
     docs.unpersist(blocking = false)
     Files.write(Paths.get(s"$dimDir/v$batchId/_SUCCESS"),

@@ -431,6 +431,65 @@ class StreamingSpec extends AnyFunSuite {
       "replayed committed batch rewrote its datasheet state")
   }
 
+  test("streamed datasheet follows batch x73's banded dup engine on mid-band pairs") {
+    import spark.implicits._
+    // 40 planted pairs at J = 11/29 ≈ 0.38 — inside the dedup family's
+    // J ≥ 0.3 gate but MID-BAND for 8×4 MinHash banding (per-band match
+    // probability J⁴ ≈ 0.02, all-miss ≈ 0.85), so the deterministic
+    // xxhash64 family provably misses most of them. This is the corpus
+    // where batch x73's LSH-derived dup counter and an exact
+    // inverted-index counter DIVERGE: the streamed sibling must follow
+    // batch (the banded engine), and equality here would be impossible
+    // for the exact-index form this replaced. Pair tails use unique
+    // per-pair words, so no cross-pair similarity exists.
+    val planted = (0 until 40).flatMap { p =>
+      val common = (0 until 13).map(i => s"p${p}c$i")
+      val ta = (0 until 9).map(i => s"p${p}a$i")
+      val tb = (0 until 9).map(i => s"p${p}b$i")
+      // p < 20: ids share parity → the pair lands WITHIN one wave of the
+      // parity split below; p ≥ 20: opposite parity → CROSS-wave. Both
+      // probe paths face mid-band pairs and must decide like batch.
+      val (ia, ib) =
+        if (p < 20) (200000L + 4 * p, 200000L + 4 * p + 2)
+        else (200000L + 4 * p, 200000L + 4 * p + 1)
+      val la = if (p % 2 == 0) "en" else "de"
+      Seq((ia, (common ++ ta).mkString(" "), la, "planted"),
+          (ib, (common ++ tb).mkString(" "), la, "planted"))
+    }
+    val corpus = planted.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val sfTmp = java.nio.file.Files.createTempDirectory("graft_dsh_mid").toString
+    corpus.write.mode("overwrite").parquet(s"$sfTmp/documents.parquet")
+    // precondition: the banding genuinely misses pairs the exact index
+    // finds — otherwise this corpus cannot discriminate the engines
+    val exact = graft.ops.Dedup.jaccardPairsOf(
+      graft.ops.Dedup.shingledOf(Tables.documents(spark, sfTmp)),
+      Long.MaxValue).count()
+    val lsh = graft.ops.Dedup.minhashLshPairs(spark, sfTmp).count()
+    assert(exact == 40L, s"planted corpus should carry 40 exact pairs, got $exact")
+    assert(lsh < exact,
+      "banding caught every mid-band pair — corpus cannot discriminate engines")
+    val landing = stageLanding("dshmid", Seq(
+      corpus.filter($"doc_id" % 2 === 0), corpus.filter($"doc_id" % 2 === 1)))
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dshmid_dim").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dshmid_ckpt").toString
+    Streaming.buildDatasheet(
+      spark.readStream.schema(Streaming.documentsRawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(landing),
+      dimDir, ckpt)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val streamed = Streaming.streamedDatasheet(spark, dimDir)
+    assert(rows(streamed) == rows(graft.ops.Pipeline.corpusDatasheet(spark, sfTmp)),
+      "streamed datasheet diverged from batch x73 on the mid-band corpus")
+    // teeth: pairs are mutually disjoint, so the banded engine counts
+    // 2·lsh dup docs in the ALL row where the exact engine would say 80
+    val allDup = streamed.filter($"lang" === "ALL")
+      .select($"n_dup_docs").as[Long].head()
+    assert(allDup == 2 * lsh && allDup < 2 * exact,
+      s"ALL-row dup count $allDup is not the banded engine's 2·$lsh")
+  }
+
   test("incremental near-dup dedup: 2-wave streamed pairs == batch x18") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
