@@ -81,6 +81,21 @@ object CustomExprs {
       copy(c)
   }
 
+  /** Sum of a binary column's raw payload bytes (unsigned) as ONE
+    * codegen'd map expression — the honest measured statistic for an
+    * opaque blob with no container to decode (x40's `byte_mean` is
+    * this div byte_size). The DuckDB oracle replays it from the blob's
+    * hex() digit pairs, so x40 keeps a full hash check. */
+  case class ByteSum(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      ExprImpl.byteSum(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$implName.byteSum($c)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+  }
+
   /** A3's pair generator as a native Generator (UDTF): emits every
     * unordered pair (i<j) of a sorted string array — the reference's
     * itertools.combinations(sorted(locs), 2) (Main.py:250). */
@@ -121,6 +136,9 @@ object CustomExprs {
   def simhash64(c: Column): Column =
     org.apache.spark.sql.functions.call_function("simhash64", c)
 
+  def byte_sum(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("byte_sum", c)
+
   /** SQL registration (spark.sql("SELECT token_sort_ratio(a,b) …")).
     * Once per session: callers invoke this per query, and re-registering
     * logs a "function replaced" WARN per function per call — 7×N lines
@@ -151,6 +169,8 @@ object CustomExprs {
       es => VectorDot(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("byte_sum",
+      es => ByteSum(es.head), "scala_udf")
     // Spark's OWN bloom-filter expressions (the machinery behind runtime
     // bloom join pruning), surfaced as callable functions: the analyzer
     // wraps the returned AggregateFunction exactly as it does for sum().
@@ -170,6 +190,14 @@ object CustomExprs {
 object ExprImpl {
   def tokenSortRatio(a: UTF8String, b: UTF8String): Double =
     Cleaner.tokenSortRatio(a.toString, b.toString)
+
+  /** Unsigned sum over raw blob bytes — allocation-free. */
+  def byteSum(b: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < b.length) { s += b(i) & 0xff; i += 1 }
+    s
+  }
 
   /** Allocation-free dot product over two array<double> columns (the
     * zip_with/aggregate HOF form materializes an intermediate array per

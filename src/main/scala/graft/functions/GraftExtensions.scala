@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[CustomExprs.SimHash64].getName, "simhash64"),
       (es: Seq[Expression]) => CustomExprs.SimHash64(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("byte_sum"),
+      new ExpressionInfo(classOf[CustomExprs.ByteSum].getName, "byte_sum"),
+      (es: Seq[Expression]) => CustomExprs.ByteSum(es.head)))
     e.injectOptimizerRule(_ => FoldSelfTokenSortRatio)
   }
 }

@@ -13,9 +13,10 @@ import org.apache.spark.sql.types._
   * genuine AVI video containers (x58) including the uncompressed
   * BI_RGB ('DIB ') frame payloads (x41). Entropy-coded payloads the
   * sandbox genuinely cannot decode take an explicit REJECTION path
-  * (x41's `rejected:MJPG` rows), never an arithmetic stand-in — the
-  * one remaining labeled stub is x40's generic-blob brightness, whose
-  * raw text payload has no container to decode at all. Everything
+  * (x41's `rejected:MJPG` rows), never an arithmetic stand-in — and
+  * x40's generic-blob statistic, whose raw payload has no container
+  * to decode at all, is MEASURED over the payload bytes
+  * ([[graft.functions.CustomExprs.ByteSum]]). Everything
   * around the decode — schema, batched per-partition decoder
   * lifecycle, frame explosion, partitioning — is the real shape a
   * 100 TB media pipeline needs (the Scala analog of mapInPandas is
@@ -38,23 +39,27 @@ object Multimodal {
       .withColumn("byte_size", length($"blob").cast("long"))
   }
 
-  /** x40 — metadata extraction + decode-stub features, all expressions.
-    * The `brightness` column here is the LABELED ARITHMETIC STUB for
-    * the generic media frame (raw text blobs, no container to decode);
-    * the MEASURED content stats live where a codec-free container
-    * genuinely decodes: [[bmpPixelStats]] (x65, raw BI_RGB pixels),
+  /** x40 — metadata extraction + typed-metadata features, all
+    * expressions. `byte_mean` is MEASURED over the raw payload bytes
+    * ([[graft.functions.CustomExprs.ByteSum]], one codegen'd map — the
+    * only honest content statistic an opaque blob with no container
+    * admits; it replaced an arithmetic brightness stand-in). The
+    * decoded content stats live where a codec-free container genuinely
+    * decodes: [[bmpPixelStats]] (x65, raw BI_RGB pixels),
     * [[wavPcmStats]] (x67, raw PCM samples) and [[pngPixelStats]]
-    * (x68, JDK-zlib inflate + unfilter). JPEG is the one format whose
-    * entropy coding legitimately keeps the stub. */
+    * (x68, JDK-zlib inflate + unfilter). width/height/duration are the
+    * generator's typed metadata (carried alongside the blob, the
+    * multimodal-column contract), not decoded properties. */
   def mediaMeta(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
     mediaFrame(spark, sfDir).select(
       $"doc_id", $"media_type", $"byte_size",
       sha2($"blob", 256).as("content_sha"),
       (lit(320L) + ($"byte_size" % 1280)).as("width"),
       (lit(240L) + ($"byte_size" % 720)).as("height"),
       (lit(1L) + ($"byte_size" % 300)).as("duration_s"),
-      (($"byte_size" * 31 + $"doc_id") % 256).as("brightness"), // decode stub
+      expr("byte_sum(blob) div byte_size").as("byte_mean"),
     )
       // resize stub: fit into 128×128 preserving aspect (integer math)
       .withColumn("thumb_w", lit(128L))
@@ -63,9 +68,13 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Oracle: the byte sum is replayed from hex(blob) digit pairs —
+    * strpos over '123456789ABCDEF' maps '0' to 0 (strpos misses → 0)
+    * and each other digit to its value, so
+    * byte_i = 16·hi + lo with no byte-extraction builtin needed. */
   val mediaMetaSql: String =
     """WITH m AS (
-      |  SELECT doc_id, text,
+      |  SELECT doc_id, text, hex(encode(text)) AS hx,
       |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
       |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_size
       |  FROM documents
@@ -75,7 +84,10 @@ object Multimodal {
       |  320 + (byte_size % 1280) AS width,
       |  240 + (byte_size % 720) AS height,
       |  1 + (byte_size % 300) AS duration_s,
-      |  (byte_size * 31 + doc_id) % 256 AS brightness,
+      |  CAST(list_sum(list_transform(range(1, CAST(byte_size AS INT) + 1),
+      |    i -> strpos('123456789ABCDEF', substr(hx, 2*i - 1, 1)) * 16
+      |       + strpos('123456789ABCDEF', substr(hx, 2*i, 1))))
+      |    // byte_size AS BIGINT) AS byte_mean,
       |  CAST(128 AS BIGINT) AS thumb_w,
       |  ((240 + (byte_size % 720)) * 128) // (320 + (byte_size % 1280)) AS thumb_h
       |FROM m ORDER BY doc_id""".stripMargin

@@ -332,6 +332,61 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](aviCodec.dibFrameBytes(corrupt))
   }
 
+  test("AVI frame decode selects only the chosen vids stream's chunks") {
+    // AVI stream numbering: the Nth strl is stream N, its movi chunks
+    // are `NNdb`/`NNdc`. A multi-stream file must decode ONLY the
+    // selected vids stream — another stream's frames blended in would
+    // corrupt the pixels or trip the stride law on a well-formed file.
+    def strlVids(w: Int, h: Int, bpp: Int, stride: Int): Array[Byte] = {
+      val strh = fcc("strh") ++ le32(56) ++ fcc("vids") ++ fcc("DIB ") ++
+        le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(25) ++
+        Array.fill[Byte](28)(0)
+      val strf = fcc("strf") ++ le32(40) ++ le32(40) ++ le32(w) ++ le32(h) ++
+        le16(1) ++ le16(bpp) ++ le32(0) ++ le32(stride * h) ++
+        Array.fill[Byte](16)(0)
+      fcc("LIST") ++ le32(4 + strh.length + strf.length) ++
+        fcc("strl") ++ strh ++ strf
+    }
+    def strlAuds(): Array[Byte] = {
+      val strh = fcc("strh") ++ le32(56) ++ fcc("auds") ++ le32(1) ++
+        le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(8000) ++
+        Array.fill[Byte](28)(0)
+      fcc("LIST") ++ le32(4 + strh.length) ++ fcc("strl") ++ strh
+    }
+    def wrap(strls: Array[Byte], moviBody: Array[Byte]): Array[Byte] = {
+      val avih = fcc("avih") ++ le32(56) ++ le32(40000) ++ le32(0) ++
+        le32(0) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(3) ++ le32(2) ++ Array.fill[Byte](16)(0)
+      val hdrl = fcc("LIST") ++ le32(4 + avih.length + strls.length) ++
+        fcc("hdrl") ++ avih ++ strls
+      val movi = fcc("LIST") ++ le32(4 + moviBody.length) ++
+        fcc("movi") ++ moviBody
+      val body = hdrl ++ movi
+      fcc("RIFF") ++ le32(4 + body.length) ++ fcc("AVI ") ++ body
+    }
+    // layout A: stream 0 is AUDIO, stream 1 is the vids — frames are
+    // tagged 01db and a stray 00wb audio chunk sits between them
+    val fA = Array.tabulate[Byte](12 * 2)(i => (i + 1).toByte)
+    val aud = Array.fill[Byte](6)(0x11)
+    val bodyA = fcc("01db") ++ le32(fA.length) ++ fA ++
+      fcc("00wb") ++ le32(aud.length) ++ aud
+    val bsA = aviCodec.dibFrameBytes(wrap(strlAuds() ++ strlVids(3, 2, 24, 12), bodyA))
+      .getOrElse(fail("vids-as-stream-1 rejected"))
+    assert(java.util.Arrays.equals(bsA, fA), "stream-1 vids frames diverged")
+    // layout B: TWO vids streams with different geometry — stream 1's
+    // frame (48 B ≠ stream 0's stride·h = 24 B) must be IGNORED, not
+    // blended in or tripped over by the stride law
+    val f0 = Array.tabulate[Byte](12 * 2)(i => (i + 1).toByte)
+    val f1 = Array.fill[Byte](24 * 2)(0x77)
+    val bodyB = fcc("00db") ++ le32(f0.length) ++ f0 ++
+      fcc("01db") ++ le32(f1.length) ++ f1
+    val bsB = aviCodec.dibFrameBytes(
+        wrap(strlVids(3, 2, 24, 12) ++ strlVids(8, 2, 24, 24), bodyB))
+      .getOrElse(fail("two-vids-stream file rejected"))
+    assert(java.util.Arrays.equals(bsB, f0),
+      "second vids stream's frames leaked into the decode")
+  }
+
   test("AVI entropy-coded streams are rejected with the handler fourcc") {
     val payload = "not really mjpeg bytes".getBytes("US-ASCII")
     for (fourcc <- Seq("MJPG", "I420")) {
@@ -600,6 +655,19 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------- x65/x67/x68 content stats
+
+  test("x40 byte_mean is measured: equals a JVM recompute over the payload") {
+    import spark.implicits._
+    val got = Multimodal.mediaMeta(spark, sf)
+      .select($"doc_id", $"byte_mean").as[(Long, Long)].collect().toMap
+    val ref = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val b = t.getBytes("UTF-8")
+        id -> b.map(_ & 0xffL).sum / b.length
+      }.toMap
+    assert(got == ref, "byte_mean diverged from the payload recompute")
+  }
 
   test("PNG unfilter reconstructs Sub/Up/Average/Paeth-filtered scanlines") {
     // an independent forward-filter (spec §9) the codec must invert —
