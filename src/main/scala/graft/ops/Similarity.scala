@@ -40,12 +40,17 @@ object Similarity {
     * and all three similarity ops; norms precomputed once per vector. */
   private[graft] def corpus(spark: SparkSession, sfDir: String): DataFrame =
     graft.Caches.memo(spark, s"sim-corpus:$sfDir") {
-      import spark.implicits._
-      graft.functions.CustomExprs.register(spark)
-      Tables.spread(Tables.embeddings(spark, sfDir))
-        .select($"vec_id", vecD($"embedding").as("v"))
-        .withColumn("nrm", norm($"v"))
+      corpusOf(Tables.spread(Tables.embeddings(spark, sfDir)))
     }
+
+  /** The (vec_id, v, nrm) normalization over an arbitrary
+    * (vec_id, embedding) frame — the composable form a streaming
+    * micro-batch runs (no memo: a batch is consumed once). */
+  private[graft] def corpusOf(raw: DataFrame): DataFrame = {
+    graft.functions.CustomExprs.register(raw.sparkSession)
+    raw.select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+  }
 
   /** x20 — brute-force cosine top-5 for the first 8 query vectors. */
   def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame =
@@ -921,19 +926,27 @@ object Similarity {
       pqIndexOf(corpus(spark, sfDir), pqBooks(spark, sfDir))
     }
 
+  /** The m-byte PQ code column over a NORMALIZED vector column — the
+    * encode shared by the batch index, the incremental index
+    * maintainer, and anything else that must emit codes the frozen
+    * codebooks decode. */
+  private def pqCodesCol(vhat: Column,
+      books: Array[Array[Array[Double]]]): Column = {
+    val dim = books.length * books(0)(0).length
+    transform(pqSubvecs(vhat, dim), e =>
+      (0 until PqSubspaces).foldLeft(lit(-1)) { (acc, s) =>
+        when(e.getField("s") === s, pqCodeOf(e.getField("sv"), books(s)))
+          .otherwise(acc)
+      }.cast("byte"))
+  }
+
   /** Map-only encode of an arbitrary (vec_id, v, nrm) corpus. */
   private[graft] def pqIndexOf(all: DataFrame,
       books: Array[Array[Array[Double]]]): DataFrame = {
     val spark = all.sparkSession
     import spark.implicits._
-    val dim = books.length * books(0)(0).length
     all.withColumn("vhat", transform($"v", _ / $"nrm"))
-      .select($"vec_id",
-        transform(pqSubvecs($"vhat", dim), e =>
-          (0 until PqSubspaces).foldLeft(lit(-1)) { (acc, s) =>
-            when(e.getField("s") === s, pqCodeOf(e.getField("sv"), books(s)))
-              .otherwise(acc)
-          }.cast("byte")).as("codes"))
+      .select($"vec_id", pqCodesCol($"vhat", books).as("codes"))
   }
 
   /** x25 — ANN top-5 via PQ/ADC (Jégou et al. 2011, "Product
@@ -1009,6 +1022,29 @@ object Similarity {
       ivfIndex(spark, sfDir).select($"vec_id", $"cell")
         .join(pqIndex(spark, sfDir), "vec_id")
     }
+
+  /** One-pass MAP encode of an arbitrary (vec_id, v, nrm) corpus under
+    * a FROZEN model: (cell, vec_id, codes) with no join — the per-
+    * micro-batch work of the incremental index maintainer
+    * ([[graft.streaming.Streaming.ivfPqIndexUpdate]]). Content-equal
+    * to [[ivfPqIndex]] under the same centroids/codebooks (the batch
+    * form composes the two memoized halves; this fuses them because a
+    * batch is consumed once). */
+  private[graft] def ivfPqIndexOf(all: DataFrame,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame =
+    assignCells(all, cents)
+      .withColumn("vhat", transform(col("v"), _ / col("nrm")))
+      .select(col("cell"), col("vec_id"),
+        pqCodesCol(col("vhat"), books).as("codes"))
+
+  /** The frozen (coarse quantizer, PQ codebooks) pair an incremental
+    * index maintainer captures at index-build time — retraining shifts
+    * every stored code, so a live index NEVER retrains per batch (the
+    * FAISS deployment contract: train offline, add online). */
+  private[graft] def frozenIvfPqModel(spark: SparkSession, sfDir: String):
+      (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    (centroids(spark, sfDir), pqBooks(spark, sfDir))
 
   /** x26 — ANN top-5 via IVF-PQ, the composition of x22 and x25 and the
     * standard production architecture (FAISS IVFPQ; Jégou et al. 2011
@@ -1125,7 +1161,17 @@ object Similarity {
     * spec-pinned. */
   private[graft] def ivfPqTopKMaterialized(spark: SparkSession,
       sfDir: String, indexDir: String, nQueries: Int = 8, topK: Int = 5,
-      probes: Int = IvfProbes): DataFrame = {
+      probes: Int = IvfProbes): DataFrame =
+    ivfPqTopKMaterializedDirs(spark, sfDir, Seq(indexDir), nQueries,
+      topK, probes)
+
+  /** Same, over a SET of index roots — the incremental maintainer's
+    * committed version slices are each their own cell-partitioned
+    * table, and the live index is their union; every root gets the
+    * same pushed cell IN-list, so pruning holds slice by slice. */
+  private[graft] def ivfPqTopKMaterializedDirs(spark: SparkSession,
+      sfDir: String, indexDirs: Seq[String], nQueries: Int = 8,
+      topK: Int = 5, probes: Int = IvfProbes): DataFrame = {
     import spark.implicits._
     val routed = ivfPqProbes(corpus(spark, sfDir), centroids(spark, sfDir),
         nQueries, probes)
@@ -1134,7 +1180,9 @@ object Similarity {
     val cells = routed.map(_._3).distinct.sorted
     val qprobes = spark.createDataset(routed.toIndexedSeq)
       .toDF("query_id", "qhat", "cell")
-    ivfPqTopKVia(corpus(spark, sfDir), prunedIndexRead(spark, indexDir, cells),
+    val pruned = indexDirs.map(prunedIndexRead(spark, _, cells))
+      .reduce(_ unionByName _)
+    ivfPqTopKVia(corpus(spark, sfDir), pruned,
       qprobes, pqBooks(spark, sfDir), nQueries, topK)
   }
 

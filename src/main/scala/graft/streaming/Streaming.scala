@@ -892,6 +892,82 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** x26 streaming sibling — incremental maintenance of the
+    * MATERIALIZED IVF-PQ index ([[graft.ops.Similarity
+    * .materializeIvfPqIndex]]'s deployment table kept LIVE): the coarse
+    * quantizer and PQ codebooks are FROZEN at index-build time (the
+    * FAISS train-offline/add-online contract — retraining would shift
+    * every stored code, invalidating the whole accumulated index), so
+    * each arriving embedding micro-batch is a PURE MAP — normalize,
+    * nearest-cell assign, 16-byte PQ encode, all one fused pass
+    * ([[graft.ops.Similarity.ivfPqIndexOf]]) — committed as its own
+    * cell-partitioned version slice. Append-only like the x18 band
+    * index: per-batch cost scales with the batch, never with the
+    * accumulated index. A probe reads the UNION of committed slices,
+    * each with the same pushed cell IN-list, so file-level pruning
+    * survives incrementality (files touched = probed cells × committed
+    * slices; at scale a compactor folds old slices back through
+    * [[graft.ops.Similarity.materializeIvfPqIndex]]). Same
+    * versioned-dir exactly-once shape as the other dims: a replayed
+    * committed batch is a no-op, `_SUCCESS` marker last. */
+  def ivfPqIndexUpdate(indexDir: String, cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]])(
+      batch: DataFrame, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    if (Files.isRegularFile(Paths.get(s"$indexDir/v$batchId/_SUCCESS"))) return
+    val prior = modelVersions(indexDir).filter(_ < batchId)
+    requirePredecessorState(indexDir, batchId, prior)
+    graft.ops.Similarity
+      .ivfPqIndexOf(graft.ops.Similarity.corpusOf(batch), cents, books)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/v$batchId/index")
+    Files.write(Paths.get(s"$indexDir/v$batchId/_SUCCESS"),
+      Array.emptyByteArray)
+  }
+
+  val embeddingsRawSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** The embeddings table replayed as a file stream (same landing-dir
+    * staging as [[documentsStream]]). */
+  def embeddingsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(embeddingsRawSchema)
+      .parquet(stagedStreamDir("embs", sfDir, "embeddings.parquet"))
+
+  /** Run the incremental index maintainer over an embeddings stream to
+    * completion (AvailableNow); same lifecycle guards as the other
+    * versioned dims. The model is captured ONCE, before the stream
+    * starts — never per batch. */
+  def buildIvfPqIndexStream(embs: DataFrame, indexDir: String,
+      ckptDir: String, cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(indexDir))
+    requireSharedLifecycle(indexDir, ckptDir)
+    val q = embs.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        ivfPqIndexUpdate(indexDir, cents, books)(df, batchId)
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** x26 top-k over the committed slices — row-identical to the
+    * in-session query when the slices union to the same corpus
+    * (spec-pinned): same frozen model, same routing, same ADC +
+    * rescore, only the index arrives from pruned slice reads. */
+  def streamedIvfPqTopK(spark: SparkSession, sfDir: String,
+      indexDir: String, nQueries: Int = 8, topK: Int = 5): DataFrame = {
+    val vs = modelVersions(indexDir)
+    require(vs.nonEmpty, s"no committed index slices under $indexDir")
+    graft.ops.Similarity.ivfPqTopKMaterializedDirs(spark, sfDir,
+      vs.sorted.map(v => s"$indexDir/v$v/index"), nQueries, topK)
+  }
+
   /** Run the incremental substring dedup over a documents stream to
     * completion (AvailableNow): maintains the span index under
     * `dimDir`, emits per-batch rewritten docs under `outDir`. Same

@@ -490,6 +490,55 @@ class StreamingSpec extends AnyFunSuite {
       s"ALL-row dup count $allDup is not the banded engine's 2·$lsh")
   }
 
+  test("incremental IVF-PQ index: streamed slices == batch index; probe == x26") {
+    import spark.implicits._
+    val embs = Tables.embeddings(spark, sf)
+    // the model is FROZEN before any slice lands — the maintainer never
+    // retrains (retraining would shift every previously stored code)
+    val (cents, books) = graft.ops.Similarity.frozenIvfPqModel(spark, sf)
+    val landing = stageLanding("ivfpq", Seq(
+      embs.filter($"vec_id" % 2 === 0), embs.filter($"vec_id" % 2 === 1)))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivfpq_ckpt").toString
+    Streaming.buildIvfPqIndexStream(
+      spark.readStream.schema(Streaming.embeddingsRawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(landing),
+      idxDir, ckpt, cents, books)
+    val versions = new java.io.File(idxDir).listFiles()
+      .filter(_.getName.matches("v\\d+"))
+    assert(versions.length == 2, s"expected 2 slices, got ${versions.toSeq}")
+    // slice content: the union of committed slices IS the batch index
+    def idxRows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"cell".cast("int"), $"codes")
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getSeq[Byte](2).toList)).toSet
+    val streamedIdx = Seq(0, 1)
+      .map(v => spark.read.parquet(s"$idxDir/v$v/index"))
+      .map(idxRows).reduce(_ ++ _)
+    assert(streamedIdx == idxRows(graft.ops.Similarity.ivfPqIndex(spark, sf)),
+      "streamed slice union diverged from the batch IVF-PQ index")
+    // each slice is genuinely cell-partitioned (file-level pruning works)
+    assert(new java.io.File(s"$idxDir/v0/index").listFiles()
+      .exists(_.getName.startsWith("cell=")), "slice not cell-partitioned")
+    // probe over the slices == in-session x26, row for row
+    val streamedTop = Streaming.streamedIvfPqTopK(spark, sf, idxDir)
+      .collect().map(_.toSeq).toSet
+    val batchTop = graft.ops.Similarity.ivfPqTopK(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamedTop == batchTop,
+      "probe over streamed slices diverged from in-session x26")
+    // committed replay is a no-op even with a different frame
+    def snapshot(dir: String): Map[String, Long] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = snapshot(s"$idxDir/v1/index")
+    assert(before.nonEmpty)
+    Streaming.ivfPqIndexUpdate(idxDir, cents, books)(
+      embs.filter($"vec_id" % 7 === 0), 1L)
+    assert(snapshot(s"$idxDir/v1/index") == before,
+      "replayed committed batch rewrote its index slice")
+  }
+
   test("incremental near-dup dedup: 2-wave streamed pairs == batch x18") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
