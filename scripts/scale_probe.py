@@ -1,10 +1,9 @@
 #!/usr/bin/env python3
-"""Builder-side generator for the 10x scaling-probe corpus (sf0.1 -> "sf1").
+"""Builder-side generator for the scaling-probe corpus (sf0.1 -> "sf1"+).
 
-Writes /tmp/graft_sf1/{documents,embeddings}.parquet as 10 perturbed
-replicas of the sf0.1 tables. Perturbations are chosen so the DUPLICATE
-STRUCTURE scales linearly (10x docs -> 10x planted near-dup pairs) rather
-than exploding combinatorially:
+Writes DST as perturbed replicas of the sf0.1 tables. Perturbations are
+chosen so the DUPLICATE STRUCTURE scales linearly (10x docs -> 10x
+planted near-dup pairs) rather than exploding combinatorially:
 
 - documents: replica r suffixes every word with "_r" (r>0), so shingle
   sets are disjoint ACROSS replicas (no cross-replica Jaccard pairs) while
@@ -17,6 +16,24 @@ than exploding combinatorially:
   at 100 replicas r and r-64 would otherwise be exact duplicates; the
   negated sibling has cosine -1, never a near-dup). vec_id offset 10M.
 
+Relational families (FAMILIES rel|all), for the g/j/w/s/t/d/r/e and
+trips (q/n/a) query families whose inputs are orders/lineitem/events:
+
+- orders: o_orderkey offset 10M per replica (trips' trip_key/vid/garbage
+  columns are pure functions of it, so the trips corpus scales with it);
+  o_custkey UNCHANGED - per-customer order history grows R-fold, which
+  scales the window-function partitions and join probe sides, the
+  interesting stress.
+- lineitem: l_orderkey gets the SAME offset, preserving the
+  orders<->lineitem relationship per replica.
+- events: event_id offset 10M; user_id offset 10M per replica so the
+  e07 click-purchase SELF-join stays linear (unchanged user_ids would
+  match replica i clicks to replica j purchases: R^2 output rows).
+  Session/window state then grows with users, the realistic axis.
+- dims (region nation customer supplier part): copied as-is - facts
+  reference the same dim keys, so joins stay semantically intact while
+  the big sides scale.
+
 This is builder tooling only (like check.py), not engine code.
 """
 import os
@@ -27,6 +44,11 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
 REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# which table families to replicate: "doc" (documents+embeddings, the
+# original probe corpus), "rel" (TPC-H facts + events + copied dims for
+# the relational/window/event/trips query families), or "all"
+FAMILIES = sys.argv[4] if len(sys.argv) > 4 else "doc"
+assert FAMILIES in ("doc", "rel", "all"), f"bad families arg {FAMILIES}"
 # rotate-and-negate decorrelation covers exactly 2*dim = 128 replicas:
 # replica r and r-128 rotate AND negate identically, so anything beyond
 # silently plants exact-duplicate embeddings (cos = 1.0 pairs) that
@@ -38,37 +60,73 @@ assert REPLICAS <= 128, (
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
+written = []
 
-con.sql(f"""
-COPY (
-  WITH rep AS (
-    SELECT d.doc_id + r.range * 10000000 AS doc_id,
-      CASE WHEN r.range = 0 THEN d.text
-           ELSE array_to_string(list_transform(string_split(d.text, ' '),
-                  w -> w || '_' || r.range), ' ') END AS text,
-      d.lang, d.source
-    FROM read_parquet('{SRC}/documents.parquet') d, range({REPLICAS}) r
-  )
-  SELECT doc_id, text, lang, source,
-    CAST(length(text) AS BIGINT) AS n_chars
-  FROM rep ORDER BY doc_id
-) TO '{DST}/documents.parquet' (FORMAT parquet)
-""")
+if FAMILIES in ("doc", "all"):
+    con.sql(f"""
+    COPY (
+      WITH rep AS (
+        SELECT d.doc_id + r.range * 10000000 AS doc_id,
+          CASE WHEN r.range = 0 THEN d.text
+               ELSE array_to_string(list_transform(string_split(d.text, ' '),
+                      w -> w || '_' || r.range), ' ') END AS text,
+          d.lang, d.source
+        FROM read_parquet('{SRC}/documents.parquet') d, range({REPLICAS}) r
+      )
+      SELECT doc_id, text, lang, source,
+        CAST(length(text) AS BIGINT) AS n_chars
+      FROM rep ORDER BY doc_id
+    ) TO '{DST}/documents.parquet' (FORMAT parquet)
+    """)
 
-con.sql(f"""
-COPY (
-  SELECT e.vec_id + r.range * 10000000 AS vec_id,
-    CAST(list_transform(
-      list_concat(e.embedding[(r.range % 64) + 1:],
-                  e.embedding[1:(r.range % 64)]),
-      x -> CASE WHEN r.range >= 64 THEN -x ELSE x END)
-         AS FLOAT[]) AS embedding,
-    e.label
-  FROM read_parquet('{SRC}/embeddings.parquet') e, range({REPLICAS}) r
-  ORDER BY vec_id
-) TO '{DST}/embeddings.parquet' (FORMAT parquet)
-""")
+    con.sql(f"""
+    COPY (
+      SELECT e.vec_id + r.range * 10000000 AS vec_id,
+        CAST(list_transform(
+          list_concat(e.embedding[(r.range % 64) + 1:],
+                      e.embedding[1:(r.range % 64)]),
+          x -> CASE WHEN r.range >= 64 THEN -x ELSE x END)
+             AS FLOAT[]) AS embedding,
+        e.label
+      FROM read_parquet('{SRC}/embeddings.parquet') e, range({REPLICAS}) r
+      ORDER BY vec_id
+    ) TO '{DST}/embeddings.parquet' (FORMAT parquet)
+    """)
+    written += ["documents", "embeddings"]
 
-for t in ("documents", "embeddings"):
+if FAMILIES in ("rel", "all"):
+    con.sql(f"""
+    COPY (
+      SELECT o_orderkey + r.range * 10000000 AS o_orderkey,
+        o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM read_parquet('{SRC}/orders.parquet'), range({REPLICAS}) r
+      ORDER BY o_orderkey
+    ) TO '{DST}/orders.parquet' (FORMAT parquet)
+    """)
+    con.sql(f"""
+    COPY (
+      SELECT l_orderkey + r.range * 10000000 AS l_orderkey,
+        l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+      FROM read_parquet('{SRC}/lineitem.parquet'), range({REPLICAS}) r
+      ORDER BY l_orderkey
+    ) TO '{DST}/lineitem.parquet' (FORMAT parquet)
+    """)
+    con.sql(f"""
+    COPY (
+      SELECT event_id + r.range * 10000000 AS event_id, ts,
+        user_id + r.range * 10000000 AS user_id, event_type, value, props
+      FROM read_parquet('{SRC}/events.parquet'), range({REPLICAS}) r
+      ORDER BY event_id
+    ) TO '{DST}/events.parquet' (FORMAT parquet)
+    """)
+    for dim in ("region", "nation", "customer", "supplier", "part"):
+        con.sql(f"""
+        COPY (SELECT * FROM read_parquet('{SRC}/{dim}.parquet'))
+        TO '{DST}/{dim}.parquet' (FORMAT parquet)
+        """)
+    written += ["orders", "lineitem", "events"]
+
+for t in written:
     n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{DST}/{t}.parquet')").fetchone()[0]
     print(f"{t}: {n} rows")
