@@ -336,12 +336,19 @@ object Relational {
     // graft.Caches)
     bucketed.keys.filter(_._1.sparkContext.isStopped).foreach(bucketed.remove)
     bucketed.getOrElseUpdate((spark, sfDir), {
+      // bucket count sized to the session's parallelism so the
+      // co-located SMJ keeps every core busy (the original fixed 4
+      // serialized the 100×-probe's 60M-row join onto 4 tasks). A real
+      // deployment sizes buckets to data volume / target file size;
+      // the no-shuffle plan property is count-independent as long as
+      // BOTH sides share it, which this single site guarantees.
+      val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
       Seq(s"b_orders$suffix", s"b_lineitem$suffix").foreach(dropStale(spark, _))
       Tables.orders(spark, sfDir)
-        .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable(s"b_orders$suffix")
       Tables.lineitem(spark, sfDir)
-        .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable(s"b_lineitem$suffix")
     })
     suffix

@@ -898,10 +898,13 @@ object Streaming {
     * quantizer and PQ codebooks are FROZEN at index-build time (the
     * FAISS train-offline/add-online contract — retraining would shift
     * every stored code, invalidating the whole accumulated index), so
-    * each arriving embedding micro-batch is a PURE MAP — normalize,
+    * each arriving embedding micro-batch costs one MAP — normalize,
     * nearest-cell assign, 16-byte PQ encode, all one fused pass
-    * ([[graft.ops.Similarity.ivfPqIndexOf]]) — committed as its own
-    * cell-partitioned version slice. Append-only like the x18 band
+    * ([[graft.ops.Similarity.ivfPqIndexOf]]) — plus one BATCH-sized
+    * layout repartition (one file per cell, the batch materializer's
+    * small-files discipline; never a shuffle of the accumulated
+    * index), committed as its own cell-partitioned version slice.
+    * Append-only like the x18 band
     * index: per-batch cost scales with the batch, never with the
     * accumulated index. A probe reads the UNION of committed slices,
     * each with the same pushed cell IN-list, so file-level pruning
