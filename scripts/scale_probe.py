@@ -53,8 +53,10 @@ assert FAMILIES in ("doc", "rel", "all"), f"bad families arg {FAMILIES}"
 # replica r and r-128 rotate AND negate identically, so anything beyond
 # silently plants exact-duplicate embeddings (cos = 1.0 pairs) that
 # superlinearly distort the quadratic shapes' output — the very artifact
-# the negation exists to prevent. Fail loudly instead.
-assert REPLICAS <= 128, (
+# the negation exists to prevent. Fail loudly instead. The bound is an
+# EMBEDDING fact, so it only gates runs that generate embeddings; a
+# rel-only replication (key offsets, no vectors) is valid at any R.
+assert REPLICAS <= 128 or FAMILIES == "rel", (
     f"REPLICAS={REPLICAS} > 128 replays the rotation/negation period; "
     "add a second decorrelation term before sweeping beyond 128x")
 

@@ -1171,10 +1171,24 @@ object Similarity {
     * same pushed cell IN-list, so pruning holds slice by slice. */
   private[graft] def ivfPqTopKMaterializedDirs(spark: SparkSession,
       sfDir: String, indexDirs: Seq[String], nQueries: Int = 8,
-      topK: Int = 5, probes: Int = IvfProbes): DataFrame = {
+      topK: Int = 5, probes: Int = IvfProbes): DataFrame =
+    ivfPqTopKMaterializedVia(corpus(spark, sfDir), indexDirs,
+      centroids(spark, sfDir), pqBooks(spark, sfDir), nQueries, topK,
+      probes)
+
+  /** The fully-parameterized materialized-index query: `all` is the
+    * vector store the queries come from and the exact rescore reads
+    * (for the incremental path, the union of slice vector stores — so
+    * vectors that arrived ONLY via the stream are first-class), and
+    * the frozen model arrives explicitly (an index encoded under one
+    * model must never be decoded with another corpus's codebooks). */
+  private[graft] def ivfPqTopKMaterializedVia(all: DataFrame,
+      indexDirs: Seq[String], cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], nQueries: Int, topK: Int,
+      probes: Int): DataFrame = {
+    val spark = all.sparkSession
     import spark.implicits._
-    val routed = ivfPqProbes(corpus(spark, sfDir), centroids(spark, sfDir),
-        nQueries, probes)
+    val routed = ivfPqProbes(all, cents, nQueries, probes)
       .select($"query_id".cast("long"), $"qhat", $"cell".cast("int"))
       .as[(Long, Seq[Double], Int)].collect()
     val cells = routed.map(_._3).distinct.sorted
@@ -1182,8 +1196,7 @@ object Similarity {
       .toDF("query_id", "qhat", "cell")
     val pruned = indexDirs.map(prunedIndexRead(spark, _, cells))
       .reduce(_ unionByName _)
-    ivfPqTopKVia(corpus(spark, sfDir), pruned,
-      qprobes, pqBooks(spark, sfDir), nQueries, topK)
+    ivfPqTopKVia(all, pruned, qprobes, books, nQueries, topK)
   }
 
   /** x23 — SEMANTIC dedup (the SemDeDup policy, Abbas et al. 2023,

@@ -920,11 +920,21 @@ object Streaming {
     if (Files.isRegularFile(Paths.get(s"$indexDir/v$batchId/_SUCCESS"))) return
     val prior = modelVersions(indexDir).filter(_ < batchId)
     requirePredecessorState(indexDir, batchId, prior)
-    graft.ops.Similarity
-      .ivfPqIndexOf(graft.ops.Similarity.corpusOf(batch), cents, books)
+    val all = graft.ops.Similarity.corpusOf(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.ops.Similarity.ivfPqIndexOf(all, cents, books)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/v$batchId/index")
+    // the VECTOR STORE slice: the exact-rescore stage needs the full
+    // vectors of every indexed id, and a vector that arrived only via
+    // the stream exists nowhere else — without this, stream-only
+    // candidates would silently vanish at the rescore join. Separate
+    // subdir (not extra columns in the code slice) so the ADC scan's
+    // 16-bytes-per-row claim stays a file-layout fact, not a
+    // column-pruning hope.
+    all.write.mode("overwrite").parquet(s"$indexDir/v$batchId/vecs")
+    all.unpersist(blocking = false)
     Files.write(Paths.get(s"$indexDir/v$batchId/_SUCCESS"),
       Array.emptyByteArray)
   }
@@ -933,12 +943,6 @@ object Streaming {
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
-
-  /** The embeddings table replayed as a file stream (same landing-dir
-    * staging as [[documentsStream]]). */
-  def embeddingsStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream.schema(embeddingsRawSchema)
-      .parquet(stagedStreamDir("embs", sfDir, "embeddings.parquet"))
 
   /** Run the incremental index maintainer over an embeddings stream to
     * completion (AvailableNow); same lifecycle guards as the other
@@ -959,16 +963,24 @@ object Streaming {
     q.awaitTermination()
   }
 
-  /** x26 top-k over the committed slices — row-identical to the
-    * in-session query when the slices union to the same corpus
-    * (spec-pinned): same frozen model, same routing, same ADC +
-    * rescore, only the index arrives from pruned slice reads. */
-  def streamedIvfPqTopK(spark: SparkSession, sfDir: String,
-      indexDir: String, nQueries: Int = 8, topK: Int = 5): DataFrame = {
-    val vs = modelVersions(indexDir)
+  /** x26 top-k over the committed slices — SELF-CONTAINED: queries and
+    * the exact-rescore vectors come from the accumulated slice VECTOR
+    * STORES (so ids that arrived only via the stream are first-class
+    * neighbors — spec plants one), and the frozen model arrives
+    * explicitly, the same instance the maintainer encoded with (an
+    * index must never be decoded with another corpus's codebooks).
+    * Row-identical to in-session x26 when the stream replayed the
+    * batch corpus under the batch model — also spec-pinned. */
+  def streamedIvfPqTopK(spark: SparkSession, indexDir: String,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      nQueries: Int = 8, topK: Int = 5): DataFrame = {
+    val vs = modelVersions(indexDir).sorted
     require(vs.nonEmpty, s"no committed index slices under $indexDir")
-    graft.ops.Similarity.ivfPqTopKMaterializedDirs(spark, sfDir,
-      vs.sorted.map(v => s"$indexDir/v$v/index"), nQueries, topK)
+    val all = vs.map(v => spark.read.parquet(s"$indexDir/v$v/vecs"))
+      .reduce(_ unionByName _)
+    graft.ops.Similarity.ivfPqTopKMaterializedVia(all,
+      vs.map(v => s"$indexDir/v$v/index"), cents, books, nQueries, topK,
+      graft.ops.Similarity.IvfProbes)
   }
 
   /** Run the incremental substring dedup over a documents stream to

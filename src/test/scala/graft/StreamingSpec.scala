@@ -521,7 +521,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(new java.io.File(s"$idxDir/v0/index").listFiles()
       .exists(_.getName.startsWith("cell=")), "slice not cell-partitioned")
     // probe over the slices == in-session x26, row for row
-    val streamedTop = Streaming.streamedIvfPqTopK(spark, sf, idxDir)
+    val streamedTop = Streaming.streamedIvfPqTopK(spark, idxDir, cents, books)
       .collect().map(_.toSeq).toSet
     val batchTop = graft.ops.Similarity.ivfPqTopK(spark, sf)
       .collect().map(_.toSeq).toSet
@@ -537,6 +537,20 @@ class StreamingSpec extends AnyFunSuite {
       embs.filter($"vec_id" % 7 === 0), 1L)
     assert(snapshot(s"$idxDir/v1/index") == before,
       "replayed committed batch rewrote its index slice")
+    // ADD-ONLINE teeth: a vector that exists ONLY in the stream — an
+    // exact clone of query 0 under a fresh id — lands as slice v2 and
+    // must surface as query 0's rank-1 neighbor (cos = 1.0). This is
+    // precisely the case a batch-corpus-backed rescore would silently
+    // drop: the clone has codes in the index but no row in sfDir's
+    // embeddings table.
+    val clone = embs.filter($"vec_id" === 0)
+      .select(lit(50000000L).as("vec_id"), $"embedding", $"label")
+    Streaming.ivfPqIndexUpdate(idxDir, cents, books)(clone, 2L)
+    val afterAdd = Streaming.streamedIvfPqTopK(spark, idxDir, cents, books)
+      .filter($"query_id" === 0 && $"rank" === 1)
+      .select($"neighbor_id").collect().map(_.getLong(0)).toSeq
+    assert(afterAdd == Seq(50000000L),
+      s"stream-only clone not rank-1 for its query: got $afterAdd")
   }
 
   test("incremental near-dup dedup: 2-wave streamed pairs == batch x18") {
