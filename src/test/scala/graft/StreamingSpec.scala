@@ -490,6 +490,28 @@ class StreamingSpec extends AnyFunSuite {
       s"ALL-row dup count $allDup is not the banded engine's 2·$lsh")
   }
 
+  test("datasheet soak: 4-wave version chain, streamed == batch at EVERY prefix") {
+    import spark.implicits._
+    // the 2-wave stream test proves the wiring; this drives the update
+    // unit through a deeper chain (3 hist/src merges, cross-probes
+    // against 1..3 accumulated slices) and checks the mergeability
+    // claim where it actually bites: after EVERY prefix, the composed
+    // report equals batch x73 run on exactly the docs ingested so far
+    val docs = Tables.documents(spark, sf)
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dsoak_dim").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    for (k <- 0 until 4) {
+      Streaming.datasheetUpdate(dimDir)(docs.filter($"doc_id" % 4 === k), k.toLong)
+      val prefixDir =
+        java.nio.file.Files.createTempDirectory(s"graft_dsoak_p$k").toString
+      docs.filter($"doc_id" % 4 <= k).write.mode("overwrite")
+        .parquet(s"$prefixDir/documents.parquet")
+      assert(rows(Streaming.streamedDatasheet(spark, dimDir)) ==
+        rows(graft.ops.Pipeline.corpusDatasheet(spark, prefixDir)),
+        s"streamed datasheet diverged from batch at prefix ${k + 1}/4")
+    }
+  }
+
   test("incremental IVF-PQ index: streamed slices == batch index; probe == x26") {
     import spark.implicits._
     val embs = Tables.embeddings(spark, sf)
@@ -551,6 +573,13 @@ class StreamingSpec extends AnyFunSuite {
       .select($"neighbor_id").collect().map(_.getLong(0)).toSeq
     assert(afterAdd == Seq(50000000L),
       s"stream-only clone not rank-1 for its query: got $afterAdd")
+    // pruning survives the slice UNION: every slice's code scan carries
+    // the pushed cell IN-list (one PartitionFilters per committed slice)
+    val plan = Streaming.streamedIvfPqTopK(spark, idxDir, cents, books)
+      .queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[[^\\]]*cell".r.findAllIn(plan).size
+    assert(pruned == 3,
+      s"expected 3 pruned slice scans (one per committed version), got $pruned")
   }
 
   test("incremental near-dup dedup: 2-wave streamed pairs == batch x18") {
