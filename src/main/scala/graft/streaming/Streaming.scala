@@ -1103,20 +1103,8 @@ object Streaming {
     //    as the cross probe: equi join on (band, bh), exact jaccard)
     val docsSh = spark.read.parquet(s"$dimDir/v$batchId/docs")
     val bands = spark.read.parquet(s"$dimDir/v$batchId/bands")
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    val intra = cand
-      .join(docsSh.select(col("doc_id").as("id_a"),
-        col("sh").as("sh_a"), col("nsh").as("na")), "id_a")
-      .join(docsSh.select(col("doc_id").as("id_b"),
-        col("sh").as("sh_b"), col("nsh").as("nb")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        col("inter") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= 0.3)
+    val intra = graft.ops.Dedup.verifyJaccard(
+        graft.ops.Dedup.bandSelfCandidates(bands), docsSh, docsSh)
       .select(col("id_a"), col("id_b"))
     intra.write.mode("overwrite").parquet(s"$survDir/v$batchId/intra")
     // 3. the batch's doc-attribute slice (append-only)
