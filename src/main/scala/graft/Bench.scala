@@ -133,14 +133,20 @@ object Bench {
     // tolerant parse: a malformed env value must degrade to the default,
     // never throw AFTER the expensive prewarm with no JSON record on any
     // channel (the round-1/7 "parsed: null" failure mode)
-    // < 2 passes can't take cross-pass minima — clamp to the default
-    // instead of throwing (a well-formed '1' must not crash post-prewarm
-    // any more than a malformed value may)
+    // < 2 passes can't take cross-pass minima — a well-formed low value
+    // clamps UP to the minimum 2 (honoring the user's intent to shorten
+    // the run), while a malformed value falls back to the default 3;
+    // neither may crash post-prewarm
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-      .flatMap(v => v.trim.toIntOption.filter(_ >= 2).orElse {
-        System.err.println(s"[bench] bad SPARK_GRAFT_BENCH_PASSES '$v', using 3")
-        None
-      }).getOrElse(3)
+      .flatMap { v =>
+        val parsed = v.trim.toIntOption
+        if (parsed.isEmpty)
+          System.err.println(s"[bench] bad SPARK_GRAFT_BENCH_PASSES '$v', using 3")
+        else if (parsed.exists(_ < 2))
+          System.err.println(s"[bench] SPARK_GRAFT_BENCH_PASSES '$v' below the " +
+            "cross-pass-minima floor, clamping to 2")
+        parsed.map(p => math.max(p, 2))
+      }.getOrElse(3)
     // contention self-report canary: a renamed query must fail LOUDLY
     // here, BEFORE the timed run — not silently emit the same -1 marker
     // a genuine canary failure uses (the stale-name lesson from the old

@@ -996,8 +996,12 @@ object Multimodal {
           if (id == "LIST" && size >= 4) {
             val lt = tag()
             // unlike the metadata walk, the FRAME decode descends into
-            // movi too — the frame payload is exactly what it reads
-            if (lt == "hdrl" || lt == "strl" || lt == "movi")
+            // movi too — the frame payload is exactly what it reads —
+            // and into the `rec ` groupings interleaved AVIs wrap
+            // around each frame set inside movi (the VfW convention);
+            // skipping those would silently decode zero frames
+            if (lt == "hdrl" || lt == "strl" || lt == "movi" ||
+                lt == "rec ")
               walk(body + 4, (body + size).toInt)
           } else if (id == "strh" && size >= 56) {
             val fccType = tag(); val handler = tag()
@@ -1025,6 +1029,10 @@ object Multimodal {
       else {
         require(w > 0 && h > 0 && Set(8, 24, 32)(bpp),
           s"bad DIB geometry ${w}x$h@$bpp")
+        // a vids stream whose movi walk surfaced no frame chunks means
+        // an unrecognized grouping, not an empty video — fail loudly
+        // rather than return a silent zero-frame decode
+        require(frames.nonEmpty, "vids stream but no movi frame chunks")
         val stride = (w.toLong * bpp + 31) / 32 * 4
         val frameSize = stride * h
         val out = new Array[Byte](frames.map(_._2).sum)

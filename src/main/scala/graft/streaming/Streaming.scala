@@ -780,7 +780,12 @@ object Streaming {
     val sh = graft.ops.Dedup.shingledOf(docs)
       .join(docs.select("doc_id", "lang"), "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted like sh: bands feeds the within self-join, the
+    // cross-history probe, AND its own slice write — three separate
+    // actions; without the persist the 32-hash signature aggregation
+    // re-runs per action (exchange reuse cannot span write jobs)
     val bands = graft.ops.Dedup.bandsOf(sh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val langOf = docs.select(col("doc_id"), col("lang"))
     val within = graft.ops.Dedup.verifyJaccard(
         graft.ops.Dedup.bandSelfCandidates(bands), sh, sh)
@@ -813,6 +818,7 @@ object Streaming {
     pairs.write.mode("overwrite").parquet(s"$dimDir/v$batchId/pairs")
     sh.write.mode("overwrite").parquet(s"$dimDir/v$batchId/sh")
     bands.write.mode("overwrite").parquet(s"$dimDir/v$batchId/bands")
+    bands.unpersist(blocking = false)
     sh.unpersist(blocking = false)
     docs.unpersist(blocking = false)
     Files.write(Paths.get(s"$dimDir/v$batchId/_SUCCESS"),

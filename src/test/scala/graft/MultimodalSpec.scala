@@ -332,6 +332,53 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](aviCodec.dibFrameBytes(corrupt))
   }
 
+  test("AVI frame decode descends interleaved 'LIST rec ' groupings") {
+    // the VfW interleave convention wraps each frame set in a
+    // `LIST rec ` inside movi; a walker that skips those would return
+    // a silent zero-frame decode on a spec-conforming file
+    val w = 3; val bpp = 24; val stride = 12; val h = 2
+    val f0 = Array.tabulate[Byte](stride * h)(i => (i + 1).toByte)
+    val f1 = Array.tabulate[Byte](stride * h)(i => (50 + i).toByte)
+    val avih = fcc("avih") ++ le32(56) ++ le32(40000) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(2) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ Array.fill[Byte](16)(0)
+    val strh = fcc("strh") ++ le32(56) ++ fcc("vids") ++ fcc("DIB ") ++
+      le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(25) ++
+      Array.fill[Byte](28)(0)
+    val strf = fcc("strf") ++ le32(40) ++ le32(40) ++ le32(w) ++ le32(h) ++
+      le16(1) ++ le16(bpp) ++ le32(0) ++ le32(stride * h) ++
+      Array.fill[Byte](16)(0)
+    val strl = fcc("LIST") ++ le32(4 + strh.length + strf.length) ++
+      fcc("strl") ++ strh ++ strf
+    val hdrl = fcc("LIST") ++ le32(4 + avih.length + strl.length) ++
+      fcc("hdrl") ++ avih ++ strl
+    def rec(frames: Array[Byte]*): Array[Byte] = {
+      val body = frames.map(f => fcc("00db") ++ le32(f.length) ++ f)
+        .reduce(_ ++ _)
+      fcc("LIST") ++ le32(4 + body.length) ++ fcc("rec ") ++ body
+    }
+    // one rec per frame group; second group also carries an audio chunk
+    val aud = fcc("01wb") ++ le32(6) ++ Array.fill[Byte](6)(0x11)
+    val r0 = rec(f0)
+    val r1Body = fcc("00db") ++ le32(f1.length) ++ f1 ++ aud
+    val r1 = fcc("LIST") ++ le32(4 + r1Body.length) ++ fcc("rec ") ++ r1Body
+    val movi = fcc("LIST") ++ le32(4 + r0.length + r1.length) ++
+      fcc("movi") ++ r0 ++ r1
+    val body = hdrl ++ movi
+    val bytes = fcc("RIFF") ++ le32(4 + body.length) ++ fcc("AVI ") ++ body
+    val bs = aviCodec.dibFrameBytes(bytes)
+      .getOrElse(fail("rec-wrapped DIB stream rejected"))
+    assert(java.util.Arrays.equals(bs, f0 ++ f1),
+      "rec-wrapped frame bytes diverged")
+    // a vids stream whose movi yields NO frame chunks must fail loudly
+    // (unrecognized grouping), never decode to zero frames silently
+    val emptyMovi = fcc("LIST") ++ le32(4) ++ fcc("movi")
+    val noFrames = hdrl ++ emptyMovi
+    val nfBytes = fcc("RIFF") ++ le32(4 + noFrames.length) ++ fcc("AVI ") ++
+      noFrames
+    intercept[IllegalArgumentException](aviCodec.dibFrameBytes(nfBytes))
+  }
+
   test("AVI frame decode selects only the chosen vids stream's chunks") {
     // AVI stream numbering: the Nth strl is stream N, its movi chunks
     // are `NNdb`/`NNdc`. A multi-stream file must decode ONLY the
