@@ -49,12 +49,17 @@ object Pipeline {
     val pruned = scored.join(broadcast(thresholds), "lang")
       .filter($"quality_score" >= $"q25" - lit(1e-12))
       .select($"doc_id", $"lang", $"source", $"text", $"quality_score")
-    // 2. exact dedup — x10's keeper policy (min doc_id per sha256)
-    val keepers = pruned
-      .groupBy(sha2($"text", 256).as("h"))
-      .agg(min($"doc_id").as("doc_id"))
-      .select($"doc_id")
-    val exact = pruned.join(keepers, Seq("doc_id"), "left_semi")
+    // 2. exact dedup — x10's keeper policy (min doc_id per sha256) as
+    //    ONE window over the sha key (see pipelineV2: the groupBy +
+    //    left-semi form paid a second corpus shuffle for the join);
+    //    the sha exchange is also what ReuseExchange shares between
+    //    the keep-best and singles branches below
+    val wSha = Window.partitionBy($"h")
+    val exact = pruned
+      .withColumn("h", sha2($"text", 256))
+      .withColumn("keeper", min($"doc_id").over(wSha))
+      .filter($"doc_id" === $"keeper")
+      .drop("h", "keeper")
     // 3. near-dup keep-best — x59's policy over the memoized full-corpus
     //    CC labels, ranked among the CURRENT survivors (x28/x59's
     //    broadcast guard: the label dim grows with corpus dup count)
@@ -361,12 +366,18 @@ object Pipeline {
         TextAnalysis.classifierScoreMicro($"w0", wts))
       .filter($"feat_sum_micro" > 0)
       .select($"doc_id", $"lang", $"text", $"feat_sum_micro")
-    // 2. exact dedup — x10's keeper policy (min doc_id per sha256)
-    val keepers = admitted
-      .groupBy(sha2($"text", 256).as("h"))
-      .agg(min($"doc_id").as("doc_id"))
-      .select($"doc_id")
-    val exact = admitted.join(keepers, Seq("doc_id"), "left_semi")
+    // 2. exact dedup — x10's keeper policy (min doc_id per sha256),
+    //    evaluated as ONE window over the sha key (x77's shape): the
+    //    earlier groupBy + left-semi form paid a second shuffle of the
+    //    admitted corpus (by doc_id, for the join) on top of the sha
+    //    one; the window form pays only the sha exchange and filters
+    //    in place — same keeper, one fewer corpus shuffle and no join
+    val wSha = Window.partitionBy($"h")
+    val exact = admitted
+      .withColumn("h", sha2($"text", 256))
+      .withColumn("keeper", min($"doc_id").over(wSha))
+      .filter($"doc_id" === $"keeper")
+      .drop("h", "keeper")
     v2TransformStages(spark, sfDir, exact)
       .select($"doc_id", $"lang", $"feat_sum_micro", $"n_removed",
         $"clean_text", $"split", $"shard", $"pos")
