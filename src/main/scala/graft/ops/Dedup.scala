@@ -646,8 +646,11 @@ object Dedup {
   private[graft] def dedupKeepBestVia(spark: SparkSession, sfDir: String,
       broadcastDim: Boolean): DataFrame = {
     import spark.implicits._
-    val clusters = dupClusters(spark, sfDir)
-      .select($"doc_id", $"cluster_id")
+    // the memoized label dim directly — routing through dupClusters
+    // would bolt on a cluster_size window and an orderBy this consumer
+    // immediately discards (leakageFreeAssign takes the same path)
+    val clusters = ccLabels(spark, sfDir)
+      .select($"id".as("doc_id"), $"label".as("cluster_id"))
     def dim(df: DataFrame): DataFrame = if (broadcastDim) broadcast(df) else df
     val docs = Tables.spread(Tables.documents(spark, sfDir))
       .select($"doc_id", $"lang",
@@ -898,7 +901,8 @@ object Dedup {
        |SELECT a.doc_id AS train_id, b.doc_id AS bench_id,
        |  len(list_intersect(a.sh, b.sh)) * 1.0 / len(b.sh) AS containment
        |FROM s a JOIN s b ON a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
-       |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(b.sh)
+       |WHERE len(b.sh) > 0
+       |  AND len(list_intersect(a.sh, b.sh)) * 1.0 / len(b.sh)
        |      >= $ContaminationThreshold
        |ORDER BY train_id, bench_id""".stripMargin
 
@@ -942,11 +946,19 @@ object Dedup {
     * batched or ordered; the streaming sibling's equivalence gate rests
     * on exactly that). Null (no rows) never happens on a non-empty
     * frame; callers streaming possibly-empty micro-batches guard it. */
-  private[graft] def bloomSketchOf(docs: DataFrame): Array[Byte] = {
-    val spark = docs.sparkSession
+  private[graft] def bloomSketchOf(docs: DataFrame): Array[Byte] =
+    bloomSketchOfShingles(
+      docs.withColumn("w", split(col("text"), " ")) // shinglesOfWords PERF note
+        .select(col("doc_id"), shinglesOfWords(col("w")).as("sh")))
+
+  /** Sketch form over an already-shingled (doc_id, sh) frame — lets the
+    * batch path feed the memoized shingle table instead of re-splitting
+    * the benchmark slice's raw text; byte-identical to the raw-text
+    * form (insertion into the sketch is order/batching-independent). */
+  private[graft] def bloomSketchOfShingles(sh: DataFrame): Array[Byte] = {
+    val spark = sh.sparkSession
     graft.functions.CustomExprs.register(spark)
-    docs.withColumn("w", split(col("text"), " ")) // shinglesOfWords PERF note
-      .select(explode(shinglesOfWords(col("w"))).as("s"))
+    sh.select(explode(col("sh")).as("s"))
       .agg(expr(s"bloom_agg(xxhash64(s), ${BloomExpectedItems}L, ${BloomNumBits}L)"))
       .head.getAs[Array[Byte]](0)
   }
@@ -956,8 +968,7 @@ object Dedup {
     graft.functions.CustomExprs.register(spark)
     val docs = shingled(spark, sfDir)
     val isBench = $"doc_id" % 17 === 0
-    val sketch: Array[Byte] = bloomSketchOf(
-      Tables.documents(spark, sfDir).filter($"doc_id" % 17 === 0))
+    val sketch: Array[Byte] = bloomSketchOfShingles(docs.filter(isBench))
     val nHits = size(filter($"sh", s =>
       call_function("might_contain", lit(sketch), xxhash64(s)))).cast("long")
     docs.filter(!isBench)
@@ -995,17 +1006,13 @@ object Dedup {
     * (the measured x42 lesson, 12.9 s vs 0.5 s). */
   private[graft] def spanPerDoc(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val n = SpanNgramWidth
-    val grams = when(size($"w") < n,
-        array().cast("array<struct<pos:int,ng:string>>"))
-      .otherwise(transform(sequence(lit(1), size($"w") - (n - 1)),
-        i => struct(i.cast("int").as("pos"),
-          concat_ws(" ", slice($"w", i, lit(n))).as("ng"))))
-    Tables.spread(Tables.documents(spark, sfDir))
-      .withColumn("w", split($"text", " "))
-      .select($"doc_id", explode(grams).as("e"))
-      .groupBy($"doc_id", $"e.ng".as("ng"))
-      .agg(min($"e.pos").as("pos"))
+    // same gram construction as x70/x76 and the streaming span index —
+    // one definition ([[gramsOf]]) so a width/boundary change cannot
+    // diverge the decontamination audit from the rewrite
+    gramsOf(Tables.spread(Tables.documents(spark, sfDir))
+        .withColumn("w", split($"text", " ")))
+      .groupBy($"doc_id", $"ng")
+      .agg(min($"pos").as("pos"))
   }
 
   def spanDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {

@@ -94,11 +94,8 @@ object Pipeline {
       .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
       .withColumn("cum_tokens", sum($"n_tokens").over(budgetW))
       .filter($"cum_tokens" <= Sampling.TokensPerSource)
-      // 7. split — x50's deterministic doc_id rule
-      .withColumn("split",
-        when($"doc_id" % 10 < 8, "train")
-          .when($"doc_id" % 10 === 8, "val")
-          .otherwise("test"))
+      // 7. split — x50's deterministic doc_id rule (shared definition)
+      .withColumn("split", Sampling.splitOf($"doc_id"))
       .select($"doc_id", $"lang", $"source", $"quality_score",
         $"weight_permille", $"n_tokens", $"cum_tokens", $"split")
       .orderBy($"doc_id")
@@ -410,10 +407,7 @@ object Pipeline {
     val dim = if (bcast) broadcast(labels) else labels
     val split8 = surv.join(dim, Seq("doc_id"), "left")
       .withColumn("rep", coalesce($"label", $"doc_id"))
-      .withColumn("split",
-        when($"rep" % 10 < 8, "train")
-          .when($"rep" % 10 === 8, "val")
-          .otherwise("test"))
+      .withColumn("split", Sampling.splitOf($"rep"))
     // 5. shuffle-shard — x72's hash order, ranked within (split, shard)
     val h = call_function("fnv1a64", $"doc_id".cast("string"))
     val w = Window.partitionBy($"split", $"shard")

@@ -19,14 +19,21 @@ import graft.Tables
   */
 object Sampling {
 
+  /** The 80/10/10 split rule over any integer key — ONE definition
+    * shared by x50 (keyed by doc_id), x71 (keyed by the cluster
+    * representative) and the pipelines' final stage, so the documented
+    * x50 ≡ x71-on-singletons invariant cannot drift by editing one
+    * copy of the ratio. */
+  private[graft] def splitOf(key: Column): Column =
+    when(key % 10 < 8, "train")
+      .when(key % 10 === 8, "val")
+      .otherwise("test")
+
   /** x50 — deterministic 80/10/10 split, audited per (split, lang). */
   def splitCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
-      .withColumn("split",
-        when($"doc_id" % 10 < 8, "train")
-          .when($"doc_id" % 10 === 8, "val")
-          .otherwise("test"))
+      .withColumn("split", splitOf($"doc_id"))
       .groupBy($"split", $"lang")
       .agg(count(lit(1)).as("n"))
       .orderBy($"split", $"lang")
@@ -322,10 +329,7 @@ object Sampling {
       .select($"doc_id", $"lang")
       .join(dim, Seq("doc_id"), "left")
       .withColumn("rep", coalesce($"label", $"doc_id"))
-      .withColumn("split",
-        when($"rep" % 10 < 8, "train")
-          .when($"rep" % 10 === 8, "val")
-          .otherwise("test"))
+      .withColumn("split", splitOf($"rep"))
   }
 
   /** Oracle: recursive-CTE CC labels (x17's formulation) feeding the

@@ -52,6 +52,39 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
   }
 
+  /** The (query_id, qv, qn) dim of the first `nQueries` corpus vectors —
+    * always the broadcast side of every ANN variant's scoring join. */
+  private[graft] def queriesDim(all: DataFrame, nQueries: Int): DataFrame =
+    all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+
+  /** The shared top-k tail every ANN variant ends with: rank a
+    * (query_id, vec_id, cos) frame per query by exact cosine (tiebreak
+    * vec_id asc — ONE definition, so the five variants' shared oracles
+    * cannot drift on ordering) and keep the top `topK`. */
+  private[graft] def rankTopK(scored: DataFrame, topK: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Candidate fetch + exact rescore, shared by the sketch/PQ/IVF-PQ
+    * variants: (query_id, vec_id) candidates fetch their full vectors
+    * via an equi join, score against the broadcast query dim, and run
+    * the [[rankTopK]] tail. */
+  private[graft] def rescoreTopK(candidates: DataFrame, all: DataFrame,
+      nQueries: Int, topK: Int): DataFrame =
+    rankTopK(candidates
+      .join(all, "vec_id")
+      .join(broadcast(queriesDim(all, nQueries)), "query_id")
+      .withColumn("cos",
+        dot(col("v"), col("qv")) / (col("nrm") * col("qn"))),
+      topK)
+
   /** x20 — brute-force cosine top-5 for the first 8 query vectors. */
   def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame =
     bruteForceTopKOf(corpus(spark, sfDir), 8, 5)
@@ -62,16 +95,9 @@ object Similarity {
       topK: Int): DataFrame = {
     val spark = all.sparkSession
     import spark.implicits._
-    val queries = all.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
-    val scored = all.join(broadcast(queries), $"vec_id" =!= $"query_id")
-      .withColumn("cos", dot($"v", $"qv") / ($"nrm" * $"qn"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos".desc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= topK)
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank")
-      .orderBy($"query_id", $"rank")
+    rankTopK(all.join(broadcast(queriesDim(all, nQueries)),
+        $"vec_id" =!= $"query_id")
+      .withColumn("cos", dot($"v", $"qv") / ($"nrm" * $"qn")), topK)
   }
 
   val bruteForceTopKSql: String =
@@ -259,19 +285,8 @@ object Similarity {
     val candidates = approx.withColumn("tile", ntile(3).over(tileW))
       .filter($"tile" === 1)
       .select($"query_id", $"vec_id")
-    // candidate fetch + exact rescore: equi joins only
-    val queries = all.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
-    val scored = candidates
-      .join(all, "vec_id")
-      .join(broadcast(queries), "query_id")
-      .withColumn("cos", dot($"v", $"qv") / ($"nrm" * $"qn"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos".desc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= topK)
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank")
-      .orderBy($"query_id", $"rank")
+    // candidate fetch + exact rescore: equi joins only (shared tail)
+    rescoreTopK(candidates, all, nQueries, topK)
   }
 
   /** x22's oracle: the ENTIRE IVF path replayed in DuckDB — the same
@@ -800,16 +815,11 @@ object Similarity {
     import spark.implicits._
     val probed = ivfProbes(cells, cents, nQueries, probes)
     // candidate fetch: equi join on the cell key (partition pruning at
-    // deployment); exact cosine only inside probed cells
-    val scored = cells.join(broadcast(probed), Seq("cell"))
+    // deployment); exact cosine only inside probed cells — the probe
+    // rows already carry (qv, qn), so scoring needs no second join
+    rankTopK(cells.join(broadcast(probed), Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
-      .withColumn("cos", dot($"v", $"qv") / ($"nrm" * $"qn"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos".desc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= topK)
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank")
-      .orderBy($"query_id", $"rank")
+      .withColumn("cos", dot($"v", $"qv") / ($"nrm" * $"qn")), topK)
   }
 
   /** (query_id, qv, qn, cell) — one row per (query, probed cell); the
@@ -991,19 +1001,8 @@ object Similarity {
       .withColumn("tile", ntile(3).over(candW))
       .filter($"tile" === 1)
       .select($"query_id", $"vec_id")
-    // exact rescore: equi joins only, full vectors fetched for candidates
-    val scored = candidates
-      .join(all, "vec_id")
-      .join(broadcast(all.filter($"vec_id" < nQueries)
-        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))),
-        "query_id")
-      .withColumn("cos", dot($"v", $"qv") / ($"nrm" * $"qn"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos".desc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= topK)
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank")
-      .orderBy($"query_id", $"rank")
+    // exact rescore: equi joins only, full vectors fetched (shared tail)
+    rescoreTopK(candidates, all, nQueries, topK)
   }
 
   // ---------------------------------------------------------- x26 IVF-PQ
@@ -1101,18 +1100,7 @@ object Similarity {
       .withColumn("rk", row_number().over(candW))
       .filter($"rk" <= IvfPqRescoreFactor * topK)
       .select($"query_id", $"vec_id")
-    val scored = candidates
-      .join(all, "vec_id")
-      .join(broadcast(all.filter($"vec_id" < nQueries)
-        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))),
-        "query_id")
-      .withColumn("cos", dot($"v", $"qv") / ($"nrm" * $"qn"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos".desc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= topK)
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank")
-      .orderBy($"query_id", $"rank")
+    rescoreTopK(candidates, all, nQueries, topK)
   }
 
   /** DEPLOYMENT form of the x26 index: the (vec_id, codes, cell) table
