@@ -594,6 +594,14 @@ object Multimodal {
       require(stride <= Int.MaxValue, s"stride overflow for width $w")
       // biSizeImage MAY be 0 for BI_RGB; the spec stride recomputes it
       val pixelBytes = if (imageSize != 0) imageSize else stride * h
+      // the pixel array the header DESCRIBES must actually be in the
+      // blob — a truncated foreign file must fail validation here, not
+      // throw ArrayIndexOutOfBounds inside a stats task reading rows
+      // (WavCodec clamps to the readable prefix; a bitmap's geometry
+      // is exact, so a short pixel array is a hard reject)
+      require(pixelOffset + stride * h <= blob.length,
+        s"pixel array (${stride * h} B at $pixelOffset) overruns " +
+          s"container of ${blob.length} B")
       BmpMeta(w, h, bpp, stride.toInt, pixelBytes, topDown)
     }
 

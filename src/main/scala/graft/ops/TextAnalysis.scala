@@ -203,11 +203,15 @@ object TextAnalysis {
       |SELECT ngram, COUNT(*) AS doc_freq FROM b GROUP BY ngram
       |ORDER BY doc_freq DESC, ngram LIMIT 50""".stripMargin
 
-  /** x37 — TF-IDF-style top term per document. The score is the exact
-    * rational tf·N·SCALE/df in integer arithmetic (instead of tf·log(N/df))
-    * so the oracle comparison is bit-exact; the ranking it induces is the
-    * same family as log-idf for top-1. Two shuffles: df aggregation and
-    * the per-doc window. */
+  /** x37 — TF-IDF-style top term per document. The score is the rational
+    * tf·N·SCALE/df (instead of tf·log(N/df)) — same ranking family as
+    * log-idf for top-1 — evaluated in DOUBLE end to end: IEEE multiply
+    * and divide are exactly rounded, so both engines produce the same
+    * bits at ANY corpus size, where a 64-bit integer product would wrap
+    * in Spark (non-ANSI) and error in DuckDB once tf·N·SCALE passes
+    * 2⁶³ (tf 10⁴ × N 10⁹ × SCALE 10⁶ at crawl scale). Ties (including
+    * any lost to 2⁵³-rounding) break on the term itself. Two shuffles:
+    * df aggregation and the per-doc window. */
   def tfidfTopTerm(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.spread(Tables.documents(spark, sfDir))
@@ -222,7 +226,8 @@ object TextAnalysis {
       .orderBy($"score".desc, $"term".asc)
     tf.join(df, "term")
       .crossJoin(n)
-      .withColumn("score", $"tf" * $"n_docs" * 1000000L / $"df")
+      .withColumn("score",
+        $"tf".cast("double") * $"n_docs" * 1000000L / $"df")
       .withColumn("rk", row_number().over(w))
       .filter($"rk" === 1)
       .select($"doc_id", $"term".as("top_term"), $"tf", $"df", $"score")
@@ -242,9 +247,10 @@ object TextAnalysis {
       |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
       |scored AS (
       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
-      |    tf.tf * n.n_docs * 1000000 / df.df AS score,
+      |    CAST(tf.tf AS DOUBLE) * n.n_docs * 1000000 / df.df AS score,
       |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
-      |      ORDER BY tf.tf * n.n_docs * 1000000 / df.df DESC, tf.term ASC) AS rk
+      |      ORDER BY CAST(tf.tf AS DOUBLE) * n.n_docs * 1000000 / df.df
+      |        DESC, tf.term ASC) AS rk
       |  FROM tf JOIN df USING (term) CROSS JOIN n)
       |SELECT doc_id, term AS top_term, tf, df, score
       |FROM scored WHERE rk = 1 ORDER BY doc_id""".stripMargin

@@ -189,13 +189,19 @@ object Streaming {
     *
     * Exactly-once without a transactional store: batch b merges the
     * newest COMMITTED version with id < b (never the dir it is itself
-    * writing), writes `v<b>` idempotently (mode overwrite), and readers
-    * pick the newest version with a `_SUCCESS` marker — a retried batch
-    * recomputes byte-identical output from inputs a retry cannot have
-    * touched. The tokenizer and count shapes are shared with batch x45
-    * ([[graft.ops.TextAnalysis.unigramWords]]/`unigramCounts`) so the
-    * two trainers cannot drift. */
+    * writing), writes `v<b>` once, and readers pick the newest version
+    * with a `_SUCCESS` marker. A replay of an already-committed batch
+    * is a NO-OP (skip on the marker) rather than an idempotent
+    * rewrite: mode-overwrite would delete the committed dir (marker
+    * included) before rewriting it, and a concurrent [[unigramModel]]
+    * reader that already resolved that version would read a
+    * disappearing parquet dir — the torn-version hazard the other
+    * updaters in this file document. The tokenizer and count shapes
+    * are shared with batch x45 ([[graft.ops.TextAnalysis
+    * .unigramWords]]/`unigramCounts`) so the two trainers cannot
+    * drift. */
   def unigramModelUpdate(dimDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    if (new java.io.File(s"$dimDir/v$batchId/_SUCCESS").isFile) return
     val spark = batch.sparkSession
     val counts = graft.ops.TextAnalysis.unigramCounts(
       graft.ops.TextAnalysis.unigramWords(batch))
@@ -234,6 +240,46 @@ object Streaming {
       s"$dimDir already holds versions from another stream lineage but " +
         s"checkpoint $ckptDir is fresh — use a new dim dir (or the old " +
         "checkpoint) so batch ids and versions stay aligned")
+  }
+
+  /** The output-slice direction of the lifecycle guard — ONE
+    * definition for every builder that emits per-batch `b<k>` slices
+    * (band pairs, span rewrites, decontam rewrites, ledger rows):
+    * batch ids restart at 0 under a fresh checkpoint, and a longer
+    * dead lineage's extra `b<k>` slices would survive the new run's
+    * overwrites and be silently unioned by the committed-slice
+    * readers. Refuse the mismatch up front, like
+    * [[requireSharedLifecycle]] does for the dim direction. */
+  private def requireSliceLifecycle(sliceDir: String, ckptDir: String,
+      what: String): Unit = {
+    val freshCkpt = !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ckptDir, "offsets"))
+    val staleSlices = Option(new java.io.File(sliceDir).listFiles())
+      .toSeq.flatten
+      .exists(f => f.isDirectory && f.getName.matches("b\\d+"))
+    require(!(freshCkpt && staleSlices),
+      s"$sliceDir already holds $what slices from another stream " +
+        s"lineage but checkpoint $ckptDir is fresh — use a new dir " +
+        "(or the old checkpoint) so batch ids and slices stay aligned")
+  }
+
+  /** Union of every COMMITTED per-batch `b<k>` slice under
+    * `slicesDir` — ONE definition of the reader gate all streamed-
+    * output accessors share: a slice counts iff `markerFor(k)` exists
+    * (the batch's single commit point; updaters write slices first,
+    * marker last, so a crash in that window leaves the slice
+    * invisible until the replay re-commits it), `empty` before any
+    * commit. */
+  private def committedSlices(spark: SparkSession, slicesDir: String,
+      markerFor: String => java.nio.file.Path)(
+      empty: => DataFrame): DataFrame = {
+    val slices = Option(new java.io.File(slicesDir).listFiles())
+      .toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+      .filter(f => java.nio.file.Files.isRegularFile(
+        markerFor(f.getName.drop(1))))
+      .map(_.getPath)
+    if (slices.isEmpty) empty else spark.read.parquet(slices: _*)
   }
 
   /** Committed model versions (dirs `v<batchId>` carrying `_SUCCESS`). */
@@ -393,7 +439,13 @@ object Streaming {
     requirePredecessorState(dimDir, batchId, prior)
     val docs = graft.ops.Dedup.shingledOf(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted like docs: bands feeds the cross-history probe AND its
+    // own slice write — separate actions, so without the persist the
+    // 32-hash signature aggregation runs twice per micro-batch
+    // (exchange reuse cannot span write jobs; same fix as
+    // datasheetUpdate)
     val bands = graft.ops.Dedup.bandsOf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs =
       if (prior.isEmpty)
         // batch 0 probes an empty index — commit an empty pair slice so
@@ -421,6 +473,7 @@ object Streaming {
     // and resumed lineages never see a half-committed version
     docs.write.mode("overwrite").parquet(s"$dimDir/v$batchId/docs")
     bands.write.mode("overwrite").parquet(s"$dimDir/v$batchId/bands")
+    bands.unpersist(blocking = false)
     docs.unpersist(blocking = false)
     Files.write(Paths.get(s"$dimDir/v$batchId/_SUCCESS"),
       Array.emptyByteArray)
@@ -495,20 +548,14 @@ object Streaming {
     * like [[streamedNearDupPairs]] — an output slice whose batch never
     * committed is invisible. */
   def streamedRewrites(spark: SparkSession, dimDir: String,
-      outDir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val slices = Option(new java.io.File(outDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
-      .filter(f => Files.isRegularFile(
-        Paths.get(s"$dimDir/v${f.getName.drop(1)}/_SUCCESS")))
-      .map(_.getPath)
-    if (slices.isEmpty)
+      outDir: String): DataFrame =
+    committedSlices(spark, outDir,
+        k => java.nio.file.Paths.get(s"$dimDir/v$k/_SUCCESS")) {
       spark.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit(0L).as("n_words"),
           lit(0L).as("n_dup_occurrences"), lit(0L).as("n_removed"),
           lit("").as("clean_text")).limit(0)
-    else spark.read.parquet(slices: _*)
-  }
+    }
 
   /** x76 streaming sibling — incremental DECONTAMINATION REWRITE over a
     * train-documents stream against a STATIC benchmark span dim.
@@ -574,12 +621,7 @@ object Streaming {
     require(Files.exists(Paths.get(s"$dimDir/spans")),
       s"bench span dim missing under $dimDir — run benchSpanDim first")
     Files.createDirectories(Paths.get(outDir))
-    val freshCkpt = !Files.exists(Paths.get(ckptDir, "offsets"))
-    val staleSlices = Option(new java.io.File(outDir).listFiles())
-      .toSeq.flatten.exists(f => f.isDirectory && f.getName.matches("b\\d+"))
-    require(!(freshCkpt && staleSlices),
-      s"$outDir already holds rewrite slices from another stream " +
-        s"lineage but checkpoint $ckptDir is fresh — use a new out dir")
+    requireSliceLifecycle(outDir, ckptDir, "rewrite")
     val q = train.writeStream
       .foreachBatch(decontamRewriteUpdate(dimDir, outDir) _)
       .option("checkpointLocation", ckptDir)
@@ -593,19 +635,14 @@ object Streaming {
     * [[decontamRewriteUpdate]] — the slice is this sibling's single
     * per-batch artifact). */
   def streamedDecontamRewrites(spark: SparkSession,
-      outDir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val slices = Option(new java.io.File(outDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
-      .filter(f => Files.isRegularFile(Paths.get(s"${f.getPath}/_SUCCESS")))
-      .map(_.getPath)
-    if (slices.isEmpty)
+      outDir: String): DataFrame =
+    committedSlices(spark, outDir,
+        k => java.nio.file.Paths.get(s"$outDir/b$k/_SUCCESS")) {
       spark.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit(0L).as("n_words"),
           lit(0L).as("n_contam_occurrences"), lit(0L).as("n_removed"),
           lit("").as("clean_text")).limit(0)
-    else spark.read.parquet(slices: _*)
-  }
+    }
 
   /** x77 streaming sibling — incremental REJECTION LEDGER: verdicts
     * for each arriving micro-batch against the ACCUMULATED sha→keeper
@@ -671,19 +708,13 @@ object Streaming {
   /** Every committed batch's ledger rows, gated on the version marker
     * like [[streamedRewrites]]. */
   def streamedLedger(spark: SparkSession, dimDir: String,
-      outDir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val slices = Option(new java.io.File(outDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
-      .filter(f => Files.isRegularFile(
-        Paths.get(s"$dimDir/v${f.getName.drop(1)}/_SUCCESS")))
-      .map(_.getPath)
-    if (slices.isEmpty)
+      outDir: String): DataFrame =
+    committedSlices(spark, outDir,
+        k => java.nio.file.Paths.get(s"$dimDir/v$k/_SUCCESS")) {
       spark.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit(0L).as("feat_sum_micro"),
           lit("").as("stage"), lit(0L).as("keeper_id")).limit(0)
-    else spark.read.parquet(slices: _*)
-  }
+    }
 
   /** Run the incremental ledger to completion (AvailableNow); same
     * lifecycle guards as [[buildSpanIndex]]. */
@@ -692,13 +723,7 @@ object Streaming {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dimDir))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     requireSharedLifecycle(dimDir, ckptDir)
-    val freshCkpt = !java.nio.file.Files.exists(
-      java.nio.file.Paths.get(ckptDir, "offsets"))
-    val staleSlices = Option(new java.io.File(outDir).listFiles())
-      .toSeq.flatten.exists(f => f.isDirectory && f.getName.matches("b\\d+"))
-    require(!(freshCkpt && staleSlices),
-      s"$outDir already holds ledger slices from another stream " +
-        s"lineage but checkpoint $ckptDir is fresh — use a new out dir")
+    requireSliceLifecycle(outDir, ckptDir, "ledger")
     val q = docs.writeStream
       .foreachBatch(ledgerUpdate(dimDir, outDir, weights) _)
       .option("checkpointLocation", ckptDir)
@@ -999,13 +1024,7 @@ object Streaming {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dimDir))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     requireSharedLifecycle(dimDir, ckptDir)
-    val freshCkpt = !java.nio.file.Files.exists(
-      java.nio.file.Paths.get(ckptDir, "offsets"))
-    val staleSlices = Option(new java.io.File(outDir).listFiles())
-      .toSeq.flatten.exists(f => f.isDirectory && f.getName.matches("b\\d+"))
-    require(!(freshCkpt && staleSlices),
-      s"$outDir already holds rewrite slices from another stream " +
-        s"lineage but checkpoint $ckptDir is fresh — use a new out dir")
+    requireSliceLifecycle(outDir, ckptDir, "rewrite")
     val q = docs.writeStream
       .foreachBatch(spanIndexUpdate(dimDir, outDir) _)
       .option("checkpointLocation", ckptDir)
@@ -1022,18 +1041,7 @@ object Streaming {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dimDir))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pairsDir))
     requireSharedLifecycle(dimDir, ckptDir)
-    // the pairs dir shares the same lifecycle: batch ids restart at 0
-    // under a fresh checkpoint, and a longer dead lineage's extra
-    // b<k> slices would survive the new run's overwrites and be
-    // silently unioned into streamedNearDupPairs
-    val freshCkpt = !java.nio.file.Files.exists(
-      java.nio.file.Paths.get(ckptDir, "offsets"))
-    val staleSlices = Option(new java.io.File(pairsDir).listFiles())
-      .toSeq.flatten.exists(f => f.isDirectory && f.getName.matches("b\\d+"))
-    require(!(freshCkpt && staleSlices),
-      s"$pairsDir already holds pair slices from another stream lineage " +
-        s"but checkpoint $ckptDir is fresh — use a new pairs dir (or the " +
-        "old checkpoint) so batch ids and slices stay aligned")
+    requireSliceLifecycle(pairsDir, ckptDir, "pair")
     val q = docs.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         bandIndexUpdate(dimDir, pairsDir)(df, batchId)
@@ -1054,19 +1062,13 @@ object Streaming {
     * `v<k>/_SUCCESS` marker in `dimDir` (the single commit point for
     * the batch). */
   def streamedNearDupPairs(spark: SparkSession, dimDir: String,
-      pairsDir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val slices = Option(new java.io.File(pairsDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
-      .filter(f => Files.isRegularFile(
-        Paths.get(s"$dimDir/v${f.getName.drop(1)}/_SUCCESS")))
-      .map(_.getPath)
-    if (slices.isEmpty)
+      pairsDir: String): DataFrame =
+    committedSlices(spark, pairsDir,
+        k => java.nio.file.Paths.get(s"$dimDir/v$k/_SUCCESS")) {
       spark.emptyDataFrame
         .select(lit(0L).as("inc_id"), lit(0L).as("hist_id"),
           lit(0.0).as("jaccard")).limit(0)
-    else spark.read.parquet(slices: _*)
-  }
+    }
 
   /** x59 streaming sibling — incremental KEEP-BEST survivors: maintain
     * the per-cluster best-quality survivor dim continuously as
@@ -1168,6 +1170,9 @@ object Streaming {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(survDir))
     requireSharedLifecycle(dimDir, ckptDir)
     requireSharedLifecycle(survDir, ckptDir)
+    // the pairs dir is the same bandIndexUpdate state buildBandIndex
+    // drives — both entry points must enforce the same slice guard
+    requireSliceLifecycle(pairsDir, ckptDir, "pair")
     val q = docs.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         keepBestUpdate(dimDir, pairsDir, survDir)(df, batchId)
@@ -1239,14 +1244,20 @@ object Streaming {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, evs: Iterator[Ev], state: GroupState[UserStat]) => {
-          var (n, tot, last) = state.getOption
+          var (n, tot0, last) = state.getOption
             .map(s => (s.nEvents, s.totalValue, s.lastTs))
             .getOrElse((0L, 0.0, new java.sql.Timestamp(0)))
+          // accumulate in exact decimal: the group iterator's order is
+          // not guaranteed, and double addition is non-associative — a
+          // replayed batch folding the same events in another order
+          // would commit a last-ulp-different state (windowedAgg casts
+          // to decimal(18,2) for exactly this determinism)
+          var tot = java.math.BigDecimal.valueOf(tot0)
           evs.foreach { e =>
-            n += 1; tot += e.value
+            n += 1; tot = tot.add(java.math.BigDecimal.valueOf(e.value))
             if (e.ts.after(last)) last = e.ts
           }
-          val s = UserStat(uid, n, tot, last)
+          val s = UserStat(uid, n, tot.doubleValue, last)
           state.update(s)
           Iterator.single(s)
         })

@@ -148,6 +148,19 @@ class MultimodalSpec extends AnyFunSuite {
     val bad = bmpCodec.encode(Array[Byte](1, 2, 3), 4, 24, topDown = false)
     bad(10) = 0x7f // bfOffBits low byte → far beyond the blob...
     intercept[IllegalArgumentException](bmpCodec.decode(bad))
+    // a TRUNCATED pixel array (header describes more rows than the
+    // blob holds) must fail validation, not AIOOBE in a stats task
+    val whole = bmpCodec.encode(Array.fill[Byte](48)(9), 4, 24,
+      topDown = false)
+    intercept[IllegalArgumentException](
+      bmpCodec.decode(whole.dropRight(8)))
+    // same geometry with biSizeImage = 0 (stride-recomputed size):
+    // the recomputed pixel array must also fit
+    val zeroed = whole.clone()
+    zeroed(34) = 0; zeroed(35) = 0; zeroed(36) = 0; zeroed(37) = 0
+    intercept[IllegalArgumentException](
+      bmpCodec.decode(zeroed.dropRight(8)))
+    assert(bmpCodec.decode(zeroed).pixelBytes == 48, "intact zero-size ok")
   }
 
   test("x57 blobs are genuine BMP containers; decode matches the generator") {
