@@ -22,10 +22,17 @@ object CustomExprs {
   // generated code — it silently falls back to interpreted mode.
   private val implName = "graft.functions.ExprImpl"
 
+  // All expressions declare ExpectsInputTypes: without it a mistyped
+  // call (e.g. token_sort_ratio over two longs) analyzes fine and only
+  // fails at execution with a ClassCastException or an opaque Janino
+  // codegen error, instead of the AnalysisException built-ins raise.
+
   /** rapidfuzz-compatible token_sort_ratio as a codegen'd expression
     * (N8's scorer; reference cleaner_v6.py:198-208). */
   case class TokenSortRatio(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(StringType, StringType)
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any =
       ExprImpl.tokenSortRatio(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
@@ -37,7 +44,9 @@ object CustomExprs {
   }
 
   /** FNV-1a 64-bit content fingerprint as a codegen'd expression. */
-  case class Fnv1a64(child: Expression) extends UnaryExpression {
+  case class Fnv1a64(child: Expression) extends UnaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
       ExprImpl.fnv1a64(v.asInstanceOf[UTF8String])
@@ -50,7 +59,9 @@ object CustomExprs {
   /** Dot product over array<double> as a codegen'd expression (x14/x20/
     * x21 hot path — sequential accumulation, same order both engines). */
   case class VectorDot(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any =
       ExprImpl.vectorDot(
@@ -71,7 +82,9 @@ object CustomExprs {
     * The word-hash family is FNV-1a (not xxhash64) so the whole x12
     * pipeline is integer arithmetic a DuckDB oracle replays bit-exactly
     * — the same reasoning that made x33 hash-checkable. */
-  case class SimHash64(child: Expression) extends UnaryExpression {
+  case class SimHash64(child: Expression) extends UnaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
       ExprImpl.simhash64(v.asInstanceOf[UTF8String])
@@ -86,7 +99,9 @@ object CustomExprs {
     * opaque blob with no container to decode (x40's `byte_mean` is
     * this div byte_size). The DuckDB oracle replays it from the blob's
     * hex() digit pairs, so x40 keeps a full hash check. */
-  case class ByteSum(child: Expression) extends UnaryExpression {
+  case class ByteSum(child: Expression) extends UnaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
       ExprImpl.byteSum(v.asInstanceOf[Array[Byte]])
@@ -100,7 +115,10 @@ object CustomExprs {
     * unordered pair (i<j) of a sorted string array — the reference's
     * itertools.combinations(sorted(locs), 2) (Main.py:250). */
   case class ArrayCombinations2(child: Expression)
-      extends UnaryExpression with CollectionGenerator with CodegenFallback {
+      extends UnaryExpression with CollectionGenerator with CodegenFallback
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(StringType))
     override val inline: Boolean = false
     override def position: Boolean = false
     override def elementSchema: StructType = StructType(Seq(

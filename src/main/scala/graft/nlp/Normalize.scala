@@ -40,7 +40,11 @@ object Normalize {
   /** N1 — full normalization, reference step order. */
   def normalize(text: String): String = {
     if (text == null) return ""
-    var t = text.trim.toLowerCase
+    // Locale.ROOT: default-locale lowercasing diverges under tr-TR
+    // ("HILTON" → "hılton") from normalizeCol's locale-independent
+    // Spark lower() and the reference's str.lower() — the tier-1
+    // variant lookup would silently miss on such a JVM
+    var t = text.trim.toLowerCase(java.util.Locale.ROOT)
     t = pAlef.matcher(t).replaceAll("ا")
     t = pTatweel.matcher(t).replaceAll("")
     t = pAlefMaqsura.matcher(t).replaceAll("ي")

@@ -14,6 +14,18 @@ object Analytics {
 
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** 2-decimal rounding spelled as floor(x·100 + 0.5)/100 on doubles —
+    * every step is an exactly-rounded IEEE op, so Spark and DuckDB
+    * produce the SAME BITS at every input. The engines' native
+    * `round(x, 2)` differ at representation boundaries: Spark rounds
+    * the double's shortest decimal string HALF_UP while DuckDB rounds
+    * in binary, so e.g. a true quotient of 2.675 (stored as 2.67499…)
+    * hashes 2.68 vs 2.67 across the two. Mirrored in the q1/q2 SQL. */
+  private def round2(c: Column): Column = floor(c * 100 + 0.5) / 100
+
+  private val round2Sql: String => String =
+    e => s"FLOOR(($e) * 100 + 0.5) / 100"
+
   private def locArray: Column = array(
     col("Location_1"), col("Location_2"), col("Location_3"),
     col("Location_4"), col("Location_5"))
@@ -41,7 +53,7 @@ object Analytics {
       .groupBy($"Location_A", $"Location_B")
       .agg(count(lit(1)).as("Frequency"), dsum($"sale_price").as("Total_Revenue"))
       .crossJoin(totalMulti)
-      .withColumn("Percentage", round($"Frequency" * 100.0 / $"_total", 2))
+      .withColumn("Percentage", round2($"Frequency" * 100.0 / $"_total"))
       .drop("_total")
       .orderBy($"Frequency".desc, $"Location_A", $"Location_B")
   }
@@ -68,9 +80,9 @@ object Analytics {
         sum(when($"Is_Primary", 1L).otherwise(0L)).as("Primary_Destination_Count"))
       .crossJoin(totalRows)
       .withColumn("Avg_Revenue_Per_Visit",
-        round($"Total_Revenue" / $"Total_Visits", 2))                    // G4
+        round2($"Total_Revenue" / $"Total_Visits"))                      // G4
       .withColumn("Visit_Percentage",
-        round($"Total_Visits" * 100.0 / $"_total", 2))
+        round2($"Total_Visits" * 100.0 / $"_total"))
       .drop("_total")
       .orderBy($"Total_Visits".desc, $"Location")                        // G5
   }
@@ -110,7 +122,7 @@ object Analytics {
        |    ON a.trip_key = b.trip_key AND a.Location < b.Location)
        |SELECT Location_A, Location_B, COUNT(*) AS Frequency,
        |  CAST(SUM(CAST(sale_price AS DECIMAL(18,2))) AS DOUBLE) AS Total_Revenue,
-       |  ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM multi), 2) AS Percentage
+       |  ${round2Sql("COUNT(*) * 100.0 / (SELECT COUNT(*) FROM multi)")} AS Percentage
        |FROM pairs GROUP BY Location_A, Location_B
        |ORDER BY Frequency DESC, Location_A, Location_B""".stripMargin
 
@@ -120,8 +132,8 @@ object Analytics {
        |SELECT Location, COUNT(*) AS Total_Visits,
        |  CAST(SUM(CAST(sale_price AS DECIMAL(18,2))) AS DOUBLE) AS Total_Revenue,
        |  CAST(SUM(CASE WHEN _loc_rank = 'Location_1' THEN 1 ELSE 0 END) AS BIGINT) AS Primary_Destination_Count,
-       |  ROUND(CAST(SUM(CAST(sale_price AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS Avg_Revenue_Per_Visit,
-       |  ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM master), 2) AS Visit_Percentage
+       |  ${round2Sql("CAST(SUM(CAST(sale_price AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)")} AS Avg_Revenue_Per_Visit,
+       |  ${round2Sql("COUNT(*) * 100.0 / (SELECT COUNT(*) FROM master)")} AS Visit_Percentage
        |FROM longf GROUP BY Location
        |ORDER BY Total_Visits DESC, Location""".stripMargin
 

@@ -327,15 +327,18 @@ object Relational {
     * read co-located buckets with NO exchange under the join. This is the
     * pre-shuffle-once, join-many-times answer for 100 TB fact joins; at
     * deployment the bucket count tracks cluster parallelism. */
-  private val bucketed =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
-
   private def ensureBucketed(spark: SparkSession, sfDir: String): String = {
-    val suffix = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
-    // prune stopped sessions so the map never pins them (same policy as
-    // graft.Caches)
-    bucketed.keys.filter(_._1.sparkContext.isStopped).foreach(bucketed.remove)
-    bucketed.getOrElseUpdate((spark, sfDir), {
+    // the raw-path hash keeps DISTINCT sfDirs on distinct table names:
+    // a sanitizer alone collapses "/x/sf0.001" and "/x/sf0_001" onto
+    // one suffix, and with the memo keyed by the raw path the second
+    // dataset's write would silently hijack the first's tables
+    val suffix = sfDir.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(sfDir) & 0xffffffffL)
+    // memoValue, not a bare TrieMap: it serializes concurrent builders
+    // under a per-key lock, so two parallel j05 calls can't race the
+    // drop/saveAsTable sequence on the same table names
+    graft.Caches.memoValue(spark, s"bucketed:$sfDir") {
       // bucket count sized to the session's parallelism so the
       // co-located SMJ keeps every core busy (the original fixed 4
       // serialized the 100×-probe's 60M-row join onto 4 tasks). A real
@@ -350,7 +353,7 @@ object Relational {
       Tables.lineitem(spark, sfDir)
         .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable(s"b_lineitem$suffix")
-    })
+    }
     suffix
   }
 

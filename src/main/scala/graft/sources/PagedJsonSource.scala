@@ -301,6 +301,15 @@ class PageReader(files: Seq[String], limit: Option[Int] = None,
       val root = Retry.withRetries(attempts = 5, baseDelayMs = 10) {
         mapper.readTree(new java.io.File(file))
       }
+      // a page's root must be the JSON ARRAY the protocol promises —
+      // an object-rooted payload (e.g. a landed error document) would
+      // otherwise be iterated via elements() as its FIELD VALUES and
+      // ingested as all-null garbage rows when `limit` is unset (the
+      // planner's isEmptyPage checks isArray; the reader must too)
+      if (!root.isArray)
+        throw new PagedProtocol.FetchAbort(
+          s"paged source: page $file root is ${root.getNodeType}, " +
+            "expected ARRAY")
       // `limit` protocol invariant: every page except the stream's final
       // one must hold exactly `limit` records — anything else is a
       // truncated/oversized fetch and the read must fail loudly.
@@ -353,7 +362,11 @@ object Retry {
       catch {
         case e: Throwable =>
           last = e
-          Thread.sleep(math.min(baseDelayMs * (1L << i), 5000))
+          // no sleep after the FINAL attempt — its only outcome is the
+          // rethrow below, and the terminal backoff (up to the 5 s
+          // clamp) would be pure added latency on permanent failures
+          if (i < attempts - 1)
+            Thread.sleep(math.min(baseDelayMs * (1L << i), 5000))
       }
       i += 1
     }

@@ -78,7 +78,14 @@ object PagedLanding {
           .writeValue(new File(tmpPath, f"page_$page%05d.json"), arr)
       }
     finally sortedRdd.unpersist(blocking = false)
-    tmp.renameTo(dir)
+    // the rename is the atomic publish step — losing the race to a
+    // concurrent lander is fine (its committed dir is byte-identical),
+    // but any other failure must be LOUD: returning the path of a dir
+    // that never appeared would make the paged source plan zero
+    // partitions and read an empty corpus with no error
+    if (!tmp.renameTo(dir))
+      require(dir.isDirectory,
+        s"failed to publish landing dir $dir (rename from $tmp)")
     dir.getAbsolutePath
   }
 
