@@ -64,6 +64,13 @@ object ScaleProbe {
       else if (args.length > 1) args(1).split(",").toSeq
       else DocFamily
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // validate BEFORE the session and the expensive prewarm: a typo'd
+    // name must fail loudly up front (Verify's rule), not throw
+    // NoSuchElementException after minutes of cache building with no
+    // probe JSON for even the completed queries
+    val unknown = names.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s) in probe subset: ${unknown.toSeq.sorted.mkString(", ")}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -78,19 +85,24 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warmup
 
-    // the SAME prewarm convention as Bench, per family: doc runs get the
-    // doc-family frames; rel runs get the trips master (memoized, feeds
-    // q4/q5/q1-q3/n*) and one untimed j05 (its first call writes the
-    // bucketed tables — an index build, charged to cache_build_sec like
-    // every other shared artifact, so the timed rows measure the
-    // co-located join, not the one-time bucketing write)
-    val rel = args.length > 1 && args(1) == "rel"
-    val cacheBuildSec =
-      if (rel) Bench.prewarm(spark,
-        Seq[() => org.apache.spark.sql.DataFrame](
-          () => graft.ops.Transform.master(spark, dir),
-          () => graft.ops.Relational.j05BucketedColocated(spark, dir)))
-      else Bench.prewarm(spark, Bench.docFamilyFrames(spark, dir))
+    // the SAME prewarm convention as Bench, per family — decided by
+    // which families the SELECTED names actually touch, so an explicit
+    // relational subset gets the trips master + one untimed j05 (the
+    // bucketed-table write is an index build, charged to
+    // cache_build_sec) rather than minutes of irrelevant doc-family
+    // LSH/IVF/BPE builds while its own master build leaks into the
+    // first timed run, and a mixed subset gets both tiers
+    val docSet = DocFamily.toSet
+    val docNeeded = names.exists(docSet.contains)
+    val relNeeded = names.exists(n => !docSet.contains(n))
+    val relFrames =
+      if (!relNeeded) Seq.empty
+      else Seq[() => org.apache.spark.sql.DataFrame](
+        () => graft.ops.Transform.master(spark, dir),
+        () => graft.ops.Relational.j05BucketedColocated(spark, dir))
+    val docFrames =
+      if (!docNeeded) Seq.empty else Bench.docFamilyFrames(spark, dir)
+    val cacheBuildSec = Bench.prewarm(spark, relFrames ++ docFrames)
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -53,26 +53,21 @@ object Verify {
         Fs.deleteRecursively(java.nio.file.Paths.get(s"$outDir/$name"))
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = Fs.jsonQuote(s)
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => subset.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // the /stats bookkeeping of the reference's run-cycle (api.py:354-359):
-    // record count = the flagship master output just written
+    // record count = the flagship master output — counted ONLY when this
+    // invocation actually ran q4_master, or a subset spot check into a
+    // dir holding an older full dump would report the stale file's rows
+    // as this run's records
+    val ranMaster = subset.forall(_.contains("q4_master"))
     val masterRows =
-      try spark.read.parquet(s"$outDir/q4_master").count() catch { case _: Throwable => 0L }
+      if (!ranMaster) 0L
+      else try spark.read.parquet(s"$outDir/q4_master").count()
+      catch { case _: Throwable => 0L }
     val now = System.currentTimeMillis()
     graft.api.CleanApi.recordRun(graft.api.CleanApi.RunStats(
       records = masterRows, queriesOk = ok, queriesFailed = failed,

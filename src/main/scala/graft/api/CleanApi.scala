@@ -68,22 +68,21 @@ object CleanApi {
       "duration_ms" -> r.durationMs.toString)
   }
 
-  private def js(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def js(s: String): String = graft.Fs.jsonQuote(s)
 
   /** CLI analog of the endpoint: `runMain graft.api.CleanApi <text…>`
     * prints one JSON result per argument. */
   def main(args: Array[String]): Unit = {
     args.foreach { text =>
       val r = clean(text)
+      // Locale.ROOT: a default-locale format renders comma decimals on
+      // e.g. de_DE JVMs — invalid JSON (the Bench record's lesson)
+      val ms = String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(r.processingMs))
       println(s"""{"main_location": ${js(r.mainLocation)}, """ +
         s""""all_locations": [${r.allLocations.map(js).mkString(", ")}], """ +
         s""""trip_type": ${js(r.tripType)}, """ +
-        f""""processing_ms": ${r.processingMs}%.3f}""")
+        s""""processing_ms": $ms}""")
     }
   }
 }

@@ -62,9 +62,11 @@ object Pipeline {
       .drop("h", "keeper")
     // 3. near-dup keep-best — x59's policy over the memoized full-corpus
     //    CC labels, ranked among the CURRENT survivors (x28/x59's
-    //    broadcast guard: the label dim grows with corpus dup count)
-    val clusters = Dedup.dupClusters(spark, sfDir)
-      .select($"doc_id", $"cluster_id")
+    //    broadcast guard: the label dim grows with corpus dup count);
+    //    the label dim directly — dupClusters would bolt on a
+    //    cluster_size window this consumer discards (the x59 route)
+    val clusters = Dedup.ccLabels(spark, sfDir)
+      .select($"id".as("doc_id"), $"label".as("cluster_id"))
     val bcast =
       Dedup.ccLabelCount(spark, sfDir) <= Dedup.CcBroadcastMaxLabels
     def dim(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
@@ -77,11 +79,16 @@ object Pipeline {
     val singles = exact
       .join(dim(clusters.select($"doc_id")), Seq("doc_id"), "left_anti")
     val survivors = best.unionByName(singles)
-    // 4. decontaminate — x19's containment pairs; bench slice excluded
+    // 4. decontaminate — x19's containment pairs; bench slice excluded.
+    //    NO forced broadcast here: the contaminated dim's cardinality
+    //    tracks contamination volume, not the CC label count the
+    //    `bcast` gate above is sized for (benchmark text syndicated
+    //    across a crawl could make this dim huge while labels stay
+    //    small) — AQE picks broadcast vs shuffle from its actual size
     val contaminated = Dedup.decontaminate(spark, sfDir)
       .select($"train_id".as("doc_id")).distinct()
     val clean = survivors.filter($"doc_id" % 17 =!= 0)
-      .join(dim(contaminated), Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
     // 5. mixture sample — x52's pure-key-function admission
     val sampled = clean
       .withColumn("weight_permille",
