@@ -32,6 +32,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Fs.jsonQuote round-trips any string through a real JSON parser") {
+    // the one escaper both Verify's oracle dump and CleanApi's CLI
+    // share: its output must parse back to the exact input, including
+    // control chars, quotes, backslashes, and unicode
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hostile = Seq("", "\"", "\\", "\n\r\t", "a\u0000b", "\u001f",
+      "plain", "مرحبا \"بالعالم\"", "tab\there\nand\\there",
+      "SELECT * FROM t WHERE a = 'x\ny'")
+    for (s <- hostile ++ samples(100)) {
+      val parsed = mapper.readTree(Fs.jsonQuote(s))
+      assert(parsed.isTextual && parsed.asText() == s,
+        s"round-trip diverged for <${s.take(40)}>")
+    }
+  }
+
   test("normalize is idempotent") {
     for (s <- samples()) {
       val once = Normalize.normalize(s)
