@@ -175,31 +175,50 @@ object CustomExprs {
     ()
   }
 
+  /** ONE builder list shared by [[register]] (temp functions) and
+    * [[GraftExtensions]] (session-extensions injection), so the two
+    * registration paths cannot drift — the extensions path once lacked
+    * bloom_agg/might_contain because the lambdas were hand-copied.
+    * Each builder validates arity up front: a wrong-argument-count SQL
+    * call must fail with the function name and expected count, not an
+    * IndexOutOfBoundsException from a bare es(1). Includes Spark's OWN
+    * bloom-filter expressions (the machinery behind runtime bloom join
+    * pruning), surfaced as callable functions — the analyzer wraps the
+    * returned AggregateFunction exactly as it does for sum():
+    * bloom_agg(xxhash64(x), estItems, numBits) -> binary sketch;
+    * might_contain(<binary literal>, xxhash64(x)) -> boolean probe. */
+  private[functions] val builders
+      : Seq[(String, Seq[Expression] => Expression)] = {
+    def arity(name: String, n: Int)(
+        f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+      es => {
+        if (es.length != n) throw new IllegalArgumentException(
+          s"$name expects $n argument(s), got ${es.length}")
+        f(es)
+      }
+    Seq(
+      "token_sort_ratio" -> arity("token_sort_ratio", 2)(
+        es => TokenSortRatio(es.head, es(1))),
+      "fnv1a64" -> arity("fnv1a64", 1)(es => Fnv1a64(es.head)),
+      "array_combinations2" -> arity("array_combinations2", 1)(
+        es => ArrayCombinations2(es.head)),
+      "vector_dot" -> arity("vector_dot", 2)(
+        es => VectorDot(es.head, es(1))),
+      "simhash64" -> arity("simhash64", 1)(es => SimHash64(es.head)),
+      "byte_sum" -> arity("byte_sum", 1)(es => ByteSum(es.head)),
+      "bloom_agg" -> arity("bloom_agg", 3)(
+        es => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(es.head, es(1), es(2))),
+      "might_contain" -> arity("might_contain", 2)(
+        es => org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(es.head, es(1))))
+  }
+
   private def registerNow(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("token_sort_ratio",
-      es => TokenSortRatio(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("fnv1a64",
-      es => Fnv1a64(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("array_combinations2",
-      es => ArrayCombinations2(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("vector_dot",
-      es => VectorDot(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64",
-      es => SimHash64(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("byte_sum",
-      es => ByteSum(es.head), "scala_udf")
-    // Spark's OWN bloom-filter expressions (the machinery behind runtime
-    // bloom join pruning), surfaced as callable functions: the analyzer
-    // wraps the returned AggregateFunction exactly as it does for sum().
-    // bloom_agg(xxhash64(x), estItems, numBits) -> binary sketch;
-    // might_contain(<binary literal>, xxhash64(x)) -> boolean probe.
-    reg.createOrReplaceTempFunction("bloom_agg",
-      es => new org.apache.spark.sql.catalyst.expressions.aggregate
-        .BloomFilterAggregate(es.head, es(1), es(2)), "scala_udf")
-    reg.createOrReplaceTempFunction("might_contain",
-      es => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(es.head, es(1)), "scala_udf")
+    builders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }
 

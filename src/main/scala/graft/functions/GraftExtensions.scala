@@ -18,32 +18,16 @@ import org.apache.spark.sql.types.DoubleType
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("token_sort_ratio"),
-      new ExpressionInfo(classOf[CustomExprs.TokenSortRatio].getName,
-        "token_sort_ratio"),
-      (es: Seq[Expression]) => CustomExprs.TokenSortRatio(es.head, es(1))))
-    e.injectFunction((
-      FunctionIdentifier("fnv1a64"),
-      new ExpressionInfo(classOf[CustomExprs.Fnv1a64].getName, "fnv1a64"),
-      (es: Seq[Expression]) => CustomExprs.Fnv1a64(es.head)))
-    e.injectFunction((
-      FunctionIdentifier("array_combinations2"),
-      new ExpressionInfo(classOf[CustomExprs.ArrayCombinations2].getName,
-        "array_combinations2"),
-      (es: Seq[Expression]) => CustomExprs.ArrayCombinations2(es.head)))
-    e.injectFunction((
-      FunctionIdentifier("vector_dot"),
-      new ExpressionInfo(classOf[CustomExprs.VectorDot].getName, "vector_dot"),
-      (es: Seq[Expression]) => CustomExprs.VectorDot(es.head, es(1))))
-    e.injectFunction((
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[CustomExprs.SimHash64].getName, "simhash64"),
-      (es: Seq[Expression]) => CustomExprs.SimHash64(es.head)))
-    e.injectFunction((
-      FunctionIdentifier("byte_sum"),
-      new ExpressionInfo(classOf[CustomExprs.ByteSum].getName, "byte_sum"),
-      (es: Seq[Expression]) => CustomExprs.ByteSum(es.head)))
+    // the SAME builder list register(spark) installs as temp functions
+    // — one source, so a function added there is automatically injected
+    // here too (the hand-copied lambdas this replaces had already
+    // drifted: bloom_agg/might_contain were missing from this path)
+    CustomExprs.builders.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(CustomExprs.getClass.getName, name),
+        builder))
+    }
     e.injectOptimizerRule(_ => FoldSelfTokenSortRatio)
   }
 }

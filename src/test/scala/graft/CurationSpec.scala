@@ -55,8 +55,13 @@ class CurationSpec extends AnyFunSuite {
     val total = Tables.documents(spark, sf)
       .groupBy($"lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    kept.groupBy(_.getString(0)).foreach { case (lang, rows) =>
-      val frac = rows.length.toDouble / total(lang)
+    // iterate the CORPUS languages, not the kept output's: a language
+    // whose whole stratum was pruned (e.g. a q25 gone +inf) would
+    // otherwise vanish from `kept` and silently escape the floor
+    val keptByLang = kept.groupBy(_.getString(0))
+    total.keys.foreach { lang =>
+      val frac =
+        keptByLang.get(lang).map(_.length).getOrElse(0).toDouble / total(lang)
       assert(frac >= 0.70 && frac <= 0.85, s"$lang kept $frac")
     }
   }
@@ -508,7 +513,15 @@ class CurationSpec extends AnyFunSuite {
 
   test("x77 rejection ledger partitions the corpus; kept set == x75 survivors") {
     import spark.implicits._
-    val ledger = graft.ops.Pipeline.rejectionLedger(spark, sf).collect()
+    // ONE collect of each pipeline run — the ledger and x75 are the two
+    // most expensive queries in the suite, and both views below read
+    // from the same rows
+    val ledgerRows = graft.ops.Pipeline.rejectionLedger(spark, sf)
+      .select("doc_id", "feat_sum_micro", "stage", "keeper_id",
+        "n_removed", "split", "shard", "pos").collect()
+    val v2Rows = graft.ops.Pipeline.pipelineV2(spark, sf)
+      .select("doc_id", "n_removed", "split", "shard", "pos").collect()
+    val ledger = ledgerRows
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3))))
     val total = Tables.documents(spark, sf).count()
@@ -527,24 +540,20 @@ class CurationSpec extends AnyFunSuite {
     // only stages 1-2 of the v2 chain drop documents, so the ledger's
     // kept set must be exactly the pipeline's surviving doc_ids
     val kept = ledger.collect { case (id, _, "kept", _) => id }.toSet
-    val surv = graft.ops.Pipeline.pipelineV2(spark, sf)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val surv = v2Rows.map(_.getLong(0)).toSet
     assert(kept == surv,
       s"ledger kept-set diverged from x75 survivors: " +
         s"missing=${(surv -- kept).take(3)} extra=${(kept -- surv).take(3)}")
     // transform-stage provenance (since r11): kept rows carry EXACTLY
     // x75's (n_removed, split, shard, pos) for that doc; dropped rows
     // carry typed NULL evidence (they never reached those stages)
-    val evidence = graft.ops.Pipeline.rejectionLedger(spark, sf)
-      .select("doc_id", "stage", "n_removed", "split", "shard", "pos")
-      .collect()
-      .map(r => r.getLong(0) -> (r.getString(1),
-        if (r.isNullAt(2)) None else Some(r.getLong(2)),
-        Option(r.getString(3)),
-        if (r.isNullAt(4)) None else Some(r.getInt(4)),
-        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
-    val v2rows = graft.ops.Pipeline.pipelineV2(spark, sf)
-      .select("doc_id", "n_removed", "split", "shard", "pos").collect()
+    val evidence = ledgerRows
+      .map(r => r.getLong(0) -> (r.getString(2),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        Option(r.getString(5)),
+        if (r.isNullAt(6)) None else Some(r.getInt(6)),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)))).toMap
+    val v2rows = v2Rows
       .map(r => r.getLong(0) ->
         (Some(r.getLong(1)), Some(r.getString(2)), Some(r.getInt(3)),
           Some(r.getLong(4)))).toMap

@@ -7,13 +7,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
   val sf = SparkSuite.sf
 
+  /** The canonical exact-Jaccard pair set, collected ONCE — six tests
+    * compare against it, and each independent recompute re-ran the full
+    * shingle-explode self-join. */
+  private lazy val exactPairSet: Set[(Long, Long)] =
+    Dedup.jaccardPairs(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
   test("MinHash-LSH verified pairs equal exact Jaccard pairs") {
     val lsh = Dedup.minhashLshPairs(spark, sf)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = Dedup.jaccardPairs(spark, sf)
-      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh == exact)
-    assert(exact.nonEmpty) // fixture plants near-dup pairs
+    assert(lsh == exactPairSet)
+    assert(exactPairSet.nonEmpty) // fixture plants near-dup pairs
   }
 
   test("x13 shingle df-cap leaves the fixture pair set unchanged") {
@@ -49,13 +55,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs(-1L) == pairs(Long.MaxValue))
+    // empty == empty would pass vacuously — the curated subset must
+    // actually retain planted near-dup pairs for this gate to mean
+    // anything (Dedup.jaccardPairsOf cites this spec as its proof)
+    assert(pairs(-1L).nonEmpty, "curated subset produced zero pairs")
   }
 
   test("x17 clusters: pair endpoints co-clustered, id is the member min") {
     val clusters = Dedup.dupClusters(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val pairs = Dedup.jaccardPairs(spark, sf)
-      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = exactPairSet.toSeq
     assert(pairs.nonEmpty)
     // every verified near-dup pair lands in one cluster
     pairs.foreach { case (a, b) =>
@@ -69,8 +78,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("x18 incremental pairs == full pair set restricted to inc×hist") {
-    val full = Dedup.jaccardPairs(spark, sf)
-      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val full = exactPairSet.toSeq
     // the incremental probe must find exactly the cross-subset slice of
     // the full pair universe — nothing extra, nothing lost at the split
     val expected = full.filter { case (a, b) => (a % 5 == 0) != (b % 5 == 0) }
@@ -201,8 +209,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("simhash near-dup pairs include the planted near-dups") {
     val sim = Dedup.simhashPairs(spark, sf)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = Dedup.jaccardPairs(spark, sf)
-      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = exactPairSet
     // 0.98-Jaccard near-dups have near-identical word multisets → tiny
     // hamming distance; simhash must catch a large majority
     val caught = exact.count(sim.contains).toDouble / exact.size

@@ -19,7 +19,13 @@ class ExtensionsSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // restore BOTH session slots: getOrCreate set this new session as
+    // default AND active, and suites run sequentially in one forked
+    // JVM — a leaked active session would make every later suite
+    // resolve through the extensions session, masking
+    // missing-registration bugs in the plain register(spark) path
     SparkSession.setDefaultSession(shared)
+    SparkSession.setActiveSession(shared)
     s
   }
 
@@ -27,7 +33,12 @@ class ExtensionsSpec extends AnyFunSuite {
     val r = spark.sql(
       "SELECT token_sort_ratio('b a', 'a b') AS r, fnv1a64('a') AS h, " +
         "vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
-        "simhash64('a b a') AS s, simhash64(CAST(NULL AS STRING)) AS sn")
+        "simhash64('a b a') AS s, simhash64(CAST(NULL AS STRING)) AS sn, " +
+        "byte_sum(CAST('ab' AS BINARY)) AS bs, " +
+        // might_contain requires its sketch as a constant or scalar
+        // subquery (Spark's own BLOOM_FILTER_BINARY_OP_WRONG_TYPE rule)
+        "might_contain((SELECT bloom_agg(xxhash64(v), 100L, 1000L) " +
+        "FROM (SELECT explode(array('a', 'b')) AS v)), xxhash64('a')) AS mc")
       .collect()(0)
     assert(r.getDouble(0) == 100.0)
     assert(r.getLong(1) == 0xaf63dc4c8601ec8cL)
@@ -36,6 +47,24 @@ class ExtensionsSpec extends AnyFunSuite {
     // hash family is FNV-1a so the x12 oracle can replay it in DuckDB)
     assert(r.getLong(3) == r.getLong(1))
     assert(r.isNullAt(4))
+    assert(r.getLong(5) == 'a'.toLong + 'b'.toLong)
+    assert(r.getBoolean(6))
+    // the pair Generator can't nest inside scalar expressions — resolve
+    // it through the extensions path in generator position
+    val pairs = spark.sql(
+      "SELECT pa, pb FROM (SELECT array('x', 'y', 'z') AS arr) " +
+        "LATERAL VIEW array_combinations2(arr) t AS pa, pb")
+      .collect().map(row => (row.getString(0), row.getString(1)))
+    assert(pairs.toSeq == Seq(("x", "y"), ("x", "z"), ("y", "z")))
+  }
+
+  test("wrong arity fails with the function name, not an index error") {
+    val e = intercept[Exception](spark.sql("SELECT token_sort_ratio('a')"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("token_sort_ratio expects 2")),
+      e.toString)
   }
 
   test("optimizer rule folds token_sort_ratio(x, x) to a literal") {
