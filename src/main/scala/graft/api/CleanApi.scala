@@ -56,6 +56,13 @@ object CleanApi {
 
   def recordRun(r: RunStats): Unit = lastRun.set(Some(r))
 
+  /** Test hook: lastRun is process-global mutable state (the reference's
+    * `_last_stats`), so a spec asserting the pristine "no_runs_yet"
+    * response must reset it first — otherwise the test is order- and
+    * rerun-dependent (it would fail after any suite that runs Verify in
+    * the same JVM). */
+  private[graft] def resetStatsForTest(): Unit = lastRun.set(None)
+
   /** GET /stats (api.py:370-382) — last run-cycle record count + status. */
   def stats(): Map[String, String] = lastRun.get() match {
     case None => Map("status" -> "no_runs_yet")

@@ -50,8 +50,11 @@ class MultimodalSpec extends AnyFunSuite {
     // canonical 44-byte layout.
     val oddChunk = "LIST".getBytes ++ le32(5) ++
       Array.fill[Byte](6)(0x42) // 5 declared + 1 pad byte
+    // declared size = canonical 36 + the 14-byte LIST (8 hdr + 5 + pad)
+    // + 4 extra data bytes — spec-exact so the fixture stays valid if
+    // the codec ever validates chunk extents against the declared size
     val bytes =
-      "RIFF".getBytes ++ le32(36 + 12 + 4) ++ "WAVE".getBytes ++
+      "RIFF".getBytes ++ le32(36 + 14 + 4) ++ "WAVE".getBytes ++
         "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
         le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
         oddChunk ++
@@ -305,41 +308,66 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("AVI DIB frame decode walks a foreign multi-chunk movi layout") {
-    // hand-laid: TWO 00db frame chunks (real writers emit one chunk
-    // per frame), a JUNK inside movi, and a trailing idx1 — the
-    // single-chunk encoder never produces this
-    val w = 3; val bpp = 24 // stride 12, rowBytes 9: real alignment gap
-    val stride = 12; val h = 2
-    val f0 = Array.tabulate[Byte](stride * h)(i => (i + 1).toByte)
-    val f1 = Array.tabulate[Byte](stride * h)(i => (100 + i).toByte)
-    val avih = fcc("avih") ++ le32(56) ++ le32(40000) ++ le32(0) ++ le32(0) ++
-      le32(0) ++ le32(2) ++ le32(0) ++ le32(1) ++ le32(0) ++
-      le32(w) ++ le32(h) ++ Array.fill[Byte](16)(0)
+  // ---- shared vids-layout builders for the STRUCTURAL AVI tests ----
+  // (the foreign-reference-header tests above stay fully inline on
+  // purpose: their point is byte-level independence from any builder;
+  // these tests vary STRUCTURE — chunk layout, stream count, rec
+  // groupings — over the same spec-exact headers, so the header bytes
+  // live in one place and a layout fix reaches every test)
+  private def strlVids(w: Int, h: Int, bpp: Int, stride: Int): Array[Byte] = {
     val strh = fcc("strh") ++ le32(56) ++ fcc("vids") ++ fcc("DIB ") ++
       le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(25) ++
       Array.fill[Byte](28)(0)
     val strf = fcc("strf") ++ le32(40) ++ le32(40) ++ le32(w) ++ le32(h) ++
       le16(1) ++ le16(bpp) ++ le32(0) ++ le32(stride * h) ++
       Array.fill[Byte](16)(0)
-    val strl = fcc("LIST") ++ le32(4 + strh.length + strf.length) ++
+    fcc("LIST") ++ le32(4 + strh.length + strf.length) ++
       fcc("strl") ++ strh ++ strf
-    val hdrl = fcc("LIST") ++ le32(4 + avih.length + strl.length) ++
-      fcc("hdrl") ++ avih ++ strl
+  }
+  private def strlAuds(): Array[Byte] = {
+    val strh = fcc("strh") ++ le32(56) ++ fcc("auds") ++ le32(1) ++
+      le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(8000) ++
+      Array.fill[Byte](28)(0)
+    fcc("LIST") ++ le32(4 + strh.length) ++ fcc("strl") ++ strh
+  }
+  private def aviFile(w: Int, h: Int, strls: Array[Byte],
+      moviBody: Array[Byte], trailer: Array[Byte] = Array.emptyByteArray,
+      totalFrames: Int = 1): Array[Byte] = {
+    val avih = fcc("avih") ++ le32(56) ++ le32(40000) ++ le32(0) ++
+      le32(0) ++ le32(0) ++ le32(totalFrames) ++ le32(0) ++ le32(1) ++
+      le32(0) ++ le32(w) ++ le32(h) ++ Array.fill[Byte](16)(0)
+    val hdrl = fcc("LIST") ++ le32(4 + avih.length + strls.length) ++
+      fcc("hdrl") ++ avih ++ strls
+    val movi = fcc("LIST") ++ le32(4 + moviBody.length) ++
+      fcc("movi") ++ moviBody
+    val body = hdrl ++ movi ++ trailer
+    fcc("RIFF") ++ le32(4 + body.length) ++ fcc("AVI ") ++ body
+  }
+  private def dbChunk(stream: String, f: Array[Byte]): Array[Byte] =
+    fcc(stream + "db") ++ le32(f.length) ++ f
+
+  test("AVI DIB frame decode walks a foreign multi-chunk movi layout") {
+    // structural: TWO 00db frame chunks (real writers emit one chunk
+    // per frame), a JUNK inside movi, and a trailing idx1 — the
+    // single-chunk encoder never produces this
+    val w = 3; val bpp = 24 // stride 12, rowBytes 9: real alignment gap
+    val stride = 12; val h = 2
+    val f0 = Array.tabulate[Byte](stride * h)(i => (i + 1).toByte)
+    val f1 = Array.tabulate[Byte](stride * h)(i => (100 + i).toByte)
     val junk = fcc("JUNK") ++ le32(4) ++ Array.fill[Byte](4)(0x55)
-    val movi = fcc("LIST") ++
-      le32(4 + (8 + f0.length) + junk.length + (8 + f1.length)) ++
-      fcc("movi") ++ fcc("00db") ++ le32(f0.length) ++ f0 ++ junk ++
-      fcc("00db") ++ le32(f1.length) ++ f1
     val idx1 = fcc("idx1") ++ le32(16) ++ Array.fill[Byte](16)(0)
-    val body = hdrl ++ movi ++ idx1
-    val bytes = fcc("RIFF") ++ le32(4 + body.length) ++ fcc("AVI ") ++ body
+    val bytes = aviFile(w, h, strlVids(w, h, bpp, stride),
+      dbChunk("00", f0) ++ junk ++ dbChunk("00", f1),
+      trailer = idx1, totalFrames = 2)
     val bs = aviCodec.dibFrameBytes(bytes)
       .getOrElse(fail("foreign DIB stream rejected"))
     assert(java.util.Arrays.equals(bs, f0 ++ f1),
       "concatenated frame bytes diverged")
-    // a frame chunk violating the stride*h law must throw, not decode
-    val short = bytes.indexOfSlice(fcc("00db") ++ le32(f1.length))
+    // a frame chunk violating the stride*h law must throw, not decode —
+    // lastIndexOfSlice targets the SECOND chunk (both share identical
+    // header bytes), so the walk passes a valid frame before hitting
+    // the corrupt one
+    val short = bytes.lastIndexOfSlice(fcc("00db") ++ le32(f1.length))
     val corrupt = bytes.clone()
     corrupt(short + 4) = (f1.length - 1).toByte // shrink declared size
     intercept[IllegalArgumentException](aviCodec.dibFrameBytes(corrupt))
@@ -352,43 +380,21 @@ class MultimodalSpec extends AnyFunSuite {
     val w = 3; val bpp = 24; val stride = 12; val h = 2
     val f0 = Array.tabulate[Byte](stride * h)(i => (i + 1).toByte)
     val f1 = Array.tabulate[Byte](stride * h)(i => (50 + i).toByte)
-    val avih = fcc("avih") ++ le32(56) ++ le32(40000) ++ le32(0) ++ le32(0) ++
-      le32(0) ++ le32(2) ++ le32(0) ++ le32(1) ++ le32(0) ++
-      le32(w) ++ le32(h) ++ Array.fill[Byte](16)(0)
-    val strh = fcc("strh") ++ le32(56) ++ fcc("vids") ++ fcc("DIB ") ++
-      le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(25) ++
-      Array.fill[Byte](28)(0)
-    val strf = fcc("strf") ++ le32(40) ++ le32(40) ++ le32(w) ++ le32(h) ++
-      le16(1) ++ le16(bpp) ++ le32(0) ++ le32(stride * h) ++
-      Array.fill[Byte](16)(0)
-    val strl = fcc("LIST") ++ le32(4 + strh.length + strf.length) ++
-      fcc("strl") ++ strh ++ strf
-    val hdrl = fcc("LIST") ++ le32(4 + avih.length + strl.length) ++
-      fcc("hdrl") ++ avih ++ strl
-    def rec(frames: Array[Byte]*): Array[Byte] = {
-      val body = frames.map(f => fcc("00db") ++ le32(f.length) ++ f)
-        .reduce(_ ++ _)
+    def rec(body: Array[Byte]): Array[Byte] =
       fcc("LIST") ++ le32(4 + body.length) ++ fcc("rec ") ++ body
-    }
     // one rec per frame group; second group also carries an audio chunk
     val aud = fcc("01wb") ++ le32(6) ++ Array.fill[Byte](6)(0x11)
-    val r0 = rec(f0)
-    val r1Body = fcc("00db") ++ le32(f1.length) ++ f1 ++ aud
-    val r1 = fcc("LIST") ++ le32(4 + r1Body.length) ++ fcc("rec ") ++ r1Body
-    val movi = fcc("LIST") ++ le32(4 + r0.length + r1.length) ++
-      fcc("movi") ++ r0 ++ r1
-    val body = hdrl ++ movi
-    val bytes = fcc("RIFF") ++ le32(4 + body.length) ++ fcc("AVI ") ++ body
+    val strls = strlVids(w, h, bpp, stride)
+    val bytes = aviFile(w, h, strls,
+      rec(dbChunk("00", f0)) ++ rec(dbChunk("00", f1) ++ aud),
+      totalFrames = 2)
     val bs = aviCodec.dibFrameBytes(bytes)
       .getOrElse(fail("rec-wrapped DIB stream rejected"))
     assert(java.util.Arrays.equals(bs, f0 ++ f1),
       "rec-wrapped frame bytes diverged")
     // a vids stream whose movi yields NO frame chunks must fail loudly
     // (unrecognized grouping), never decode to zero frames silently
-    val emptyMovi = fcc("LIST") ++ le32(4) ++ fcc("movi")
-    val noFrames = hdrl ++ emptyMovi
-    val nfBytes = fcc("RIFF") ++ le32(4 + noFrames.length) ++ fcc("AVI ") ++
-      noFrames
+    val nfBytes = aviFile(w, h, strls, Array.emptyByteArray)
     intercept[IllegalArgumentException](aviCodec.dibFrameBytes(nfBytes))
   }
 
@@ -397,40 +403,14 @@ class MultimodalSpec extends AnyFunSuite {
     // are `NNdb`/`NNdc`. A multi-stream file must decode ONLY the
     // selected vids stream — another stream's frames blended in would
     // corrupt the pixels or trip the stride law on a well-formed file.
-    def strlVids(w: Int, h: Int, bpp: Int, stride: Int): Array[Byte] = {
-      val strh = fcc("strh") ++ le32(56) ++ fcc("vids") ++ fcc("DIB ") ++
-        le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(25) ++
-        Array.fill[Byte](28)(0)
-      val strf = fcc("strf") ++ le32(40) ++ le32(40) ++ le32(w) ++ le32(h) ++
-        le16(1) ++ le16(bpp) ++ le32(0) ++ le32(stride * h) ++
-        Array.fill[Byte](16)(0)
-      fcc("LIST") ++ le32(4 + strh.length + strf.length) ++
-        fcc("strl") ++ strh ++ strf
-    }
-    def strlAuds(): Array[Byte] = {
-      val strh = fcc("strh") ++ le32(56) ++ fcc("auds") ++ le32(1) ++
-        le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(8000) ++
-        Array.fill[Byte](28)(0)
-      fcc("LIST") ++ le32(4 + strh.length) ++ fcc("strl") ++ strh
-    }
-    def wrap(strls: Array[Byte], moviBody: Array[Byte]): Array[Byte] = {
-      val avih = fcc("avih") ++ le32(56) ++ le32(40000) ++ le32(0) ++
-        le32(0) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(1) ++ le32(0) ++
-        le32(3) ++ le32(2) ++ Array.fill[Byte](16)(0)
-      val hdrl = fcc("LIST") ++ le32(4 + avih.length + strls.length) ++
-        fcc("hdrl") ++ avih ++ strls
-      val movi = fcc("LIST") ++ le32(4 + moviBody.length) ++
-        fcc("movi") ++ moviBody
-      val body = hdrl ++ movi
-      fcc("RIFF") ++ le32(4 + body.length) ++ fcc("AVI ") ++ body
-    }
     // layout A: stream 0 is AUDIO, stream 1 is the vids — frames are
     // tagged 01db and a stray 00wb audio chunk sits between them
     val fA = Array.tabulate[Byte](12 * 2)(i => (i + 1).toByte)
     val aud = Array.fill[Byte](6)(0x11)
-    val bodyA = fcc("01db") ++ le32(fA.length) ++ fA ++
+    val bodyA = dbChunk("01", fA) ++
       fcc("00wb") ++ le32(aud.length) ++ aud
-    val bsA = aviCodec.dibFrameBytes(wrap(strlAuds() ++ strlVids(3, 2, 24, 12), bodyA))
+    val bsA = aviCodec.dibFrameBytes(
+        aviFile(3, 2, strlAuds() ++ strlVids(3, 2, 24, 12), bodyA))
       .getOrElse(fail("vids-as-stream-1 rejected"))
     assert(java.util.Arrays.equals(bsA, fA), "stream-1 vids frames diverged")
     // layout B: TWO vids streams with different geometry — stream 1's
@@ -438,10 +418,10 @@ class MultimodalSpec extends AnyFunSuite {
     // blended in or tripped over by the stride law
     val f0 = Array.tabulate[Byte](12 * 2)(i => (i + 1).toByte)
     val f1 = Array.fill[Byte](24 * 2)(0x77)
-    val bodyB = fcc("00db") ++ le32(f0.length) ++ f0 ++
-      fcc("01db") ++ le32(f1.length) ++ f1
+    val bodyB = dbChunk("00", f0) ++ dbChunk("01", f1)
     val bsB = aviCodec.dibFrameBytes(
-        wrap(strlVids(3, 2, 24, 12) ++ strlVids(8, 2, 24, 24), bodyB))
+        aviFile(3, 2, strlVids(3, 2, 24, 12) ++ strlVids(8, 2, 24, 24),
+          bodyB))
       .getOrElse(fail("two-vids-stream file rejected"))
     assert(java.util.Arrays.equals(bsB, f0),
       "second vids stream's frames leaked into the decode")

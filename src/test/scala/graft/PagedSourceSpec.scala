@@ -10,6 +10,30 @@ class PagedSourceSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
   val sf = SparkSuite.sf
 
+  /** Land `page_<i>` of `dir` with the given serialIds — the ONE page
+    * builder every protocol test uses (four hand-copied variants had
+    * already drifted on which fields they wrote); `full` adds the
+    * sale_price/entry/station fields the flatten tests read. */
+  private def writePage(dir: File, i: Int, ids: Seq[Long],
+      full: Boolean = false): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.createArrayNode()
+    ids.foreach { id =>
+      val o = arr.addObject()
+      o.put("serialId", id); o.put("confirm_status", true)
+      if (full) {
+        o.put("sale_price", id * 1.5)
+        o.putObject("entry").put("number", id * 3)
+        o.putObject("station").put("name", s"S${id % 2}")
+      }
+    }
+    mapper.writeValue(new File(dir, f"page_$i%05d.json"), arr)
+  }
+
+  /** The minimal tests' id scheme: page i carries i*100, i*100+1, … */
+  private def pageIds(i: Int, n: Int): Seq[Long] =
+    (0 until n).map(j => i * 100L + j)
+
   test("batch read: one partition per page, records round-trip") {
     val dir = PagedLanding.ensureLanded(spark, sf)
     val df = spark.read.format("graft.sources.PagedJsonSource").load(dir)
@@ -28,19 +52,6 @@ class PagedSourceSpec extends AnyFunSuite {
     val ckpt = new File(work.toFile, "ckpt").getAbsolutePath
     val out = new File(work.toFile, "out"); out.mkdirs()
 
-    def writePage(i: Int, ids: Seq[Long]): Unit = {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val arr = mapper.createArrayNode()
-      ids.foreach { id =>
-        val o = arr.addObject()
-        o.put("serialId", id); o.put("confirm_status", true)
-        o.put("sale_price", id * 1.5)
-        o.putObject("entry").put("number", id * 3)
-        o.putObject("station").put("name", s"S${id % 2}")
-      }
-      mapper.writeValue(new File(pages, f"page_$i%05d.json"), arr)
-    }
-
     def runOnce(): Unit = {
       val q = spark.readStream.format("graft.sources.PagedJsonSource")
         .schema(PagedJsonSource.schema)
@@ -53,19 +64,21 @@ class PagedSourceSpec extends AnyFunSuite {
       q.awaitTermination()
     }
 
-    writePage(0, Seq(1L, 2L, 3L))
-    writePage(1, Seq(4L, 5L))
-    runOnce()
-    val first = spark.read.parquet(out.getAbsolutePath)
-    assert(first.count() == 5)
+    try {
+      writePage(pages, 0, Seq(1L, 2L, 3L), full = true)
+      writePage(pages, 1, Seq(4L, 5L), full = true)
+      runOnce()
+      val first = spark.read.parquet(out.getAbsolutePath)
+      assert(first.count() == 5)
 
-    // land two more pages; the SAME checkpoint must resume at page 2
-    writePage(2, Seq(6L))
-    writePage(3, Seq(7L, 8L))
-    runOnce()
-    val second = spark.read.parquet(out.getAbsolutePath)
-    assert(second.count() == 8) // 5 old (not re-read) + 3 new
-    assert(second.select("serialId").distinct().count() == 8)
+      // land two more pages; the SAME checkpoint must resume at page 2
+      writePage(pages, 2, Seq(6L), full = true)
+      writePage(pages, 3, Seq(7L, 8L), full = true)
+      runOnce()
+      val second = spark.read.parquet(out.getAbsolutePath)
+      assert(second.count() == 8) // 5 old (not re-read) + 3 new
+      assert(second.select("serialId").distinct().count() == 8)
+    } finally graft.Fs.deleteRecursively(work)
   }
 
   test("micro-batch offsets carry a config fingerprint; mismatch fails loudly") {
@@ -88,18 +101,11 @@ class PagedSourceSpec extends AnyFunSuite {
   test("replayed batch keeps its own short frontier page exempt from the limit invariant") {
     val work = java.nio.file.Files.createTempDirectory("graft_replay")
     try {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      def writePage(i: Int, n: Int): Unit = {
-        val arr = mapper.createArrayNode()
-        (0 until n).foreach { j =>
-          val o = arr.addObject(); o.put("serialId", i * 100L + j)
-          o.put("confirm_status", true)
-        }
-        mapper.writeValue(new File(work.toFile, f"page_$i%05d.json"), arr)
-      }
       // batch (0,2) was recorded when page_1 (short) was the frontier;
       // page_2 landed after the crash, before the replay
-      writePage(0, 3); writePage(1, 2); writePage(2, 3)
+      writePage(work.toFile, 0, pageIds(0, 3))
+      writePage(work.toFile, 1, pageIds(1, 2))
+      writePage(work.toFile, 2, pageIds(2, 3))
       val stream = new graft.sources.PagedMicroBatchStream(work.toString,
         graft.sources.PagedProtocol.Default.copy(limit = Some(3)))
       val parts = stream.planInputPartitions(
@@ -116,18 +122,14 @@ class PagedSourceSpec extends AnyFunSuite {
   }
 
   test("protocol knobs: stop-on-empty-page, 401-abort, limit invariant") {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    def writePage(dir: File, i: Int, n: Int): Unit = {
-      val arr = mapper.createArrayNode()
-      (0 until n).foreach { k =>
-        val o = arr.addObject()
-        o.put("serialId", (i * 100 + k).toLong); o.put("confirm_status", true)
-      }
-      mapper.writeValue(new File(dir, f"page_$i%05d.json"), arr)
-    }
+    def wp(dir: File, i: Int, n: Int): Unit =
+      writePage(dir, i, pageIds(i, n))
+    val made = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
     def freshDir(name: String): File = {
-      val d = java.nio.file.Files.createTempDirectory(name).toFile; d
+      val d = java.nio.file.Files.createTempDirectory(name)
+      made += d; d.toFile
     }
+    try {
     def read(dir: File, opts: Map[String, String] = Map.empty) = {
       var r = spark.read.format("graft.sources.PagedJsonSource")
       opts.foreach { case (k, v) => r = r.option(k, v) }
@@ -136,13 +138,13 @@ class PagedSourceSpec extends AnyFunSuite {
 
     // stop path: the first empty page ends the stream, later pages ignored
     val stopDir = freshDir("graft_proto_stop")
-    writePage(stopDir, 0, 3); writePage(stopDir, 1, 0); writePage(stopDir, 2, 4)
+    wp(stopDir, 0, 3); wp(stopDir, 1, 0); wp(stopDir, 2, 4)
     assert(read(stopDir).count() == 3)
     assert(read(stopDir, Map("stopOnEmptyPage" -> "false")).count() == 7)
 
     // abort path: a 401 status sidecar fails the whole read
     val abortDir = freshDir("graft_proto_abort")
-    writePage(abortDir, 0, 3); writePage(abortDir, 1, 3)
+    wp(abortDir, 0, 3); wp(abortDir, 1, 3)
     java.nio.file.Files.writeString(
       new File(abortDir, "page_00001.json.status").toPath, "401")
     val ex = intercept[Exception] { read(abortDir).count() }
@@ -157,48 +159,44 @@ class PagedSourceSpec extends AnyFunSuite {
 
     // order/sort: a landed mirror subdirectory is selected when present
     val mirrorDir = freshDir("graft_proto_mirror")
-    writePage(mirrorDir, 0, 2)
+    wp(mirrorDir, 0, 2)
     val sub = new File(new File(mirrorDir, "serialId"), "desc"); sub.mkdirs()
-    writePage(sub, 0, 5)
+    wp(sub, 0, 5)
     assert(read(mirrorDir).count() == 2) // default order/sort: base dir
     assert(read(mirrorDir,
       Map("order" -> "serialId", "sort" -> "desc")).count() == 5)
 
     // limit invariant: a short non-final page is a protocol violation
     val limitDir = freshDir("graft_proto_limit")
-    writePage(limitDir, 0, 3); writePage(limitDir, 1, 2); writePage(limitDir, 2, 3)
+    wp(limitDir, 0, 3); wp(limitDir, 1, 2); wp(limitDir, 2, 3)
     val lex = intercept[Exception] {
       read(limitDir, Map("limit" -> "3")).count()
     }
     assert(rootMsg(lex).contains("expected limit=3"), rootMsg(lex))
     // the final page may be short
     val okDir = freshDir("graft_proto_ok")
-    writePage(okDir, 0, 3); writePage(okDir, 1, 2)
+    wp(okDir, 0, 3); wp(okDir, 1, 2)
     assert(read(okDir, Map("limit" -> "3")).count() == 5)
+    } finally made.foreach(graft.Fs.deleteRecursively)
   }
 
   test("protocol knobs apply to the micro-batch stream (stop-on-empty)") {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val work = java.nio.file.Files.createTempDirectory("graft_proto_stream")
-    val pages = new File(work.toFile, "pages"); pages.mkdirs()
-    def writePage(i: Int, n: Int): Unit = {
-      val arr = mapper.createArrayNode()
-      (0 until n).foreach { k =>
-        val o = arr.addObject()
-        o.put("serialId", (i * 100 + k).toLong); o.put("confirm_status", true)
-      }
-      mapper.writeValue(new File(pages, f"page_$i%05d.json"), arr)
-    }
-    writePage(0, 3); writePage(1, 0); writePage(2, 4)
-    val q = spark.readStream.format("graft.sources.PagedJsonSource")
-      .schema(PagedJsonSource.schema)
-      .load(pages.getAbsolutePath)
-      .writeStream.format("memory").queryName("proto_stream")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // the empty page terminates the stream: page 2 is never read
-    assert(spark.table("proto_stream").count() == 3)
+    try {
+      val pages = new File(work.toFile, "pages"); pages.mkdirs()
+      writePage(pages, 0, pageIds(0, 3))
+      writePage(pages, 1, Seq.empty)
+      writePage(pages, 2, pageIds(2, 4))
+      val q = spark.readStream.format("graft.sources.PagedJsonSource")
+        .schema(PagedJsonSource.schema)
+        .load(pages.getAbsolutePath)
+        .writeStream.format("memory").queryName("proto_stream")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the empty page terminates the stream: page 2 is never read
+      assert(spark.table("proto_stream").count() == 3)
+    } finally graft.Fs.deleteRecursively(work)
   }
 
   test("streaming trip cycle equals the batch master transform") {

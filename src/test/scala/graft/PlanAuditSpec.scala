@@ -40,20 +40,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Keys [1]: [_el"), plan.take(1500))
     // every UDF invocation takes the distinct `_el` string (or the array
     // derived from it) — a UDF over raw trip rows would reference the
-    // fact-side end_location attribute instead
-    val udfLines = plan.split("\n").filter(_.contains("UDF("))
-    assert(udfLines.nonEmpty)
-    udfLines.foreach { l =>
-      assert(l.contains("UDF(_el"), l.take(200))
+    // fact-side end_location attribute instead. Check EVERY occurrence,
+    // not just per-line contains: FormattedMode can print several UDF
+    // calls on one projection line, and a single conforming UDF(_el…)
+    // would mask a fact-side sibling on the same line
+    assertUdfsConfined(plan)
+  }
+
+  /** All `UDF(` occurrences in the plan take `_el` — see the q4 test. */
+  private def assertUdfsConfined(plan: String): Unit = {
+    val occurrences = "UDF\\(".r.findAllMatchIn(plan).map(_.start).toSeq
+    assert(occurrences.nonEmpty)
+    occurrences.foreach { at =>
+      val call = plan.substring(at, math.min(at + 20, plan.length))
+      assert(call.startsWith("UDF(_el"), s"non-confined UDF call: $call")
     }
   }
 
   test("q5: NLP UDFs confined to the distinct-string side, like q4") {
     val plan = formatted(Transform.q5TripCycle(spark, sf))
     assert(plan.contains("BroadcastExchange"), plan.take(1500))
-    val udfLines = plan.split("\n").filter(_.contains("UDF("))
-    assert(udfLines.nonEmpty)
-    udfLines.foreach(l => assert(l.contains("UDF(_el"), l.take(200)))
+    assertUdfsConfined(plan)
   }
 
   test("n07: dictionary lookups are BroadcastHashJoins, result == n06") {

@@ -14,20 +14,30 @@ class StreamingSpec extends AnyFunSuite {
   private def keyed(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
     df.collect().map(_.toSeq).toSet
 
+  /** Set equality PLUS a row-count check: .toSet alone would collapse a
+    * duplicate emission (the classic append-mode replay hazard) into a
+    * passing comparison. */
+  private def assertSameRows(streamed: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame): Unit = {
+    val s = streamed.collect().map(_.toSeq)
+    val b = batch.collect().map(_.toSeq)
+    assert(s.toSet == b.toSet)
+    assert(s.length == b.length,
+      s"row counts diverge (${s.length} vs ${b.length}) — duplicate emission")
+  }
+
   test("streaming windowed agg (complete mode) == batch e01") {
     val streamed = Streaming.runToMemory(spark,
-      Streaming.windowedAgg(Streaming.eventsStream(spark, sf))
-        .withColumnRenamed("ws", "ws0"), // memory table name collision safety
+      Streaming.windowedAgg(Streaming.eventsStream(spark, sf)),
       "win_complete", outputMode = "complete")
-      .withColumnRenamed("ws0", "ws")
-    assert(keyed(streamed) == keyed(Events.windowAgg(spark, sf)))
+    assertSameRows(streamed, Events.windowAgg(spark, sf))
   }
 
   test("streaming session windows (complete) == batch e02") {
     val streamed = Streaming.runToMemory(spark,
       Streaming.sessionAgg(Streaming.eventsStream(spark, sf)),
       "sess_complete", outputMode = "complete")
-    assert(keyed(streamed) == keyed(Events.sessionize(spark, sf)))
+    assertSameRows(streamed, Events.sessionize(spark, sf))
   }
 
   test("append mode with watermark emits only watermark-closed windows") {
@@ -52,7 +62,7 @@ class StreamingSpec extends AnyFunSuite {
       "interval_join", outputMode = "append")
     val batch = Events.intervalJoin(spark, sf)
       .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
-    assert(keyed(streamed) == keyed(batch))
+    assertSameRows(streamed, batch)
   }
 
   test("flatMapGroupsWithState running user stats match batch counts") {
@@ -119,6 +129,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, "stream must admit exactly the batch x69 kept set")
     assert(got.nonEmpty)
   }
+
+  /** (file name -> mtime) of a committed slice dir — the shared probe
+    * every replay-no-op discipline test compares before/after a
+    * re-invoked updater (a rewritten file changes its mtime). */
+  private def snapshot(dir: String): Map[String, Long] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .map(f => f.getName -> f.lastModified()).toMap
 
   /** Stage a frame as N single parquet files in a fresh landing dir so
     * AvailableNow + maxFilesPerTrigger=1 replays it as N micro-batches. */
@@ -223,9 +240,6 @@ class StreamingSpec extends AnyFunSuite {
         s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
 
     // replay of the committed final batch is a no-op (marker discipline)
-    def snapshot(dir: String): Map[String, Long] =
-      Option(new java.io.File(dir).listFiles()).toSeq.flatten
-        .map(f => f.getName -> f.lastModified()).toMap
     val before = snapshot(s"$survDir/v1/survivors")
     assert(before.nonEmpty)
     Streaming.keepBestUpdate(dimDir, pairsDir, survDir)(
@@ -272,9 +286,6 @@ class StreamingSpec extends AnyFunSuite {
       "uncommitted rewrite slice leaked into the union")
 
     // committed replay is a no-op even with a different frame
-    def snapshot(dir: String): Map[String, Long] =
-      Option(new java.io.File(dir).listFiles()).toSeq.flatten
-        .map(f => f.getName -> f.lastModified()).toMap
     val before = snapshot(s"$outDir/b1")
     assert(before.nonEmpty)
     Streaming.spanIndexUpdate(dimDir, outDir)(
@@ -328,9 +339,6 @@ class StreamingSpec extends AnyFunSuite {
       "torn rewrite slice leaked into the union")
 
     // committed replay is a no-op even with a different frame
-    def snapshot(dir: String): Map[String, Long] =
-      Option(new java.io.File(dir).listFiles()).toSeq.flatten
-        .map(f => f.getName -> f.lastModified()).toMap
     val before = snapshot(s"$outDir/b1")
     assert(before.nonEmpty)
     Streaming.decontamRewriteUpdate(dimDir, outDir)(
@@ -375,9 +383,6 @@ class StreamingSpec extends AnyFunSuite {
       "uncommitted ledger slice leaked into the union")
 
     // committed replay is a no-op even with a different frame
-    def snapshot(dir: String): Map[String, Long] =
-      Option(new java.io.File(dir).listFiles()).toSeq.flatten
-        .map(f => f.getName -> f.lastModified()).toMap
     val before = snapshot(s"$outDir/b1")
     assert(before.nonEmpty)
     Streaming.ledgerUpdate(dimDir, outDir,
@@ -421,9 +426,6 @@ class StreamingSpec extends AnyFunSuite {
     // untested — the fixture corpus carries near-dup pairs
     assert(streamed.exists(_._5 > 0), "no dup members in fixture")
     // committed replay is a no-op even with a different frame
-    def snapshot(dir: String): Map[String, Long] =
-      Option(new java.io.File(dir).listFiles()).toSeq.flatten
-        .map(f => f.getName -> f.lastModified()).toMap
     val before = snapshot(s"$dimDir/v1/hist")
     assert(before.nonEmpty)
     Streaming.datasheetUpdate(dimDir)(docs.filter($"doc_id" % 7 === 0), 1L)
@@ -469,6 +471,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(exact == 40L, s"planted corpus should carry 40 exact pairs, got $exact")
     assert(lsh < exact,
       "banding caught every mid-band pair — corpus cannot discriminate engines")
+    // …but the banding must also CATCH some pairs: lsh == 0 would make
+    // the allDup == 2·lsh teeth below vacuously pass on a corpus that
+    // never exercises the dup counters at all
+    assert(lsh > 0,
+      "banding missed every planted pair — dup counters never exercised")
     val landing = stageLanding("dshmid", Seq(
       corpus.filter($"doc_id" % 2 === 0), corpus.filter($"doc_id" % 2 === 1)))
     val dimDir = java.nio.file.Files.createTempDirectory("graft_dshmid_dim").toString
@@ -550,9 +557,6 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedTop == batchTop,
       "probe over streamed slices diverged from in-session x26")
     // committed replay is a no-op even with a different frame
-    def snapshot(dir: String): Map[String, Long] =
-      Option(new java.io.File(dir).listFiles()).toSeq.flatten
-        .map(f => f.getName -> f.lastModified()).toMap
     val before = snapshot(s"$idxDir/v1/index")
     assert(before.nonEmpty)
     Streaming.ivfPqIndexUpdate(idxDir, cents, books)(
@@ -623,9 +627,6 @@ class StreamingSpec extends AnyFunSuite {
     // so the update must not tear down and rewrite the version (the
     // half-committed-read hazard) — even when handed a DIFFERENT batch
     // frame, whose recompute would visibly change the pair slice
-    def snapshot(dir: String): Map[String, Long] =
-      Option(new java.io.File(dir).listFiles()).toSeq.flatten
-        .map(f => f.getName -> f.lastModified()).toMap
     val beforeV1 = snapshot(s"$dimDir/v1/docs")
     val beforeB1 = snapshot(s"$pairsDir/b1")
     assert(beforeV1.nonEmpty && beforeB1.nonEmpty)
