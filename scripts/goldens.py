@@ -44,10 +44,13 @@ def _token_sort_ratio(s1: str, s2: str, **kw) -> float:
 
 def _extract_one(query, choices, scorer=None, score_cutoff=0, **kw):
     best = None
-    for ch in choices:
+    # real rapidfuzz returns (choice, score, INDEX); the cleaner
+    # currently discards the third element, but the shim must not
+    # silently hand None to any future reader of it
+    for i, ch in enumerate(choices):
         s = scorer(query, ch)
         if s >= score_cutoff and (best is None or s > best[1]):
-            best = (ch, s, None)
+            best = (ch, s, i)
     return best
 
 
@@ -95,11 +98,25 @@ RAW = [
 cleaner = AdvancedLocationCleanerV6()
 assert cleaner._fuzzy_enabled, "fuzzy shim not active"
 nofuzz = AdvancedLocationCleanerV6(fuzzy_enabled=False)
-nofuzz._fuzzy_enabled = False
+# the ctor already honors the kwarg — assert rather than overwrite, so
+# a future ctor regression surfaces instead of being masked
+assert not nofuzz._fuzzy_enabled, "fuzzy_enabled=False not honored"
 
 
 def scala_str(s: str) -> str:
-    return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    # escape control chars too: a fixture containing a newline would
+    # otherwise emit an unclosed Scala string literal in Goldens.scala
+    out = []
+    for ch in s:
+        if ch == "\\":
+            out.append("\\\\")
+        elif ch == '"':
+            out.append('\\"')
+        elif ord(ch) < 0x20:
+            out.append(f"\\u{ord(ch):04x}")
+        else:
+            out.append(ch)
+    return '"' + "".join(out) + '"'
 
 
 norms, mains, alls, types_, tokens, tier12, cleans = [], [], [], [], [], [], []

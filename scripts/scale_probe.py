@@ -50,9 +50,11 @@ REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 FAMILIES = sys.argv[4] if len(sys.argv) > 4 else "doc"
 assert FAMILIES in ("doc", "rel", "all"), f"bad families arg {FAMILIES}"
 # rotate-and-negate decorrelation covers exactly 2*dim = 128 replicas:
-# replica r and r-128 rotate AND negate identically, so anything beyond
-# silently plants exact-duplicate embeddings (cos = 1.0 pairs) that
-# superlinearly distort the quadratic shapes' output — the very artifact
+# rotation repeats with period dim=64 and the sign flips once at r=64,
+# so the first collision past the bound is replica r duplicating
+# replica r-64 in the SAME negation half (replica 128 duplicates 64:
+# rotation 0, both negated) — exact-duplicate embeddings (cos = 1.0) that
+# superlinearly distort the quadratic shapes' output, the very artifact
 # the negation exists to prevent. Fail loudly instead. The bound is an
 # EMBEDDING fact, so it only gates runs that generate embeddings; a
 # rel-only replication (key offsets, no vectors) is valid at any R.
@@ -65,6 +67,14 @@ con = duckdb.connect()
 written = []
 
 if FAMILIES in ("doc", "all"):
+    # the rotation below hardcodes dim 64; on shorter vectors DuckDB's
+    # list slicing CLAMPS out-of-range bounds, so rotations >= dim
+    # silently return the unrotated vector — exact duplicates in the
+    # same negation group, the artifact the scheme exists to prevent
+    dim = con.sql(
+        f"SELECT len(embedding) FROM "
+        f"read_parquet('{SRC}/embeddings.parquet') LIMIT 1").fetchone()[0]
+    assert dim == 64, f"rotation hardcodes dim 64, source has dim {dim}"
     con.sql(f"""
     COPY (
       WITH rep AS (
