@@ -219,8 +219,12 @@ object TextAnalysis {
       .select($"doc_id", explode(split($"text", " ")).as("term"))
       .filter($"term" =!= "")
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = terms.select($"doc_id", $"term").distinct()
-      .groupBy($"term").agg(count(lit(1)).as("df"))
+    // df from tf, not from a second explode + DISTINCT over the corpus:
+    // tf's key set IS the distinct (doc, term) relation, so one row per
+    // key per term is the document frequency — and deriving it here
+    // lets ReuseExchange share the (doc_id, term) shuffle between the
+    // two aggregates instead of exploding and shuffling the terms twice
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy($"doc_id")
       .orderBy($"score".desc, $"term".asc)
