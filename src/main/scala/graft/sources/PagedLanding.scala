@@ -83,9 +83,14 @@ object PagedLanding {
     // but any other failure must be LOUD: returning the path of a dir
     // that never appeared would make the paged source plan zero
     // partitions and read an empty corpus with no error
-    if (!tmp.renameTo(dir))
+    if (!tmp.renameTo(dir)) {
       require(dir.isDirectory,
         s"failed to publish landing dir $dir (rename from $tmp)")
+      // lost the publish race to a concurrent lander: its committed
+      // dir is byte-identical, but our fully-written tmp would
+      // otherwise stay orphaned on disk
+      graft.Fs.deleteRecursively(tmp.toPath)
+    }
     dir.getAbsolutePath
   }
 
