@@ -76,6 +76,10 @@ object SparkEntry {
     "n06_tier12_relational" -> (LocationResolve.tier12Locations _),
     "n07_tier12_broadcast"  -> (LocationResolve.tier12LocationsBroadcast _),
     "n09_dict_scale"        -> (LocationResolve.dictScale _),
+    // rows-only: token_sort_ratio argmax is not SQL-expressible in
+    // DuckDB; gated by DictionaryScaleSpec's blocked-vs-exhaustive
+    // equivalence test instead
+    "n11_fuzzy_blocked"     -> (LocationResolve.fuzzyDictScale _),
     "n10_nlp_columns"      -> (Analytics.nlpColumns _),
     "x10_dedup_exact"      -> (Dedup.exactDedup _),
     "x11_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),

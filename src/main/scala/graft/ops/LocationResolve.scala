@@ -173,14 +173,14 @@ object LocationResolve {
     * 40 variants, megabytes at 100k), and embedded hits at this scale
     * belong to upstream tokenization. The two regex-tier joins stay in
     * the plan (null-keyed on every row), preserving the n07 shape. */
-  def dictScale(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val part = Tables.part(spark, sfDir)
-    // canonical entity name per part (p_name alone has only 64 distinct
-    // values in the fixture; keying on name+id makes the dictionary scale
-    // WITH the data: 5 × 20k = 100k variants at sf0.1)
-    val canon = concat($"p_name", lit(" "), $"p_partkey")
-    val dim = part.select(
+  /** The n09/n11 scale dimension, factored so the exact tiers (n09) and
+    * the fuzzy tier (n11) provably run against the SAME variant dim.
+    * Canonical entity name per part (p_name alone has only 64 distinct
+    * values in the fixture; keying on name+id makes the dictionary scale
+    * WITH the data: 5 × 20k = 100k variants at sf0.1). */
+  private[graft] def scaleDim(part: DataFrame): DataFrame = {
+    val canon = concat(col("p_name"), lit(" "), col("p_partkey"))
+    part.select(
       explode(array(
         canon,
         translate(canon, " ", "_"),
@@ -188,6 +188,13 @@ object LocationResolve {
         concat(lit("the "), canon),
         concat(canon, lit(" dept")))).as("vkey"),
       canon.as("canon"))
+  }
+
+  def dictScale(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, sfDir)
+    val canon = concat($"p_name", lit(" "), $"p_partkey")
+    val dim = scaleDim(part)
     val m = pmod($"p_partkey", lit(7))
     val tokens = part.select($"p_partkey".as("tok_id"),
       when(m === 0, canon)
@@ -250,4 +257,96 @@ object LocationResolve {
        |  ${Trips.caseByVid(Goldens.tier12Locations.map(_.mkString("|")))} AS locations,
        |  CAST(${Trips.caseByVidInt(Goldens.tier12Locations.map(_.size))} AS BIGINT) AS n_locations
        |FROM trips ORDER BY trip_key""".stripMargin
+
+  /** Length-band half-width for the fuzzy blocking post-filter: a
+    * candidate whose length differs from the probe by more than this
+    * cannot clear the 82 cutoff on the fixture's ~30-45 char strings
+    * (score 100·(1−d/total) with d ≥ |len diff|), and the probes are
+    * single-char edits, so the true match is never excluded. */
+  private[graft] val FuzzyLenBand = 8
+
+  /** Blocking keys for one normalized string: every unordered pair of
+    * its first-3 sorted distinct whitespace tokens, joined "a|b". A
+    * single-token typo changes at most one of the three, so probe and
+    * true variant always share ≥1 pair — recall is structural, not
+    * probabilistic. Pairs (vs single tokens) keep blocks tiny: the
+    * fixture's word vocabulary is small (~92 p_name words), so a
+    * single-token block would hold ~1% of a 100k dictionary, while two
+    * specific tokens co-occurring is rare. */
+  private[graft] def blockKeys(norm: Column): Column = {
+    val t3 = slice(array_sort(array_distinct(
+      filter(split(norm, " "), t => length(t) > 0))), 1, 3)
+    flatten(zip_with(t3, sequence(lit(1), size(t3)),
+      (x, i) => transform(slice(t3, i + 1, lit(2)),
+        y => concat(x, lit("|"), y))))
+  }
+
+  /** n11 — tier-3 fuzzy matching at dictionary scale (rows-only; gated
+    * by DictionaryScaleSpec's recall test against the exhaustive
+    * argmax). The bundled cleaner's fuzzy tier (N8) is an O(|dict|)
+    * argmax per unresolved string — correct at 17 variants, not viable
+    * at 100k. This is the standard blocked fuzzy-join shape instead:
+    *
+    *  1. both sides emit [[blockKeys]] (pairs of first-3 sorted tokens);
+    *  2. an equi-join on the key generates candidates — cost ∝ real
+    *     near-matches, never |probes|×|dict|;
+    *  3. a length-band post-filter ([[FuzzyLenBand]]) drops candidates
+    *     no edit budget could score;
+    *  4. survivors are scored with the codegen'd `token_sort_ratio`
+    *     (the N8 scorer) and the per-probe argmax ≥ 82 wins, ties
+    *     broken by vkey for determinism;
+    *  5. a left join back onto the probe set keeps misses as NULL loc.
+    *
+    * Probes are deterministic single-char edits of the n09 canon (drop
+    * last char / duplicate first char / append a char) plus a
+    * guaranteed-miss form, so the true argmax is known by construction
+    * and the spec can replay the exhaustive crossJoin at fixture scale.
+    * At 100 TB both sides are map-side key generation into one shuffle
+    * equi-join on the pair key; no all-pairs stage exists anywhere. */
+  def fuzzyDictScale(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    val part = Tables.part(spark, sfDir)
+    val probes = fuzzyProbes(part)
+    val dimKeyed = scaleDim(part)
+      .withColumn("dlen", length($"vkey"))
+      .select($"vkey", $"canon", $"dlen",
+        explode(blockKeys($"vkey")).as("bkey"))
+    val probeKeyed = probes
+      .withColumn("plen", length($"norm"))
+      .select($"tok_id", $"norm", $"plen",
+        explode(blockKeys($"norm")).as("bkey"))
+    val best = probeKeyed.join(dimKeyed, "bkey")
+      .where(abs($"plen" - $"dlen") <= FuzzyLenBand)
+      .select($"tok_id", $"norm", $"vkey", $"canon").distinct()
+      .withColumn("score",
+        graft.functions.CustomExprs.token_sort_ratio($"norm", $"vkey"))
+      .where($"score" >= graft.nlp.Cleaner.FuzzyScoreCutoff)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"tok_id").orderBy($"score".desc, $"vkey".asc)))
+      .where($"rn" === 1)
+      .select($"tok_id", $"canon".as("loc"), $"score")
+    probes.join(best, Seq("tok_id"), "left")
+      .select($"tok_id", $"norm", $"loc", $"score")
+      .orderBy($"tok_id")
+  }
+
+  /** The n11 probe set: one fuzzy probe per part, m = p_partkey % 4
+    * selecting the edit. Forms 0-2 are single-char edits of the canon
+    * whose unique best match is the canon's own plain variant (indel
+    * distance 1-2 ⇒ score ≈ 98-99; every other entry differs by whole
+    * words); form 3 shares no token pair with any variant and scores
+    * far below the cutoff — a structural miss. */
+  private[graft] def fuzzyProbes(part: DataFrame): DataFrame = {
+    val m = pmod(col("p_partkey"), lit(4))
+    val key = col("p_partkey").cast("string")
+    part.select(col("p_partkey").as("tok_id"),
+      when(m === 0, concat(expr("substring(p_name, 1, length(p_name) - 1)"),
+          lit(" "), key))
+        .when(m === 1, concat(substring(col("p_name"), 1, 1), col("p_name"),
+          lit(" "), key))
+        .when(m === 2, concat(col("p_name"), lit("x "), key))
+        .otherwise(concat(lit("qq vv ww unrelated "), key)).as("norm"))
+  }
 }

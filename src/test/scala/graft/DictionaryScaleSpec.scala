@@ -56,4 +56,51 @@ class DictionaryScaleSpec extends AnyFunSuite {
       else assert(r.isNullAt(2), s"tok $id should miss")
     }
   }
+
+  test("n11 blocked fuzzy ≡ exhaustive token_sort_ratio argmax") {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    val part = graft.Tables.part(spark, sfDir)
+
+    // the exhaustive oracle: crossJoin every probe against the FULL
+    // n09 dim, same scorer / cutoff / tie-break — O(|probes|·|dict|),
+    // viable only at fixture scale, which is exactly why n11 exists
+    val probes = LocationResolve.fuzzyProbes(part)
+    val dim = LocationResolve.scaleDim(part)
+    val exhaustive = probes.crossJoin(dim)
+      .withColumn("score",
+        graft.functions.CustomExprs.token_sort_ratio($"norm", $"vkey"))
+      .where($"score" >= graft.nlp.Cleaner.FuzzyScoreCutoff)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"tok_id").orderBy($"score".desc, $"vkey".asc)))
+      .where($"rn" === 1)
+      .select($"tok_id", $"canon".as("eloc"), $"score".as("escore"))
+    val expected = probes.join(exhaustive, Seq("tok_id"), "left")
+      .select($"tok_id", $"eloc", $"escore")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+      .toMap
+
+    val got = LocationResolve.fuzzyDictScale(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(2)), if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+      .toMap
+
+    assert(got.keySet == expected.keySet)
+    // recall gate: the blocked candidate generator must reproduce the
+    // exhaustive argmax EXACTLY — the token-pair keys make recall
+    // structural (a single-token edit leaves ≥1 of the 3 pair keys
+    // intact), so anything less than 1.0 is a blocking bug, not noise
+    val diverging = got.keySet.filter(k => got(k) != expected(k))
+    assert(diverging.isEmpty,
+      s"${diverging.size}/${got.size} probes diverge from the " +
+        s"exhaustive argmax, e.g. ${diverging.take(3).map(k =>
+          s"tok $k got ${got(k)} want ${expected(k)}").mkString("; ")}")
+    // the probe construction itself must exercise both outcomes
+    val hits = got.values.count(_._1.isDefined)
+    assert(hits > 0 && hits < got.size,
+      s"degenerate probe set: $hits/${got.size} hits")
+  }
 }

@@ -119,9 +119,13 @@ class RegistrySpec extends AnyFunSuite {
     // layout) — a DuckDB replay would be reimplementing Spark sketch
     // internals, which the tolerance/equivalence suite gates cover
     // more honestly.
+    // n11 joined in round 12: rapidfuzz token_sort_ratio (indel DP +
+    // token sort) has no DuckDB equivalent; DictionaryScaleSpec gates
+    // the blocked plan against the exhaustive crossJoin argmax instead.
     val rowsOnly = Set("x01_approx_distinct",
       "x27_bloom_decontaminate",
-      "x39_quality_prune_approx", "x74_datasheet_approx")
+      "x39_quality_prune_approx", "x74_datasheet_approx",
+      "n11_fuzzy_blocked")
     assert(q -- o == rowsOnly,
       s"undocumented rows-only queries: ${(q -- o -- rowsOnly).mkString(", ")}; " +
         s"stale rows-only entries: ${(rowsOnly -- (q -- o)).mkString(", ")}")
