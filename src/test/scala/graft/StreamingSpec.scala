@@ -651,6 +651,129 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("another stream lineage"))
   }
 
+  /** One torn-write case: a versioned dim's updater, the commit marker
+    * whose absence defines the torn state, a canonical reader snapshot,
+    * and the two waves to drive it with. The registry below enumerates
+    * EVERY versioned dim in Streaming.scala, so adding an updater
+    * without a torn-write entry fails the enumeration check. */
+  private case class TornDim(name: String,
+      update: (org.apache.spark.sql.DataFrame, Long) => Unit,
+      marker: Long => java.nio.file.Path,
+      state: () => Any,
+      waves: Seq[org.apache.spark.sql.DataFrame])
+
+  test("torn write between slice and marker: invisible, then healed — every versioned dim") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val mid = docs.selectExpr("percentile(doc_id, 0.5)").collect()(0)
+      .getDouble(0).toLong
+    val rangeWaves = Seq(docs.filter($"doc_id" <= mid),
+      docs.filter($"doc_id" > mid))
+    val fifthWaves = Seq(docs.filter($"doc_id" % 5 =!= 0),
+      docs.filter($"doc_id" % 5 === 0))
+    val embs = Tables.embeddings(spark, sf)
+    val (cents, books) = graft.ops.Similarity.frozenIvfPqModel(spark, sf)
+    val weights = graft.ops.TextAnalysis.classifierWeights(spark, sf)
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_torn_$p").toString
+    def rows(df: org.apache.spark.sql.DataFrame): Any = {
+      val r = df.collect().map(_.toSeq)
+      (r.length, r.toSet) // count + set: a duplicate emission must differ
+    }
+    def vMark(dir: String)(id: Long) =
+      java.nio.file.Paths.get(s"$dir/v$id/_SUCCESS")
+
+    val registry: Seq[TornDim] = {
+      val uDim = tmp("ulm")
+      val bDim = tmp("blk")
+      val (nDim, nPairs) = (tmp("bnd_dim"), tmp("bnd_pairs"))
+      val (sDim, sOut) = (tmp("spn_dim"), tmp("spn_out"))
+      val (dDim, dOut) = (tmp("dcr_dim"), tmp("dcr_out"))
+      Streaming.benchSpanDim(docs.filter($"doc_id" % 17 === 0), dDim)
+      val (lDim, lOut) = (tmp("ldg_dim"), tmp("ldg_out"))
+      val dsDim = tmp("dsh")
+      val iDir = tmp("ivfpq")
+      val (kDim, kPairs, kSurv) = (tmp("kb_dim"), tmp("kb_pairs"), tmp("kb_surv"))
+      Seq(
+        TornDim("unigram model", Streaming.unigramModelUpdate(uDim),
+          vMark(uDim),
+          () => Streaming.unigramModel(spark, uDim).map(rows), rangeWaves),
+        TornDim("bloom blocklist", Streaming.blocklistUpdate(bDim),
+          vMark(bDim),
+          () => Streaming.blocklist(bDim).map(_.toSeq), rangeWaves),
+        TornDim("band index", Streaming.bandIndexUpdate(nDim, nPairs),
+          vMark(nDim),
+          () => rows(Streaming.streamedNearDupPairs(spark, nDim, nPairs)),
+          fifthWaves),
+        TornDim("span index", Streaming.spanIndexUpdate(sDim, sOut),
+          vMark(sDim),
+          () => rows(Streaming.streamedRewrites(spark, sDim, sOut)),
+          rangeWaves),
+        TornDim("decontam rewrite", Streaming.decontamRewriteUpdate(dDim, dOut),
+          id => java.nio.file.Paths.get(s"$dOut/b$id/_SUCCESS"),
+          () => rows(Streaming.streamedDecontamRewrites(spark, dOut)),
+          rangeWaves),
+        TornDim("rejection ledger", Streaming.ledgerUpdate(lDim, lOut, weights),
+          vMark(lDim),
+          () => rows(Streaming.streamedLedger(spark, lDim, lOut)),
+          rangeWaves),
+        TornDim("datasheet", Streaming.datasheetUpdate(dsDim),
+          vMark(dsDim),
+          () => rows(Streaming.streamedDatasheet(spark, dsDim)), rangeWaves),
+        TornDim("ivf-pq index", Streaming.ivfPqIndexUpdate(iDir, cents, books),
+          vMark(iDir),
+          () => rows(Streaming.streamedIvfPqTopK(spark, iDir, cents, books)),
+          Seq(embs.filter($"vec_id" % 2 === 0), embs.filter($"vec_id" % 2 === 1))),
+        TornDim("keep-best survivors",
+          Streaming.keepBestUpdate(kDim, kPairs, kSurv),
+          vMark(kSurv),
+          () => rows(Streaming.streamedKeepBestSurvivors(spark, kSurv)),
+          fifthWaves))
+    }
+
+    // enumeration check: the registry must name every versioned-dim
+    // updater in Streaming.scala — a new `fooUpdate` without a torn
+    // entry here fails loudly instead of shipping unexercised
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/streaming/Streaming.scala")))
+    val updaters = "def (\\w+Update)\\(".r.findAllMatchIn(src)
+      .map(_.group(1)).toSet
+    val covered = Set("unigramModelUpdate", "blocklistUpdate",
+      "bandIndexUpdate", "spanIndexUpdate", "decontamRewriteUpdate",
+      "ledgerUpdate", "datasheetUpdate", "ivfPqIndexUpdate",
+      "keepBestUpdate")
+    assert(updaters == covered,
+      s"torn-write registry out of sync with Streaming.scala: " +
+        s"unexercised=${(updaters -- covered).mkString(", ")} " +
+        s"stale=${(covered -- updaters).mkString(", ")}")
+
+    registry.foreach { dim =>
+      withClue(s"[${dim.name}] ") {
+        // wave 0 commits; wave 1 commits; capture both states
+        dim.update(dim.waves(0), 0L)
+        val s0 = dim.state()
+        dim.update(dim.waves(1), 1L)
+        val sFull = dim.state()
+        assert(sFull != s0,
+          "wave 2 left the reader state unchanged — vacuous fixture")
+        // TORN: kill between the slice writes and the marker — the
+        // marker is the batch's single commit point, so deleting it
+        // reproduces the crash state exactly (slices on disk, commit
+        // absent). Readers must serve the pre-crash state.
+        java.nio.file.Files.delete(dim.marker(1L))
+        assert(dim.state() == s0,
+          "a torn (marker-less) slice leaked into the reader")
+        // HEAL: the stream engine replays batch 1 after the crash
+        // (offsets were logged, the epoch was not). The updater must
+        // overwrite the partial slices and re-commit — converging on
+        // exactly the unbroken run's state, no duplicates.
+        dim.update(dim.waves(1), 1L)
+        assert(dim.state() == sFull,
+          "replaying the torn batch did not converge on the unbroken state")
+      }
+    }
+  }
+
   test("incremental bloom blocklist: streamed sketch byte-identical to batch") {
     import spark.implicits._
     // benchmark docs arrive in two waves (two eval suites landing)
