@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Streaming-at-scale probe: drives the incremental versioned-dim
+  * maintainers wave by wave and times EACH wave, so the append-only
+  * cost claims ("per-batch cost ∝ batch, never ∝ history" — see
+  * bandIndexUpdate / ledgerUpdate / ivfPqIndexUpdate scaladoc) are
+  * measured, not extrapolated: W waves of a fixed-size batch (default
+  * 10 waves × 10× the sf0.1 corpus each = 100× total history by the
+  * last wave) must show flat per-wave wall time. A wave sequence that
+  * grows with the accumulated history is a bug to fix, not a note —
+  * the same standard as the batch sweeps (PLANS.md).
+  *
+  * Calls the foreachBatch updater functions directly with synthetic
+  * batch ids — exactly what the stream engine does per micro-batch,
+  * minus the (constant-cost) trigger machinery, so the timings isolate
+  * the maintainers' own scaling behavior.
+  *
+  * Usage: runMain graft.StreamProbe <probeDir> [baseDir] [waves]
+  *        [replicasPerWave] [dims]
+  *   probeDir — scale_probe.py output (replica id offset 10M);
+  *   baseDir  — where the frozen models train (default sf0.1: the
+  *              maintainers freeze their model BEFORE the stream, so a
+  *              base-scale model is the honest setup);
+  *   dims     — comma list of band,ledger,ivfpq (default all three).
+  */
+object StreamProbe {
+  /** scale_probe.py's per-replica id offset. */
+  val ReplicaOffset = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val probeDir = args(0)
+    val baseDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val waves = if (args.length > 2) args(2).toInt else 10
+    val repsPerWave = if (args.length > 3) args(3).toInt else 10
+    val dims = (if (args.length > 4) args(4) else "band,ledger,ivfpq")
+      .split(",").toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, probeDir)
+    val embs = Tables.embeddings(spark, probeDir)
+    def wave(df: DataFrame, idCol: String, w: Int): DataFrame =
+      df.filter(col(idCol) >= w.toLong * repsPerWave * ReplicaOffset &&
+        col(idCol) < (w + 1).toLong * repsPerWave * ReplicaOffset)
+
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_sprobe_$p").toString
+
+    def run(name: String, update: (DataFrame, Long) => Unit,
+        waveOf: Int => DataFrame): Unit = {
+      val times = (0 until waves).map { w =>
+        System.err.println(s"[stream-probe] $name wave ${w + 1}/$waves")
+        val t0 = System.nanoTime()
+        update(waveOf(w), w.toLong)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val ts = times.map(t => String.format(java.util.Locale.ROOT,
+        "%.2f", Double.box(t))).mkString("[", ",", "]")
+      // first wave carries codegen/scan warmup; the trailing/leading
+      // ratio the PLANS.md table reads is wave N vs wave 2
+      val ratio =
+        if (waves >= 3 && times(1) > 0) times.last / times(1) else -1.0
+      println(s"""{"probe":"stream","dim":"$name","waves":$waves,""" +
+        s""""wave_sec":$ts,"last_over_second":${
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(ratio))}}""")
+    }
+
+    dims.foreach {
+      case "band" =>
+        val (d, p) = (tmp("band_dim"), tmp("band_pairs"))
+        run("band_index",
+          graft.streaming.Streaming.bandIndexUpdate(d, p),
+          w => wave(docs, "doc_id", w))
+      case "ledger" =>
+        val (d, o) = (tmp("ledger_dim"), tmp("ledger_out"))
+        val weights = graft.ops.TextAnalysis.classifierWeights(spark, baseDir)
+        run("ledger",
+          graft.streaming.Streaming.ledgerUpdate(d, o, weights),
+          w => wave(docs, "doc_id", w))
+      case "ivfpq" =>
+        val d = tmp("ivfpq_idx")
+        val (cents, books) =
+          graft.ops.Similarity.frozenIvfPqModel(spark, baseDir)
+        run("ivfpq_index",
+          graft.streaming.Streaming.ivfPqIndexUpdate(d, cents, books),
+          w => wave(embs, "vec_id", w))
+      case other =>
+        System.err.println(s"[stream-probe] unknown dim '$other' " +
+          "(want band|ledger|ivfpq) — skipped")
+    }
+    spark.stop()
+  }
+}
