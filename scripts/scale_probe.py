@@ -46,9 +46,21 @@ DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
 REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 # which table families to replicate: "doc" (documents+embeddings, the
 # original probe corpus), "rel" (TPC-H facts + events + copied dims for
-# the relational/window/event/trips query families), or "all"
+# the relational/window/event/trips query families), "zipf" (rel with a
+# genuinely hot key: the plain replica sweep keeps per-customer history
+# uniform at R orders each, so no partition is ever skewed relative to
+# the others — "zipf" reroutes every 100th order to customer 0, giving
+# one customer ~1% of ALL orders at any R. At 100x that is one 150k-row
+# window partition / join group against a 100-row median, the shape
+# AQE skew handling and the w01/w02 window sorts must survive), or
+# "all"
 FAMILIES = sys.argv[4] if len(sys.argv) > 4 else "doc"
-assert FAMILIES in ("doc", "rel", "all"), f"bad families arg {FAMILIES}"
+assert FAMILIES in ("doc", "rel", "zipf", "all"), f"bad families arg {FAMILIES}"
+# zipf hot-key rewrite for o_custkey (customer 0 = min c_custkey in the
+# fixture); (o_orderkey + replica) % 100 spreads the stolen orders
+# evenly across replicas and order positions
+HOT_CUST = ("CASE WHEN (o_orderkey + r.range) % 100 = 0 THEN 0 "
+            "ELSE o_custkey END" if FAMILIES == "zipf" else "o_custkey")
 # rotate-and-negate decorrelation covers exactly 2*dim = 128 replicas:
 # rotation repeats with period dim=64 and the sign flips once at r=64,
 # so the first collision past the bound is replica r duplicating
@@ -58,7 +70,7 @@ assert FAMILIES in ("doc", "rel", "all"), f"bad families arg {FAMILIES}"
 # the negation exists to prevent. Fail loudly instead. The bound is an
 # EMBEDDING fact, so it only gates runs that generate embeddings; a
 # rel-only replication (key offsets, no vectors) is valid at any R.
-assert REPLICAS <= 128 or FAMILIES == "rel", (
+assert REPLICAS <= 128 or FAMILIES in ("rel", "zipf"), (
     f"REPLICAS={REPLICAS} > 128 replays the rotation/negation period; "
     "add a second decorrelation term before sweeping beyond 128x")
 
@@ -106,11 +118,11 @@ if FAMILIES in ("doc", "all"):
     """)
     written += ["documents", "embeddings"]
 
-if FAMILIES in ("rel", "all"):
+if FAMILIES in ("rel", "zipf", "all"):
     con.sql(f"""
     COPY (
       SELECT o_orderkey + r.range * 10000000 AS o_orderkey,
-        o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        {HOT_CUST} AS o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
       FROM read_parquet('{SRC}/orders.parquet'), range({REPLICAS}) r
       ORDER BY o_orderkey
     ) TO '{DST}/orders.parquet' (FORMAT parquet)
