@@ -11,9 +11,11 @@ import org.apache.spark.sql.types._
   * [[BmpCodec]] genuine BI_RGB bitmaps (x57), [[PngCodec]] genuine
   * PNGs down to the pixels (JDK inflate + unfilter), and [[AviCodec]]
   * genuine AVI video containers (x58) including the uncompressed
-  * BI_RGB ('DIB ') frame payloads (x41). Entropy-coded payloads the
-  * sandbox genuinely cannot decode take an explicit REJECTION path
-  * (x41's `rejected:MJPG` rows), never an arithmetic stand-in — and
+  * BI_RGB ('DIB ') frame payloads AND the entropy-coded MJPG ones,
+  * which [[JpegBaselineCodec]] Huffman-decodes for real (x41 — the
+  * engine's last NULL path, retired round 12). Entropy-coded payloads
+  * the sandbox genuinely cannot decode still take an explicit
+  * REJECTION path, never an arithmetic stand-in — and
   * x40's generic-blob statistic, whose raw payload has no container
   * to decode at all, is MEASURED over the payload bytes
   * ([[graft.functions.CustomExprs.ByteSum]]). Everything
@@ -112,10 +114,15 @@ object Multimodal {
     *    chunk walk + the strf stride law ([[AviCodec.dibFrameBytes]]),
     *    stripe means over the stride-padded pixel rows (alignment
     *    zeros are bytes of the real frame buffer, like PNG's row
-    *    padding). The entropy-coded sub-family (MJPG) takes the honest
-    *    REJECTION path: NULL feature + `rejected:MJPG` status — a
-    *    codec-free container must refuse to fake what it cannot
-    *    decode, never emit arithmetic stand-ins.
+    *    padding). The entropy-coded sub-family (MJPG) is DECODED FOR
+    *    REAL since round 12: the payload is first encoded as a genuine
+    *    baseline JPEG (one uniform gray 8×8 block per byte — real
+    *    Huffman bitstream, byte stuffing, restart markers on even
+    *    doc_ids), carried as the movi `00dc` chunk, and decoded back
+    *    through the full entropy path ([[JpegBaselineCodec.decode]]:
+    *    Huffman → dequant → IDCT). The rejection path remains for
+    *    handlers with no in-JVM codec (I420 etc. — exercised by
+    *    MultimodalSpec, no longer by this fixture).
     *
     * One codec instance per partition (the mapInPandas-batch analog);
     * the frame count 1 + len % 8 is unchanged, so sampling geometry
@@ -132,11 +139,13 @@ object Multimodal {
       .mapPartitions { it =>
         // once per partition, like real codec init
         val png = new PngCodec; val wav = new WavCodec
-        val avi = new AviCodec
+        val avi = new AviCodec; val jpg = new JpegBaselineCodec
         it.flatMap { case (docId, payload) =>
           val nFrames = 1L + payload.length % 8
           // decoded byte stream per family; Left = honest rejection
-          // (entropy-coded video stream, no in-JVM codec)
+          // (entropy-coded video stream with no in-JVM codec — none in
+          // this fixture since MJPG decodes for real, but the path
+          // stays: a foreign I420/FFV1 stream must still reject)
           val decoded: Either[String, Array[Byte]] = (docId % 3) match {
             case 0 =>
               val blob = png.encode(payload,
@@ -149,17 +158,40 @@ object Multimodal {
                 channels = 1 + ((docId / 3) % 2).toInt, bits = 16)
               val (off, len) = wav.dataRange(blob)
               Right(java.util.Arrays.copyOfRange(blob, off, off + len.toInt))
+            case _ if ((docId / 3) % 3) == 2 =>
+              // MJPG: payload → REAL baseline JPEG (one uniform gray
+              // 8×8 block per byte, genuine Huffman/stuffing/restart
+              // bitstream) → genuine AVI whose strf declares the JPEG
+              // geometry → container walk + full entropy decode
+              // (Huffman → dequant → IDCT) back to the pixel bytes
+              val n = 1 + ((docId / 9) % 3).toInt
+              val m = math.max(1, (payload.length + n - 1) / n)
+              val jpeg = jpg.encodeGrayDcOnly(payload, n,
+                restartInterval = if (docId % 2 == 0) 4 else 0)
+              val blob = avi.encodeVideoFrames(jpeg, width = 8 * n,
+                bpp = 24, fourcc4 = "MJPG", codedHeight = 8 * m)
+              avi.mjpgFrames(blob).map { frames =>
+                val imgs = frames.map(f => jpg.decode(f).pixels)
+                val out = new Array[Byte](imgs.map(_.length).sum)
+                var at = 0
+                imgs.foreach { p =>
+                  System.arraycopy(p, 0, out, at, p.length); at += p.length
+                }
+                out
+              }
             case _ =>
               val sub = ((docId / 3) % 3).toInt
               val blob = avi.encodeVideoFrames(payload,
                 width = 8 + (docId % 24).toInt,
                 bpp = Array(24, 32, 24)(sub),
-                fourcc4 = if (sub == 2) "MJPG" else "DIB ")
-              avi.dibFrameBytes(blob) // rejects MJPG from the blob itself
+                fourcc4 = "DIB ")
+              avi.dibFrameBytes(blob)
           }
           val status = decoded match {
             case Left(fcc) => "rejected:" + fcc
-            case Right(_) => Seq("png", "pcm", "dib")((docId % 3).toInt)
+            case Right(_) =>
+              if (docId % 3 == 2 && (docId / 3) % 3 == 2) "mjpg"
+              else Seq("png", "pcm", "dib")((docId % 3).toInt)
           }
           (0L until nFrames).map { f =>
             val feature: Option[Long] = decoded match {
@@ -210,10 +242,12 @@ object Multimodal {
        |         ELSE NULL END AS rowbytes,
        |    CASE WHEN mt = 2 AND sub < 2
        |         THEN (((8 + (doc_id % 24)) * ([24,32])[sub + 1] + 31) // 32) * 4
-       |         ELSE NULL END AS vstride
+       |         ELSE NULL END AS vstride,
+       |    CASE WHEN mt = 2 AND sub = 2 THEN 1 + ((doc_id // 9) % 3)
+       |         ELSE NULL END AS njb
        |  FROM m
        |), bl AS (
-       |  SELECT doc_id, len, mt, sub, rowbytes,
+       |  SELECT doc_id, len, mt, sub, rowbytes, njb,
        |    COALESCE(vstride, rowbytes) AS stride,
        |    CASE
        |      WHEN mt = 0 THEN greatest(1, (len + rowbytes - 1) // rowbytes)
@@ -221,7 +255,8 @@ object Multimodal {
        |      WHEN mt = 1 THEN len
        |      WHEN mt = 2 AND sub < 2
        |        THEN greatest(1, (len + rowbytes - 1) // rowbytes) * vstride
-       |      ELSE 0 END AS L,
+       |      ELSE 64 * njb * greatest(1, (len + njb - 1) // njb)
+       |      END AS L,
        |    1 + len % 8 AS nf
        |  FROM geo
        |), fr AS (
@@ -237,10 +272,20 @@ object Multimodal {
        |  FROM bl b JOIN m ON m.doc_id = b.doc_id,
        |    UNNEST(range(0, b.len)) AS u(j)
        |  WHERE b.mt IN (0, 1) OR (b.mt = 2 AND b.sub < 2)
+       |  UNION ALL
+       |  -- MJPG: the decoded image is one uniform 8x8 block per payload
+       |  -- byte, njb blocks per pixel row (width 8*njb) — byte j's 64
+       |  -- pixels sit at rows (j//njb)*8 + k//8, cols (j%njb)*8 + k%8
+       |  SELECT b.doc_id,
+       |    (j // b.njb) * 64 * b.njb + (k // 8) * 8 * b.njb
+       |      + (j % b.njb) * 8 + (k % 8) AS p,
+       |    $byteAt AS v
+       |  FROM bl b JOIN m ON m.doc_id = b.doc_id,
+       |    UNNEST(range(0, b.len)) AS u(j), UNNEST(range(0, 64)) AS w(k)
+       |  WHERE b.mt = 2 AND b.sub = 2
        |), feat AS (
        |  SELECT fr.doc_id, fr.f, fr.mt, fr.sub,
        |    CASE
-       |      WHEN fr.mt = 2 AND fr.sub = 2 THEN NULL
        |      WHEN fr.e <= fr.s THEN 0
        |      ELSE COALESCE(SUM(b.v), 0) // (fr.e - fr.s) END AS feature
        |  FROM fr LEFT JOIN by b
@@ -249,7 +294,7 @@ object Multimodal {
        |)
        |SELECT doc_id, f AS frame_idx, CAST(feature AS BIGINT) AS feature,
        |  CASE mt WHEN 0 THEN 'png' WHEN 1 THEN 'pcm'
-       |    ELSE CASE WHEN sub = 2 THEN 'rejected:MJPG' ELSE 'dib' END
+       |    ELSE CASE WHEN sub = 2 THEN 'mjpg' ELSE 'dib' END
        |    END AS status
        |FROM feat ORDER BY doc_id, frame_idx""".stripMargin
   }
@@ -907,12 +952,22 @@ object Multimodal {
       * the payload opaquely and biCompression carries the handler
       * fourcc, the signal [[dibFrameBytes]] honestly rejects on. */
     def encodeVideoFrames(payload: Array[Byte], width: Int, bpp: Int,
-        fourcc4: String, rateHz: Int = 25, scale: Int = 1): Array[Byte] = {
+        fourcc4: String, rateHz: Int = 25, scale: Int = 1,
+        codedHeight: Int = 0): Array[Byte] = {
       require(width > 0 && Set(8, 24, 32)(bpp) && fourcc4.length == 4 &&
         rateHz > 0 && scale > 0, s"bad encode params $width/$bpp/$fourcc4")
       val raw = fourcc4 == "DIB "
+      require(codedHeight == 0 || !raw,
+        "codedHeight only applies to entropy-coded streams (raw height " +
+          "follows from the stride law)")
       val rowBytes = width * bpp / 8
-      val h = math.max(1, (payload.length + rowBytes - 1) / rowBytes)
+      // entropy-coded chunks are opaque bytes, so their REAL pixel
+      // height can't be derived from the chunk length — the caller
+      // that encoded the frame passes it so the strf header declares
+      // the true geometry
+      val h =
+        if (codedHeight > 0) codedHeight
+        else math.max(1, (payload.length + rowBytes - 1) / rowBytes)
       val stride = (width * bpp + 31) / 32 * 4
       val frameLen = if (raw) stride * h else payload.length
       val padded = frameLen + (frameLen & 1)
@@ -976,11 +1031,61 @@ object Multimodal {
       *    stride-padded BI_RGB pixel rows the strf header describes,
       *    each frame chunk validated against the stride·h frame size
       *    law;
-      *  - otherwise: returns Left(handler fourcc) — the honest
-      *    REJECTION for entropy-coded streams (MJPG, I420 …), which a
-      *    container walker without the codec must refuse to fake.
+      *  - otherwise: returns Left(handler fourcc). Since round 12 the
+      *    MJPG handler has a REAL in-JVM codec ([[mjpgFrames]] +
+      *    [[JpegBaselineCodec.decode]]), so x41 routes that fourcc
+      *    there; remaining entropy-coded handlers (I420 …) stay honest
+      *    rejections a container walker must refuse to fake.
       */
-    def dibFrameBytes(blob: Array[Byte]): Either[String, Array[Byte]] = {
+    def dibFrameBytes(blob: Array[Byte]): Either[String, Array[Byte]] =
+      vidsWalk(blob) match {
+        case VidsStream(codec, biComp, w, h, bpp, frames) =>
+          if (biComp != 0 || codec != "DIB ") Left(codec.trim)
+          else {
+            require(w > 0 && h > 0 && Set(8, 24, 32)(bpp),
+              s"bad DIB geometry ${w}x$h@$bpp")
+            // a vids stream whose movi walk surfaced no frame chunks
+            // means an unrecognized grouping, not an empty video —
+            // fail loudly rather than return a silent zero-frame decode
+            require(frames.nonEmpty, "vids stream but no movi frame chunks")
+            val stride = (w.toLong * bpp + 31) / 32 * 4
+            val frameSize = stride * h
+            val out = new Array[Byte](frames.map(_._2).sum)
+            var at = 0
+            frames.foreach { case (off, len) =>
+              require(len.toLong == frameSize,
+                s"DIB frame chunk $len violates stride*h = $frameSize")
+              System.arraycopy(blob, off, out, at, len); at += len
+            }
+            Right(out)
+          }
+      }
+
+    /** The MJPG sibling of [[dibFrameBytes]]: for a vids stream whose
+      * handler (and strf biCompression, per the VfW convention) is
+      * `MJPG`, each movi frame chunk is ONE complete JPEG — returned
+      * as-is for the baseline entropy decoder
+      * ([[JpegBaselineCodec.decode]]); any other handler is Left. */
+    def mjpgFrames(blob: Array[Byte]): Either[String, Seq[Array[Byte]]] =
+      vidsWalk(blob) match {
+        case VidsStream(codec, _, _, _, _, frames) =>
+          if (codec != "MJPG") Left(codec.trim)
+          else {
+            require(frames.nonEmpty, "vids stream but no movi frame chunks")
+            Right(frames.toSeq.map { case (off, len) =>
+              java.util.Arrays.copyOfRange(blob, off, off + len) })
+          }
+      }
+
+    private final case class VidsStream(codec: String, biComp: Int,
+        w: Int, h: Int, bpp: Int,
+        frames: scala.collection.mutable.ArrayBuffer[(Int, Int)])
+
+    /** The shared RIFF walk behind both frame extractors: hdrl/strl for
+      * the FIRST vids stream's strh handler + strf BITMAPINFOHEADER,
+      * movi (and `rec ` groupings) for that stream's `##db`/`##dc`
+      * frame chunk offsets. */
+    private def vidsWalk(blob: Array[Byte]): VidsStream = {
       val buf = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
       def tag(): String = {
         val b = new Array[Byte](4); buf.get(b); new String(b, US_ASCII)
@@ -1038,25 +1143,7 @@ object Multimodal {
       }
       walk(buf.position(), blob.length)
       require(codec != null && biComp >= 0, "no vids strh/strf headers")
-      if (biComp != 0 || codec != "DIB ") Left(codec.trim)
-      else {
-        require(w > 0 && h > 0 && Set(8, 24, 32)(bpp),
-          s"bad DIB geometry ${w}x$h@$bpp")
-        // a vids stream whose movi walk surfaced no frame chunks means
-        // an unrecognized grouping, not an empty video — fail loudly
-        // rather than return a silent zero-frame decode
-        require(frames.nonEmpty, "vids stream but no movi frame chunks")
-        val stride = (w.toLong * bpp + 31) / 32 * 4
-        val frameSize = stride * h
-        val out = new Array[Byte](frames.map(_._2).sum)
-        var at = 0
-        frames.foreach { case (off, len) =>
-          require(len.toLong == frameSize,
-            s"DIB frame chunk $len violates stride*h = $frameSize")
-          System.arraycopy(blob, off, out, at, len); at += len
-        }
-        Right(out)
-      }
+      VidsStream(codec, biComp, w, h, bpp, frames)
     }
   }
 

@@ -826,4 +826,140 @@ class MultimodalSpec extends AnyFunSuite {
     // one full sample (10, 20) = 0x140A little-endian = 5130
     assert(((wav(off + 1) << 8) | (wav(off) & 0xff)) == 5130)
   }
+
+  // ------------------------------------------------- baseline JPEG (x41)
+
+  private def jpegB = new graft.ops.JpegBaselineCodec
+
+  test("JPEG baseline: gray DC-only round-trip is the exact block expansion") {
+    // expectation computed with plain array math, independent of the
+    // decoder's plane/MCU bookkeeping
+    val payload = (0 until 41).map(i => ((i * 37 + 5) % 256).toByte).toArray
+    for (n <- Seq(1, 2, 3); restart <- Seq(0, 4)) {
+      val blob = jpegB.encodeGrayDcOnly(payload, n, restart)
+      val img = jpegB.decode(blob)
+      val m = (payload.length + n - 1) / n
+      assert(img.width == 8 * n && img.height == 8 * m && img.nComponents == 1,
+        s"n=$n restart=$restart geometry")
+      val expected = new Array[Byte](64 * n * m)
+      for (j <- 0 until n * m; k <- 0 until 64) {
+        val p = (j / n) * 64 * n + (k / 8) * 8 * n + (j % n) * 8 + (k % 8)
+        expected(p) = if (j < payload.length) payload(j) else 0
+      }
+      assert(java.util.Arrays.equals(img.pixels, expected),
+        s"n=$n restart=$restart pixel mismatch")
+    }
+  }
+
+  test("JPEG baseline: restart markers are real RSTn bytes in the stream") {
+    val payload = Array.tabulate(20)(i => (i * 11).toByte)
+    val blob = jpegB.encodeGrayDcOnly(payload, 1, restartInterval = 4)
+    // 20 MCUs at interval 4 → RST0..RST3 appear (modulo-8 numbering)
+    val rsts = blob.sliding(2).zipWithIndex.collect {
+      case (Array(a, b), _) if a == 0xff.toByte &&
+        (b & 0xff) >= 0xd0 && (b & 0xff) <= 0xd7 => b & 0xff
+    }.toSeq
+    assert(rsts == Seq(0xd0, 0xd1, 0xd2, 0xd3),
+      s"expected 4 sequential RSTn markers, got ${rsts.map(_.toHexString)}")
+  }
+
+  test("JPEG baseline: hand-assembled stream with AC coefficients decodes " +
+      "through the real Huffman+IDCT path") {
+    import graft.ops.JpegBaseline._
+    // an independent canonical-code builder (T.81 C.2 restated), so the
+    // test's bitstream does not depend on the codec's own writer
+    def codes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+      var code = 0; var k = 0
+      val out = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+      for (l <- 1 to 16) {
+        for (_ <- 0 until bits(l - 1)) {
+          out(vals(k)) = (code, l); code += 1; k += 1
+        }
+        code <<= 1
+      }
+      out.toMap
+    }
+    val dc = codes(DcLumBits, DcLumVals)
+    val ac = codes(AcLumBits, AcLumVals)
+    val bitbuf = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def putBits(v: Int, len: Int): Unit =
+      for (i <- (len - 1) to 0 by -1) bitbuf += ((v >> i) & 1)
+    // one 8×8 block: DC = 40 (cat 6), AC at zigzag k=1 → (u,v)=(1,0)
+    // with run 0, value 12 (cat 4), then EOB
+    putBits(dc(6)._1, dc(6)._2); putBits(40, 6)
+    putBits(ac(0x04)._1, ac(0x04)._2); putBits(12, 4)
+    putBits(ac(0x00)._1, ac(0x00)._2)
+    while (bitbuf.length % 8 != 0) bitbuf += 1 // pad with 1s
+    val scan = bitbuf.grouped(8)
+      .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+    assert(!scan.contains(0xff.toByte), "fixture avoids stuffing by design")
+    def seg(m: Int, body: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, m.toByte, ((body.length + 2) >> 8).toByte,
+        ((body.length + 2) & 0xff).toByte) ++ body
+    val qAll1 = Array(0.toByte) ++ Array.fill(64)(1.toByte)
+    val sof = Array[Byte](8, 0, 8, 0, 8, 1, 1, 0x11, 0)
+    val dht0 = Array(0x00.toByte) ++ DcLumBits.map(_.toByte) ++
+      DcLumVals.map(_.toByte)
+    val dht1 = Array(0x10.toByte) ++ AcLumBits.map(_.toByte) ++
+      AcLumVals.map(_.toByte)
+    val sos = Array[Byte](1, 1, 0x00, 0, 63, 0)
+    val blob = Array(0xff.toByte, 0xd8.toByte) ++ seg(0xdb, qAll1) ++
+      seg(0xc0, sof) ++ seg(0xc4, dht0) ++ seg(0xc4, dht1) ++
+      seg(0xda, sos) ++ scan ++ Array(0xff.toByte, 0xd9.toByte)
+    val img = jpegB.decode(blob)
+    assert(img.width == 8 && img.height == 8)
+    // expected pixels from the textbook IDCT formula, restated here
+    val expected = Array.tabulate(64) { i =>
+      val x = i % 8; val y = i / 8
+      def cos(a: Int, f: Int) = math.cos((2 * a + 1) * f * math.Pi / 16)
+      val s = (1.0 / math.sqrt(2)) * (1.0 / math.sqrt(2)) * 40 * 1 * 1 +
+        1.0 * (1.0 / math.sqrt(2)) * 12 * cos(x, 1) * 1 // S(u=1,v=0)
+      val v = math.round(s / 4).toInt + 128
+      math.max(0, math.min(255, v)).toByte
+    }
+    assert(java.util.Arrays.equals(img.pixels, expected))
+  }
+
+  test("JPEG baseline: 4:2:0 color decodes to uniform RGB MCUs " +
+      "(subsampled-chroma upsampling + YCbCr conversion)") {
+    val mcus = Array((90, 100, 200), (200, 60, 40), (0, 128, 128),
+      (255, 255, 0), (128, 0, 255), (17, 211, 99))
+    val blob = jpegB.encodeColor420DcOnly(mcus, mcusPerRow = 3)
+    val img = jpegB.decode(blob)
+    assert(img.width == 48 && img.height == 32 && img.nComponents == 3)
+    for (y <- 0 until 32; x <- 0 until 48) {
+      val (yy, cb, cr) = mcus((y / 16) * 3 + (x / 16))
+      val (r, g, b) = graft.ops.JpegBaseline.yccToRgb(yy, cb, cr)
+      val o = (y * 48 + x) * 3
+      assert((img.pixels(o) & 0xff) == r && (img.pixels(o + 1) & 0xff) == g
+        && (img.pixels(o + 2) & 0xff) == b,
+        s"pixel ($x,$y) expected ($r,$g,$b) from MCU ${(yy, cb, cr)}")
+    }
+  }
+
+  test("JPEG baseline: progressive/non-baseline frames reject loudly") {
+    val meta = new Multimodal.JpegCodec
+    val prog = meta.encode("zz".getBytes("US-ASCII"), 16, 16,
+      nComponents = 1, progressive = true)
+    val e = intercept[IllegalArgumentException](jpegB.decode(prog))
+    assert(e.getMessage.contains("SOF"), e.getMessage)
+  }
+
+  test("AVI mjpgFrames: MJPG chunks surface as-is; other handlers Left") {
+    val payload = (0 until 30).map(_.toByte).toArray
+    val jpeg = jpegB.encodeGrayDcOnly(payload, 2)
+    val blob = aviCodec.encodeVideoFrames(jpeg, 16, 24, "MJPG",
+      codedHeight = 8 * 15)
+    val frames = aviCodec.mjpgFrames(blob)
+      .getOrElse(fail("MJPG stream rejected"))
+    assert(frames.length == 1)
+    assert(java.util.Arrays.equals(frames.head, jpeg),
+      "movi chunk must carry the JPEG bytes unmodified")
+    // the declared strf geometry matches the JPEG's own SOF0 geometry
+    val m = aviCodec.decode(blob)
+    val img = jpegB.decode(frames.head)
+    assert((m.width, m.height) == (img.width, img.height))
+    assert(aviCodec.mjpgFrames(
+      aviCodec.encodeVideoFrames(payload, 16, 24, "I420")) == Left("I420"))
+  }
 }
