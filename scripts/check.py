@@ -67,8 +67,11 @@ def compare_frames(name, got, exp):
         # without this, those columns re-enter the per-cell loop at
         # ~15M-row probe scale
         try:
-            if np.issubdtype(av.dtype, np.floating) or \
+            if np.issubdtype(av.dtype, np.floating) and \
                     np.issubdtype(bv.dtype, np.floating):
+                # near-miss tolerance ONLY when BOTH sides are floats,
+                # matching cells_eq — a float-vs-int column must be
+                # value-exact, not 1e-12-close
                 af = av.astype(np.float64)
                 bf = bv.astype(np.float64)
                 both_nan = np.isnan(af) & np.isnan(bf)
@@ -78,7 +81,11 @@ def compare_frames(name, got, exp):
                             and note is None:
                         note = f"near-miss (vectorized) col {c}"
                     continue
-            elif np.array_equal(av.astype(bv.dtype, copy=False), bv):
+            # value-level equality with numpy's own promotion to the
+            # common WIDER type — never a one-sided astype, which wraps
+            # on narrowing / signed-unsigned casts and would false-pass
+            # values differing by exactly 2**32 or a sign flip
+            elif np.array_equal(av, bv):
                 continue
         except (TypeError, ValueError):
             pass  # object/list columns: fall through to the cell loop

@@ -54,6 +54,27 @@ object StreamProbe {
       df.filter(col(idCol) >= w.toLong * repsPerWave * ReplicaOffset &&
         col(idCol) < (w + 1).toLong * repsPerWave * ReplicaOffset)
 
+    // guard against a probeDir generated with fewer than
+    // waves×repsPerWave replicas: a wave whose id range is empty would
+    // time a no-op update and the per-wave table would report a
+    // vacuously flat cost curve — the exact evidence PLANS.md cites.
+    // One aggregation pass per table, before any timing starts.
+    def assertWaveCoverage(df: DataFrame, idCol: String,
+        what: String): Unit = {
+      val span = repsPerWave.toLong * ReplicaOffset
+      val counts = df.groupBy((col(idCol) / span).cast("long").as("w"))
+        .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val empty = (0 until waves).filter(w => counts.getOrElse(w.toLong, 0L) == 0L)
+      require(empty.isEmpty,
+        s"$what: wave(s) ${empty.mkString(",")} of $waves have ZERO rows " +
+          s"in $probeDir — regenerate with ≥ ${waves * repsPerWave} " +
+          "replicas (or lower waves/replicasPerWave); refusing to time " +
+          "no-op waves")
+    }
+    if (dims.exists(d => d == "band" || d == "ledger"))
+      assertWaveCoverage(docs, "doc_id", "documents")
+    if (dims.contains("ivfpq")) assertWaveCoverage(embs, "vec_id", "embeddings")
+
     def tmp(p: String) =
       java.nio.file.Files.createTempDirectory(s"graft_sprobe_$p").toString
 

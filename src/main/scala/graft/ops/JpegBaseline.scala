@@ -476,7 +476,13 @@ final class JpegBaselineCodec {
         case 0xd9 =>
           throw new IllegalArgumentException("EOI before any scan")
         case _ => // APPn / COM / anything else: skip by declared length
-          pos += u16(pos)
+          // the declared length includes its own 2 bytes (B.1.1.4); a
+          // malformed length < 2 would leave pos INSIDE the segment and
+          // surface later as a raw bounds error or a confusing
+          // 'expected marker' — reject loudly here like every other arm
+          val len = u16(pos)
+          require(len >= 2, f"segment FF$m%02X declares length $len < 2")
+          pos += len
       }
     }
     comps.foreach(c => require(qt(c.tq) != null,

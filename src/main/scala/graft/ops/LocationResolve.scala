@@ -258,12 +258,26 @@ object LocationResolve {
        |  CAST(${Trips.caseByVidInt(Goldens.tier12Locations.map(_.size))} AS BIGINT) AS n_locations
        |FROM trips ORDER BY trip_key""".stripMargin
 
-  /** Length-band half-width for the fuzzy blocking post-filter: a
-    * candidate whose length differs from the probe by more than this
-    * cannot clear the 82 cutoff on the fixture's ~30-45 char strings
-    * (score 100·(1−d/total) with d ≥ |len diff|), and the probes are
-    * single-char edits, so the true match is never excluded. */
-  private[graft] val FuzzyLenBand = 8
+  /** Length of the string the scorer actually compares: tokens split
+    * on whitespace, empties dropped, re-joined single-spaced (the
+    * token-SORT permutes but preserves this length). The band predicate
+    * must measure THESE lengths — raw `length(norm)` drifts from them
+    * under doubled/leading/trailing whitespace. */
+  private def scoredLen(norm: Column): Column =
+    length(array_join(filter(split(norm, "\\s+"), t => length(t) > 0), " "))
+
+  /** Cutoff-derived length-band predicate for the fuzzy blocking
+    * post-filter — sound by construction, not a fixture-tuned constant:
+    * token_sort_ratio = 100·(1 − d/(la+lb)) with indel distance
+    * d ≥ |la − lb|, so score ≥ cutoff forces
+    * |la − lb|·100 ≤ (100 − cutoff)·(la + lb). Any candidate failing
+    * this CANNOT clear the cutoff at any edit pattern or string length
+    * (a fixed half-width of 8 was provably lossy once la+lb ≥ ~50 at
+    * cutoff 82); integer arithmetic, no float rounding at the
+    * boundary. */
+  private[graft] def fuzzyLenBandPred(la: Column, lb: Column,
+      cutoff: Double): Column =
+    abs(la - lb) * 100 <= lit((100 - cutoff).toInt) * (la + lb)
 
   /** Blocking keys for one normalized string: every unordered pair of
     * its first-3 sorted distinct whitespace tokens, joined "a|b". A
@@ -290,8 +304,8 @@ object LocationResolve {
     *  1. both sides emit [[blockKeys]] (pairs of first-3 sorted tokens);
     *  2. an equi-join on the key generates candidates — cost ∝ real
     *     near-matches, never |probes|×|dict|;
-    *  3. a length-band post-filter ([[FuzzyLenBand]]) drops candidates
-    *     no edit budget could score;
+    *  3. a length-band post-filter ([[fuzzyLenBandPred]], derived from
+    *     the score cutoff) drops candidates no edit budget could score;
     *  4. survivors are scored with the codegen'd `token_sort_ratio`
     *     (the N8 scorer) and the per-probe argmax ≥ 82 wins, ties
     *     broken by vkey for determinism;
@@ -309,15 +323,16 @@ object LocationResolve {
     val part = Tables.part(spark, sfDir)
     val probes = fuzzyProbes(part)
     val dimKeyed = scaleDim(part)
-      .withColumn("dlen", length($"vkey"))
+      .withColumn("dlen", scoredLen($"vkey"))
       .select($"vkey", $"canon", $"dlen",
         explode(blockKeys($"vkey")).as("bkey"))
     val probeKeyed = probes
-      .withColumn("plen", length($"norm"))
+      .withColumn("plen", scoredLen($"norm"))
       .select($"tok_id", $"norm", $"plen",
         explode(blockKeys($"norm")).as("bkey"))
     val best = probeKeyed.join(dimKeyed, "bkey")
-      .where(abs($"plen" - $"dlen") <= FuzzyLenBand)
+      .where(fuzzyLenBandPred($"plen", $"dlen",
+        graft.nlp.Cleaner.FuzzyScoreCutoff))
       .select($"tok_id", $"norm", $"vkey", $"canon").distinct()
       .withColumn("score",
         graft.functions.CustomExprs.token_sort_ratio($"norm", $"vkey"))

@@ -729,11 +729,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val vid = rows.filter(_._1 == dibId).sortBy(_._2)
     assert(vid.map(_._3.get).toSeq == expectVid && vid.forall(_._4 == "dib"),
       s"video doc $dibId frame features diverged from DIB recompute")
-    // MJPG video rows: the honest rejection — NULL feature + reason
+    // MJPG video rows: REAL entropy decode since round 12. Independent
+    // closed-form recompute (no JpegBaselineCodec call): the encoder
+    // emits one uniform gray 8×8 block per payload byte, njb blocks per
+    // pixel row (image width 8*njb), so byte j's 64 pixels land at
+    // p = (j/njb)*64*njb + (k/8)*8*njb + (j%njb)*8 + (k%8); block slots
+    // past the payload in the last block-row decode to zero and count
+    // in the stripe denominator only — mirroring the DuckDB oracle's
+    // uniform-block arm, not the engine's Huffman/IDCT path.
     val mjId = docs.keys.filter(d => d % 3 == 2 && (d / 3) % 3 == 2).min
-    val mj = rows.filter(_._1 == mjId)
-    assert(mj.nonEmpty && mj.forall(r => r._3.isEmpty &&
-      r._4 == "rejected:MJPG"), s"MJPG doc $mjId rejection rows diverged")
+    val mjPay = docs(mjId).getBytes("UTF-8").map(_ & 0xff)
+    val njb = 1 + ((mjId / 9) % 3).toInt
+    val blockRows = math.max(1, (mjPay.length + njb - 1) / njb)
+    val mjPadded = new Array[Long](64 * njb * blockRows)
+    mjPay.zipWithIndex.foreach { case (v, j) =>
+      var k = 0
+      while (k < 64) {
+        mjPadded((j / njb) * 64 * njb + (k / 8) * 8 * njb +
+          (j % njb) * 8 + (k % 8)) = v.toLong
+        k += 1
+      }
+    }
+    val mjL = mjPadded.length.toLong
+    val mjNf = 1L + mjPay.length % 8
+    val expectMj = (0L until mjNf).map { f =>
+      val s = (f * mjL / mjNf).toInt; val e = ((f + 1) * mjL / mjNf).toInt
+      if (e <= s) 0L else (s until e).map(mjPadded).sum / (e - s)
+    }
+    val mj = rows.filter(_._1 == mjId).sortBy(_._2)
+    assert(mj.map(_._3.get).toSeq == expectMj && mj.forall(_._4 == "mjpg"),
+      s"MJPG doc $mjId decoded frame features diverged from " +
+        s"uniform-block recompute")
   }
 
   test("ccStars: 64-node path converges in O(log n) rounds, not O(diameter)") {

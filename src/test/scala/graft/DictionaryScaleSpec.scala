@@ -103,4 +103,30 @@ class DictionaryScaleSpec extends AnyFunSuite {
     assert(hits > 0 && hits < got.size,
       s"degenerate probe set: $hits/${got.size} hits")
   }
+
+  test("length band derives from the cutoff: len-diff > 8 hits survive") {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    // The r12 fixed half-width of 8 was lossy: at la+lb ≥ ~50, score
+    // ≥ 82 admits indel distance up to 0.18·(la+lb) > 8. Pin the exact
+    // counterexample family — la=50, lb=60, pure 10-char append ⇒
+    // d=10, score 100·(1−10/110)=90.9 ≥ 82, len diff 10 — and one
+    // provably-impossible pair the derived band must still drop.
+    val a = "x" * 50
+    val rows = Seq(
+      (a, a + ("y" * 10)),   // above cutoff, len diff 10: MUST survive
+      ("z" * 10, "z" * 30)). // max score 50 < 82: MUST be dropped
+      toDF("p", "d")
+      .withColumn("score",
+        graft.functions.CustomExprs.token_sort_ratio($"p", $"d"))
+      .withColumn("band", LocationResolve.fuzzyLenBandPred(
+        length($"p"), length($"d"), graft.nlp.Cleaner.FuzzyScoreCutoff))
+      .collect().map(r => (r.getDouble(2), r.getBoolean(3)))
+    assert(rows(0)._1 >= graft.nlp.Cleaner.FuzzyScoreCutoff,
+      s"fixture drifted: append-10 pair scores ${rows(0)._1} < cutoff")
+    assert(rows(0)._2, "derived band dropped an above-cutoff candidate " +
+      s"(score ${rows(0)._1}, len diff 10) — the r12 lossy-band bug")
+    assert(!rows(1)._2,
+      "derived band kept a pair that cannot clear the cutoff")
+  }
 }

@@ -58,6 +58,49 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq(("x", "y"), ("x", "z"), ("y", "z")))
   }
 
+  test("might_contain over a scalar-subquery sketch is interpreter-only " +
+      "(pinned); the literal-sketch form compiles") {
+    // The subquery form above evaluates CORRECTLY but through Spark's
+    // interpreted-projection fallback: janino rejects the generated
+    // scalar-subquery reference ("java.lang.Long is not an rvalue") and
+    // the projection factory falls back with a WARN. That is accepted
+    // for the SQL-surface convenience form — the engine never uses it
+    // (x27 probes a plan-LITERAL sketch; PlanAuditSpec gates that shape
+    // compiles). Pin both facts so a Spark upgrade that fixes the
+    // codegen shows up as a failing pin to delete, not silent drift.
+    val saved = Seq("spark.sql.codegen.factoryMode",
+      "spark.sql.codegen.fallback").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val subquery = intercept[Exception](spark.sql(
+        "SELECT might_contain((SELECT bloom_agg(xxhash64(v), 100L, 1000L) " +
+          "FROM (SELECT explode(array('a', 'b')) AS v)), xxhash64('a'))")
+        .collect())
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(subquery).exists(m => m.contains("rvalue") ||
+          m.toLowerCase.contains("compil")),
+        "scalar-subquery might_contain now COMPILES under CODEGEN_ONLY — " +
+          "Spark fixed the janino shape; delete this pin and the " +
+          s"fallback note. Got: ${subquery}")
+      // the literal form (the engine's x27 shape) must compile
+      val sketch = spark.sql(
+        "SELECT bloom_agg(xxhash64(v), 100L, 1000L) " +
+          "FROM (SELECT explode(array('a', 'b')) AS v)")
+        .collect()(0).getAs[Array[Byte]](0)
+      import org.apache.spark.sql.functions._
+      val ok = spark.range(1)
+        .select(call_function("might_contain",
+          lit(sketch), xxhash64(lit("a"))).as("mc"))
+        .collect()(0).getBoolean(0)
+      assert(ok, "literal-sketch might_contain returned wrong answer")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("wrong arity fails with the function name, not an index error") {
     val e = intercept[Exception](spark.sql("SELECT token_sort_ratio('a')"))
     def messages(t: Throwable): Seq[String] =

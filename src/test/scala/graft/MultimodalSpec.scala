@@ -945,6 +945,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("SOF"), e.getMessage)
   }
 
+  test("JPEG baseline: malformed segment length < 2 rejects cleanly") {
+    // a foreign/corrupt APPn declaring length 0 or 1 must hit the
+    // loud-reject convention, not advance INSIDE the segment and die on
+    // a raw bounds error or an 'expected marker' misdiagnosis
+    for (len <- Seq(0, 1)) {
+      val blob = Array(0xff, 0xd8, 0xff, 0xe5, len >> 8, len & 0xff,
+        0x41, 0x42).map(_.toByte)
+      val e = intercept[IllegalArgumentException](jpegB.decode(blob))
+      assert(e.getMessage.contains(s"length $len < 2"), e.getMessage)
+    }
+  }
+
   test("AVI mjpgFrames: MJPG chunks surface as-is; other handlers Left") {
     val payload = (0 until 30).map(_.toByte).toArray
     val jpeg = jpegB.encodeGrayDcOnly(payload, 2)

@@ -111,6 +111,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan.take(2000))
   }
 
+  test("x27: literal-sketch plan COMPILES — no silent interpreter fallback") {
+    // ExtensionsSpec pins that might_contain over a SCALAR-SUBQUERY
+    // sketch is interpreter-only on this Spark (janino rejects the
+    // generated reference). The engine's x27 shape — sketch as a plan
+    // LITERAL probed inside the HOF — must never silently share that
+    // fate: CODEGEN_ONLY + fallback=false turn any janino failure into
+    // a hard error here instead of a WARN lost in the suite log.
+    val saved = Seq("spark.sql.codegen.factoryMode",
+      "spark.sql.codegen.fallback").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try assert(graft.ops.Dedup.bloomDecontaminate(spark, sf).count() >= 0)
+    finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("x25/x26: ADC scan and rescore never cartesian/nested-loop the corpus") {
     // the 8-row query frame may broadcast (fine, like x21's sketches);
     // the code table / full corpus must never enter a cartesian product

@@ -21,6 +21,7 @@ class RegistrySpec extends AnyFunSuite {
     "Analytics"       -> graft.ops.Analytics,
     "Dedup"           -> graft.ops.Dedup,
     "Events"          -> graft.ops.Events,
+    "JpegBaseline"    -> graft.ops.JpegBaseline,
     "LocationResolve" -> graft.ops.LocationResolve,
     "Multimodal"      -> graft.ops.Multimodal,
     "Pipeline"        -> graft.ops.Pipeline,
