@@ -80,6 +80,7 @@ object SparkEntry {
     // DuckDB; gated by DictionaryScaleSpec's blocked-vs-exhaustive
     // equivalence test instead
     "n11_fuzzy_blocked"     -> (LocationResolve.fuzzyDictScale _),
+    "n12_tiered_locations"  -> (LocationResolve.tieredLocations _),
     "n10_nlp_columns"      -> (Analytics.nlpColumns _),
     "x10_dedup_exact"      -> (Dedup.exactDedup _),
     "x11_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
@@ -281,6 +282,7 @@ object SparkEntry {
     "n06_tier12_relational" -> LocationResolve.tier12Sql,
     "n07_tier12_broadcast"  -> LocationResolve.tier12Sql, // same semantics, broadcast form
     "n09_dict_scale"        -> LocationResolve.dictScaleSql,
+    "n12_tiered_locations"  -> LocationResolve.tieredLocationsSql,
     "n10_nlp_columns"       -> Analytics.nlpColumnsSql,
     "x10_dedup_exact"       -> Dedup.exactDedupSql,
     "x11_dedup_minhash_lsh" -> Dedup.jaccardPairsSql, // LSH verified == exact

@@ -364,4 +364,136 @@ object LocationResolve {
         .when(m === 2, concat(col("p_name"), lit("x "), key))
         .otherwise(concat(lit("qq vv ww unrelated "), key)).as("norm"))
   }
+
+  // ----------------------- n12: the composed 3-tier resolver w/ switch
+
+  /** Dictionary-size threshold for the fuzzy tier's physical form:
+    * at or below it the exhaustive argmax runs as a broadcast
+    * crossJoin of the dim (candidates = |probes|·|dict|, fine for a
+    * dim-sized dictionary and EXACT for every string shape); above it
+    * the n11 blocked join takes over (cost ∝ real near-matches). The
+    * switch is a plan-construction decision off a bounded
+    * `limit(n+1).count()` probe of the dim — the same class of
+    * driver-side sizing AQE does for broadcast thresholds. */
+  private[graft] val FuzzyBlockSwitch = 512L
+
+  /** The fuzzy tier over DISTINCT probe strings (`fnorm`) against an
+    * arbitrary (vkey, canon, vorder) dimension → (fnorm, floc):
+    * best-scoring variant at or above the cutoff, ties broken by
+    * vorder then vkey (the bundled dictionary passes its insertion
+    * index as vorder, preserving the reference cleaner's first-wins
+    * tie rule; callers without a meaningful order pass a constant and
+    * fall to the vkey tiebreak). Physical form picked by
+    * [[FuzzyBlockSwitch]] (or forced via `blocked` for equivalence
+    * gates). Recall boundary of the blocked form, documented at n11:
+    * structural for multi-token strings with single-token edits (≥ 1
+    * of the first-3-token pair keys survives); single-token strings
+    * emit no pair key, so a dictionary of single-token variants must
+    * stay below the switch (as the bundled one does) or grow
+    * char-gram keys. */
+  private[graft] def fuzzyResolveDim(probes: DataFrame, dim: DataFrame,
+      blocked: Option[Boolean] = None): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    val useBlocked = blocked.getOrElse(
+      dim.limit((FuzzyBlockSwitch + 1).toInt).count() > FuzzyBlockSwitch)
+    val cand =
+      if (useBlocked) {
+        val dimKeyed = dim.withColumn("dlen", scoredLen($"vkey"))
+          .select($"vkey", $"canon", $"vorder", $"dlen",
+            explode(blockKeys($"vkey")).as("bkey"))
+        val probeKeyed = probes.withColumn("plen", scoredLen($"fnorm"))
+          .select($"fnorm", $"plen", explode(blockKeys($"fnorm")).as("bkey"))
+        probeKeyed.join(dimKeyed, "bkey")
+          .where(fuzzyLenBandPred($"plen", $"dlen",
+            graft.nlp.Cleaner.FuzzyScoreCutoff))
+          .select($"fnorm", $"vkey", $"canon", $"vorder").distinct()
+      } else probes.crossJoin(broadcast(dim))
+    cand.withColumn("score",
+        graft.functions.CustomExprs.token_sort_ratio($"fnorm", $"vkey"))
+      .where($"score" >= graft.nlp.Cleaner.FuzzyScoreCutoff)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"fnorm")
+          .orderBy($"score".desc, $"vorder".asc, $"vkey".asc)))
+      .where($"rn" === 1)
+      .select($"fnorm", $"canon".as("floc"))
+  }
+
+  /** All three lookup tiers over an exploded token frame, in the
+    * reference cleaner's per-token order: exact(norm) → regex(norm) →
+    * FUZZY(norm) → exact(stripped) → regex(stripped) →
+    * FUZZY(stripped), each fuzzy gated on the cleaner's min length.
+    * Tiers 1-2 are [[resolveTokensBroadcast]] unchanged; the fuzzy
+    * tier runs ONCE over the distinct union of still-unresolved norms
+    * and strippedNorms (a vocabulary-bounded string dim) through
+    * [[fuzzyResolveDim]], then broadcast-joins back onto the token
+    * frame for both coalesce positions. Fact rows never see the
+    * dictionary or the scorer. */
+  private[graft] def resolveTokensTiered(exploded: DataFrame,
+      dim: DataFrame, combinedPattern: String,
+      blocked: Option[Boolean] = None): DataFrame = {
+    val spark = exploded.sparkSession
+    import spark.implicits._
+    val minLen = graft.nlp.Cleaner.FuzzyMinLen
+    val t12 = resolveTokensBroadcast(
+      exploded, dim.select($"vkey", $"canon"), combinedPattern)
+    val probeNorms = t12
+      .filter(coalesce($"c_exact", $"c_regex").isNull &&
+        length($"norm") >= minLen)
+      .select($"norm".as("fnorm"))
+    val probeStripped = t12
+      .filter($"stripped" =!= "" &&
+        coalesce($"c_sexact", $"c_sregex").isNull &&
+        length($"strippedNorm") >= minLen)
+      .select($"strippedNorm".as("fnorm"))
+    val fuzzy = fuzzyResolveDim(
+      probeNorms.union(probeStripped).distinct(), dim, blocked)
+    t12
+      .join(broadcast(fuzzy.select($"fnorm".as("norm"),
+        $"floc".as("f_norm"))), Seq("norm"), "left")
+      .join(broadcast(fuzzy.select($"fnorm".as("strippedNorm"),
+        $"floc".as("f_stripped"))), Seq("strippedNorm"), "left")
+      .withColumn("loc", coalesce(
+        $"c_exact", $"c_regex",
+        when(length($"norm") >= minLen, $"f_norm"),
+        $"c_sexact", $"c_sregex",
+        when($"stripped" =!= "" && length($"strippedNorm") >= minLen,
+          $"f_stripped")))
+  }
+
+  /** n12 — extract_all_locations with ALL THREE tiers relational: the
+    * n07 dataflow plus the fuzzy tier through the [[FuzzyBlockSwitch]]
+    * dictionary-size switch (the bundled 17-variant dictionary sits
+    * below it, so the registered query runs the exhaustive-argmax
+    * branch; DictionaryScaleSpec forces both branches over the n09
+    * 100k dim and proves them equal). This is the q4/n10 resolution
+    * semantics (reference cleaner_v6.py:198-260) with zero UDFs — the
+    * form that stays honest when the dictionary outgrows a UDF
+    * closure — and it is gated by the SAME per-vid goldens as n10's
+    * UDF path, so the two implementations cannot drift apart
+    * silently. */
+  def tieredLocations(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val withEl = withElFrame(spark, sfDir)
+    val exploded = explodedTokens(withEl)
+    val dim = Locations.variantRows.zipWithIndex
+      .map { case ((v, c), i) => (v, c, i.toLong) }
+      .toDF("vkey", "canon", "vorder")
+    assemble(withEl,
+      resolveTokensTiered(exploded, dim, Locations.combinedPattern))
+  }
+
+  /** n12's oracle: the SAME golden per-vid location lists that gate
+    * n10's UDF path (fuzzy tier included), replayed as CASE tables —
+    * full hash oracle, no rows-only concession. */
+  val tieredLocationsSql: String =
+    s"""WITH trips AS (
+       |${Trips.rawSql}
+       |)
+       |SELECT trip_key, vid,
+       |  ${Trips.caseByVid(Goldens.allLocations.map(_.mkString("|")))} AS locations,
+       |  CAST(${Trips.caseByVidInt(Goldens.allLocations.map(_.size))} AS BIGINT) AS n_locations
+       |FROM trips ORDER BY trip_key""".stripMargin
 }

@@ -104,6 +104,41 @@ class DictionaryScaleSpec extends AnyFunSuite {
       s"degenerate probe set: $hits/${got.size} hits")
   }
 
+  test("n12 composed resolver: forced-blocked ≡ forced-exhaustive on the " +
+      "n09 dim; the size switch picks each branch where designed") {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    val part = graft.Tables.part(spark, "/root/testdata/sf0.001")
+    // the n11 probe family (single-token edits — the blocked form's
+    // structural-recall class) as the distinct fuzzy-probe dim the
+    // composed resolver feeds fuzzyResolveDim
+    val probes = LocationResolve.fuzzyProbes(part)
+      .select($"norm".as("fnorm")).distinct()
+    val dim = LocationResolve.scaleDim(part)
+      .withColumn("vorder", org.apache.spark.sql.functions.lit(0L))
+    def resolved(blocked: Boolean): Map[String, String] =
+      LocationResolve.fuzzyResolveDim(probes, dim, Some(blocked))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (b, e) = (resolved(blocked = true), resolved(blocked = false))
+    assert(b == e, {
+      val diff = (b.keySet ++ e.keySet).filter(k => b.get(k) != e.get(k))
+      s"${diff.size} diverging probes, e.g. ${diff.take(3).map(k =>
+        s"'$k' blocked=${b.get(k)} exhaustive=${e.get(k)}").mkString("; ")}"
+    })
+    assert(b.nonEmpty, "degenerate: no probe resolved on either branch")
+    // the switch itself: the 100k-regime dim must pick the blocked
+    // branch (no BroadcastNestedLoopJoin from a dim crossJoin), the
+    // bundled-size dim the exhaustive one (its deliberate dim-sized
+    // crossJoin IS a BNLJ)
+    def planOf(d: org.apache.spark.sql.DataFrame) = LocationResolve
+      .fuzzyResolveDim(probes, d).queryExecution.executedPlan.toString
+    assert(!planOf(dim).contains("BroadcastNestedLoopJoin"),
+      "large dim routed through the exhaustive crossJoin")
+    val tiny = dim.limit(100)
+    assert(planOf(tiny).contains("BroadcastNestedLoopJoin"),
+      "small dim did not take the exhaustive-argmax branch")
+  }
+
   test("length band derives from the cutoff: len-diff > 8 hits survive") {
     import spark.implicits._
     graft.functions.CustomExprs.register(spark)

@@ -63,6 +63,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assertUdfsConfined(plan)
   }
 
+  test("n12: all-tiers-relational plan carries ZERO UDFs; fuzzy joins " +
+      "stay on the distinct-string dim side") {
+    // the whole point of n12 vs n10: identical semantics (shared
+    // goldens) with every tier — fuzzy included — a relational op.
+    // A UDF( anywhere here means the fuzzy tier regressed to a closure
+    val plan = formatted(
+      graft.ops.LocationResolve.tieredLocations(spark, sf))
+    assert(!plan.contains("UDF("), plan.take(2000))
+    // the dictionary and the fuzzy dim broadcast back onto distinct
+    // strings / fact rows — the corpus is never crossJoined
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("BroadcastExchange"), plan.take(1500))
+  }
+
   test("n07: dictionary lookups are BroadcastHashJoins, result == n06") {
     val n07 = graft.ops.LocationResolve.tier12LocationsBroadcast(spark, sf)
     val plan = formatted(n07)
