@@ -87,6 +87,7 @@ object SparkEntry {
     "x12_dedup_simhash"    -> (Dedup.simhashPairs _),
     "x13_dedup_jaccard"    -> (Dedup.jaccardPairs _),
     "x14_cosine_neardup"   -> (Similarity.cosineNearDupPairs _),
+    "x78_semantic_decontaminate" -> (Similarity.semanticDecontaminate _),
     "x15_neardup_survivors" -> (Dedup.nearDupSurvivors _),
     "x17_dup_clusters"     -> (Dedup.dupClusters _),
     "x28_soft_dedup"       -> (Dedup.softDedup _),
@@ -288,6 +289,7 @@ object SparkEntry {
     "x11_dedup_minhash_lsh" -> Dedup.jaccardPairsSql, // LSH verified == exact
     "x13_dedup_jaccard"     -> Dedup.jaccardPairsSql,
     "x14_cosine_neardup"    -> Similarity.cosineNearDupPairsSql,
+    "x78_semantic_decontaminate" -> Similarity.semanticDecontaminateSql,
     "x15_neardup_survivors" -> Dedup.nearDupSurvivorsSql,
     "x17_dup_clusters"      -> Dedup.dupClustersSql,
     "x28_soft_dedup"        -> Dedup.softDedupSql,

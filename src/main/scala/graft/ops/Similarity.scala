@@ -187,6 +187,59 @@ object Similarity {
        |WHERE list_cosine_similarity(a.v, b.v) >= $NearDupTau
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** x78 — SEMANTIC decontamination: flag every training vector whose
+    * embedding lies within cosine τ of ANY benchmark vector (the
+    * embedding-space sibling of x19's n-gram containment flag — catches
+    * paraphrased/reformatted benchmark leakage that shares no 8-gram).
+    * Benchmark slice is the x19 convention transplanted to vec space
+    * (vec_id % 17); output is (train_id, n_hits) — ids and integer
+    * counts only, so the oracle is robust to last-ulp float differences
+    * (x14's rule).
+    *
+    * Scale design — bipartite 2-D tiled equi join, the x14 tiling
+    * adapted to two sides: train tile t is replicated across bench
+    * tiles u, bench tile u across train tiles t, so every (train,
+    * bench) pair meets in EXACTLY ONE of the T² block tasks (no
+    * distinct needed) and each task holds (n_t + n_b)/T vectors —
+    * bounded memory regardless of corpus size, never a
+    * BroadcastNestedLoopJoin (the benchmark side is n/17: far too big
+    * to broadcast at 100 TB, unlike x19's inverted-index dim). Exact
+    * semantics at this τ is intrinsically all-pairs (x14's argument:
+    * τ = 0.4 ⇒ θ ≈ 66°, no sound blocking family); the sub-quadratic
+    * deployment path for the tight-τ regime is the x24/x26 celled
+    * composition over the same corpus. */
+  def semanticDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val all = corpus(spark, sfDir)
+    val isBench = col("vec_id") % 17 === 0
+    val lhs = all.filter(!isBench)
+      .withColumn("t", pmod($"vec_id", lit(Tiles)).cast("int"))
+      .select($"vec_id".as("train_id"), $"v".as("vt"), $"nrm".as("nt"),
+        $"t", explode(sequence(lit(0), lit(Tiles - 1))).as("u"))
+      .withColumn("block", $"t" * Tiles + $"u")
+    val rhs = all.filter(isBench)
+      .withColumn("u", pmod($"vec_id", lit(Tiles)).cast("int"))
+      .select($"vec_id".as("bench_id"), $"v".as("vb"), $"nrm".as("nb"),
+        $"u", explode(sequence(lit(0), lit(Tiles - 1))).as("t"))
+      .withColumn("block", $"t" * Tiles + $"u")
+    lhs.join(rhs, "block")
+      .withColumn("cos", dot($"vt", $"vb") / ($"nt" * $"nb"))
+      .filter($"cos" >= NearDupTau)
+      .groupBy($"train_id")
+      .agg(count($"bench_id").as("n_hits"))
+      .orderBy($"train_id")
+  }
+
+  val semanticDecontaminateSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |)
+       |SELECT t.vec_id AS train_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |FROM e t JOIN e b
+       |  ON b.vec_id % 17 = 0 AND t.vec_id % 17 <> 0
+       | AND list_cosine_similarity(t.v, b.v) >= $NearDupTau
+       |GROUP BY 1 ORDER BY train_id""".stripMargin
+
   private val SketchDims = 32
 
   /** Deterministic random-projection family (seeded Scala PRNG — fixed

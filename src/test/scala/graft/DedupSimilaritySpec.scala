@@ -672,6 +672,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("x78 bipartite tiling: ≡ driver brute-force; every pair meets once") {
+    import graft.ops.Similarity
+    val got = Similarity.semanticDecontaminate(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // independent O(n_t·n_b) recompute off the same normalized corpus
+    // (ascending-index dot = the engine's vector_dot order, so the
+    // cosines are bit-identical and the τ cut cannot flake); a tiling
+    // bug that double-counts a pair (block overlap) or drops one
+    // (block gap) shifts n_hits and fails the map equality
+    val vecs = Similarity.corpus(spark, sf)
+      .select("vec_id", "v", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val bench = vecs.filter(_._1 % 17 == 0)
+    assert(bench.nonEmpty && bench.length < vecs.length)
+    val expect = vecs.filter(_._1 % 17 != 0).map { case (id, v, n) =>
+      id -> bench.count { case (_, bv, bn) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * bv(i); i += 1 }
+        s / (n * bn) >= 0.4
+      }.toLong
+    }.filter(_._2 > 0).toMap
+    assert(got == expect,
+      s"tiled=${got.size} rows vs brute=${expect.size}; diverging: ${
+        (got.keySet ++ expect.keySet)
+          .filter(k => got.get(k) != expect.get(k)).take(5)}")
+  }
+
   test("x14 tiled cosine join: no nested-loop/cartesian over the corpus") {
     val plan = Similarity.cosineNearDupPairs(spark, sf)
       .queryExecution.executedPlan.toString

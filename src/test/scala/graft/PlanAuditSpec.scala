@@ -142,6 +142,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("x78: bipartite tiled join is a hash equi join — no cartesian, " +
+      "no broadcast nested loop, no distinct stage") {
+    // the benchmark side is n/17: never broadcastable at scale, so the
+    // 2-D tiling must surface as ONE equi join on the block key; and
+    // because each (train, bench) pair meets in exactly one block, no
+    // dedup aggregation may appear between join and count
+    val plan = formatted(graft.ops.Similarity.semanticDecontaminate(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.toLowerCase.contains("distinct"), plan.take(2000))
+  }
+
   test("x25/x26: ADC scan and rescore never cartesian/nested-loop the corpus") {
     // the 8-row query frame may broadcast (fine, like x21's sketches);
     // the code table / full corpus must never enter a cartesian product
