@@ -88,6 +88,7 @@ object SparkEntry {
     "x13_dedup_jaccard"    -> (Dedup.jaccardPairs _),
     "x14_cosine_neardup"   -> (Similarity.cosineNearDupPairs _),
     "x78_semantic_decontaminate" -> (Similarity.semanticDecontaminate _),
+    "x79_semantic_decontam_celled" -> (Similarity.semanticDecontaminateCelled _),
     "x15_neardup_survivors" -> (Dedup.nearDupSurvivors _),
     "x17_dup_clusters"     -> (Dedup.dupClusters _),
     "x28_soft_dedup"       -> (Dedup.softDedup _),
@@ -290,6 +291,7 @@ object SparkEntry {
     "x13_dedup_jaccard"     -> Dedup.jaccardPairsSql,
     "x14_cosine_neardup"    -> Similarity.cosineNearDupPairsSql,
     "x78_semantic_decontaminate" -> Similarity.semanticDecontaminateSql,
+    "x79_semantic_decontam_celled" -> Similarity.semanticDecontaminateCelledSql,
     "x15_neardup_survivors" -> Dedup.nearDupSurvivorsSql,
     "x17_dup_clusters"      -> Dedup.dupClustersSql,
     "x28_soft_dedup"        -> Dedup.softDedupSql,

@@ -1434,6 +1434,81 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  // ------------------------------------- x79 celled semantic decontam
+
+  /** Within-cell (train, bench) decontamination flags over a
+    * cell-assigned corpus: the bipartite sibling of
+    * [[cellNearDupPairsOf]] under the x19/x78 benchmark-slice
+    * convention (vec_id % 17). A pair sharing several probed cells
+    * emits once. */
+  private[graft] def celledDecontFlagsOf(cells: DataFrame,
+      tau: Double): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val lhs = cells.filter($"vec_id" % 17 =!= 0)
+      .select($"cell", $"vec_id".as("train_id"), $"v".as("vt"), $"nrm".as("nt"))
+    val rhs = cells.filter($"vec_id" % 17 === 0)
+      .select($"cell", $"vec_id".as("bench_id"), $"v".as("vb"), $"nrm".as("nb"))
+    lhs.join(rhs, Seq("cell"))
+      .withColumn("cos", dot($"vt", $"vb") / ($"nt" * $"nb"))
+      .filter($"cos" >= tau)
+      .select($"train_id").distinct()
+  }
+
+  /** x79 — celled semantic decontamination: x78's flag at the
+    * production τ = [[SemDedupTauHigh]] through x24's sub-quadratic
+    * candidate generator — train and benchmark vectors share the x22
+    * IVF cells (top-2 assignment, closing the Voronoi-boundary recall
+    * gap), candidates are within-cell bipartite pairs only, exact
+    * cosine rescore, output the CLEAN training slice. The regime split
+    * mirrors x23/x24 exactly: x78 is the exact all-pairs form (sound at
+    * any τ, intrinsically quadratic), x79 the deployment form for the
+    * tight-τ regime where a qualifying pair is near-colinear and hence
+    * co-assigned — per-cell work (p·n/k)², total linear in n at fixed
+    * cell size, co-partitioned when the index is bucketed by cell.
+    * Full oracle: the x24 unrolled-Lloyd prolog replays the centroids,
+    * assignment, bipartite flags and anti-join in DuckDB;
+    * DedupSimilaritySpec gates celled ≡ brute-force flags on the
+    * planted high-τ fixture (where flags actually fire — the isotropic
+    * sf corpus has no pair above 0.6, so the registered query's honest
+    * answer there is "nothing to remove"). */
+  def semanticDecontaminateCelled(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val assigned = multiCellAssign(corpus(spark, sfDir),
+      centroids(spark, sfDir), SemDedupAssignProbes)
+    val flagged = celledDecontFlagsOf(assigned, SemDedupTauHigh)
+    Tables.spread(Tables.embeddings(spark, sfDir))
+      .filter($"vec_id" % 17 =!= 0)
+      .join(flagged.select($"train_id".as("vec_id")), Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"label")
+      .orderBy($"vec_id")
+  }
+
+  /** x79's oracle on the x24 trained-centroid prolog: top-2 assignment,
+    * within-cell bipartite (train, bench) flags at τ, anti-join. */
+  def semanticDecontaminateCelledSql: String =
+    ivfOracleProlog +
+      s""", mp AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.v, c.cw) DESC, c.cell DESC) AS rk
+       |    FROM n, $ivfOracleFinalCents c)
+       |  WHERE rk <= $SemDedupAssignProbes
+       |), flagged AS (
+       |  SELECT DISTINCT t.vec_id
+       |  FROM mp t JOIN mp b ON t.cell = b.cell
+       |    AND t.vec_id % 17 <> 0 AND b.vec_id % 17 = 0
+       |  JOIN n x ON x.vec_id = t.vec_id
+       |  JOIN n y ON y.vec_id = b.vec_id
+       |  WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm)
+       |          >= $SemDedupTauHigh
+       |)
+       |SELECT e.vec_id, e.label FROM embeddings e
+       |LEFT JOIN flagged f ON e.vec_id = f.vec_id
+       |WHERE e.vec_id % 17 <> 0 AND f.vec_id IS NULL
+       |ORDER BY e.vec_id""".stripMargin
+
   // ------------------------------------------------ x61 prototypicality
 
   /** Fraction of each cell kept by x61 — the most-prototypical 80%,

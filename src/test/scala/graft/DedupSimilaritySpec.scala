@@ -672,6 +672,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("x79 celled decontamination ≡ brute-force flags at τ=0.8 on the " +
+      "planted fixture") {
+    import org.apache.spark.sql.functions._
+    graft.functions.CustomExprs.register(spark)
+    val tau = Similarity.SemDedupTauHigh
+    // brute-force flags: train ids (vec_id % 17 ≠ 0) within τ of any
+    // bench id, off the planted corpus collected driver-side
+    val vecs = semCorpus.select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val bench = vecs.filter(_._1 % 17 == 0)
+    val expect = vecs.filter(_._1 % 17 != 0).filter { case (_, v) =>
+      bench.exists { case (_, bv) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * bv(i); i += 1 }
+        s >= tau // fixture vectors are unit (nrm column is lit(1.0))
+      }
+    }.map(_._1).toSet
+    // the planted (src, copy) pairs must put SOME train id within τ of
+    // a bench id, or this gate is vacuous on the celled recall claim
+    assert(expect.nonEmpty, "fixture drifted: no train-bench flag at τ")
+    val cells = Similarity.multiCellAssign(semCorpus,
+        Similarity.ivfCentroidsOf(semCorpus, k = 32),
+        Similarity.SemDedupAssignProbes)
+      .persist()
+    try {
+      val got = Similarity.celledDecontFlagsOf(cells, tau)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expect,
+        s"celled missed: ${expect -- got}; extra: ${got -- expect}")
+    } finally cells.unpersist()
+  }
+
   test("x78 bipartite tiling: ≡ driver brute-force; every pair meets once") {
     import graft.ops.Similarity
     val got = Similarity.semanticDecontaminate(spark, sf)
