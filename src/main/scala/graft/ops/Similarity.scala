@@ -831,7 +831,7 @@ object Similarity {
     * [[graft.Caches]] registry so `Caches.clear` drops it together with
     * the frames it was trained on (a privately-cached copy could survive
     * a clear and silently mismatch a regenerated corpus). */
-  private def centroids(spark: SparkSession, sfDir: String): Array[Array[Double]] =
+  private[graft] def centroids(spark: SparkSession, sfDir: String): Array[Array[Double]] =
     graft.Caches.memoValue(spark, s"ivf-centroids:$sfDir") {
       ivfCentroidsOf(corpus(spark, sfDir))
     }

@@ -1014,6 +1014,88 @@ object Streaming {
       graft.ops.Similarity.IvfProbes)
   }
 
+  // --------------------------- x79 streamed semantic decontamination
+
+  /** The FROZEN benchmark cell store the streamed semantic
+    * decontamination flag probes: the base corpus's benchmark slice
+    * (vec_id % 17 == 0, the x19/x78/x79 convention) cell-assigned
+    * under the frozen centroids, written ONCE partitioned by cell —
+    * the model side of the stream, like the IVF-PQ codebooks: captured
+    * before the stream starts, never per batch. At 100 TB the bench
+    * side is n/17 (never broadcastable); partitioning by cell makes
+    * each micro-batch's probe a cell-pruned equi join against it. */
+  def buildBenchCellStore(baseEmbs: DataFrame, benchDir: String,
+      cents: Array[Array[Double]]): Unit = {
+    val bench = graft.ops.Similarity.corpusOf(baseEmbs)
+      .filter(col("vec_id") % 17 === 0)
+    graft.ops.Similarity
+      .multiCellAssign(bench, cents,
+        graft.ops.Similarity.SemDedupAssignProbes)
+      .write.mode("overwrite").partitionBy("cell").parquet(benchDir)
+  }
+
+  /** Per-batch x79 flag: the micro-batch's training vectors are
+    * cell-assigned under the SAME frozen centroids as the bench store,
+    * unioned with it, and run through the SAME within-cell bipartite
+    * flag code as batch x79 ([[graft.ops.Similarity.celledDecontFlagsOf]]
+    * — one definition, so streamed and batch flags cannot diverge by
+    * construction), then the batch's clean training rows land as an
+    * append-only versioned slice. Cost ∝ batch (the bench store is
+    * read-only state); replay-safe via the _SUCCESS marker like every
+    * other versioned dim. */
+  def semDecontUpdate(benchDir: String, outDir: String,
+      cents: Array[Array[Double]])(batch: DataFrame, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    if (Files.isRegularFile(Paths.get(s"$outDir/v$batchId/_SUCCESS"))) return
+    val prior = modelVersions(outDir).filter(_ < batchId)
+    requirePredecessorState(outDir, batchId, prior)
+    val spark = batch.sparkSession
+    val sim = graft.ops.Similarity
+    val bench = spark.read.parquet(benchDir)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val train = sim.corpusOf(batch.select("vec_id", "embedding"))
+      .filter(col("vec_id") % 17 =!= 0)
+    val assigned = sim.multiCellAssign(train, cents, sim.SemDedupAssignProbes)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val flagged = sim.celledDecontFlagsOf(assigned.unionByName(bench),
+      sim.SemDedupTauHigh)
+    batch.filter(col("vec_id") % 17 =!= 0)
+      .join(flagged.select(col("train_id").as("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .write.mode("overwrite").parquet(s"$outDir/v$batchId/clean")
+    Files.write(Paths.get(s"$outDir/v$batchId/_SUCCESS"),
+      Array.emptyByteArray)
+  }
+
+  /** Run the streamed decontamination to completion (AvailableNow);
+    * model (centroids + bench store) captured before the stream. */
+  def buildSemDecontStream(embs: DataFrame, benchDir: String,
+      outDir: String, ckptDir: String,
+      cents: Array[Array[Double]]): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    requireSharedLifecycle(outDir, ckptDir)
+    val q = embs.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        semDecontUpdate(benchDir, outDir, cents)(df, batchId)
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The accumulated clean training slice across committed versions —
+    * the streamed x79 output (streamed ≡ batch when the stream
+    * replayed the batch corpus under the batch model; spec-pinned). */
+  def streamedSemDecontClean(spark: SparkSession, outDir: String): DataFrame = {
+    val vs = modelVersions(outDir).sorted
+    require(vs.nonEmpty, s"no committed clean slices under $outDir")
+    vs.map(v => spark.read.parquet(s"$outDir/v$v/clean"))
+      .reduce(_ unionByName _)
+      .orderBy(col("vec_id"))
+  }
+
   /** Run the incremental substring dedup over a documents stream to
     * completion (AvailableNow): maintains the span index under
     * `dimDir`, emits per-batch rewritten docs under `outDir`. Same

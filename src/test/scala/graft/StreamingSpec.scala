@@ -586,6 +586,49 @@ class StreamingSpec extends AnyFunSuite {
       s"expected 3 pruned slice scans (one per committed version), got $pruned")
   }
 
+  test("streamed semantic decontamination: 2-wave clean union == batch " +
+      "x79; planted stream-only leak flagged, clean plant survives") {
+    import spark.implicits._
+    val embs = Tables.embeddings(spark, sf)
+    // model side frozen BEFORE the stream: centroids + bench cell store
+    val cents = graft.ops.Similarity.centroids(spark, sf)
+    val benchDir =
+      java.nio.file.Files.createTempDirectory("graft_sd_bench").toString
+    Streaming.buildBenchCellStore(embs, benchDir, cents)
+    // two stream-only vectors: a LEAK (exact clone of bench vec 0 under
+    // a train id — must be flagged and absent from clean) and a CLEAN
+    // plant (clone of train vec 1, cos ≤ 0.6 to every bench vector —
+    // must survive; its presence proves wave 2's plants were really
+    // processed, not dropped by the landing)
+    val leak = embs.filter($"vec_id" === 0)
+      .select(lit(50000001L).as("vec_id"), $"embedding", $"label")
+    val clean = embs.filter($"vec_id" === 1)
+      .select(lit(50000002L).as("vec_id"), $"embedding", $"label")
+    val landing = stageLanding("semdecont", Seq(
+      embs.filter($"vec_id" % 2 === 0),
+      embs.filter($"vec_id" % 2 === 1).unionByName(leak).unionByName(clean)))
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft_sd_out").toString
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("graft_sd_ckpt").toString
+    Streaming.buildSemDecontStream(
+      spark.readStream.schema(Streaming.embeddingsRawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(landing),
+      benchDir, outDir, ckpt, cents)
+    val streamed = Streaming.streamedSemDecontClean(spark, outDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val batch = graft.ops.Similarity.semanticDecontaminateCelled(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val cleanPlant = clean.collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(!streamed.exists(_._1 == 50000001L),
+      "planted benchmark clone leaked into the streamed clean slice")
+    assert(streamed == batch ++ cleanPlant,
+      s"streamed clean diverged from batch x79 + clean plant: " +
+        s"missing=${(batch ++ cleanPlant) -- streamed take 3} " +
+        s"extra=${streamed -- (batch ++ cleanPlant) take 3}")
+  }
+
   test("incremental near-dup dedup: 2-wave streamed pairs == batch x18") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
@@ -694,6 +737,8 @@ class StreamingSpec extends AnyFunSuite {
       val dsDim = tmp("dsh")
       val iDir = tmp("ivfpq")
       val (kDim, kPairs, kSurv) = (tmp("kb_dim"), tmp("kb_pairs"), tmp("kb_surv"))
+      val (sdBench, sdOut) = (tmp("sd_bench"), tmp("sd_out"))
+      Streaming.buildBenchCellStore(embs, sdBench, cents)
       Seq(
         TornDim("unigram model", Streaming.unigramModelUpdate(uDim),
           vMark(uDim),
@@ -728,7 +773,13 @@ class StreamingSpec extends AnyFunSuite {
           Streaming.keepBestUpdate(kDim, kPairs, kSurv),
           vMark(kSurv),
           () => rows(Streaming.streamedKeepBestSurvivors(spark, kSurv)),
-          fifthWaves))
+          fifthWaves),
+        TornDim("semantic decontamination",
+          Streaming.semDecontUpdate(sdBench, sdOut, cents),
+          vMark(sdOut),
+          () => rows(Streaming.streamedSemDecontClean(spark, sdOut)),
+          Seq(embs.filter($"vec_id" % 2 === 0),
+            embs.filter($"vec_id" % 2 === 1))))
     }
 
     // enumeration check: the registry must name every versioned-dim
@@ -741,7 +792,7 @@ class StreamingSpec extends AnyFunSuite {
     val covered = Set("unigramModelUpdate", "blocklistUpdate",
       "bandIndexUpdate", "spanIndexUpdate", "decontamRewriteUpdate",
       "ledgerUpdate", "datasheetUpdate", "ivfPqIndexUpdate",
-      "keepBestUpdate")
+      "keepBestUpdate", "semDecontUpdate")
     assert(updaters == covered,
       s"torn-write registry out of sync with Streaming.scala: " +
         s"unexercised=${(updaters -- covered).mkString(", ")} " +
