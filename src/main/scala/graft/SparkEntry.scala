@@ -127,6 +127,7 @@ object SparkEntry {
     "x63_png_decode"       -> (Multimodal.pngDecode _),
     "x64_jpeg_decode"      -> (Multimodal.jpegDecode _),
     "x65_bmp_pixel_stats"  -> (Multimodal.bmpPixelStats _),
+    "x80_image_ahash_dedup" -> (Multimodal.imageAHashPairs _),
     "x66_pipeline_e2e"     -> (Pipeline.pipelineE2e _),
     "x69_quality_classifier" -> (TextAnalysis.qualityClassifier _),
     "x70_substring_rewrite" -> (Dedup.substringDedupRewrite _),
@@ -331,6 +332,7 @@ object SparkEntry {
     "x63_png_decode"        -> Multimodal.pngDecodeSql,
     "x64_jpeg_decode"       -> Multimodal.jpegDecodeSql,
     "x65_bmp_pixel_stats"   -> Multimodal.bmpPixelStatsSql,
+    "x80_image_ahash_dedup" -> Multimodal.imageAHashPairsSql,
     "x66_pipeline_e2e"      -> Pipeline.pipelineE2eSql,
     "x69_quality_classifier" -> TextAnalysis.qualityClassifierSql,
     "x70_substring_rewrite"  -> Dedup.substringDedupRewriteSql,

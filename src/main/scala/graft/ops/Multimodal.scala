@@ -801,6 +801,157 @@ object Multimodal {
       |  CAST(max_byte AS INT) AS max_byte
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------- x80 perceptual image dedup
+
+  /** x80's thumbnail-normalization width: every doc renders at ONE
+    * fixed geometry, the way real image-dedup pipelines resize before
+    * hashing — content-identical bytes then yield identical images
+    * regardless of doc identity (the id-keyed x57/x65 geometry would
+    * scatter near-identical payloads across layouts). */
+  private val AHashWidth = 32
+
+  /** Hamming radius for an x80 match. With 8 exact 8-bit chunk blocks,
+    * recall at ≤ 6 differing bits is STRUCTURAL (pigeonhole: 7 flipped
+    * bits can ruin at most 7 of the 8 chunks), so the blocked join is
+    * provably equal to the all-pairs form — x12's guarantee, reused. */
+  private[graft] val AHashHamMax = 6
+
+  /** Per-doc aHash-64 over the REAL decoded bitmap: encode the payload
+    * as an 8-bpp grayscale BMP at [[AHashWidth]], decode it back
+    * through the container walk (offset + stride law — the hash reads
+    * PIXELS, not payload), mean-pool the logical w×h rectangle into an
+    * 8×8 grid (row r → grid row 8r/h, col c → 8c/w, the uneven-floor
+    * convention mirrored exactly by the oracle; zero-filled tail
+    * pixels are black image content and count), and set bit k iff the
+    * cell mean exceeds the global mean — compared cross-multiplied in
+    * exact integers, no float mean ever materializes. */
+  def imageAHashSigs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .filter(length($"payload") > 0) // no image without pixels
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = new BmpCodec // once per partition, like a real codec
+        it.map { case (docId, payload) =>
+          val bmp = codec.encode(payload, width = AHashWidth, bpp = 8,
+            topDown = false)
+          val m = codec.decode(bmp)
+          val off = codec.pixelArrayOffset(bmp)
+          val h = m.height
+          val cellSum = new Array[Long](64)
+          val cellCnt = new Array[Long](64)
+          var total = 0L
+          var r = 0
+          while (r < h) {
+            val gyBase = (r * 8 / h) * 8
+            val base = off + r * m.rowStride
+            var c = 0
+            while (c < AHashWidth) {
+              val v = bmp(base + c) & 0xff
+              val k = gyBase + c * 8 / AHashWidth
+              cellSum(k) += v; cellCnt(k) += 1; total += v
+              c += 1
+            }
+            r += 1
+          }
+          val n = h.toLong * AHashWidth
+          var hash = 0L
+          var k = 0
+          while (k < 64) {
+            if (cellSum(k) * n > total * cellCnt(k)) hash |= (1L << k)
+            k += 1
+          }
+          (docId, hash)
+        }
+      }
+      .toDF("doc_id", "ahash")
+  }
+
+  /** x80 — perceptual near-dup IMAGE pairs: aHash-64 over the decoded
+    * thumbnails ([[imageAHashSigs]], map-only), then x12's chunk-blocked
+    * candidate join (8 exact 8-bit bands — candidates ∝ band
+    * collisions, never all pairs) with an exact hamming verify at
+    * ≤ [[AHashHamMax]]. Because the radius is under the pigeonhole
+    * bound, blocked ≡ all-pairs exactly, which is what lets the DuckDB
+    * oracle verify via the brute-force quadratic form at fixture scale
+    * while the engine plan stays banded. Byte-identical documents pair
+    * at hamming 0; near-dup texts pair when their byte edits leave ≤ 6
+    * grid cells crossing the global mean — the pixel-space sibling of
+    * x12's token-space signature. */
+  def imageAHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = imageAHashSigs(spark, sfDir)
+    val chunks = sigs.select($"doc_id", $"ahash",
+      explode(array((0 until 8).map(c =>
+        struct(lit(c).as("c"),
+          shiftright($"ahash", c * 8).bitwiseAND(0xFF).as("cv"))): _*)).as("ck"))
+      .select($"doc_id", $"ahash", $"ck.c".as("c"), $"ck.cv".as("cv"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.cv") === col("b.cv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter($"hamming" <= AHashHamMax)
+      .select($"id_a", $"id_b", $"hamming")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** x80's oracle: the aHash grid replayed closed-form from the payload
+    * hex (byte j sits at row j÷32, col j mod 32; cell counts come from
+    * the FULL h×32 geometry so zero-filled tail pixels count; the bit
+    * rule is the same integer cross-multiplication), signature packed
+    * with bit 63 as Long.MinValue (x12's convention — `1 << 63` would
+    * overflow), then the brute-force quadratic hamming join (sound as
+    * the oracle because blocked ≡ all-pairs under the pigeonhole
+    * radius). */
+  val imageAHashPairsSql: String = {
+    val byteAt =
+      "(strpos('0123456789ABCDEF', substr(hx, CAST(2*j+1 AS INT), 1))-1)*16" +
+        " + (strpos('0123456789ABCDEF', substr(hx, CAST(2*j+2 AS INT), 1))-1)"
+    s"""WITH m AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+       |  FROM documents WHERE octet_length(encode(text)) > 0
+       |), g AS (
+       |  SELECT doc_id, hx, len, (len + 31) // 32 AS h FROM m
+       |), cells AS (
+       |  SELECT doc_id,
+       |    ((j // 32) * 8 // h) * 8 + ((j % 32) * 8 // 32) AS k,
+       |    $byteAt AS v
+       |  FROM g, UNNEST(range(0, len)) AS u(j)
+       |), cs AS (
+       |  SELECT doc_id, k, SUM(v) AS cell_sum FROM cells GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT doc_id, SUM(v) AS total FROM cells GROUP BY 1
+       |), cnt AS (
+       |  SELECT g.doc_id, (r * 8 // h) * 8 + gx AS k, 4 * COUNT(*) AS cell_cnt
+       |  FROM g, UNNEST(range(0, h)) AS t(r), UNNEST(range(0, 8)) AS x(gx)
+       |  GROUP BY 1, 2
+       |), bits AS (
+       |  SELECT c.doc_id, c.k
+       |  FROM cnt c
+       |  JOIN g ON g.doc_id = c.doc_id
+       |  JOIN tot ON tot.doc_id = c.doc_id
+       |  LEFT JOIN cs ON cs.doc_id = c.doc_id AND cs.k = c.k
+       |  WHERE COALESCE(cs.cell_sum, 0) * (g.h * 32) > tot.total * c.cell_cnt
+       |), hs AS (
+       |  SELECT g.doc_id, CAST(COALESCE(SUM(
+       |      CASE WHEN b.k = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+       |           ELSE (CAST(1 AS BIGINT) << CAST(b.k AS INT)) END), 0)
+       |    AS BIGINT) AS ahash
+       |  FROM g LEFT JOIN bits b ON b.doc_id = g.doc_id
+       |  GROUP BY 1
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+       |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.ahash, b.ahash)) <= $AHashHamMax
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ------------------------------------------------------------ x58 AVI
 
   /** Parsed AVI metadata — everything read from the container bytes. */

@@ -957,6 +957,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("x80 aHash: identity, near-dup sensitivity, empty-doc exclusion, " +
+      "blocked pairs ≡ brute-force hamming") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sigs = Multimodal.imageAHashSigs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // empty docs carry no image: excluded from the signature frame
+    val emptyIds = graft.Tables.documents(spark, sf)
+      .filter(length(encode($"text", "UTF-8")) === 0)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(emptyIds.forall(id => !sigs.contains(id)))
+    assert(sigs.nonEmpty)
+    // the blocked engine pairs ≡ brute-force hamming over the sigs
+    // (structural under the pigeonhole radius — this is the gate that
+    // catches a band-extraction bug the oracle's quadratic form hides)
+    val got = Multimodal.imageAHashPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ids = sigs.keys.toArray.sorted
+    val brute = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      d = java.lang.Long.bitCount(sigs(ids(i)) ^ sigs(ids(j)))
+      if d <= Multimodal.AHashHamMax
+    } yield (ids(i), ids(j), d)).toSet
+    assert(got == brute,
+      s"blocked pairs != brute force: missing=${(brute -- got).take(3)} " +
+        s"extra=${(got -- brute).take(3)}")
+    // byte-identical docs hash identically → the planted exact dups
+    // pair at hamming 0
+    assert(got.exists(_._3 == 0), "no hamming-0 pair from planted dups")
+  }
+
   test("AVI mjpgFrames: MJPG chunks surface as-is; other handlers Left") {
     val payload = (0 until 30).map(_.toByte).toArray
     val jpeg = jpegB.encodeGrayDcOnly(payload, 2)
