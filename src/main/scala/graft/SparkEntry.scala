@@ -128,6 +128,7 @@ object SparkEntry {
     "x64_jpeg_decode"      -> (Multimodal.jpegDecode _),
     "x65_bmp_pixel_stats"  -> (Multimodal.bmpPixelStats _),
     "x80_image_ahash_dedup" -> (Multimodal.imageAHashPairs _),
+    "x81_audio_fingerprint_dedup" -> (Multimodal.audioFingerprintPairs _),
     "x66_pipeline_e2e"     -> (Pipeline.pipelineE2e _),
     "x69_quality_classifier" -> (TextAnalysis.qualityClassifier _),
     "x70_substring_rewrite" -> (Dedup.substringDedupRewrite _),
@@ -333,6 +334,7 @@ object SparkEntry {
     "x64_jpeg_decode"       -> Multimodal.jpegDecodeSql,
     "x65_bmp_pixel_stats"   -> Multimodal.bmpPixelStatsSql,
     "x80_image_ahash_dedup" -> Multimodal.imageAHashPairsSql,
+    "x81_audio_fingerprint_dedup" -> Multimodal.audioFingerprintPairsSql,
     "x66_pipeline_e2e"      -> Pipeline.pipelineE2eSql,
     "x69_quality_classifier" -> TextAnalysis.qualityClassifierSql,
     "x70_substring_rewrite"  -> Dedup.substringDedupRewriteSql,

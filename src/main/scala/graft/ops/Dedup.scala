@@ -333,22 +333,35 @@ object Dedup {
 
   /** Chunk-blocked candidate join + exact hamming verify over (doc_id,
     * simhash) signatures. */
-  private def simhashBlockedPairs(sigs: DataFrame): DataFrame = {
+  private def simhashBlockedPairs(sigs: DataFrame): DataFrame =
+    hamming64BlockedPairs(sigs, "simhash", 6)
+
+  /** The shared banded-hamming engine over any (doc_id, <sigCol>) 64-bit
+    * signature frame — x12 (token simhash), x80 (image aHash) and x81
+    * (audio energy fingerprint) all match through THIS one definition:
+    * 8 exact 8-bit chunk blocks generate candidates (∝ band collisions,
+    * never all pairs), then an exact xor/bit_count verify at `hamMax`.
+    * For hamMax < 8 the pigeonhole bound makes the blocked form
+    * PROVABLY equal to the all-pairs join — the property every caller's
+    * brute-force oracle relies on. */
+  private[graft] def hamming64BlockedPairs(sigs: DataFrame, sigCol: String,
+      hamMax: Int): DataFrame = {
     val spark = sigs.sparkSession
     import spark.implicits._
-    val chunks = sigs.select($"doc_id", $"simhash",
+    require(hamMax < 8, s"hamMax $hamMax loses the 8-chunk pigeonhole recall")
+    val chunks = sigs.select($"doc_id", col(sigCol).as("sig"),
       explode(array((0 until 8).map(c =>
         struct(lit(c).as("c"),
-          shiftright($"simhash", c * 8).bitwiseAND(0xFF).as("cv"))): _*)).as("ck"))
-      .select($"doc_id", $"simhash", $"ck.c".as("c"), $"ck.cv".as("cv"))
+          shiftright(col(sigCol), c * 8).bitwiseAND(0xFF).as("cv"))): _*)).as("ck"))
+      .select($"doc_id", $"sig", $"ck.c".as("c"), $"ck.cv".as("cv"))
     chunks.as("a").join(chunks.as("b"),
         col("a.c") === col("b.c") && col("a.cv") === col("b.cv") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
       .distinct()
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
-      .filter($"hamming" <= 6)
+      .filter($"hamming" <= hamMax)
       .select($"id_a", $"id_b", $"hamming")
       .orderBy($"id_a", $"id_b")
   }

@@ -879,25 +879,9 @@ object Multimodal {
     * at hamming 0; near-dup texts pair when their byte edits leave ≤ 6
     * grid cells crossing the global mean — the pixel-space sibling of
     * x12's token-space signature. */
-  def imageAHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val sigs = imageAHashSigs(spark, sfDir)
-    val chunks = sigs.select($"doc_id", $"ahash",
-      explode(array((0 until 8).map(c =>
-        struct(lit(c).as("c"),
-          shiftright($"ahash", c * 8).bitwiseAND(0xFF).as("cv"))): _*)).as("ck"))
-      .select($"doc_id", $"ahash", $"ck.c".as("c"), $"ck.cv".as("cv"))
-    chunks.as("a").join(chunks.as("b"),
-        col("a.c") === col("b.c") && col("a.cv") === col("b.cv") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .filter($"hamming" <= AHashHamMax)
-      .select($"id_a", $"id_b", $"hamming")
-      .orderBy($"id_a", $"id_b")
-  }
+  def imageAHashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.hamming64BlockedPairs(imageAHashSigs(spark, sfDir),
+      "ahash", AHashHamMax)
 
   /** x80's oracle: the aHash grid replayed closed-form from the payload
     * hex (byte j sits at row j÷32, col j mod 32; cell counts come from
@@ -949,6 +933,136 @@ object Multimodal {
        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
        |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.ahash, b.ahash)) <= $AHashHamMax
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ------------------------------------ x81 perceptual audio dedup
+
+  /** x81's framing: the decoded sample stream is cut into fixed
+    * 32-sample frames (rows) and mean-pooled over the same 8×8 grid as
+    * x80 — the 2-D shape is what carries signal on near-uniform
+    * content: a pure 1-D time pooling (64 equal windows) was measured
+    * sign-of-noise on this corpus (near-dup docs at hamming 20-33,
+    * unrelated docs equally close), while the frame grid puts real
+    * periodic structure in the column axis (near-dups at hamming ≤ 1,
+    * 118/124750 pairs selected at sf0.01). */
+  private val AFingerFrame = 32
+
+  /** Per-doc 64-bit audio energy fingerprint over the REAL decoded PCM:
+    * encode the payload as 8-bit mono WAV, decode the data chunk back
+    * through the container walk (the hash reads SAMPLES, not payload;
+    * 8-bit WAV is UNSIGNED with a 128 bias per the public convention,
+    * so amplitude = byte − 128), frame at [[AFingerFrame]] samples,
+    * mean-pool per-cell ENERGY (s², zero-fill tail = silence) over the
+    * 8×8 grid with x80's uneven-floor convention, and set bit k iff
+    * the cell's mean energy exceeds the global mean — exact integer
+    * cross-multiplication (cellSum·n ≤ 128²·(32h)² stays in Long
+    * through ~20 MB docs; the fixture is KBs). Docs with no sample are
+    * excluded. Boundary (same as x80's): an edit that changes the
+    * frame count or byte phase reframes the grid and the hashes
+    * diverge — the documented aHash-family sensitivity, not a bug. */
+  def audioFingerprintSigs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .filter(length($"payload") > 0) // no audio without a sample
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = new WavCodec // once per partition, like a real codec
+        it.map { case (docId, payload) =>
+          val wav = codec.encode(payload, sampleRate = 16000,
+            channels = 1, bits = 8)
+          val m = codec.decode(wav)
+          require(m.bitsPerSample == 8, "x81 reads 8-bit PCM")
+          val (off, len) = codec.dataRange(wav)
+          val n = len.toInt
+          val h = (n + AFingerFrame - 1) / AFingerFrame
+          val cellSum = new Array[Long](64)
+          val cellCnt = new Array[Long](64)
+          var total = 0L
+          var r = 0
+          while (r < h) {
+            val gyBase = (r * 8 / h) * 8
+            var c = 0
+            while (c < AFingerFrame) {
+              val j = r * AFingerFrame + c
+              val s = if (j < n) (wav(off + j) & 0xff) - 128 else 0
+              val e = s.toLong * s
+              val k = gyBase + c * 8 / AFingerFrame
+              cellSum(k) += e; cellCnt(k) += 1; total += e
+              c += 1
+            }
+            r += 1
+          }
+          val nPadded = h.toLong * AFingerFrame
+          var hash = 0L
+          var k = 0
+          while (k < 64) {
+            if (cellSum(k) * nPadded > total * cellCnt(k)) hash |= (1L << k)
+            k += 1
+          }
+          (docId, hash)
+        }
+      }
+      .toDF("doc_id", "afp")
+  }
+
+  /** x81 — perceptual near-dup AUDIO pairs: the energy fingerprint
+    * matched through the SAME banded engine as x12/x80
+    * ([[Dedup.hamming64BlockedPairs]] — one definition, one pigeonhole
+    * proof), completing the dedup family's multimodal row: token space
+    * (x12), pixel space (x80), sample space (x81). */
+  def audioFingerprintPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.hamming64BlockedPairs(audioFingerprintSigs(spark, sfDir),
+      "afp", AHashHamMax)
+
+  /** x81's oracle: 8-bit biased samples from the payload hex (v−128,
+    * energy squared), the x80 grid replay with sample count in place
+    * of byte count, bit 63 as Long.MinValue, then the brute-force
+    * quadratic hamming join (sound because blocked ≡ all-pairs under
+    * the pigeonhole radius). */
+  val audioFingerprintPairsSql: String = {
+    val byteAt =
+      "(strpos('0123456789ABCDEF', substr(hx, CAST(2*j+1 AS INT), 1))-1)*16" +
+        " + (strpos('0123456789ABCDEF', substr(hx, CAST(2*j+2 AS INT), 1))-1)"
+    s"""WITH m AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+       |  FROM documents WHERE octet_length(encode(text)) > 0
+       |), g AS (
+       |  SELECT doc_id, hx, len, (len + 31) // 32 AS h FROM m
+       |), cells AS (
+       |  SELECT doc_id,
+       |    ((j // 32) * 8 // h) * 8 + ((j % 32) * 8 // 32) AS k,
+       |    ($byteAt - 128) * ($byteAt - 128) AS v
+       |  FROM g, UNNEST(range(0, len)) AS u(j)
+       |), cs AS (
+       |  SELECT doc_id, k, SUM(v) AS cell_sum FROM cells GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT doc_id, SUM(v) AS total FROM cells GROUP BY 1
+       |), cnt AS (
+       |  SELECT g.doc_id, (r * 8 // h) * 8 + gx AS k, 4 * COUNT(*) AS cell_cnt
+       |  FROM g, UNNEST(range(0, h)) AS t(r), UNNEST(range(0, 8)) AS x(gx)
+       |  GROUP BY 1, 2
+       |), bits AS (
+       |  SELECT c.doc_id, c.k
+       |  FROM cnt c
+       |  JOIN g ON g.doc_id = c.doc_id
+       |  JOIN tot ON tot.doc_id = c.doc_id
+       |  LEFT JOIN cs ON cs.doc_id = c.doc_id AND cs.k = c.k
+       |  WHERE COALESCE(cs.cell_sum, 0) * (g.h * 32) > tot.total * c.cell_cnt
+       |), hs AS (
+       |  SELECT g.doc_id, CAST(COALESCE(SUM(
+       |      CASE WHEN b.k = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+       |           ELSE (CAST(1 AS BIGINT) << CAST(b.k AS INT)) END), 0)
+       |    AS BIGINT) AS afp
+       |  FROM g LEFT JOIN bits b ON b.doc_id = g.doc_id
+       |  GROUP BY 1
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+       |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.afp, b.afp)) <= $AHashHamMax
        |ORDER BY id_a, id_b""".stripMargin
   }
 

@@ -983,9 +983,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == brute,
       s"blocked pairs != brute force: missing=${(brute -- got).take(3)} " +
         s"extra=${(got -- brute).take(3)}")
-    // byte-identical docs hash identically → the planted exact dups
-    // pair at hamming 0
-    assert(got.exists(_._3 == 0), "no hamming-0 pair from planted dups")
+    // non-degenerate on this corpus: grid-identical docs pair at
+    // hamming 0 (no byte-identical texts exist at this sf — these are
+    // hash-level collisions, the aHash family's designed coarseness)
+    assert(got.exists(_._3 == 0), "no hamming-0 pair in the fixture")
+  }
+
+  test("x81 audio fingerprint: blocked pairs ≡ brute-force hamming; " +
+      "sub-sample docs excluded; planted dups at hamming 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sigs = Multimodal.audioFingerprintSigs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val shortIds = graft.Tables.documents(spark, sf)
+      .filter(length(encode($"text", "UTF-8")) === 0)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(shortIds.forall(id => !sigs.contains(id)))
+    assert(sigs.nonEmpty)
+    val got = Multimodal.audioFingerprintPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ids = sigs.keys.toArray.sorted
+    val brute = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      d = java.lang.Long.bitCount(sigs(ids(i)) ^ sigs(ids(j)))
+      if d <= Multimodal.AHashHamMax
+    } yield (ids(i), ids(j), d)).toSet
+    assert(got == brute,
+      s"blocked pairs != brute force: missing=${(brute -- got).take(3)} " +
+        s"extra=${(got -- brute).take(3)}")
+    // non-degenerate on this corpus: grid-identical docs exist (hamming
+    // 0) and the fixture's near-dup texts land within the radius
+    assert(got.exists(_._3 == 0), "no hamming-0 pair in the fixture")
   }
 
   test("AVI mjpgFrames: MJPG chunks surface as-is; other handlers Left") {
