@@ -154,6 +154,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("distinct"), plan.take(2000))
   }
 
+  test("x80/x81: perceptual dedup is the banded equi join — codec work " +
+      "map-side, no cartesian/nested-loop") {
+    // the COVERAGE claim: candidates come from 8-bit chunk-block
+    // collisions (an equi join on (c, cv)), never an all-pairs product;
+    // the per-partition codec stays a map stage before any exchange
+    for (q <- Seq(graft.ops.Multimodal.imageAHashPairs(spark, sf),
+        graft.ops.Multimodal.audioFingerprintPairs(spark, sf))) {
+      val plan = formatted(q)
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    }
+  }
+
   test("x25/x26: ADC scan and rescore never cartesian/nested-loop the corpus") {
     // the 8-row query frame may broadcast (fine, like x21's sketches);
     // the code table / full corpus must never enter a cartesian product
