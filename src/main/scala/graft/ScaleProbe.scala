@@ -43,7 +43,9 @@ object ScaleProbe {
     "x49_sequence_pack", "x55_bpe_merges", "x56_bpe_tokenize",
     "x50_split_counts", "x51_source_cap", "x52_mixture_sample",
     "x53_token_budget", "x54_unimax_alloc", "x66_pipeline_e2e",
-    "x14_cosine_neardup")
+    "x14_cosine_neardup",
+    "x78_semantic_decontaminate", "x79_semantic_decontam_celled",
+    "x80_image_ahash_dedup", "x81_audio_fingerprint_dedup")
 
   /** The relational/window/event/trips families — everything registered
     * whose inputs are TPC-H facts + events + trips (trips is a pure
@@ -100,8 +102,18 @@ object ScaleProbe {
       else Seq[() => org.apache.spark.sql.DataFrame](
         () => graft.ops.Transform.master(spark, dir),
         () => graft.ops.Relational.j05BucketedColocated(spark, dir))
+    // `light` (3rd arg): skip the family-wide shared-frame prewarm — for
+    // a TARGETED subset at 100×, materializing all 12 doc-family frames
+    // (span grams, LSH bands, …) costs tens of GB of persist+spill the
+    // probed queries never read; measured: it filled a 69 GB /tmp and
+    // killed the context before the first query. The probed queries then
+    // build their own memoized shared frames inside run 1 of 2 — the
+    // min-of-2 still reports a warm number, and any build cost shows up
+    // as the run-1/run-2 gap in the log, not hidden in cache_build_sec.
+    val light = args.length > 2 && args(2) == "light"
     val docFrames =
-      if (!docNeeded) Seq.empty else Bench.docFamilyFrames(spark, dir)
+      if (!docNeeded || light) Seq.empty
+      else Bench.docFamilyFrames(spark, dir)
     val cacheBuildSec = Bench.prewarm(spark, relFrames ++ docFrames)
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

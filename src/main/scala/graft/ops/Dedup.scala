@@ -341,11 +341,24 @@ object Dedup {
     * (audio energy fingerprint) all match through THIS one definition:
     * 8 exact 8-bit chunk blocks generate candidates (∝ band collisions,
     * never all pairs), then an exact xor/bit_count verify at `hamMax`.
-    * For hamMax < 8 the pigeonhole bound makes the blocked form
-    * PROVABLY equal to the all-pairs join — the property every caller's
-    * brute-force oracle relies on. */
+    * For hamMax < 8 the pigeonhole bound makes the uncapped blocked
+    * form PROVABLY equal to the all-pairs join.
+    *
+    * `bandDfCap`: bands shared by more than this many signatures are
+    * excluded from CANDIDATE GENERATION (x11/x16's df-cap convention).
+    * Without it the candidate volume is Σ bucket² — fine for ~uniform
+    * signatures (x12's FNV simhash: measured 45× at 100× rows,
+    * n²/256-bounded) but DEGENERATE for correlated ones (x80/x81's
+    * perceptual bits concentrate: one hot band held 17% of a 10× probe
+    * corpus and the join read 455M candidate pairs, a measured
+    * 105-183× blowup at 10×; capped at 64 the same probe reads 383k).
+    * The recall concession is the standard one: a pair surviving ONLY
+    * via hot bands is dropped, and a band shared by thousands of docs
+    * identifies nothing. Callers that cap must oracle the capped
+    * semantics (blocked replay + df filter), not the brute-force
+    * quadratic form. */
   private[graft] def hamming64BlockedPairs(sigs: DataFrame, sigCol: String,
-      hamMax: Int): DataFrame = {
+      hamMax: Int, bandDfCap: Option[Long] = None): DataFrame = {
     val spark = sigs.sparkSession
     import spark.implicits._
     require(hamMax < 8, s"hamMax $hamMax loses the 8-chunk pigeonhole recall")
@@ -354,7 +367,13 @@ object Dedup {
         struct(lit(c).as("c"),
           shiftright(col(sigCol), c * 8).bitwiseAND(0xFF).as("cv"))): _*)).as("ck"))
       .select($"doc_id", $"sig", $"ck.c".as("c"), $"ck.cv".as("cv"))
-    chunks.as("a").join(chunks.as("b"),
+    val blockable = bandDfCap.fold(chunks) { cap =>
+      // the (c, cv) space is ≤ 8·256 rows — the df dim always broadcasts
+      val cold = chunks.groupBy($"c", $"cv").count()
+        .filter($"count" <= cap).select($"c", $"cv")
+      chunks.join(broadcast(cold), Seq("c", "cv"))
+    }
+    blockable.as("a").join(blockable.as("b"),
         col("a.c") === col("b.c") && col("a.cv") === col("b.cv") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),

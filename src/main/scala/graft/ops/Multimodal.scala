@@ -810,11 +810,25 @@ object Multimodal {
     * scatter near-identical payloads across layouts). */
   private val AHashWidth = 32
 
-  /** Hamming radius for an x80 match. With 8 exact 8-bit chunk blocks,
-    * recall at ≤ 6 differing bits is STRUCTURAL (pigeonhole: 7 flipped
-    * bits can ruin at most 7 of the 8 chunks), so the blocked join is
-    * provably equal to the all-pairs form — x12's guarantee, reused. */
+  /** Hamming radius for an x80/x81 match. With 8 exact 8-bit chunk
+    * blocks, recall at ≤ 6 differing bits is STRUCTURAL over the
+    * cold-band space (pigeonhole: 7 flipped bits can ruin at most 7 of
+    * the 8 chunks) — x12's guarantee, reused. */
   private[graft] val AHashHamMax = 6
+
+  /** Band-frequency cap for the perceptual signatures: unlike x12's
+    * ~uniform FNV simhash, perceptual bits are CORRELATED across text
+    * docs, so band buckets concentrate (one bucket held 17% of the 10×
+    * probe corpus; the uncapped join read 455M candidates — a measured
+    * 105-183× blowup at 10×). Bands hotter than this are dropped from
+    * candidate generation (x11/x16's df-cap convention — a band shared
+    * by thousands of docs identifies nothing; 383k candidates at the
+    * same 10× with the cap). 64 binds at fixture scale too (max
+    * fixture bucket ≈ 220), so the driver's hash gate EXERCISES the
+    * cap instead of sleeping until deployment; all measured true
+    * near-dup pairs survive it (their discriminative bands are cold by
+    * construction). */
+  private[graft] val AHashBandDfCap = 64L
 
   /** Per-doc aHash-64 over the REAL decoded bitmap: encode the payload
     * as an 8-bpp grayscale BMP at [[AHashWidth]], decode it back
@@ -869,28 +883,57 @@ object Multimodal {
   }
 
   /** x80 — perceptual near-dup IMAGE pairs: aHash-64 over the decoded
-    * thumbnails ([[imageAHashSigs]], map-only), then x12's chunk-blocked
-    * candidate join (8 exact 8-bit bands — candidates ∝ band
-    * collisions, never all pairs) with an exact hamming verify at
-    * ≤ [[AHashHamMax]]. Because the radius is under the pigeonhole
-    * bound, blocked ≡ all-pairs exactly, which is what lets the DuckDB
-    * oracle verify via the brute-force quadratic form at fixture scale
-    * while the engine plan stays banded. Byte-identical documents pair
-    * at hamming 0; near-dup texts pair when their byte edits leave ≤ 6
-    * grid cells crossing the global mean — the pixel-space sibling of
-    * x12's token-space signature. */
+    * thumbnails ([[imageAHashSigs]], map-only), then the shared
+    * chunk-blocked candidate join (8 exact 8-bit bands) under the
+    * [[AHashBandDfCap]] band-frequency cap — the 10× probe measured
+    * the uncapped form degenerate on correlated perceptual bits — with
+    * an exact hamming verify at ≤ [[AHashHamMax]]. Semantics: a pair
+    * matches iff it shares ≥ 1 COLD band and differs in ≤ 6 bits
+    * (pigeonhole recall over the cold-band space; hot-band-only pairs
+    * are dropped by design — such bands identify nothing). The DuckDB
+    * oracle replays the capped blocking itself, and the cap binds at
+    * fixture scale, so the hash gate exercises it. Byte-identical
+    * documents pair at hamming 0; near-dup texts pair when their byte
+    * edits leave ≤ 6 grid cells crossing the global mean — the
+    * pixel-space sibling of x12's token-space signature. */
   def imageAHashPairs(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.hamming64BlockedPairs(imageAHashSigs(spark, sfDir),
-      "ahash", AHashHamMax)
+      "ahash", AHashHamMax, Some(AHashBandDfCap))
+
+  /** The shared oracle tail: capped banded blocking + hamming verify
+    * replayed over an `hs(doc_id, sig)` CTE — the DuckDB twin of
+    * [[Dedup.hamming64BlockedPairs]] WITH the df cap (the brute-force
+    * quadratic form is no longer a valid oracle: capped semantics drop
+    * hot-band-only pairs by design, and the cap binds at fixture
+    * scale, so the driver's hash gate exercises it). A candidate's b
+    * side needs no separate cold check — sharing a's cold (c, cv) IS
+    * membership in a cold band. */
+  private def cappedHammingTailSql(sig: String): String =
+    s""", ck AS (
+       |  SELECT doc_id, $sig AS sig, c,
+       |    ($sig >> CAST(8*c AS INT)) & 255 AS cv
+       |  FROM hs, range(0, 8) t(c)
+       |), cold AS (
+       |  SELECT c, cv FROM ck GROUP BY c, cv
+       |  HAVING COUNT(*) <= $AHashBandDfCap
+       |), p AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sig AS sa, b.sig AS sb
+       |  FROM ck a
+       |  JOIN cold ON cold.c = a.c AND cold.cv = a.cv
+       |  JOIN ck b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM p WHERE bit_count(xor(sa, sb)) <= $AHashHamMax
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** x80's oracle: the aHash grid replayed closed-form from the payload
     * hex (byte j sits at row j÷32, col j mod 32; cell counts come from
     * the FULL h×32 geometry so zero-filled tail pixels count; the bit
     * rule is the same integer cross-multiplication), signature packed
     * with bit 63 as Long.MinValue (x12's convention — `1 << 63` would
-    * overflow), then the brute-force quadratic hamming join (sound as
-    * the oracle because blocked ≡ all-pairs under the pigeonhole
-    * radius). */
+    * overflow), then the capped banded replay
+    * ([[cappedHammingTailSql]]). */
   val imageAHashPairsSql: String = {
     val byteAt =
       "(strpos('0123456789ABCDEF', substr(hx, CAST(2*j+1 AS INT), 1))-1)*16" +
@@ -928,12 +971,7 @@ object Multimodal {
        |    AS BIGINT) AS ahash
        |  FROM g LEFT JOIN bits b ON b.doc_id = g.doc_id
        |  GROUP BY 1
-       |)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
-       |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.ahash, b.ahash)) <= $AHashHamMax
-       |ORDER BY id_a, id_b""".stripMargin
+       |)""".stripMargin + cappedHammingTailSql("ahash")
   }
 
   // ------------------------------------ x81 perceptual audio dedup
@@ -1014,13 +1052,12 @@ object Multimodal {
     * (x12), pixel space (x80), sample space (x81). */
   def audioFingerprintPairs(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.hamming64BlockedPairs(audioFingerprintSigs(spark, sfDir),
-      "afp", AHashHamMax)
+      "afp", AHashHamMax, Some(AHashBandDfCap))
 
   /** x81's oracle: 8-bit biased samples from the payload hex (v−128,
     * energy squared), the x80 grid replay with sample count in place
-    * of byte count, bit 63 as Long.MinValue, then the brute-force
-    * quadratic hamming join (sound because blocked ≡ all-pairs under
-    * the pigeonhole radius). */
+    * of byte count, bit 63 as Long.MinValue, then the capped banded
+    * replay ([[cappedHammingTailSql]]). */
   val audioFingerprintPairsSql: String = {
     val byteAt =
       "(strpos('0123456789ABCDEF', substr(hx, CAST(2*j+1 AS INT), 1))-1)*16" +
@@ -1058,12 +1095,7 @@ object Multimodal {
        |    AS BIGINT) AS afp
        |  FROM g LEFT JOIN bits b ON b.doc_id = g.doc_id
        |  GROUP BY 1
-       |)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
-       |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.afp, b.afp)) <= $AHashHamMax
-       |ORDER BY id_a, id_b""".stripMargin
+       |)""".stripMargin + cappedHammingTailSql("afp")
   }
 
   // ------------------------------------------------------------ x58 AVI

@@ -974,19 +974,47 @@ class MultimodalSpec extends AnyFunSuite {
     // catches a band-extraction bug the oracle's quadratic form hides)
     val got = Multimodal.imageAHashPairs(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val ids = sigs.keys.toArray.sorted
-    val brute = (for {
-      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
-      d = java.lang.Long.bitCount(sigs(ids(i)) ^ sigs(ids(j)))
-      if d <= Multimodal.AHashHamMax
-    } yield (ids(i), ids(j), d)).toSet
+    val brute = cappedBruteForce(sigs)
     assert(got == brute,
-      s"blocked pairs != brute force: missing=${(brute -- got).take(3)} " +
+      s"blocked pairs != capped reference: missing=${(brute -- got).take(3)} " +
         s"extra=${(got -- brute).take(3)}")
     // non-degenerate on this corpus: grid-identical docs pair at
     // hamming 0 (no byte-identical texts exist at this sf — these are
     // hash-level collisions, the aHash family's designed coarseness)
     assert(got.exists(_._3 == 0), "no hamming-0 pair in the fixture")
+    // the cap has TEETH at this sf: at least one uncapped pair is
+    // dropped, or the cap-binding claim in the scaladoc is stale
+    val uncapped = (for {
+      a <- sigs.keysIterator; b <- sigs.keysIterator if a < b
+      d = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+      if d <= Multimodal.AHashHamMax
+    } yield (a, b, d)).toSet
+    assert(brute.subsetOf(uncapped) && brute.size < uncapped.size,
+      s"cap dropped nothing at fixture scale (${brute.size} of " +
+        s"${uncapped.size}) — the gate no longer exercises it")
+  }
+
+  /** Driver-side reference for the CAPPED banded semantics: pairs
+    * sharing ≥ 1 band whose document frequency ≤ the cap, at hamming ≤
+    * the radius — the same function [[Dedup.hamming64BlockedPairs]]
+    * computes, written the pedestrian way. */
+  private def cappedBruteForce(
+      sigs: Map[Long, Long]): Set[(Long, Long, Int)] = {
+    val bands = scala.collection.mutable.Map.empty[(Int, Int), List[Long]]
+    for ((d, s) <- sigs; c <- 0 until 8) {
+      val cv = ((s >>> (8 * c)) & 0xFF).toInt
+      bands((c, cv)) = d :: bands.getOrElse((c, cv), Nil)
+    }
+    val out = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    for ((_, members) <- bands if members.size <= Multimodal.AHashBandDfCap) {
+      val m = members.toArray
+      for (i <- m.indices; j <- i + 1 until m.length) {
+        val (a, b) = (math.min(m(i), m(j)), math.max(m(i), m(j)))
+        val d = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+        if (d <= Multimodal.AHashHamMax) out += ((a, b, d))
+      }
+    }
+    out.toSet
   }
 
   test("x81 audio fingerprint: blocked pairs ≡ brute-force hamming; " +
@@ -1002,14 +1030,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sigs.nonEmpty)
     val got = Multimodal.audioFingerprintPairs(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val ids = sigs.keys.toArray.sorted
-    val brute = (for {
-      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
-      d = java.lang.Long.bitCount(sigs(ids(i)) ^ sigs(ids(j)))
-      if d <= Multimodal.AHashHamMax
-    } yield (ids(i), ids(j), d)).toSet
+    val brute = cappedBruteForce(sigs)
     assert(got == brute,
-      s"blocked pairs != brute force: missing=${(brute -- got).take(3)} " +
+      s"blocked pairs != capped reference: missing=${(brute -- got).take(3)} " +
         s"extra=${(got -- brute).take(3)}")
     // non-degenerate on this corpus: grid-identical docs exist (hamming
     // 0) and the fixture's near-dup texts land within the radius
