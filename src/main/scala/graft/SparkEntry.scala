@@ -139,6 +139,8 @@ object SparkEntry {
     "x75_pipeline_v2"      -> (Pipeline.pipelineV2 _),
     "x76_decontam_rewrite" -> (Dedup.decontaminateRewrite _),
     "x77_rejection_ledger" -> (Pipeline.rejectionLedger _),
+    "x82_snapshot_diff"    -> (Pipeline.snapshotDiff _),
+    "x83_knn_graph"        -> (Similarity.knnGraph _),
     "x67_wav_pcm_stats"    -> (Multimodal.wavPcmStats _),
     "x68_png_pixel_stats"  -> (Multimodal.pngPixelStats _),
     "x42_repetition_filter" -> (TextAnalysis.repetitionFilter _),
@@ -344,6 +346,8 @@ object SparkEntry {
     "x75_pipeline_v2"        -> Pipeline.pipelineV2Sql,
     "x76_decontam_rewrite"   -> Dedup.decontaminateRewriteSql,
     "x77_rejection_ledger"   -> Pipeline.rejectionLedgerSql,
+    "x82_snapshot_diff"      -> Pipeline.snapshotDiffSql,
+    "x83_knn_graph"          -> Similarity.knnGraphSql,
     "x67_wav_pcm_stats"     -> Multimodal.wavPcmStatsSql,
     "x68_png_pixel_stats"   -> Multimodal.pngPixelStatsSql,
     "x42_repetition_filter" -> TextAnalysis.repetitionFilterSql,

@@ -609,4 +609,66 @@ object Pipeline {
        |  FROM fv
        |)""".stripMargin
   }
+
+  // ------------------------------------------------ x82 snapshot diff
+
+  /** x82 — CORPUS SNAPSHOT DIFF, the recrawl-reconciliation step every
+    * continuously-refreshed training corpus needs: given crawl snapshot
+    * OLD and crawl snapshot NEW, report which documents were ADDED
+    * (crawled for the first time), REMOVED (gone from the new crawl)
+    * or CHANGED (same id, different content) — the delta that drives
+    * incremental reprocessing (re-dedup only the added/changed slice via
+    * x18, retire removed docs from the index, leave the unchanged ~99%
+    * untouched).
+    *
+    * The two snapshots derive deterministically from the documents
+    * table, the fixture convention every split/increment query here
+    * uses: OLD omits `doc_id % 17 == 3` (not yet crawled then), NEW
+    * omits `doc_id % 13 == 5` (dropped out of the new crawl) and
+    * recrawls `doc_id % 11 == 2` with changed content (a ' [rev2]'
+    * suffix).
+    *
+    * Scale shape: each side is a map-side filter + sha256 PROJECTION —
+    * the join carries (doc_id, 64-byte hash), never the document text,
+    * so shuffle width is ~72 bytes/row regardless of document size. One
+    * full-outer sort-merge equi-join on doc_id (both sides corpus-sized:
+    * the one shuffle the semantics require — snapshots stored bucketed
+    * by doc_id join co-partitioned with no shuffle at all, the j05
+    * layout), and unchanged rows — the overwhelming majority of a real
+    * recrawl — are filtered before anything leaves the executors. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val old = docs.filter($"doc_id" % 17 =!= 3)
+      .select($"doc_id".as("o_id"), sha2($"text", 256).as("o_h"))
+    val neu = docs.filter($"doc_id" % 13 =!= 5)
+      .select($"doc_id".as("n_id"),
+        sha2(when($"doc_id" % 11 === 2, concat($"text", lit(" [rev2]")))
+          .otherwise($"text"), 256).as("n_h"))
+    old.join(neu, $"o_id" === $"n_id", "full_outer")
+      .withColumn("status",
+        when($"o_id".isNull, lit("added"))
+          .when($"n_id".isNull, lit("removed"))
+          .otherwise(lit("changed")))
+      .filter($"o_id".isNull || $"n_id".isNull || $"o_h" =!= $"n_h")
+      .select(coalesce($"o_id", $"n_id").as("doc_id"), $"status")
+      .orderBy($"doc_id")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH old AS (
+      |  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 17 <> 3
+      |), neu AS (
+      |  SELECT doc_id,
+      |    sha256(CASE WHEN doc_id % 11 = 2 THEN text || ' [rev2]'
+      |                ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 13 <> 5
+      |)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS status
+      |FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
+      |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+      |ORDER BY doc_id""".stripMargin
 }

@@ -457,6 +457,96 @@ object Similarity {
        |LEFT JOIN drops d ON e.vec_id = d.id_b
        |WHERE d.id_b IS NULL ORDER BY e.vec_id""".stripMargin
 
+  // ---------------------------------------------------- x83 kNN graph
+
+  /** Neighbors per vector in the x83 graph. */
+  private[graft] val KnnGraphK = 5
+
+  /** x83 — kNN GRAPH construction: for EVERY vector (not a bounded
+    * query set — the difference from x20-x26), its [[KnnGraphK]]
+    * nearest neighbors by cosine among the candidates sharing one of
+    * its top-[[SemDedupAssignProbes]] IVF cells. The kNN graph is the
+    * substrate for graph-based corpus curation — SemDeDup-style
+    * cluster pruning, density estimation, and label propagation all
+    * start from exactly this edge list.
+    *
+    * Plan: multi-probe cell assignment (map + broadcast/dim-join
+    * scoring, the x24 machinery) → cell equi self-join with the cosine
+    * computed PIPELINED in the join's own projection, exactly
+    * [[cellNearDupPairsOf]]'s shape — the vectors ride only the
+    * corpus-sized shuffle into the cell join (p·n rows) and are dropped
+    * in the same stage, so every downstream shuffle row is
+    * (src, dst, cos) ≈ 24 bytes → max-aggregate to collapse the
+    * duplicate emit of a pair co-assigned to both probed cells (cos
+    * equal on both; map-side partial aggregation halves it before the
+    * exchange) → per-source top-k window.
+    *
+    * Scale shape: candidates are Σ_cell |cell|² = p²·n²/k, linear in n
+    * at fixed cell size (k ∝ n, IVF practice), and — the part a naive
+    * candidates→rescore-join plan gets fatally wrong — the candidate
+    * stream that shuffles is ids+score only. (The first cut re-joined
+    * ids-only candidates back to the corpus for vectors: the second
+    * rescore join then sorts candidates × 1 KB of vectors ≈ 100 GB at
+    * the 100× probe and dies spilling. Carrying vectors through the
+    * cell join and scoring in-stage is x24's proven shape.) The window
+    * partitions by src with bounded (p · cell-size) rows per
+    * partition; an index bucketed by cell self-joins co-partitioned.
+    * Recall boundary (documented, same as x24): a true neighbor
+    * sharing NO probed cell with its query is missed — multi-probe
+    * narrows the Voronoi-boundary gap, and DedupSimilaritySpec gates
+    * celled ≡ brute-force on a planted clustered fixture where
+    * co-assignment is structural. */
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
+    knnGraphOf(corpus(spark, sfDir), centroids(spark, sfDir), KnnGraphK)
+
+  /** x83 over an arbitrary (vec_id, v, nrm) corpus + trained centroids
+    * — the form the planted-fixture spec gates against brute force. */
+  private[graft] def knnGraphOf(all: DataFrame, cents: Array[Array[Double]],
+      k: Int): DataFrame = {
+    val spark = all.sparkSession
+    import spark.implicits._
+    val assigned = multiCellAssign(all, cents, SemDedupAssignProbes)
+    val lhs = assigned.select($"cell", $"vec_id".as("src"),
+      $"v".as("sv"), $"nrm".as("sn"))
+    val rhs = assigned.select($"cell", $"vec_id".as("dst"),
+      $"v".as("dv"), $"nrm".as("dn"))
+    val edges = lhs.join(rhs, Seq("cell"))
+      .filter($"src" =!= $"dst")
+      .select($"src", $"dst", (dot($"sv", $"dv") / ($"sn" * $"dn")).as("cos"))
+      .groupBy($"src", $"dst").agg(max($"cos").as("cos"))
+    val w = Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
+    edges.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"src", $"dst", $"rk".cast("int").as("rk"))
+      .orderBy($"src", $"rk")
+  }
+
+  /** x83's oracle: the x24 trained-centroid prolog + multi-cell
+    * assignment, distinct within-cell candidate pairs, exact cosine,
+    * per-src top-[[KnnGraphK]]. */
+  def knnGraphSql: String =
+    ivfOracleProlog +
+      s""", mp AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.v, c.cw) DESC, c.cell DESC) AS rk
+       |    FROM n, $ivfOracleFinalCents c)
+       |  WHERE rk <= $SemDedupAssignProbes
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM mp a JOIN mp b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |), scored AS (
+       |  SELECT c.src, c.dst,
+       |    ROW_NUMBER() OVER (PARTITION BY c.src
+       |      ORDER BY list_dot_product(x.v, y.v) / (x.nrm * y.nrm) DESC,
+       |        c.dst ASC) AS rk
+       |  FROM cand c
+       |  JOIN n x ON x.vec_id = c.src
+       |  JOIN n y ON y.vec_id = c.dst)
+       |SELECT src, dst, CAST(rk AS INT) AS rk
+       |FROM scored WHERE rk <= $KnnGraphK ORDER BY src, rk""".stripMargin
+
   /** x61's oracle: cosine to the own trained centroid, per-cell
     * prototypicality rank, keep the top [[ProtoKeepFraction]]. */
   def prototypicalitySql: String =
@@ -724,12 +814,18 @@ object Similarity {
   /** Nearest-centroid assignment in either representation regime,
     * appending a `cell` column to `df` (which must carry a `vec_id` row
     * key and the raw vector under `v`). Literal regime: map-only
-    * [[cellOf]]. Join regime: broadcast the centroid dim, score every
-    * (row, cell), min-by-distance per row — the per-key fan-out is
-    * collapsed map-side (all k score rows for a key are co-located by
-    * the broadcast join, so partial aggregation shuffles ≈ one row per
-    * vector, not k). Tiebreak matches [[cellOf]] exactly (max dot,
-    * then lowest cell), so the regimes are output-identical —
+    * [[cellOf]]. Join regime: score rows are the SKINNY
+    * (vec_id, cell, dot) projection of the broadcast centroid join —
+    * [[multiProbeVia]]'s shape — argmin'd per key and joined back.
+    * The projection is the load-bearing part: an earlier form kept the
+    * full row (vector included) through the n×k fan-out and aggregated
+    * `first(v)` alongside the min_by — array-typed aggregation buffers
+    * force SortAggregate, which SORTS n×k × ~1 KB rows (measured:
+    * a 66 GB disk-full spill at the 200k-vector 100× probe, inside
+    * Lloyd training of all things). Skinny rows keep the argmin a
+    * ~24 B/row aggregation; the vectors ride only the final n-row
+    * equi join. Tiebreak matches [[cellOf]] exactly (max dot, then
+    * lowest cell), so the regimes are output-identical —
     * spec-pinned. */
   private[graft] def assignCellsVia(df: DataFrame,
       cents: Array[Array[Double]], literal: Boolean): DataFrame = {
@@ -737,13 +833,12 @@ object Similarity {
     import spark.implicits._
     if (literal) df.withColumn("cell", cellOf($"v", cents))
     else {
-      val others = df.columns.filterNot(_ == "vec_id").toSeq
-      val cellAgg = min_by($"cell",
-        struct((-dot($"v", $"cv")).as("nd"), $"cell")).as("cell")
-      val aggs = cellAgg +: others.map(c => first(col(c)).as(c))
-      df.join(broadcast(centroidDim(spark, cents)))
+      val best = df.select($"vec_id", $"v")
+        .join(broadcast(centroidDim(spark, cents)))
+        .select($"vec_id", $"cell", dot($"v", $"cv").as("#s"))
         .groupBy($"vec_id")
-        .agg(aggs.head, aggs.tail: _*)
+        .agg(min_by($"cell", struct((-$"#s").as("nd"), $"cell")).as("cell"))
+      df.join(best, "vec_id")
         .select((df.columns :+ "cell").map(col).toIndexedSeq: _*)
     }
   }

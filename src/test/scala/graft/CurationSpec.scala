@@ -765,4 +765,32 @@ class CurationSpec extends AnyFunSuite {
       s"regimes diverged: ${local.toSeq.diff(dist.toSeq).take(3)}")
     assert(local.nonEmpty && local.values.exists(_ != 0L))
   }
+
+  test("x82 snapshot diff: pedestrian replay; every status non-vacuous") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val old = docs.filter(_._1 % 17 != 3).toMap
+    val neu = docs.filter(_._1 % 13 != 5)
+      .map { case (id, t) => id -> (if (id % 11 == 2) t + " [rev2]" else t) }
+      .toMap
+    val expect = (old.keySet ++ neu.keySet).toSeq.sorted.flatMap { id =>
+      (old.get(id), neu.get(id)) match {
+        case (None, Some(_))              => Some(id -> "added")
+        case (Some(_), None)              => Some(id -> "removed")
+        case (Some(a), Some(b)) if a != b => Some(id -> "changed")
+        case _                            => None
+      }
+    }
+    val got = graft.ops.Pipeline.snapshotDiff(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == expect)
+    // the fixture must exercise all three statuses, or the gate is vacuous
+    assert(got.map(_._2).toSet == Set("added", "removed", "changed"))
+    // changed = exactly the recrawled slice present in BOTH snapshots
+    assert(got.collect { case (id, "changed") => id }.toSet ==
+      docs.map(_._1).filter(id =>
+        id % 11 == 2 && id % 17 != 3 && id % 13 != 5).toSet)
+  }
 }

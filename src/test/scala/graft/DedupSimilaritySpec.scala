@@ -1008,4 +1008,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(3L) == (13L, 1L, 13L, ""))
     assert(out.size == 3, "bench docs must not appear in the output")
   }
+
+  test("x83 celled kNN graph ≡ pedestrian brute-force top-5 on a " +
+      "tight-cluster fixture") {
+    import spark.implicits._
+    // 6 well-separated clusters at member noise 0.1: intra-cluster cos
+    // ≈ 0.76 ± 0.05 vs cross-cluster ≈ ±0.15, so every vector's true
+    // top-5 are in-cluster, and with a cluster-aligned quantizer (k=6)
+    // the celled candidate set contains them STRUCTURALLY — the regime
+    // where celled ≡ brute force must hold exactly (semCorpus's 0.35
+    // noise overlaps the regimes on purpose; it gates τ-threshold ops,
+    // not rank ops)
+    val k = 6; val per = 60; val dim = 32
+    val rnd = new scala.util.Random(47)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val cents = Array.fill(k)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    val vecs = (0 until k * per).map { i =>
+      val g = Array.fill(dim)(rnd.nextGaussian())
+      (i.toLong, unit(cents(i % k).zip(g).map { case (a, x) => a + 0.1 * x }))
+    }
+    graft.functions.CustomExprs.register(spark)
+    val corpus = vecs.toDF("vec_id", "v")
+      .withColumn("nrm", org.apache.spark.sql.functions.lit(1.0))
+      .persist()
+    try {
+      val got = Similarity.knnGraphOf(corpus,
+          Similarity.ivfCentroidsOf(corpus, k = k), 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // pedestrian brute force (unit vectors: cosine = dot)
+      val expect = vecs.flatMap { case (i, vi) =>
+        vecs.iterator.filter(_._1 != i)
+          .map { case (j, vj) =>
+            (j, vi.zip(vj).map { case (x, y) => x * y }.sum) }
+          .toSeq.sortBy { case (j, c) => (-c, j) }
+          .take(5).zipWithIndex.map { case ((j, _), r) => (i, j, r + 1) }
+      }.toSet
+      assert(got == expect,
+        s"celled kNN diverged from brute force — missing: " +
+          s"${(expect -- got).take(5)}; extra: ${(got -- expect).take(5)}")
+      // non-vacuity: every vector emitted a full top-5
+      assert(got.size == k * per * 5)
+    } finally corpus.unpersist()
+  }
 }

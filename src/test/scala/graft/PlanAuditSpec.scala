@@ -116,6 +116,62 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("x82: snapshot diff is ONE full-outer sort-merge equi join carrying " +
+      "(id, hash) only — text never enters the shuffle; columns pruned") {
+    val df = graft.ops.Pipeline.snapshotDiff(spark, sf)
+    val plan = formatted(df)
+    // full outer on corpus-sized sides: the sort-merge shape (Spark
+    // cannot broadcast a FullOuter side, so this can't silently flip)
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+      plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the join's inputs are exactly (id, 64-byte sha) per side — the
+    // document text is hashed in a map-side Project below the exchange
+    // and never shuffles (the property that keeps the join ~72 B/row at
+    // 100 TB); checked on the optimized logical plan, not string-matched
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 1, s"expected exactly one join, got ${joins.size}")
+    val joinInputs = joins.head.children.flatMap(_.output.map(_.name)).toSet
+    assert(joinInputs == Set("o_id", "o_h", "n_id", "n_h"),
+      s"join carries more than (id, hash): $joinInputs")
+    // only doc_id + text are read; the scan must prune the rest
+    assert(!plan.contains("lang") && !plan.contains("n_chars"),
+      plan.take(2000))
+  }
+
+  test("x83: kNN-graph candidates are a hash equi self-join on cell; " +
+      "vectors dropped in the join stage — never shuffled downstream") {
+    val df = graft.ops.Similarity.knnGraph(spark, sf)
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the 100×-probe lesson (see knnGraph scaladoc): the per-edge stream
+    // into the dedup aggregate and the top-k window must be
+    // (src, dst, cos) — an array column reaching either means candidate
+    // rows × 1 KB of vectors enter a sort/shuffle and the plan dies
+    // spilling at scale
+    import org.apache.spark.sql.types.ArrayType
+    val sp = df.queryExecution.sparkPlan
+    val aggs = sp.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.nonEmpty, "expected the pair-dedup HashAggregate")
+    aggs.foreach { a =>
+      assert(a.child.output.forall(!_.dataType.isInstanceOf[ArrayType]),
+        s"vector column entering the dedup aggregate: ${a.child.output}")
+    }
+    val wins = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected the top-k WindowExec")
+    wins.foreach { w =>
+      assert(w.child.output.forall(!_.dataType.isInstanceOf[ArrayType]),
+        s"vector column entering the top-k window: ${w.child.output}")
+    }
+  }
+
   test("x27: bloom probe is map-only — no join anywhere in the plan") {
     // the whole point vs x19: the blocklist is a plan literal, so the
     // probe plan is scan → HOF filter → sort. Any Join here means the
