@@ -58,6 +58,10 @@ object Bench {
     // x14's timed row keeps measuring the real tiled join
     () => graft.ops.Dedup.ccLabels(spark, dir),
     () => graft.ops.Similarity.semanticDedupCC(spark, dir),
+    // x84's mutual-kNN label dim — same memoValue-inside-query shape as
+    // x29, so the prewarm runs the query to land edges + CC rounds in
+    // cache_build_sec
+    () => graft.ops.Similarity.knnClusters(spark, dir),
     () => graft.ops.Similarity.ivfIndex(spark, dir),
     // the PQ code table + the composed IVF-PQ index (building them also
     // trains the codebooks) — without these, x25/x26's cold Lloyd

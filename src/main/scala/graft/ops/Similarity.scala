@@ -502,6 +502,13 @@ object Similarity {
   /** x83 over an arbitrary (vec_id, v, nrm) corpus + trained centroids
     * — the form the planted-fixture spec gates against brute force. */
   private[graft] def knnGraphOf(all: DataFrame, cents: Array[Array[Double]],
+      k: Int): DataFrame =
+    knnEdgesOf(all, cents, k).orderBy(col("src"), col("rk"))
+
+  /** The UNORDERED x83 edge list — the composable form x84 clusters
+    * (an output sort between composed stages would just be dropped
+    * work). */
+  private[graft] def knnEdgesOf(all: DataFrame, cents: Array[Array[Double]],
       k: Int): DataFrame = {
     val spark = all.sparkSession
     import spark.implicits._
@@ -518,7 +525,6 @@ object Similarity {
     edges.withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
       .select($"src", $"dst", $"rk".cast("int").as("rk"))
-      .orderBy($"src", $"rk")
   }
 
   /** x83's oracle: the x24 trained-centroid prolog + multi-cell
@@ -546,6 +552,98 @@ object Similarity {
        |  JOIN n y ON y.vec_id = c.dst)
        |SELECT src, dst, CAST(rk AS INT) AS rk
        |FROM scored WHERE rk <= $KnnGraphK ORDER BY src, rk""".stripMargin
+
+  // ------------------------------------------ x84 mutual-kNN clusters
+
+  /** x84 — MUTUAL-kNN CLUSTERING: connected components over the MUTUAL
+    * edge set of the x83 graph (an edge survives iff each endpoint is
+    * in the OTHER's top-k). This is the threshold-free, rank-based
+    * clustering the embedding-curation literature builds on: where
+    * x29's semantic CC needs a global cosine τ (wrong in both
+    * directions when density varies — dense regions under-merge,
+    * sparse regions over-merge), mutuality adapts to LOCAL density, and
+    * spurious one-directional edges out of sparse regions (a lonely
+    * vector's top-5 are far away, but it is nobody's top-5) are
+    * structurally removed.
+    *
+    * Shape: the mutual filter is one equi self-join of the ids-only
+    * edge list on the reversed key (k·n 16-byte rows a side), then
+    * [[graft.ops.Dedup.ccStars]] — the same O(log n)
+    * large/small-star engine as x17/x29, loud on non-convergence —
+    * over a graph with ≤ k·n/2 edges and degree ≤ k, and one label
+    * window for sizes. Nothing broadcasts, nothing collects; like x17
+    * the output covers the vectors IN the mutual graph (a vector with
+    * no mutual neighbor is its own singleton, omitted). */
+  def knnClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    // the label dim is the memoized shared artifact (x29's convention:
+    // built once per session; Bench prewarms this query so the edge
+    // build + CC rounds land in cache_build_sec)
+    val labels = graft.Caches.memoValue(spark, s"knn-cc-labels:$sfDir") {
+      val (l, _) = graft.ops.Dedup.ccStars(mutualEdgesOf(
+        knnEdgesOf(corpus(spark, sfDir), centroids(spark, sfDir),
+          KnnGraphK)))
+      graft.Caches.track(spark, s"knn-cc-labels:$sfDir", l)
+    }
+    clustersFromLabels(labels)
+  }
+
+  /** x84 over an arbitrary (src, dst, rk) edge list (un-memoized — the
+    * fixture-spec form). */
+  private[graft] def knnClustersOf(g: DataFrame): DataFrame = {
+    val (labels, _) = graft.ops.Dedup.ccStars(mutualEdgesOf(g))
+    clustersFromLabels(labels)
+  }
+
+  /** The mutual filter, lineage-truncated before CC: ccStars scans its
+    * input several times before its first checkpoint (pre-loop star
+    * check + round 1), and without this each scan re-executes the full
+    * kNN pipeline upstream (measured 6.8 s → ~2 s at sf0.1).
+    * localCheckpoint, not persist — keeps the CacheManager empty, the
+    * x14/x29 honesty convention. Ids-only, ≤ k·n/2 rows. */
+  private def mutualEdgesOf(g: DataFrame): DataFrame = {
+    val spark = g.sparkSession
+    import spark.implicits._
+    val ids = g.select($"src", $"dst")
+    ids.as("a")
+      .join(ids.as("b"), $"a.src" === $"b.dst" && $"a.dst" === $"b.src")
+      .filter($"a.src" < $"a.dst")
+      .select($"a.src".as("id_a"), $"a.dst".as("id_b"))
+      .localCheckpoint()
+  }
+
+  private def clustersFromLabels(labels: DataFrame): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy($"label")))
+      .select($"id".as("vec_id"), $"label".as("cluster_id"),
+        $"cluster_size")
+      .orderBy($"vec_id")
+  }
+
+  /** x84's oracle: the FULL x83 oracle embedded as a CTE, the mutual
+    * self-join, then x17's recursive-CTE reachability closure (the
+    * symmetric edge set makes every node reach itself through any
+    * neighbor, so MIN(reachable) is the component minimum). */
+  def knnClustersSql: String =
+    s"""WITH RECURSIVE g AS ($knnGraphSql),
+       |mut AS (
+       |  SELECT a.src AS id_a, a.dst AS id_b FROM g a JOIN g b
+       |    ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
+       |), edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM mut
+       |  UNION SELECT id_b, id_a FROM mut
+       |), reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), comp AS (
+       |  SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+       |)
+       |SELECT vec_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM comp ORDER BY vec_id""".stripMargin
 
   /** x61's oracle: cosine to the own trained centroid, per-cell
     * prototypicality rank, keep the top [[ProtoKeepFraction]]. */

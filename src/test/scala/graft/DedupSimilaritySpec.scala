@@ -1009,47 +1009,103 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.size == 3, "bench docs must not appear in the output")
   }
 
-  test("x83 celled kNN graph ≡ pedestrian brute-force top-5 on a " +
-      "tight-cluster fixture") {
-    import spark.implicits._
-    // 6 well-separated clusters at member noise 0.1: intra-cluster cos
-    // ≈ 0.76 ± 0.05 vs cross-cluster ≈ ±0.15, so every vector's true
-    // top-5 are in-cluster, and with a cluster-aligned quantizer (k=6)
-    // the celled candidate set contains them STRUCTURALLY — the regime
-    // where celled ≡ brute force must hold exactly (semCorpus's 0.35
-    // noise overlaps the regimes on purpose; it gates τ-threshold ops,
-    // not rank ops)
-    val k = 6; val per = 60; val dim = 32
+  /** Tight-cluster fixture for the kNN family (x83/x84): 6
+    * well-separated clusters at member noise 0.1 — intra-cluster cos
+    * ≈ 0.76 ± 0.05 vs cross-cluster ≈ ±0.15, so every vector's true
+    * top-5 are in-cluster, and with a cluster-aligned quantizer (k=6)
+    * the celled candidate set contains them STRUCTURALLY — the regime
+    * where celled ≡ brute force must hold exactly (semCorpus's 0.35
+    * noise overlaps the regimes on purpose; it gates τ-threshold ops,
+    * not rank ops). */
+  private val KnnFixK = 6
+  private val KnnFixPer = 60
+  private lazy val knnFixVecs: IndexedSeq[(Long, Array[Double])] = {
+    val dim = 32
     val rnd = new scala.util.Random(47)
     def unit(v: Array[Double]) = {
       val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
     }
-    val cents = Array.fill(k)(unit(Array.fill(dim)(rnd.nextGaussian())))
-    val vecs = (0 until k * per).map { i =>
+    val cents =
+      Array.fill(KnnFixK)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    (0 until KnnFixK * KnnFixPer).map { i =>
       val g = Array.fill(dim)(rnd.nextGaussian())
-      (i.toLong, unit(cents(i % k).zip(g).map { case (a, x) => a + 0.1 * x }))
+      (i.toLong,
+        unit(cents(i % KnnFixK).zip(g).map { case (a, x) => a + 0.1 * x }))
     }
+  }
+
+  /** Pedestrian brute-force top-5 edges over the fixture (unit
+    * vectors: cosine = dot; ties — which the gaussian fixture never
+    * produces — would break by id like both engines). */
+  private lazy val knnFixBrute: Set[(Long, Long, Int)] =
+    knnFixVecs.flatMap { case (i, vi) =>
+      knnFixVecs.iterator.filter(_._1 != i)
+        .map { case (j, vj) =>
+          (j, vi.zip(vj).map { case (x, y) => x * y }.sum) }
+        .toSeq.sortBy { case (j, c) => (-c, j) }
+        .take(5).zipWithIndex.map { case ((j, _), r) => (i, j, r + 1) }
+    }.toSet
+
+  private def withKnnFixture[A](f: org.apache.spark.sql.DataFrame => A): A = {
+    import spark.implicits._
     graft.functions.CustomExprs.register(spark)
-    val corpus = vecs.toDF("vec_id", "v")
+    val corpus = knnFixVecs.toDF("vec_id", "v")
       .withColumn("nrm", org.apache.spark.sql.functions.lit(1.0))
       .persist()
-    try {
+    try f(corpus) finally { corpus.unpersist(); () }
+  }
+
+  test("x83 celled kNN graph ≡ pedestrian brute-force top-5 on a " +
+      "tight-cluster fixture") {
+    withKnnFixture { corpus =>
       val got = Similarity.knnGraphOf(corpus,
-          Similarity.ivfCentroidsOf(corpus, k = k), 5)
+          Similarity.ivfCentroidsOf(corpus, k = KnnFixK), 5)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-      // pedestrian brute force (unit vectors: cosine = dot)
-      val expect = vecs.flatMap { case (i, vi) =>
-        vecs.iterator.filter(_._1 != i)
-          .map { case (j, vj) =>
-            (j, vi.zip(vj).map { case (x, y) => x * y }.sum) }
-          .toSeq.sortBy { case (j, c) => (-c, j) }
-          .take(5).zipWithIndex.map { case ((j, _), r) => (i, j, r + 1) }
-      }.toSet
-      assert(got == expect,
+      assert(got == knnFixBrute,
         s"celled kNN diverged from brute force — missing: " +
-          s"${(expect -- got).take(5)}; extra: ${(got -- expect).take(5)}")
+          s"${(knnFixBrute -- got).take(5)}; extra: ${(got -- knnFixBrute).take(5)}")
       // non-vacuity: every vector emitted a full top-5
-      assert(got.size == k * per * 5)
-    } finally corpus.unpersist()
+      assert(got.size == KnnFixK * KnnFixPer * 5)
+    }
+  }
+
+  test("x84 mutual-kNN clusters ≡ pedestrian mutual+union-find; " +
+      "no cluster spans planted clusters") {
+    withKnnFixture { corpus =>
+      val got = Similarity.knnClustersOf(Similarity.knnEdgesOf(corpus,
+          Similarity.ivfCentroidsOf(corpus, k = KnnFixK), 5))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // pedestrian replay from the BRUTE-FORCE edge list (x83's gate
+      // proves celled ≡ brute force, so this independently re-derives
+      // the mutual filter and the component labels)
+      val dir = knnFixBrute.map(e => (e._1, e._2))
+      val mutual = dir.filter { case (a, b) => a < b && dir((b, a)) }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      mutual.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = mutual.flatMap(e => Seq(e._1, e._2))
+      val expect = nodes.map { id =>
+        val root = find(id)
+        (id, root, nodes.count(find(_) == root).toLong)
+      }
+      assert(got.toSet == expect,
+        s"clusters diverged — missing: ${(expect -- got.toSet).take(5)}; " +
+          s"extra: ${(got.toSet -- expect).take(5)}")
+      // mutuality never crosses planted clusters (cross cos ≈ ±0.15
+      // cannot reach anyone's in-cluster top-5), so every component
+      // stays inside one planted cluster
+      got.groupBy(_._2).values.foreach { cl =>
+        assert(cl.map(t => t._1 % KnnFixK).toSet.size == 1,
+          s"cluster spans planted clusters: ${cl.take(8).toSeq}")
+      }
+      // non-vacuity: a real fixture produces multi-member clusters
+      assert(got.exists(_._3 >= 2L) && got.nonEmpty)
+    }
   }
 }

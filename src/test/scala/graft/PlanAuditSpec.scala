@@ -172,6 +172,14 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("x84: mutual filter is an ids-only equi self-join; no cartesian " +
+      "or nested loop anywhere in the cluster plan") {
+    val df = graft.ops.Similarity.knnClusters(spark, sf)
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("x27: bloom probe is map-only — no join anywhere in the plan") {
     // the whole point vs x19: the blocklist is a plan literal, so the
     // probe plan is scan → HOF filter → sort. Any Join here means the
