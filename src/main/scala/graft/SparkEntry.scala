@@ -142,6 +142,7 @@ object SparkEntry {
     "x82_snapshot_diff"    -> (Pipeline.snapshotDiff _),
     "x83_knn_graph"        -> (Similarity.knnGraph _),
     "x84_knn_clusters"     -> (Similarity.knnClusters _),
+    "x85_knn_density_prune" -> (Similarity.knnDensityPrune _),
     "x67_wav_pcm_stats"    -> (Multimodal.wavPcmStats _),
     "x68_png_pixel_stats"  -> (Multimodal.pngPixelStats _),
     "x42_repetition_filter" -> (TextAnalysis.repetitionFilter _),
@@ -350,6 +351,7 @@ object SparkEntry {
     "x82_snapshot_diff"      -> Pipeline.snapshotDiffSql,
     "x83_knn_graph"          -> Similarity.knnGraphSql,
     "x84_knn_clusters"       -> Similarity.knnClustersSql,
+    "x85_knn_density_prune"  -> Similarity.knnDensityPruneSql,
     "x67_wav_pcm_stats"     -> Multimodal.wavPcmStatsSql,
     "x68_png_pixel_stats"   -> Multimodal.pngPixelStatsSql,
     "x42_repetition_filter" -> TextAnalysis.repetitionFilterSql,

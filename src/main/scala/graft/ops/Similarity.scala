@@ -503,7 +503,10 @@ object Similarity {
     * — the form the planted-fixture spec gates against brute force. */
   private[graft] def knnGraphOf(all: DataFrame, cents: Array[Array[Double]],
       k: Int): DataFrame =
-    knnEdgesOf(all, cents, k).orderBy(col("src"), col("rk"))
+    // ids+rank only (the x14 float-robust output convention); the cos
+    // column stays internal for x85's density read
+    knnEdgesOf(all, cents, k).select(col("src"), col("dst"), col("rk"))
+      .orderBy(col("src"), col("rk"))
 
   /** The UNORDERED x83 edge list — the composable form x84 clusters
     * (an output sort between composed stages would just be dropped
@@ -524,15 +527,14 @@ object Similarity {
     val w = Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
     edges.withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
-      .select($"src", $"dst", $"rk".cast("int").as("rk"))
+      .select($"src", $"dst", $"rk".cast("int").as("rk"), $"cos")
   }
 
-  /** x83's oracle: the x24 trained-centroid prolog + multi-cell
-    * assignment, distinct within-cell candidate pairs, exact cosine,
-    * per-src top-[[KnnGraphK]]. */
-  def knnGraphSql: String =
-    ivfOracleProlog +
-      s""", mp AS MATERIALIZED (
+  /** The x83 scored-edge CTE chain (multi-cell assignment, distinct
+    * within-cell candidate pairs, exact cosine, per-src rank) — shared
+    * by the x83/x84/x85 oracles on top of [[ivfOracleProlog]]. */
+  private def knnScoredCtes: String =
+    s""", mp AS MATERIALIZED (
        |  SELECT vec_id, cell FROM (
        |    SELECT n.vec_id, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
@@ -544,12 +546,19 @@ object Similarity {
        |  FROM mp a JOIN mp b ON a.cell = b.cell AND a.vec_id <> b.vec_id
        |), scored AS (
        |  SELECT c.src, c.dst,
+       |    list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos,
        |    ROW_NUMBER() OVER (PARTITION BY c.src
        |      ORDER BY list_dot_product(x.v, y.v) / (x.nrm * y.nrm) DESC,
        |        c.dst ASC) AS rk
        |  FROM cand c
        |  JOIN n x ON x.vec_id = c.src
-       |  JOIN n y ON y.vec_id = c.dst)
+       |  JOIN n y ON y.vec_id = c.dst)""".stripMargin
+
+  /** x83's oracle: the x24 trained-centroid prolog + the shared scored
+    * CTEs, top-[[KnnGraphK]] per src. */
+  def knnGraphSql: String =
+    ivfOracleProlog + knnScoredCtes +
+      s"""
        |SELECT src, dst, CAST(rk AS INT) AS rk
        |FROM scored WHERE rk <= $KnnGraphK ORDER BY src, rk""".stripMargin
 
@@ -644,6 +653,60 @@ object Similarity {
        |SELECT vec_id, cluster_id,
        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM comp ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------- x85 kNN density pruning
+
+  /** Fraction of the corpus pruned as low-density outliers. */
+  private[graft] val KnnDensityPruneQ = 0.05
+
+  /** x85 — kNN-DENSITY OUTLIER PRUNING: a vector's local density is
+    * its cosine to its k-th nearest neighbor (the classic kNN-distance
+    * outlier score, LOF's cheap cousin); drop the sparsest
+    * [[KnnDensityPruneQ]] tail. The LOCAL-density complement of x61's
+    * prototypicality (distance to the own cell CENTROID): a small
+    * tight cluster far from its centroid is low-prototypicality but
+    * high-density — x61 prunes it, x85 keeps it; an isolated vector
+    * inside a dense cell is the reverse. Real curation runs want both
+    * signals.
+    *
+    * Shape: the x83 edge list (linear, see [[knnEdgesOf]]) → per-src
+    * (deg, cos@deg) aggregate — one skinny shuffle — → ONE global
+    * exact percentile (single-row dim, x38's pattern at the corpus
+    * stratum) cross-joined back broadcast, map-side filter with x38's
+    * 1e-12 interpolation slack. Vectors whose rank-k neighborhood is
+    * truncated (deg < k: their probed cells ran out of candidates)
+    * score by their weakest FOUND neighbor — already a sparsity
+    * signal. At 100 TB the exact percentile swaps for
+    * approx_percentile, x39's documented trade, same plan shape. */
+  def knnDensityPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dens = knnEdgesOf(corpus(spark, sfDir), centroids(spark, sfDir),
+        KnnGraphK)
+      .groupBy($"src")
+      .agg(max($"rk").as("deg"), max_by($"cos", $"rk").as("kcos"))
+    val thr = dens.agg(
+      expr(s"percentile(kcos, $KnnDensityPruneQ)").as("p05"))
+    dens.crossJoin(broadcast(thr))
+      .filter($"kcos" >= $"p05" - lit(1e-12))
+      .select($"src".as("vec_id"), $"deg", $"kcos", $"p05")
+      .orderBy($"vec_id")
+  }
+
+  /** x85's oracle: shared scored CTEs, per-src density, quantile_cont
+    * threshold (the x38 parity recipe), same 1e-12 slack. */
+  def knnDensityPruneSql: String =
+    ivfOracleProlog + knnScoredCtes +
+      s""", dens AS (
+       |  SELECT src, CAST(MAX(rk) AS INT) AS deg,
+       |    max_by(cos, rk) AS kcos
+       |  FROM scored WHERE rk <= $KnnGraphK GROUP BY src
+       |), thr AS (
+       |  SELECT quantile_cont(kcos, $KnnDensityPruneQ) AS p05 FROM dens
+       |)
+       |SELECT src AS vec_id, deg, kcos, p05
+       |FROM dens, thr
+       |WHERE kcos >= p05 - 1e-12
+       |ORDER BY vec_id""".stripMargin
 
   /** x61's oracle: cosine to the own trained centroid, per-cell
     * prototypicality rank, keep the top [[ProtoKeepFraction]]. */

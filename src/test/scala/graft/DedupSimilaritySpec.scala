@@ -1108,4 +1108,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(got.exists(_._3 >= 2L) && got.nonEmpty)
     }
   }
+
+  test("x85 kNN-density pruning drops exactly the sparsest-tail vectors " +
+      "of the brute-force density ordering") {
+    import org.apache.spark.sql.functions._
+    withKnnFixture { corpus =>
+      import corpus.sparkSession.implicits._
+      val edges = Similarity.knnEdgesOf(corpus,
+        Similarity.ivfCentroidsOf(corpus, k = KnnFixK), 5)
+      val dens = edges.groupBy($"src")
+        .agg(max($"rk").as("deg"), max_by($"cos", $"rk").as("kcos"))
+      val thr = dens.agg(expr("percentile(kcos, 0.05)").as("p05"))
+      val got = dens.crossJoin(broadcast(thr))
+        .filter($"kcos" >= $"p05" - lit(1e-12))
+        .select($"src").collect().map(_.getLong(0)).toSet
+      // pedestrian density: the 5th-highest dot per vector (celled ≡
+      // brute holds on this fixture per x83's gate). The interpolated
+      // 5%-ile at n=360 sits strictly BETWEEN the 17th and 18th
+      // sorted densities (pos = 0.05·359 = 17.95, and the gaussian
+      // fixture has no 1e-12-close density ties), so the dropped set
+      // is exactly the 18 sparsest — no float reimplementation needed
+      val density = knnFixVecs.map { case (i, vi) =>
+        val kth = knnFixVecs.iterator.filter(_._1 != i)
+          .map { case (_, vj) => vi.zip(vj).map { case (x, y) => x * y }.sum }
+          .toSeq.sorted(Ordering[Double].reverse).apply(4)
+        (i, kth)
+      }
+      val sortedD = density.map(_._2).sorted
+      assert(sortedD(18) - sortedD(17) > 1e-9,
+        "fixture densities are near-tied AT the threshold boundary — " +
+          "the exactly-18-dropped argument would not hold")
+      val dropped = density.sortBy(_._2).take(18).map(_._1).toSet
+      assert(got == knnFixVecs.map(_._1).toSet -- dropped,
+        s"survivors diverged — unexpectedly dropped: " +
+          s"${(knnFixVecs.map(_._1).toSet -- dropped -- got).take(5)}; " +
+          s"unexpectedly kept: ${(got & dropped).take(5)}")
+    }
+  }
 }
