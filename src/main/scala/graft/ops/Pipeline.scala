@@ -639,12 +639,10 @@ object Pipeline {
   def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
-    val old = docs.filter($"doc_id" % 17 =!= 3)
-      .select($"doc_id".as("o_id"), sha2($"text", 256).as("o_h"))
-    val neu = docs.filter($"doc_id" % 13 =!= 5)
-      .select($"doc_id".as("n_id"),
-        sha2(when($"doc_id" % 11 === 2, concat($"text", lit(" [rev2]")))
-          .otherwise($"text"), 256).as("n_h"))
+    val old = oldSnapshotHashes(docs)
+      .select($"doc_id".as("o_id"), $"h".as("o_h"))
+    val neu = newSnapshotHashes(docs)
+      .select($"doc_id".as("n_id"), $"h".as("n_h"))
     old.join(neu, $"o_id" === $"n_id", "full_outer")
       .withColumn("status",
         when($"o_id".isNull, lit("added"))
@@ -653,6 +651,28 @@ object Pipeline {
       .filter($"o_id".isNull || $"n_id".isNull || $"o_h" =!= $"n_h")
       .select(coalesce($"o_id", $"n_id").as("doc_id"), $"status")
       .orderBy($"doc_id")
+  }
+
+  /** The OLD-snapshot (doc_id, h) projection — shared by batch x82 and
+    * the streamed reconciliation's frozen store, so the two cannot
+    * diverge on the snapshot definition. */
+  private[graft] def oldSnapshotHashes(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter($"doc_id" % 17 =!= 3)
+      .select($"doc_id", sha2($"text", 256).as("h"))
+  }
+
+  /** The NEW-snapshot (doc_id, h) projection (the %13 drop-out and the
+    * %11 recrawl rewrite) — shared by batch x82 and the streamed
+    * per-batch probe. */
+  private[graft] def newSnapshotHashes(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter($"doc_id" % 13 =!= 5)
+      .select($"doc_id",
+        sha2(when($"doc_id" % 11 === 2, concat($"text", lit(" [rev2]")))
+          .otherwise($"text"), 256).as("h"))
   }
 
   val snapshotDiffSql: String =

@@ -1096,6 +1096,86 @@ object Streaming {
       .orderBy(col("vec_id"))
   }
 
+  // ------------------------- x82 streamed snapshot reconciliation
+
+  /** The FROZEN old-snapshot hash store the streamed diff probes:
+    * batch x82's OLD side ([[graft.ops.Pipeline.oldSnapshotHashes]] —
+    * one definition, the snapshot semantics cannot diverge), written
+    * once before the new crawl starts streaming. (doc_id, 64-byte
+    * hash) only — at 100 TB this is the frame you bucket by doc_id so
+    * every per-batch probe joins co-partitioned. */
+  def buildOldSnapshotStore(docs: DataFrame, oldDir: String): Unit =
+    graft.ops.Pipeline.oldSnapshotHashes(docs)
+      .write.mode("overwrite").parquet(oldDir)
+
+  /** Per-batch reconciliation: the micro-batch's slice of the NEW
+    * crawl (same [[graft.ops.Pipeline.newSnapshotHashes]] derivation
+    * as batch x82) LEFT-joins the frozen old store — `added` (no old
+    * row) and `changed` (hash differs) rows land under
+    * v&lt;batch&gt;/delta, and the batch's seen ids under
+    * v&lt;batch&gt;/ids (the skinny frame the stream-close `removed`
+    * pass anti-joins: absence is only knowable once the crawl
+    * completes, so `removed` is deliberately NOT a per-batch output).
+    * Cost ∝ batch; replay-safe via the _SUCCESS marker like every
+    * versioned dim. */
+  def snapshotDiffUpdate(oldDir: String, outDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    if (Files.isRegularFile(Paths.get(s"$outDir/v$batchId/_SUCCESS"))) return
+    val prior = modelVersions(outDir).filter(_ < batchId)
+    requirePredecessorState(outDir, batchId, prior)
+    val spark = batch.sparkSession
+    val neu = graft.ops.Pipeline.newSnapshotHashes(batch)
+      .select(col("doc_id"), col("h").as("n_h"))
+    val old = spark.read.parquet(oldDir)
+      .select(col("doc_id"), col("h").as("o_h"))
+    neu.join(old, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("o_h").isNull, lit("added")).otherwise(lit("changed")))
+      .filter(col("o_h").isNull || col("o_h") =!= col("n_h"))
+      .select(col("doc_id"), col("status"))
+      .write.mode("overwrite").parquet(s"$outDir/v$batchId/delta")
+    neu.select(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$outDir/v$batchId/ids")
+    Files.write(Paths.get(s"$outDir/v$batchId/_SUCCESS"),
+      Array.emptyByteArray)
+  }
+
+  /** Run the streamed reconciliation to completion (AvailableNow);
+    * the old store is the frozen model, captured before the stream. */
+  def buildSnapshotDiffStream(docs: DataFrame, oldDir: String,
+      outDir: String, ckptDir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    requireSharedLifecycle(outDir, ckptDir)
+    val q = docs.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        snapshotDiffUpdate(oldDir, outDir)(df, batchId)
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The complete reconciliation across committed versions: the
+    * accumulated added/changed deltas plus the stream-close `removed`
+    * pass (old store anti-join the union of seen ids). Streamed ≡
+    * batch x82 when the stream replayed the full corpus —
+    * spec-pinned. */
+  def streamedSnapshotDiff(spark: SparkSession, oldDir: String,
+      outDir: String): DataFrame = {
+    val vs = modelVersions(outDir).sorted
+    require(vs.nonEmpty, s"no committed delta slices under $outDir")
+    val deltas = vs.map(v => spark.read.parquet(s"$outDir/v$v/delta"))
+      .reduce(_ unionByName _)
+    val seen = vs.map(v => spark.read.parquet(s"$outDir/v$v/ids"))
+      .reduce(_ unionByName _)
+    val removed = spark.read.parquet(oldDir)
+      .join(seen, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("removed").as("status"))
+    deltas.unionByName(removed).orderBy(col("doc_id"))
+  }
+
   /** Run the incremental substring dedup over a documents stream to
     * completion (AvailableNow): maintains the span index under
     * `dimDir`, emits per-batch rewritten docs under `outDir`. Same

@@ -629,6 +629,43 @@ class StreamingSpec extends AnyFunSuite {
         s"extra=${streamed -- (batch ++ cleanPlant) take 3}")
   }
 
+  test("streamed snapshot reconciliation: 2-wave deltas + stream-close " +
+      "removed pass == batch x82") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // model side frozen BEFORE the stream: the old-snapshot hash store
+    val oldDir =
+      java.nio.file.Files.createTempDirectory("graft_snap_old").toString
+    Streaming.buildOldSnapshotStore(docs, oldDir)
+    // the NEW crawl arrives in two waves; added/changed land per batch,
+    // removed is only knowable at stream close
+    val landing = stageLanding("snap", Seq(
+      docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1)))
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft_snap_out").toString
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("graft_snap_ckpt").toString
+    Streaming.buildSnapshotDiffStream(
+      spark.readStream.schema(Streaming.documentsRawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(landing),
+      oldDir, outDir, ckpt)
+    // it really ran incrementally: one committed slice per wave
+    val versions = new java.io.File(outDir).listFiles()
+      .filter(_.getName.matches("v\\d+"))
+    assert(versions.length == 2,
+      s"expected 2 micro-batches, got ${versions.toSeq}")
+    val streamed = Streaming.streamedSnapshotDiff(spark, oldDir, outDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.ops.Pipeline.snapshotDiff(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch,
+      s"streamed reconciliation diverged from batch x82: " +
+        s"missing=${(batch -- streamed).take(3)} " +
+        s"extra=${(streamed -- batch).take(3)}")
+    // non-vacuity: all three statuses crossed the stream boundary
+    assert(streamed.map(_._2) == Set("added", "removed", "changed"))
+  }
+
   test("incremental near-dup dedup: 2-wave streamed pairs == batch x18") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
@@ -739,6 +776,8 @@ class StreamingSpec extends AnyFunSuite {
       val (kDim, kPairs, kSurv) = (tmp("kb_dim"), tmp("kb_pairs"), tmp("kb_surv"))
       val (sdBench, sdOut) = (tmp("sd_bench"), tmp("sd_out"))
       Streaming.buildBenchCellStore(embs, sdBench, cents)
+      val (snapOld, snapOut) = (tmp("snap_old"), tmp("snap_out"))
+      Streaming.buildOldSnapshotStore(docs, snapOld)
       Seq(
         TornDim("unigram model", Streaming.unigramModelUpdate(uDim),
           vMark(uDim),
@@ -779,7 +818,12 @@ class StreamingSpec extends AnyFunSuite {
           vMark(sdOut),
           () => rows(Streaming.streamedSemDecontClean(spark, sdOut)),
           Seq(embs.filter($"vec_id" % 2 === 0),
-            embs.filter($"vec_id" % 2 === 1))))
+            embs.filter($"vec_id" % 2 === 1))),
+        TornDim("snapshot diff",
+          Streaming.snapshotDiffUpdate(snapOld, snapOut),
+          vMark(snapOut),
+          () => rows(Streaming.streamedSnapshotDiff(spark, snapOld, snapOut)),
+          rangeWaves))
     }
 
     // enumeration check: the registry must name every versioned-dim
@@ -792,7 +836,7 @@ class StreamingSpec extends AnyFunSuite {
     val covered = Set("unigramModelUpdate", "blocklistUpdate",
       "bandIndexUpdate", "spanIndexUpdate", "decontamRewriteUpdate",
       "ledgerUpdate", "datasheetUpdate", "ivfPqIndexUpdate",
-      "keepBestUpdate", "semDecontUpdate")
+      "keepBestUpdate", "semDecontUpdate", "snapshotDiffUpdate")
     assert(updaters == covered,
       s"torn-write registry out of sync with Streaming.scala: " +
         s"unexercised=${(updaters -- covered).mkString(", ")} " +
