@@ -637,12 +637,23 @@ object Pipeline {
     * layout), and unchanged rows — the overwhelming majority of a real
     * recrawl — are filtered before anything leaves the executors. */
   def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
-    val old = oldSnapshotHashes(docs)
-      .select($"doc_id".as("o_id"), $"h".as("o_h"))
-    val neu = newSnapshotHashes(docs)
-      .select($"doc_id".as("n_id"), $"h".as("n_h"))
+    snapshotDiffOf(oldSnapshotHashes(docs), newSnapshotHashes(docs))
+  }
+
+  /** The general diff operator over two (doc_id, h) snapshot hash
+    * frames — the form a library caller feeds their own crawl
+    * snapshots (the registered x82 query derives its fixture slices
+    * via [[oldSnapshotHashes]]/[[newSnapshotHashes]]). PropertySpec
+    * pins the algebra: diff(a, a) is empty, and on content-disjoint
+    * snapshots every id is added/removed/changed by key membership
+    * alone. */
+  private[graft] def snapshotDiffOf(oldSnap: DataFrame,
+      newSnap: DataFrame): DataFrame = {
+    val spark = oldSnap.sparkSession
+    import spark.implicits._
+    val old = oldSnap.select($"doc_id".as("o_id"), $"h".as("o_h"))
+    val neu = newSnap.select($"doc_id".as("n_id"), $"h".as("n_h"))
     old.join(neu, $"o_id" === $"n_id", "full_outer")
       .withColumn("status",
         when($"o_id".isNull, lit("added"))

@@ -225,4 +225,45 @@ class PropertySpec extends AnyFunSuite {
       assert(cats.contains(t), s"input=<$s> type=$t")
     }
   }
+
+  test("x82 snapshot-diff algebra: diff(a,a) empty; membership decides " +
+      "status on random snapshot pairs") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def snap(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text").select($"doc_id",
+        sha2($"text", 256).as("h"))
+    val ids = (0L until 64L)
+    // a) identical snapshots diff to nothing
+    val a = snap(ids.map(i => (i, s"doc $i")))
+    assert(graft.ops.Pipeline.snapshotDiffOf(a, a).isEmpty,
+      "diff of identical snapshots must be empty")
+    // b) randomized pairs: membership + content decide status exactly
+    val gen = for {
+      oldMask <- Gen.listOfN(64, Gen.oneOf(true, false))
+      newMask <- Gen.listOfN(64, Gen.oneOf(true, false))
+      chgMask <- Gen.listOfN(64, Gen.oneOf(true, false))
+    } yield (oldMask, newMask, chgMask)
+    for (seed <- 0 until 3) {
+      val (om, nm, cm) = gen(Gen.Parameters.default,
+        Seed(4242L + seed)).get
+      val oldRows = ids.filter(i => om(i.toInt)).map(i => (i, s"doc $i"))
+      val newRows = ids.filter(i => nm(i.toInt)).map(i =>
+        (i, if (cm(i.toInt)) s"doc $i CHANGED" else s"doc $i"))
+      val got = graft.ops.Pipeline
+        .snapshotDiffOf(snap(oldRows), snap(newRows))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val expect = ids.flatMap { i =>
+        (om(i.toInt), nm(i.toInt)) match {
+          case (false, true)                 => Some(i -> "added")
+          case (true, false)                 => Some(i -> "removed")
+          case (true, true) if cm(i.toInt)   => Some(i -> "changed")
+          case _                             => None
+        }
+      }
+      assert(got == expect.sortBy(_._1),
+        s"seed $seed: diff algebra violated")
+    }
+  }
 }
