@@ -62,6 +62,8 @@ object Bench {
     // x29, so the prewarm runs the query to land edges + CC rounds in
     // cache_build_sec
     () => graft.ops.Similarity.knnClusters(spark, dir),
+    // x86's per-crawl-version band index over the recrawled corpus
+    () => graft.ops.Pipeline.newSnapshotBands(spark, dir),
     () => graft.ops.Similarity.ivfIndex(spark, dir),
     // the PQ code table + the composed IVF-PQ index (building them also
     // trains the codebooks) — without these, x25/x26's cold Lloyd

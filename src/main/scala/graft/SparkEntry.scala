@@ -140,6 +140,7 @@ object SparkEntry {
     "x76_decontam_rewrite" -> (Dedup.decontaminateRewrite _),
     "x77_rejection_ledger" -> (Pipeline.rejectionLedger _),
     "x82_snapshot_diff"    -> (Pipeline.snapshotDiff _),
+    "x86_delta_reprocess"  -> (Pipeline.deltaReprocess _),
     "x83_knn_graph"        -> (Similarity.knnGraph _),
     "x84_knn_clusters"     -> (Similarity.knnClusters _),
     "x85_knn_density_prune" -> (Similarity.knnDensityPrune _),
@@ -349,6 +350,7 @@ object SparkEntry {
     "x76_decontam_rewrite"   -> Dedup.decontaminateRewriteSql,
     "x77_rejection_ledger"   -> Pipeline.rejectionLedgerSql,
     "x82_snapshot_diff"      -> Pipeline.snapshotDiffSql,
+    "x86_delta_reprocess"    -> Pipeline.deltaReprocessSql,
     "x83_knn_graph"          -> Similarity.knnGraphSql,
     "x84_knn_clusters"       -> Similarity.knnClustersSql,
     "x85_knn_density_prune"  -> Similarity.knnDensityPruneSql,

@@ -793,4 +793,43 @@ class CurationSpec extends AnyFunSuite {
       docs.map(_._1).filter(id =>
         id % 11 == 2 && id % 17 != 3 && id % 13 != 5).toSet)
   }
+
+  test("x86 delta reprocessing: increment = x82's added+changed; banded " +
+      "pairs ≡ exhaustive delta × unchanged join") {
+    import spark.implicits._
+    val got = graft.ops.Pipeline.deltaReprocess(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // 1. every increment id carries exactly its x82 status
+    val diff = graft.ops.Pipeline.snapshotDiff(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(t => t._2 == "added" || t._2 == "changed").toMap
+    got.foreach { case (inc, status, _) =>
+      assert(diff.get(inc).contains(status),
+        s"inc $inc status $status vs x82 ${diff.get(inc)}")
+    }
+    // 2. banded candidates lost nothing: same pair set as the
+    // exhaustive delta × unchanged join (no band pruning at all)
+    val neu = graft.ops.Pipeline.newSnapshotText(
+      Tables.documents(spark, sf))
+    val sh = neu
+      .select($"doc_id", graft.ops.Dedup.shingles($"text").as("sh"))
+      .withColumn("nsh", size($"sh"))
+    val isDelta = ($"doc_id" % 17 === 3 || $"doc_id" % 11 === 2)
+    val inc = sh.filter(isDelta)
+      .select($"doc_id".as("inc_id"), $"sh".as("sh_a"), $"nsh".as("na"))
+    val hist = sh.filter(!isDelta)
+      .select($"doc_id".as("hist_id"), $"sh".as("sh_b"), $"nsh".as("nb"))
+    val exhaustive = inc.crossJoin(hist)
+      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+      .withColumn("j", $"inter" / ($"na" + $"nb" - $"inter"))
+      .filter($"j" >= 0.3)
+      .select($"inc_id", $"hist_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(t => (t._1, t._3)).toSet == exhaustive,
+      "banded probe diverged from the exhaustive join — band recall " +
+        "broke on this corpus; x86 must demote to rows-only (see oracle " +
+        "scaladoc)")
+    assert(exhaustive.nonEmpty, "fixture plants no delta-vs-unchanged " +
+      "near-dups — the gate is vacuous")
+  }
 }
