@@ -45,7 +45,9 @@ object ScaleProbe {
     "x53_token_budget", "x54_unimax_alloc", "x66_pipeline_e2e",
     "x14_cosine_neardup",
     "x78_semantic_decontaminate", "x79_semantic_decontam_celled",
-    "x80_image_ahash_dedup", "x81_audio_fingerprint_dedup")
+    "x80_image_ahash_dedup", "x81_audio_fingerprint_dedup",
+    "x82_snapshot_diff", "x83_knn_graph", "x84_knn_clusters",
+    "x85_knn_density_prune", "x86_delta_reprocess")
 
   /** The relational/window/event/trips families — everything registered
     * whose inputs are TPC-H facts + events + trips (trips is a pure
