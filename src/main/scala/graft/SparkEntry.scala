@@ -144,6 +144,7 @@ object SparkEntry {
     "x83_knn_graph"        -> (Similarity.knnGraph _),
     "x84_knn_clusters"     -> (Similarity.knnClusters _),
     "x85_knn_density_prune" -> (Similarity.knnDensityPrune _),
+    "x87_label_propagation" -> (Similarity.labelPropagation _),
     "x67_wav_pcm_stats"    -> (Multimodal.wavPcmStats _),
     "x68_png_pixel_stats"  -> (Multimodal.pngPixelStats _),
     "x42_repetition_filter" -> (TextAnalysis.repetitionFilter _),
@@ -354,6 +355,7 @@ object SparkEntry {
     "x83_knn_graph"          -> Similarity.knnGraphSql,
     "x84_knn_clusters"       -> Similarity.knnClustersSql,
     "x85_knn_density_prune"  -> Similarity.knnDensityPruneSql,
+    "x87_label_propagation"  -> Similarity.labelPropagationSql,
     "x67_wav_pcm_stats"     -> Multimodal.wavPcmStatsSql,
     "x68_png_pixel_stats"   -> Multimodal.pngPixelStatsSql,
     "x42_repetition_filter" -> TextAnalysis.repetitionFilterSql,

@@ -654,6 +654,113 @@ object Similarity {
        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM comp ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------- x87 kNN label propagation
+
+  /** Synchronous propagation rounds (fixed, so the oracle unrolls —
+    * the x55/x22 insight). */
+  private[graft] val LabelPropRounds = 2
+
+  /** Seed slice: vectors keeping their label (`vec_id % 3 == 0`). */
+  private[graft] val LabelSeedMod = 3
+
+  /** x87 — kNN LABEL PROPAGATION: the third kNN-graph consumer the
+    * x83 scaladoc names (after clustering x84 and density x85) —
+    * semi-supervised label spreading, the cheap way to extend a small
+    * human-labeled (or classifier-labeled, x69) seed set over an
+    * unlabeled corpus: each round, every still-unlabeled vector takes
+    * the MAJORITY label among its k nearest labeled neighbors (ties:
+    * smaller label), synchronously, for [[LabelPropRounds]] fixed
+    * rounds. Output tags provenance (`seed` / `round1` / `round2` /
+    * `unlabeled`) so downstream sampling can weight by label
+    * confidence. Seeds are the `vec_id % [[LabelSeedMod]]` slice of
+    * the embeddings table's label column — the deterministic stand-in
+    * for "the slice a labeling pass covered".
+    *
+    * Scale shape: the edge list is built once (linear, x83) and
+    * lineage-truncated; each round is one ids-only equi join onto the
+    * current label dim + a (src, label) count aggregate + a per-src
+    * argmax window + a left join back — every frame skinny, rounds
+    * fixed, nothing driver-side. */
+  def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = knnEdgesOf(corpus(spark, sfDir), centroids(spark, sfDir),
+      KnnGraphK).select($"src", $"dst")
+    val seeded = Tables.spread(Tables.embeddings(spark, sfDir))
+      .select($"vec_id",
+        when($"vec_id" % LabelSeedMod === 0, $"label").as("lbl"),
+        when($"vec_id" % LabelSeedMod === 0, lit("seed"))
+          .otherwise(lit("unlabeled")).as("origin"))
+    labelPropagationOf(edges, seeded)
+      .select($"vec_id", $"lbl".cast("int").as("lbl"), $"origin")
+      .orderBy($"vec_id")
+  }
+
+  /** The propagation rounds over an arbitrary (src, dst) edge list and
+    * (vec_id, lbl-nullable, origin) seed frame — shared by the
+    * registered query and the fixture spec, so the round semantics
+    * exist once. Each intermediate label dim is lineage-truncated
+    * (the x84 lesson: the next round reads it twice). */
+  private[graft] def labelPropagationOf(edges: DataFrame,
+      seeded: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val g = edges.localCheckpoint()
+    var labels = seeded.localCheckpoint()
+    for (r <- 1 to LabelPropRounds) {
+      val votes = g
+        .join(labels.filter($"lbl".isNotNull)
+          .select($"vec_id".as("dst"), $"lbl".as("nl")), "dst")
+        .groupBy($"src", $"nl").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"src").orderBy($"c".desc, $"nl".asc)
+      val best = votes.withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"src".as("vec_id"), $"nl".as("new_lbl"))
+      labels = labels.join(best, Seq("vec_id"), "left")
+        .select($"vec_id",
+          coalesce($"lbl", $"new_lbl").as("lbl"),
+          when($"lbl".isNotNull, $"origin")
+            .when($"new_lbl".isNotNull, lit(s"round$r"))
+            .otherwise($"origin").as("origin"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** x87's oracle: the shared x83 edge CTEs + [[LabelPropRounds]]
+    * unrolled majority rounds. */
+  def labelPropagationSql: String = {
+    val rounds = (1 to LabelPropRounds).map { r =>
+      s"""v$r AS (
+         |  SELECT e.src, l.lbl AS nl, COUNT(*) AS c
+         |  FROM g e JOIN l${r - 1} l ON l.vec_id = e.dst
+         |  WHERE l.lbl IS NOT NULL GROUP BY e.src, l.lbl
+         |), b$r AS (
+         |  SELECT src, nl FROM (
+         |    SELECT src, nl, ROW_NUMBER() OVER (PARTITION BY src
+         |      ORDER BY c DESC, nl ASC) AS rk FROM v$r)
+         |  WHERE rk = 1
+         |), l$r AS MATERIALIZED (
+         |  SELECT p.vec_id, COALESCE(p.lbl, b.nl) AS lbl,
+         |    CASE WHEN p.lbl IS NOT NULL THEN p.origin
+         |         WHEN b.nl IS NOT NULL THEN 'round$r'
+         |         ELSE p.origin END AS origin
+         |  FROM l${r - 1} p LEFT JOIN b$r b ON b.src = p.vec_id
+         |)""".stripMargin
+    }.mkString(", ")
+    ivfOracleProlog + knnScoredCtes +
+      s""", g AS (
+       |  SELECT src, dst FROM scored WHERE rk <= $KnnGraphK
+       |), l0 AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id % $LabelSeedMod = 0 THEN label END AS lbl,
+       |    CASE WHEN vec_id % $LabelSeedMod = 0 THEN 'seed'
+       |         ELSE 'unlabeled' END AS origin
+       |  FROM embeddings
+       |), $rounds
+       |SELECT vec_id, CAST(lbl AS INT) AS lbl, origin
+       |FROM l$LabelPropRounds ORDER BY vec_id""".stripMargin
+  }
+
   // ---------------------------------------- x85 kNN density pruning
 
   /** Fraction of the corpus pruned as low-density outliers. */

@@ -1145,4 +1145,55 @@ class DedupSimilaritySpec extends AnyFunSuite {
           s"unexpectedly kept: ${(got & dropped).take(5)}")
     }
   }
+
+  test("x87 label propagation: every fixture vector converges to its " +
+      "own cluster's seed label; provenance tags consistent") {
+    import org.apache.spark.sql.functions._
+    withKnnFixture { corpus =>
+      import corpus.sparkSession.implicits._
+      // the SHARED round logic (labelPropagationOf — what the
+      // registered query runs), over the fixture corpus where the
+      // cluster id IS the true label
+      val edges = Similarity.knnEdgesOf(corpus,
+          Similarity.ivfCentroidsOf(corpus, k = KnnFixK), 5)
+        .select($"src", $"dst")
+      // seed mask MUST be decorrelated from the cluster id: ids cycle
+      // clusters via i % 6, so an id-mod seed mask (the registered
+      // query's % 3 over REAL uncorrelated labels) would here put all
+      // seeds in clusters {0, 3} and none elsewhere — the first cut
+      // did exactly that and "propagation" was structurally impossible
+      // in 4 of 6 clusters. Seed by within-cluster index instead:
+      // (i DIV 6) % 3 == 0 → exactly 20 seeds in every cluster.
+      val isSeed = expr("(vec_id DIV 6) % 3 = 0")
+      val seeded = corpus
+        .select($"vec_id",
+          when(isSeed, $"vec_id" % KnnFixK).as("lbl"),
+          when(isSeed, lit("seed"))
+            .otherwise(lit("unlabeled")).as("origin"))
+      val got = Similarity.labelPropagationOf(edges, seeded).collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString.toLong),
+          r.getString(2)))
+      // no cross-cluster edge reaches anyone's top-5, so every label
+      // that propagates is the OWN cluster's; a rare non-seed clique
+      // whose whole neighborhood is unseeded can stay unlabeled after
+      // 2 rounds (observed: ~1% of the fixture) — those must keep the
+      // null/'unlabeled' tag, never a wrong label
+      def seedId(id: Long) = (id / 6) % 3 == 0
+      got.foreach { case (id, lbl, origin) =>
+        if (lbl.isDefined)
+          assert(lbl.contains(id % KnnFixK),
+            s"vec $id got label $lbl (cluster ${id % KnnFixK}, $origin)")
+        else assert(origin == "unlabeled" && !seedId(id),
+          s"vec $id null label but origin $origin")
+        if (seedId(id)) assert(origin == "seed", s"vec $id origin $origin")
+      }
+      // 1/3-per-cluster seeding over in-cluster top-5 must cover ≥ 95%
+      // in 2 rounds (a rare non-seed clique may stay unlabeled)
+      val coverage = got.count(_._2.isDefined).toDouble / got.length
+      assert(coverage >= 0.95, s"propagation coverage $coverage")
+      // non-vacuity: both rounds fired; seed count exact
+      assert(got.exists(_._3 == "round1") && got.exists(_._3 == "round2"))
+      assert(got.count(_._3 == "seed") == knnFixVecs.count(t => seedId(t._1)))
+    }
+  }
 }
