@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions.col
   *   baseDir  — where the frozen models train (default sf0.1: the
   *              maintainers freeze their model BEFORE the stream, so a
   *              base-scale model is the honest setup);
-  *   dims     — comma list of band,ledger,ivfpq (default all three).
+  *   dims     — comma list of band,ledger,ivfpq,snapshot (default
+  *              all four).
   */
 object StreamProbe {
   /** scale_probe.py's per-replica id offset. */
@@ -35,7 +36,8 @@ object StreamProbe {
     val baseDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val waves = if (args.length > 2) args(2).toInt else 10
     val repsPerWave = if (args.length > 3) args(3).toInt else 10
-    val dims = (if (args.length > 4) args(4) else "band,ledger,ivfpq")
+    val dims = (if (args.length > 4) args(4)
+      else "band,ledger,ivfpq,snapshot")
       .split(",").toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -71,7 +73,7 @@ object StreamProbe {
           "replicas (or lower waves/replicasPerWave); refusing to time " +
           "no-op waves")
     }
-    if (dims.exists(d => d == "band" || d == "ledger"))
+    if (dims.exists(d => d == "band" || d == "ledger" || d == "snapshot"))
       assertWaveCoverage(docs, "doc_id", "documents")
     if (dims.contains("ivfpq")) assertWaveCoverage(embs, "vec_id", "embeddings")
 
@@ -116,9 +118,21 @@ object StreamProbe {
         run("ivfpq_index",
           graft.streaming.Streaming.ivfPqIndexUpdate(d, cents, books),
           w => wave(embs, "vec_id", w))
+      case "snapshot" =>
+        // the old-snapshot store freezes at BASE scale (the honest
+        // setup: the prior crawl), waves play the new crawl; the
+        // updater never reads prior slices or accumulated state, so
+        // flat per-wave cost is the DESIGN — this measures that the
+        // implementation didn't accidentally break it
+        val (oldD, outD) = (tmp("snap_old"), tmp("snap_out"))
+        graft.streaming.Streaming.buildOldSnapshotStore(
+          Tables.documents(spark, baseDir), oldD)
+        run("snapshot_diff",
+          graft.streaming.Streaming.snapshotDiffUpdate(oldD, outD),
+          w => wave(docs, "doc_id", w))
       case other =>
         System.err.println(s"[stream-probe] unknown dim '$other' " +
-          "(want band|ledger|ivfpq) — skipped")
+          "(want band|ledger|ivfpq|snapshot) — skipped")
     }
     spark.stop()
   }
