@@ -111,6 +111,29 @@ object CustomExprs {
       copy(c)
   }
 
+  /** `size(array_intersect(a, b))` without materializing the
+    * intersection array — the Jaccard-verify hot path (x13/x16/x18/
+    * x86 score millions of candidate shingle pairs; the built-in
+    * builds a per-row GenericArrayData only for `size` to read its
+    * length). Exact built-in semantics: count of DISTINCT elements of
+    * `a` also present in `b`, a null element matching a null element,
+    * null through on null input. */
+  case class ArrayIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(StringType), ArrayType(StringType))
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      ExprImpl.arrayIntersectCount(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"$implName.arrayIntersectCount($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
   /** A3's pair generator as a native Generator (UDTF): emits every
     * unordered pair (i<j) of a sorted string array — the reference's
     * itertools.combinations(sorted(locs), 2) (Main.py:250). */
@@ -204,6 +227,8 @@ object CustomExprs {
         es => ArrayCombinations2(es.head)),
       "vector_dot" -> arity("vector_dot", 2)(
         es => VectorDot(es.head, es(1))),
+      "array_intersect_count" -> arity("array_intersect_count", 2)(
+        es => ArrayIntersectCount(es.head, es(1))),
       "simhash64" -> arity("simhash64", 1)(es => SimHash64(es.head)),
       "byte_sum" -> arity("byte_sum", 1)(es => ByteSum(es.head)),
       "bloom_agg" -> arity("bloom_agg", 3)(
@@ -227,6 +252,40 @@ object CustomExprs {
 object ExprImpl {
   def tokenSortRatio(a: UTF8String, b: UTF8String): Double =
     Cleaner.tokenSortRatio(a.toString, b.toString)
+
+  /** size(array_intersect) without the intersection array: hash-set of
+    * b's elements once, then one pass over a counting distinct members
+    * (a second set dedups a — the built-in's distinct semantics). Null
+    * elements match null elements, like the built-in. */
+  def arrayIntersectCount(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val bSet = new java.util.HashSet[UTF8String]()
+    var bHasNull = false
+    val nb = b.numElements()
+    var i = 0
+    while (i < nb) {
+      if (b.isNullAt(i)) bHasNull = true
+      else bSet.add(b.getUTF8String(i))
+      i += 1
+    }
+    val seen = new java.util.HashSet[UTF8String]()
+    var seenNull = false
+    var cnt = 0
+    val na = a.numElements()
+    i = 0
+    while (i < na) {
+      if (a.isNullAt(i)) {
+        if (bHasNull && !seenNull) cnt += 1
+        seenNull = true
+      } else {
+        val e = a.getUTF8String(i)
+        if (bSet.contains(e) && seen.add(e)) cnt += 1
+      }
+      i += 1
+    }
+    cnt
+  }
 
   /** Unsigned sum over raw blob bytes — allocation-free. */
   def byteSum(b: Array[Byte]): Long = {

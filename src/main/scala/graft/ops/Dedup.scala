@@ -117,6 +117,7 @@ object Dedup {
   def jaccardPairsOf(docs: DataFrame, dfCap: Long = -1L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
     // relative-cap sizing counts the (persisted) shingle frame once per
     // call — measured negligible next to the join itself at every probed
     // SF (round-4 scaling probe), so no caller-supplied count is taken
@@ -179,8 +180,9 @@ object Dedup {
           Seq("id_a"), "left")
         .join(droppedPerDoc.select($"doc_id".as("id_b"), $"ds".as("ds_b")),
           Seq("id_b"), "left")
-        .withColumn("inter", $"inter_kept" + size(array_intersect(
-          coalesce($"ds_a", emptyArr), coalesce($"ds_b", emptyArr)))))
+        .withColumn("inter", $"inter_kept" + call_function(
+          "array_intersect_count",
+          coalesce($"ds_a", emptyArr), coalesce($"ds_b", emptyArr))))
     }
   }
 
@@ -261,16 +263,19 @@ object Dedup {
     * family's J ≥ 0.3 gate. Emitted pairs are exact; only candidate
     * RECALL is the banding's concern. */
   private[graft] def verifyJaccard(cand: DataFrame, left: DataFrame,
-      right: DataFrame): DataFrame =
+      right: DataFrame): DataFrame = {
+    graft.functions.CustomExprs.register(cand.sparkSession)
     cand
       .join(left.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
         col("nsh").as("na")), "id_a")
       .join(right.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
         col("nsh").as("nb")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        call_function("array_intersect_count", col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.3)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 
   private def buildMinhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -851,6 +856,7 @@ object Dedup {
     * condition as x11. */
   def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
     val docs = shingled(spark, sfDir)
     val isIncrement = $"doc_id" % 5 === 0
     val bands = bandsOf(docs)
@@ -865,7 +871,8 @@ object Dedup {
     val hist = docs.filter(!isIncrement)
       .select($"doc_id".as("hist_id"), $"sh".as("sh_b"), $"nsh".as("nb"))
     cand.join(inc, "inc_id").join(hist, "hist_id")
-      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+      .withColumn("inter",
+        call_function("array_intersect_count", $"sh_a", $"sh_b"))
       .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter"))
       .filter($"jaccard" >= 0.3)
       .select($"inc_id", $"hist_id", $"jaccard")

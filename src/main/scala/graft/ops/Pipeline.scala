@@ -740,6 +740,7 @@ object Pipeline {
     * verify — cost ∝ delta × collisions. */
   def deltaReprocess(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
     val sh = newSnapshotShingled(spark, sfDir)
     val bands = newSnapshotBands(spark, sfDir)
     val cand = bands.filter(isDeltaId($"doc_id")).as("a")
@@ -752,7 +753,8 @@ object Pipeline {
     val hist = sh.filter(!isDeltaId($"doc_id"))
       .select($"doc_id".as("hist_id"), $"sh".as("sh_b"), $"nsh".as("nb"))
     cand.join(inc, "inc_id").join(hist, "hist_id")
-      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+      .withColumn("inter",
+        call_function("array_intersect_count", $"sh_a", $"sh_b"))
       .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter"))
       .filter($"jaccard" >= 0.3)
       .select($"inc_id",

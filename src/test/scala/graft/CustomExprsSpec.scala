@@ -56,4 +56,38 @@ class CustomExprsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(rows.toSeq == Seq(("a", "b"), ("a", "c"), ("b", "c")))
   }
+
+  test("array_intersect_count ≡ size(array_intersect) — dups, empties, " +
+      "nulls, randomized") {
+    import spark.implicits._
+    // hand cases covering the built-in's corner semantics: distinct
+    // count (dups in a count once), null-matches-null, empty sides
+    val hand: Seq[(Seq[String], Seq[String])] = Seq(
+      (Seq("a", "b", "a", "c"), Seq("a", "c", "d")),
+      (Seq("a", "a", "a"), Seq("a")),
+      (Seq(), Seq("a")),
+      (Seq("a"), Seq()),
+      (Seq(null, "a"), Seq(null, "b")),
+      (Seq(null, null), Seq(null)),
+      (Seq("x", null), Seq("x")),
+      (Seq("", "a"), Seq("", "b")))
+    val rnd = new scala.util.Random(11)
+    val fuzz = (0 until 200).map { _ =>
+      def arr() = Seq.fill(rnd.nextInt(12))(
+        if (rnd.nextInt(10) == 0) null
+        else ("s" + rnd.nextInt(8)): String)
+      (arr(), arr())
+    }
+    val df = (hand ++ fuzz).toDF("a", "b")
+      .selectExpr("array_intersect_count(a, b) AS fast",
+        "size(array_intersect(a, b)) AS builtin",
+        "a", "b")
+    val bad = df.filter($"fast" =!= $"builtin").collect()
+    assert(bad.isEmpty, s"divergence: ${bad.take(3).mkString("; ")}")
+    // null-through on null input, like the built-in
+    val nulls = Seq((null, Seq("a")), (Seq("a"), null))
+      .toDF("a", "b")
+      .selectExpr("array_intersect_count(a, b) AS fast").collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
 }
