@@ -134,6 +134,24 @@ object CustomExprs {
         l: Expression, r: Expression): Expression = copy(l, r)
   }
 
+  /** `size(split(s, " "))` as a byte scan — the token-count idiom of
+    * the budget/packing/datasheet family allocates every word of every
+    * document just to count them. Spark's split keeps trailing and
+    * consecutive empty segments (limit −1), so the segment count is
+    * EXACTLY spaces + 1; 0x20 never occurs inside a UTF-8 multibyte
+    * sequence (the SimHash64 argument), so the byte scan is exact. */
+  case class WordCount(child: Expression) extends UnaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any): Any =
+      ExprImpl.wordCount(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$implName.wordCount($c)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(c)
+  }
+
   /** A3's pair generator as a native Generator (UDTF): emits every
     * unordered pair (i<j) of a sorted string array — the reference's
     * itertools.combinations(sorted(locs), 2) (Main.py:250). */
@@ -229,6 +247,7 @@ object CustomExprs {
         es => VectorDot(es.head, es(1))),
       "array_intersect_count" -> arity("array_intersect_count", 2)(
         es => ArrayIntersectCount(es.head, es(1))),
+      "word_count" -> arity("word_count", 1)(es => WordCount(es.head)),
       "simhash64" -> arity("simhash64", 1)(es => SimHash64(es.head)),
       "byte_sum" -> arity("byte_sum", 1)(es => ByteSum(es.head)),
       "bloom_agg" -> arity("bloom_agg", 3)(
@@ -285,6 +304,21 @@ object ExprImpl {
       i += 1
     }
     cnt
+  }
+
+  /** size(split(s, " ")) as a byte scan: segments = 0x20 bytes + 1. */
+  def wordCount(s: UTF8String): Int = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes
+    var c = 1
+    var i = 0
+    while (i < n) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20)
+        c += 1
+      i += 1
+    }
+    c
   }
 
   /** Unsigned sum over raw blob bytes — allocation-free. */

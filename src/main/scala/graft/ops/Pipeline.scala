@@ -40,6 +40,7 @@ object Pipeline {
 
   def pipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
     val docs = Tables.spread(Tables.documents(spark, sfDir))
     // 1. quality prune — x38's exact policy (per-lang q25 + ulp slack)
     val scored = docs.select($"doc_id", $"lang", $"source", $"text",
@@ -98,7 +99,7 @@ object Pipeline {
     val budgetW = Window.partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sampled
-      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("n_tokens", call_function("word_count", $"text").cast("long"))
       .withColumn("cum_tokens", sum($"n_tokens").over(budgetW))
       .filter($"cum_tokens" <= Sampling.TokensPerSource)
       // 7. split — x50's deterministic doc_id rule (shared definition)
@@ -243,6 +244,7 @@ object Pipeline {
   private[graft] def datasheetVia(spark: SparkSession, sfDir: String,
       exactMedian: Boolean): DataFrame = {
     import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
     val labels = Dedup.ccLabels(spark, sfDir)
       .select($"id".as("doc_id"), $"label")
     val bcast =
@@ -253,7 +255,7 @@ object Pipeline {
       else expr("approx_percentile(n_tokens, 0.5, 10000)").cast("double")
     Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang", $"source",
-        size(split($"text", " ")).cast("long").as("n_tokens"))
+        call_function("word_count", $"text").cast("long").as("n_tokens"))
       .join(dim, Seq("doc_id"), "left")
       .rollup($"lang")
       .agg(count(lit(1)).as("n_docs"),
@@ -313,6 +315,7 @@ object Pipeline {
     * within tolerance). */
   def corpusDatasheetApprox(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
     val labels = Dedup.ccLabels(spark, sfDir)
       .select($"id".as("doc_id"), $"label")
     val bcast =
@@ -320,7 +323,7 @@ object Pipeline {
     val dim = if (bcast) broadcast(labels) else labels
     Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang", $"source",
-        size(split($"text", " ")).cast("long").as("n_tokens"))
+        call_function("word_count", $"text").cast("long").as("n_tokens"))
       .join(dim, Seq("doc_id"), "left")
       .rollup($"lang")
       .agg(count(lit(1)).as("n_docs"),

@@ -127,10 +127,11 @@ object Sampling {
     * shape, with AQE handling source skew. */
   def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
     val w = Window.partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, sfDir)
-      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("n_tokens", call_function("word_count", $"text").cast("long"))
       .withColumn("cum_tokens", sum($"n_tokens").over(w))
       .filter($"cum_tokens" <= TokensPerSource)
       .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
@@ -166,10 +167,11 @@ object Sampling {
     * stream would serialize the cumsum). */
   def sequencePack(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
     val w = Window.partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, sfDir)
-      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("n_tokens", call_function("word_count", $"text").cast("long"))
       .withColumn("start_off", sum($"n_tokens").over(w) - $"n_tokens")
       .withColumn("first_seq", expr(s"start_off div $PackSeqLen"))
       .withColumn("last_seq",
@@ -225,8 +227,9 @@ object Sampling {
     * q1/x38. At 100 TB: same plan, k is still tiny. */
   def unimaxAlloc(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
     val perSource = Tables.documents(spark, sfDir)
-      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("n_tokens", call_function("word_count", $"text").cast("long"))
       .groupBy($"source").agg(sum($"n_tokens").as("n_tokens"))
       .withColumn("cap_tokens",
         expr(s"n_tokens * $UnimaxEpochCapPermille div 1000"))

@@ -1132,9 +1132,11 @@ object TextAnalysis {
     * (composite score per language). */
   def repetitionFilter(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
     val docs = Tables.documents(spark, sfDir)
       .withColumn("total_tri",
-        greatest(size(split($"text", " ")) - 2, lit(0)).cast("long"))
+        greatest(call_function("word_count", $"text") - 2, lit(0))
+          .cast("long"))
       .select($"doc_id", $"lang", $"total_tri")
     val sh = graft.ops.Dedup.shingled(spark, sfDir).select($"doc_id", $"nsh")
     docs.join(sh, "doc_id")

@@ -778,6 +778,7 @@ object Streaming {
     import java.nio.file.{Files, Paths}
     if (Files.isRegularFile(Paths.get(s"$dimDir/v$batchId/_SUCCESS"))) return
     val spark = batch.sparkSession
+    graft.functions.CustomExprs.register(spark)
     val prior = modelVersions(dimDir).filter(_ < batchId)
     requirePredecessorState(dimDir, batchId, prior)
     val docs = batch.select(col("doc_id"), col("lang"), col("source"),
@@ -791,7 +792,8 @@ object Streaming {
         .groupBy(keys.map(col): _*).agg(sum(col("cnt")).as("cnt"))
     val hist = merged("hist",
       docs.select(col("lang"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          call_function("word_count", col("text")).cast("long")
+            .as("n_tokens"))
         .groupBy("lang", "n_tokens").agg(count(lit(1)).as("cnt")),
       Seq("lang", "n_tokens"))
     val src = merged("src",

@@ -90,4 +90,24 @@ class CustomExprsSpec extends AnyFunSuite {
       .selectExpr("array_intersect_count(a, b) AS fast").collect()
     assert(nulls.forall(_.isNullAt(0)))
   }
+
+  test("word_count ≡ size(split(s, ' ')) — empties, runs of spaces, " +
+      "multibyte, randomized") {
+    import spark.implicits._
+    val hand = Seq("", " ", "  ", "a", "a b", "a  b", " a b ",
+      "tab\tis not a split char", "عربي نص with مزيج mixed",
+      "trailing space ", " leading")
+    val rnd = new scala.util.Random(5)
+    val alphabet = "ab شن €\t"
+    val fuzz = (0 until 300).map(_ =>
+      Seq.fill(rnd.nextInt(24))(alphabet(rnd.nextInt(alphabet.length)))
+        .mkString)
+    val bad = (hand ++ fuzz).toDF("s")
+      .selectExpr("word_count(s) AS fast", "size(split(s, ' ')) AS builtin", "s")
+      .filter($"fast" =!= $"builtin").collect()
+    assert(bad.isEmpty, s"divergence: ${bad.take(3).mkString("; ")}")
+    val nul = Seq[String](null).toDF("s")
+      .selectExpr("word_count(s) AS f").collect()
+    assert(nul.head.isNullAt(0))
+  }
 }
