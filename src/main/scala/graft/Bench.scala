@@ -58,9 +58,11 @@ object Bench {
     // x14's timed row keeps measuring the real tiled join
     () => graft.ops.Dedup.ccLabels(spark, dir),
     () => graft.ops.Similarity.semanticDedupCC(spark, dir),
-    // x84's mutual-kNN label dim — same memoValue-inside-query shape as
-    // x29, so the prewarm runs the query to land edges + CC rounds in
-    // cache_build_sec
+    // the kNN edge list (x83/x85/x87 read it; x84's CC labels build
+    // from it) and x84's label dim — memoValue-inside-query shape like
+    // x29, so the prewarm runs knnClusters to land edges + CC rounds
+    // in cache_build_sec
+    () => graft.ops.Similarity.knnEdges(spark, dir),
     () => graft.ops.Similarity.knnClusters(spark, dir),
     // x86's per-crawl-version band index over the recrawled corpus
     () => graft.ops.Pipeline.newSnapshotBands(spark, dir),

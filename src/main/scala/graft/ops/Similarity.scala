@@ -497,14 +497,25 @@ object Similarity {
     * celled ≡ brute-force on a planted clustered fixture where
     * co-assignment is structural. */
   def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
-    knnGraphOf(corpus(spark, sfDir), centroids(spark, sfDir), KnnGraphK)
+    // ids+rank only (the x14 float-robust output convention); the cos
+    // column stays internal for x85's density read
+    knnEdges(spark, sfDir).select(col("src"), col("dst"), col("rk"))
+      .orderBy(col("src"), col("rk"))
+
+  /** The memoized per-corpus-version edge list — the shared artifact
+    * x83/x84/x85/x87 all consume (the kNN graph IS the frame a real
+    * pipeline materializes once and its consumers read; same
+    * convention as ivfIndex/ccLabels/newSnapshotBands — Bench prewarms
+    * it, cold build in cache_build_sec). */
+  private[graft] def knnEdges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Caches.memo(spark, s"knn-edges:$sfDir") {
+      knnEdgesOf(corpus(spark, sfDir), centroids(spark, sfDir), KnnGraphK)
+    }
 
   /** x83 over an arbitrary (vec_id, v, nrm) corpus + trained centroids
     * — the form the planted-fixture spec gates against brute force. */
   private[graft] def knnGraphOf(all: DataFrame, cents: Array[Array[Double]],
       k: Int): DataFrame =
-    // ids+rank only (the x14 float-robust output convention); the cos
-    // column stays internal for x85's density read
     knnEdgesOf(all, cents, k).select(col("src"), col("dst"), col("rk"))
       .orderBy(col("src"), col("rk"))
 
@@ -589,8 +600,7 @@ object Similarity {
     // build + CC rounds land in cache_build_sec)
     val labels = graft.Caches.memoValue(spark, s"knn-cc-labels:$sfDir") {
       val (l, _) = graft.ops.Dedup.ccStars(mutualEdgesOf(
-        knnEdgesOf(corpus(spark, sfDir), centroids(spark, sfDir),
-          KnnGraphK)))
+        knnEdges(spark, sfDir)))
       graft.Caches.track(spark, s"knn-cc-labels:$sfDir", l)
     }
     clustersFromLabels(labels)
@@ -683,8 +693,7 @@ object Similarity {
     * fixed, nothing driver-side. */
   def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val edges = knnEdgesOf(corpus(spark, sfDir), centroids(spark, sfDir),
-      KnnGraphK).select($"src", $"dst")
+    val edges = knnEdges(spark, sfDir).select($"src", $"dst")
     val seeded = Tables.spread(Tables.embeddings(spark, sfDir))
       .select($"vec_id",
         when($"vec_id" % LabelSeedMod === 0, $"label").as("lbl"),
@@ -787,8 +796,7 @@ object Similarity {
     * approx_percentile, x39's documented trade, same plan shape. */
   def knnDensityPrune(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dens = knnEdgesOf(corpus(spark, sfDir), centroids(spark, sfDir),
-        KnnGraphK)
+    val dens = knnEdges(spark, sfDir)
       .groupBy($"src")
       .agg(max($"rk").as("deg"), max_by($"cos", $"rk").as("kcos"))
     val thr = dens.agg(

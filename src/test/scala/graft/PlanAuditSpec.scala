@@ -143,7 +143,14 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("x83: kNN-graph candidates are a hash equi self-join on cell; " +
       "vectors dropped in the join stage — never shuffled downstream") {
-    val df = graft.ops.Similarity.knnGraph(spark, sf)
+    // audit the BUILD plan (knnGraphOf over the raw corpus): the
+    // registered query reads the memoized edge artifact, whose cached
+    // scan hides the build shape this gate exists to pin
+    graft.functions.CustomExprs.register(spark)
+    val df = graft.ops.Similarity.knnGraphOf(
+      graft.ops.Similarity.corpus(spark, sf),
+      graft.ops.Similarity.centroids(spark, sf),
+      graft.ops.Similarity.KnnGraphK)
     val plan = formatted(df)
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
