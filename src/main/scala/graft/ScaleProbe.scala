@@ -47,7 +47,8 @@ object ScaleProbe {
     "x78_semantic_decontaminate", "x79_semantic_decontam_celled",
     "x80_image_ahash_dedup", "x81_audio_fingerprint_dedup",
     "x82_snapshot_diff", "x83_knn_graph", "x84_knn_clusters",
-    "x85_knn_density_prune", "x86_delta_reprocess")
+    "x85_knn_density_prune", "x86_delta_reprocess",
+    "x87_label_propagation")
 
   /** The relational/window/event/trips families — everything registered
     * whose inputs are TPC-H facts + events + trips (trips is a pure

@@ -662,7 +662,9 @@ object Pipeline {
         when($"o_id".isNull, lit("added"))
           .when($"n_id".isNull, lit("removed"))
           .otherwise(lit("changed")))
-      .filter($"o_id".isNull || $"n_id".isNull || $"o_h" =!= $"n_h")
+      // null-SAFE content compare: a hash that is NULL on exactly one
+      // side (a caller's null text) is a CHANGE, not silently unchanged
+      .filter($"o_id".isNull || $"n_id".isNull || !($"o_h" <=> $"n_h"))
       .select(coalesce($"o_id", $"n_id").as("doc_id"), $"status")
       .orderBy($"doc_id")
   }
@@ -707,7 +709,7 @@ object Pipeline {
   private[graft] def newSnapshotShingled(spark: SparkSession,
       sfDir: String): DataFrame =
     graft.Caches.memo(spark, s"newsnap-shingled:$sfDir") {
-      newSnapshotText(Tables.documents(spark, sfDir))
+      newSnapshotText(Tables.spread(Tables.documents(spark, sfDir)))
         .select(col("doc_id"), graft.ops.Dedup.shingles(col("text")).as("sh"))
         .withColumn("nsh", size(col("sh")))
     }
@@ -812,6 +814,7 @@ object Pipeline {
       |       WHEN n.doc_id IS NULL THEN 'removed'
       |       ELSE 'changed' END AS status
       |FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
-      |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+      |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+      |   OR o.h IS DISTINCT FROM n.h
       |ORDER BY doc_id""".stripMargin
 }

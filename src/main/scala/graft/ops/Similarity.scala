@@ -794,9 +794,16 @@ object Similarity {
     * score by their weakest FOUND neighbor — already a sparsity
     * signal. At 100 TB the exact percentile swaps for
     * approx_percentile, x39's documented trade, same plan shape. */
-  def knnDensityPrune(spark: SparkSession, sfDir: String): DataFrame = {
+  def knnDensityPrune(spark: SparkSession, sfDir: String): DataFrame =
+    knnDensityPruneOf(knnEdges(spark, sfDir))
+
+  /** x85 over an arbitrary (src, dst, rk, cos) edge list — shared by
+    * the registered query and the fixture spec (x84/x87's convention),
+    * so the density/threshold/slack semantics exist once. */
+  private[graft] def knnDensityPruneOf(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
     import spark.implicits._
-    val dens = knnEdges(spark, sfDir)
+    val dens = edges
       .groupBy($"src")
       .agg(max($"rk").as("deg"), max_by($"cos", $"rk").as("kcos"))
     val thr = dens.agg(

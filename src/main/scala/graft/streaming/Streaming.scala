@@ -1134,7 +1134,7 @@ object Streaming {
     neu.join(old, Seq("doc_id"), "left")
       .withColumn("status",
         when(col("o_h").isNull, lit("added")).otherwise(lit("changed")))
-      .filter(col("o_h").isNull || col("o_h") =!= col("n_h"))
+      .filter(col("o_h").isNull || !(col("o_h") <=> col("n_h")))
       .select(col("doc_id"), col("status"))
       .write.mode("overwrite").parquet(s"$outDir/v$batchId/delta")
     neu.select(col("doc_id"))

@@ -1113,15 +1113,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "of the brute-force density ordering") {
     import org.apache.spark.sql.functions._
     withKnnFixture { corpus =>
-      import corpus.sparkSession.implicits._
-      val edges = Similarity.knnEdgesOf(corpus,
-        Similarity.ivfCentroidsOf(corpus, k = KnnFixK), 5)
-      val dens = edges.groupBy($"src")
-        .agg(max($"rk").as("deg"), max_by($"cos", $"rk").as("kcos"))
-      val thr = dens.agg(expr("percentile(kcos, 0.05)").as("p05"))
-      val got = dens.crossJoin(broadcast(thr))
-        .filter($"kcos" >= $"p05" - lit(1e-12))
-        .select($"src").collect().map(_.getLong(0)).toSet
+      // the SHARED knnDensityPruneOf (what the registered query runs)
+      // over the fixture edge list
+      val got = Similarity.knnDensityPruneOf(Similarity.knnEdgesOf(corpus,
+          Similarity.ivfCentroidsOf(corpus, k = KnnFixK), 5))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
       // pedestrian density: the 5th-highest dot per vector (celled ≡
       // brute holds on this fixture per x83's gate). The interpolated
       // 5%-ile at n=360 sits strictly BETWEEN the 17th and 18th

@@ -265,5 +265,18 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expect.sortBy(_._1),
         s"seed $seed: diff algebra violated")
     }
+    // c) null-hash semantics (a caller's null text): NULL on exactly
+    // one side is a CHANGE — the naive `o_h =!= n_h` filter evaluated
+    // to NULL there and silently reported the doc unchanged; NULL on
+    // both sides is unchanged (IS DISTINCT FROM semantics, mirrored in
+    // the oracle and the streamed updater)
+    val oldN = Seq((1L, "same"), (2L, null), (3L, null))
+      .toDF("doc_id", "h")
+    val newN = Seq((1L, "same"), (2L, "now-crawled"), (3L, null))
+      .toDF("doc_id", "h")
+    val gotN = graft.ops.Pipeline.snapshotDiffOf(oldN, newN)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(gotN == Seq(2L -> "changed"),
+      s"null-hash semantics violated: $gotN")
   }
 }
