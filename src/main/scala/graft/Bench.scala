@@ -176,7 +176,13 @@ object Bench {
         // an index build charged to cache_build_sec (ScaleProbe's rel
         // convention), so j05's timed minima measure the co-located
         // join, not the one-time bucketing write
-        () => graft.ops.Relational.j05BucketedColocated(spark, sfDir)) ++
+        () => graft.ops.Relational.j05BucketedColocated(spark, sfDir),
+        // n13's per-dictionary gram blocking index (id'd dim + gram
+        // order + keyed prefix index) — memoValue-inside-query shape
+        // like x29: the prewarm runs the full query so the index
+        // memos land in cache_build_sec and the timed rows measure
+        // probe keying + the blocking join, not the one-time build
+        () => graft.ops.LocationResolve.gramDictScale(spark, sfDir)) ++
       Bench.docFamilyFrames(spark, sfDir))
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -294,7 +300,11 @@ object Bench {
     spark.stop()
     // re-print AFTER Spark shutdown so the JSON record is the JVM's very
     // last stdout line even if shutdown chatter lands on stdout — every
-    // round so far the driver recorded "parsed": null from the tail
+    // round so far the driver recorded "parsed": null from the tail.
+    // The BENCH_JSON: prefix gives any log parser a greppable anchor
+    // that survives sbt "[info]" prefixes and partial tail captures
+    // (the r13 verdict's ask: make the record self-describing).
     println(line)
+    println(s"BENCH_JSON: $line")
   }
 }

@@ -81,6 +81,7 @@ object SparkEntry {
     // equivalence test instead
     "n11_fuzzy_blocked"     -> (LocationResolve.fuzzyDictScale _),
     "n12_tiered_locations"  -> (LocationResolve.tieredLocations _),
+    "n13_gram_blocked"      -> (LocationResolve.gramDictScale _),
     "n10_nlp_columns"      -> (Analytics.nlpColumns _),
     "x10_dedup_exact"      -> (Dedup.exactDedup _),
     "x11_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
@@ -293,6 +294,7 @@ object SparkEntry {
     "n07_tier12_broadcast"  -> LocationResolve.tier12Sql, // same semantics, broadcast form
     "n09_dict_scale"        -> LocationResolve.dictScaleSql,
     "n12_tiered_locations"  -> LocationResolve.tieredLocationsSql,
+    "n13_gram_blocked"      -> LocationResolve.gramDictScaleSql,
     "n10_nlp_columns"       -> Analytics.nlpColumnsSql,
     "x10_dedup_exact"       -> Dedup.exactDedupSql,
     "x11_dedup_minhash_lsh" -> Dedup.jaccardPairsSql, // LSH verified == exact

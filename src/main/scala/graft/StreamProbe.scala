@@ -37,7 +37,7 @@ object StreamProbe {
     val waves = if (args.length > 2) args(2).toInt else 10
     val repsPerWave = if (args.length > 3) args(3).toInt else 10
     val dims = (if (args.length > 4) args(4)
-      else "band,ledger,ivfpq,snapshot")
+      else "band,ledger,ivfpq,snapshot,keepbest,unigram,span,semdecont,datasheet")
       .split(",").toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -73,9 +73,11 @@ object StreamProbe {
           "replicas (or lower waves/replicasPerWave); refusing to time " +
           "no-op waves")
     }
-    if (dims.exists(d => d == "band" || d == "ledger" || d == "snapshot"))
-      assertWaveCoverage(docs, "doc_id", "documents")
-    if (dims.contains("ivfpq")) assertWaveCoverage(embs, "vec_id", "embeddings")
+    val docDims = Set("band", "ledger", "snapshot", "keepbest",
+      "unigram", "span", "datasheet")
+    if (dims.exists(docDims)) assertWaveCoverage(docs, "doc_id", "documents")
+    if (dims.exists(Set("ivfpq", "semdecont")))
+      assertWaveCoverage(embs, "vec_id", "embeddings")
 
     def tmp(p: String) =
       java.nio.file.Files.createTempDirectory(s"graft_sprobe_$p").toString
@@ -130,9 +132,60 @@ object StreamProbe {
         run("snapshot_diff",
           graft.streaming.Streaming.snapshotDiffUpdate(oldD, outD),
           w => wave(docs, "doc_id", w))
+      case "keepbest" =>
+        // the ONE maintainer whose per-wave cost grows BY DESIGN: the
+        // survivor dim is rebuilt from the ACCUMULATED pair graph (CC
+        // over all committed cross+intra pairs, then per-cluster
+        // argmax over all committed doc slices). Expected cost model:
+        // wave w pays O(p(w) · ccRounds + D(w)) where p(w) = pairs
+        // committed so far and D(w) = docs so far — LINEAR in
+        // accumulated history per wave (quadratic total), NOT flat;
+        // the probe's job is to measure the slope, not assert
+        // flatness. The per-batch band/intra stages stay ∝ batch.
+        val (d, p, sv) = (tmp("kb_dim"), tmp("kb_pairs"), tmp("kb_surv"))
+        run("keepbest",
+          graft.streaming.Streaming.keepBestUpdate(d, p, sv),
+          w => wave(docs, "doc_id", w))
+      case "unigram" =>
+        // merged unigram dim: per wave one batch-sized agg + a merge
+        // against the prior MERGED dim — cost ∝ batch + |vocab|;
+        // vocab saturates (fixture text reuses a bounded word set),
+        // so expected near-flat after wave 1
+        val d = tmp("uni_dim")
+        run("unigram",
+          graft.streaming.Streaming.unigramModelUpdate(d),
+          w => wave(docs, "doc_id", w))
+      case "span" =>
+        // span index: append-only versioned slices, probe ∝ batch —
+        // expected flat (the band-index pattern)
+        val (d, o) = (tmp("span_dim"), tmp("span_out"))
+        run("span_index",
+          graft.streaming.Streaming.spanIndexUpdate(d, o),
+          w => wave(docs, "doc_id", w))
+      case "semdecont" =>
+        // streamed semantic decontamination: the bench store and
+        // centroids are FROZEN base-scale state (read-only per wave),
+        // the batch is cell-assigned and flagged against it — cost
+        // ∝ batch, expected flat
+        val benchDir = tmp("sd_bench")
+        val cents = graft.ops.Similarity.centroids(spark, baseDir)
+        graft.streaming.Streaming.buildBenchCellStore(
+          Tables.embeddings(spark, baseDir), benchDir, cents)
+        val o = tmp("sd_out")
+        run("semdecont",
+          graft.streaming.Streaming.semDecontUpdate(benchDir, o, cents),
+          w => wave(embs, "vec_id", w))
+      case "datasheet" =>
+        // datasheet maintainer: per wave one batch aggregate merged
+        // into a CONSTANT-size stats dim — expected flat
+        val d = tmp("ds_dim")
+        run("datasheet",
+          graft.streaming.Streaming.datasheetUpdate(d),
+          w => wave(docs, "doc_id", w))
       case other =>
-        System.err.println(s"[stream-probe] unknown dim '$other' " +
-          "(want band|ledger|ivfpq|snapshot) — skipped")
+        System.err.println(s"[stream-probe] unknown dim '$other' (want " +
+          "band|ledger|ivfpq|snapshot|keepbest|unigram|span|semdecont|" +
+          "datasheet) — skipped")
     }
     spark.stop()
   }

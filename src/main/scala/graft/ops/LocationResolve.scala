@@ -258,14 +258,6 @@ object LocationResolve {
        |  CAST(${Trips.caseByVidInt(Goldens.tier12Locations.map(_.size))} AS BIGINT) AS n_locations
        |FROM trips ORDER BY trip_key""".stripMargin
 
-  /** Length of the string the scorer actually compares: tokens split
-    * on whitespace, empties dropped, re-joined single-spaced (the
-    * token-SORT permutes but preserves this length). The band predicate
-    * must measure THESE lengths — raw `length(norm)` drifts from them
-    * under doubled/leading/trailing whitespace. */
-  private def scoredLen(norm: Column): Column =
-    length(array_join(filter(split(norm, "\\s+"), t => length(t) > 0), " "))
-
   /** Cutoff-derived length-band predicate for the fuzzy blocking
     * post-filter — sound by construction, not a fixture-tuned constant:
     * token_sort_ratio = 100·(1 − d/(la+lb)) with indel distance
@@ -273,20 +265,24 @@ object LocationResolve {
     * |la − lb|·100 ≤ (100 − cutoff)·(la + lb). Any candidate failing
     * this CANNOT clear the cutoff at any edit pattern or string length
     * (a fixed half-width of 8 was provably lossy once la+lb ≥ ~50 at
-    * cutoff 82); integer arithmetic, no float rounding at the
-    * boundary. */
+    * cutoff 82). Exact arithmetic: the slack side is the double
+    * (100 − cutoff) — a `.toInt` there would FLOOR the slack for a
+    * non-integer cutoff (82.5 → 17) and re-create the lossy-band class
+    * this predicate exists to kill; int×double products here are exact
+    * in IEEE well past any real string length. */
   private[graft] def fuzzyLenBandPred(la: Column, lb: Column,
       cutoff: Double): Column =
-    abs(la - lb) * 100 <= lit((100 - cutoff).toInt) * (la + lb)
+    abs(la - lb) * 100 <= lit(100.0 - cutoff) * (la + lb)
 
-  /** Blocking keys for one normalized string: every unordered pair of
-    * its first-3 sorted distinct whitespace tokens, joined "a|b". A
-    * single-token typo changes at most one of the three, so probe and
-    * true variant always share ≥1 pair — recall is structural, not
-    * probabilistic. Pairs (vs single tokens) keep blocks tiny: the
-    * fixture's word vocabulary is small (~92 p_name words), so a
-    * single-token block would hold ~1% of a 100k dictionary, while two
-    * specific tokens co-occurring is rare. */
+  /** Token-PAIR blocking keys for one normalized string: every
+    * unordered pair of its first-3 sorted distinct whitespace tokens,
+    * joined "a|b". A single-token typo changes at most one of the
+    * three, so probe and true variant always share ≥1 pair — recall is
+    * structural for the single-token-edit class. Pairs (vs single
+    * tokens) keep blocks tiny: two specific tokens co-occurring is
+    * rare even under a small word vocabulary. Multi-token strings
+    * only; single-token strings emit no pair and go through the
+    * char-gram family instead (see [[withBlockKeys]]). */
   private[graft] def blockKeys(norm: Column): Column = {
     val t3 = slice(array_sort(array_distinct(
       filter(split(norm, " "), t => length(t) > 0))), 1, 3)
@@ -295,13 +291,257 @@ object LocationResolve {
         y => concat(x, lit("|"), y))))
   }
 
+  // ------------------- char-gram blocking for single-token strings
+
+  /** The string the scorer actually compares: whitespace tokens
+    * sorted and re-joined single-spaced (token_sort_ratio's own
+    * canonical form — indel distance is measured on exactly this). */
+  private def sortedJoinCol(s: Column): Column =
+    array_join(array_sort(filter(split(s, "\\s+"), t => length(t) > 0)), " ")
+
+  /** Occurrence-indexed character bigrams ("ab#0", "ab#1", …) of a
+    * DISTINCT-string frame (`_js`, `_slen`) as ROWS (_js, _slen, _g):
+    * one single-level transform to slice positions, then a
+    * per-(string, gram) row_number for the occurrence index — indexing
+    * makes set intersection equal multiset intersection, which is what
+    * the q-gram count bound speaks about. All codegen projections plus
+    * one window: the first cut derived these with NESTED interpreted
+    * HOFs (per-element lambda-interpreter walks, O(L²) of them) and
+    * keying a 100k-string dictionary cost 14 s; this shape is
+    * sub-second. Runs on vocabulary-bounded string dims only. */
+  private def indexedGramRows(strs: DataFrame): DataFrame = {
+    val spark = strs.sparkSession
+    import spark.implicits._
+    val wOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"_js", $"_g0").orderBy($"_pos")
+    strs.select($"_js", $"_slen",
+        posexplode(transform(sequence(lit(1), $"_slen" - 1),
+          i => $"_js".substr(i, lit(2)))).as(Seq("_pos", "_g0")))
+      .withColumn("_g",
+        concat($"_g0", lit("#"), (row_number().over(wOcc) - 1).cast("string")))
+      .select($"_js", $"_slen", $"_g0", $"_g")
+  }
+
+  /** Cutoff-derived constants for the gram family, exact integer
+    * arithmetic throughout (a float 0.28·L can round ceil across an
+    * integer and silently over-tighten the prefix — the same lossy
+    * class as the fixed band half-width):
+    *
+    *  - score ≥ cutoff c forces indel d ≤ (1−c/100)(L+M) on the
+    *    sorted-joined lengths, and strings within indel d share
+    *    ≥ max(L,M)−1−2d occurrence-indexed bigrams (the classic
+    *    q-gram count filter, q=2 — Gravano et al. VLDB'01; q=2 is
+    *    FORCED by the cutoff: the bound is vacuous for q ≥ 3 at 82);
+    *  - minimizing over all in-band partner lengths M gives the
+    *    per-string guaranteed overlap T(L) = max(1, ceil(L·(4c−300)/
+    *    10000·…)−1) — micro-units below, = max(1, ceil(0.28·L)−1)
+    *    at c=82;
+    *  - prefix filtering (SSJoin/AllPairs): under ANY global total
+    *    order on grams, two gram-sets with overlap ≥ max(T_A,T_B)
+    *    must intersect within their (|G|−T+1)-prefixes, and in
+    *    general share ≥ r elements within their (|G|−T+r)-prefixes
+    *    (downward-closed prefix argument: common elements above one
+    *    prefix's max are confined to the ≤ T−r suffix of that side).
+    *    Ordering grams rarest-first (dictionary df) makes the kept
+    *    prefixes the discriminative grams — frequent grams, where
+    *    the quadratic join cost lives, are exactly what gets dropped;
+    *  - the r=3 corollary is the candidate COUNT filter: both sides
+    *    emit every unordered PAIR of their (|G|−T+3)-prefix, so a
+    *    true match shares ≥ C(3,2) = 3 pair keys — requiring ≥3
+    *    shared "g2:" keys per (probe, variant) kills the dominant
+    *    noise class (random tokens sharing ONE bigram pair) before
+    *    any scoring happens, measured ~600× at the n13 fixture. */
+  private[graft] final case class GramScheme(cutoffMicro: Int,
+      keepNum: Int, den: Int, f1MaxLen: Int, f2MinLen: Int) {
+    /** T(L) as driver-side Int (spec/threshold derivation). */
+    def tOf(l: Int): Int =
+      math.max(1, ((l.toLong * keepNum + den - 1) / den).toInt - 1)
+  }
+
+  private[graft] def gramScheme(cutoff: Double): GramScheme = {
+    val c = math.round(cutoff * 100).toInt          // micro-cutoff, exact
+    val keepNum = math.max(0, 4 * c - 30000)        // 2800 at 82 → 0.28·L
+    val den = 10000
+    def t(l: Int) = math.max(1, ((l.toLong * keepNum + den - 1) / den).toInt - 1)
+    if (keepNum == 0)
+      // cutoff ≤ 75: T ≡ 1, every gram kept, pair keys never sound
+      GramScheme(c, keepNum, den, Int.MaxValue, Int.MaxValue)
+    else {
+      // longest L with T(L)=1; such strings need single-gram keys,
+      // as do all strings short enough to band-match one of them:
+      // (L−M)·100 ≤ (100−c)(L+M) ⟺ L·c ≤ M·(200−c), M = maxT1
+      val maxT1 = Iterator.from(2).find(l => t(l) >= 2).get - 1
+      val f1Max = (maxT1.toLong * (20000 - c) / c).toInt
+      GramScheme(c, keepNum, den, f1Max, maxT1 + 1)
+    }
+  }
+
+  /** Does the (checkpointed) dictionary contain any single-token
+    * entry? Gram keys only ever pair single-token strings, so a
+    * dictionary without them makes the whole gram family dead weight
+    * on both sides — one cheap limit(1) probe over materialized rows
+    * decides the plan (the FuzzyBlockSwitch sizing precedent). */
+  private def dimHasSingleToken(dim: DataFrame, strCol: String): Boolean =
+    // one parallel full-scan aggregate over a CODEGEN regex predicate
+    // (single token ⟺ trimmed form is one \S+ run) — NOT
+    // limit(1).isEmpty (an incremental CollectLimit over a
+    // never-matching predicate runs its partition rounds
+    // sequentially) and NOT an interpreted split/filter HOF chain
+    // (which runs per row at lambda-interpreter speed on however few
+    // partitions the parquet scan produced); each cost ~3 s measured
+    // where this takes ~0.2 s
+    dim.agg(max(when(trim(col(strCol)).rlike("^\\S+$"), 1)).as("x"))
+      .head.get(0) != null
+
+  /** Dictionary document frequency per indexed bigram over the dim's
+    * SINGLE-token entries — the global gram order both sides sort
+    * prefixes by (rarest first; grams a probe has that the dictionary
+    * lacks get df 0, harmlessly first — they can never join). Small
+    * (bounded by the dictionary's gram vocabulary) and broadcast. */
+  private[graft] def gramOrderOf(dim: DataFrame, strCol: String): DataFrame = {
+    val toks = filter(split(col(strCol), "\\s+"), t => length(t) > 0)
+    val js = array_join(array_sort(toks), " ")
+    val strs = dim.select(js.as("_js"), size(toks).as("_ntok"))
+      .filter(col("_ntok") <= 1 && length(col("_js")) >= 2)
+      .select(col("_js"), length(col("_js")).as("_slen")).distinct()
+    // df keyed on the PLAIN bigram (no occurrence window): the global
+    // order only has to be a consistent function of the indexed gram —
+    // (df(base), gram) is one, at one less window pass; repeat
+    // occurrences are rare enough that their df'=df approximation
+    // costs nothing measurable in selectivity
+    strs.select(posexplode(transform(sequence(lit(1), col("_slen") - 1),
+        i => col("_js").substr(i, lit(2)))).as(Seq("_pos", "_g0")))
+      .groupBy(col("_g0")).agg(count(lit(1)).as("_gdf"))
+  }
+
+  /** Explode a frame's blocking keys for the fuzzy join — BOTH
+    * families, routed by token count of the scorer's sorted-joined
+    * form:
+    *
+    *  - ≥2 tokens → token-pair keys ("t:") — structural recall for
+    *    single-token edits (documented boundary: an in-cutoff pair
+    *    whose edits touch 2+ of the first-3 tokens, or a one-token
+    *    probe against a multi-token variant — "newyork" vs "new york"
+    *    — can be missed; both sides of such a dictionary should be
+    *    space-normalized upstream);
+    *  - 1 token, length ≥ 2 → char-gram keys from the rarest prefix
+    *    of its indexed bigrams under the dictionary-df order. Strings
+    *    short enough to band-match a T=1 partner (L ≤ f1MaxLen, 10 at
+    *    cutoff 82) emit single-gram keys "g1:" from the (L−T)-prefix
+    *    (shared-key guarantee ≥ 1); strings with T ≥ 2 (L ≥ f2MinLen,
+    *    8 at 82) emit gram-PAIR keys "g2:a|b" — every unordered pair
+    *    of the (L−T+2)-prefix (the r=3 prefix), whose co-occurrence
+    *    selectivity restores pair-key-like block sizes for long
+    *    tokens AND guarantees ≥ 3 shared pair keys per true match
+    *    (the [[candidateFilter]] threshold). Any two single-token
+    *    strings within the cutoff share keys in SOME common family by
+    *    the prefix lemma — recall is sound for every edit pattern,
+    *    not just single-char classes;
+    *  - ≤1 token of length ≤ 1 → the whole string as "w:" (such
+    *    strings only ever cutoff-match their exact selves).
+    *
+    * Output: the input columns + `slenAs` (the scorer-compared
+    * length, feeding [[fuzzyLenBandPred]]) + exploded `bkey`.
+    * Callers should localCheckpoint `df0` (three branch scans) and
+    * `gramOrder` (consulted by both sides) — both are
+    * vocabulary-bounded dims. */
+  private[graft] def withBlockKeys(df0: DataFrame, strCol: String,
+      gramOrder: DataFrame, slenAs: String,
+      cutoff: Double, grams: Boolean = true): DataFrame = {
+    val spark = df0.sparkSession
+    import spark.implicits._
+    val sch = gramScheme(cutoff)
+    val payload = df0.columns.map(col).toSeq
+    val toks = filter(split(col(strCol), "\\s+"), t => length(t) > 0)
+    // repartition BEFORE the per-row HOF keying chain: these frames
+    // are vocabulary-bounded dims that often arrive as a 1-2-partition
+    // parquet scan or explode, and interpreted-lambda keying on two
+    // threads was the measured bottleneck — one tiny exchange buys
+    // full-width parallelism
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val df = df0.repartition(width)
+      .withColumn("_js", array_join(array_sort(toks), " "))
+      .withColumn("_ntok", size(toks))
+      .withColumn("_slen", length($"_js"))
+    val out = payload :+ col("_slen").as(slenAs)
+
+    val multi = df.filter($"_ntok" >= 2)
+      .select(out :+ explode(transform(blockKeys($"_js"),
+        k => concat(lit("t:"), k))).as("bkey"): _*)
+    // grams=false: the caller proved the DICTIONARY has no
+    // single-token entries, so neither gram nor whole-string keys can
+    // ever join (both only pair single-token strings) — emit the
+    // token-pair family alone instead of running dead scans and the
+    // gram side's eager localCheckpoint jobs over empty frames
+    if (!grams) return multi
+    val tiny = df.filter($"_ntok" <= 1 && $"_slen" <= 1)
+      .select(out :+ concat(lit("w:"), $"_js").as("bkey"): _*)
+
+    val single = df.filter($"_ntok" === 1 && $"_slen" >= 2)
+    val tCol = greatest(lit(1),
+      floor(($"_slen".cast("long") * sch.keepNum + (sch.den - 1)) /
+        lit(sch.den)).cast("int") - 1)
+    // rarest-first rank per DISTINCT string ((df, gram) lexicographic —
+    // any consistent total order is sound; df makes it selective),
+    // trimmed to the r=3 prefix. localCheckpoint: three consumers
+    // below must read the two windows' output, not re-run them.
+    val ranked = indexedGramRows(single.select($"_js", $"_slen").distinct())
+      .join(broadcast(gramOrder), Seq("_g0"), "left")
+      .withColumn("_gdf", coalesce($"_gdf", lit(0L)))
+      .withColumn("_t", tCol)
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"_js").orderBy($"_gdf", $"_g")))
+      .filter($"_rk" <= $"_slen" - $"_t" + 2)
+      .select($"_js", $"_slen", $"_t", $"_g", $"_rk")
+      .localCheckpoint()
+    val f1 = ranked
+      .filter($"_slen" <= sch.f1MaxLen && $"_rk" <= $"_slen" - $"_t")
+      .select($"_js", concat(lit("g1:"), $"_g").as("bkey"))
+    // pair keys via a rank-ordered equi self-join — all codegen; the
+    // pair is canonical because both sides order by the same global
+    // (df, gram) rank
+    val f2 =
+      if (sch.f2MinLen == Int.MaxValue) f1.limit(0)
+      else {
+        val a = ranked.filter($"_slen" >= sch.f2MinLen)
+          .select($"_js", $"_rk".as("_ra"), $"_g".as("_ga"))
+        val b = ranked.filter($"_slen" >= sch.f2MinLen)
+          .select($"_js".as("_jsb"), $"_rk".as("_rb"), $"_g".as("_gb"))
+        a.join(b, $"_js" === $"_jsb" && $"_ra" < $"_rb")
+          .select($"_js",
+            concat(lit("g2:"), $"_ga", lit("|"), $"_gb").as("bkey"))
+      }
+    val gram = single.join(f1.unionByName(f2), Seq("_js"))
+      .select(out :+ $"bkey": _*)
+    multi.unionByName(tiny).unionByName(gram)
+  }
+
+  /** The shared-key candidate filter over the blocking join's output:
+    * per (probe, variant) group, pass iff ≥1 shared NON-g2 key (the
+    * families whose guarantee is ≥1: token-pair, g1, w) or ≥3 shared
+    * g2 pair keys (the r=3 prefix guarantee — see [[gramScheme]]).
+    * Replaces a bare `.distinct()` at identical shuffle shape while
+    * cutting the scored-candidate set by the dominant noise class
+    * (pairs sharing exactly one or two collision g2 keys). */
+  private def candidateFilter(joined: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    joined.groupBy(groupCols.map(col): _*)
+      .agg(sum(when(col("bkey").startsWith("g2:"), 1).otherwise(0)).as("_n2"),
+        count(lit(1)).as("_nk"))
+      .where(col("_nk") - col("_n2") >= 1 || col("_n2") >= 3)
+      .drop("_n2", "_nk")
+
   /** n11 — tier-3 fuzzy matching at dictionary scale (rows-only; gated
     * by DictionaryScaleSpec's recall test against the exhaustive
     * argmax). The bundled cleaner's fuzzy tier (N8) is an O(|dict|)
     * argmax per unresolved string — correct at 17 variants, not viable
     * at 100k. This is the standard blocked fuzzy-join shape instead:
     *
-    *  1. both sides emit [[blockKeys]] (pairs of first-3 sorted tokens);
+    *  1. both sides emit [[withBlockKeys]] blocking keys — token-pair
+    *     keys for multi-token strings, prefix-filtered char-gram keys
+    *     for single-token strings (sound for every edit pattern at
+    *     the cutoff, see the [[gramScheme]] derivation);
     *  2. an equi-join on the key generates candidates — cost ∝ real
     *     near-matches, never |probes|×|dict|;
     *  3. a length-band post-filter ([[fuzzyLenBandPred]], derived from
@@ -322,18 +562,32 @@ object LocationResolve {
     graft.functions.CustomExprs.register(spark)
     val part = Tables.part(spark, sfDir)
     val probes = fuzzyProbes(part)
-    val dimKeyed = scaleDim(part)
-      .withColumn("dlen", scoredLen($"vkey"))
-      .select($"vkey", $"canon", $"dlen",
-        explode(blockKeys($"vkey")).as("bkey"))
-    val probeKeyed = probes
-      .withColumn("plen", scoredLen($"norm"))
-      .select($"tok_id", $"norm", $"plen",
-        explode(blockKeys($"norm")).as("bkey"))
-    val best = probeKeyed.join(dimKeyed, "bkey")
-      .where(fuzzyLenBandPred($"plen", $"dlen",
-        graft.nlp.Cleaner.FuzzyScoreCutoff))
-      .select($"tok_id", $"norm", $"vkey", $"canon").distinct()
+    // the n09 dim is all multi-token, so dimHasSingleToken turns the
+    // gram family (and its eager index checkpoints) off and this is
+    // the pure token-pair-keyed join — strings ride the (small) t:
+    // key join directly; the ids-only + memoized-index shape is the
+    // single-token path's (see fuzzyResolveDim), where the key join
+    // carries millions of rows
+    val dim = scaleDim(part).select($"vkey", $"canon")
+    // gram keys only ever pair single-token strings on BOTH sides
+    // (single↔multi is the documented cross-shape boundary), so the
+    // family — and its index build — is on only when both sides have
+    // single-token members; the n09 dim has them (its underscored
+    // form) but these probes never do
+    val grams = dimHasSingleToken(dim, "vkey") &&
+      dimHasSingleToken(probes, "norm")
+    val gorder =
+      if (grams) gramOrderOf(dim, "vkey").localCheckpoint()
+      else spark.emptyDataFrame.select(lit("").as("_g0"), lit(0L).as("_gdf"))
+    val dimKeyed = withBlockKeys(dim, "vkey",
+      gorder, "dlen", graft.nlp.Cleaner.FuzzyScoreCutoff, grams)
+    val probeKeyed = withBlockKeys(probes, "norm",
+      gorder, "plen", graft.nlp.Cleaner.FuzzyScoreCutoff, grams)
+    val best = candidateFilter(
+      probeKeyed.join(dimKeyed, "bkey")
+        .where(fuzzyLenBandPred($"plen", $"dlen",
+          graft.nlp.Cleaner.FuzzyScoreCutoff)),
+      Seq("tok_id", "norm", "vkey", "canon"))
       .withColumn("score",
         graft.functions.CustomExprs.token_sort_ratio($"norm", $"vkey"))
       .where($"score" >= graft.nlp.Cleaner.FuzzyScoreCutoff)
@@ -385,14 +639,17 @@ object LocationResolve {
     * tie rule; callers without a meaningful order pass a constant and
     * fall to the vkey tiebreak). Physical form picked by
     * [[FuzzyBlockSwitch]] (or forced via `blocked` for equivalence
-    * gates). Recall boundary of the blocked form, documented at n11:
-    * structural for multi-token strings with single-token edits (≥ 1
-    * of the first-3-token pair keys survives); single-token strings
-    * emit no pair key, so a dictionary of single-token variants must
-    * stay below the switch (as the bundled one does) or grow
-    * char-gram keys. */
+    * gates). Blocked-form recall: single-token strings go through the
+    * prefix-filtered char-gram family — SOUND for every edit pattern
+    * at the cutoff (the [[gramScheme]] derivation), so a 100k
+    * single-token dictionary (city names — the reference's own
+    * locations.json shape) takes the blocked join with no recall
+    * loss; multi-token strings keep token-pair keys, structural for
+    * the single-token-edit class ([[withBlockKeys]] documents the
+    * remaining multi-token boundary). */
   private[graft] def fuzzyResolveDim(probes: DataFrame, dim: DataFrame,
-      blocked: Option[Boolean] = None): DataFrame = {
+      blocked: Option[Boolean] = None,
+      indexMemoKey: Option[String] = None): DataFrame = {
     val spark = probes.sparkSession
     import spark.implicits._
     graft.functions.CustomExprs.register(spark)
@@ -400,15 +657,53 @@ object LocationResolve {
       dim.limit((FuzzyBlockSwitch + 1).toInt).count() > FuzzyBlockSwitch)
     val cand =
       if (useBlocked) {
-        val dimKeyed = dim.withColumn("dlen", scoredLen($"vkey"))
-          .select($"vkey", $"canon", $"vorder", $"dlen",
-            explode(blockKeys($"vkey")).as("bkey"))
-        val probeKeyed = probes.withColumn("plen", scoredLen($"fnorm"))
-          .select($"fnorm", $"plen", explode(blockKeys($"fnorm")).as("bkey"))
-        probeKeyed.join(dimKeyed, "bkey")
-          .where(fuzzyLenBandPred($"plen", $"dlen",
-            graft.nlp.Cleaner.FuzzyScoreCutoff))
-          .select($"fnorm", $"vkey", $"canon", $"vorder").distinct()
+        // ids-only blocking join + shared-key threshold, strings
+        // joined back onto the surviving near-match-sized candidate
+        // set (see fuzzyDictScale); ids are stable because the dims
+        // are localCheckpoint-materialized before use. The id'd dim,
+        // gram order and keyed index are PER-DICTIONARY artifacts —
+        // a registered query over a fixed dictionary memoizes them
+        // (indexMemoKey; Bench prewarms via the query, cold build in
+        // cache_build_sec — the ivfIndex/knnEdges convention), while
+        // generic callers rebuild per run
+        def memoOr(part: String)(b: => DataFrame): DataFrame =
+          indexMemoKey match {
+            case Some(mk) => graft.Caches.memo(spark, s"$mk:$part")(b)
+            case None => b
+          }
+        val dimC = memoOr("dim")(dim.select($"vkey", $"canon", $"vorder")
+          .withColumn("_vid", monotonically_increasing_id()).localCheckpoint())
+        val probeC = probes.select($"fnorm")
+          .withColumn("_pid", monotonically_increasing_id()).localCheckpoint()
+        // gram family on only when both sides can use it (see
+        // fuzzyDictScale); a MEMOIZED index always carries the dict's
+        // gram keys when the dict has single-token entries, so later
+        // probe sets with different shape mixes reuse it soundly —
+        // probe-side keys are per-run either way
+        val dictGrams = dimHasSingleToken(dimC, "vkey")
+        val probeGrams = dictGrams && dimHasSingleToken(probeC, "fnorm")
+        val buildGrams =
+          if (indexMemoKey.isDefined) dictGrams else probeGrams
+        val gorder =
+          if (buildGrams) memoOr("gorder")(gramOrderOf(dimC, "vkey").localCheckpoint())
+          else spark.emptyDataFrame.select(lit("").as("_g0"), lit(0L).as("_gdf"))
+        val dimKeyed = memoOr("keys")(
+          withBlockKeys(dimC.select($"_vid", $"vkey"), "vkey",
+            gorder, "dlen", graft.nlp.Cleaner.FuzzyScoreCutoff, buildGrams)
+          .select($"_vid", $"dlen", $"bkey"))
+        val probeKeyed = withBlockKeys(probeC.select($"_pid", $"fnorm"),
+          "fnorm", gorder, "plen", graft.nlp.Cleaner.FuzzyScoreCutoff, probeGrams)
+          .select($"_pid", $"plen", $"bkey")
+        candidateFilter(
+          // probe keys broadcast: the dictionary index streams
+          // map-side, never shuffle-sorted (see fuzzyDictScale)
+          dimKeyed.join(broadcast(probeKeyed), "bkey")
+            .where(fuzzyLenBandPred($"plen", $"dlen",
+              graft.nlp.Cleaner.FuzzyScoreCutoff)),
+          Seq("_pid", "_vid"))
+          .join(broadcast(probeC), Seq("_pid"))
+          .join(broadcast(dimC), Seq("_vid"))
+          .select($"fnorm", $"vkey", $"canon", $"vorder")
       } else probes.crossJoin(broadcast(dim))
     cand.withColumn("score",
         graft.functions.CustomExprs.token_sort_ratio($"fnorm", $"vkey"))
@@ -433,12 +728,17 @@ object LocationResolve {
     * dictionary or the scorer. */
   private[graft] def resolveTokensTiered(exploded: DataFrame,
       dim: DataFrame, combinedPattern: String,
-      blocked: Option[Boolean] = None): DataFrame = {
+      blocked: Option[Boolean] = None,
+      indexMemoKey: Option[String] = None): DataFrame = {
     val spark = exploded.sparkSession
     import spark.implicits._
     val minLen = graft.nlp.Cleaner.FuzzyMinLen
+    // localCheckpoint: t12 is read four times below (two fuzzy-probe
+    // slices + the two final fuzzy joins); without truncation each
+    // read re-runs the 4-tier broadcast-join chain over the token dim
     val t12 = resolveTokensBroadcast(
       exploded, dim.select($"vkey", $"canon"), combinedPattern)
+      .localCheckpoint()
     val probeNorms = t12
       .filter(coalesce($"c_exact", $"c_regex").isNull &&
         length($"norm") >= minLen)
@@ -448,8 +748,13 @@ object LocationResolve {
         coalesce($"c_sexact", $"c_sregex").isNull &&
         length($"strippedNorm") >= minLen)
       .select($"strippedNorm".as("fnorm"))
+    // localCheckpoint: the fuzzy dim is consulted at TWO coalesce
+    // positions below, via two differently-aliased broadcasts whose
+    // exchanges do not canonicalize to one — without truncation the
+    // whole fuzzy pipeline (the expensive tier) executes twice
     val fuzzy = fuzzyResolveDim(
-      probeNorms.union(probeStripped).distinct(), dim, blocked)
+      probeNorms.union(probeStripped).distinct(), dim, blocked, indexMemoKey)
+      .localCheckpoint()
     t12
       .join(broadcast(fuzzy.select($"fnorm".as("norm"),
         $"floc".as("f_norm"))), Seq("norm"), "left")
@@ -496,4 +801,128 @@ object LocationResolve {
        |  ${Trips.caseByVid(Goldens.allLocations.map(_.mkString("|")))} AS locations,
        |  CAST(${Trips.caseByVidInt(Goldens.allLocations.map(_.size))} AS BIGINT) AS n_locations
        |FROM trips ORDER BY trip_key""".stripMargin
+
+  // --------- n13: the composed resolver over a SINGLE-TOKEN 100k dim
+
+  /** One SQL expression template shared verbatim by the Spark query
+    * (`divOp` = "div") and the DuckDB oracle (`divOp` = "//"): a
+    * 12-letter deterministic pseudorandom token for a BIGINT key
+    * expression `k` — two 31-bit multiplicative mixes (Knuth/xxhash
+    * prime multipliers), 6 base-26 letters each. High-entropy on
+    * purpose: city-name-like tokens whose bigrams are spread over the
+    * full alphabet (the regime gram blocking is FOR — a dictionary
+    * whose tokens are built from a tiny closed vocabulary has
+    * pathological gram df and belongs under the exhaustive switch or
+    * upstream tokenization). */
+  private def tokenSqlExpr(k: String, divOp: String): String = {
+    def half(mult: Long) = {
+      val w = s"(($k) * $mult) % 2147483647"
+      (0 until 6).map(i =>
+        s"chr(CAST(97 + ((($w) $divOp ${math.pow(26, i).toLong}) % 26) AS INT))")
+        .mkString(" || ")
+    }
+    half(2654435761L) + " || " + half(2246822519L)
+  }
+
+  /** Probe position for the single-char-edit families: 1 + (k mod w). */
+  private def posSqlExpr(k: String, w: Int): String = s"(1 + (($k) % $w))"
+
+  /** The n13 single-token dictionary: 5 surface forms per part —
+    * plain, 'v'-prefixed, 's'-suffixed, reversed, uppercased — all
+    * single tokens, all mapping to the plain token as canonical
+    * (100k variants at sf0.1; scales with the data like n09). */
+  private[graft] def gramScaleDim(part: DataFrame): DataFrame = {
+    val t = expr(tokenSqlExpr("p_partkey", "div"))
+    part.select(t.as("canon"))
+      .select(explode(array(
+        col("canon"),
+        concat(lit("v"), col("canon")),
+        concat(col("canon"), lit("s")),
+        // 'r'-prefixed: a palindromic token (part 0 is "aaaaaaaaaaaa")
+        // would otherwise collide its reversed form with the plain one
+        concat(lit("r"), reverse(col("canon"))),
+        upper(col("canon")))).as("vkey"),
+        col("canon"))
+  }
+
+  /** The n13 probe set, m = p_partkey % 8: four exact-tier hits on
+    * distinct surface forms (m 0/1/2/6), three fuzzy single-token
+    * edits at a key-dependent ARBITRARY position — drop (m=3, d=1),
+    * substitute-with-digit (m=4, d=2), adjacent swap (m=5, d≤2) —
+    * and a structural miss (m=7: digit-bearing short token, out of
+    * every variant's length band). The fuzzy argmax is the probed
+    * part's own plain form BY CONSTRUCTION (every other part's forms
+    * differ in ~all 12 pseudorandom letters; RegistrySpec-adjacent
+    * empirical check in DictionaryScaleSpec), so the oracle knows
+    * `loc` without replaying the scorer — the n09 pattern. */
+  private[graft] def gramProbes(part: DataFrame): DataFrame = {
+    val t = tokenSqlExpr("p_partkey", "div")
+    val p12 = posSqlExpr("p_partkey", 12)
+    val p11 = posSqlExpr("p_partkey", 11)
+    val norm = s"""CASE p_partkey % 8
+      | WHEN 0 THEN ($t)
+      | WHEN 1 THEN upper($t)
+      | WHEN 2 THEN 'v' || ($t)
+      | WHEN 3 THEN substr($t, 1, $p12 - 1) || substr($t, $p12 + 1, 12)
+      | WHEN 4 THEN substr($t, 1, $p12 - 1) || '0' || substr($t, $p12 + 1, 12)
+      | WHEN 5 THEN substr($t, 1, $p11 - 1) || substr($t, $p11 + 1, 1)
+      |   || substr($t, $p11, 1) || substr($t, $p11 + 2, 12)
+      | WHEN 6 THEN 'r' || reverse($t)
+      | ELSE 'zq0' || p_partkey END""".stripMargin
+    part.select(col("p_partkey").as("tok_id"), expr(norm).as("norm"))
+  }
+
+  /** n13 — the composed 3-tier resolver ([[resolveTokensTiered]], the
+    * n12 machinery unchanged) over the [[gramScaleDim]] 100k
+    * SINGLE-token dictionary: the [[FuzzyBlockSwitch]] picks the
+    * BLOCKED branch (dim ≫ 512) and every fuzzy probe routes through
+    * the char-gram key family — so the gram-blocked path itself sits
+    * under the driver's full hash gate at sf0.1, not only under the
+    * fixture-scale spec (the n09→n11 escalation, replayed for the
+    * single-token regime the r13 verdict named as the one open recall
+    * boundary). Tier-2 runs with a never-matching pattern (n09's
+    * documented stance: a combined alternation regex is not a viable
+    * artifact at 100k variants). */
+  def gramDictScale(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, sfDir)
+    // checkpoint: tiers 1-2 broadcast this dim four times (distinct
+    // alias per tier, no exchange reuse) — materialize it once
+    val dim = graft.Caches.memo(spark, s"gramdict:$sfDir:dim0")(
+      gramScaleDim(part).withColumn("vorder", lit(0L)).localCheckpoint())
+    val tokens = gramProbes(part)
+      .withColumn("stripped", lit(""))
+      .withColumn("strippedNorm", lit(""))
+    resolveTokensTiered(tokens, dim, "(x^)",
+      indexMemoKey = Some(s"gramdict:$sfDir"))
+      .select($"tok_id", $"norm", $"loc")
+      .orderBy($"tok_id")
+  }
+
+  /** n13's oracle: regenerate the probes verbatim (same expression
+    * template, DuckDB's `//`) and derive `loc` from the construction
+    * — every m except the miss resolves to the part's own canonical
+    * token. The Spark side earns the match through the real blocked
+    * join; any recall loss in the gram keys hash-mismatches here. */
+  val gramDictScaleSql: String = {
+    val t = tokenSqlExpr("k", "//")
+    val p12 = posSqlExpr("k", 12)
+    val p11 = posSqlExpr("k", 11)
+    s"""WITH base AS (
+       |  SELECT p_partkey AS k FROM part
+       |)
+       |SELECT k AS tok_id,
+       |  CASE k % 8
+       |    WHEN 0 THEN ($t)
+       |    WHEN 1 THEN upper($t)
+       |    WHEN 2 THEN 'v' || ($t)
+       |    WHEN 3 THEN substr($t, 1, $p12 - 1) || substr($t, $p12 + 1, 12)
+       |    WHEN 4 THEN substr($t, 1, $p12 - 1) || '0' || substr($t, $p12 + 1, 12)
+       |    WHEN 5 THEN substr($t, 1, $p11 - 1) || substr($t, $p11 + 1, 1)
+       |      || substr($t, $p11, 1) || substr($t, $p11 + 2, 12)
+       |    WHEN 6 THEN 'r' || reverse($t)
+       |    ELSE 'zq0' || k END AS norm,
+       |  CASE WHEN k % 8 = 7 THEN NULL ELSE ($t) END AS loc
+       |FROM base ORDER BY tok_id""".stripMargin
+  }
 }

@@ -102,21 +102,53 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了"),
   )
 
+  /** Per-language marker-hit scores over a words column — the x31
+    * heuristic's evidence, shared by x31 itself, the x69 teacher
+    * labels and the x87 seed pass (one definition, the three cannot
+    * drift). */
+  private[graft] def langScores(w: Column): Seq[(String, Column)] =
+    langMarkers.map { case (l, ms) =>
+      l -> size(filter(w, x => x.isInCollection(ms))).cast("long")
+    }
+
+  /** Best (score, lang) struct over a words column, first-wins on
+    * score ties (the langMarkers declaration order). */
+  private[graft] def langBest(w: Column): Column = {
+    val scores = langScores(w)
+    scores.tail.foldLeft(
+      struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
+      case (acc, (l, s)) =>
+        when(s > acc.getField("s"), struct(s.as("s"), lit(l).as("l")))
+          .otherwise(acc)
+    }
+  }
+
+  /** The langScores SQL (DuckDB) as `score_<lang>` select items over a
+    * words column `w`. */
+  private[graft] def langScoreSqlExprs: String = {
+    def cnt(ms: Seq[String]) =
+      s"CAST(len(list_filter(w, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS BIGINT)"
+    langMarkers.map { case (l, ms) => s"${cnt(ms)} AS score_$l" }
+      .mkString(",\n    ")
+  }
+
+  /** The langBest SQL over the `score_<lang>` columns: a strict-> fold
+    * replicating the Spark fold's first-wins tie order; `(expr).s` /
+    * `(expr).l` read the winner. */
+  private[graft] def langBestSqlExpr: String =
+    langMarkers.tail.foldLeft("STRUCT_PACK(s := score_en, l := 'en')") {
+      case (acc, (l, _)) =>
+        s"CASE WHEN score_$l > ($acc).s THEN STRUCT_PACK(s := score_$l, l := '$l') ELSE $acc END"
+    }
+
   /** x31 — marker-word language ID (n-gram-heuristic family): count
     * function-word hits per language, argmax with fixed priority order on
     * ties, compare against the labeled lang column. */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val w = split($"text", " ")
-    val scores = langMarkers.map { case (l, ms) =>
-      l -> size(filter(w, x => x.isInCollection(ms))).cast("long")
-    }
-    val best = scores.tail.foldLeft(
-      struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
-      case (acc, (l, s)) =>
-        when(s > acc.getField("s"), struct(s.as("s"), lit(l).as("l")))
-          .otherwise(acc)
-    }
+    val scores = langScores(w)
+    val best = langBest(w)
     Tables.documents(spark, sfDir).select(
       Seq($"doc_id", $"lang") ++
         scores.map { case (l, s) => s.as(s"score_$l") } ++ Seq(
@@ -127,20 +159,12 @@ object TextAnalysis {
   }
 
   val langIdSql: String = {
-    def cnt(ms: Seq[String]) =
-      s"CAST(len(list_filter(w, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS BIGINT)"
-    val scoreCols = langMarkers
-      .map { case (l, ms) => s"${cnt(ms)} AS score_$l" }.mkString(",\n    ")
-    // fold with strict > replicates the Spark fold's first-wins tie order
-    val pred = langMarkers.tail.foldLeft("STRUCT_PACK(s := score_en, l := 'en')") {
-      case (acc, (l, _)) =>
-        s"CASE WHEN score_$l > ($acc).s THEN STRUCT_PACK(s := score_$l, l := '$l') ELSE $acc END"
-    }
+    val pred = langBestSqlExpr
     s"""WITH d AS (
        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
        |), m AS (
        |  SELECT doc_id, lang,
-       |    $scoreCols
+       |    $langScoreSqlExprs
        |  FROM d
        |)
        |SELECT doc_id, lang, score_en, score_fr, score_es, score_de, score_zh,
@@ -433,11 +457,17 @@ object TextAnalysis {
     * [[classifierTrainDistributed]] — real training code, not hand-set
     * constants.
     *
-    * LABELS are distilled from an independent heuristic: a train-slice
-    * doc is positive iff its x30 quality blend ≥ the slice's lower
-    * median — the CCNet/fastText teacher-student shape (score with a
-    * cheap reference signal, distill into a hashed-BoW model that then
-    * generalizes to unseen text with no feature pipeline).
+    * LABELS are distilled from the x30 quality TEACHER at the r13
+    * verdict's quartile split: a train-slice doc is positive iff its
+    * quality blend reaches the slice's exact TOP-QUARTILE element —
+    * the CCNet/fastText teacher-student shape (score with a cheap
+    * reference signal, distill into a hashed-BoW model that then
+    * generalizes with no feature pipeline), with a selective teacher
+    * (25% positives) instead of the old median coin-flip. The
+    * verdict's other candidate — x31 lang-ID as the class — was
+    * evaluated and is DEGENERATE on this corpus: the fixture's shared
+    * word soup contains 'a'/'the', so the marker argmax predicts 'en'
+    * for every document and the label is a constant (PLANS.md r14).
     *
     * TRAINER: full-batch gradient descent on a logistic objective for
     * [[ClassifierGdRounds]] fixed rounds in EXACT integer micro-unit
@@ -460,10 +490,11 @@ object TextAnalysis {
           qualityScore($"text").as("qs"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nDocs = docs.count()
-      // lower median: the ((n+1) div 2)-th smallest quality value —
-      // a deterministic element of the multiset (no tie ambiguity, no
-      // float averaging), replayed by row_number in the oracle
-      val thr = docs.orderBy($"qs").limit(((nDocs + 1) / 2).toInt)
+      // exact top-quartile element: the ((3(n+1)) div 4)-th smallest
+      // quality value — a deterministic element of the multiset (no
+      // tie ambiguity, no float averaging), replayed by row_number in
+      // the oracle
+      val thr = docs.orderBy($"qs").limit(((3 * (nDocs + 1)) / 4).toInt)
         .orderBy($"qs".desc).select($"qs").head.getDouble(0)
       val labels = docs.select($"doc_id",
         when($"qs" >= thr, 1L).otherwise(0L).as("y"))
@@ -668,7 +699,7 @@ object TextAnalysis {
        |), clf_thr AS MATERIALIZED (
        |  SELECT qs AS t FROM (
        |    SELECT qs, row_number() OVER (ORDER BY qs) AS rn FROM clf_q) r
-       |  WHERE rn = (SELECT (count(*)+1)//2 FROM clf_q)
+       |  WHERE rn = (SELECT (3*(count(*)+1))//4 FROM clf_q)
        |), clf_y AS MATERIALIZED (
        |  SELECT doc_id,
        |    CASE WHEN qs >= (SELECT t FROM clf_thr) THEN 1 ELSE 0 END AS y

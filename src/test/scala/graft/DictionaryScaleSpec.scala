@@ -139,6 +139,141 @@ class DictionaryScaleSpec extends AnyFunSuite {
       "small dim did not take the exhaustive-argmax branch")
   }
 
+  test("gramScheme constants derive exactly from the cutoff") {
+    val sch = LocationResolve.gramScheme(82.0)
+    // T(L) = max(1, ceil(0.28·L)−1) in exact integer arithmetic
+    assert(Seq(2, 3, 7, 8, 10, 11, 12, 30).map(sch.tOf) ==
+      Seq(1, 1, 1, 2, 2, 3, 3, 8))
+    assert(sch.f2MinLen == 8, "first length with T ≥ 2")
+    assert(sch.f1MaxLen == 10, "longest length band-matching a T=1 partner")
+    // cutoff ≤ 75 degrades to keep-everything (T ≡ 1), never unsound
+    val lo = LocationResolve.gramScheme(70.0)
+    assert(lo.tOf(50) == 1 && lo.f2MinLen == Int.MaxValue)
+  }
+
+  test("gram-blocked fuzzy ≡ exhaustive on a 100k SINGLE-token dim, " +
+      "arbitrary-position edits; the switch picks blocked") {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    // the n13 dictionary shape at full size: 100k single-token
+    // variants (5 surface forms × 20k keys, 12-letter pseudorandom
+    // tokens), NOT from parquet — the spec gate is the dim size, and
+    // range() keys make it sf-independent
+    val dim = LocationResolve.gramScaleDim(
+      spark.range(20000).select($"id".as("p_partkey")))
+      .withColumn("vorder", org.apache.spark.sql.functions.lit(0L))
+    // probes: the registered edit families at key-dependent ARBITRARY
+    // positions (drop/substitute/swap + exacts + a structural miss)…
+    val base = LocationResolve.gramProbes(
+      spark.range(0, 20000, 41).select($"id".as("p_partkey")))
+    // …plus spec-only DOUBLE edits (end-trim both sides, mid insert)
+    // the single-char structural argument never covered — only the
+    // count-filter derivation does
+    val exact = base.filter(pmod($"tok_id", lit(8)) === 0)
+    val extra = exact.select(expr("substr(norm, 2, length(norm) - 2)").as("norm"))
+      .union(exact.select(
+        expr("substr(norm, 1, 4) || 'qq' || substr(norm, 5, 12)").as("norm")))
+    val probes = base.select($"norm".as("fnorm"))
+      .union(extra.select($"norm".as("fnorm"))).distinct()
+    // fuzzyResolveDim emits HITS only (misses return via the callers'
+    // left join) — map equality therefore compares argmax AND miss sets
+    def resolved(blocked: Boolean): Map[String, String] =
+      LocationResolve.fuzzyResolveDim(probes, dim, Some(blocked))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (b, e) = (resolved(blocked = true), resolved(blocked = false))
+    assert(b == e, {
+      val diff = (b.keySet ++ e.keySet).filter(k => b.get(k) != e.get(k))
+      s"${diff.size} diverging probes, e.g. ${diff.take(3)
+        .map(k => s"'$k' blocked=${b.get(k)} exhaustive=${e.get(k)}")
+        .mkString("; ")}"
+    })
+    val nProbes = probes.count()
+    assert(e.nonEmpty && e.size < nProbes,
+      s"degenerate: ${e.size}/$nProbes hits")
+    // the size switch must route this dim through the blocked branch
+    val plan = LocationResolve.fuzzyResolveDim(probes, dim)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "100k single-token dim did not take the blocked branch")
+  }
+
+  test("gram-blocked fuzzy ≡ exhaustive on a SHORT single-token dim " +
+      "(the F1 single-gram regime) and on tiny/edge strings") {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    // lengths 5..9 sit at T=1..2 — below the pair-key regime, where
+    // recall rides the g1 family alone
+    val dim = LocationResolve.gramScaleDim(
+      spark.range(2000).select($"id".as("p_partkey")))
+      .filter(not($"vkey".rlike("^[A-Z]")))
+      .select(expr(
+        "substr(vkey, 1, 5 + CAST(pmod(xxhash64(vkey), 5) AS INT))")
+        .as("vkey"))
+      .withColumn("canon", $"vkey").distinct()
+      .withColumn("vorder", lit(0L))
+    val probes = dim.select(
+        // drop the char at a length-dependent position (d=1)
+        expr("substr(vkey, 1, length(vkey) % 4 + 1 - 1) || " +
+          "substr(vkey, length(vkey) % 4 + 2, 12)").as("fnorm"))
+      .union(dim.select($"vkey".as("fnorm")))                  // exact
+      .union(Seq("a", "ab", "zz9x", "").toDF("fnorm"))         // edges
+      .union(dim.limit(50).select(concat($"vkey", lit("q")).as("fnorm")))
+      .distinct()
+    def resolved(blocked: Boolean): Map[String, String] =
+      LocationResolve.fuzzyResolveDim(probes, dim, Some(blocked))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (b, e) = (resolved(blocked = true), resolved(blocked = false))
+    assert(b == e, {
+      val diff = (b.keySet ++ e.keySet).filter(k => b.get(k) != e.get(k))
+      s"${diff.size} diverging probes, e.g. ${diff.take(3)
+        .map(k => s"'$k' blocked=${b.get(k)} exhaustive=${e.get(k)}")
+        .mkString("; ")}"
+    })
+    val nProbes = probes.count()
+    assert(e.nonEmpty && e.size < nProbes,
+      s"degenerate: ${e.size}/$nProbes hits")
+  }
+
+  test("tiny-string families: w-key exacts and sub-cutoff misses " +
+      "blocked ≡ exhaustive") {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    val dim = Seq(("a", "A"), ("ab", "AB"), ("xy", "XY"), ("qrs", "QRS"))
+      .toDF("vkey", "canon").withColumn("vorder", lit(0L))
+    val probes = Seq("a", "b", "ab", "abc", "xy", "qr", "")
+      .toDF("fnorm")
+    def resolved(blocked: Boolean): Map[String, String] =
+      LocationResolve.fuzzyResolveDim(probes, dim, Some(blocked))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (b, e) = (resolved(blocked = true), resolved(blocked = false))
+    assert(b == e, s"tiny-string divergence: $b vs $e")
+    assert(b("a") == "A" && b("ab") == "AB" && !b.contains("b"))
+  }
+
+  test("cross-shape boundary is the one DOCUMENTED miss: single-token " +
+      "probe vs multi-token variant stays on the exhaustive side") {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    // "newyork" vs dictionary "new york": score 100·(1−1/15) ≈ 93.3 —
+    // an in-cutoff pair the token-pair family cannot key (the probe
+    // emits gram keys, the variant pair keys). withBlockKeys documents
+    // this as the boundary; this test PINS it so a future fix knows to
+    // update the docs, and proves the exhaustive branch still catches
+    // it (the below-switch default for such dictionaries).
+    val dim = Seq(("new york", "NY"), ("los angeles", "LA"))
+      .toDF("vkey", "canon").withColumn("vorder", lit(0L))
+    val probes = Seq("newyork").toDF("fnorm")
+    val exh = LocationResolve.fuzzyResolveDim(probes, dim, Some(false))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(exh("newyork") == "NY", "exhaustive must catch the despaced form")
+    val blk = LocationResolve.fuzzyResolveDim(probes, dim, Some(true))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(!blk.contains("newyork"),
+      "blocked caught the cross-shape pair — the documented boundary " +
+        "has moved: update withBlockKeys/fuzzyResolveDim scaladoc and " +
+        "flip this assertion")
+  }
+
   test("length band derives from the cutoff: len-diff > 8 hits survive") {
     import spark.implicits._
     graft.functions.CustomExprs.register(spark)

@@ -77,6 +77,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"), plan.take(1500))
   }
 
+  test("n13: gram-blocked plan — zero UDFs, no cartesian/nested-loop " +
+      "(the 100k single-token dim must ride the blocked equi join)") {
+    // the lazily-constructed plan embeds the whole composed resolver;
+    // a BroadcastNestedLoopJoin here means the switch (or the gram
+    // family gate) regressed the 100k dictionary to the exhaustive
+    // crossJoin; a UDF means a tier regressed to a closure
+    val plan = formatted(
+      graft.ops.LocationResolve.gramDictScale(spark, sf))
+    assert(!plan.contains("UDF("), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("n07: dictionary lookups are BroadcastHashJoins, result == n06") {
     val n07 = graft.ops.LocationResolve.tier12LocationsBroadcast(spark, sf)
     val plan = formatted(n07)
