@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling probe for the char-gram blocked fuzzy join (the r14 family
+  * behind n13): times `fuzzyResolveDim` forced-blocked over
+  * range-generated single-token dictionaries at 1× and 10× on each
+  * axis, because the sf-probe corpus cannot scale it (n13's input is
+  * `part`, which scale_probe.py copies as-is — dictionaries grow with
+  * vocabulary, not fact volume).
+  *
+  * Written cost model (PLANS.md r14): scored candidates ≈
+  * |probes| · |dict| · P(two high-entropy tokens share ≥3 prefix
+  * grams) — LINEAR on each axis with a small constant (~1e-3 at
+  * 12-letter tokens), i.e. a ~1000× exact-recall reduction against
+  * the |probes|·|dict| exhaustive argmax, NOT the ∝-near-matches
+  * economics of multi-token word-pair keys. A sweep ratio materially
+  * above linear on either axis is a bug.
+  *
+  * Usage: runMain graft.tools.GramProbe [baseKeys=20000]
+  */
+object GramProbe {
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.flatMap(_.toIntOption).getOrElse(20000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def dimOf(nKeys: Int) = graft.ops.LocationResolve.gramScaleDim(
+        spark.range(nKeys).select($"id".as("p_partkey")))
+      .withColumn("vorder", lit(0L))
+    def probesOf(nKeys: Int, n: Int) = {
+      val stride = math.max(1, nKeys / n)
+      graft.ops.LocationResolve.gramProbes(
+        spark.range(0, nKeys.toLong, stride).select($"id".as("p_partkey")))
+        .select($"norm".as("fnorm")).distinct()
+    }
+    // (label, dictKeys, probeCount): 1×/10× on each axis independently
+    val configs = Seq(
+      ("base",      base,      base / 3),
+      ("dict10x",   base * 10, base / 3),
+      ("probes10x", base,      base * 10 / 3))
+    configs.foreach { case (label, nKeys, nProbes) =>
+      val dim = dimOf(nKeys)
+      val probes = probesOf(nKeys, nProbes)
+      val nP = probes.count()
+      def once(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val out = graft.ops.LocationResolve
+          .fuzzyResolveDim(probes, dim, Some(true))
+        val hits = out.count()
+        ((System.nanoTime() - t0) / 1e9, hits)
+      }
+      once() // warm (codegen + scans)
+      val (t1, h1) = once()
+      val (t2, _) = once()
+      println(s"""{"probe":"gram","config":"$label","dict":${nKeys * 5L},""" +
+        s""""probes":$nP,"hits":$h1,"sec":${math.min(t1, t2)}}""")
+    }
+    spark.stop()
+  }
+}
