@@ -250,6 +250,39 @@ class DictionaryScaleSpec extends AnyFunSuite {
     assert(b("a") == "A" && b("ab") == "AB" && !b.contains("b"))
   }
 
+  test("key-lemma fuzz: random single-token universe, blocked ≡ " +
+      "exhaustive for EVERY chance in-cutoff pair") {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    // a 4-letter alphabet and lengths 2..18 make in-cutoff pairs
+    // common BY CHANCE — this gates the prefix/count-filter lemma
+    // against arbitrary edit patterns, not the constructed families
+    // the other tests use. Fixed seed: a failure must reproduce.
+    val rnd = new scala.util.Random(20260815)
+    val strs = Seq.fill(2500)(
+      (1 to (2 + rnd.nextInt(17)))
+        .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString).distinct
+    // disjoint halves: a probe inside the dim argmaxes to itself at
+    // 100 and would mask any recall loss on its near neighbors
+    val (dimStrs, probeStrs) = strs.zipWithIndex.partition(_._2 % 2 == 0)
+    val dim = dimStrs.map(_._1).toDF("vkey")
+      .withColumn("canon", $"vkey").withColumn("vorder", lit(0L))
+    val probes = probeStrs.map(_._1).toDF("fnorm")
+    def resolved(blocked: Boolean): Map[String, String] =
+      LocationResolve.fuzzyResolveDim(probes, dim, Some(blocked))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (b, e) = (resolved(blocked = true), resolved(blocked = false))
+    assert(b == e, {
+      val diff = (b.keySet ++ e.keySet).filter(k => b.get(k) != e.get(k))
+      s"${diff.size} diverging strings, e.g. ${diff.take(3)
+        .map(k => s"'$k' blocked=${b.get(k)} exhaustive=${e.get(k)}")
+        .mkString("; ")}"
+    })
+    // the split universe must actually produce fuzzy hits, or the
+    // gate is vacuous
+    assert(e.size > 50, s"degenerate fuzz universe: ${e.size} hits")
+  }
+
   test("cross-shape boundary is the one DOCUMENTED miss: single-token " +
       "probe vs multi-token variant stays on the exhaustive side") {
     import spark.implicits._
