@@ -657,7 +657,7 @@ object TextAnalysis {
 
   /** The x69 TRAINING REPLAY: every CTE a DuckDB re-derivation of what
     * [[classifierWeights]] computes — train slice, quality labels with
-    * the lower-median threshold, hashed-BoW triples with the intercept
+    * the exact top-quartile threshold, hashed-BoW triples with the intercept
     * row, then [[ClassifierGdRounds]] unrolled GD rounds (integer
     * micro-unit margins → rational sigmoid → gradient → update, `//`
     * matching Scala's truncating `/`). Ends with `clf_w(bucket, wt)`,
