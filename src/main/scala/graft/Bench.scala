@@ -298,13 +298,14 @@ object Bench {
     writeLine("BENCH_LATEST.json")
     Caches.clear(spark)
     spark.stop()
-    // re-print AFTER Spark shutdown so the JSON record is the JVM's very
-    // last stdout line even if shutdown chatter lands on stdout — every
-    // round so far the driver recorded "parsed": null from the tail.
-    // The BENCH_JSON: prefix gives any log parser a greppable anchor
+    // re-print AFTER Spark shutdown so the JSON record is the JVM's
+    // very last stdout line even if shutdown chatter lands on stdout —
+    // every round so far the driver recorded "parsed": null from the
+    // tail. The BENCH_JSON: prefix line (FIRST, so the bare-JSON-last
+    // contract above survives) gives any log parser a greppable anchor
     // that survives sbt "[info]" prefixes and partial tail captures
     // (the r13 verdict's ask: make the record self-describing).
-    println(line)
     println(s"BENCH_JSON: $line")
+    println(line)
   }
 }

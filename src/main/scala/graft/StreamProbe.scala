@@ -24,8 +24,8 @@ import org.apache.spark.sql.functions.col
   *   baseDir  — where the frozen models train (default sf0.1: the
   *              maintainers freeze their model BEFORE the stream, so a
   *              base-scale model is the honest setup);
-  *   dims     — comma list of band,ledger,ivfpq,snapshot (default
-  *              all four).
+  *   dims     — comma list of band,ledger,ivfpq,snapshot,keepbest,
+  *              unigram,span,semdecont,datasheet (default all nine).
   */
 object StreamProbe {
   /** scale_probe.py's per-replica id offset. */

@@ -562,10 +562,12 @@ object LocationResolve {
     graft.functions.CustomExprs.register(spark)
     val part = Tables.part(spark, sfDir)
     val probes = fuzzyProbes(part)
-    // the n09 dim is all multi-token, so dimHasSingleToken turns the
-    // gram family (and its eager index checkpoints) off and this is
-    // the pure token-pair-keyed join — strings ride the (small) t:
-    // key join directly; the ids-only + memoized-index shape is the
+    // the gram family is off here because the PROBES have no
+    // single-token strings (the n09 dim itself DOES — its underscored
+    // form — so the both-sides gate, not the dict-side check, is what
+    // spares n11 the eager gram-index builds); this is the pure
+    // token-pair-keyed join — strings ride the (small) t: key join
+    // directly, while the ids-only + memoized-index shape is the
     // single-token path's (see fuzzyResolveDim), where the key join
     // carries millions of rows
     val dim = scaleDim(part).select($"vkey", $"canon")

@@ -718,9 +718,14 @@ object Similarity {
     val docsQ = Tables.documents(spark, sfDir).select(
       $"doc_id".as("vec_id"),
       graft.ops.TextAnalysis.qualityScore($"text").as("qs"))
-    val n = docsQ.count()
-    val thr = docsQ.orderBy($"qs").limit(((n + 1) / 2).toInt)
-      .orderBy($"qs".desc).select($"qs").head.getDouble(0)
+    // the threshold is a per-corpus constant — memoValue like the
+    // x69 trainer's, so repeat x87 runs skip the count + sorted-limit
+    // jobs (the join-side quality projection still runs per call)
+    val thr = graft.Caches.memoValue(spark, s"x87-seed-thr:$sfDir") {
+      val n = docsQ.count()
+      docsQ.orderBy($"qs").limit(((n + 1) / 2).toInt)
+        .orderBy($"qs".desc).select($"qs").head.getDouble(0)
+    }
     Tables.spread(Tables.embeddings(spark, sfDir))
       .select($"vec_id", $"label")
       .join(docsQ, Seq("vec_id"), "left")

@@ -41,11 +41,16 @@ object GramProbe {
         spark.range(0, nKeys.toLong, stride).select($"id".as("p_partkey")))
         .select($"norm".as("fnorm")).distinct()
     }
-    // (label, dictKeys, probeCount): 1×/10× on each axis independently
+    // (label, dictKeys, probeCount): 1×/10× on each axis
+    // independently. The probe axis tops out at one probe per dict
+    // key, so the BASE probe count is base/30 — small enough that
+    // probes10x is a true 10× (the first cut asked for base·10/3
+    // probes from base keys, silently capped at ~3×, and the sweep
+    // mislabeled the axis)
     val configs = Seq(
-      ("base",      base,      base / 3),
-      ("dict10x",   base * 10, base / 3),
-      ("probes10x", base,      base * 10 / 3))
+      ("base",      base,      base / 30),
+      ("dict10x",   base * 10, base / 30),
+      ("probes10x", base,      base / 3))
     configs.foreach { case (label, nKeys, nProbes) =>
       val dim = dimOf(nKeys)
       val probes = probesOf(nKeys, nProbes)
