@@ -379,8 +379,11 @@ object LocationResolve {
   /** Does the (checkpointed) dictionary contain any single-token
     * entry? Gram keys only ever pair single-token strings, so a
     * dictionary without them makes the whole gram family dead weight
-    * on both sides — one cheap limit(1) probe over materialized rows
-    * decides the plan (the FuzzyBlockSwitch sizing precedent). */
+    * on both sides — one cheap full-scan aggregate decides the plan
+    * (the FuzzyBlockSwitch sizing precedent). Empty-string entries
+    * (zero tokens) deliberately don't count: an empty dictionary key
+    * is upstream garbage by the cleaner's own normalization
+    * contract. */
   private def dimHasSingleToken(dim: DataFrame, strCol: String): Boolean =
     // one parallel full-scan aggregate over a CODEGEN regex predicate
     // (single token ⟺ trimmed form is one \S+ run) — NOT
