@@ -700,23 +700,27 @@ class CurationSpec extends AnyFunSuite {
       assert(gsum == sum, s"doc $id feat_sum $gsum != $sum")
       assert(gkept == (sum > 0), s"doc $id kept flag")
     }
-    // the trained decision must not degenerate to all-kept/none-kept
-    // (a sign bug or a diverged trainer would); positives are ~half the
-    // corpus by the median-label construction
+    // the trained decision must not degenerate to all-kept/none-kept —
+    // the r14 lang-id teacher candidate FAILED exactly this way (every
+    // doc predicted 'en' ⇒ constant labels ⇒ kept 500/500) while
+    // staying hash-green against its oracle, so this distribution gate
+    // is the one that catches a semantically useless teacher; positives
+    // are the top quality quartile by construction
     val keptFrac = got.values.count(_._3).toDouble / got.size
-    assert(keptFrac > 0.02 && keptFrac < 0.98, s"kept fraction $keptFrac")
+    assert(keptFrac > 0.02 && keptFrac < 0.6, s"kept fraction $keptFrac")
   }
 
   test("x69 trained weights: held-out accuracy beats majority class") {
     import spark.implicits._
     // labels re-derived from the independent signal exactly as the
-    // trainer defines them: x30's quality blend, thresholded at the
-    // TRAIN slice's lower median — then accuracy measured ONLY on the
-    // doc_id % 4 == 0 quarter the trainer never saw
+    // trainer defines them (r14: x30's quality blend at the TRAIN
+    // slice's exact TOP-QUARTILE element — the ((3(n+1)) div 4)-th
+    // smallest) — then accuracy measured ONLY on the doc_id % 4 == 0
+    // quarter the trainer never saw
     val q = graft.ops.TextAnalysis.textQuality(spark, sf)
       .select($"doc_id", $"quality_score").as[(Long, Double)].collect().toMap
     val trainQ = q.collect { case (id, s) if id % 4 != 0 => s }.toArray.sorted
-    val thr = trainQ((trainQ.length - 1) / 2)
+    val thr = trainQ((3 * (trainQ.length + 1) / 4 - 1).toInt)
     val kept = graft.ops.TextAnalysis.qualityClassifier(spark, sf)
       .select($"doc_id", $"kept").as[(Long, Boolean)].collect().toMap
     val held = q.keys.filter(_ % 4 == 0).toSeq

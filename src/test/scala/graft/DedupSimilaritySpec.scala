@@ -1142,6 +1142,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("x87 registered seeds are a non-degenerate labeling pass: " +
+      "quality-slice coverage, multi-class labels, propagation runs") {
+    import org.apache.spark.sql.functions._
+    // distribution gate, not a value gate (the oracle owns values):
+    // the r14 lang-id seed candidate stayed hash-green while
+    // degenerating to ONE label over ALL documents — only a
+    // distribution check catches a semantically useless seed pass
+    val out = graft.ops.Similarity.labelPropagation(spark, sf).collect()
+    val n = out.length
+    val seeds = out.count(_.getString(2) == "seed")
+    // the top-half-by-quality slice (exact lower-median element)
+    assert(seeds > n * 3 / 10 && seeds < n * 7 / 10,
+      s"seed slice $seeds/$n outside the quality-half expectation")
+    val distinctLbls =
+      out.filter(!_.isNullAt(1)).map(_.getInt(1)).distinct.length
+    assert(distinctLbls >= 3,
+      s"only $distinctLbls distinct propagated labels — degenerate seeds")
+    val origins = out.map(_.getString(2)).toSet
+    assert(origins.contains("seed") && origins.contains("round1"),
+      s"propagation provenance missing: $origins")
+  }
+
   test("x87 label propagation: every fixture vector converges to its " +
       "own cluster's seed label; provenance tags consistent") {
     import org.apache.spark.sql.functions._
