@@ -158,7 +158,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "vectors dropped in the join stage — never shuffled downstream") {
     // audit the BUILD plan (knnGraphOf over the raw corpus): the
     // registered query reads the memoized edge artifact, whose cached
-    // scan hides the build shape this gate exists to pin
+    // scan hides the build shape this gate exists to pin. Drop the
+    // session's memo cache first — if ANY earlier test in this JVM ran
+    // a registered knn query, the persisted knn-edges plan canonically
+    // matches this build plan and Spark's CacheManager substitutes an
+    // InMemoryRelation for the whole subtree, silently deleting the
+    // very aggregate/window operators under audit (caught when the
+    // r14 x87 seed-distribution test started exercising the
+    // registered query at fixture scale before this suite ran).
+    graft.Caches.clear(spark)
     graft.functions.CustomExprs.register(spark)
     val df = graft.ops.Similarity.knnGraphOf(
       graft.ops.Similarity.corpus(spark, sf),
