@@ -44,64 +44,72 @@ object Bench {
     * harness but silently charged to the first timed query in the other
     * (which would corrupt the scaling ratios PLANS.md is built on). */
   def docFamilyFrames(spark: SparkSession,
-      dir: String): Seq[() => org.apache.spark.sql.DataFrame] = Seq(
-    () => graft.ops.Dedup.shingled(spark, dir),
-    () => graft.ops.Dedup.curationExact(spark, dir),
-    () => graft.ops.Dedup.curationShingled(spark, dir),
-    () => graft.ops.Similarity.corpus(spark, dir),
-    () => graft.ops.Dedup.minhashLshPairs(spark, dir),
+      dir: String): Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+    "shingled"   -> (() => graft.ops.Dedup.shingled(spark, dir)),
+    "curation_exact"    -> (() => graft.ops.Dedup.curationExact(spark, dir)),
+    "curation_shingled" -> (() => graft.ops.Dedup.curationShingled(spark, dir)),
+    "emb_corpus" -> (() => graft.ops.Similarity.corpus(spark, dir)),
+    "lsh_pairs"  -> (() => graft.ops.Dedup.minhashLshPairs(spark, dir)),
     // the CC label dims (x17/x28/x59 and x29 consumers) — same
     // shared-artifact convention: built once untimed, cold cost in
     // cache_build_sec. x29's prewarm runs the full query because the
     // memoValue label build lives inside it; the cosine PAIR frame
     // itself stays un-memoized (see Similarity.cosineNearDupPairs) so
     // x14's timed row keeps measuring the real tiled join
-    () => graft.ops.Dedup.ccLabels(spark, dir),
-    () => graft.ops.Similarity.semanticDedupCC(spark, dir),
+    "cc_labels"   -> (() => graft.ops.Dedup.ccLabels(spark, dir)),
+    "semdedup_cc" -> (() => graft.ops.Similarity.semanticDedupCC(spark, dir)),
     // the kNN edge list (x83/x85/x87 read it; x84's CC labels build
     // from it) and x84's label dim — memoValue-inside-query shape like
     // x29, so the prewarm runs knnClusters to land edges + CC rounds
     // in cache_build_sec
-    () => graft.ops.Similarity.knnEdges(spark, dir),
-    () => graft.ops.Similarity.knnClusters(spark, dir),
+    "knn_edges"    -> (() => graft.ops.Similarity.knnEdges(spark, dir)),
+    "knn_clusters" -> (() => graft.ops.Similarity.knnClusters(spark, dir)),
     // x86's per-crawl-version band index over the recrawled corpus
-    () => graft.ops.Pipeline.newSnapshotBands(spark, dir),
-    () => graft.ops.Similarity.ivfIndex(spark, dir),
+    "snapshot_bands" -> (() => graft.ops.Pipeline.newSnapshotBands(spark, dir)),
+    "ivf_index"      -> (() => graft.ops.Similarity.ivfIndex(spark, dir)),
     // the PQ code table + the composed IVF-PQ index (building them also
     // trains the codebooks) — without these, x25/x26's cold Lloyd
     // training would be charged to no query at all under min-of-2 and
     // excluded from cache_build_sec, silently understating a cold run
-    () => graft.ops.Similarity.pqIndex(spark, dir),
-    () => graft.ops.Similarity.ivfPqIndex(spark, dir),
+    "pq_index"    -> (() => graft.ops.Similarity.pqIndex(spark, dir)),
+    "ivfpq_index" -> (() => graft.ops.Similarity.ivfPqIndex(spark, dir)),
     // noop-writing the merge table trains + memoizes the BPE artifact,
     // so x55/x56 timed runs measure the encode, not the training (the
     // training cost lands in cache_build_sec like every other index)
-    () => graft.ops.TextAnalysis.bpeMerges(spark, dir),
+    "bpe_merges" -> (() => graft.ops.TextAnalysis.bpeMerges(spark, dir)),
     // the trained classifier weights (x69/x75/x77 consumers) are a
     // driver-side Array, not a frame — the thunk trains + memoizes
     // them and returns a 1-row placeholder for the noop write, so the
     // GD training cost lands in cache_build_sec instead of escaping
     // both the minima and the cache field entirely
-    () => { graft.ops.TextAnalysis.classifierWeights(spark, dir)
-            spark.range(1).toDF() },
+    "classifier_weights" -> (() => {
+      graft.ops.TextAnalysis.classifierWeights(spark, dir)
+      spark.range(1).toDF() }),
   )
 
-  /** Build the shared frames untimed, returning the build seconds.
-    * Guarded per frame: a failing cache build must degrade to that
-    * frame's consumers paying (and possibly -1-marking) it in the timed
-    * loop — never abort the run before the JSON record exists. */
+  /** Build the shared frames untimed, returning (total seconds,
+    * per-artifact seconds) — the per-memo table keeps the
+    * build/timed split legible as artifacts accumulate (the r14
+    * verdict's ask: cache_build grew 43→54 s and the record could not
+    * say which memo paid it). Guarded per frame: a failing cache
+    * build must degrade to that frame's consumers paying (and
+    * possibly -1-marking) it in the timed loop — never abort the run
+    * before the JSON record exists. */
   def prewarm(spark: SparkSession,
-      frames: Seq[() => org.apache.spark.sql.DataFrame]): Double = {
+      frames: Seq[(String, () => org.apache.spark.sql.DataFrame)])
+      : (Double, Seq[(String, Double)]) = {
     val t0 = System.nanoTime()
-    frames.zipWithIndex.foreach { case (f, i) =>
+    val per = frames.zipWithIndex.map { case ((name, f), i) =>
       // forensics: name the in-flight build if the JVM dies mid-prewarm
-      System.err.println(s"[prewarm] start frame ${i + 1}/${frames.size}")
+      System.err.println(s"[prewarm] start frame ${i + 1}/${frames.size} $name")
+      val f0 = System.nanoTime()
       try f().write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[prewarm] failed (continuing): $e")
       }
+      name -> (System.nanoTime() - f0) / 1e9
     }
-    (System.nanoTime() - t0) / 1e9
+    ((System.nanoTime() - t0) / 1e9, per)
   }
 
   /** CPU-bound contention canary: a fixed-size, zero-IO string-hash
@@ -169,21 +177,29 @@ object Bench {
     val canaryPinnedSec = 0.10
     require(SparkEntry.queries.contains(canary),
       s"contention canary '$canary' is not a registered query — renamed?")
-    val cacheBuildSec = Bench.prewarm(spark,
-      Seq[() => org.apache.spark.sql.DataFrame](
-        () => graft.ops.Transform.master(spark, sfDir),
+    val (cacheBuildSec, cacheBuildPer) = Bench.prewarm(spark,
+      Seq[(String, () => org.apache.spark.sql.DataFrame)](
+        "trips_master" -> (() => graft.ops.Transform.master(spark, sfDir)),
         // one untimed j05: its first call writes the bucketed tables —
         // an index build charged to cache_build_sec (ScaleProbe's rel
         // convention), so j05's timed minima measure the co-located
         // join, not the one-time bucketing write
-        () => graft.ops.Relational.j05BucketedColocated(spark, sfDir),
-        // n13's per-dictionary gram blocking index (id'd dim + gram
-        // order + keyed prefix index) — memoValue-inside-query shape
-        // like x29: the prewarm runs the full query so the index
+        "bucketed_tables" ->
+          (() => graft.ops.Relational.j05BucketedColocated(spark, sfDir)),
+        // n13's/n14's per-dictionary fuzzy blocking indexes (id'd dim +
+        // gram order + keyed prefix index) — memoValue-inside-query
+        // shape like x29: the prewarm runs the full query so the index
         // memos land in cache_build_sec and the timed rows measure
         // probe keying + the blocking join, not the one-time build
-        () => graft.ops.LocationResolve.gramDictScale(spark, sfDir)) ++
+        "gram_dict_index" ->
+          (() => graft.ops.LocationResolve.gramDictScale(spark, sfDir)),
+        "cross_dict_index" ->
+          (() => graft.ops.LocationResolve.crossDictScale(spark, sfDir))) ++
       Bench.docFamilyFrames(spark, sfDir))
+    val cacheBuildJson = cacheBuildPer
+      .map { case (n, s) => "\"" + n + "\":" +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(s)) }
+      .mkString("{", ",", "}")
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -282,7 +298,7 @@ object Bench {
     val cpuJson = cpuCanarySamples
       .map(v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","cache_build_sec":$cacheBuildSec,"passes":$passes,"pass_totals":$passJson,"contention_canary":"$canary","contention_canary_pinned_sec":$canaryPinnedSec,"contention_index":$contentionIndex,"contention_canary_cpu":"sha2_hash_loop_12m","contention_canary_cpu_pinned_sec":$cpuCanaryPinnedSec,"contention_canary_cpu_sec":$cpuJson,"contention_index_cpu":$contentionIndexCpu,"queries":$qs,"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","cache_build_sec":$cacheBuildSec,"cache_build_breakdown":$cacheBuildJson,"passes":$passes,"pass_totals":$passJson,"contention_canary":"$canary","contention_canary_pinned_sec":$canaryPinnedSec,"contention_index":$contentionIndex,"contention_canary_cpu":"sha2_hash_loop_12m","contention_canary_cpu_pinned_sec":$cpuCanaryPinnedSec,"contention_canary_cpu_sec":$cpuJson,"contention_index_cpu":$contentionIndexCpu,"queries":$qs,"value":$total}"""
     println(line)
     // stderr copy: some tail-captures keep stderr after truncating stdout,
     // giving the driver's parser a second chance at the full record

@@ -102,9 +102,10 @@ object ScaleProbe {
     val relNeeded = names.exists(n => !docSet.contains(n))
     val relFrames =
       if (!relNeeded) Seq.empty
-      else Seq[() => org.apache.spark.sql.DataFrame](
-        () => graft.ops.Transform.master(spark, dir),
-        () => graft.ops.Relational.j05BucketedColocated(spark, dir))
+      else Seq[(String, () => org.apache.spark.sql.DataFrame)](
+        "trips_master" -> (() => graft.ops.Transform.master(spark, dir)),
+        "bucketed_tables" ->
+          (() => graft.ops.Relational.j05BucketedColocated(spark, dir)))
     // `light` (3rd arg): skip the family-wide shared-frame prewarm — for
     // a TARGETED subset at 100×, materializing all 12 doc-family frames
     // (span grams, LSH bands, …) costs tens of GB of persist+spill the
@@ -117,7 +118,7 @@ object ScaleProbe {
     val docFrames =
       if (!docNeeded || light) Seq.empty
       else Bench.docFamilyFrames(spark, dir)
-    val cacheBuildSec = Bench.prewarm(spark, relFrames ++ docFrames)
+    val (cacheBuildSec, _) = Bench.prewarm(spark, relFrames ++ docFrames)
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -138,7 +138,8 @@ object LocationResolve {
     * set silently captures non-keys / misses dim keys. */
   private[graft] def resolveTokensBroadcast(
       exploded: DataFrame, dim: DataFrame,
-      combinedPattern: String = Locations.combinedPattern): DataFrame = {
+      combinedPattern: String = Locations.combinedPattern,
+      skipStripped: Boolean = false): DataFrame = {
     // one broadcast left-join per lookup tier; a null key never matches,
     // which is exactly the literal-map miss semantics. The per-tier
     // rename happens ABOVE the join (withColumnRenamed), not inside
@@ -151,15 +152,41 @@ object LocationResolve {
     def lookup(df: DataFrame, key: Column, out: String): DataFrame =
       df.join(broadcast(dRaw), key === col("_dk"), "left")
         .withColumnRenamed("_dc", out).drop("_dk")
-    val looked = Seq[(String, DataFrame => Column)](
+    // skipStripped: the caller PROVED (a plan-construction check, see
+    // resolveTokensTiered) that `stripped` is statically '' — the two
+    // stripped tiers are `when('' != '', …)` ⇒ null-keyed on every
+    // row, so emit their columns as typed nulls instead of running two
+    // dead broadcast joins per query (n13/n14's probe frames)
+    val tiers = Seq[(String, DataFrame => Column)](
       "c_exact"  -> (df => df("norm")),
-      "c_regex"  -> (df => capture(df("norm"), combinedPattern)),
-      "c_sexact" -> (df => when(df("stripped") =!= "", df("strippedNorm"))),
-      "c_sregex" -> (df => when(df("stripped") =!= "",
-        capture(df("strippedNorm"), combinedPattern))),
-    ).foldLeft(exploded) { case (df, (out, key)) => lookup(df, key(df), out) }
+      "c_regex"  -> (df => capture(df("norm"), combinedPattern))) ++
+      (if (skipStripped) Nil else Seq[(String, DataFrame => Column)](
+        "c_sexact" -> (df => when(df("stripped") =!= "", df("strippedNorm"))),
+        "c_sregex" -> (df => when(df("stripped") =!= "",
+          capture(df("strippedNorm"), combinedPattern)))))
+    val looked0 = tiers
+      .foldLeft(exploded) { case (df, (out, key)) => lookup(df, key(df), out) }
+    val looked =
+      if (!skipStripped) looked0
+      else looked0
+        .withColumn("c_sexact", lit(null).cast("string"))
+        .withColumn("c_sregex", lit(null).cast("string"))
     looked.withColumn("loc",
       coalesce(col("c_exact"), col("c_regex"), col("c_sexact"), col("c_sregex")))
+  }
+
+  /** Is `name` statically the empty-string literal in this frame's
+    * plan? Resolved through the optimizer (constant folding + project
+    * collapse), so a `lit("")` column survives any stack of
+    * withColumns. A false negative only costs the dead-tier skip,
+    * never correctness. */
+  private[graft] def staticallyEmptyString(df: DataFrame, name: String): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    df.select(col(name)).queryExecution.optimizedPlan.expressions.exists {
+      case Alias(Literal(v, org.apache.spark.sql.types.StringType), n) =>
+        n == name && v != null && v.toString.isEmpty
+      case _ => false
+    }
   }
 
   /** n09 — the claimed at-scale dictionary path under the driver's hash
@@ -288,7 +315,8 @@ object LocationResolve {
     * tokens) keep blocks tiny: two specific tokens co-occurring is
     * rare even under a small word vocabulary. Multi-token strings
     * only; single-token strings emit no pair and go through the
-    * char-gram family instead (see [[withBlockKeys]]). */
+    * char-gram family instead — as do multi-token strings' DESPACED
+    * forms under the cross-shape regime (see [[withBlockKeys]]). */
   private[graft] def blockKeys(norm: Column): Column = {
     val t3 = slice(array_sort(array_distinct(
       filter(split(norm, " "), t => length(t) > 0))), 1, 3)
@@ -402,61 +430,139 @@ object LocationResolve {
     dim.agg(max(when(trim(col(strCol)).rlike("^\\S+$"), 1)).as("x"))
       .head.get(0) != null
 
-  /** Dictionary document frequency per indexed bigram over the dim's
-    * SINGLE-token entries — the global gram order both sides sort
-    * prefixes by (rarest first; grams a probe has that the dictionary
-    * lacks get df 0, harmlessly first — they can never join). Small
-    * (bounded by the dictionary's gram vocabulary) and broadcast. */
+  /** (hasSingleToken, hasMultiToken, rowCount) in ONE full-scan
+    * aggregate — the shape bits that pick the key families plus the
+    * row count that picks the probe-side join's physical form, at one
+    * driver action instead of three (the [[dimHasSingleToken]]
+    * discipline; the dict-side call is additionally memoized per
+    * dictionary by [[fuzzyResolveDim]]). */
+  private def shapeStats(df: DataFrame, strCol: String): (Boolean, Boolean, Long) = {
+    // "single-shaped" includes repeated-token strings ("aaa aaa") via
+    // the backreference: they emit no token-pair key (pairs need 2
+    // DISTINCT tokens), so their recall rides the gram family like a
+    // true single token — see withBlockKeys' degenerate-token routing
+    val r = df.agg(
+      max(when(trim(col(strCol)).rlike("^(\\S+)(?:\\s+\\1)*$"), 1)).as("s"),
+      max(when(trim(col(strCol)).rlike("\\S\\s+\\S"), 1)).as("m"),
+      count(lit(1)).as("n")).head
+    (!r.isNullAt(0), !r.isNullAt(1), r.getLong(2))
+  }
+
+  /** Economic bound on the gram families' expected block depth: for a
+    * keyed dictionary index, Σdf²/Σdf over the gram keys is the block
+    * depth a probe key hitting a random dictionary key-row sees —
+    * candidates per probe key. The blocked join's whole claim is
+    * "cost ∝ near matches"; a dictionary whose gram blocks run this
+    * deep (a tiny closed character vocabulary — the
+    * low-gram-entropy regime) makes candidates Ω(depth · keys), i.e.
+    * a constant fraction of the cross product, and the honest plan is
+    * the exhaustive argmax, not a blocked join pretending to prune.
+    * 64 ≈ 2× the local shuffle width — the same order as
+    * [[FuzzyBlockSwitch]], and like it a documented plan-choice
+    * constant, not a recall parameter (recall is unconditional:
+    * tripping the guard routes the affected probe CLASS to exhaustive
+    * scoring, never to a silent miss). */
+  private[graft] val GramDepthBound = 64L
+
+  /** Does the keyed dictionary index pass the gram block-depth guard?
+    * One small aggregate over the (memoized) key frame; vacuously true
+    * when no gram keys exist. */
+  private[graft] def gramDepthOk(dimKeyed: DataFrame): Boolean = {
+    val r = dimKeyed.filter(col("bkey").startsWith("g"))
+      .groupBy(col("bkey")).agg(count(lit(1)).as("d"))
+      .agg(sum(col("d") * col("d")).as("s2"), sum(col("d")).as("s1")).head
+    r.isNullAt(1) || r.getLong(0) <= GramDepthBound * r.getLong(1)
+  }
+
+  /** Probe-string count above which the blocked join's probe side is
+    * shuffled instead of broadcast: the "probes are a
+    * vocabulary-bounded dim" doctrine holds for every registered
+    * caller (≤ ~350k distinct strings ≈ 15 MB at sf0.1), but the
+    * generic entry point must turn a fact-level probe set into a plan
+    * choice, not a driver OOM. 1M keyed strings ≈ tens of MB — past
+    * it the key join becomes a shuffle equi-join (each side still
+    * streams map-side into the exchange; no all-pairs stage either
+    * way). */
+  private[graft] val ProbeBroadcastMax = 1000000L
+
+  /** Dictionary document frequency per indexed bigram over the
+    * DESPACED sorted-join of every dictionary entry — the global gram
+    * order both sides sort prefixes by (rarest first; grams a probe
+    * has that the dictionary lacks get df 0, harmlessly first — they
+    * can never join). Despaced (r15): gram keys live on the
+    * space-stripped form so single-token probes and multi-token
+    * variants key into ONE family (the cross-shape closure); for a
+    * single-token entry the despaced form IS the entry, so the r14
+    * single-token df rows are unchanged. Small (bounded by the
+    * dictionary's gram vocabulary) and broadcast. */
   private[graft] def gramOrderOf(dim: DataFrame, strCol: String): DataFrame = {
     val toks = filter(split(col(strCol), "\\s+"), t => length(t) > 0)
-    val js = array_join(array_sort(toks), " ")
-    val strs = dim.select(js.as("_js"), size(toks).as("_ntok"))
-      .filter(col("_ntok") <= 1 && length(col("_js")) >= 2)
-      .select(col("_js"), length(col("_js")).as("_slen")).distinct()
+    val jx = array_join(array_sort(toks), "")
+    val strs = dim.select(jx.as("_jx"))
+      .filter(length(col("_jx")) >= 2)
+      .select(col("_jx"), length(col("_jx")).as("_xlen")).distinct()
     // df keyed on the PLAIN bigram (no occurrence window): the global
     // order only has to be a consistent function of the indexed gram —
     // (df(base), gram) is one, at one less window pass; repeat
     // occurrences are rare enough that their df'=df approximation
     // costs nothing measurable in selectivity
-    strs.select(posexplode(transform(sequence(lit(1), col("_slen") - 1),
-        i => col("_js").substr(i, lit(2)))).as(Seq("_pos", "_g0")))
+    strs.select(posexplode(transform(sequence(lit(1), col("_xlen") - 1),
+        i => col("_jx").substr(i, lit(2)))).as(Seq("_pos", "_g0")))
       .groupBy(col("_g0")).agg(count(lit(1)).as("_gdf"))
   }
 
-  /** Explode a frame's blocking keys for the fuzzy join — BOTH
+  /** Explode a frame's blocking keys for the fuzzy join — the
     * families, routed by token count of the scorer's sorted-joined
     * form:
     *
     *  - ≥2 tokens → token-pair keys ("t:") — structural recall for
-    *    single-token edits (documented boundary: an in-cutoff pair
-    *    whose edits touch 2+ of the first-3 tokens, or a one-token
-    *    probe against a multi-token variant — "newyork" vs "new york"
-    *    — can be missed; both sides of such a dictionary should be
-    *    space-normalized upstream);
-    *  - 1 token, length ≥ 2 → char-gram keys from the rarest prefix
-    *    of its indexed bigrams under the dictionary-df order. Strings
-    *    short enough to band-match a T=1 partner (L ≤ f1MaxLen, 10 at
-    *    cutoff 82) emit single-gram keys "g1:" from the (L−T)-prefix
-    *    (shared-key guarantee ≥ 1); strings with T ≥ 2 (L ≥ f2MinLen,
-    *    8 at 82) emit gram-PAIR keys "g2:a|b" — every unordered pair
-    *    of the (L−T+2)-prefix (the r=3 prefix), whose co-occurrence
-    *    selectivity restores pair-key-like block sizes for long
-    *    tokens AND guarantees ≥ 3 shared pair keys per true match
-    *    (the [[candidateFilter]] threshold). Any two single-token
-    *    strings within the cutoff share keys in SOME common family by
-    *    the prefix lemma — recall is sound for every edit pattern,
-    *    not just single-char classes;
+    *    single-token edits of multi-token strings (documented
+    *    boundary: an in-cutoff multi↔multi pair whose edits touch 2+
+    *    of the first-3 tokens can be missed — such dictionaries
+    *    belong under the exhaustive switch);
+    *  - char-gram keys on the DESPACED sorted-join `_jx` (r15: the
+    *    stripped form, not the spaced one) from the rarest prefix of
+    *    its indexed bigrams under the dictionary-df order. Emitted by
+    *    single-token strings always, and by multi-token strings too
+    *    when `crossGrams` is on — that is the cross-shape closure:
+    *    for a single↔multi pair, indel on despaced forms obeys
+    *    d' ≤ d − s_M ≤ (1−c/100)(ℓA+ℓB) (every space of the
+    *    multi-token side must be deleted in the joined alignment, so
+    *    d ≥ s_M and stripping refunds exactly those deletions), which
+    *    is the [[gramScheme]] bound with stripped lengths ℓ in place
+    *    of joined lengths — so T(ℓ), the f1/f2 split, and the r=3
+    *    prefix corollary apply VERBATIM on `_jx`. For a single-token
+    *    string `_jx` = `_js`, so the r14 single↔single keys are
+    *    byte-identical. Strings with ℓ ≤ f1MaxLen emit single-gram
+    *    keys "g1:" from the (g−T+1)-prefix (shared-key guarantee
+    *    ≥ 1); strings with T ≥ 2 (ℓ ≥ f2MinLen) emit gram-PAIR keys
+    *    "g2:a|b" — every unordered pair of the (g−T+2)-prefix (the
+    *    r=3 prefix), guaranteeing ≥ 3 shared pair keys per true match
+    *    (the [[candidateFilter]] threshold). Multi↔multi pairs get
+    *    gram keys only as a BONUS (extra scored candidates, never
+    *    relied on): the despaced bound does not hold when both sides
+    *    carry spaces (matched spaces refund nothing), so their
+    *    guaranteed family stays the token-pair one;
     *  - ≤1 token of length ≤ 1 → the whole string as "w:" (such
-    *    strings only ever cutoff-match their exact selves).
+    *    strings only ever cutoff-match their exact selves: the band
+    *    forces ℓ = 1 partners, and multi-token strings always have
+    *    ℓ ≥ 2).
     *
     * Output: the input columns + `slenAs` (the scorer-compared
-    * length, feeding [[fuzzyLenBandPred]]) + exploded `bkey`.
-    * Callers should localCheckpoint `df0` (three branch scans) and
-    * `gramOrder` (consulted by both sides) — both are
-    * vocabulary-bounded dims. */
+    * JOINED length, feeding [[fuzzyLenBandPred]] — sound for every
+    * pair shape because it derives from the score alone) + exploded
+    * `bkey`. Callers should localCheckpoint `df0` (three branch
+    * scans) and `gramOrder` (consulted by both sides) — both are
+    * vocabulary-bounded dims. `materializeRanked=false` skips the
+    * gram-prefix frame's localCheckpoint — right for probe-side
+    * frames (small, rebuilt per run; the serial checkpoint job costs
+    * more than the ≤3 window recomputes), wrong for dictionary-side
+    * index builds (memoized once, read forever). */
   private[graft] def withBlockKeys(df0: DataFrame, strCol: String,
       gramOrder: DataFrame, slenAs: String,
-      cutoff: Double, grams: Boolean = true): DataFrame = {
+      cutoff: Double, grams: Boolean = true,
+      crossGrams: Boolean = false,
+      materializeRanked: Boolean = true): DataFrame = {
     val spark = df0.sparkSession
     import spark.implicits._
     val sch = gramScheme(cutoff)
@@ -466,35 +572,57 @@ object LocationResolve {
     // are vocabulary-bounded dims that often arrive as a 1-2-partition
     // parquet scan or explode, and interpreted-lambda keying on two
     // threads was the measured bottleneck — one tiny exchange buys
-    // full-width parallelism
-    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // full-width parallelism. toIntOption: a non-numeric conf value
+    // (e.g. under an AQE auto-coalesce setup) must degrade to the
+    // context default, not throw at plan build.
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(spark.sparkContext.defaultParallelism)
     val df = df0.repartition(width)
       .withColumn("_js", array_join(array_sort(toks), " "))
       .withColumn("_ntok", size(toks))
+      // DISTINCT token count routes the families: a repeated-token
+      // string ("aaa aaa") emits no token-pair key (pairs need 2
+      // distinct tokens), so it rides the gram family on its despaced
+      // form instead — sound against single-token and (via the cross
+      // derivation) spaced partners; degenerate↔degenerate pairs with
+      // edits beyond the despaced budget join the documented
+      // multi↔multi boundary
+      .withColumn("_ntokd", size(array_distinct(toks)))
       .withColumn("_slen", length($"_js"))
+      .withColumn("_jx", array_join(array_sort(toks), ""))
+      .withColumn("_xlen", length($"_jx"))
     val out = payload :+ col("_slen").as(slenAs)
 
-    val multi = df.filter($"_ntok" >= 2)
+    val multi = df.filter($"_ntokd" >= 2)
       .select(out :+ explode(transform(blockKeys($"_js"),
         k => concat(lit("t:"), k))).as("bkey"): _*)
-    // grams=false: the caller proved the DICTIONARY has no
-    // single-token entries, so neither gram nor whole-string keys can
-    // ever join (both only pair single-token strings) — emit the
+    // grams=false: the caller proved no single-token string exists on
+    // the side that would pair with this one, so neither gram nor
+    // whole-string keys can ever drive a guaranteed match — emit the
     // token-pair family alone instead of running dead scans and the
     // gram side's eager localCheckpoint jobs over empty frames
     if (!grams) return multi
     val tiny = df.filter($"_ntok" <= 1 && $"_slen" <= 1)
       .select(out :+ concat(lit("w:"), $"_js").as("bkey"): _*)
 
-    val single = df.filter($"_ntok" === 1 && $"_slen" >= 2)
+    // gram-bearing strings: single-DISTINCT-token strings always (true
+    // singles plus the repeated-token degenerates that have no pair
+    // key); every string under the cross-shape regime (keys on the
+    // despaced form)
+    val single =
+      if (crossGrams) df.filter($"_xlen" >= 2)
+      else df.filter($"_ntokd" <= 1 && $"_xlen" >= 2)
     val tCol = greatest(lit(1),
       floor(($"_slen".cast("long") * sch.keepNum + (sch.den - 1)) /
         lit(sch.den)).cast("int") - 1)
     // rarest-first rank per DISTINCT string ((df, gram) lexicographic —
     // any consistent total order is sound; df makes it selective),
-    // trimmed to the r=3 prefix. localCheckpoint: three consumers
-    // below must read the two windows' output, not re-run them.
-    val ranked = indexedGramRows(single.select($"_js", $"_slen").distinct())
+    // trimmed to the r=3 prefix. The frame is read by up to three
+    // consumers (f1 + both sides of the f2 self-join) — materialized
+    // once when the caller asks (dictionary index builds), recomputed
+    // when not (probe-side keying, where the windows are small).
+    val ranked0 = indexedGramRows(
+        single.select($"_jx".as("_js"), $"_xlen".as("_slen")).distinct())
       .join(broadcast(gramOrder), Seq("_g0"), "left")
       .withColumn("_gdf", coalesce($"_gdf", lit(0L)))
       .withColumn("_t", tCol)
@@ -503,7 +631,7 @@ object LocationResolve {
           .partitionBy($"_js").orderBy($"_gdf", $"_g")))
       .filter($"_rk" <= $"_slen" - $"_t" + 2)
       .select($"_js", $"_slen", $"_t", $"_g", $"_rk")
-      .localCheckpoint()
+    val ranked = if (materializeRanked) ranked0.localCheckpoint() else ranked0
     val f1 = ranked
       .filter($"_slen" <= sch.f1MaxLen && $"_rk" <= $"_slen" - $"_t")
       .select($"_js", concat(lit("g1:"), $"_g").as("bkey"))
@@ -521,7 +649,8 @@ object LocationResolve {
           .select($"_js",
             concat(lit("g2:"), $"_ga", lit("|"), $"_gb").as("bkey"))
       }
-    val gram = single.join(f1.unionByName(f2), Seq("_js"))
+    val gram = single.join(
+        f1.unionByName(f2).withColumnRenamed("_js", "_jx"), Seq("_jx"))
       .select(out :+ $"bkey": _*)
     multi.unionByName(tiny).unionByName(gram)
   }
@@ -533,7 +662,7 @@ object LocationResolve {
     * Replaces a bare `.distinct()` at identical shuffle shape while
     * cutting the scored-candidate set by the dominant noise class
     * (pairs sharing exactly one or two collision g2 keys). */
-  private def candidateFilter(joined: DataFrame,
+  private[graft] def candidateFilter(joined: DataFrame,
       groupCols: Seq[String]): DataFrame =
     joined.groupBy(groupCols.map(col): _*)
       .agg(sum(when(col("bkey").startsWith("g2:"), 1).otherwise(0)).as("_n2"),
@@ -580,11 +709,16 @@ object LocationResolve {
     // single-token path's (see fuzzyResolveDim), where the key join
     // carries millions of rows
     val dim = scaleDim(part).select($"vkey", $"canon")
-    // gram keys only ever pair single-token strings on BOTH sides
-    // (single↔multi is the documented cross-shape boundary), so the
-    // family — and its index build — is on only when both sides have
-    // single-token members; the n09 dim has them (its underscored
-    // form) but these probes never do
+    // this inline path keeps the r14 both-sides gate: gram keys here
+    // pair single-token strings only, so the family — and its index
+    // build — is on only when both sides have single-token members;
+    // the n09 dim has them (its underscored form) but these probes
+    // never do. The r15 cross-shape closure (despaced gram keys for
+    // single↔multi pairs) lives in fuzzyResolveDim — for THIS
+    // dictionary it would be moot anyway: the underscored entries'
+    // gram blocks are depth-pathological (64 p_names × digit grams),
+    // exactly the regime the GramDepthBound guard routes away from
+    // gram keys
     val grams = dimHasSingleToken(dim, "vkey") &&
       dimHasSingleToken(probes, "norm")
     val gorder =
@@ -650,22 +784,52 @@ object LocationResolve {
     * tie rule; callers without a meaningful order pass a constant and
     * fall to the vkey tiebreak). Physical form picked by
     * [[FuzzyBlockSwitch]] (or forced via `blocked` for equivalence
-    * gates). Blocked-form recall: single-token strings go through the
-    * prefix-filtered char-gram family — SOUND for every edit pattern
-    * at the cutoff (the [[gramScheme]] derivation), so a 100k
-    * single-token dictionary (city names — the reference's own
-    * locations.json shape) takes the blocked join with no recall
-    * loss; multi-token strings keep token-pair keys, structural for
-    * the single-token-edit class ([[withBlockKeys]] documents the
-    * remaining multi-token boundary). */
+    * gates). Blocked-form recall: single-token probes go through the
+    * prefix-filtered char-gram family on the despaced sorted-join —
+    * SOUND for every edit pattern at the cutoff against BOTH
+    * single-token and (r15) multi-token variants (the [[gramScheme]]
+    * and [[withBlockKeys]] derivations), so a 100k single-token
+    * dictionary (city names) takes the blocked join with no recall
+    * loss and "newyork" finds "new york"; multi-token probes keep
+    * token-pair keys for multi-token variants plus despaced gram keys
+    * for single-token variants. Economics guards, each a plan choice,
+    * never a silent miss:
+    *
+    *  - gram block-depth guard ([[GramDepthBound]]): a
+    *    low-gram-entropy dictionary (tiny closed character
+    *    vocabulary) makes gram blocks a constant fraction of the
+    *    cross product; the guard trips off the (memoized) keyed
+    *    index's depth stats, gram families switch OFF, and the probe
+    *    class whose recall depended on them — single-token probes —
+    *    routes through an explicit exhaustive crossJoin against the
+    *    dim (cost |single probes|·|dict|: the honest price of a
+    *    pathological dictionary; upstream tokenization is the real
+    *    fix). Multi-token probes keep the token-pair join; their
+    *    cross-shape matches against single-token variants of such a
+    *    dictionary are the one remaining documented boundary
+    *    (DictionaryScaleSpec pins it). `gramGuard` forces the
+    *    verdict for equivalence gates that exercise the gram lemma on
+    *    deliberately low-entropy universes;
+    *  - probe-broadcast switch ([[ProbeBroadcastMax]]): past ~1M
+    *    distinct probe strings the key join and the string join-backs
+    *    become shuffle equi-joins instead of probe-side broadcasts
+    *    (`probeBroadcast` forces either form). */
   private[graft] def fuzzyResolveDim(probes: DataFrame, dim: DataFrame,
       blocked: Option[Boolean] = None,
-      indexMemoKey: Option[String] = None): DataFrame = {
+      indexMemoKey: Option[String] = None,
+      probeBroadcast: Option[Boolean] = None,
+      gramGuard: Option[Boolean] = None): DataFrame = {
     val spark = probes.sparkSession
     import spark.implicits._
     graft.functions.CustomExprs.register(spark)
-    val useBlocked = blocked.getOrElse(
-      dim.limit((FuzzyBlockSwitch + 1).toInt).count() > FuzzyBlockSwitch)
+    // per-dictionary driver-side scalars (the sizing probe, shape
+    // bits, guard verdict) share the frame memos' lifecycle
+    def memoVal[T](part: String)(b: => T): T = indexMemoKey match {
+      case Some(mk) => graft.Caches.memoValue(spark, s"$mk:$part")(b)
+      case None => b
+    }
+    val useBlocked = blocked.getOrElse(memoVal("switch")(
+      dim.limit((FuzzyBlockSwitch + 1).toInt).count() > FuzzyBlockSwitch))
     val cand =
       if (useBlocked) {
         // ids-only blocking join + shared-key threshold, strings
@@ -686,35 +850,64 @@ object LocationResolve {
           .withColumn("_vid", monotonically_increasing_id()).localCheckpoint())
         val probeC = probes.select($"fnorm")
           .withColumn("_pid", monotonically_increasing_id()).localCheckpoint()
-        // gram family on only when both sides can use it (see
-        // fuzzyDictScale); a MEMOIZED index always carries the dict's
-        // gram keys when the dict has single-token entries, so later
-        // probe sets with different shape mixes reuse it soundly —
-        // probe-side keys are per-run either way
-        val dictGrams = dimHasSingleToken(dimC, "vkey")
-        val probeGrams = dictGrams && dimHasSingleToken(probeC, "fnorm")
-        val buildGrams =
-          if (indexMemoKey.isDefined) dictGrams else probeGrams
+        val (dictSingle, dictMulti, _) =
+          memoVal("shape")(shapeStats(dimC, "vkey"))
+        val (probeSingle, probeMulti, probeCount) =
+          shapeStats(probeC, "fnorm")
+        // gram keys carry recall whenever a single-token string exists
+        // on either side (single↔single via the classic family,
+        // single↔multi via the despaced cross form); with no single
+        // anywhere the token-pair family alone is the guaranteed one
+        val gramsWanted = dictSingle || probeSingle
         val gorder =
-          if (buildGrams) memoOr("gorder")(gramOrderOf(dimC, "vkey").localCheckpoint())
+          if (gramsWanted)
+            memoOr("gorder")(gramOrderOf(dimC, "vkey").localCheckpoint())
           else spark.emptyDataFrame.select(lit("").as("_g0"), lit(0L).as("_gdf"))
-        val dimKeyed = memoOr("keys")(
+        // a MEMOIZED index always carries every dict-side key family
+        // (probe-set-independent, reused soundly by later probe sets);
+        // generic callers build cross keys only when this probe set
+        // needs them
+        val dimKeyed0 = memoOr("keys")(
           withBlockKeys(dimC.select($"_vid", $"vkey"), "vkey",
-            gorder, "dlen", graft.nlp.Cleaner.FuzzyScoreCutoff, buildGrams)
+            gorder, "dlen", graft.nlp.Cleaner.FuzzyScoreCutoff,
+            grams = gramsWanted,
+            crossGrams = dictMulti &&
+              (indexMemoKey.isDefined || probeSingle))
           .select($"_vid", $"dlen", $"bkey"))
+        val guardOk = gramGuard.getOrElse(
+          !gramsWanted || memoVal("guard")(gramDepthOk(dimKeyed0)))
+        val gramsOn = gramsWanted && guardOk
+        val dimKeyed =
+          if (gramsOn || !gramsWanted) dimKeyed0
+          else dimKeyed0.filter(!$"bkey".startsWith("g"))
         val probeKeyed = withBlockKeys(probeC.select($"_pid", $"fnorm"),
-          "fnorm", gorder, "plen", graft.nlp.Cleaner.FuzzyScoreCutoff, probeGrams)
+          "fnorm", gorder, "plen", graft.nlp.Cleaner.FuzzyScoreCutoff,
+          grams = gramsOn && (probeSingle || (probeMulti && dictSingle)),
+          crossGrams = gramsOn && probeMulti && dictSingle,
+          materializeRanked = false)
           .select($"_pid", $"plen", $"bkey")
-        candidateFilter(
-          // probe keys broadcast: the dictionary index streams
-          // map-side, never shuffle-sorted (see fuzzyDictScale)
-          dimKeyed.join(broadcast(probeKeyed), "bkey")
+        val bcast = probeBroadcast.getOrElse(probeCount <= ProbeBroadcastMax)
+        def maybeBcast(df: DataFrame): DataFrame =
+          if (bcast) broadcast(df) else df
+        val blockedCand = candidateFilter(
+          // probe keys broadcast (under the sizing switch): the
+          // dictionary index streams map-side, never shuffle-sorted
+          // (see fuzzyDictScale)
+          dimKeyed.join(maybeBcast(probeKeyed), "bkey")
             .where(fuzzyLenBandPred($"plen", $"dlen",
               graft.nlp.Cleaner.FuzzyScoreCutoff)),
           Seq("_pid", "_vid"))
-          .join(broadcast(probeC), Seq("_pid"))
+          .join(maybeBcast(probeC), Seq("_pid"))
           .join(broadcast(dimC), Seq("_vid"))
           .select($"fnorm", $"vkey", $"canon", $"vorder")
+        if (gramsOn || !probeSingle) blockedCand
+        else
+          // depth guard tripped with single-token probes present: that
+          // class has no sound key family left — score it exhaustively
+          // (recall is unconditional; the guard only re-plans)
+          blockedCand.unionByName(
+            probeC.filter(trim($"fnorm").rlike("^\\S+$")).select($"fnorm")
+              .crossJoin(broadcast(dimC.select($"vkey", $"canon", $"vorder"))))
       } else probes.crossJoin(broadcast(dim))
     cand.withColumn("score",
         graft.functions.CustomExprs.token_sort_ratio($"fnorm", $"vkey"))
@@ -744,11 +937,17 @@ object LocationResolve {
     val spark = exploded.sparkSession
     import spark.implicits._
     val minLen = graft.nlp.Cleaner.FuzzyMinLen
+    // plan-construction check: a probe frame whose `stripped` is the
+    // literal '' (n13/n14) provably carries zero traffic on the two
+    // stripped tiers and the stripped fuzzy slice — skip those joins
+    // and scans instead of running them dead per query
+    val strippedDead = staticallyEmptyString(exploded, "stripped")
     // localCheckpoint: t12 is read four times below (two fuzzy-probe
     // slices + the two final fuzzy joins); without truncation each
     // read re-runs the 4-tier broadcast-join chain over the token dim
     val t12 = resolveTokensBroadcast(
-      exploded, dim.select($"vkey", $"canon"), combinedPattern)
+      exploded, dim.select($"vkey", $"canon"), combinedPattern,
+      skipStripped = strippedDead)
       .localCheckpoint()
     val probeNorms = t12
       .filter(coalesce($"c_exact", $"c_regex").isNull &&
@@ -764,13 +963,20 @@ object LocationResolve {
     // exchanges do not canonicalize to one — without truncation the
     // whole fuzzy pipeline (the expensive tier) executes twice
     val fuzzy = fuzzyResolveDim(
-      probeNorms.union(probeStripped).distinct(), dim, blocked, indexMemoKey)
+      (if (strippedDead) probeNorms
+       else probeNorms.union(probeStripped)).distinct(),
+      dim, blocked, indexMemoKey)
       .localCheckpoint()
-    t12
+    val withFNorm = t12
       .join(broadcast(fuzzy.select($"fnorm".as("norm"),
         $"floc".as("f_norm"))), Seq("norm"), "left")
-      .join(broadcast(fuzzy.select($"fnorm".as("strippedNorm"),
-        $"floc".as("f_stripped"))), Seq("strippedNorm"), "left")
+    val joined =
+      if (strippedDead)
+        withFNorm.withColumn("f_stripped", lit(null).cast("string"))
+      else withFNorm
+        .join(broadcast(fuzzy.select($"fnorm".as("strippedNorm"),
+          $"floc".as("f_stripped"))), Seq("strippedNorm"), "left")
+    joined
       .withColumn("loc", coalesce(
         $"c_exact", $"c_regex",
         when(length($"norm") >= minLen, $"f_norm"),
@@ -934,6 +1140,117 @@ object LocationResolve {
        |    WHEN 6 THEN 'r' || reverse($t)
        |    ELSE 'zq0' || k END AS norm,
        |  CASE WHEN k % 8 = 7 THEN NULL ELSE ($t) END AS loc
+       |FROM base ORDER BY tok_id""".stripMargin
+  }
+
+  // ------ n14: CROSS-SHAPE fuzzy — single-token probes, MULTI-token dim
+
+  /** The ordered halves of the 12-letter pseudorandom token for key
+    * expression `k`, as SQL text shared verbatim with the DuckDB
+    * oracle (the n13 template convention). least/greatest pin the
+    * token_sort_ratio sort order of the two-token variant — its
+    * sorted-join is `lo || ' ' || hi` by construction — so the
+    * despaced probe form (`lo || hi`) and the construction-known
+    * argmax are both oracle-computable without replaying the
+    * scorer. */
+  private def crossHalfExprs(k: String, divOp: String): (String, String) = {
+    val t = tokenSqlExpr(k, divOp)
+    (s"least(substr(($t), 1, 6), substr(($t), 7, 6))",
+      s"greatest(substr(($t), 1, 6), substr(($t), 7, 6))")
+  }
+
+  /** The n14 dictionary: 3 two-token variants per part ("lo hi" halves
+    * of independent 12-letter pseudorandom tokens), each canonical to
+    * its despaced form — a MULTI-token-only dictionary (60k variants
+    * at sf0.1), so every fuzzy hit must cross the shape boundary:
+    * single-token probe against multi-token variant, the class the
+    * r14 blocking missed by design ([[withBlockKeys]]'s despaced gram
+    * family is what closes it; reference cleaner_v6.py:198-208 scores
+    * ALL variants and so always found such pairs). */
+  private[graft] def crossScaleDim(part: DataFrame): DataFrame = {
+    val variants = (0 until 3).map { j =>
+      val (lo, hi) = crossHalfExprs(s"p_partkey * 3 + $j", "div")
+      struct(expr(s"$lo || ' ' || $hi").as("vkey"),
+        expr(s"$lo || $hi").as("canon"))
+    }
+    part.select(explode(array(variants: _*)).as("v"))
+      .select(col("v.vkey").as("vkey"), col("v.canon").as("canon"))
+  }
+
+  /** The n14 probe set, m = p_partkey % 5: an exact-tier hit on the
+    * spaced variant (m=0), the despaced single-token form — stripped
+    * indel d'=0, joined d=1, score 96 (m=1) — plus despaced forms
+    * with a drop (m=2, d'=1, score 91.7) and a digit substitution
+    * (m=3, d'=2, score 88) at a key-dependent arbitrary position, and
+    * a structural miss (m=4: short digit-bearing token outside every
+    * variant's length band). The fuzzy argmax is the probed part's
+    * own j=0 variant BY CONSTRUCTION (all other variants differ in
+    * ~all 12 pseudorandom letters; margins 96/91.7/88 vs ~≤60), so
+    * the oracle derives `loc` without the scorer — the n13 pattern,
+    * replayed across the shape boundary. */
+  private[graft] def crossProbes(part: DataFrame): DataFrame = {
+    val (lo, hi) = crossHalfExprs("p_partkey * 3", "div")
+    val p12 = posSqlExpr("p_partkey", 12)
+    val norm = s"""CASE p_partkey % 5
+      | WHEN 0 THEN $lo || ' ' || $hi
+      | WHEN 1 THEN $lo || $hi
+      | WHEN 2 THEN substr($lo || $hi, 1, $p12 - 1)
+      |   || substr($lo || $hi, $p12 + 1, 12)
+      | WHEN 3 THEN substr($lo || $hi, 1, $p12 - 1) || '0'
+      |   || substr($lo || $hi, $p12 + 1, 12)
+      | ELSE 'zq1' || p_partkey END""".stripMargin
+    part.select(col("p_partkey").as("tok_id"), expr(norm).as("norm"))
+  }
+
+  /** n14 — the composed 3-tier resolver ([[resolveTokensTiered]], the
+    * n12/n13 machinery unchanged) over the [[crossScaleDim]]
+    * multi-token dictionary: the [[FuzzyBlockSwitch]] picks the
+    * blocked branch and every fuzzy probe is SINGLE-token against
+    * MULTI-token variants, so recall rides the r15 despaced gram
+    * family end to end under the driver's full hash gate at sf0.1 —
+    * the cross-shape gap the r14 verdict named as the one behavioral
+    * delta vs the reference's exhaustive scorer, now closed and
+    * driver-gated. Tier-2 runs with a never-matching pattern (the
+    * n09/n13 stance on combined alternation regexes at this scale). */
+  def crossDictScale(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, sfDir)
+    // checkpoint: tiers 1-2 broadcast this dim (one reused exchange)
+    // and the fuzzy tier re-derives its index from it — materialize
+    // the 60k-variant frame once per (session, sf)
+    val dim = graft.Caches.memo(spark, s"crossdict:$sfDir:dim0")(
+      crossScaleDim(part).withColumn("vorder", lit(0L)).localCheckpoint())
+    val tokens = crossProbes(part)
+      .withColumn("stripped", lit(""))
+      .withColumn("strippedNorm", lit(""))
+    resolveTokensTiered(tokens, dim, "(x^)",
+      indexMemoKey = Some(s"crossdict:$sfDir"))
+      .select($"tok_id", $"norm", $"loc")
+      .orderBy($"tok_id")
+  }
+
+  /** n14's oracle: regenerate the probes verbatim (same expression
+    * template, DuckDB's `//`) and derive `loc` from the construction —
+    * every m except the miss resolves to the part's own despaced
+    * canonical form. The Spark side earns the match through the real
+    * blocked cross-shape join; any recall loss in the despaced gram
+    * keys hash-mismatches here. */
+  val crossDictScaleSql: String = {
+    val (lo, hi) = crossHalfExprs("k * 3", "//")
+    val p12 = posSqlExpr("k", 12)
+    s"""WITH base AS (
+       |  SELECT p_partkey AS k FROM part
+       |)
+       |SELECT k AS tok_id,
+       |  CASE k % 5
+       |    WHEN 0 THEN $lo || ' ' || $hi
+       |    WHEN 1 THEN $lo || $hi
+       |    WHEN 2 THEN substr($lo || $hi, 1, $p12 - 1)
+       |      || substr($lo || $hi, $p12 + 1, 12)
+       |    WHEN 3 THEN substr($lo || $hi, 1, $p12 - 1) || '0'
+       |      || substr($lo || $hi, $p12 + 1, 12)
+       |    ELSE 'zq1' || k END AS norm,
+       |  CASE WHEN k % 5 = 4 THEN NULL ELSE $lo || $hi END AS loc
        |FROM base ORDER BY tok_id""".stripMargin
   }
 }

@@ -258,6 +258,10 @@ class DictionaryScaleSpec extends AnyFunSuite {
     // common BY CHANCE — this gates the prefix/count-filter lemma
     // against arbitrary edit patterns, not the constructed families
     // the other tests use. Fixed seed: a failure must reproduce.
+    // gramGuard forced OFF below: this universe is deliberately
+    // low-gram-entropy, which the r15 depth guard would (correctly)
+    // route to the exhaustive fallback — vacuous for the lemma this
+    // test exists to gate; the guard's own behavior has its own test.
     val rnd = new scala.util.Random(20260815)
     val strs = Seq.fill(2500)(
       (1 to (2 + rnd.nextInt(17)))
@@ -269,7 +273,8 @@ class DictionaryScaleSpec extends AnyFunSuite {
       .withColumn("canon", $"vkey").withColumn("vorder", lit(0L))
     val probes = probeStrs.map(_._1).toDF("fnorm")
     def resolved(blocked: Boolean): Map[String, String] =
-      LocationResolve.fuzzyResolveDim(probes, dim, Some(blocked))
+      LocationResolve.fuzzyResolveDim(probes, dim, Some(blocked),
+          gramGuard = Some(true))
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val (b, e) = (resolved(blocked = true), resolved(blocked = false))
     assert(b == e, {
@@ -283,28 +288,170 @@ class DictionaryScaleSpec extends AnyFunSuite {
     assert(e.size > 50, s"degenerate fuzz universe: ${e.size} hits")
   }
 
-  test("cross-shape boundary is the one DOCUMENTED miss: single-token " +
-      "probe vs multi-token variant stays on the exhaustive side") {
+  test("cross-shape closure (r15): single-token probe FINDS the " +
+      "multi-token variant on the blocked branch; the remaining " +
+      "documented boundary is multi↔multi despacing") {
     import spark.implicits._
     graft.functions.CustomExprs.register(spark)
     // "newyork" vs dictionary "new york": score 100·(1−1/15) ≈ 93.3 —
-    // an in-cutoff pair the token-pair family cannot key (the probe
-    // emits gram keys, the variant pair keys). withBlockKeys documents
-    // this as the boundary; this test PINS it so a future fix knows to
-    // update the docs, and proves the exhaustive branch still catches
-    // it (the below-switch default for such dictionaries).
-    val dim = Seq(("new york", "NY"), ("los angeles", "LA"))
+    // the r14 blocking missed it (probe emitted gram keys, variant
+    // token-pair keys); the r15 despaced gram family keys both sides
+    // on the stripped sorted-join, so the blocked branch must now
+    // catch it. The reverse direction (multi-token probe vs
+    // single-token variant) rides the same keys.
+    // reverse direction: the probe's SORTED join must despace onto the
+    // single-token variant (the scorer sorts tokens first — "alpha" <
+    // "beta" keeps the join order the despaced entry was built from)
+    val dim = Seq(("new york", "NY"), ("los angeles", "LA"),
+        ("alphabeta", "AB"))
       .toDF("vkey", "canon").withColumn("vorder", lit(0L))
-    val probes = Seq("newyork").toDF("fnorm")
+    val probes = Seq("newyork", "alpha beta").toDF("fnorm")
     val exh = LocationResolve.fuzzyResolveDim(probes, dim, Some(false))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(exh("newyork") == "NY", "exhaustive must catch the despaced form")
+    assert(exh("alpha beta") == "AB")
     val blk = LocationResolve.fuzzyResolveDim(probes, dim, Some(true))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(!blk.contains("newyork"),
-      "blocked caught the cross-shape pair — the documented boundary " +
-        "has moved: update withBlockKeys/fuzzyResolveDim scaladoc and " +
-        "flip this assertion")
+    assert(blk == exh,
+      s"blocked branch missed a cross-shape pair: $blk vs $exh — the " +
+        "r15 despaced gram family regressed")
+    // the boundary that REMAINS (and stays pinned): an in-cutoff
+    // multi↔multi pair sharing <2 of the first-3 tokens — "ab cd x"
+    // vs "abcd x" (despacing within a multi-token string; score
+    // 100·(1−1/13) = 92.3). The despaced-gram bound does not hold
+    // when both sides carry spaces (matched spaces refund nothing),
+    // so gram keys are not emitted for multi probes against a
+    // multi-only dictionary, and token-pair keys need 2 shared
+    // tokens. A future closure must update withBlockKeys scaladoc
+    // and flip THIS assertion.
+    val dim2 = Seq(("ab cd x", "M")).toDF("vkey", "canon")
+      .withColumn("vorder", lit(0L))
+    val probes2 = Seq("abcd x").toDF("fnorm")
+    val exh2 = LocationResolve.fuzzyResolveDim(probes2, dim2, Some(false))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(exh2("abcd x") == "M", "fixture drifted: pair not in cutoff")
+    val blk2 = LocationResolve.fuzzyResolveDim(probes2, dim2, Some(true))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(!blk2.contains("abcd x"),
+      "blocked caught the multi↔multi despaced pair — the documented " +
+        "boundary has moved: update the scaladoc and flip this assertion")
+  }
+
+  test("n14 cross-shape: blocked ≡ exhaustive on the crossScaleDim " +
+      "universe (single-token probes, multi-token-only dictionary)") {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    // the registered fixture at spec scale, plus spec-only DOUBLE-edit
+    // despaced probes (end-trim, mid insert) the construction families
+    // never cover — the cross derivation (d' ≤ d − s_M) must hold for
+    // arbitrary edit patterns, not just the registered ones
+    val part = spark.range(3000).select($"id".as("p_partkey"))
+    val dim = LocationResolve.crossScaleDim(part)
+      .withColumn("vorder", lit(0L))
+    val base = LocationResolve.crossProbes(
+      spark.range(0, 3000, 7).select($"id".as("p_partkey")))
+    val despaced = base.filter(pmod($"tok_id", lit(5)) === 1)
+    val extra = despaced
+      .select(expr("substr(norm, 2, length(norm) - 2)").as("norm"))
+      .union(despaced.select(
+        expr("substr(norm, 1, 5) || 'q' || substr(norm, 6, 12)").as("norm")))
+    val probes = base.select($"norm".as("fnorm"))
+      .union(extra.select($"norm".as("fnorm"))).distinct()
+    def resolved(blocked: Boolean): Map[String, String] =
+      LocationResolve.fuzzyResolveDim(probes, dim, Some(blocked))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (b, e) = (resolved(blocked = true), resolved(blocked = false))
+    assert(b == e, {
+      val diff = (b.keySet ++ e.keySet).filter(k => b.get(k) != e.get(k))
+      s"${diff.size} diverging probes, e.g. ${diff.take(3)
+        .map(k => s"'$k' blocked=${b.get(k)} exhaustive=${e.get(k)}")
+        .mkString("; ")}"
+    })
+    val nProbes = probes.count()
+    assert(e.nonEmpty && e.size < nProbes,
+      s"degenerate: ${e.size}/$nProbes hits")
+    // the guard must NOT trip here (high-entropy halves): the blocked
+    // plan may not contain the per-class exhaustive fallback
+    graft.Caches.clear(spark)
+    val plan = LocationResolve.fuzzyResolveDim(probes, dim)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "cross-shape dim routed through a crossJoin — guard or switch bug")
+  }
+
+  test("probe-broadcast switch: shuffle form ≡ broadcast form; both " +
+      "physical shapes appear as forced") {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    val part = spark.range(1500).select($"id".as("p_partkey"))
+    val dim = LocationResolve.gramScaleDim(part).withColumn("vorder", lit(0L))
+    val probes = LocationResolve.gramProbes(
+      spark.range(0, 1500, 5).select($"id".as("p_partkey")))
+      .select($"norm".as("fnorm")).distinct()
+    def resolved(bcast: Boolean): Map[String, String] =
+      LocationResolve.fuzzyResolveDim(probes, dim, Some(true),
+          probeBroadcast = Some(bcast))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (bc, sh) = (resolved(bcast = true), resolved(bcast = false))
+    assert(bc == sh, {
+      val diff = (bc.keySet ++ sh.keySet).filter(k => bc.get(k) != sh.get(k))
+      s"${diff.size} diverging probes through the shuffle form"
+    })
+    assert(bc.nonEmpty, "degenerate universe")
+  }
+
+  test("low-gram-entropy dictionary: the depth guard trips, single-token " +
+      "probes route to the exhaustive fallback, results ≡ exhaustive") {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    // a closed 4-letter character vocabulary at dictionary scale — the
+    // regime LocationResolve.scala documented as belonging under the
+    // exhaustive switch; the r15 guard turns that doc into a plan
+    // decision. 5000 entries keep the blocked switch ON (≫ 512) while
+    // gram blocks run hundreds deep.
+    val dim = spark.range(5000)
+      .select(expr(
+        "concat_ws('', transform(sequence(1, 8 + CAST(id % 5 AS INT)), " +
+          "i -> chr(97 + CAST(pmod(xxhash64(id, i), 4) AS INT))))").as("vkey"))
+      .distinct()
+      .withColumn("canon", $"vkey").withColumn("vorder", lit(0L))
+      .localCheckpoint()
+    assert(dim.count() > LocationResolve.FuzzyBlockSwitch,
+      "fixture drifted below the blocked switch")
+    // single-token probes: drops at a key-dependent position + exacts
+    val probes = dim.limit(400).select(
+        expr("substr(vkey, 1, length(vkey) % 5 + 1 - 1) || " +
+          "substr(vkey, length(vkey) % 5 + 2, 20)").as("fnorm"))
+      .union(dim.limit(100).select($"vkey".as("fnorm")))
+      .distinct().localCheckpoint()
+    // the guard itself must actually trip on this dictionary's keyed
+    // index — otherwise the fallback assertions below are vacuous
+    val gorder = LocationResolve.gramOrderOf(dim, "vkey").localCheckpoint()
+    val keys = LocationResolve.withBlockKeys(
+      dim.select($"vkey"), "vkey", gorder, "dlen",
+      graft.nlp.Cleaner.FuzzyScoreCutoff)
+    assert(!LocationResolve.gramDepthOk(keys),
+      "depth guard did NOT trip on a closed-4-letter-vocabulary dict — " +
+        "GramDepthBound or the stats are wrong")
+    // default path (guard measured): single probes fall back to the
+    // explicit exhaustive crossJoin — visible as a BNLJ in the plan
+    graft.Caches.clear(spark)
+    val plan = LocationResolve.fuzzyResolveDim(probes, dim)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "guard tripped but no exhaustive fallback branch in the plan")
+    def resolved(blocked: Option[Boolean]): Map[String, String] =
+      LocationResolve.fuzzyResolveDim(probes, dim, blocked)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (dflt, exh) = (resolved(None), resolved(Some(false)))
+    assert(dflt == exh, {
+      val diff = (dflt.keySet ++ exh.keySet)
+        .filter(k => dflt.get(k) != exh.get(k))
+      s"${diff.size} diverging probes under the guard fallback, e.g. " +
+        diff.take(3).map(k =>
+          s"'$k' default=${dflt.get(k)} exhaustive=${exh.get(k)}").mkString("; ")
+    })
+    assert(dflt.size > 100, s"degenerate: ${dflt.size} hits")
   }
 
   test("length band derives from the cutoff: len-diff > 8 hits survive") {
