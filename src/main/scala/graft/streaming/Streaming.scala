@@ -1367,6 +1367,271 @@ object Streaming {
     best.unionByName(singletons)
   }
 
+  /** x59 delta sibling — incremental keep-best with DELTA-star label
+    * maintenance: where [[keepBestUpdate]] re-runs connected components
+    * over the FULL accumulated pair graph every micro-batch (per-wave
+    * cost ∝ P(w) — the one maintainer the r14 StreamProbe measured
+    * growing with history, by design), this maintainer merges each
+    * wave's new pairs into the PERSISTED label dim so only components
+    * TOUCHED by the wave recompute. Per batch:
+    *
+    *  1.–3. identical to [[keepBestUpdate]]: band-index update + cross
+    *     pairs (delegated, idempotent), intra-batch pairs from the
+    *     committed band slice, the batch's doc-attribute slice;
+    *  4. delta-star merge: wave pairs P_w = cross(batch) ∪
+    *     intra(batch); touched clusters = prior labels of P_w's
+    *     endpoints; prior members of those clusters re-enter as
+    *     (doc_id, cluster_id) STAR EDGES — sound because ccStars
+    *     labels with the component-minimum id, so a label is itself a
+    *     member node and a star edge is an ordinary graph edge
+    *     carrying exactly the old component's connectivity. CC runs
+    *     over P_w ∪ star edges: cost ∝ |wave pairs| + |touched
+    *     members|, INDEPENDENT of the accumulated pair count.
+    *     Label equality with the full rebuild is structural:
+    *     components only ever change by MERGING, every merge contains
+    *     a wave pair (so the merged component is fully present in the
+    *     delta graph), and untouched components keep their min-id
+    *     label verbatim;
+    *  5. the merged label dim carries (doc_id, cluster_id,
+    *     quality_score, lang) so survivor re-ranking never re-reads
+    *     history; quality for FIRST-TIME historical nodes (a cross
+    *     pair can touch an old doc that never paired before) is
+    *     probed from the accumulated attribute slices — a
+    *     column-pruned scan + semi join, the one per-wave term that
+    *     still reads history bytes (thin columns, no history
+    *     shuffle);
+    *  6. survivors: untouched clusters' rows carry over verbatim;
+    *     touched clusters re-rank under the same quality-desc /
+    *     doc-id-asc window — so the merged dim stays ≡ the rebuild
+    *     form ≡ batch x59 (StreamingSpec proves both).
+    *
+    * Same exactly-once discipline as every versioned dim: recompute
+    * from committed inputs + the PRIOR version's merged dim is
+    * deterministic, `_SUCCESS` is written last, replay of a committed
+    * batch is a no-op. */
+  def keepBestDeltaUpdate(dimDir: String, pairsDir: String,
+      survDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    val spark = batch.sparkSession
+    bandIndexUpdate(dimDir, pairsDir)(batch, batchId)
+    if (Files.isRegularFile(Paths.get(s"$survDir/v$batchId/_SUCCESS"))) return
+    val prior = modelVersions(survDir).filter(_ < batchId)
+    requirePredecessorState(survDir, batchId, prior)
+    val docsSh = spark.read.parquet(s"$dimDir/v$batchId/docs")
+    val bands = spark.read.parquet(s"$dimDir/v$batchId/bands")
+    graft.ops.Dedup.verifyJaccard(
+        graft.ops.Dedup.bandSelfCandidates(bands), docsSh, docsSh)
+      .select(col("id_a"), col("id_b"))
+      .write.mode("overwrite").parquet(s"$survDir/v$batchId/intra")
+    batch
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.qualityScore(col("text")).as("quality_score"),
+        col("lang"))
+      .write.mode("overwrite").parquet(s"$survDir/v$batchId/docs")
+    // THIS batch's pair delta only — never the accumulated union
+    val wavePairs = spark.read.parquet(s"$pairsDir/b$batchId")
+      .select(col("inc_id").as("id_a"), col("hist_id").as("id_b"))
+      .union(spark.read.parquet(s"$survDir/v$batchId/intra"))
+      .localCheckpoint()
+    def emptyMerged = spark.emptyDataFrame
+      .select(lit(0L).as("doc_id"), lit(0L).as("cluster_id"),
+        lit(0.0).as("quality_score"), lit("").as("lang")).limit(0)
+    val priorLabels =
+      if (prior.isEmpty) emptyMerged
+      else spark.read.parquet(s"$survDir/v${prior.max}/labels")
+    val priorSurv =
+      if (prior.isEmpty) emptyMerged
+      else spark.read.parquet(s"$survDir/v${prior.max}/survivors")
+    val cols = Seq("doc_id", "cluster_id", "quality_score", "lang")
+    val (labels, survivors, ccHandle) =
+      if (wavePairs.isEmpty)
+        (priorLabels, priorSurv, Option.empty[DataFrame])
+      else {
+        val touchedIds = wavePairs.select(col("id_a").as("doc_id"))
+          .union(wavePairs.select(col("id_b").as("doc_id"))).distinct()
+        val touchedClusters = priorLabels
+          .join(touchedIds, Seq("doc_id"), "left_semi")
+          .select(col("cluster_id")).distinct().localCheckpoint()
+        val members = priorLabels
+          .join(touchedClusters, Seq("cluster_id"), "left_semi")
+        val starEdges = members
+          .select(col("doc_id").as("id_a"), col("cluster_id").as("id_b"))
+        val (lbl, _) = graft.ops.Dedup.ccStars(wavePairs.union(starEdges))
+        val lblNodes = lbl
+          .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        // attributes: prior members carry theirs in the merged dim;
+        // first-time nodes probe the accumulated attribute slices
+        val known = priorLabels
+          .select(col("doc_id"), col("quality_score"), col("lang"))
+        val fetched = spark.read
+          .parquet((prior :+ batchId).map(v => s"$survDir/v$v/docs"): _*)
+          .join(lblNodes.join(known.select(col("doc_id")),
+            Seq("doc_id"), "left_anti").select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("quality_score"), col("lang"))
+        val newMembers = lblNodes
+          .join(known.unionByName(fetched), Seq("doc_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))
+          .orderBy(col("quality_score").desc, col("doc_id").asc)
+        val newBest = newMembers
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(cols.map(col): _*)
+        val mergedLabels = priorLabels
+          .join(touchedClusters, Seq("cluster_id"), "left_anti")
+          .select(cols.map(col): _*)
+          .unionByName(newMembers.select(cols.map(col): _*))
+        val mergedSurv = priorSurv
+          .join(touchedClusters, Seq("cluster_id"), "left_anti")
+          .select(cols.map(col): _*)
+          .unionByName(newBest)
+        (mergedLabels, mergedSurv, Some(lbl))
+      }
+    labels.write.mode("overwrite").parquet(s"$survDir/v$batchId/labels")
+    survivors.write.mode("overwrite").parquet(s"$survDir/v$batchId/survivors")
+    ccHandle.foreach(_.unpersist(blocking = false)) // ccStars persists it
+    Files.write(Paths.get(s"$survDir/v$batchId/_SUCCESS"),
+      Array.emptyByteArray)
+  }
+
+  /** Run the delta keep-best maintainer over a documents stream to
+    * completion (AvailableNow) — [[buildKeepBest]]'s sibling on the
+    * delta-star updater. */
+  def buildKeepBestDelta(docs: DataFrame, dimDir: String, pairsDir: String,
+      survDir: String, ckptDir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dimDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pairsDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(survDir))
+    requireSharedLifecycle(dimDir, ckptDir)
+    requireSharedLifecycle(survDir, ckptDir)
+    requireSliceLifecycle(pairsDir, ckptDir, "pair")
+    val q = docs.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        keepBestDeltaUpdate(dimDir, pairsDir, survDir)(df, batchId)
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The delta maintainer's survivor set as of the latest committed
+    * version: the MERGED survivors plus the singleton majority (docs
+    * never labeled), labeled as their own cluster — the batch-x59
+    * output shape, same as [[streamedKeepBestSurvivors]]. */
+  def streamedKeepBestDeltaSurvivors(spark: SparkSession,
+      survDir: String): DataFrame = {
+    val versions = modelVersions(survDir).sorted
+    require(versions.nonEmpty, s"no committed survivor version in $survDir")
+    val latest = versions.max
+    val best = spark.read.parquet(s"$survDir/v$latest/survivors")
+    val labels = spark.read.parquet(s"$survDir/v$latest/labels")
+    val docs = spark.read.parquet(
+      versions.map(v => s"$survDir/v$v/docs"): _*)
+    val singletons = docs
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        col("quality_score"), col("lang"))
+    best.unionByName(singletons)
+  }
+
+  /** Tenth maintainer — the fuzzy dictionary's gram/token blocking
+    * index, maintained INCREMENTALLY as the dictionary itself changes:
+    * the batch path memoizes a per-version index
+    * (LocationResolve.fuzzyResolveDim's indexMemoKey) and any
+    * dictionary update rebuilds it whole; this updater keys ONLY the
+    * batch's added variants and tombstones the removed ones, under a
+    * FROZEN gram order (the [[ivfPqIndexUpdate]] frozen-model pattern:
+    * prefix filtering is sound under ANY fixed total order — the df
+    * order buys selectivity, never recall — so freezing the base
+    * dictionary's order keeps every previously-written key slice valid
+    * forever; a rebuilt index under the CURRENT df order carries
+    * different keys but provably identical resolution results, which
+    * is what StreamingSpec compares). Per batch: key the adds (every
+    * family, cross grams included, so any later probe shape is
+    * served), write them as the version's key slice; write removed
+    * vkeys as tombstones; probes are untouched. Cost ∝ batch, never
+    * ∝ accumulated dictionary.
+    *
+    * Batch schema: (vkey, canon, vorder, op), op ∈ 'add'|'del'.
+    * Tombstones are global — a deleted vkey stays deleted across all
+    * versions (re-adding a removed variant means a new dictionary
+    * lineage, not an update). Exactly-once: slices first, `_SUCCESS`
+    * last, committed replays are no-ops. */
+  def gramIndexUpdate(idxDir: String, gramOrder: DataFrame)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    if (Files.isRegularFile(Paths.get(s"$idxDir/v$batchId/_SUCCESS"))) return
+    val prior = modelVersions(idxDir).filter(_ < batchId)
+    requirePredecessorState(idxDir, batchId, prior)
+    graft.ops.LocationResolve.withBlockKeys(
+        batch.filter(col("op") === "add")
+          .select(col("vkey"), col("canon"), col("vorder")),
+        "vkey", gramOrder, "dlen",
+        graft.nlp.Cleaner.FuzzyScoreCutoff,
+        grams = true, crossGrams = true, materializeRanked = false)
+      .write.mode("overwrite").parquet(s"$idxDir/v$batchId/keys")
+    batch.filter(col("op") === "del").select(col("vkey"))
+      .write.mode("overwrite").parquet(s"$idxDir/v$batchId/dels")
+    Files.write(Paths.get(s"$idxDir/v$batchId/_SUCCESS"),
+      Array.emptyByteArray)
+  }
+
+  /** Run the incremental dictionary-index maintainer over a variant
+    * update stream (rows (vkey, canon, vorder, op)) to completion. */
+  def buildGramIndex(updates: DataFrame, idxDir: String,
+      gramOrder: DataFrame, ckptDir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(idxDir))
+    requireSharedLifecycle(idxDir, ckptDir)
+    val q = updates.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        gramIndexUpdate(idxDir, gramOrder)(df, batchId)
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Resolve DISTINCT probe strings (`fnorm`) against the streamed
+    * dictionary index as of the latest committed version: union the
+    * committed key slices, drop tombstoned vkeys, then the n11/n13
+    * candidate pipeline — shared-key filter, derived length band,
+    * codegen scorer, argmax with the vorder-then-vkey tiebreak —
+    * row-identical to a COLD LocationResolve.fuzzyResolveDim rebuild
+    * over the surviving dictionary (StreamingSpec pins it). Probes are
+    * keyed under the same frozen order with every family on, mirroring
+    * the index's probe-shape-independent carry. */
+  def streamedGramResolve(spark: SparkSession, idxDir: String,
+      gramOrder: DataFrame, probes: DataFrame): DataFrame = {
+    graft.functions.CustomExprs.register(spark)
+    val vs = modelVersions(idxDir).sorted
+    require(vs.nonEmpty, s"no committed index version under $idxDir")
+    val keys = spark.read.parquet(vs.map(v => s"$idxDir/v$v/keys"): _*)
+    val dels = spark.read.parquet(vs.map(v => s"$idxDir/v$v/dels"): _*)
+      .select(col("vkey")).distinct()
+    val live = keys.join(broadcast(dels), Seq("vkey"), "left_anti")
+    val probeKeyed = graft.ops.LocationResolve.withBlockKeys(
+        probes.select(col("fnorm")).distinct(), "fnorm", gramOrder,
+        "plen", graft.nlp.Cleaner.FuzzyScoreCutoff,
+        grams = true, crossGrams = true, materializeRanked = false)
+    val cutoff = graft.nlp.Cleaner.FuzzyScoreCutoff
+    graft.ops.LocationResolve.candidateFilter(
+        live.join(broadcast(probeKeyed), "bkey")
+          .where(graft.ops.LocationResolve.fuzzyLenBandPred(
+            col("plen"), col("dlen"), cutoff)),
+        Seq("fnorm", "vkey", "canon", "vorder"))
+      .withColumn("score", graft.functions.CustomExprs
+        .token_sort_ratio(col("fnorm"), col("vkey")))
+      .where(col("score") >= cutoff)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fnorm"))
+          .orderBy(col("score").desc, col("vorder").asc, col("vkey").asc)))
+      .where(col("rn") === 1)
+      .select(col("fnorm"), col("canon").as("floc"))
+  }
+
   /** e07 streaming sibling: watermarked stream-stream interval join —
     * clicks joined to the same user's purchases within 10 minutes after
     * the click. Both sides carry a watermark and the join condition bounds

@@ -79,15 +79,56 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("n13: gram-blocked plan — zero UDFs, no cartesian/nested-loop " +
       "(the 100k single-token dim must ride the blocked equi join)") {
-    // the lazily-constructed plan embeds the whole composed resolver;
-    // a BroadcastNestedLoopJoin here means the switch (or the gram
-    // family gate) regressed the 100k dictionary to the exhaustive
-    // crossJoin; a UDF means a tier regressed to a closure
+    // OUTER SHELL ONLY: resolveTokensTiered eagerly localCheckpoints
+    // t12 and the fuzzy dim, so this formatted plan shows ExistingRDD
+    // scans where the tier joins ran — the assertions gate the final
+    // assembly, while the fuzzy-tier SUBPLAN is audited directly by
+    // the "fuzzyResolveDim blocked subplan" test below (and by
+    // DictionaryScaleSpec's executedPlan checks)
     val plan = formatted(
       graft.ops.LocationResolve.gramDictScale(spark, sf))
     assert(!plan.contains("UDF("), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("fuzzyResolveDim blocked subplan (n13 + n14 dims): the un-" +
+      "checkpointed fuzzy tier is a broadcast-probed equi join — zero " +
+      "UDFs, no cartesian, no nested loop, probe keys broadcast") {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    // the memoized index would substitute InMemoryRelation scans into
+    // canonically-matching subplans and blind the shape assertions
+    graft.Caches.clear(spark)
+    val part = graft.Tables.part(spark, sf)
+    val dims = Seq(
+      "n13" -> graft.ops.LocationResolve.gramScaleDim(part)
+        .withColumn("vorder", org.apache.spark.sql.functions.lit(0L)),
+      "n14" -> graft.ops.LocationResolve.crossScaleDim(part)
+        .withColumn("vorder", org.apache.spark.sql.functions.lit(0L)))
+    val probes = graft.ops.LocationResolve.gramProbes(part.limit(200))
+      .select($"norm".as("fnorm")).distinct()
+    dims.foreach { case (name, dim) =>
+      val plan = formatted(
+        graft.ops.LocationResolve.fuzzyResolveDim(probes, dim, Some(true)))
+      assert(!plan.contains("UDF("), s"[$name] ${plan.take(1500)}")
+      assert(!plan.contains("CartesianProduct"), s"[$name] ${plan.take(1500)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"[$name] ${plan.take(1500)}")
+      // the key join itself: dictionary index streams, probe keys ride
+      // a broadcast exchange (the ProbeBroadcastMax default regime)
+      assert(plan.contains("BroadcastHashJoin"), s"[$name] ${plan.take(1500)}")
+    }
+    // the OTHER physical form: past ProbeBroadcastMax (forced here) the
+    // probe side leaves the broadcast and the key join becomes a
+    // shuffle equi-join — both shapes must exist as plans, so a probe
+    // set outgrowing the broadcast is a plan choice, not an OOM
+    val shuffled = formatted(graft.ops.LocationResolve.fuzzyResolveDim(
+      probes, dims.head._2, Some(true), probeBroadcast = Some(false)))
+    assert(shuffled.contains("SortMergeJoin") ||
+      shuffled.contains("ShuffledHashJoin"), shuffled.take(1500))
+    assert(!shuffled.contains("CartesianProduct") &&
+      !shuffled.contains("BroadcastNestedLoopJoin"), shuffled.take(1500))
   }
 
   test("n07: dictionary lookups are BroadcastHashJoins, result == n06") {

@@ -248,6 +248,93 @@ class StreamingSpec extends AnyFunSuite {
       "replay of a committed batch rewrote the survivor dim")
   }
 
+  test("delta-star keep-best: 3-wave delta maintainer == batch x59 " +
+      "(labels merged in place, never CC over the full pair graph)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // three waves so wave 3 exercises a merge of clusters formed in
+    // DIFFERENT earlier waves (the delta-star case the 2-wave split
+    // can't reach: both touched components already relabeled once)
+    val waves = Seq(docs.filter($"doc_id" % 3 === 0),
+      docs.filter($"doc_id" % 3 === 1), docs.filter($"doc_id" % 3 === 2))
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_kbd_$p").toString
+    val (dimDir, pairsDir, survDir) = (tmp("dim"), tmp("pairs"), tmp("surv"))
+    waves.zipWithIndex.foreach { case (w, i) =>
+      Streaming.keepBestDeltaUpdate(dimDir, pairsDir, survDir)(w, i.toLong)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id", "quality_score", "lang")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    val streamed = rows(Streaming.streamedKeepBestDeltaSurvivors(spark, survDir))
+    val batch = rows(graft.ops.Dedup.dedupKeepBest(spark, sf))
+    assert(streamed.exists { case (d, c, _, _) => d != c },
+      "no multi-doc cluster reached the delta survivor dim")
+    assert(streamed == batch,
+      s"delta keep-best diverged from batch x59: " +
+        s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+    // replay of the committed final batch is a no-op
+    val before = snapshot(s"$survDir/v2/survivors")
+    assert(before.nonEmpty)
+    Streaming.keepBestDeltaUpdate(dimDir, pairsDir, survDir)(
+      docs.filter($"doc_id" % 7 === 0), 2L)
+    assert(snapshot(s"$survDir/v2/survivors") == before,
+      "replay of a committed batch rewrote the delta survivor dim")
+  }
+
+  test("incremental gram dictionary index: adds + tombstones across " +
+      "2 waves == cold blocked rebuild over the surviving dictionary") {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    import graft.ops.LocationResolve
+    // the n13 dictionary shape split into two update waves, plus a
+    // wave-2 tombstone set removing some wave-1 variants
+    val part = spark.range(1200).select($"id".as("p_partkey"))
+    val dict = LocationResolve.gramScaleDim(part)
+      .withColumn("vorder", lit(0L)).localCheckpoint()
+    val wave1 = dict.filter(xxhash64($"vkey") % 2 === 0)
+    val wave2Adds = dict.filter(xxhash64($"vkey") % 2 =!= 0)
+    val dels = wave1.filter(xxhash64($"vkey", lit(7)) % 5 === 0)
+      .select($"vkey").localCheckpoint()
+    // frozen order from the wave-1 base dictionary (the honest setup:
+    // the order predates the updates it survives)
+    val gorder = LocationResolve.gramOrderOf(wave1, "vkey").localCheckpoint()
+    val idxDir =
+      java.nio.file.Files.createTempDirectory("graft_gidx").toString
+    Streaming.gramIndexUpdate(idxDir, gorder)(
+      wave1.withColumn("op", lit("add")), 0L)
+    Streaming.gramIndexUpdate(idxDir, gorder)(
+      wave2Adds.withColumn("op", lit("add"))
+        .unionByName(dels.withColumn("canon", lit("")).withColumn("vorder",
+          lit(0L)).withColumn("op", lit("del"))
+          .select($"vkey", $"canon", $"vorder", $"op")), 1L)
+    val probes = LocationResolve.gramProbes(
+        spark.range(0, 1200, 3).select($"id".as("p_partkey")))
+      .select($"norm".as("fnorm")).distinct().localCheckpoint()
+    val streamed = Streaming.streamedGramResolve(spark, idxDir, gorder, probes)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the cold rebuild over the SURVIVING dictionary, forced blocked —
+    // different df order (current, not frozen), identical resolution
+    val surviving = dict.join(dels, Seq("vkey"), "left_anti")
+    val cold = LocationResolve.fuzzyResolveDim(probes, surviving, Some(true))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(streamed == cold, {
+      val diff = (streamed.keySet ++ cold.keySet)
+        .filter(k => streamed.get(k) != cold.get(k))
+      s"${diff.size} diverging probes, e.g. ${diff.take(3).map(k =>
+        s"'$k' streamed=${streamed.get(k)} cold=${cold.get(k)}").mkString("; ")}"
+    })
+    assert(streamed.nonEmpty && streamed.size < probes.count(),
+      s"degenerate: ${streamed.size} hits")
+    // the tombstones must have bitten: some probe whose wave-1 target
+    // was removed resolves differently than against the full dict
+    val full = LocationResolve.fuzzyResolveDim(probes, dict, Some(true))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(full != streamed,
+      "tombstone set removed nothing any probe cared about — vacuous")
+  }
+
   test("incremental substring dedup: 2-wave rewrites == batch x70") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
@@ -774,6 +861,21 @@ class StreamingSpec extends AnyFunSuite {
       val dsDim = tmp("dsh")
       val iDir = tmp("ivfpq")
       val (kDim, kPairs, kSurv) = (tmp("kb_dim"), tmp("kb_pairs"), tmp("kb_surv"))
+      val (k2Dim, k2Pairs, k2Surv) =
+        (tmp("kbd_dim"), tmp("kbd_pairs"), tmp("kbd_surv"))
+      // gram-index waves: the dictionary UPDATE stream (adds derived
+      // from each wave's doc ids); frozen order from the full universe
+      val gIdx = tmp("gram_idx")
+      val gramWaves = fifthWaves.map(w =>
+        graft.ops.LocationResolve.gramScaleDim(
+            w.select($"doc_id".as("p_partkey")))
+          .withColumn("vorder", lit(0L)).withColumn("op", lit("add")))
+      val gOrder = graft.ops.LocationResolve.gramOrderOf(
+        graft.ops.LocationResolve.gramScaleDim(
+          docs.select($"doc_id".as("p_partkey"))), "vkey").localCheckpoint()
+      val gProbes = graft.ops.LocationResolve.gramProbes(
+          docs.select($"doc_id".as("p_partkey")))
+        .select($"norm".as("fnorm"))
       val (sdBench, sdOut) = (tmp("sd_bench"), tmp("sd_out"))
       Streaming.buildBenchCellStore(embs, sdBench, cents)
       val (snapOld, snapOut) = (tmp("snap_old"), tmp("snap_out"))
@@ -813,6 +915,17 @@ class StreamingSpec extends AnyFunSuite {
           vMark(kSurv),
           () => rows(Streaming.streamedKeepBestSurvivors(spark, kSurv)),
           fifthWaves),
+        TornDim("keep-best delta survivors",
+          Streaming.keepBestDeltaUpdate(k2Dim, k2Pairs, k2Surv),
+          vMark(k2Surv),
+          () => rows(Streaming.streamedKeepBestDeltaSurvivors(spark, k2Surv)),
+          fifthWaves),
+        TornDim("gram dictionary index",
+          Streaming.gramIndexUpdate(gIdx, gOrder),
+          vMark(gIdx),
+          () => rows(Streaming.streamedGramResolve(spark, gIdx, gOrder,
+            gProbes)),
+          gramWaves),
         TornDim("semantic decontamination",
           Streaming.semDecontUpdate(sdBench, sdOut, cents),
           vMark(sdOut),
@@ -836,7 +949,8 @@ class StreamingSpec extends AnyFunSuite {
     val covered = Set("unigramModelUpdate", "blocklistUpdate",
       "bandIndexUpdate", "spanIndexUpdate", "decontamRewriteUpdate",
       "ledgerUpdate", "datasheetUpdate", "ivfPqIndexUpdate",
-      "keepBestUpdate", "semDecontUpdate", "snapshotDiffUpdate")
+      "keepBestUpdate", "keepBestDeltaUpdate", "gramIndexUpdate",
+      "semDecontUpdate", "snapshotDiffUpdate")
     assert(updaters == covered,
       s"torn-write registry out of sync with Streaming.scala: " +
         s"unexercised=${(updaters -- covered).mkString(", ")} " +
