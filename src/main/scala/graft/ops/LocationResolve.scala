@@ -1164,22 +1164,23 @@ object LocationResolve {
       s"greatest(substr(($t), 1, 6), substr(($t), 7, 6))")
   }
 
-  /** The n14 dictionary: 3 two-token variants per part ("lo hi" halves
-    * of independent 12-letter pseudorandom tokens), each canonical to
-    * its despaced form — a MULTI-token-only dictionary (60k variants
-    * at sf0.1), so every fuzzy hit must cross the shape boundary:
-    * single-token probe against multi-token variant, the class the
-    * r14 blocking missed by design ([[withBlockKeys]]'s despaced gram
-    * family is what closes it; reference cleaner_v6.py:198-208 scores
-    * ALL variants and so always found such pairs). */
+  /** The n14 dictionary: one two-token variant per part ("lo hi"
+    * halves of a 12-letter pseudorandom token), canonical to its
+    * despaced form — a MULTI-token-only dictionary (20k variants at
+    * sf0.1, scaling with the data and far above [[FuzzyBlockSwitch]]),
+    * so every fuzzy hit must cross the shape boundary: single-token
+    * probe against multi-token variant, the class the r14 blocking
+    * missed by design ([[withBlockKeys]]'s despaced gram family is
+    * what closes it; reference cleaner_v6.py:198-208 scores ALL
+    * variants and so always found such pairs). One variant per part
+    * deliberately: probes target their own part's entry, so extra
+    * surface forms would only inflate the index and the key join
+    * without exercising anything new (the 100k-scale economics flag
+    * is n13's job). */
   private[graft] def crossScaleDim(part: DataFrame): DataFrame = {
-    val variants = (0 until 3).map { j =>
-      val (lo, hi) = crossHalfExprs(s"p_partkey * 3 + $j", "div")
-      struct(expr(s"$lo || ' ' || $hi").as("vkey"),
-        expr(s"$lo || $hi").as("canon"))
-    }
-    part.select(explode(array(variants: _*)).as("v"))
-      .select(col("v.vkey").as("vkey"), col("v.canon").as("canon"))
+    val (lo, hi) = crossHalfExprs("p_partkey", "div")
+    part.select(expr(s"$lo || ' ' || $hi").as("vkey"),
+      expr(s"$lo || $hi").as("canon"))
   }
 
   /** The n14 probe set, m = p_partkey % 5: an exact-tier hit on the
@@ -1194,7 +1195,7 @@ object LocationResolve {
     * the oracle derives `loc` without the scorer — the n13 pattern,
     * replayed across the shape boundary. */
   private[graft] def crossProbes(part: DataFrame): DataFrame = {
-    val (lo, hi) = crossHalfExprs("p_partkey * 3", "div")
+    val (lo, hi) = crossHalfExprs("p_partkey", "div")
     val p12 = posSqlExpr("p_partkey", 12)
     val norm = s"""CASE p_partkey % 5
       | WHEN 0 THEN $lo || ' ' || $hi
@@ -1241,7 +1242,7 @@ object LocationResolve {
     * blocked cross-shape join; any recall loss in the despaced gram
     * keys hash-mismatches here. */
   val crossDictScaleSql: String = {
-    val (lo, hi) = crossHalfExprs("k * 3", "//")
+    val (lo, hi) = crossHalfExprs("k", "//")
     val p12 = posSqlExpr("k", 12)
     s"""WITH base AS (
        |  SELECT p_partkey AS k FROM part

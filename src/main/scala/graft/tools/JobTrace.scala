@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Builder-side job profiler: run ONE registered query (warm pass
+  * first) and print every Spark job it schedules with wall duration
+  * and the first line of its call site — the tool that tells serial
+  * construction latency apart from real shuffle work when a query's
+  * end-to-end time won't drop (TimeQuery gives the total; this gives
+  * the shape of it).
+  *   sbt "runMain graft.tools.JobTrace <sfDir> <query> [warm=1]"
+  */
+object JobTrace {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val name = args(1)
+    val warm = if (args.length > 2) args(2).toInt else 1
+    require(graft.SparkEntry.queries.contains(name), s"unknown query $name")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def once(): Unit = graft.SparkEntry.queries(name)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    (0 until warm).foreach(_ => once())
+
+    val starts = scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double, String)]
+    val t0 = System.nanoTime()
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val site = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        starts.put(j.jobId, (System.nanoTime(), site))
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        starts.remove(j.jobId).foreach { case (s, site) =>
+          rows.synchronized {
+            rows += ((j.jobId, (s - t0) / 1e9, (System.nanoTime() - s) / 1e9, site))
+          }
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val tq0 = System.nanoTime()
+    once()
+    val total = (System.nanoTime() - tq0) / 1e9
+    spark.sparkContext.removeSparkListener(listener)
+    // listener bus is async — drain before reading
+    Thread.sleep(500)
+    val fmt = java.util.Locale.ROOT
+    rows.sortBy(_._1).foreach { case (id, at, dur, site) =>
+      println(String.format(fmt, "[job] %3d  at %7.2fs  dur %6.2fs  %s",
+        Int.box(id), Double.box(at), Double.box(dur), site))
+    }
+    println(String.format(fmt,
+      "[jobtrace] %s total %.2fs, %d jobs, job-sum %.2fs (gap %.2fs = driver/plan time)",
+      name, Double.box(total), Int.box(rows.length),
+      Double.box(rows.map(_._3).sum),
+      Double.box(total - rows.map(_._3).sum)))
+    spark.stop()
+  }
+}
