@@ -456,8 +456,12 @@ class PlanAuditSpec extends AnyFunSuite {
   test("n09: 100k-variant lookups stay broadcast joins, dim not inlined") {
     val q = graft.ops.LocationResolve.dictScale(spark, sf)
     val plan = formatted(q)
-    // 4 lookup tiers, FormattedMode doubling => >= 8 mentions
-    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 8, plan.take(2000))
+    // r15: the two regex tiers are STATICALLY skipped under the
+    // NeverMatchPattern sentinel, so the live tiers are exact +
+    // stripped-exact — 2 joins, FormattedMode doubling => >= 4
+    // mentions (n07's full 4-tier shape keeps its own >= 8 gate in
+    // DictionaryScaleSpec, where the pattern is real)
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 4, plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
     // the dictionary must be join data, not a plan literal
     assert(plan.length < 200000, s"plan size ${plan.length} suggests inlining")
