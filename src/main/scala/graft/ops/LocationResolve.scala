@@ -467,30 +467,40 @@ object LocationResolve {
     (!r.isNullAt(0), !r.isNullAt(1), r.getLong(2))
   }
 
-  /** Economic bound on the gram families' expected block depth: for a
-    * keyed dictionary index, Σdf²/Σdf over the gram keys is the block
-    * depth a probe key hitting a random dictionary key-row sees —
-    * candidates per probe key. The blocked join's whole claim is
-    * "cost ∝ near matches"; a dictionary whose gram blocks run this
-    * deep (a tiny closed character vocabulary — the
-    * low-gram-entropy regime) makes candidates Ω(depth · keys), i.e.
-    * a constant fraction of the cross product, and the honest plan is
-    * the exhaustive argmax, not a blocked join pretending to prune.
-    * 64 ≈ 2× the local shuffle width — the same order as
-    * [[FuzzyBlockSwitch]], and like it a documented plan-choice
-    * constant, not a recall parameter (recall is unconditional:
-    * tripping the guard routes the affected probe CLASS to exhaustive
-    * scoring, never to a silent miss). */
-  private[graft] val GramDepthBound = 64L
+  /** Economic guard on the gram families, SCALE-FREE by design: the
+    * estimated candidates ONE probe generates through the blocked
+    * join are (keys per entry) · (df-weighted mean block depth
+    * Σdf²/Σdf), while the exhaustive argmax scores |gram-bearing
+    * entries| per probe. Blocked must price at least this factor
+    * UNDER exhaustive, else the blocked join is a pretense and the
+    * honest plan is the crossJoin. An absolute depth bound is the
+    * wrong shape (the first cut's 64 tripped on a perfectly
+    * high-entropy 1M-variant dictionary, whose depth grows ∝ |dict|
+    * at fixed gram space even though blocked is ~200× cheaper there —
+    * caught by the corrected GramProbe sweep hanging in the 646M-score
+    * fallback); what distinguishes the LOW-ENTROPY regime is depth
+    * relative to dictionary size. Like [[FuzzyBlockSwitch]], a
+    * documented plan-choice constant, never a recall parameter
+    * (recall is unconditional: tripping routes the affected probe
+    * CLASS to exhaustive scoring, not to a silent miss). */
+  private[graft] val GramDepthRatio = 4.0
 
-  /** Does the keyed dictionary index pass the gram block-depth guard?
-    * One small aggregate over the (memoized) key frame; vacuously true
-    * when no gram keys exist. */
-  private[graft] def gramDepthOk(dimKeyed: DataFrame): Boolean = {
-    val r = dimKeyed.filter(col("bkey").startsWith("g"))
-      .groupBy(col("bkey")).agg(count(lit(1)).as("d"))
+  /** Does the keyed dictionary index pass the gram economics guard?
+    * Two small aggregates over the (memoized) key frame; vacuously
+    * true when no gram keys exist. `idCol` names the per-entry id
+    * (or key-string) column the entry count is taken over. */
+  private[graft] def gramDepthOk(dimKeyed: DataFrame,
+      idCol: String = "_vid"): Boolean = {
+    val g = dimKeyed.filter(col("bkey").startsWith("g"))
+    val tot = g.agg(count(lit(1)).as("k"),
+      countDistinct(col(idCol)).as("e")).head
+    val (k, e) = (tot.getLong(0), tot.getLong(1))
+    if (k == 0L || e == 0L) return true
+    val d = g.groupBy(col("bkey")).agg(count(lit(1)).as("d"))
       .agg(sum(col("d") * col("d")).as("s2"), sum(col("d")).as("s1")).head
-    r.isNullAt(1) || r.getLong(0) <= GramDepthBound * r.getLong(1)
+    val meanDepth = d.getLong(0).toDouble / d.getLong(1).toDouble
+    val keysPerEntry = k.toDouble / e.toDouble
+    keysPerEntry * meanDepth * GramDepthRatio <= e.toDouble
   }
 
   /** Probe-string count above which the blocked join's probe side is

@@ -18,11 +18,16 @@ import org.apache.spark.sql.functions._
   * economics of multi-token word-pair keys. A sweep ratio materially
   * above linear on either axis is a bug.
   *
-  * Usage: runMain graft.tools.GramProbe [baseKeys=20000]
+  * The r15 `cross` family (n14: single-token probes against
+  * multi-token variants on despaced gram keys) gets the same sweep —
+  * same cost model, stripped lengths in place of joined ones.
+  *
+  * Usage: runMain graft.tools.GramProbe [baseKeys=20000] [family=gram|cross|both]
   */
 object GramProbe {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.flatMap(_.toIntOption).getOrElse(20000)
+    val family = if (args.length > 1) args(1) else "both"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,12 +37,34 @@ object GramProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // the probe families pick their edit class by k % m — a sampling
+    // stride sharing a factor with m collapses the class mix (stride
+    // 30 on the m=5 cross families hits ONLY k≡0: every probe an
+    // exact spaced hit and the gram path never exercised — the bug
+    // the first cross sweep shipped with, caught because hits ==
+    // probes was impossible for a mix containing misses). Round the
+    // stride up to the next integer coprime with m so every config
+    // samples the identical class composition.
+    def coprimeStride(nKeys: Int, n: Int, m: Int): Int = {
+      var s = math.max(1, nKeys / n)
+      while (BigInt(s).gcd(BigInt(m)) != 1) s += 1
+      s
+    }
     def dimOf(nKeys: Int) = graft.ops.LocationResolve.gramScaleDim(
         spark.range(nKeys).select($"id".as("p_partkey")))
       .withColumn("vorder", lit(0L))
     def probesOf(nKeys: Int, n: Int) = {
-      val stride = math.max(1, nKeys / n)
+      val stride = coprimeStride(nKeys, n, 8)
       graft.ops.LocationResolve.gramProbes(
+        spark.range(0, nKeys.toLong, stride).select($"id".as("p_partkey")))
+        .select($"norm".as("fnorm")).distinct()
+    }
+    def crossDimOf(nKeys: Int) = graft.ops.LocationResolve.crossScaleDim(
+        spark.range(nKeys).select($"id".as("p_partkey")))
+      .withColumn("vorder", lit(0L))
+    def crossProbesOf(nKeys: Int, n: Int) = {
+      val stride = coprimeStride(nKeys, n, 5)
+      graft.ops.LocationResolve.crossProbes(
         spark.range(0, nKeys.toLong, stride).select($"id".as("p_partkey")))
         .select($"norm".as("fnorm")).distinct()
     }
@@ -51,23 +78,28 @@ object GramProbe {
       ("base",      base,      base / 30),
       ("dict10x",   base * 10, base / 30),
       ("probes10x", base,      base / 3))
-    configs.foreach { case (label, nKeys, nProbes) =>
-      val dim = dimOf(nKeys)
-      val probes = probesOf(nKeys, nProbes)
-      val nP = probes.count()
-      def once(): (Double, Long) = {
-        val t0 = System.nanoTime()
-        val out = graft.ops.LocationResolve
-          .fuzzyResolveDim(probes, dim, Some(true))
-        val hits = out.count()
-        ((System.nanoTime() - t0) / 1e9, hits)
+    def sweep(fam: String, variantsPerKey: Long,
+        mkDim: Int => org.apache.spark.sql.DataFrame,
+        mkProbes: (Int, Int) => org.apache.spark.sql.DataFrame): Unit =
+      configs.foreach { case (label, nKeys, nProbes) =>
+        val dim = mkDim(nKeys)
+        val probes = mkProbes(nKeys, nProbes)
+        val nP = probes.count()
+        def once(): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val out = graft.ops.LocationResolve
+            .fuzzyResolveDim(probes, dim, Some(true))
+          val hits = out.count()
+          ((System.nanoTime() - t0) / 1e9, hits)
+        }
+        once() // warm (codegen + scans)
+        val (t1, h1) = once()
+        val (t2, _) = once()
+        println(s"""{"probe":"$fam","config":"$label","dict":${nKeys * variantsPerKey},""" +
+          s""""probes":$nP,"hits":$h1,"sec":${math.min(t1, t2)}}""")
       }
-      once() // warm (codegen + scans)
-      val (t1, h1) = once()
-      val (t2, _) = once()
-      println(s"""{"probe":"gram","config":"$label","dict":${nKeys * 5L},""" +
-        s""""probes":$nP,"hits":$h1,"sec":${math.min(t1, t2)}}""")
-    }
+    if (family != "cross") sweep("gram", 5L, dimOf, probesOf)
+    if (family != "gram") sweep("cross", 1L, crossDimOf, crossProbesOf)
     spark.stop()
   }
 }

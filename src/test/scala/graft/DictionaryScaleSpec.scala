@@ -219,8 +219,13 @@ class DictionaryScaleSpec extends AnyFunSuite {
       .union(Seq("a", "ab", "zz9x", "").toDF("fnorm"))         // edges
       .union(dim.limit(50).select(concat($"vkey", lit("q")).as("fnorm")))
       .distinct()
+    // gramGuard forced: this test gates the F1-regime LEMMA; short
+    // strings over a 2000-entry dim sit near the economics boundary,
+    // and a tripped guard would make blocked ≡ exhaustive VACUOUSLY
+    // (the fallback IS exhaustive)
     def resolved(blocked: Boolean): Map[String, String] =
-      LocationResolve.fuzzyResolveDim(probes, dim, Some(blocked))
+      LocationResolve.fuzzyResolveDim(probes, dim, Some(blocked),
+          gramGuard = Some(true))
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val (b, e) = (resolved(blocked = true), resolved(blocked = false))
     assert(b == e, {
@@ -242,8 +247,11 @@ class DictionaryScaleSpec extends AnyFunSuite {
       .toDF("vkey", "canon").withColumn("vorder", lit(0L))
     val probes = Seq("a", "b", "ab", "abc", "xy", "qr", "")
       .toDF("fnorm")
+    // gramGuard forced: a 4-entry dim trivially fails any economics
+    // ratio; this test gates the w-/g-key FAMILIES, not the guard
     def resolved(blocked: Boolean): Map[String, String] =
-      LocationResolve.fuzzyResolveDim(probes, dim, Some(blocked))
+      LocationResolve.fuzzyResolveDim(probes, dim, Some(blocked),
+          gramGuard = Some(true))
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val (b, e) = (resolved(blocked = true), resolved(blocked = false))
     assert(b == e, s"tiny-string divergence: $b vs $e")
@@ -310,7 +318,11 @@ class DictionaryScaleSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(exh("newyork") == "NY", "exhaustive must catch the despaced form")
     assert(exh("alpha beta") == "AB")
-    val blk = LocationResolve.fuzzyResolveDim(probes, dim, Some(true))
+    // gramGuard forced: a 3-entry dim trivially fails the economics
+    // ratio, and the single-probe fallback would make this equality
+    // VACUOUS — the test gates the despaced KEY families
+    val blk = LocationResolve.fuzzyResolveDim(probes, dim, Some(true),
+        gramGuard = Some(true))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(blk == exh,
       s"blocked branch missed a cross-shape pair: $blk vs $exh — the " +
@@ -330,7 +342,8 @@ class DictionaryScaleSpec extends AnyFunSuite {
     val exh2 = LocationResolve.fuzzyResolveDim(probes2, dim2, Some(false))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(exh2("abcd x") == "M", "fixture drifted: pair not in cutoff")
-    val blk2 = LocationResolve.fuzzyResolveDim(probes2, dim2, Some(true))
+    val blk2 = LocationResolve.fuzzyResolveDim(probes2, dim2, Some(true),
+        gramGuard = Some(true))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(!blk2.contains("abcd x"),
       "blocked caught the multi↔multi despaced pair — the documented " +
@@ -430,9 +443,9 @@ class DictionaryScaleSpec extends AnyFunSuite {
     val keys = LocationResolve.withBlockKeys(
       dim.select($"vkey"), "vkey", gorder, "dlen",
       graft.nlp.Cleaner.FuzzyScoreCutoff)
-    assert(!LocationResolve.gramDepthOk(keys),
-      "depth guard did NOT trip on a closed-4-letter-vocabulary dict — " +
-        "GramDepthBound or the stats are wrong")
+    assert(!LocationResolve.gramDepthOk(keys, idCol = "vkey"),
+      "economics guard did NOT trip on a closed-4-letter-vocabulary " +
+        "dict — GramDepthRatio or the stats are wrong")
     // default path (guard measured): single probes fall back to the
     // explicit exhaustive crossJoin — visible as a BNLJ in the plan
     graft.Caches.clear(spark)
