@@ -108,9 +108,16 @@ class PlanAuditSpec extends AnyFunSuite {
         .withColumn("vorder", org.apache.spark.sql.functions.lit(0L)))
     val probes = graft.ops.LocationResolve.gramProbes(part.limit(200))
       .select($"norm".as("fnorm")).distinct()
+    // gramGuard forced: this test gates the HEALTHY blocked path's
+    // physical shape; at sf0.001 the n14 dim has ~200 entries — below
+    // FuzzyBlockSwitch (production would take the exhaustive branch)
+    // and small enough that the scale-free economics ratio correctly
+    // prefers exhaustive, which would surface here as the fallback
+    // union this test exists to forbid on the healthy path
     dims.foreach { case (name, dim) =>
       val plan = formatted(
-        graft.ops.LocationResolve.fuzzyResolveDim(probes, dim, Some(true)))
+        graft.ops.LocationResolve.fuzzyResolveDim(probes, dim, Some(true),
+          gramGuard = Some(true)))
       assert(!plan.contains("UDF("), s"[$name] ${plan.take(1500)}")
       assert(!plan.contains("CartesianProduct"), s"[$name] ${plan.take(1500)}")
       assert(!plan.contains("BroadcastNestedLoopJoin"),
@@ -124,7 +131,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // shuffle equi-join — both shapes must exist as plans, so a probe
     // set outgrowing the broadcast is a plan choice, not an OOM
     val shuffled = formatted(graft.ops.LocationResolve.fuzzyResolveDim(
-      probes, dims.head._2, Some(true), probeBroadcast = Some(false)))
+      probes, dims.head._2, Some(true), probeBroadcast = Some(false),
+      gramGuard = Some(true)))
     assert(shuffled.contains("SortMergeJoin") ||
       shuffled.contains("ShuffledHashJoin"), shuffled.take(1500))
     assert(!shuffled.contains("CartesianProduct") &&
