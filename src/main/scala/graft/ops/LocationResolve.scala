@@ -746,7 +746,7 @@ object LocationResolve {
     // single↔multi pairs) lives in fuzzyResolveDim — for THIS
     // dictionary it would be moot anyway: the underscored entries'
     // gram blocks are depth-pathological (64 p_names × digit grams),
-    // exactly the regime the GramDepthBound guard routes away from
+    // exactly the regime the GramDepthRatio guard routes away from
     // gram keys
     // dict-side shape is a per-dictionary constant — memoized so the
     // timed bench samples don't re-pay a full-scan aggregate per run
@@ -811,8 +811,18 @@ object LocationResolve {
   private[graft] val FuzzyBlockSwitch = 512L
 
   /** The fuzzy tier over DISTINCT probe strings (`fnorm`) against an
-    * arbitrary (vkey, canon, vorder) dimension → (fnorm, floc):
-    * best-scoring variant at or above the cutoff, ties broken by
+    * arbitrary (vkey, canon, vorder) dimension → (fnorm, floc).
+    * DISTINCT is a real input contract, not a nicety: since r15 the
+    * candidate threshold groups by the probe STRING, so duplicate
+    * probe rows would multiply shared-key counts and let
+    * sub-threshold collision pairs through to scoring (answers stay
+    * exact — the scorer decides — but the r14 candidate economics
+    * the ≥3-shared-keys filter was derived for no longer hold), and
+    * the probe-broadcast sizing counts rows. Every registered caller
+    * passes a distinct dim ([[resolveTokensTiered]] distincts its
+    * probe union).
+    *
+    * Returns the best-scoring variant at or above the cutoff, ties broken by
     * vorder then vkey (the bundled dictionary passes its insertion
     * index as vorder, preserving the reference cleaner's first-wins
     * tie rule; callers without a meaningful order pass a constant and
@@ -829,7 +839,7 @@ object LocationResolve {
     * for single-token variants. Economics guards, each a plan choice,
     * never a silent miss:
     *
-    *  - gram block-depth guard ([[GramDepthBound]]): a
+    *  - gram economics guard ([[GramDepthRatio]]): a
     *    low-gram-entropy dictionary (tiny closed character
     *    vocabulary) makes gram blocks a constant fraction of the
     *    cross product; the guard trips off the (memoized) keyed
@@ -894,23 +904,27 @@ object LocationResolve {
           memoVal("shape")(shapeStats(dimC, "vkey"))
         val (probeSingle, probeMulti, probeCount) =
           shapeStats(probeC, "fnorm")
-        // gram keys carry recall whenever a single-token string exists
+        // gram keys carry recall whenever a single-shaped string exists
         // on either side (single↔single via the classic family,
         // single↔multi via the despaced cross form); with no single
         // anywhere the token-pair family alone is the guaranteed one
         val gramsWanted = dictSingle || probeSingle
+        // a MEMOIZED index must be PROBE-SET-INDEPENDENT: it is built
+        // with every dict-side key family unconditionally (the first
+        // caller's probe shape must not decide what later probe sets
+        // can match — a pair-only index cached by an all-multi first
+        // caller would silently null every later single-token probe,
+        // with the guard vacuously green over zero gram keys); generic
+        // un-memoized callers build only what this probe set needs
+        val buildGrams = indexMemoKey.isDefined || gramsWanted
         val gorder =
-          if (gramsWanted)
+          if (buildGrams)
             memoOr("gorder")(gramOrderOf(dimC, "vkey").localCheckpoint())
           else spark.emptyDataFrame.select(lit("").as("_g0"), lit(0L).as("_gdf"))
-        // a MEMOIZED index always carries every dict-side key family
-        // (probe-set-independent, reused soundly by later probe sets);
-        // generic callers build cross keys only when this probe set
-        // needs them
         val dimKeyed0 = memoOr("keys")(
           withBlockKeys(dimC.select($"_vid", $"vkey"), "vkey",
             gorder, "dlen", graft.nlp.Cleaner.FuzzyScoreCutoff,
-            grams = gramsWanted,
+            grams = buildGrams,
             crossGrams = dictMulti &&
               (indexMemoKey.isDefined || probeSingle))
           .select($"_vid", $"dlen", $"bkey"))
@@ -941,11 +955,16 @@ object LocationResolve {
           .select($"fnorm", $"vkey", $"canon", $"vorder")
         if (gramsOn || !probeSingle) blockedCand
         else
-          // depth guard tripped with single-token probes present: that
+          // depth guard tripped with single-shaped probes present: that
           // class has no sound key family left — score it exhaustively
-          // (recall is unconditional; the guard only re-plans)
+          // (recall is unconditional; the guard only re-plans). The
+          // class predicate MUST be the same backreference form
+          // shapeStats uses: repeated-token probes ("abab abab") are
+          // single-shaped (no token-pair key exists for them), and a
+          // plain ^\S+$ here would silently drop exactly the class the
+          // fallback exists to carry
           blockedCand.unionByName(
-            probeC.filter(trim($"fnorm").rlike("^\\S+$"))
+            probeC.filter(trim($"fnorm").rlike("^(\\S+)(?:\\s+\\1)*$"))
               .crossJoin(broadcast(dimC.select($"vkey", $"canon", $"vorder"))))
       } else probes.crossJoin(broadcast(dim))
     cand.withColumn("score",
@@ -1258,7 +1277,7 @@ object LocationResolve {
     val part = Tables.part(spark, sfDir)
     // checkpoint: tiers 1-2 broadcast this dim (one reused exchange)
     // and the fuzzy tier re-derives its index from it — materialize
-    // the 60k-variant frame once per (session, sf)
+    // the 20k-variant frame once per (session, sf)
     val dim = graft.Caches.memo(spark, s"crossdict:$sfDir:dim0")(
       crossScaleDim(part).withColumn("vorder", lit(0L)).localCheckpoint())
     val tokens = crossProbes(part)

@@ -1347,25 +1347,35 @@ object Streaming {
     q.awaitTermination()
   }
 
-  /** The full keep-best survivor set as of the latest committed
-    * version: per-cluster best rows from the merged dim plus the
-    * singleton majority (every streamed doc not in any cluster),
-    * labeled as its own cluster — the batch-x59 output shape. */
-  def streamedKeepBestSurvivors(spark: SparkSession,
-      survDir: String): DataFrame = {
+  /** Shared survivor-set reader for both keep-best maintainers: the
+    * latest committed merged survivors plus the singleton majority
+    * (every streamed doc not in any cluster), labeled as its own
+    * cluster — the batch-x59 output shape. One definition so the two
+    * maintainers' read paths cannot drift; `labelsIdCol` names the id
+    * column of the labels slice (the rebuild form writes ccStars'
+    * (id, label), the delta form the merged (doc_id, …) dim). */
+  private def keepBestSurvivorsFrom(spark: SparkSession, survDir: String,
+      labelsIdCol: String): DataFrame = {
     val versions = modelVersions(survDir).sorted
     require(versions.nonEmpty, s"no committed survivor version in $survDir")
     val latest = versions.max
     val best = spark.read.parquet(s"$survDir/v$latest/survivors")
-    val labels = spark.read.parquet(s"$survDir/v$latest/labels")
+    val labeled = spark.read.parquet(s"$survDir/v$latest/labels")
+      .select(col(labelsIdCol).as("doc_id"))
     val docs = spark.read.parquet(
       versions.map(v => s"$survDir/v$v/docs"): _*)
     val singletons = docs
-      .join(labels.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .join(labeled, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"),
         col("quality_score"), col("lang"))
     best.unionByName(singletons)
   }
+
+  /** The full keep-best survivor set as of the latest committed
+    * version — the rebuild maintainer's reader. */
+  def streamedKeepBestSurvivors(spark: SparkSession,
+      survDir: String): DataFrame =
+    keepBestSurvivorsFrom(spark, survDir, labelsIdCol = "id")
 
   /** x59 delta sibling — incremental keep-best with DELTA-star label
     * maintenance: where [[keepBestUpdate]] re-runs connected components
@@ -1517,24 +1527,10 @@ object Streaming {
   }
 
   /** The delta maintainer's survivor set as of the latest committed
-    * version: the MERGED survivors plus the singleton majority (docs
-    * never labeled), labeled as their own cluster — the batch-x59
-    * output shape, same as [[streamedKeepBestSurvivors]]. */
+    * version — same reader, the merged labels dim keys by doc_id. */
   def streamedKeepBestDeltaSurvivors(spark: SparkSession,
-      survDir: String): DataFrame = {
-    val versions = modelVersions(survDir).sorted
-    require(versions.nonEmpty, s"no committed survivor version in $survDir")
-    val latest = versions.max
-    val best = spark.read.parquet(s"$survDir/v$latest/survivors")
-    val labels = spark.read.parquet(s"$survDir/v$latest/labels")
-    val docs = spark.read.parquet(
-      versions.map(v => s"$survDir/v$v/docs"): _*)
-    val singletons = docs
-      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("doc_id").as("cluster_id"),
-        col("quality_score"), col("lang"))
-    best.unionByName(singletons)
-  }
+      survDir: String): DataFrame =
+    keepBestSurvivorsFrom(spark, survDir, labelsIdCol = "doc_id")
 
   /** Tenth maintainer — the fuzzy dictionary's gram/token blocking
     * index, maintained INCREMENTALLY as the dictionary itself changes:
@@ -1598,11 +1594,18 @@ object Streaming {
     * dictionary index as of the latest committed version: union the
     * committed key slices, drop tombstoned vkeys, then the n11/n13
     * candidate pipeline — shared-key filter, derived length band,
-    * codegen scorer, argmax with the vorder-then-vkey tiebreak —
-    * row-identical to a COLD LocationResolve.fuzzyResolveDim rebuild
-    * over the surviving dictionary (StreamingSpec pins it). Probes are
-    * keyed under the same frozen order with every family on, mirroring
-    * the index's probe-shape-independent carry. */
+    * codegen scorer, argmax with the vorder-then-vkey tiebreak.
+    * Probes are keyed under the same frozen order with EVERY family
+    * on, mirroring the index's probe-shape-independent carry — which
+    * makes the candidate set a SUPERSET of a cold
+    * LocationResolve.fuzzyResolveDim rebuild's (the cold path gates
+    * cross keys by the dict/probe shape mix): any extra candidate the
+    * superset scores is a genuine in-cutoff match the scorer keeps or
+    * a miss it drops, so results equal the cold rebuild wherever the
+    * cold blocking is recall-complete, and can only ADD matches in
+    * the cold path's documented multi↔multi despacing boundary.
+    * StreamingSpec pins exact equality on a single-token universe
+    * (adds + tombstones vs the cold rebuild). */
   def streamedGramResolve(spark: SparkSession, idxDir: String,
       gramOrder: DataFrame, probes: DataFrame): DataFrame = {
     graft.functions.CustomExprs.register(spark)

@@ -49,19 +49,33 @@ object JobTrace {
     val tq0 = System.nanoTime()
     once()
     val total = (System.nanoTime() - tq0) / 1e9
+    // the listener bus is async with no public drain hook: poll until
+    // the row count is stable across two 300 ms windows (a fixed sleep
+    // silently dropped late job-end events on loaded hosts, and the
+    // tool then misattributed scheduled work as driver time — the
+    // opposite of its purpose); reads go through the same lock the
+    // listener threads append under
+    def snapshot(): Seq[(Int, Double, Double, String)] =
+      rows.synchronized(rows.toList)
+    var last = -1
+    var stable = 0
+    while (stable < 2) {
+      Thread.sleep(300)
+      val n = snapshot().length
+      if (n == last) stable += 1 else { stable = 0; last = n }
+    }
     spark.sparkContext.removeSparkListener(listener)
-    // listener bus is async — drain before reading
-    Thread.sleep(500)
+    val finalRows = snapshot()
     val fmt = java.util.Locale.ROOT
-    rows.sortBy(_._1).foreach { case (id, at, dur, site) =>
+    finalRows.sortBy(_._1).foreach { case (id, at, dur, site) =>
       println(String.format(fmt, "[job] %3d  at %7.2fs  dur %6.2fs  %s",
         Int.box(id), Double.box(at), Double.box(dur), site))
     }
     println(String.format(fmt,
       "[jobtrace] %s total %.2fs, %d jobs, job-sum %.2fs (gap %.2fs = driver/plan time)",
-      name, Double.box(total), Int.box(rows.length),
-      Double.box(rows.map(_._3).sum),
-      Double.box(total - rows.map(_._3).sum)))
+      name, Double.box(total), Int.box(finalRows.length),
+      Double.box(finalRows.map(_._3).sum),
+      Double.box(total - finalRows.map(_._3).sum)))
     spark.stop()
   }
 }

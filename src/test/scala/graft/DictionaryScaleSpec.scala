@@ -467,6 +467,89 @@ class DictionaryScaleSpec extends AnyFunSuite {
     assert(dflt.size > 100, s"degenerate: ${dflt.size} hits")
   }
 
+  test("guard fallback carries REPEATED-token probes (single-shaped, " +
+      "zero pair keys): tripped-guard default ≡ exhaustive including them") {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    // the low-entropy dim again (guard trips), now with repeated-token
+    // entries whose only in-cutoff probes are themselves repeated-token
+    // — a plain ^\S+$ fallback filter silently dropped this class
+    // (review finding, r15): shapeStats counts them single-shaped, no
+    // key family exists for them when grams are off, so the fallback
+    // MUST score them
+    val singles = spark.range(2000)
+      .select(expr(
+        "concat_ws('', transform(sequence(1, 9 + CAST(id % 3 AS INT)), " +
+          "i -> chr(97 + CAST(pmod(xxhash64(id, i), 4) AS INT))))").as("vkey"))
+      .distinct().localCheckpoint() // limit() below must sample stably
+    val repeatedBase = singles.limit(80).localCheckpoint()
+    val repeated = repeatedBase
+      .select(concat($"vkey", lit(" "), $"vkey").as("vkey"))
+    val dim = singles.unionByName(repeated)
+      .withColumn("canon", $"vkey").withColumn("vorder", lit(0L))
+      .localCheckpoint()
+    assert(dim.count() > LocationResolve.FuzzyBlockSwitch)
+    // edited repeated probes trim BOTH copies (one char each, d=2,
+    // score 100·(1−2/4ℓ) ≫ 82): a single-copy edit would break the
+    // repetition and leave the single-shaped class entirely
+    val probes = repeated.select($"vkey".as("fnorm"))            // exacts
+      .union(repeatedBase.select(
+        expr("substr(vkey, 1, length(vkey) - 1) || ' ' || " +
+          "substr(vkey, 1, length(vkey) - 1)").as("fnorm")))
+      .union(singles.limit(100).select($"vkey".as("fnorm")))
+      .distinct().localCheckpoint()
+    def resolved(blocked: Option[Boolean]): Map[String, String] =
+      LocationResolve.fuzzyResolveDim(probes, dim, blocked)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (dflt, exh) = (resolved(None), resolved(Some(false)))
+    assert(dflt == exh, {
+      val diff = (dflt.keySet ++ exh.keySet)
+        .filter(k => dflt.get(k) != exh.get(k))
+      s"${diff.size} diverging probes, e.g. ${diff.take(3).map(k =>
+        s"'$k' default=${dflt.get(k)} exhaustive=${exh.get(k)}").mkString("; ")}"
+    })
+    // non-vacuity: repeated-token probes actually resolved
+    val repHits = dflt.keySet.count(_.contains(" "))
+    assert(repHits >= 80, s"only $repHits repeated-token probes resolved " +
+      "— the fallback class predicate regressed")
+  }
+
+  test("memoized index is probe-set-independent: an all-multi first " +
+      "caller must not cache a pair-only index that nulls later " +
+      "single-token probes") {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    val part = spark.range(1500).select($"id".as("p_partkey"))
+    val dim = LocationResolve.crossScaleDim(part)
+      .withColumn("vorder", lit(0L)).localCheckpoint()
+    val memoKey = Some(s"spec-probe-indep-${System.identityHashCode(dim)}")
+    // call 1: all-MULTI probes (exact spaced vkeys) — builds + memoizes
+    // the index; before the r15 review fix this cached a
+    // token-pair-only index (gramsWanted=false) and the guard memo
+    // read vacuously green over zero gram keys
+    val multiProbes = dim.limit(200).select($"vkey".as("fnorm"))
+    val first = LocationResolve.fuzzyResolveDim(
+        multiProbes, dim, Some(true), indexMemoKey = memoKey)
+      .collect()
+    assert(first.length == 200, "multi exacts must all self-resolve")
+    // call 2, SAME memo key: single-token despaced probes — their
+    // recall rides the gram keys the cached index must carry
+    val singleProbes = dim.limit(150)
+      .select(translate($"vkey", " ", "").as("fnorm")).distinct()
+    val second = LocationResolve.fuzzyResolveDim(
+        singleProbes, dim, Some(true), indexMemoKey = memoKey)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val exh = LocationResolve.fuzzyResolveDim(singleProbes, dim, Some(false))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(second == exh, {
+      val diff = (second.keySet ++ exh.keySet)
+        .filter(k => second.get(k) != exh.get(k))
+      s"${diff.size} probes lost to the first caller's probe shape, " +
+        s"e.g. ${diff.take(3).mkString(", ")}"
+    })
+    assert(exh.size >= 140, s"degenerate: ${exh.size} hits")
+  }
+
   test("length band derives from the cutoff: len-diff > 8 hits survive") {
     import spark.implicits._
     graft.functions.CustomExprs.register(spark)

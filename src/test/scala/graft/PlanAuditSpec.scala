@@ -123,8 +123,14 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"[$name] ${plan.take(1500)}")
       // the key join itself: dictionary index streams, probe keys ride
-      // a broadcast exchange (the ProbeBroadcastMax default regime)
-      assert(plan.contains("BroadcastHashJoin"), s"[$name] ${plan.take(1500)}")
+      // a broadcast exchange (the ProbeBroadcastMax default regime).
+      // COUNT the joins: the dimC string join-back is always a BHJ, so
+      // a bare contains() would stay green if the key join regressed
+      // to a shuffle — 2 joins × FormattedMode doubling ⇒ ≥ 4 mentions,
+      // and no sort-merge join may appear anywhere in the default plan
+      assert("BroadcastHashJoin".r.findAllIn(plan).length >= 4,
+        s"[$name] ${plan.take(1500)}")
+      assert(!plan.contains("SortMergeJoin"), s"[$name] ${plan.take(1500)}")
     }
     // the OTHER physical form: past ProbeBroadcastMax (forced here) the
     // probe side leaves the broadcast and the key join becomes a
