@@ -83,6 +83,7 @@ object SparkEntry {
     "n12_tiered_locations"  -> (LocationResolve.tieredLocations _),
     "n13_gram_blocked"      -> (LocationResolve.gramDictScale _),
     "n14_cross_shape"       -> (LocationResolve.crossDictScale _),
+    "n15_multi_shape"       -> (LocationResolve.multiDictScale _),
     "n10_nlp_columns"      -> (Analytics.nlpColumns _),
     "x10_dedup_exact"      -> (Dedup.exactDedup _),
     "x11_dedup_minhash_lsh" -> (Dedup.minhashLshPairs _),
@@ -297,6 +298,7 @@ object SparkEntry {
     "n12_tiered_locations"  -> LocationResolve.tieredLocationsSql,
     "n13_gram_blocked"      -> LocationResolve.gramDictScaleSql,
     "n14_cross_shape"       -> LocationResolve.crossDictScaleSql,
+    "n15_multi_shape"       -> LocationResolve.multiDictScaleSql,
     "n10_nlp_columns"       -> Analytics.nlpColumnsSql,
     "x10_dedup_exact"       -> Dedup.exactDedupSql,
     "x11_dedup_minhash_lsh" -> Dedup.jaccardPairsSql, // LSH verified == exact

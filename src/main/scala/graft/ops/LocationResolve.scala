@@ -449,25 +449,7 @@ object LocationResolve {
     dim.agg(max(when(trim(col(strCol)).rlike("^\\S+$"), 1)).as("x"))
       .head.get(0) != null
 
-  /** (hasSingleToken, hasMultiToken, rowCount) in ONE full-scan
-    * aggregate — the shape bits that pick the key families plus the
-    * row count that picks the probe-side join's physical form, at one
-    * driver action instead of three (the [[dimHasSingleToken]]
-    * discipline; the dict-side call is additionally memoized per
-    * dictionary by [[fuzzyResolveDim]]). */
-  private def shapeStats(df: DataFrame, strCol: String): (Boolean, Boolean, Long) = {
-    // "single-shaped" includes repeated-token strings ("aaa aaa") via
-    // the backreference: they emit no token-pair key (pairs need 2
-    // DISTINCT tokens), so their recall rides the gram family like a
-    // true single token — see withBlockKeys' degenerate-token routing
-    val r = df.agg(
-      max(when(trim(col(strCol)).rlike("^(\\S+)(?:\\s+\\1)*$"), 1)).as("s"),
-      max(when(trim(col(strCol)).rlike("\\S\\s+\\S"), 1)).as("m"),
-      count(lit(1)).as("n")).head
-    (!r.isNullAt(0), !r.isNullAt(1), r.getLong(2))
-  }
-
-  /** Economic guard on the gram families, SCALE-FREE by design: the
+  /** Economic guard on the blocking key families, SCALE-FREE by design: the
     * estimated candidates ONE probe generates through the blocked
     * join are (keys per entry) · (df-weighted mean block depth
     * Σdf²/Σdf), while the exhaustive argmax scores |gram-bearing
@@ -485,13 +467,17 @@ object LocationResolve {
     * CLASS to exhaustive scoring, not to a silent miss). */
   private[graft] val GramDepthRatio = 4.0
 
-  /** Does the keyed dictionary index pass the gram economics guard?
-    * Two small aggregates over the (memoized) key frame; vacuously
-    * true when no gram keys exist. `idCol` names the per-entry id
-    * (or key-string) column the entry count is taken over. */
+  /** Does the keyed dictionary index pass the economics guard for one
+    * key FAMILY (`family` = the bkey prefix: "g" for the gram
+    * families, "t:" for token pairs — r16 extends the r15 gram-only
+    * test to every family, the deep-t-block class from shared leading
+    * sorted tokens being the same quadratic regime)? Two small
+    * aggregates over the (memoized) key frame; vacuously true when
+    * the family has no keys. `idCol` names the per-entry id (or
+    * key-string) column the entry count is taken over. */
   private[graft] def gramDepthOk(dimKeyed: DataFrame,
-      idCol: String = "_vid"): Boolean = {
-    val g = dimKeyed.filter(col("bkey").startsWith("g"))
+      idCol: String = "_vid", family: String = "g"): Boolean = {
+    val g = dimKeyed.filter(col("bkey").startsWith(family))
     val tot = g.agg(count(lit(1)).as("k"),
       countDistinct(col(idCol)).as("e")).head
     val (k, e) = (tot.getLong(0), tot.getLong(1))
@@ -514,68 +500,71 @@ object LocationResolve {
     * way). */
   private[graft] val ProbeBroadcastMax = 1000000L
 
-  /** Dictionary document frequency per indexed bigram over the
-    * DESPACED sorted-join of every dictionary entry — the global gram
-    * order both sides sort prefixes by (rarest first; grams a probe
-    * has that the dictionary lacks get df 0, harmlessly first — they
-    * can never join). Despaced (r15): gram keys live on the
-    * space-stripped form so single-token probes and multi-token
-    * variants key into ONE family (the cross-shape closure); for a
-    * single-token entry the despaced form IS the entry, so the r14
+  /** Dictionary document frequency per indexed bigram over the SPACED
+    * sorted-join of every dictionary entry — the global gram order
+    * both sides sort prefixes by (rarest first; grams a probe has
+    * that the dictionary lacks get df 0, harmlessly first — they can
+    * never join). Spaced (r16): gram keys live on the scorer's own
+    * sorted-joined form `_js` — the string the indel bound is
+    * literally about — so ONE family is sound for every pair shape
+    * (single↔single, single↔multi, multi↔multi; see [[withBlockKeys]]);
+    * for a single-token entry `_js` is the entry itself, so the r14
     * single-token df rows are unchanged. Small (bounded by the
     * dictionary's gram vocabulary) and broadcast. */
   private[graft] def gramOrderOf(dim: DataFrame, strCol: String): DataFrame = {
     val toks = filter(split(col(strCol), "\\s+"), t => length(t) > 0)
-    val jx = array_join(array_sort(toks), "")
-    val strs = dim.select(jx.as("_jx"))
-      .filter(length(col("_jx")) >= 2)
-      .select(col("_jx"), length(col("_jx")).as("_xlen")).distinct()
+    val js = array_join(array_sort(toks), " ")
+    val strs = dim.select(js.as("_js"))
+      .filter(length(col("_js")) >= 2)
+      .select(col("_js"), length(col("_js")).as("_slen")).distinct()
     // df keyed on the PLAIN bigram (no occurrence window): the global
     // order only has to be a consistent function of the indexed gram —
     // (df(base), gram) is one, at one less window pass; repeat
     // occurrences are rare enough that their df'=df approximation
     // costs nothing measurable in selectivity
-    strs.select(posexplode(transform(sequence(lit(1), col("_xlen") - 1),
-        i => col("_jx").substr(i, lit(2)))).as(Seq("_pos", "_g0")))
+    strs.select(posexplode(transform(sequence(lit(1), col("_slen") - 1),
+        i => col("_js").substr(i, lit(2)))).as(Seq("_pos", "_g0")))
       .groupBy(col("_g0")).agg(count(lit(1)).as("_gdf"))
   }
 
   /** Explode a frame's blocking keys for the fuzzy join — the
-    * families, routed by token count of the scorer's sorted-joined
-    * form:
+    * families, each keyed on the scorer's sorted-joined form `_js`
+    * (whitespace tokens sorted, single-spaced — the exact string
+    * token_sort_ratio measures indel distance on):
     *
-    *  - ≥2 tokens → token-pair keys ("t:") — structural recall for
-    *    single-token edits of multi-token strings (documented
-    *    boundary: an in-cutoff multi↔multi pair whose edits touch 2+
-    *    of the first-3 tokens can be missed — such dictionaries
-    *    belong under the exhaustive switch);
-    *  - char-gram keys on the DESPACED sorted-join `_jx` (r15: the
-    *    stripped form, not the spaced one) from the rarest prefix of
-    *    its indexed bigrams under the dictionary-df order. Emitted by
-    *    single-token strings always, and by multi-token strings too
-    *    when `crossGrams` is on — that is the cross-shape closure:
-    *    for a single↔multi pair, indel on despaced forms obeys
-    *    d' ≤ d − s_M ≤ (1−c/100)(ℓA+ℓB) (every space of the
-    *    multi-token side must be deleted in the joined alignment, so
-    *    d ≥ s_M and stripping refunds exactly those deletions), which
-    *    is the [[gramScheme]] bound with stripped lengths ℓ in place
-    *    of joined lengths — so T(ℓ), the f1/f2 split, and the r=3
-    *    prefix corollary apply VERBATIM on `_jx`. For a single-token
-    *    string `_jx` = `_js`, so the r14 single↔single keys are
-    *    byte-identical. Strings with ℓ ≤ f1MaxLen emit single-gram
-    *    keys "g1:" from the (g−T+1)-prefix (shared-key guarantee
-    *    ≥ 1); strings with T ≥ 2 (ℓ ≥ f2MinLen) emit gram-PAIR keys
-    *    "g2:a|b" — every unordered pair of the (g−T+2)-prefix (the
-    *    r=3 prefix), guaranteeing ≥ 3 shared pair keys per true match
-    *    (the [[candidateFilter]] threshold). Multi↔multi pairs get
-    *    gram keys only as a BONUS (extra scored candidates, never
-    *    relied on): the despaced bound does not hold when both sides
-    *    carry spaces (matched spaces refund nothing), so their
-    *    guaranteed family stays the token-pair one;
+    *  - ≥2 distinct tokens → token-pair keys ("t:") — the CHEAP
+    *    family (≤3 keys/string): structural recall for single-token
+    *    edits of multi-token strings, kept as a candidate generator
+    *    but no longer load-bearing for recall (see grams below). The
+    *    composed resolver prices this family with its own economics
+    *    guard ([[gramDepthOk]] over the "t:" prefix) and can drop it
+    *    outright — grams carry the guarantee;
+    *  - char-gram keys on `_js` itself (r16: the SPACED form — the
+    *    r15 despaced `_jx` base is retired): the classic q-gram count
+    *    filter (Gravano et al. VLDB'01) says strings within indel d
+    *    share ≥ max(L,M)−1−2d occurrence-indexed bigrams OF THE FORMS
+    *    THE DISTANCE IS MEASURED ON — which is `_js` verbatim, spaces
+    *    included. That makes ONE derivation sound for EVERY pair
+    *    shape: single↔single (no spaces — byte-identical to the r14
+    *    keys), single↔multi ("newyork" vs "new york": d counts the
+    *    space indel, the bound still holds on the actual joined
+    *    forms — no despacing refund argument needed), and
+    *    multi↔multi ("ab cd x" vs "abcd x" — the boundary r15
+    *    documented as open, CLOSED here). So [[gramScheme]]'s T(L),
+    *    f1/f2 split and r=3 prefix corollary apply verbatim on
+    *    joined lengths. Emitted by single-DISTINCT-token strings
+    *    always; by ALL strings when `crossGrams` is on (the
+    *    full-closure regime the composed resolver runs). Strings
+    *    with L ≤ f1MaxLen emit single-gram keys "g1:" from the
+    *    (g−T+1)-prefix (shared-key guarantee ≥ 1); strings with
+    *    T ≥ 2 (L ≥ f2MinLen) emit gram-PAIR keys "g2:a|b" — every
+    *    unordered pair of the (g−T+2)-prefix (the r=3 prefix),
+    *    guaranteeing ≥ 3 shared pair keys per true match (the
+    *    [[candidateFilter]] threshold);
     *  - ≤1 token of length ≤ 1 → the whole string as "w:" (such
     *    strings only ever cutoff-match their exact selves: the band
-    *    forces ℓ = 1 partners, and multi-token strings always have
-    *    ℓ ≥ 2).
+    *    forces L = 1 partners, and multi-token strings always have
+    *    L ≥ 2).
     *
     * Output: the input columns + `slenAs` (the scorer-compared
     * JOINED length, feeding [[fuzzyLenBandPred]] — sound for every
@@ -609,38 +598,33 @@ object LocationResolve {
     val df = df0.repartition(width)
       .withColumn("_js", array_join(array_sort(toks), " "))
       .withColumn("_ntok", size(toks))
-      // DISTINCT token count routes the families: a repeated-token
-      // string ("aaa aaa") emits no token-pair key (pairs need 2
-      // distinct tokens), so it rides the gram family on its despaced
-      // form instead — sound against single-token and (via the cross
-      // derivation) spaced partners; degenerate↔degenerate pairs with
-      // edits beyond the despaced budget join the documented
-      // multi↔multi boundary
+      // DISTINCT token count routes the token-pair family: a
+      // repeated-token string ("aaa aaa") emits no token-pair key
+      // (pairs need 2 distinct tokens), so it rides the gram family —
+      // sound against every partner shape under the spaced bound
       .withColumn("_ntokd", size(array_distinct(toks)))
       .withColumn("_slen", length($"_js"))
-      .withColumn("_jx", array_join(array_sort(toks), ""))
-      .withColumn("_xlen", length($"_jx"))
     val out = payload :+ col("_slen").as(slenAs)
 
     val multi = df.filter($"_ntokd" >= 2)
       .select(out :+ explode(transform(blockKeys($"_js"),
         k => concat(lit("t:"), k))).as("bkey"): _*)
-    // grams=false: the caller proved no single-token string exists on
-    // the side that would pair with this one, so neither gram nor
-    // whole-string keys can ever drive a guaranteed match — emit the
-    // token-pair family alone instead of running dead scans and the
-    // gram side's eager localCheckpoint jobs over empty frames
+    // grams=false: the caller proved no string on the other side can
+    // need a gram-keyed match from this one (the n11 inline path's
+    // both-sides gate), so neither gram nor whole-string keys can
+    // ever drive a guaranteed match — emit the token-pair family
+    // alone instead of running dead scans and the gram side's eager
+    // localCheckpoint jobs over empty frames
     if (!grams) return multi
     val tiny = df.filter($"_ntok" <= 1 && $"_slen" <= 1)
       .select(out :+ concat(lit("w:"), $"_js").as("bkey"): _*)
 
     // gram-bearing strings: single-DISTINCT-token strings always (true
     // singles plus the repeated-token degenerates that have no pair
-    // key); every string under the cross-shape regime (keys on the
-    // despaced form)
+    // key); ALL strings under the full-closure regime (crossGrams)
     val single =
-      if (crossGrams) df.filter($"_xlen" >= 2)
-      else df.filter($"_ntokd" <= 1 && $"_xlen" >= 2)
+      if (crossGrams) df.filter($"_slen" >= 2)
+      else df.filter($"_ntokd" <= 1 && $"_slen" >= 2)
     val tCol = greatest(lit(1),
       floor(($"_slen".cast("long") * sch.keepNum + (sch.den - 1)) /
         lit(sch.den)).cast("int") - 1)
@@ -651,7 +635,7 @@ object LocationResolve {
     // once when the caller asks (dictionary index builds), recomputed
     // when not (probe-side keying, where the windows are small).
     val ranked0 = indexedGramRows(
-        single.select($"_jx".as("_js"), $"_xlen".as("_slen")).distinct())
+        single.select($"_js", $"_slen").distinct())
       .join(broadcast(gramOrder), Seq("_g0"), "left")
       .withColumn("_gdf", coalesce($"_gdf", lit(0L)))
       .withColumn("_t", tCol)
@@ -678,8 +662,7 @@ object LocationResolve {
           .select($"_js",
             concat(lit("g2:"), $"_ga", lit("|"), $"_gb").as("bkey"))
       }
-    val gram = single.join(
-        f1.unionByName(f2).withColumnRenamed("_js", "_jx"), Seq("_jx"))
+    val gram = single.join(f1.unionByName(f2), Seq("_js"))
       .select(out :+ $"bkey": _*)
     multi.unionByName(tiny).unionByName(gram)
   }
@@ -828,32 +811,38 @@ object LocationResolve {
     * tie rule; callers without a meaningful order pass a constant and
     * fall to the vkey tiebreak). Physical form picked by
     * [[FuzzyBlockSwitch]] (or forced via `blocked` for equivalence
-    * gates). Blocked-form recall: single-token probes go through the
-    * prefix-filtered char-gram family on the despaced sorted-join —
-    * SOUND for every edit pattern at the cutoff against BOTH
-    * single-token and (r15) multi-token variants (the [[gramScheme]]
-    * and [[withBlockKeys]] derivations), so a 100k single-token
-    * dictionary (city names) takes the blocked join with no recall
-    * loss and "newyork" finds "new york"; multi-token probes keep
-    * token-pair keys for multi-token variants plus despaced gram keys
-    * for single-token variants. Economics guards, each a plan choice,
-    * never a silent miss:
+    * gates). Blocked-form recall (r16): EVERY string on both sides
+    * carries the prefix-filtered char-gram family on its SPACED
+    * sorted-join — the classic q-gram bound holds on the scorer's own
+    * joined forms for every pair shape (see [[withBlockKeys]]), so
+    * the blocked branch is recall-complete against the exhaustive
+    * argmax with NO shape boundary: "newyork" finds "new york",
+    * "ab cd x" finds "abcd x" (the multi↔multi despacing class r15
+    * documented as open — closed). Token-pair keys ride along as a
+    * cheap extra candidate generator. Economics guards, each a plan
+    * choice, never a silent miss:
     *
     *  - gram economics guard ([[GramDepthRatio]]): a
     *    low-gram-entropy dictionary (tiny closed character
     *    vocabulary) makes gram blocks a constant fraction of the
     *    cross product; the guard trips off the (memoized) keyed
-    *    index's depth stats, gram families switch OFF, and the probe
-    *    class whose recall depended on them — single-token probes —
-    *    routes through an explicit exhaustive crossJoin against the
-    *    dim (cost |single probes|·|dict|: the honest price of a
-    *    pathological dictionary; upstream tokenization is the real
-    *    fix). Multi-token probes keep the token-pair join; their
-    *    cross-shape matches against single-token variants of such a
-    *    dictionary are the one remaining documented boundary
-    *    (DictionaryScaleSpec pins it). `gramGuard` forces the
+    *    index's depth stats and — since grams are now the sole sound
+    *    family for every pair shape — the WHOLE probe set routes
+    *    through an explicit exhaustive crossJoin against the dim
+    *    (cost |probes|·|dict|: the honest price of a pathological
+    *    dictionary; upstream tokenization is the real fix). No probe
+    *    shape loses recall (the r15 single-shaped-only fallback's
+    *    cross-shape boundary is gone). `gramGuard` forces the
     *    verdict for equivalence gates that exercise the gram lemma on
     *    deliberately low-entropy universes;
+    *  - token-pair economics guard (same ratio test over the "t:"
+    *    family — r16, closing the r15 verdict's unguarded-quadratic
+    *    flag): a dictionary of phrases sharing leading sorted tokens
+    *    ("new york …" families) builds t-blocks whose depth is a
+    *    constant fraction of the dictionary; tripping DROPS the t:
+    *    keys from both sides — recall is untouched (grams carry the
+    *    guarantee), only the redundant quadratic join goes.
+    *    `pairGuard` forces the verdict for specs;
     *  - probe-broadcast switch ([[ProbeBroadcastMax]]): past ~1M
     *    distinct probe strings the key join and the string join-backs
     *    become shuffle equi-joins instead of probe-side broadcasts
@@ -862,7 +851,8 @@ object LocationResolve {
       blocked: Option[Boolean] = None,
       indexMemoKey: Option[String] = None,
       probeBroadcast: Option[Boolean] = None,
-      gramGuard: Option[Boolean] = None): DataFrame = {
+      gramGuard: Option[Boolean] = None,
+      pairGuard: Option[Boolean] = None): DataFrame = {
     val spark = probes.sparkSession
     import spark.implicits._
     graft.functions.CustomExprs.register(spark)
@@ -898,74 +888,65 @@ object LocationResolve {
         // removes a per-run localCheckpoint job AND the string
         // join-back — callers should hand cheap/cached probe frames
         // (the composed resolver derives them from a checkpointed
-        // token frame), since stats + keying each evaluate the source
+        // token frame), since count + keying each evaluate the source
         val probeC = probes.select($"fnorm")
-        val (dictSingle, dictMulti, _) =
-          memoVal("shape")(shapeStats(dimC, "vkey"))
-        val (probeSingle, probeMulti, probeCount) =
-          shapeStats(probeC, "fnorm")
-        // gram keys carry recall whenever a single-shaped string exists
-        // on either side (single↔single via the classic family,
-        // single↔multi via the despaced cross form); with no single
-        // anywhere the token-pair family alone is the guaranteed one
-        val gramsWanted = dictSingle || probeSingle
-        // a MEMOIZED index must be PROBE-SET-INDEPENDENT: it is built
-        // with every dict-side key family unconditionally (the first
-        // caller's probe shape must not decide what later probe sets
-        // can match — a pair-only index cached by an all-multi first
-        // caller would silently null every later single-token probe,
-        // with the guard vacuously green over zero gram keys); generic
-        // un-memoized callers build only what this probe set needs
-        val buildGrams = indexMemoKey.isDefined || gramsWanted
+        // r16: the index carries EVERY key family for EVERY caller —
+        // grams on the spaced joined form are the sole recall-complete
+        // family for all pair shapes, so there is nothing probe-shaped
+        // left to gate the build on (this also subsumes the r15
+        // probe-set-independence rule for memoized indexes); the old
+        // per-side shapeStats probe collapses into one row count for
+        // the broadcast sizing switch
+        val probeCount = probeC.agg(count(lit(1))).head.getLong(0)
         val gorder =
-          if (buildGrams)
-            memoOr("gorder")(gramOrderOf(dimC, "vkey").localCheckpoint())
-          else spark.emptyDataFrame.select(lit("").as("_g0"), lit(0L).as("_gdf"))
+          memoOr("gorder")(gramOrderOf(dimC, "vkey").localCheckpoint())
         val dimKeyed0 = memoOr("keys")(
           withBlockKeys(dimC.select($"_vid", $"vkey"), "vkey",
             gorder, "dlen", graft.nlp.Cleaner.FuzzyScoreCutoff,
-            grams = buildGrams,
-            crossGrams = dictMulti &&
-              (indexMemoKey.isDefined || probeSingle))
+            grams = true, crossGrams = true)
           .select($"_vid", $"dlen", $"bkey"))
-        val guardOk = gramGuard.getOrElse(
-          !gramsWanted || memoVal("guard")(gramDepthOk(dimKeyed0)))
-        val gramsOn = gramsWanted && guardOk
-        val dimKeyed =
-          if (gramsOn || !gramsWanted) dimKeyed0
-          else dimKeyed0.filter(!$"bkey".startsWith("g"))
-        val probeKeyed = withBlockKeys(probeC,
-          "fnorm", gorder, "plen", graft.nlp.Cleaner.FuzzyScoreCutoff,
-          grams = gramsOn && (probeSingle || (probeMulti && dictSingle)),
-          crossGrams = gramsOn && probeMulti && dictSingle,
-          materializeRanked = false)
-          .select($"fnorm", $"plen", $"bkey")
-        val bcast = probeBroadcast.getOrElse(probeCount <= ProbeBroadcastMax)
-        def maybeBcast(df: DataFrame): DataFrame =
-          if (bcast) broadcast(df) else df
-        val blockedCand = candidateFilter(
-          // probe keys broadcast (under the sizing switch): the
-          // dictionary index streams map-side, never shuffle-sorted
-          // (see fuzzyDictScale)
-          dimKeyed.join(maybeBcast(probeKeyed), "bkey")
-            .where(fuzzyLenBandPred($"plen", $"dlen",
-              graft.nlp.Cleaner.FuzzyScoreCutoff)),
-          Seq("fnorm", "_vid"))
-          .join(broadcast(dimC), Seq("_vid"))
-          .select($"fnorm", $"vkey", $"canon", $"vorder")
-        if (gramsOn || !probeSingle) blockedCand
-        else
-          // depth guard tripped with single-shaped probes present: that
-          // class has no sound key family left — score it exhaustively
-          // (recall is unconditional; the guard only re-plans). The
-          // class predicate MUST be the same backreference form
-          // shapeStats uses: repeated-token probes ("abab abab") are
-          // single-shaped (no token-pair key exists for them), and a
-          // plain ^\S+$ here would silently drop exactly the class the
-          // fallback exists to carry
-          blockedCand.unionByName(
-            probeC.filter(trim($"fnorm").rlike("^(\\S+)(?:\\s+\\1)*$"))
-              .crossJoin(broadcast(dimC.select($"vkey", $"canon", $"vorder"))))
+        val guardG = gramGuard.getOrElse(memoVal("guard")(
+          gramDepthOk(dimKeyed0)))
+        if (!guardG)
+          // gram economics guard tripped: grams are the guaranteed
+          // family for every pair shape, so no sound key family
+          // remains for ANY probe class — the honest plan is the
+          // exhaustive crossJoin for the whole probe set (recall is
+          // unconditional; the guard only re-plans). This replaces
+          // the r15 single-shaped-only fallback, whose multi-probe ↔
+          // single-variant cross-shape boundary is thereby closed.
+          probeC.crossJoin(broadcast(dimC.select($"vkey", $"canon", $"vorder")))
+        else {
+          // token-pair guard (r16): t: keys are redundant for recall,
+          // so a tripped guard just drops the family from both sides —
+          // deep t-blocks (shared leading sorted tokens) never join
+          val guardT = pairGuard.getOrElse(memoVal("guardT")(
+            gramDepthOk(dimKeyed0, family = "t:")))
+          val dimKeyed =
+            if (guardT) dimKeyed0
+            else dimKeyed0.filter(!$"bkey".startsWith("t:"))
+          val probeKeyed0 = withBlockKeys(probeC,
+            "fnorm", gorder, "plen", graft.nlp.Cleaner.FuzzyScoreCutoff,
+            grams = true, crossGrams = true,
+            materializeRanked = false)
+            .select($"fnorm", $"plen", $"bkey")
+          val probeKeyed =
+            if (guardT) probeKeyed0
+            else probeKeyed0.filter(!$"bkey".startsWith("t:"))
+          val bcast = probeBroadcast.getOrElse(probeCount <= ProbeBroadcastMax)
+          def maybeBcast(df: DataFrame): DataFrame =
+            if (bcast) broadcast(df) else df
+          candidateFilter(
+            // probe keys broadcast (under the sizing switch): the
+            // dictionary index streams map-side, never shuffle-sorted
+            // (see fuzzyDictScale)
+            dimKeyed.join(maybeBcast(probeKeyed), "bkey")
+              .where(fuzzyLenBandPred($"plen", $"dlen",
+                graft.nlp.Cleaner.FuzzyScoreCutoff)),
+            Seq("fnorm", "_vid"))
+            .join(broadcast(dimC), Seq("_vid"))
+            .select($"fnorm", $"vkey", $"canon", $"vorder")
+        }
       } else probes.crossJoin(broadcast(dim))
     cand.withColumn("score",
         graft.functions.CustomExprs.token_sort_ratio($"fnorm", $"vkey"))
@@ -1293,7 +1274,7 @@ object LocationResolve {
     * template, DuckDB's `//`) and derive `loc` from the construction —
     * every m except the miss resolves to the part's own despaced
     * canonical form. The Spark side earns the match through the real
-    * blocked cross-shape join; any recall loss in the despaced gram
+    * blocked cross-shape join; any recall loss in the spaced gram
     * keys hash-mismatches here. */
   val crossDictScaleSql: String = {
     val (lo, hi) = crossHalfExprs("k", "//")
@@ -1311,6 +1292,132 @@ object LocationResolve {
        |      || substr($lo || $hi, $p12 + 1, 12)
        |    ELSE 'zq1' || k END AS norm,
        |  CASE WHEN k % 5 = 4 THEN NULL ELSE $lo || $hi END AS loc
+       |FROM base ORDER BY tok_id""".stripMargin
+  }
+
+  // -- n15: MULTI↔MULTI fuzzy — both-token edits, multi-token dictionary
+
+  /** The ordered halves for the n15 multi↔multi fixture: 6-char tokens
+    * `lo` = [b..l] + 5 pseudorandom letters and `hi` = [n..z] + 5 more
+    * — the disjoint first-letter RANGES pin the token_sort_ratio sort
+    * order (lo < hi always) under every registered edit (all edit
+    * positions are ≥ 2, so no edit can touch a first letter and flip
+    * the sorted join), which is what lets the oracle know the argmax
+    * without replaying the scorer; spreading the first letters over
+    * 11/13 values (instead of pinning two constants) keeps the
+    * space-adjacent bigrams' document frequency a vanishing fraction
+    * of the dictionary, so the gram economics guard reads this
+    * high-entropy universe as healthy at every sf. SQL text shared
+    * verbatim with the DuckDB oracle (the n13/n14 template
+    * convention). */
+  private def multiHalfExprs(k: String, divOp: String): (String, String) = {
+    val t = tokenSqlExpr(k, divOp)
+    (s"chr(98 + CAST(($k) % 11 AS INT)) || substr(($t), 1, 5)",
+      s"chr(110 + CAST(($k) % 13 AS INT)) || substr(($t), 7, 5)")
+  }
+
+  /** The n15 dictionary: one two-token variant per part ("lo hi",
+    * self-canonical) — a MULTI-token-only dictionary (20k variants at
+    * sf0.1, scaling with the data and far above [[FuzzyBlockSwitch]])
+    * probed by MULTI-token strings whose edits damage BOTH tokens, so
+    * no token-pair key survives on any fuzzy probe: recall rides the
+    * r16 spaced-gram family alone — the multi↔multi class the r15
+    * blocking documented as its one open boundary (reference
+    * cleaner_v6.py:198-208 scores ALL variants and so always caught
+    * such pairs). */
+  private[graft] def multiScaleDim(part: DataFrame): DataFrame = {
+    val (lo, hi) = multiHalfExprs("p_partkey", "div")
+    part.select(expr(s"$lo || ' ' || $hi").as("vkey"),
+      expr(s"$lo || ' ' || $hi").as("canon"))
+  }
+
+  /** The n15 probe set, m = p_partkey % 5: an exact-tier hit (m=0)
+    * and three BOTH-token edit families at key-dependent arbitrary
+    * positions — drop-in-lo + digit-substitute-in-hi (m=1, d=3,
+    * score 88), adjacent-swap-in-lo + drop-last-of-hi (m=2, d≤3,
+    * score ≥88), digit-substitute-in-lo + drop-in-hi (m=3, d=3,
+    * score 88) — plus a structural miss (m=4). Every fuzzy probe
+    * damages BOTH tokens, so probe and variant share ZERO token-pair
+    * keys ("lo|hi" vs "lo'|hi'", distinct componentwise by
+    * construction) and the blocked join must earn the match through
+    * ≥3 shared spaced-gram pair keys (overlap bound: shared ≥
+    * max(12,13)−1−2·3 = 6 ≥ max(T)=3). The fuzzy argmax is the probed
+    * part's own variant BY CONSTRUCTION (every other variant differs
+    * in ~10 pseudorandom letters), so the oracle derives `loc`
+    * without the scorer — the n13/n14 pattern, replayed for the
+    * both-tokens-damaged class. */
+  private[graft] def multiProbes(part: DataFrame): DataFrame = {
+    val (lo, hi) = multiHalfExprs("p_partkey", "div")
+    val p5 = s"(2 + (p_partkey % 5))"   // [2..6] — never the first char
+    val p4 = s"(2 + (p_partkey % 4))"   // [2..5] — swap stays inside
+    val norm = s"""CASE p_partkey % 5
+      | WHEN 0 THEN ($lo) || ' ' || ($hi)
+      | WHEN 1 THEN substr($lo, 1, $p5 - 1) || substr($lo, $p5 + 1, 6)
+      |   || ' ' || substr($hi, 1, $p4 - 1) || '0' || substr($hi, $p4 + 1, 6)
+      | WHEN 2 THEN substr($lo, 1, $p4 - 1) || substr($lo, $p4 + 1, 1)
+      |   || substr($lo, $p4, 1) || substr($lo, $p4 + 2, 6)
+      |   || ' ' || substr($hi, 1, 5)
+      | WHEN 3 THEN substr($lo, 1, $p5 - 1) || '1' || substr($lo, $p5 + 1, 6)
+      |   || ' ' || substr($hi, 1, $p4 - 1) || substr($hi, $p4 + 1, 6)
+      | ELSE 'zq2' || p_partkey || ' vv' END""".stripMargin
+    part.select(col("p_partkey").as("tok_id"), expr(norm).as("norm"))
+  }
+
+  /** n15 — the composed 3-tier resolver ([[resolveTokensTiered]], the
+    * n12/n13/n14 machinery unchanged) over the [[multiScaleDim]]
+    * multi-token dictionary with BOTH-token-edit probes: the
+    * [[FuzzyBlockSwitch]] picks the blocked branch and every fuzzy
+    * probe is multi-token with zero surviving token-pair keys, so
+    * recall rides the r16 spaced-gram closure end to end under the
+    * driver's full hash gate at sf0.1 — the multi↔multi boundary the
+    * r15 verdict named as the last behavioral delta vs the
+    * reference's exhaustive scorer (cleaner_v6.py:198-208), now
+    * closed and driver-gated. Tier-2 runs with a never-matching
+    * pattern (the n09/n13/n14 stance on combined alternation regexes
+    * at scale). */
+  def multiDictScale(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, sfDir)
+    // checkpoint: tiers 1-2 broadcast this dim (one reused exchange)
+    // and the fuzzy tier derives its memoized index from it —
+    // materialize the 20k-variant frame once per (session, sf)
+    val dim = graft.Caches.memo(spark, s"multidict:$sfDir:dim0")(
+      multiScaleDim(part).withColumn("vorder", lit(0L)).localCheckpoint())
+    val tokens = multiProbes(part)
+      .withColumn("stripped", lit(""))
+      .withColumn("strippedNorm", lit(""))
+    resolveTokensTiered(tokens, dim, NeverMatchPattern,
+      indexMemoKey = Some(s"multidict:$sfDir"))
+      .select($"tok_id", $"norm", $"loc")
+      .orderBy($"tok_id")
+  }
+
+  /** n15's oracle: regenerate the probes verbatim (same expression
+    * template, DuckDB's `//`) and derive `loc` from the construction —
+    * every m except the miss resolves to the part's own spaced
+    * variant. The Spark side earns the match through the real blocked
+    * multi↔multi join; any recall loss in the spaced-gram closure
+    * hash-mismatches here. */
+  val multiDictScaleSql: String = {
+    val (lo, hi) = multiHalfExprs("k", "//")
+    val p5 = "(2 + (k % 5))"
+    val p4 = "(2 + (k % 4))"
+    s"""WITH base AS (
+       |  SELECT p_partkey AS k FROM part
+       |)
+       |SELECT k AS tok_id,
+       |  CASE k % 5
+       |    WHEN 0 THEN ($lo) || ' ' || ($hi)
+       |    WHEN 1 THEN substr($lo, 1, $p5 - 1) || substr($lo, $p5 + 1, 6)
+       |      || ' ' || substr($hi, 1, $p4 - 1) || '0' || substr($hi, $p4 + 1, 6)
+       |    WHEN 2 THEN substr($lo, 1, $p4 - 1) || substr($lo, $p4 + 1, 1)
+       |      || substr($lo, $p4, 1) || substr($lo, $p4 + 2, 6)
+       |      || ' ' || substr($hi, 1, 5)
+       |    WHEN 3 THEN substr($lo, 1, $p5 - 1) || '1' || substr($lo, $p5 + 1, 6)
+       |      || ' ' || substr($hi, 1, $p4 - 1) || substr($hi, $p4 + 1, 6)
+       |    ELSE 'zq2' || k || ' vv' END AS norm,
+       |  CASE WHEN k % 5 = 4 THEN NULL
+       |    ELSE ($lo) || ' ' || ($hi) END AS loc
        |FROM base ORDER BY tok_id""".stripMargin
   }
 }

@@ -116,8 +116,15 @@ class DictionaryScaleSpec extends AnyFunSuite {
       .select($"norm".as("fnorm")).distinct()
     val dim = LocationResolve.scaleDim(part)
       .withColumn("vorder", org.apache.spark.sql.functions.lit(0L))
+    // gramGuard forced ON: the n09 dim's 64 shared name texts make
+    // its gram blocks deep (r16 keys EVERY entry's grams for the
+    // multi↔multi closure), so the measured guard now — correctly —
+    // routes this low-entropy dictionary exhaustive; forcing it keeps
+    // this test gating the KEY FAMILIES and the switch (the guard's
+    // own verdict has its own tests)
     def resolved(blocked: Boolean): Map[String, String] =
-      LocationResolve.fuzzyResolveDim(probes, dim, Some(blocked))
+      LocationResolve.fuzzyResolveDim(probes, dim, Some(blocked),
+          gramGuard = Some(true))
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val (b, e) = (resolved(blocked = true), resolved(blocked = false))
     assert(b == e, {
@@ -131,7 +138,8 @@ class DictionaryScaleSpec extends AnyFunSuite {
     // bundled-size dim the exhaustive one (its deliberate dim-sized
     // crossJoin IS a BNLJ)
     def planOf(d: org.apache.spark.sql.DataFrame) = LocationResolve
-      .fuzzyResolveDim(probes, d).queryExecution.executedPlan.toString
+      .fuzzyResolveDim(probes, d, gramGuard = Some(true))
+      .queryExecution.executedPlan.toString
     assert(!planOf(dim).contains("BroadcastNestedLoopJoin"),
       "large dim routed through the exhaustive crossJoin")
     val tiny = dim.limit(100)
@@ -296,20 +304,18 @@ class DictionaryScaleSpec extends AnyFunSuite {
     assert(e.size > 50, s"degenerate fuzz universe: ${e.size} hits")
   }
 
-  test("cross-shape closure (r15): single-token probe FINDS the " +
-      "multi-token variant on the blocked branch; the remaining " +
-      "documented boundary is multi↔multi despacing") {
+  test("cross-shape closure: single-token probe FINDS the multi-token " +
+      "variant on the blocked branch; the r15 multi↔multi boundary is " +
+      "CLOSED (r16 spaced-gram family)") {
     import spark.implicits._
     graft.functions.CustomExprs.register(spark)
     // "newyork" vs dictionary "new york": score 100·(1−1/15) ≈ 93.3 —
     // the r14 blocking missed it (probe emitted gram keys, variant
-    // token-pair keys); the r15 despaced gram family keys both sides
-    // on the stripped sorted-join, so the blocked branch must now
-    // catch it. The reverse direction (multi-token probe vs
-    // single-token variant) rides the same keys.
-    // reverse direction: the probe's SORTED join must despace onto the
-    // single-token variant (the scorer sorts tokens first — "alpha" <
-    // "beta" keeps the join order the despaced entry was built from)
+    // token-pair keys); since r15 the gram family keys both sides on
+    // the sorted join (r16: the SPACED form — the scorer's own
+    // string), so the blocked branch must catch it. The reverse
+    // direction (multi-token probe vs single-token variant) rides the
+    // same keys ("alpha" < "beta" keeps the sorted join aligned).
     val dim = Seq(("new york", "NY"), ("los angeles", "LA"),
         ("alphabeta", "AB"))
       .toDF("vkey", "canon").withColumn("vorder", lit(0L))
@@ -319,23 +325,21 @@ class DictionaryScaleSpec extends AnyFunSuite {
     assert(exh("newyork") == "NY", "exhaustive must catch the despaced form")
     assert(exh("alpha beta") == "AB")
     // gramGuard forced: a 3-entry dim trivially fails the economics
-    // ratio, and the single-probe fallback would make this equality
-    // VACUOUS — the test gates the despaced KEY families
+    // ratio, and the tripped-guard fallback IS exhaustive — vacuous
+    // for the KEY families this test gates
     val blk = LocationResolve.fuzzyResolveDim(probes, dim, Some(true),
         gramGuard = Some(true))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(blk == exh,
       s"blocked branch missed a cross-shape pair: $blk vs $exh — the " +
-        "r15 despaced gram family regressed")
-    // the boundary that REMAINS (and stays pinned): an in-cutoff
-    // multi↔multi pair sharing <2 of the first-3 tokens — "ab cd x"
-    // vs "abcd x" (despacing within a multi-token string; score
-    // 100·(1−1/13) = 92.3). The despaced-gram bound does not hold
-    // when both sides carry spaces (matched spaces refund nothing),
-    // so gram keys are not emitted for multi probes against a
-    // multi-only dictionary, and token-pair keys need 2 shared
-    // tokens. A future closure must update withBlockKeys scaladoc
-    // and flip THIS assertion.
+        "spaced gram family regressed")
+    // the r15 boundary, now CLOSED: an in-cutoff multi↔multi pair
+    // sharing <2 of the first-3 tokens — "ab cd x" vs "abcd x"
+    // (despacing within a multi-token string; score 100·(1−1/13) =
+    // 92.3, no shared token pair). The classic q-gram bound holds on
+    // the SPACED sorted joins ("ab cd x" vs "abcd x" share ≥
+    // max(7,6)−1−2·1 = 4 indexed bigrams), so the r16 keys catch it —
+    // the blocked branch must now EQUAL the exhaustive scorer here.
     val dim2 = Seq(("ab cd x", "M")).toDF("vkey", "canon")
       .withColumn("vorder", lit(0L))
     val probes2 = Seq("abcd x").toDF("fnorm")
@@ -345,9 +349,112 @@ class DictionaryScaleSpec extends AnyFunSuite {
     val blk2 = LocationResolve.fuzzyResolveDim(probes2, dim2, Some(true),
         gramGuard = Some(true))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(!blk2.contains("abcd x"),
-      "blocked caught the multi↔multi despaced pair — the documented " +
-        "boundary has moved: update the scaladoc and flip this assertion")
+    assert(blk2.get("abcd x").contains("M"),
+      "blocked branch missed the multi↔multi despaced pair — the r16 " +
+        "spaced-gram closure regressed to the r15 boundary")
+  }
+
+  test("multi↔multi closure (r16): blocked ≡ exhaustive on the " +
+      "multiScaleDim universe — every fuzzy probe damages BOTH tokens, " +
+      "so zero token-pair keys survive and recall rides spaced grams") {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    // the n15 registered fixture at spec scale, plus spec-only edits
+    // the construction families never cover: a despaced two-token
+    // probe WITH an extra drop (space deletion + char edit — the
+    // "برج العرب" ↔ "برجالعرب" fused-variant class from the r15
+    // verdict), and a mid-insert straddling the space
+    val part = spark.range(3000).select($"id".as("p_partkey"))
+    val dim = LocationResolve.multiScaleDim(part)
+      .withColumn("vorder", lit(0L))
+    val base = LocationResolve.multiProbes(
+      spark.range(0, 3000, 7).select($"id".as("p_partkey")))
+    val exact = base.filter(pmod($"tok_id", lit(5)) === 0)
+    val extra = exact
+      // despace + drop one char (d = 2): fused-variant class
+      .select(expr("replace(substr(norm, 2, 20), ' ', '')").as("norm"))
+      // insert a token boundary shift: drop the space, add one at
+      // position 4 instead (d = 2, tokens re-sort)
+      .union(exact.select(
+        expr("substr(replace(norm, ' ', ''), 1, 4) || ' ' || " +
+          "substr(replace(norm, ' ', ''), 5, 12)").as("norm")))
+    val probes = base.select($"norm".as("fnorm"))
+      .union(extra.select($"norm".as("fnorm"))).distinct()
+    def resolved(blocked: Boolean): Map[String, String] =
+      LocationResolve.fuzzyResolveDim(probes, dim, Some(blocked),
+          gramGuard = Some(true))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (b, e) = (resolved(blocked = true), resolved(blocked = false))
+    assert(b == e, {
+      val diff = (b.keySet ++ e.keySet).filter(k => b.get(k) != e.get(k))
+      s"${diff.size} diverging probes, e.g. ${diff.take(3)
+        .map(k => s"'$k' blocked=${b.get(k)} exhaustive=${e.get(k)}")
+        .mkString("; ")}"
+    })
+    val nProbes = probes.count()
+    assert(e.nonEmpty && e.size < nProbes,
+      s"degenerate: ${e.size}/$nProbes hits")
+  }
+
+  test("token-pair economics guard (r16): a shared-head-token dictionary " +
+      "trips the t-family guard, t: keys drop from the plan, and results " +
+      "stay ≡ exhaustive (grams carry recall)") {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    // the r15 verdict's unguarded-quadratic class: thousands of
+    // phrases sharing their leading sorted tokens ("new york <x>"
+    // families) — every entry lands in the SAME deep t-block
+    // ("new|york"), while the trailing token is high-entropy so the
+    // gram guard stays green
+    val dim = spark.range(3000)
+      .select(expr(
+        "'new york ' || concat_ws('', transform(sequence(1, 9), " +
+          "i -> chr(97 + CAST(pmod(xxhash64(id, i), 26) AS INT))))").as("vkey"))
+      .distinct()
+      .withColumn("canon", $"vkey").withColumn("vorder", lit(0L))
+      .localCheckpoint()
+    assert(dim.count() > LocationResolve.FuzzyBlockSwitch)
+    // the guard itself must trip on this dictionary's keyed index for
+    // the t-family and PASS for the gram family
+    val gorder = LocationResolve.gramOrderOf(dim, "vkey").localCheckpoint()
+    val keys = LocationResolve.withBlockKeys(
+      dim.select($"vkey"), "vkey", gorder, "dlen",
+      graft.nlp.Cleaner.FuzzyScoreCutoff, crossGrams = true)
+    assert(!LocationResolve.gramDepthOk(keys, idCol = "vkey", family = "t:"),
+      "t-family guard did NOT trip on a shared-head-token dictionary")
+    // probes: single-token edits of the tail (the t-family's own
+    // recall class — it MUST survive the family being dropped) plus
+    // exacts and a both-token edit
+    val probes = dim.limit(300).select(
+        expr("substr(vkey, 1, 10) || substr(vkey, 12, 10)").as("fnorm"))
+      .union(dim.limit(80).select($"vkey".as("fnorm")))         // exacts
+      .union(dim.limit(60).select(                              // 2-token damage
+        expr("'nev york ' || substr(vkey, 10, 4) || substr(vkey, 15, 10)")
+          .as("fnorm")))
+      .distinct().localCheckpoint()
+    // gramGuard forced ON: the shared "new york" head makes the gram
+    // blocks deep too (the honest default would route the whole set
+    // exhaustive, making the t-family equivalence vacuous) — this
+    // test gates the T-FAMILY guard + the grams-carry-recall claim,
+    // and pairGuard is left MEASURED so the trip exercises the real
+    // verdict path
+    def resolved(pair: Option[Boolean]): Map[String, String] =
+      LocationResolve.fuzzyResolveDim(probes, dim,
+          Some(true), gramGuard = Some(true), pairGuard = pair)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val dflt = resolved(None)                 // t-guard measured: trips
+    val forcedOff = resolved(Some(false))     // t: dropped explicitly
+    val exh = LocationResolve.fuzzyResolveDim(probes, dim, Some(false))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dflt == exh, {
+      val diff = (dflt.keySet ++ exh.keySet)
+        .filter(k => dflt.get(k) != exh.get(k))
+      s"${diff.size} diverging probes with the t-family dropped, e.g. " +
+        diff.take(3).map(k =>
+          s"'$k' default=${dflt.get(k)} exhaustive=${exh.get(k)}").mkString("; ")
+    })
+    assert(forcedOff == exh, "forced pairGuard=false diverges")
+    assert(dflt.size > 200, s"degenerate: ${dflt.size} hits")
   }
 
   test("n14 cross-shape: blocked ≡ exhaustive on the crossScaleDim " +
