@@ -725,8 +725,8 @@ object LocationResolve {
     // pair single-token strings only, so the family — and its index
     // build — is on only when both sides have single-token members;
     // the n09 dim has them (its underscored form) but these probes
-    // never do. The r15 cross-shape closure (despaced gram keys for
-    // single↔multi pairs) lives in fuzzyResolveDim — for THIS
+    // never do. The cross-shape closure (spaced-join gram keys for
+    // every string shape) lives in fuzzyResolveDim — for THIS
     // dictionary it would be moot anyway: the underscored entries'
     // gram blocks are depth-pathological (64 p_names × digit grams),
     // exactly the regime the GramDepthRatio guard routes away from
@@ -1205,7 +1205,7 @@ object LocationResolve {
     * sf0.1, scaling with the data and far above [[FuzzyBlockSwitch]]),
     * so every fuzzy hit must cross the shape boundary: single-token
     * probe against multi-token variant, the class the r14 blocking
-    * missed by design ([[withBlockKeys]]'s despaced gram family is
+    * missed by design ([[withBlockKeys]]'s spaced gram family is
     * what closes it; reference cleaner_v6.py:198-208 scores ALL
     * variants and so always found such pairs). One variant per part
     * deliberately: probes target their own part's entry, so extra
@@ -1247,8 +1247,9 @@ object LocationResolve {
     * n12/n13 machinery unchanged) over the [[crossScaleDim]]
     * multi-token dictionary: the [[FuzzyBlockSwitch]] picks the
     * blocked branch and every fuzzy probe is SINGLE-token against
-    * MULTI-token variants, so recall rides the r15 despaced gram
-    * family end to end under the driver's full hash gate at sf0.1 —
+    * MULTI-token variants, so recall rides the cross-shape gram
+    * family (r16: keyed on the spaced joined form) end to end under
+    * the driver's full hash gate at sf0.1 —
     * the cross-shape gap the r14 verdict named as the one behavioral
     * delta vs the reference's exhaustive scorer, now closed and
     * driver-gated. Tier-2 runs with a never-matching pattern (the

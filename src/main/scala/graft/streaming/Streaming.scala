@@ -1406,10 +1406,15 @@ object Streaming {
     *     quality_score, lang) so survivor re-ranking never re-reads
     *     history; quality for FIRST-TIME historical nodes (a cross
     *     pair can touch an old doc that never paired before) is
-    *     probed from the accumulated attribute slices — a
-    *     column-pruned scan + semi join, the one per-wave term that
-    *     still reads history bytes (thin columns, no history
-    *     shuffle);
+    *     probed from the CUMULATIVE per-version `attrs` dim (r16) —
+    *     prior attrs ∪ this batch's docs, merged per wave like the
+    *     label dim itself — so the per-wave read is ONE slice plus
+    *     the batch, never the all-prior-versions scan whose
+    *     file-listing grew ∝ version count (the r15 verdict's one
+    *     remaining history-proportional term in this maintainer; the
+    *     merged rewrite is the same cost class as the labels dim the
+    *     maintainer already rewrites, and at warehouse scale both
+    *     would be bucketed);
     *  6. survivors: untouched clusters' rows carry over verbatim;
     *     touched clusters re-rank under the same quality-desc /
     *     doc-id-asc window — so the merged dim stays ≡ the rebuild
@@ -1438,6 +1443,18 @@ object Streaming {
         graft.ops.TextAnalysis.qualityScore(col("text")).as("quality_score"),
         col("lang"))
       .write.mode("overwrite").parquet(s"$survDir/v$batchId/docs")
+    // cumulative attribute dim: prior attrs ∪ this batch (first-wins
+    // on doc_id) — the first-time-node probe below reads THIS one
+    // slice instead of every prior version's docs slice
+    val batchAttrs = spark.read.parquet(s"$survDir/v$batchId/docs")
+    (if (prior.isEmpty) batchAttrs
+     else {
+       val priorAttrs = spark.read.parquet(s"$survDir/v${prior.max}/attrs")
+       priorAttrs.unionByName(
+         batchAttrs.join(priorAttrs.select(col("doc_id")),
+           Seq("doc_id"), "left_anti"))
+     })
+      .write.mode("overwrite").parquet(s"$survDir/v$batchId/attrs")
     // THIS batch's pair delta only — never the accumulated union
     val wavePairs = spark.read.parquet(s"$pairsDir/b$batchId")
       .select(col("inc_id").as("id_a"), col("hist_id").as("id_b"))
@@ -1470,11 +1487,11 @@ object Streaming {
         val lblNodes = lbl
           .select(col("id").as("doc_id"), col("label").as("cluster_id"))
         // attributes: prior members carry theirs in the merged dim;
-        // first-time nodes probe the accumulated attribute slices
+        // first-time nodes probe the cumulative attrs dim — one slice,
+        // never the version-count-proportional docs-slice union (r16)
         val known = priorLabels
           .select(col("doc_id"), col("quality_score"), col("lang"))
-        val fetched = spark.read
-          .parquet((prior :+ batchId).map(v => s"$survDir/v$v/docs"): _*)
+        val fetched = spark.read.parquet(s"$survDir/v$batchId/attrs")
           .join(lblNodes.join(known.select(col("doc_id")),
             Seq("doc_id"), "left_anti").select(col("doc_id")),
             Seq("doc_id"), "left_semi")
@@ -1551,10 +1568,16 @@ object Streaming {
     * ∝ accumulated dictionary.
     *
     * Batch schema: (vkey, canon, vorder, op), op ∈ 'add'|'del'.
-    * Tombstones are global — a deleted vkey stays deleted across all
-    * versions (re-adding a removed variant means a new dictionary
-    * lineage, not an update). Exactly-once: slices first, `_SUCCESS`
-    * last, committed replays are no-ops. */
+    * Tombstones are VERSIONED (r16; the r15 global-tombstone rule —
+    * re-add requires a new lineage — is retired): a del at version v
+    * kills adds from versions < v only, so add→del→re-add works in
+    * one lineage, and the reader keeps only each vkey's LATEST add
+    * slice (duplicate re-adds can never double a vkey's bkey rows —
+    * the candidate-count economics the shared-key filter was derived
+    * for survive long lineages). Within one batch, add wins over del
+    * for the same vkey (a del applies to strictly older versions).
+    * Exactly-once: slices first, `_SUCCESS` last, committed replays
+    * are no-ops. */
   def gramIndexUpdate(idxDir: String, gramOrder: DataFrame)(
       batch: DataFrame, batchId: Long): Unit = {
     import java.nio.file.{Files, Paths}
@@ -1592,29 +1615,40 @@ object Streaming {
 
   /** Resolve DISTINCT probe strings (`fnorm`) against the streamed
     * dictionary index as of the latest committed version: union the
-    * committed key slices, drop tombstoned vkeys, then the n11/n13
-    * candidate pipeline — shared-key filter, derived length band,
-    * codegen scorer, argmax with the vorder-then-vkey tiebreak.
-    * Probes are keyed under the same frozen order with EVERY family
-    * on, mirroring the index's probe-shape-independent carry — which
-    * makes the candidate set a SUPERSET of a cold
-    * LocationResolve.fuzzyResolveDim rebuild's (the cold path gates
-    * cross keys by the dict/probe shape mix): any extra candidate the
-    * superset scores is a genuine in-cutoff match the scorer keeps or
-    * a miss it drops, so results equal the cold rebuild wherever the
-    * cold blocking is recall-complete, and can only ADD matches in
-    * the cold path's documented multi↔multi despacing boundary.
-    * StreamingSpec pins exact equality on a single-token universe
-    * (adds + tombstones vs the cold rebuild). */
+    * committed key slices under LATEST-WINS version semantics (r16 —
+    * a key row from slice v is live iff v is its vkey's newest add
+    * AND no tombstone at a version > v exists; add→del→re-add
+    * resolves to the re-add, duplicate re-adds keep one slice), then
+    * the n11/n13 candidate pipeline — shared-key filter, derived
+    * length band, codegen scorer, argmax with the vorder-then-vkey
+    * tiebreak. Probes are keyed under the same frozen order with
+    * EVERY family on, mirroring the index's carry (since r16 the
+    * cold path keys every family too, so the candidate sets match
+    * shape-for-shape). The per-vkey version dims broadcast at
+    * dictionary size — the same class as the dict broadcasts
+    * everywhere else; a maintenance pass could physically compact
+    * dead slices, but the read semantics no longer depend on it.
+    * StreamingSpec pins equality with the cold rebuild over the
+    * surviving dictionary, including an add→del→re-add lineage. */
   def streamedGramResolve(spark: SparkSession, idxDir: String,
       gramOrder: DataFrame, probes: DataFrame): DataFrame = {
     graft.functions.CustomExprs.register(spark)
     val vs = modelVersions(idxDir).sorted
     require(vs.nonEmpty, s"no committed index version under $idxDir")
-    val keys = spark.read.parquet(vs.map(v => s"$idxDir/v$v/keys"): _*)
-    val dels = spark.read.parquet(vs.map(v => s"$idxDir/v$v/dels"): _*)
-      .select(col("vkey")).distinct()
-    val live = keys.join(broadcast(dels), Seq("vkey"), "left_anti")
+    val keys = vs.map(v => spark.read.parquet(s"$idxDir/v$v/keys")
+        .withColumn("_ver", lit(v)))
+      .reduce(_ unionByName _)
+    val dels = vs.map(v => spark.read.parquet(s"$idxDir/v$v/dels")
+        .select(col("vkey")).withColumn("_dver", lit(v)))
+      .reduce(_ unionByName _)
+      .groupBy(col("vkey")).agg(max(col("_dver")).as("_maxDel"))
+    val lastAdd = keys.groupBy(col("vkey")).agg(max(col("_ver")).as("_maxAdd"))
+    val live = keys
+      .join(broadcast(lastAdd), Seq("vkey"))
+      .where(col("_ver") === col("_maxAdd"))
+      .join(broadcast(dels), Seq("vkey"), "left")
+      .where(col("_maxDel").isNull || col("_maxDel") <= col("_maxAdd"))
+      .drop("_ver", "_maxAdd", "_maxDel")
     val probeKeyed = graft.ops.LocationResolve.withBlockKeys(
         probes.select(col("fnorm")).distinct(), "fnorm", gramOrder,
         "plen", graft.nlp.Cleaner.FuzzyScoreCutoff,

@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   * economics of multi-token word-pair keys. A sweep ratio materially
   * above linear on either axis is a bug.
   *
-  * The r15 `cross` family (n14: single-token probes against
-  * multi-token variants on despaced gram keys) gets the same sweep —
-  * same cost model, stripped lengths in place of joined ones.
+  * The `cross` family (n14: single-token probes against multi-token
+  * variants; r16 keys both sides' grams on the spaced sorted-join)
+  * gets the same sweep — same cost model on the joined lengths.
   *
   * Usage: runMain graft.tools.GramProbe [baseKeys=20000] [family=gram|cross|both]
   */

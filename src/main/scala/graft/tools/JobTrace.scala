@@ -71,11 +71,27 @@ object JobTrace {
       println(String.format(fmt, "[job] %3d  at %7.2fs  dur %6.2fs  %s",
         Int.box(id), Double.box(at), Double.box(dur), site))
     }
+    // the gap is total MINUS the union of job [start, end) intervals,
+    // not minus the duration sum: Spark schedules broadcast-exchange
+    // jobs concurrently with their parents, so the sum can exceed
+    // total and a sum-based gap goes negative / misattributes
+    // overlapped scheduler time as negative driver time
+    val covered = {
+      val iv = finalRows.map { case (_, at, dur, _) => (at, at + dur) }
+        .sortBy(_._1)
+      var (cov, hi) = (0.0, -1.0)
+      iv.foreach { case (s, e) =>
+        if (s > hi) { cov += e - s; hi = e }
+        else if (e > hi) { cov += e - hi; hi = e }
+      }
+      cov
+    }
     println(String.format(fmt,
-      "[jobtrace] %s total %.2fs, %d jobs, job-sum %.2fs (gap %.2fs = driver/plan time)",
+      "[jobtrace] %s total %.2fs, %d jobs, job-sum %.2fs, " +
+        "covered %.2fs (gap %.2fs = driver/plan time)",
       name, Double.box(total), Int.box(finalRows.length),
-      Double.box(finalRows.map(_._3).sum),
-      Double.box(total - finalRows.map(_._3).sum)))
+      Double.box(finalRows.map(_._3).sum), Double.box(covered),
+      Double.box(total - covered)))
     spark.stop()
   }
 }

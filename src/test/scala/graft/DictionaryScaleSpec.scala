@@ -463,8 +463,8 @@ class DictionaryScaleSpec extends AnyFunSuite {
     graft.functions.CustomExprs.register(spark)
     // the registered fixture at spec scale, plus spec-only DOUBLE-edit
     // despaced probes (end-trim, mid insert) the construction families
-    // never cover — the cross derivation (d' ≤ d − s_M) must hold for
-    // arbitrary edit patterns, not just the registered ones
+    // never cover — the spaced q-gram bound must hold for arbitrary
+    // edit patterns, not just the registered ones
     val part = spark.range(3000).select($"id".as("p_partkey"))
     val dim = LocationResolve.crossScaleDim(part)
       .withColumn("vorder", lit(0L))

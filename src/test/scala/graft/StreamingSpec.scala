@@ -335,6 +335,71 @@ class StreamingSpec extends AnyFunSuite {
       "tombstone set removed nothing any probe cared about — vacuous")
   }
 
+  test("gram index re-add lineage (r16): add → del → re-add in ONE " +
+      "lineage == cold rebuild over the surviving dictionary") {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    import graft.ops.LocationResolve
+    val part = spark.range(900).select($"id".as("p_partkey"))
+    val dict = LocationResolve.gramScaleDim(part)
+      .withColumn("vorder", lit(0L)).localCheckpoint()
+    // wave 0: everything added; wave 1: a slice tombstoned; wave 2:
+    // HALF the tombstoned slice re-added — under the r15 global-
+    // tombstone rule the re-adds stayed dead (new-lineage-required),
+    // the r16 versioned reader must resurrect exactly them
+    val dels = dict.filter(xxhash64($"vkey", lit(7)) % 4 === 0)
+      .select($"vkey").localCheckpoint()
+    val readds = dict.join(
+        dels.filter(xxhash64($"vkey", lit(11)) % 2 === 0), Seq("vkey"))
+      .localCheckpoint()
+    val gorder = LocationResolve.gramOrderOf(dict, "vkey").localCheckpoint()
+    val idxDir =
+      java.nio.file.Files.createTempDirectory("graft_gidx_readd").toString
+    Streaming.gramIndexUpdate(idxDir, gorder)(
+      dict.withColumn("op", lit("add")), 0L)
+    Streaming.gramIndexUpdate(idxDir, gorder)(
+      dels.withColumn("canon", lit("")).withColumn("vorder", lit(0L))
+        .withColumn("op", lit("del"))
+        .select($"vkey", $"canon", $"vorder", $"op"), 1L)
+    Streaming.gramIndexUpdate(idxDir, gorder)(
+      readds.withColumn("op", lit("add")), 2L)
+    val probes = LocationResolve.gramProbes(
+        spark.range(0, 900, 3).select($"id".as("p_partkey")))
+      .select($"norm".as("fnorm")).distinct().localCheckpoint()
+    val streamed = Streaming.streamedGramResolve(spark, idxDir, gorder, probes)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val surviving = dict.join(
+      dels.join(readds.select($"vkey"), Seq("vkey"), "left_anti"),
+      Seq("vkey"), "left_anti")
+    val cold = LocationResolve.fuzzyResolveDim(probes, surviving, Some(true))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(streamed == cold, {
+      val diff = (streamed.keySet ++ cold.keySet)
+        .filter(k => streamed.get(k) != cold.get(k))
+      s"${diff.size} diverging probes, e.g. ${diff.take(3).map(k =>
+        s"'$k' streamed=${streamed.get(k)} cold=${cold.get(k)}").mkString("; ")}"
+    })
+    // non-vacuity both ways: some probe must RESOLVE only because of
+    // the re-add (differs from the del-only index), and some tombstone
+    // must still bite (differs from the never-deleted index)
+    val delOnly = {
+      val d2 = java.nio.file.Files.createTempDirectory("graft_gidx_d2").toString
+      Streaming.gramIndexUpdate(d2, gorder)(dict.withColumn("op", lit("add")), 0L)
+      Streaming.gramIndexUpdate(d2, gorder)(
+        dels.withColumn("canon", lit("")).withColumn("vorder", lit(0L))
+          .withColumn("op", lit("del"))
+          .select($"vkey", $"canon", $"vorder", $"op"), 1L)
+      Streaming.streamedGramResolve(spark, d2, gorder, probes)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    assert(streamed != delOnly,
+      "re-adds resurrected nothing any probe cared about — vacuous")
+    val full = LocationResolve.fuzzyResolveDim(probes, dict, Some(true))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(streamed != full,
+      "surviving tombstones removed nothing any probe cared about — vacuous")
+  }
+
   test("incremental substring dedup: 2-wave rewrites == batch x70") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
