@@ -928,7 +928,7 @@ object LocationResolve {
           val probeKeyed0 = withBlockKeys(probeC,
             "fnorm", gorder, "plen", graft.nlp.Cleaner.FuzzyScoreCutoff,
             grams = true, crossGrams = true,
-            materializeRanked = false)
+            materializeRanked = true)
             .select($"fnorm", $"plen", $"bkey")
           val probeKeyed =
             if (guardT) probeKeyed0
@@ -983,7 +983,11 @@ object LocationResolve {
     val strippedDead = staticallyEmptyString(exploded, "stripped")
     // localCheckpoint: t12 is read four times below (two fuzzy-probe
     // slices + the two final fuzzy joins); without truncation each
-    // read re-runs the 4-tier broadcast-join chain over the token dim
+    // read re-runs the 4-tier broadcast-join chain over the token dim.
+    // Measured r16: skipping this even for the statically-one-join
+    // shape (stripped + regex tiers dead) REGRESSED n13/n14/n15 2-3×
+    // — every downstream consumer re-broadcast the dictionary and
+    // re-ran the probe projection, dwarfing the one serial job saved.
     val t12 = resolveTokensBroadcast(
       exploded, dim.select($"vkey", $"canon"), combinedPattern,
       skipStripped = strippedDead)
@@ -1112,20 +1116,30 @@ object LocationResolve {
     * empirical check in DictionaryScaleSpec), so the oracle knows
     * `loc` without replaying the scorer — the n09 pattern. */
   private[graft] def gramProbes(part: DataFrame): DataFrame = {
-    val t = tokenSqlExpr("p_partkey", "div")
+    // the 12-letter token is projected FIRST as its own column: the
+    // CASE below references it ~10 times, and inlining the ~50-node
+    // chr/div chain at every use makes one giant projection (past the
+    // codegen splitting sweet spot, and CollapseProject would undo a
+    // naive two-select split ONLY if the alias were cheap or used
+    // once — multi-use expensive aliases are exactly what it keeps
+    // un-collapsed, so this two-stage shape survives optimization).
+    // The DuckDB oracle keeps the single-expression template — same
+    // arithmetic, engine-appropriate shapes.
     val p12 = posSqlExpr("p_partkey", 12)
     val p11 = posSqlExpr("p_partkey", 11)
     val norm = s"""CASE p_partkey % 8
-      | WHEN 0 THEN ($t)
-      | WHEN 1 THEN upper($t)
-      | WHEN 2 THEN 'v' || ($t)
-      | WHEN 3 THEN substr($t, 1, $p12 - 1) || substr($t, $p12 + 1, 12)
-      | WHEN 4 THEN substr($t, 1, $p12 - 1) || '0' || substr($t, $p12 + 1, 12)
-      | WHEN 5 THEN substr($t, 1, $p11 - 1) || substr($t, $p11 + 1, 1)
-      |   || substr($t, $p11, 1) || substr($t, $p11 + 2, 12)
-      | WHEN 6 THEN 'r' || reverse($t)
+      | WHEN 0 THEN _t
+      | WHEN 1 THEN upper(_t)
+      | WHEN 2 THEN 'v' || _t
+      | WHEN 3 THEN substr(_t, 1, $p12 - 1) || substr(_t, $p12 + 1, 12)
+      | WHEN 4 THEN substr(_t, 1, $p12 - 1) || '0' || substr(_t, $p12 + 1, 12)
+      | WHEN 5 THEN substr(_t, 1, $p11 - 1) || substr(_t, $p11 + 1, 1)
+      |   || substr(_t, $p11, 1) || substr(_t, $p11 + 2, 12)
+      | WHEN 6 THEN 'r' || reverse(_t)
       | ELSE 'zq0' || p_partkey END""".stripMargin
-    part.select(col("p_partkey").as("tok_id"), expr(norm).as("norm"))
+    part.select(col("p_partkey"),
+        expr(tokenSqlExpr("p_partkey", "div")).as("_t"))
+      .select(col("p_partkey").as("tok_id"), expr(norm).as("norm"))
   }
 
   /** n13 — the composed 3-tier resolver ([[resolveTokensTiered]], the
@@ -1230,17 +1244,24 @@ object LocationResolve {
     * the oracle derives `loc` without the scorer — the n13 pattern,
     * replayed across the shape boundary. */
   private[graft] def crossProbes(part: DataFrame): DataFrame = {
-    val (lo, hi) = crossHalfExprs("p_partkey", "div")
+    // staged projections (the gramProbes doctrine): token → halves →
+    // CASE, each column multi-used so CollapseProject keeps the
+    // stages apart and every projection stays codegen-sized
     val p12 = posSqlExpr("p_partkey", 12)
     val norm = s"""CASE p_partkey % 5
-      | WHEN 0 THEN $lo || ' ' || $hi
-      | WHEN 1 THEN $lo || $hi
-      | WHEN 2 THEN substr($lo || $hi, 1, $p12 - 1)
-      |   || substr($lo || $hi, $p12 + 1, 12)
-      | WHEN 3 THEN substr($lo || $hi, 1, $p12 - 1) || '0'
-      |   || substr($lo || $hi, $p12 + 1, 12)
+      | WHEN 0 THEN _lo || ' ' || _hi
+      | WHEN 1 THEN _lo || _hi
+      | WHEN 2 THEN substr(_lo || _hi, 1, $p12 - 1)
+      |   || substr(_lo || _hi, $p12 + 1, 12)
+      | WHEN 3 THEN substr(_lo || _hi, 1, $p12 - 1) || '0'
+      |   || substr(_lo || _hi, $p12 + 1, 12)
       | ELSE 'zq1' || p_partkey END""".stripMargin
-    part.select(col("p_partkey").as("tok_id"), expr(norm).as("norm"))
+    part.select(col("p_partkey"),
+        expr(tokenSqlExpr("p_partkey", "div")).as("_t"))
+      .select(col("p_partkey"),
+        expr("least(substr(_t, 1, 6), substr(_t, 7, 6))").as("_lo"),
+        expr("greatest(substr(_t, 1, 6), substr(_t, 7, 6))").as("_hi"))
+      .select(col("p_partkey").as("tok_id"), expr(norm).as("norm"))
   }
 
   /** n14 — the composed 3-tier resolver ([[resolveTokensTiered]], the
@@ -1348,20 +1369,28 @@ object LocationResolve {
     * without the scorer — the n13/n14 pattern, replayed for the
     * both-tokens-damaged class. */
   private[graft] def multiProbes(part: DataFrame): DataFrame = {
-    val (lo, hi) = multiHalfExprs("p_partkey", "div")
+    // staged projections (the gramProbes doctrine): token → halves →
+    // CASE, every stage codegen-sized
     val p5 = s"(2 + (p_partkey % 5))"   // [2..6] — never the first char
     val p4 = s"(2 + (p_partkey % 4))"   // [2..5] — swap stays inside
     val norm = s"""CASE p_partkey % 5
-      | WHEN 0 THEN ($lo) || ' ' || ($hi)
-      | WHEN 1 THEN substr($lo, 1, $p5 - 1) || substr($lo, $p5 + 1, 6)
-      |   || ' ' || substr($hi, 1, $p4 - 1) || '0' || substr($hi, $p4 + 1, 6)
-      | WHEN 2 THEN substr($lo, 1, $p4 - 1) || substr($lo, $p4 + 1, 1)
-      |   || substr($lo, $p4, 1) || substr($lo, $p4 + 2, 6)
-      |   || ' ' || substr($hi, 1, 5)
-      | WHEN 3 THEN substr($lo, 1, $p5 - 1) || '1' || substr($lo, $p5 + 1, 6)
-      |   || ' ' || substr($hi, 1, $p4 - 1) || substr($hi, $p4 + 1, 6)
+      | WHEN 0 THEN _lo || ' ' || _hi
+      | WHEN 1 THEN substr(_lo, 1, $p5 - 1) || substr(_lo, $p5 + 1, 6)
+      |   || ' ' || substr(_hi, 1, $p4 - 1) || '0' || substr(_hi, $p4 + 1, 6)
+      | WHEN 2 THEN substr(_lo, 1, $p4 - 1) || substr(_lo, $p4 + 1, 1)
+      |   || substr(_lo, $p4, 1) || substr(_lo, $p4 + 2, 6)
+      |   || ' ' || substr(_hi, 1, 5)
+      | WHEN 3 THEN substr(_lo, 1, $p5 - 1) || '1' || substr(_lo, $p5 + 1, 6)
+      |   || ' ' || substr(_hi, 1, $p4 - 1) || substr(_hi, $p4 + 1, 6)
       | ELSE 'zq2' || p_partkey || ' vv' END""".stripMargin
-    part.select(col("p_partkey").as("tok_id"), expr(norm).as("norm"))
+    part.select(col("p_partkey"),
+        expr(tokenSqlExpr("p_partkey", "div")).as("_t"))
+      .select(col("p_partkey"),
+        expr("chr(98 + CAST(p_partkey % 11 AS INT)) || substr(_t, 1, 5)")
+          .as("_lo"),
+        expr("chr(110 + CAST(p_partkey % 13 AS INT)) || substr(_t, 7, 5)")
+          .as("_hi"))
+      .select(col("p_partkey").as("tok_id"), expr(norm).as("norm"))
   }
 
   /** n15 — the composed 3-tier resolver ([[resolveTokensTiered]], the
