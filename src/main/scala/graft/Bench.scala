@@ -194,7 +194,9 @@ object Bench {
         "gram_dict_index" ->
           (() => graft.ops.LocationResolve.gramDictScale(spark, sfDir)),
         "cross_dict_index" ->
-          (() => graft.ops.LocationResolve.crossDictScale(spark, sfDir))) ++
+          (() => graft.ops.LocationResolve.crossDictScale(spark, sfDir)),
+        "multi_dict_index" ->
+          (() => graft.ops.LocationResolve.multiDictScale(spark, sfDir))) ++
       Bench.docFamilyFrames(spark, sfDir))
     val cacheBuildJson = cacheBuildPer
       .map { case (n, s) => "\"" + n + "\":" +

@@ -572,10 +572,15 @@ object LocationResolve {
     * `bkey`. Callers should localCheckpoint `df0` (three branch
     * scans) and `gramOrder` (consulted by both sides) — both are
     * vocabulary-bounded dims. `materializeRanked=false` skips the
-    * gram-prefix frame's localCheckpoint — right for probe-side
-    * frames (small, rebuilt per run; the serial checkpoint job costs
-    * more than the ≤3 window recomputes), wrong for dictionary-side
-    * index builds (memoized once, read forever). */
+    * gram-prefix frame's localCheckpoint; dictionary-side index
+    * builds must materialize (memoized once, read forever), and since
+    * r16 the composed resolver materializes its PROBE side too — at
+    * every-string gram keying the three consumers' recomputed window
+    * shuffles cost more stage-job latency than the one checkpoint job
+    * (measured: n13 7.5→6.6 s, n15 6.6→5.8 s on the same host slice;
+    * the r15 false-for-probes doctrine predates probe-side cross
+    * grams). `false` remains right for per-wave streamed keying
+    * (streamedGramResolve), where the frame is consumed once. */
   private[graft] def withBlockKeys(df0: DataFrame, strCol: String,
       gramOrder: DataFrame, slenAs: String,
       cutoff: Double, grams: Boolean = true,
@@ -894,10 +899,7 @@ object LocationResolve {
         // grams on the spaced joined form are the sole recall-complete
         // family for all pair shapes, so there is nothing probe-shaped
         // left to gate the build on (this also subsumes the r15
-        // probe-set-independence rule for memoized indexes); the old
-        // per-side shapeStats probe collapses into one row count for
-        // the broadcast sizing switch
-        val probeCount = probeC.agg(count(lit(1))).head.getLong(0)
+        // probe-set-independence rule for memoized indexes)
         val gorder =
           memoOr("gorder")(gramOrderOf(dimC, "vkey").localCheckpoint())
         val dimKeyed0 = memoOr("keys")(
@@ -933,7 +935,13 @@ object LocationResolve {
           val probeKeyed =
             if (guardT) probeKeyed0
             else probeKeyed0.filter(!$"bkey".startsWith("t:"))
-          val bcast = probeBroadcast.getOrElse(probeCount <= ProbeBroadcastMax)
+          // the probe row count (one full-scan agg — the old shapeStats
+          // probe reduced to the one bit still needed) is computed
+          // lazily HERE: it only feeds the broadcast-sizing default,
+          // and the guard-tripped branch above must not pay a dead
+          // driver action for it (review finding, r16)
+          val bcast = probeBroadcast.getOrElse(
+            probeC.agg(count(lit(1))).head.getLong(0) <= ProbeBroadcastMax)
           def maybeBcast(df: DataFrame): DataFrame =
             if (bcast) broadcast(df) else df
           candidateFilter(

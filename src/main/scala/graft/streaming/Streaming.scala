@@ -1445,11 +1445,21 @@ object Streaming {
       .write.mode("overwrite").parquet(s"$survDir/v$batchId/docs")
     // cumulative attribute dim: prior attrs ∪ this batch (first-wins
     // on doc_id) — the first-time-node probe below reads THIS one
-    // slice instead of every prior version's docs slice
+    // slice instead of every prior version's docs slice. A lineage
+    // whose prior versions predate the attrs dim (committed by the
+    // docs-slice-scanning form) is BACKFILLED once from those docs
+    // slices — the old read cost paid exactly once at upgrade, O(1)
+    // slices per wave after.
     val batchAttrs = spark.read.parquet(s"$survDir/v$batchId/docs")
     (if (prior.isEmpty) batchAttrs
      else {
-       val priorAttrs = spark.read.parquet(s"$survDir/v${prior.max}/attrs")
+       val priorAttrs =
+         if (java.nio.file.Files.exists(
+             Paths.get(s"$survDir/v${prior.max}/attrs")))
+           spark.read.parquet(s"$survDir/v${prior.max}/attrs")
+         else spark.read
+           .parquet(prior.map(v => s"$survDir/v$v/docs"): _*)
+           .dropDuplicates("doc_id")
        priorAttrs.unionByName(
          batchAttrs.join(priorAttrs.select(col("doc_id")),
            Seq("doc_id"), "left_anti"))

@@ -283,6 +283,41 @@ class StreamingSpec extends AnyFunSuite {
       "replay of a committed batch rewrote the delta survivor dim")
   }
 
+  test("delta keep-best resumes a PRE-attrs lineage: missing attrs " +
+      "slices are backfilled from the docs slices, result == batch x59") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val waves = Seq(docs.filter($"doc_id" % 3 === 0),
+      docs.filter($"doc_id" % 3 === 1), docs.filter($"doc_id" % 3 === 2))
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_kbu_$p").toString
+    val (dimDir, pairsDir, survDir) = (tmp("dim"), tmp("pairs"), tmp("surv"))
+    waves.take(2).zipWithIndex.foreach { case (w, i) =>
+      Streaming.keepBestDeltaUpdate(dimDir, pairsDir, survDir)(w, i.toLong)
+    }
+    // simulate a lineage committed by the pre-r16 code: the attrs
+    // slices never existed (the review finding: a raw path-not-found
+    // mid-wave, after the batch docs were already written)
+    Seq(0, 1).foreach { v =>
+      val d = java.nio.file.Paths.get(s"$survDir/v$v/attrs")
+      if (java.nio.file.Files.exists(d)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    Streaming.keepBestDeltaUpdate(dimDir, pairsDir, survDir)(waves(2), 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id", "quality_score", "lang")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    val streamed = rows(Streaming.streamedKeepBestDeltaSurvivors(spark, survDir))
+    val batch = rows(graft.ops.Dedup.dedupKeepBest(spark, sf))
+    assert(streamed == batch,
+      s"backfilled-lineage resume diverged from batch x59: " +
+        s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+  }
+
   test("incremental gram dictionary index: adds + tombstones across " +
       "2 waves == cold blocked rebuild over the surviving dictionary") {
     import spark.implicits._
