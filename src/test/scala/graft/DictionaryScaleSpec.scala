@@ -394,6 +394,17 @@ class DictionaryScaleSpec extends AnyFunSuite {
     val nProbes = probes.count()
     assert(e.nonEmpty && e.size < nProbes,
       s"degenerate: ${e.size}/$nProbes hits")
+    // the MEASURED guards must read this high-entropy universe as
+    // healthy (no exhaustive-fallback BNLJ in the default plan) — the
+    // registered n15's blocked-path-under-driver-gate claim depends
+    // on it, and the first-letter spread exists exactly so the
+    // space-adjacent grams can't skew the depth ratio (see the
+    // multiHalfExprs scaladoc)
+    graft.Caches.clear(spark)
+    val plan = LocationResolve.fuzzyResolveDim(probes, dim)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "multi-token dim routed through a crossJoin — guard or switch bug")
   }
 
   test("token-pair economics guard (r16): a shared-head-token dictionary " +
