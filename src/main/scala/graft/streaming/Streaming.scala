@@ -1623,6 +1623,65 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Compact the streamed gram index up to its newest committed
+    * version: materialize the LIVE key rows (latest-wins semantics,
+    * `_ver` preserved) and the per-vkey max tombstone version as
+    * consolidated `compact/{keys,dels}` artifacts under that
+    * version, `_COMPACT` marker last. [[streamedGramResolve]] then
+    * reads the newest compaction + only the slices COMMITTED AFTER
+    * it — per-read file listing drops from ∝ lineage length to
+    * O(waves since last compaction), the same history-proportional
+    * class the r16 attrs dim killed in the keep-best maintainer.
+    * Dead key rows (tombstoned or superseded re-adds) leave the read
+    * path physically. Idempotent; safe to run at any cadence (each
+    * compaction is self-contained, and later updates never touch
+    * committed versions). Pre-compaction slice dirs become dead
+    * weight on disk that a janitor may delete — correctness never
+    * reads them again (StreamingSpec proves resolution survives
+    * their deletion). */
+  def compactGramIndex(spark: SparkSession, idxDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val vs = modelVersions(idxDir).sorted
+    require(vs.nonEmpty, s"no committed index version under $idxDir")
+    val top = vs.max
+    if (Files.isRegularFile(Paths.get(s"$idxDir/v$top/_COMPACT"))) return
+    val (live, dels) = liveGramSlices(spark, idxDir, vs)
+    live.write.mode("overwrite").parquet(s"$idxDir/v$top/compact/keys")
+    dels.write.mode("overwrite").parquet(s"$idxDir/v$top/compact/dels")
+    Files.write(Paths.get(s"$idxDir/v$top/_COMPACT"), Array.emptyByteArray)
+  }
+
+  /** The live key rows (with `_ver`) and per-vkey max tombstone
+    * version over the given committed versions, starting from the
+    * newest compaction at or below them (if any). */
+  private def liveGramSlices(spark: SparkSession, idxDir: String,
+      vs: Seq[Long]): (DataFrame, DataFrame) = {
+    import java.nio.file.{Files, Paths}
+    val base = vs.filter(v =>
+      Files.isRegularFile(Paths.get(s"$idxDir/v$v/_COMPACT")))
+      .sorted.lastOption
+    val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs).sorted
+    val keys = (base.map(b => spark.read
+        .parquet(s"$idxDir/v$b/compact/keys")).toSeq ++
+      tail.map(v => spark.read.parquet(s"$idxDir/v$v/keys")
+        .withColumn("_ver", lit(v))))
+      .reduce(_ unionByName _)
+    val dels = (base.map(b => spark.read
+        .parquet(s"$idxDir/v$b/compact/dels")).toSeq ++
+      tail.map(v => spark.read.parquet(s"$idxDir/v$v/dels")
+        .select(col("vkey")).withColumn("_maxDel", lit(v))))
+      .reduce(_ unionByName _)
+      .groupBy(col("vkey")).agg(max(col("_maxDel")).as("_maxDel"))
+    val lastAdd = keys.groupBy(col("vkey")).agg(max(col("_ver")).as("_maxAdd"))
+    val live = keys
+      .join(broadcast(lastAdd), Seq("vkey"))
+      .where(col("_ver") === col("_maxAdd"))
+      .join(broadcast(dels), Seq("vkey"), "left")
+      .where(col("_maxDel").isNull || col("_maxDel") <= col("_maxAdd"))
+      .drop("_maxAdd", "_maxDel")
+    (live, dels)
+  }
+
   /** Resolve DISTINCT probe strings (`fnorm`) against the streamed
     * dictionary index as of the latest committed version: union the
     * committed key slices under LATEST-WINS version semantics (r16 —
@@ -1631,34 +1690,23 @@ object Streaming {
     * resolves to the re-add, duplicate re-adds keep one slice), then
     * the n11/n13 candidate pipeline — shared-key filter, derived
     * length band, codegen scorer, argmax with the vorder-then-vkey
-    * tiebreak. Probes are keyed under the same frozen order with
-    * EVERY family on, mirroring the index's carry (since r16 the
-    * cold path keys every family too, so the candidate sets match
-    * shape-for-shape). The per-vkey version dims broadcast at
+    * tiebreak. Reads start from the newest [[compactGramIndex]]
+    * artifact when one exists, so lineage length stops growing the
+    * per-read file listing. Probes are keyed under the same frozen
+    * order with EVERY family on, mirroring the index's carry (since
+    * r16 the cold path keys every family too, so the candidate sets
+    * match shape-for-shape). The per-vkey version dims broadcast at
     * dictionary size — the same class as the dict broadcasts
-    * everywhere else; a maintenance pass could physically compact
-    * dead slices, but the read semantics no longer depend on it.
-    * StreamingSpec pins equality with the cold rebuild over the
-    * surviving dictionary, including an add→del→re-add lineage. */
+    * everywhere else. StreamingSpec pins equality with the cold
+    * rebuild over the surviving dictionary, including an
+    * add→del→re-add lineage and a compacted one. */
   def streamedGramResolve(spark: SparkSession, idxDir: String,
       gramOrder: DataFrame, probes: DataFrame): DataFrame = {
     graft.functions.CustomExprs.register(spark)
     val vs = modelVersions(idxDir).sorted
     require(vs.nonEmpty, s"no committed index version under $idxDir")
-    val keys = vs.map(v => spark.read.parquet(s"$idxDir/v$v/keys")
-        .withColumn("_ver", lit(v)))
-      .reduce(_ unionByName _)
-    val dels = vs.map(v => spark.read.parquet(s"$idxDir/v$v/dels")
-        .select(col("vkey")).withColumn("_dver", lit(v)))
-      .reduce(_ unionByName _)
-      .groupBy(col("vkey")).agg(max(col("_dver")).as("_maxDel"))
-    val lastAdd = keys.groupBy(col("vkey")).agg(max(col("_ver")).as("_maxAdd"))
-    val live = keys
-      .join(broadcast(lastAdd), Seq("vkey"))
-      .where(col("_ver") === col("_maxAdd"))
-      .join(broadcast(dels), Seq("vkey"), "left")
-      .where(col("_maxDel").isNull || col("_maxDel") <= col("_maxAdd"))
-      .drop("_ver", "_maxAdd", "_maxDel")
+    val (liveKeys, _) = liveGramSlices(spark, idxDir, vs)
+    val live = liveKeys.drop("_ver")
     val probeKeyed = graft.ops.LocationResolve.withBlockKeys(
         probes.select(col("fnorm")).distinct(), "fnorm", gramOrder,
         "plen", graft.nlp.Cleaner.FuzzyScoreCutoff,

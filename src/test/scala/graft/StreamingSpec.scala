@@ -433,6 +433,61 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(streamed != full,
       "surviving tombstones removed nothing any probe cared about — vacuous")
+
+    // ---- compaction (r16): consolidate the lineage, then PROVE the
+    // reader no longer depends on pre-compaction slices by deleting
+    // them outright; results must stay identical, and a post-
+    // compaction update wave must keep composing
+    Streaming.compactGramIndex(spark, idxDir)
+    def resolveNow() =
+      Streaming.streamedGramResolve(spark, idxDir, gorder, probes)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(resolveNow() == streamed, "compaction changed resolution")
+    Seq("v0/keys", "v0/dels", "v1/keys", "v1/dels", "v2/keys", "v2/dels")
+      .foreach { p =>
+        val d = java.nio.file.Paths.get(s"$idxDir/$p")
+        if (java.nio.file.Files.exists(d)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
+      }
+    assert(resolveNow() == streamed,
+      "reader still touched pre-compaction slices — compaction is not " +
+        "the read base")
+    // a wave AFTER compaction: new adds + a tombstone on a compacted
+    // survivor, read as compact-base + one tail slice
+    val wave3Adds = LocationResolve.gramScaleDim(
+        spark.range(900, 1100).select($"id".as("p_partkey")))
+      .withColumn("vorder", lit(0L))
+    val wave3Dels = dict.join(dels, Seq("vkey"), "left_anti")
+      .filter(xxhash64($"vkey", lit(13)) % 6 === 0).select($"vkey")
+      .localCheckpoint()
+    Streaming.gramIndexUpdate(idxDir, gorder)(
+      wave3Adds.withColumn("op", lit("add"))
+        .unionByName(wave3Dels.withColumn("canon", lit(""))
+          .withColumn("vorder", lit(0L)).withColumn("op", lit("del"))
+          .select($"vkey", $"canon", $"vorder", $"op")), 3L)
+    val probes3 = LocationResolve.gramProbes(
+        spark.range(0, 1100, 3).select($"id".as("p_partkey")))
+      .select($"norm".as("fnorm")).distinct().localCheckpoint()
+    val streamed3 = Streaming.streamedGramResolve(
+        spark, idxDir, gorder, probes3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val surviving3 = dict.unionByName(wave3Adds)
+      .join(dels.join(readds.select($"vkey"), Seq("vkey"), "left_anti"),
+        Seq("vkey"), "left_anti")
+      .join(wave3Dels, Seq("vkey"), "left_anti")
+    val cold3 = LocationResolve.fuzzyResolveDim(probes3, surviving3, Some(true))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(streamed3 == cold3, {
+      val diff = (streamed3.keySet ++ cold3.keySet)
+        .filter(k => streamed3.get(k) != cold3.get(k))
+      s"${diff.size} diverging probes post-compaction, e.g. " +
+        diff.take(3).map(k =>
+          s"'$k' streamed=${streamed3.get(k)} cold=${cold3.get(k)}").mkString("; ")
+    })
+    assert(streamed3 != streamed, "wave-3 update changed nothing — vacuous")
   }
 
   test("incremental substring dedup: 2-wave rewrites == batch x70") {
