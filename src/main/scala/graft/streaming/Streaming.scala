@@ -1347,13 +1347,15 @@ object Streaming {
     q.awaitTermination()
   }
 
-  /** Shared survivor-set reader for both keep-best maintainers: the
-    * latest committed merged survivors plus the singleton majority
-    * (every streamed doc not in any cluster), labeled as its own
-    * cluster — the batch-x59 output shape. One definition so the two
-    * maintainers' read paths cannot drift; `labelsIdCol` names the id
-    * column of the labels slice (the rebuild form writes ccStars'
-    * (id, label), the delta form the merged (doc_id, …) dim). */
+  /** Survivor-set reader for the REBUILD-form maintainer: the latest
+    * committed merged survivors plus the singleton majority (every
+    * streamed doc not in any cluster), labeled as its own cluster —
+    * the batch-x59 output shape. The delta form has its own reader
+    * over the assembled delta lineage
+    * ([[streamedKeepBestDeltaSurvivors]]); both are pinned ≡ batch
+    * x59 by StreamingSpec, so the shapes cannot drift. `labelsIdCol`
+    * names the id column of the labels slice (the rebuild form writes
+    * ccStars' (id, label)). */
   private def keepBestSurvivorsFrom(spark: SparkSession, survDir: String,
       labelsIdCol: String): DataFrame = {
     val versions = modelVersions(survDir).sorted
@@ -1402,26 +1404,37 @@ object Streaming {
     *     a wave pair (so the merged component is fully present in the
     *     delta graph), and untouched components keep their min-id
     *     label verbatim;
-    *  5. the merged label dim carries (doc_id, cluster_id,
-    *     quality_score, lang) so survivor re-ranking never re-reads
-    *     history; quality for FIRST-TIME historical nodes (a cross
-    *     pair can touch an old doc that never paired before) is
-    *     probed from the CUMULATIVE per-version `attrs` dim (r16) —
-    *     prior attrs ∪ this batch's docs, merged per wave like the
-    *     label dim itself — so the per-wave read is ONE slice plus
-    *     the batch, never the all-prior-versions scan whose
-    *     file-listing grew ∝ version count (the r15 verdict's one
-    *     remaining history-proportional term in this maintainer; the
-    *     merged rewrite is the same cost class as the labels dim the
-    *     maintainer already rewrites, and at warehouse scale both
-    *     would be bucketed);
+    *  5. the label dim carries (doc_id, cluster_id, quality_score,
+    *     lang) so survivor re-ranking never re-reads history; quality
+    *     for FIRST-TIME historical nodes (a cross pair can touch an
+    *     old doc that never paired before) is probed from the
+    *     assembled attrs dim — per-wave `attrs_delta` slices (this
+    *     batch's first-time doc_ids only) over the newest cumulative
+    *     base;
     *  6. survivors: untouched clusters' rows carry over verbatim;
     *     touched clusters re-rank under the same quality-desc /
-    *     doc-id-asc window — so the merged dim stays ≡ the rebuild
+    *     doc-id-asc window — so the assembled dim stays ≡ the rebuild
     *     form ≡ batch x59 (StreamingSpec proves both).
     *
+    * r17 (the write-side sibling of the r16 attrs read fix): the wave
+    * no longer REWRITES the accumulated attrs/labels/survivors dims —
+    * bytes written per wave were ∝ accumulated docs, the last
+    * history-proportional term here. It writes DELTA slices instead:
+    * `attrs_delta` (this batch's first-time attribute rows), `drops`
+    * (the touched cluster ids, retiring every older row of those
+    * clusters), `labels_delta` / `survivors_delta` (the re-labeled
+    * members / re-ranked best of the touched clusters). Readers
+    * assemble the current dims from the newest CUMULATIVE base (a
+    * [[compactKeepBest]] artifact, or a pre-r17 whole-rewrite
+    * version) plus the delta slices after it, under the gram index's
+    * latest-wins algebra ([[assembledKeepBestDims]]); the compaction
+    * cadence bounds the read listing at O(K) slices and makes
+    * pre-compaction version dirs janitor-deletable. Per-wave bytes
+    * written are now ∝ batch + touched clusters, never ∝ corpus
+    * (StreamProbe's wave_bytes records it).
+    *
     * Same exactly-once discipline as every versioned dim: recompute
-    * from committed inputs + the PRIOR version's merged dim is
+    * from committed inputs + the PRIOR versions' committed slices is
     * deterministic, `_SUCCESS` is written last, replay of a committed
     * batch is a no-op. */
   def keepBestDeltaUpdate(dimDir: String, pairsDir: String,
@@ -1443,28 +1456,23 @@ object Streaming {
         graft.ops.TextAnalysis.qualityScore(col("text")).as("quality_score"),
         col("lang"))
       .write.mode("overwrite").parquet(s"$survDir/v$batchId/docs")
-    // cumulative attribute dim: prior attrs ∪ this batch (first-wins
-    // on doc_id) — the first-time-node probe below reads THIS one
-    // slice instead of every prior version's docs slice. A lineage
-    // whose prior versions predate the attrs dim (committed by the
-    // docs-slice-scanning form) is BACKFILLED once from those docs
-    // slices — the old read cost paid exactly once at upgrade, O(1)
-    // slices per wave after.
+    // a pre-r16 base (cumulative labels, NO attrs artifact) is
+    // completed into the attrs-bearing form exactly once at upgrade:
+    // the deterministic first-wins docs-slice backfill is PERSISTED
+    // at the base version, so neither this wave nor any later read
+    // pays the all-prior-slices scan again
+    upgradePreAttrsBase(spark, survDir, prior)
+    val (priorAttrs0, priorLabels, priorSurv) =
+      assembledKeepBestDims(spark, survDir, prior)
+    val priorAttrs = priorAttrs0.localCheckpoint()
+    // attrs DELTA: this batch's first-time doc_ids only (first-wins
+    // against the assembled prior attrs — a recurring doc_id keeps
+    // its first wave's row)
     val batchAttrs = spark.read.parquet(s"$survDir/v$batchId/docs")
     (if (prior.isEmpty) batchAttrs
-     else {
-       val priorAttrs =
-         if (java.nio.file.Files.exists(
-             Paths.get(s"$survDir/v${prior.max}/attrs")))
-           spark.read.parquet(s"$survDir/v${prior.max}/attrs")
-         else spark.read
-           .parquet(prior.map(v => s"$survDir/v$v/docs"): _*)
-           .dropDuplicates("doc_id")
-       priorAttrs.unionByName(
-         batchAttrs.join(priorAttrs.select(col("doc_id")),
-           Seq("doc_id"), "left_anti"))
-     })
-      .write.mode("overwrite").parquet(s"$survDir/v$batchId/attrs")
+     else batchAttrs.join(priorAttrs.select(col("doc_id")),
+       Seq("doc_id"), "left_anti"))
+      .write.mode("overwrite").parquet(s"$survDir/v$batchId/attrs_delta")
     // THIS batch's pair delta only — never the accumulated union
     val wavePairs = spark.read.parquet(s"$pairsDir/b$batchId")
       .select(col("inc_id").as("id_a"), col("hist_id").as("id_b"))
@@ -1473,16 +1481,11 @@ object Streaming {
     def emptyMerged = spark.emptyDataFrame
       .select(lit(0L).as("doc_id"), lit(0L).as("cluster_id"),
         lit(0.0).as("quality_score"), lit("").as("lang")).limit(0)
-    val priorLabels =
-      if (prior.isEmpty) emptyMerged
-      else spark.read.parquet(s"$survDir/v${prior.max}/labels")
-    val priorSurv =
-      if (prior.isEmpty) emptyMerged
-      else spark.read.parquet(s"$survDir/v${prior.max}/survivors")
     val cols = Seq("doc_id", "cluster_id", "quality_score", "lang")
-    val (labels, survivors, ccHandle) =
+    val (drops, labelsDelta, survDelta, ccHandle) =
       if (wavePairs.isEmpty)
-        (priorLabels, priorSurv, Option.empty[DataFrame])
+        (emptyMerged.select(col("cluster_id")), emptyMerged, emptyMerged,
+          Option.empty[DataFrame])
       else {
         val touchedIds = wavePairs.select(col("id_a").as("doc_id"))
           .union(wavePairs.select(col("id_b").as("doc_id"))).distinct()
@@ -1496,12 +1499,14 @@ object Streaming {
         val (lbl, _) = graft.ops.Dedup.ccStars(wavePairs.union(starEdges))
         val lblNodes = lbl
           .select(col("id").as("doc_id"), col("label").as("cluster_id"))
-        // attributes: prior members carry theirs in the merged dim;
-        // first-time nodes probe the cumulative attrs dim — one slice,
-        // never the version-count-proportional docs-slice union (r16)
+        // attributes: prior members carry theirs in the assembled dim;
+        // first-time nodes probe the assembled attrs (base + O(K)
+        // delta slices) plus this batch's just-written delta
         val known = priorLabels
           .select(col("doc_id"), col("quality_score"), col("lang"))
-        val fetched = spark.read.parquet(s"$survDir/v$batchId/attrs")
+        val fetched = priorAttrs
+          .unionByName(
+            spark.read.parquet(s"$survDir/v$batchId/attrs_delta"))
           .join(lblNodes.join(known.select(col("doc_id")),
             Seq("doc_id"), "left_anti").select(col("doc_id")),
             Seq("doc_id"), "left_semi")
@@ -1515,28 +1520,178 @@ object Streaming {
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") === 1)
           .select(cols.map(col): _*)
-        val mergedLabels = priorLabels
-          .join(touchedClusters, Seq("cluster_id"), "left_anti")
-          .select(cols.map(col): _*)
-          .unionByName(newMembers.select(cols.map(col): _*))
-        val mergedSurv = priorSurv
-          .join(touchedClusters, Seq("cluster_id"), "left_anti")
-          .select(cols.map(col): _*)
-          .unionByName(newBest)
-        (mergedLabels, mergedSurv, Some(lbl))
+        (touchedClusters, newMembers.select(cols.map(col): _*),
+          newBest, Some(lbl))
       }
-    labels.write.mode("overwrite").parquet(s"$survDir/v$batchId/labels")
-    survivors.write.mode("overwrite").parquet(s"$survDir/v$batchId/survivors")
+    // delta slices only: drops retire every older row of the touched
+    // clusters; the deltas carry their re-labeled members / re-ranked
+    // best. Bytes ∝ touched clusters, never ∝ accumulated corpus.
+    drops.write.mode("overwrite").parquet(s"$survDir/v$batchId/drops")
+    labelsDelta.write.mode("overwrite")
+      .parquet(s"$survDir/v$batchId/labels_delta")
+    survDelta.write.mode("overwrite")
+      .parquet(s"$survDir/v$batchId/survivors_delta")
     ccHandle.foreach(_.unpersist(blocking = false)) // ccStars persists it
     Files.write(Paths.get(s"$survDir/v$batchId/_SUCCESS"),
       Array.emptyByteArray)
   }
 
+  /** Deterministic first-wins attrs over the docs slices of the given
+    * versions: tag each slice with its version and keep every row of
+    * the FIRST version that introduced a doc_id — exactly the
+    * incremental attrs dim's semantics (r17, ADVICE: bare
+    * dropDuplicates kept a partition-order-dependent row, so a
+    * backfilled resume could diverge from an always-incremental
+    * lineage when a doc_id recurred with changed attributes). */
+  private def backfillAttrs(spark: SparkSession, survDir: String,
+      vs: Seq[Long]): DataFrame = {
+    val tagged = vs.sorted.map(v =>
+        spark.read.parquet(s"$survDir/v$v/docs")
+          .withColumn("_bver", lit(v)))
+      .reduce(_ unionByName _)
+    tagged
+      .withColumn("_minv", min(col("_bver")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))))
+      .where(col("_bver") === col("_minv"))
+      .drop("_bver", "_minv")
+  }
+
+  /** Complete a pre-r16 cumulative base (labels/survivors written
+    * whole, NO attrs artifact) into the attrs-bearing form: persist
+    * the [[backfillAttrs]] result AT the base version, exactly once —
+    * idempotent (deterministic recompute from committed inputs,
+    * skipped when the artifact exists), so the all-prior-slices scan
+    * is paid once at upgrade and never again by any reader. */
+  private def upgradePreAttrsBase(spark: SparkSession, survDir: String,
+      vs: Seq[Long]): Unit = {
+    import java.nio.file.{Files, Paths}
+    cumulativeBase(survDir, vs.sorted).foreach { b =>
+      if (!Files.exists(Paths.get(s"$survDir/v$b/attrs")))
+        backfillAttrs(spark, survDir, vs.sorted.filter(_ <= b))
+          .write.mode("overwrite").parquet(s"$survDir/v$b/attrs")
+    }
+  }
+
+  /** The newest version of a delta keep-best lineage carrying a
+    * CUMULATIVE artifact: a [[compactKeepBest]] compaction
+    * (`_CUMULATIVE` marker, written last so a crashed compaction is
+    * invisible — a version with both `labels` and `labels_delta` but
+    * no marker is exactly that) or a pre-r17 whole-rewrite version
+    * (cumulative `labels`, no delta slice). */
+  private def cumulativeBase(survDir: String,
+      vs: Seq[Long]): Option[Long] = {
+    import java.nio.file.{Files, Paths}
+    vs.filter { v =>
+      Files.isRegularFile(Paths.get(s"$survDir/v$v/_CUMULATIVE")) ||
+        (Files.exists(Paths.get(s"$survDir/v$v/labels")) &&
+          !Files.exists(Paths.get(s"$survDir/v$v/labels_delta")))
+    }.sorted.lastOption
+  }
+
+  /** Assembled (attrs, labels, survivors) over the committed versions
+    * `vs0` of a delta keep-best lineage: rows from the newest
+    * [[cumulativeBase]] plus the delta slices committed after it,
+    * under [[liveGramSlices]]' latest-wins algebra on the CLUSTER
+    * axis — a row from version u survives iff no version later than u
+    * dropped its cluster (ties keep the delta: a wave's drop applies
+    * to strictly older rows, its own delta re-labels the cluster).
+    * Attrs are append-only first-wins deltas, no drops; a pre-r16
+    * base without an attrs artifact falls back to the deterministic
+    * docs-slice backfill (readers on a lineage no r17 wave has
+    * touched yet — the maintainer persists the upgrade at its next
+    * wave). The per-cluster drop dim broadcasts at touched-clusters
+    * size, the same class as the gram reader's version dims. */
+  private[graft] def assembledKeepBestDims(spark: SparkSession,
+      survDir: String,
+      vs0: Seq[Long]): (DataFrame, DataFrame, DataFrame) = {
+    import java.nio.file.{Files, Paths}
+    def emptyMerged = spark.emptyDataFrame
+      .select(lit(0L).as("doc_id"), lit(0L).as("cluster_id"),
+        lit(0.0).as("quality_score"), lit("").as("lang")).limit(0)
+    def emptyAttrs =
+      emptyMerged.select(col("doc_id"), col("quality_score"), col("lang"))
+    val vs = vs0.sorted
+    if (vs.isEmpty) return (emptyAttrs, emptyMerged, emptyMerged)
+    val base = cumulativeBase(survDir, vs)
+    val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs)
+    val cols = Seq("doc_id", "cluster_id", "quality_score", "lang")
+    def read(v: Long, part: String) =
+      spark.read.parquet(s"$survDir/v$v/$part")
+    val baseAttrs = base.map { b =>
+      if (Files.exists(Paths.get(s"$survDir/v$b/attrs"))) read(b, "attrs")
+      else backfillAttrs(spark, survDir, vs.filter(_ <= b))
+    }
+    val attrs = (baseAttrs.toSeq ++ tail.map(v => read(v, "attrs_delta")))
+      .reduceOption(_ unionByName _).getOrElse(emptyAttrs)
+    val dropDim = tail.map(v => read(v, "drops").select(col("cluster_id"))
+        .withColumn("_dver", lit(v)))
+      .reduceOption(_ unionByName _)
+      .map(_.groupBy(col("cluster_id")).agg(max(col("_dver")).as("_maxDrop")))
+    def assemble(cumPart: String, deltaPart: String): DataFrame = {
+      val rows = (base.map(b => read(b, cumPart).select(cols.map(col): _*)
+          .withColumn("_ver", lit(b))).toSeq ++
+        tail.map(v => read(v, deltaPart).select(cols.map(col): _*)
+          .withColumn("_ver", lit(v))))
+        .reduceOption(_ unionByName _)
+      (rows, dropDim) match {
+        case (None, _)          => emptyMerged
+        case (Some(r), None)    => r.drop("_ver")
+        case (Some(r), Some(d)) =>
+          r.join(broadcast(d), Seq("cluster_id"), "left")
+            .where(col("_maxDrop").isNull || col("_maxDrop") <= col("_ver"))
+            .drop("_ver", "_maxDrop")
+      }
+    }
+    (attrs, assemble("labels", "labels_delta"),
+      assemble("survivors", "survivors_delta"))
+  }
+
+  /** Compact a delta keep-best lineage at its newest committed
+    * version: persist the assembled cumulative attrs/labels/survivors
+    * under that version, `_CUMULATIVE` marker last — the
+    * [[compactGramIndex]] story on the survivor direction. Readers
+    * then stand on the compaction + later delta slices (O(waves since
+    * compaction) listings), and version dirs BELOW the compaction are
+    * janitor-deletable: correctness never reads them again
+    * (StreamingSpec deletes them outright and proves the reader and
+    * the next wave are unchanged). Idempotent; safe at any cadence. */
+  def compactKeepBest(spark: SparkSession, survDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val vs = modelVersions(survDir).sorted
+    require(vs.nonEmpty, s"no committed survivor version under $survDir")
+    val top = vs.max
+    if (Files.isRegularFile(Paths.get(s"$survDir/v$top/_CUMULATIVE"))) return
+    val (attrs, labels, survivors) = assembledKeepBestDims(spark, survDir, vs)
+    // localCheckpoint before the overwrite: labels/survivors read the
+    // very slices (a prior base at top, under re-compaction retry)
+    // the writes below may replace
+    val (aC, lC, sC) = (attrs.localCheckpoint(), labels.localCheckpoint(),
+      survivors.localCheckpoint())
+    aC.write.mode("overwrite").parquet(s"$survDir/v$top/attrs")
+    lC.write.mode("overwrite").parquet(s"$survDir/v$top/labels")
+    sC.write.mode("overwrite").parquet(s"$survDir/v$top/survivors")
+    Files.write(Paths.get(s"$survDir/v$top/_CUMULATIVE"),
+      Array.emptyByteArray)
+  }
+
+  /** One maintained wave of the delta keep-best WITH the compaction
+    * cadence — [[gramIndexMaintain]]'s sibling on the survivor
+    * direction. `compactEvery <= 0` disables the cadence. */
+  private[graft] def keepBestDeltaMaintain(dimDir: String, pairsDir: String,
+      survDir: String, compactEvery: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    keepBestDeltaUpdate(dimDir, pairsDir, survDir)(batch, batchId)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      compactKeepBest(batch.sparkSession, survDir)
+  }
+
   /** Run the delta keep-best maintainer over a documents stream to
     * completion (AvailableNow) — [[buildKeepBest]]'s sibling on the
-    * delta-star updater. */
+    * delta-star updater, compacting the survivor lineage every
+    * `compactEvery` waves (0 = never). */
   def buildKeepBestDelta(docs: DataFrame, dimDir: String, pairsDir: String,
-      survDir: String, ckptDir: String): Unit = {
+      survDir: String, ckptDir: String, compactEvery: Int = 0): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dimDir))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pairsDir))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(survDir))
@@ -1545,7 +1700,8 @@ object Streaming {
     requireSliceLifecycle(pairsDir, ckptDir, "pair")
     val q = docs.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        keepBestDeltaUpdate(dimDir, pairsDir, survDir)(df, batchId)
+        keepBestDeltaMaintain(dimDir, pairsDir, survDir, compactEvery)(
+          df, batchId)
       }
       .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
@@ -1554,10 +1710,32 @@ object Streaming {
   }
 
   /** The delta maintainer's survivor set as of the latest committed
-    * version — same reader, the merged labels dim keys by doc_id. */
+    * version: assembled survivors plus the singleton majority. The
+    * singletons derive from the assembled ATTRS dim (one first-wins
+    * row per streamed doc) rather than the all-versions docs-slice
+    * union the rebuild form's reader scans — same rows, deduplicated,
+    * and it survives the janitor deleting pre-compaction version
+    * dirs. */
   def streamedKeepBestDeltaSurvivors(spark: SparkSession,
-      survDir: String): DataFrame =
-    keepBestSurvivorsFrom(spark, survDir, labelsIdCol = "doc_id")
+      survDir: String): DataFrame = {
+    val vs = modelVersions(survDir).sorted
+    require(vs.nonEmpty, s"no committed survivor version in $survDir")
+    val (attrs, labels, survivors) = assembledKeepBestDims(spark, survDir, vs)
+    val singletons = attrs
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        col("quality_score"), col("lang"))
+    survivors.unionByName(singletons)
+  }
+
+  /** The assembled first-wins attrs dim as of the latest committed
+    * version (spec/debug surface for the delta lineage). */
+  private[graft] def streamedKeepBestAttrs(spark: SparkSession,
+      survDir: String): DataFrame = {
+    val vs = modelVersions(survDir).sorted
+    require(vs.nonEmpty, s"no committed survivor version in $survDir")
+    assembledKeepBestDims(spark, survDir, vs)._1
+  }
 
   /** Tenth maintainer — the fuzzy dictionary's gram/token blocking
     * index, maintained INCREMENTALLY as the dictionary itself changes:
@@ -1607,15 +1785,34 @@ object Streaming {
       Array.emptyByteArray)
   }
 
+  /** One maintained wave of the gram index WITH the compaction
+    * cadence (r17, VERDICT #5): the per-batch update, then — every
+    * `compactEvery` committed versions — [[compactGramIndex]], so a
+    * long-running lineage bounds its own read listing at O(K) waves
+    * without an operator remembering to compact. Exactly-once
+    * composes: a replayed committed batch no-ops the update, and the
+    * compaction is idempotent (`_COMPACT` checked, overwrite-then-
+    * marker on retry after a crash mid-compaction). `compactEvery <=
+    * 0` disables the cadence (the pre-r17 behavior). */
+  private[graft] def gramIndexMaintain(idxDir: String,
+      gramOrder: DataFrame, compactEvery: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    gramIndexUpdate(idxDir, gramOrder)(batch, batchId)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      compactGramIndex(batch.sparkSession, idxDir)
+  }
+
   /** Run the incremental dictionary-index maintainer over a variant
-    * update stream (rows (vkey, canon, vorder, op)) to completion. */
+    * update stream (rows (vkey, canon, vorder, op)) to completion,
+    * compacting the index every `compactEvery` waves (0 = never). */
   def buildGramIndex(updates: DataFrame, idxDir: String,
-      gramOrder: DataFrame, ckptDir: String): Unit = {
+      gramOrder: DataFrame, ckptDir: String,
+      compactEvery: Int = 0): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(idxDir))
     requireSharedLifecycle(idxDir, ckptDir)
     val q = updates.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        gramIndexUpdate(idxDir, gramOrder)(df, batchId)
+        gramIndexMaintain(idxDir, gramOrder, compactEvery)(df, batchId)
       }
       .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
@@ -1625,9 +1822,10 @@ object Streaming {
 
   /** Compact the streamed gram index up to its newest committed
     * version: materialize the LIVE key rows (latest-wins semantics,
-    * `_ver` preserved) and the per-vkey max tombstone version as
-    * consolidated `compact/{keys,dels}` artifacts under that
-    * version, `_COMPACT` marker last. [[streamedGramResolve]] then
+    * `_ver` preserved) as a consolidated `compact/keys` artifact under
+    * that version (plus an empty-by-construction `compact/dels` —
+    * compacted tombstones are provably inert, see below), `_COMPACT`
+    * marker last. [[streamedGramResolve]] then
     * reads the newest compaction + only the slices COMMITTED AFTER
     * it — per-read file listing drops from ∝ lineage length to
     * O(waves since last compaction), the same history-proportional
@@ -1647,7 +1845,16 @@ object Streaming {
     if (Files.isRegularFile(Paths.get(s"$idxDir/v$top/_COMPACT"))) return
     val (live, dels) = liveGramSlices(spark, idxDir, vs)
     live.write.mode("overwrite").parquet(s"$idxDir/v$top/compact/keys")
-    dels.write.mode("overwrite").parquet(s"$idxDir/v$top/compact/dels")
+    // compacted tombstones are provably inert (r17, ADVICE):
+    // compact/keys already excludes every row a tombstone ≤ top could
+    // kill, and any post-compaction add carries _ver > top ≥ every
+    // compacted _maxDel, so the reader's `_maxDel <= _maxAdd` liveness
+    // test can never fail through them — the artifact's dels are
+    // written pruned to EMPTY (schema preserved for the reader's
+    // union) instead of carrying every historical per-vkey tombstone
+    // forever, which grew ∝ delete churn for zero read-path effect.
+    dels.limit(0).write.mode("overwrite")
+      .parquet(s"$idxDir/v$top/compact/dels")
     Files.write(Paths.get(s"$idxDir/v$top/_COMPACT"), Array.emptyByteArray)
   }
 
@@ -1701,19 +1908,33 @@ object Streaming {
     * rebuild over the surviving dictionary, including an
     * add→del→re-add lineage and a compacted one. */
   def streamedGramResolve(spark: SparkSession, idxDir: String,
-      gramOrder: DataFrame, probes: DataFrame): DataFrame = {
+      gramOrder: DataFrame, probes: DataFrame,
+      probeBroadcast: Option[Boolean] = None): DataFrame = {
     graft.functions.CustomExprs.register(spark)
     val vs = modelVersions(idxDir).sorted
     require(vs.nonEmpty, s"no committed index version under $idxDir")
     val (liveKeys, _) = liveGramSlices(spark, idxDir, vs)
     val live = liveKeys.drop("_ver")
-    val probeKeyed = graft.ops.LocationResolve.withBlockKeys(
-        probes.select(col("fnorm")).distinct(), "fnorm", gramOrder,
+    val probeD = probes.select(col("fnorm")).distinct()
+    // probe broadcast under the batch path's sizing switch (r17,
+    // VERDICT #2 — this reader broadcast probe keys unconditionally
+    // while LocationResolve gained the ProbeBroadcastMax gate in r15):
+    // a fact-level probe set past ~1M distinct strings degrades to a
+    // shuffle equi-join instead of a driver-sized broadcast. The
+    // limit-probe count is an early-out, never a full scan of a
+    // large probe side; `probeBroadcast` forces either form for the
+    // StreamingSpec shuffle≡broadcast gate.
+    val maxP = graft.ops.LocationResolve.ProbeBroadcastMax
+    val bcast = probeBroadcast.getOrElse(
+      probeD.limit((maxP + 1).toInt).count() <= maxP)
+    val probeKeyed0 = graft.ops.LocationResolve.withBlockKeys(
+        probeD, "fnorm", gramOrder,
         "plen", graft.nlp.Cleaner.FuzzyScoreCutoff,
         grams = true, crossGrams = true, materializeRanked = false)
+    val probeKeyed = if (bcast) broadcast(probeKeyed0) else probeKeyed0
     val cutoff = graft.nlp.Cleaner.FuzzyScoreCutoff
     graft.ops.LocationResolve.candidateFilter(
-        live.join(broadcast(probeKeyed), "bkey")
+        live.join(probeKeyed, "bkey")
           .where(graft.ops.LocationResolve.fuzzyLenBandPred(
             col("plen"), col("dlen"), cutoff)),
         Seq("fnorm", "vkey", "canon", "vorder"))

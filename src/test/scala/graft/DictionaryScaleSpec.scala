@@ -35,7 +35,7 @@ class DictionaryScaleSpec extends AnyFunSuite {
     // contract: pattern and dim must come from the same variant set)
     val pattern = "(?U)(?<![\\w])(variant[0-9]+)(?![\\w])"
 
-    val resolved = LocationResolve.resolveTokensBroadcast(tokens, dim, pattern)
+    val resolved = LocationResolve.resolveTokensBroadcast(tokens, dim, Some(pattern))
     val plan = resolved.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
     // FormattedMode prints each operator twice (tree + details): 4
@@ -583,6 +583,35 @@ class DictionaryScaleSpec extends AnyFunSuite {
           s"'$k' default=${dflt.get(k)} exhaustive=${exh.get(k)}").mkString("; ")
     })
     assert(dflt.size > 100, s"degenerate: ${dflt.size} hits")
+    // r17 (VERDICT #3): the fallback's dictionary broadcast is
+    // size-gated — a pathological AND huge dictionary must degrade to
+    // a non-broadcast join instead of driver memory pressure. The
+    // forced non-broadcast form must be row-identical, and its plan
+    // must physically leave the broadcast (auto-broadcast disabled so
+    // Catalyst's size estimate can't re-broadcast the small fixture
+    // dim and vacuously pass)
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val shuffledExh =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = LocationResolve.fuzzyResolveDim(probes, dim,
+          dictBroadcast = Some(false))
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"forced non-broadcast form still broadcasts the dictionary\n" +
+            p.take(1500))
+        assert(p.contains("CartesianProduct"),
+          s"no shuffled cartesian in the forced form\n${p.take(1500)}")
+        df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    assert(shuffledExh == dflt, {
+      val diff = (shuffledExh.keySet ++ dflt.keySet)
+        .filter(k => shuffledExh.get(k) != dflt.get(k))
+      s"${diff.size} diverging probes through the non-broadcast " +
+        s"fallback, e.g. ${diff.take(3).map(k =>
+          s"'$k' shuffled=${shuffledExh.get(k)} bcast=${dflt.get(k)}")
+          .mkString("; ")}"
+    })
   }
 
   test("guard fallback carries REPEATED-token probes (single-shaped, " +
@@ -692,5 +721,75 @@ class DictionaryScaleSpec extends AnyFunSuite {
       s"(score ${rows(0)._1}, len diff 10) — the r12 lossy-band bug")
     assert(!rows(1)._2,
       "derived band kept a pair that cannot clear the cutoff")
+  }
+
+  test("Arabic fused multi-token variants through the blocked path " +
+      "(r17): a dictionary-scale Arabic universe with real despaced " +
+      "pairs (\"مدينة نصر\" ↔ \"مدينةنصر\"), normalization composed — " +
+      "blocked ≡ exhaustive") {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    // synthetic two-token Arabic phrases (deterministic letter pool) +
+    // the bundled reference dictionary's own Arabic multi-token
+    // variants (locations.json shapes) + named real-world forms,
+    // including a taa-marbuta/final-ha surface pair that only collides
+    // AFTER normalization — the normalize→gram composition the ASCII
+    // n15 universe could not exercise
+    val letters = "ابتثجحخدذرزسشصضطظعغفقكلمنةي"
+    def tok(seed: Int, len: Int): String =
+      (0 until len).map(i =>
+        letters(math.abs(seed * 31 + i * 7 + 11) % letters.length)).mkString
+    val synth = (for (a <- 0 until 40; b <- 0 until 20)
+      yield s"${tok(a, 4 + a % 3)} ${tok(1000 + b, 3 + b % 3)}").distinct
+    val bundledMulti = graft.nlp.Locations.variantRows.map(_._1)
+      .filter(v => v.contains(" ") && v.exists(c => c >= 'ا' && c <= 'ي'))
+    val named = Seq("مدينة نصر", "مدينه نصر", "برج العرب", "شرم الشيخ")
+    val raw = synth ++ bundledMulti ++ named
+    val dim = raw.toDF("v")
+      .select(graft.nlp.Normalize.normalizeCol($"v").as("vkey"))
+      .distinct()
+      .withColumn("canon", $"vkey").withColumn("vorder", lit(0L))
+      .localCheckpoint()
+    assert(dim.count() > LocationResolve.FuzzyBlockSwitch,
+      "fixture drifted below the blocked switch")
+    val spacedNasr = graft.nlp.Normalize.normalize("مدينة نصر")
+    assert(graft.nlp.Normalize.normalize("مدينه نصر") == spacedNasr &&
+        dim.filter($"vkey" === spacedNasr).count() == 1,
+      "final-ha normalization did not collapse the two surface forms " +
+        "to one dim row — normalizeCol drifted from normalize()")
+    // probes: every phrase's despaced FUSED form (the r15 multi↔multi
+    // boundary class, closed by the r16 spaced-gram family), a fused
+    // one-char-deletion form, and spaced exacts
+    val fused = dim.select(translate($"vkey", " ", "").as("fnorm"))
+    val probes = fused
+      .union(dim.limit(200).select(
+        expr("substr(translate(vkey, ' ', ''), 1, 2) || " +
+          "substr(translate(vkey, ' ', ''), 4, 40)").as("fnorm")))
+      .union(dim.limit(150).select($"vkey".as("fnorm")))
+      .distinct().localCheckpoint()
+    def resolved(blocked: Option[Boolean]): Map[String, String] =
+      LocationResolve.fuzzyResolveDim(probes, dim, blocked)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (b, e) = (resolved(Some(true)), resolved(Some(false)))
+    assert(b == e, {
+      val diff = (b.keySet ++ e.keySet).filter(k => b.get(k) != e.get(k))
+      s"${diff.size} diverging Arabic probes, e.g. ${diff.take(3).map(k =>
+        s"'$k' blocked=${b.get(k)} exhaustive=${e.get(k)}").mkString("; ")}"
+    })
+    // non-vacuity: the named real-world fused pair resolves to its
+    // spaced canon (tokens in sorted order → despacing is one indel,
+    // score ≈ 94 ≥ 82), and the fused class as a whole carries real
+    // traffic through the gram keys
+    val fusedNasr = graft.nlp.Normalize.normalize("مدينةنصر")
+    assert(b.get(fusedNasr).contains(spacedNasr),
+      s"'مدينةنصر' resolved to ${b.get(fusedNasr)}, not 'مدينة نصر'")
+    val spacedByFused = dim
+      .select(translate($"vkey", " ", "").as("f"), $"vkey")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val fusedHits = b.count { case (f, canon) =>
+      spacedByFused.get(f).contains(canon) }
+    assert(fusedHits > 150,
+      s"only $fusedHits fused Arabic probes resolved to their spaced " +
+        "canon — the despaced class lost recall")
   }
 }

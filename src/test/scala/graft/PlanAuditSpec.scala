@@ -493,8 +493,8 @@ class PlanAuditSpec extends AnyFunSuite {
   test("n09: 100k-variant lookups stay broadcast joins, dim not inlined") {
     val q = graft.ops.LocationResolve.dictScale(spark, sf)
     val plan = formatted(q)
-    // r15: the two regex tiers are STATICALLY skipped under the
-    // NeverMatchPattern sentinel, so the live tiers are exact +
+    // r15/r17: the two regex tiers are STATICALLY skipped under the
+    // typed combinedPattern=None contract, so the live tiers are exact +
     // stripped-exact — 2 joins, FormattedMode doubling => >= 4
     // mentions (n07's full 4-tier shape keeps its own >= 8 gate in
     // DictionaryScaleSpec, where the pattern is real)

@@ -137,6 +137,37 @@ class StreamingSpec extends AnyFunSuite {
     Option(new java.io.File(dir).listFiles()).toSeq.flatten
       .map(f => f.getName -> f.lastModified()).toMap
 
+  private def deleteRec(path: String): Unit = {
+    val d = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(d)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  /** Convert the first `n` committed versions of a DELTA keep-best
+    * lineage into the pre-r16 whole-rewrite layout — cumulative
+    * labels/survivors per version, NO attrs artifact, delta slices
+    * gone — the faithful fixture for upgrade-path tests (resuming a
+    * lineage the old maintainer committed). */
+  private def toPreR16Lineage(survDir: String, n: Int): Unit = {
+    val materialized = (0 until n).map { v =>
+      val (_, l, s) = graft.streaming.Streaming.assembledKeepBestDims(
+        spark, survDir, (0L to v.toLong))
+      (v, l.localCheckpoint(), s.localCheckpoint())
+    }
+    (0 until n).foreach { v =>
+      Seq("labels_delta", "survivors_delta", "drops", "attrs_delta",
+        "attrs", "labels", "survivors")
+        .foreach(part => deleteRec(s"$survDir/v$v/$part"))
+    }
+    materialized.foreach { case (v, l, s) =>
+      l.write.mode("overwrite").parquet(s"$survDir/v$v/labels")
+      s.write.mode("overwrite").parquet(s"$survDir/v$v/survivors")
+    }
+  }
+
   /** Stage a frame as N single parquet files in a fresh landing dir so
     * AvailableNow + maxFilesPerTrigger=1 replays it as N micro-batches. */
   private def stageLanding(prefix: String,
@@ -275,12 +306,113 @@ class StreamingSpec extends AnyFunSuite {
       s"delta keep-best diverged from batch x59: " +
         s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
     // replay of the committed final batch is a no-op
-    val before = snapshot(s"$survDir/v2/survivors")
+    val before = snapshot(s"$survDir/v2/survivors_delta")
     assert(before.nonEmpty)
     Streaming.keepBestDeltaUpdate(dimDir, pairsDir, survDir)(
       docs.filter($"doc_id" % 7 === 0), 2L)
-    assert(snapshot(s"$survDir/v2/survivors") == before,
-      "replay of a committed batch rewrote the delta survivor dim")
+    assert(snapshot(s"$survDir/v2/survivors_delta") == before,
+      "replay of a committed batch rewrote the delta survivor slices")
+  }
+
+  test("delta keep-best compaction cadence (r17): the lineage compacts " +
+      "itself, a janitor deletes every pre-compaction version dir, the " +
+      "next wave still commits, and the reader == batch x59") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val waves = (0 until 5).map(i => docs.filter($"doc_id" % 5 === i))
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_kbc_$p").toString
+    val (dimDir, pairsDir, survDir) = (tmp("dim"), tmp("pairs"), tmp("surv"))
+    waves.take(4).zipWithIndex.foreach { case (w, i) =>
+      Streaming.keepBestDeltaMaintain(dimDir, pairsDir, survDir,
+        compactEvery = 2)(w, i.toLong)
+    }
+    Seq(1, 3).foreach { v =>
+      assert(java.nio.file.Files.isRegularFile(
+          java.nio.file.Paths.get(s"$survDir/v$v/_CUMULATIVE")),
+        s"no _CUMULATIVE at v$v — the cadence did not fire")
+    }
+    // janitor: version dirs below the newest compaction go entirely
+    (0 until 3).foreach(v => deleteRec(s"$survDir/v$v"))
+    assert(new java.io.File(survDir).listFiles()
+        .count(f => f.isDirectory && f.getName.matches("v\\d+")) == 1,
+      "janitor left pre-compaction versions behind")
+    // a wave AFTER the janitor must still commit (reads stand on the
+    // compaction alone) and the assembled reader must equal batch x59
+    Streaming.keepBestDeltaMaintain(dimDir, pairsDir, survDir,
+      compactEvery = 2)(waves(4), 4L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id", "quality_score", "lang")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    val streamed = rows(Streaming.streamedKeepBestDeltaSurvivors(spark, survDir))
+    val batch = rows(graft.ops.Dedup.dedupKeepBest(spark, sf))
+    assert(streamed == batch,
+      s"post-janitor delta keep-best diverged from batch x59: " +
+        s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+    // the write-side point of the delta form: the wave's label slice
+    // is touched-clusters-sized, strictly smaller than the dim
+    val deltaRows = spark.read
+      .parquet(s"$survDir/v4/labels_delta").count()
+    val dimRows = Streaming.assembledKeepBestDims(
+      spark, survDir, Seq(3L, 4L))._2.count()
+    assert(deltaRows < dimRows,
+      s"wave 4 labels_delta ($deltaRows rows) is not smaller than the " +
+        s"assembled dim ($dimRows rows) — the rewrite term is back")
+  }
+
+  test("pre-attrs backfill is deterministic first-wins: a doc_id " +
+      "recurring across waves with CHANGED attributes backfills to its " +
+      "first wave's row, identical to the always-incremental lineage") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // wave 2 re-submits a slice of wave-1 doc_ids with mutated text
+    // (changed quality_score) — the class ADVICE flagged: bare
+    // dropDuplicates kept a partition-order-dependent row here, while
+    // the incremental attrs dim is explicitly first-wins
+    val recur = docs.filter($"doc_id" % 3 === 0 && $"doc_id" % 5 === 0)
+      .withColumn("text", concat($"text",
+        lit(" zq zq zq zq zq zq zq zq zq zq zq zq")))
+    val waves = Seq(docs.filter($"doc_id" % 3 === 0),
+      docs.filter($"doc_id" % 3 === 1).unionByName(recur),
+      docs.filter($"doc_id" % 3 === 2))
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_kbfw_$p").toString
+    def runLineage(backfill: Boolean): Set[(Long, Double, String)] = {
+      val (dimDir, pairsDir, survDir) = (tmp("dim"), tmp("pairs"), tmp("surv"))
+      waves.take(2).zipWithIndex.foreach { case (w, i) =>
+        Streaming.keepBestDeltaUpdate(dimDir, pairsDir, survDir)(w, i.toLong)
+      }
+      if (backfill) toPreR16Lineage(survDir, 2)
+      Streaming.keepBestDeltaUpdate(dimDir, pairsDir, survDir)(waves(2), 2L)
+      Streaming.streamedKeepBestAttrs(spark, survDir)
+        .select($"doc_id", $"quality_score", $"lang").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    }
+    val incremental = runLineage(backfill = false)
+    val backfilled = runLineage(backfill = true)
+    assert(backfilled == incremental,
+      s"backfilled attrs diverged from the incremental lineage: " +
+        s"missing=${(incremental -- backfilled).take(5)} " +
+        s"extra=${(backfilled -- incremental).take(5)}")
+    // non-vacuity + the semantics pin: the recurring ids' mutated
+    // wave-2 scores must actually differ from their wave-1 scores, and
+    // BOTH lineages must carry the wave-1 (first-wins) row for them
+    val wave1Attrs = waves(0)
+      .select($"doc_id",
+        graft.ops.TextAnalysis.qualityScore($"text").as("q"), $"lang")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .toSet
+    val recurAttrs = recur
+      .select($"doc_id",
+        graft.ops.TextAnalysis.qualityScore($"text").as("q"), $"lang")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(recurAttrs.exists(t => !wave1Attrs.contains(t)),
+      "mutation changed no recurring doc's attributes — vacuous")
+    val recurIds = recurAttrs.map(_._1).toSet
+    assert(incremental.filter(t => recurIds.contains(t._1)) ==
+        wave1Attrs.filter(t => recurIds.contains(t._1)),
+      "recurring doc_ids do not carry their first wave's attributes")
   }
 
   test("delta keep-best resumes a PRE-attrs lineage: missing attrs " +
@@ -295,18 +427,16 @@ class StreamingSpec extends AnyFunSuite {
     waves.take(2).zipWithIndex.foreach { case (w, i) =>
       Streaming.keepBestDeltaUpdate(dimDir, pairsDir, survDir)(w, i.toLong)
     }
-    // simulate a lineage committed by the pre-r16 code: the attrs
-    // slices never existed (the review finding: a raw path-not-found
-    // mid-wave, after the batch docs were already written)
-    Seq(0, 1).foreach { v =>
-      val d = java.nio.file.Paths.get(s"$survDir/v$v/attrs")
-      if (java.nio.file.Files.exists(d)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
-    }
+    // the faithful pre-r16 fixture (r17): cumulative labels/survivors
+    // per version, NO attrs artifact, no delta slices — the layout the
+    // old whole-rewrite maintainer actually committed
+    toPreR16Lineage(survDir, 2)
     Streaming.keepBestDeltaUpdate(dimDir, pairsDir, survDir)(waves(2), 2L)
+    // the upgrade must be PERSISTED at the base version: the one-time
+    // docs-slice backfill lands as v1/attrs so no later read pays it
+    assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$survDir/v1/attrs")),
+      "pre-r16 base was not upgraded with a persisted attrs artifact")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id", "cluster_id", "quality_score", "lang")
         .collect().map(r =>
@@ -368,6 +498,31 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(full != streamed,
       "tombstone set removed nothing any probe cared about — vacuous")
+    // r17 (VERDICT #2): the reader's probe broadcast is size-gated
+    // like the batch path's ProbeBroadcastMax switch — the forced
+    // shuffle form must be row-identical, and its bkey join must
+    // physically leave the broadcast (auto-broadcast disabled so
+    // Catalyst's size estimate can't re-broadcast the tiny fixture
+    // keys and vacuously pass; the gorder hint survives, as intended)
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val shuffledForm =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = Streaming.streamedGramResolve(spark, idxDir, gorder,
+          probes, probeBroadcast = Some(false))
+        val plan = df.queryExecution.executedPlan.toString
+        assert("(?:SortMergeJoin|ShuffledHashJoin)".r
+            .findFirstIn(plan).isDefined,
+          s"no shuffle key join in the forced form\n${plan.take(1500)}")
+        df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    assert(shuffledForm == streamed, {
+      val diff = (shuffledForm.keySet ++ streamed.keySet)
+        .filter(k => shuffledForm.get(k) != streamed.get(k))
+      s"${diff.size} diverging probes through the shuffle form, e.g. " +
+        diff.take(3).map(k => s"'$k' shuffle=${shuffledForm.get(k)} " +
+          s"broadcast=${streamed.get(k)}").mkString("; ")
+    })
   }
 
   test("gram index re-add lineage (r16): add → del → re-add in ONE " +
@@ -443,6 +598,12 @@ class StreamingSpec extends AnyFunSuite {
       Streaming.streamedGramResolve(spark, idxDir, gorder, probes)
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(resolveNow() == streamed, "compaction changed resolution")
+    // r17 (ADVICE): compacted tombstones are inert — the artifact's
+    // dels must be pruned to EMPTY (this lineage has real deletes, so
+    // an unpruned artifact would carry rows here), while resolution
+    // above already proved the read path doesn't need them
+    assert(spark.read.parquet(s"$idxDir/v2/compact/dels").isEmpty,
+      "compaction artifact carries inert per-vkey tombstones")
     Seq("v0/keys", "v0/dels", "v1/keys", "v1/dels", "v2/keys", "v2/dels")
       .foreach { p =>
         val d = java.nio.file.Paths.get(s"$idxDir/$p")
@@ -488,6 +649,92 @@ class StreamingSpec extends AnyFunSuite {
           s"'$k' streamed=${streamed3.get(k)} cold=${cold3.get(k)}").mkString("; ")
     })
     assert(streamed3 != streamed, "wave-3 update changed nothing — vacuous")
+  }
+
+  test("gram-index auto-compaction cadence (r17): a 22-wave lineage " +
+      "with interleaved dels and a re-add compacts ITSELF every 4 " +
+      "waves; a janitor deletes every pre-compaction version dir and " +
+      "resolution still == cold rebuild over the surviving dictionary") {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    import graft.ops.LocationResolve
+    val part = spark.range(1100).select($"id".as("p_partkey"))
+    val dict = LocationResolve.gramScaleDim(part)
+      .withColumn("vorder", lit(0L)).localCheckpoint()
+    val gorder = LocationResolve.gramOrderOf(dict, "vkey").localCheckpoint()
+    val idxDir =
+      java.nio.file.Files.createTempDirectory("graft_gidx_cadence").toString
+    def slice(i: Int) = dict.filter(pmod(xxhash64($"vkey"), lit(22)) === i)
+    def delSet(i: Int) = slice(i - 2)
+      .filter(pmod(xxhash64($"vkey", lit(7)), lit(3)) === 0)
+      .select($"vkey")
+    val delWaves = Set(5, 9, 13, 17, 21)
+    val readds = dict.join(delSet(17), Seq("vkey"))
+      .filter(pmod(xxhash64($"vkey", lit(11)), lit(2)) === 0)
+      .localCheckpoint()
+    (0 until 22).foreach { i =>
+      val adds0 = slice(i)
+      val adds = if (i == 19) adds0.unionByName(readds) else adds0
+      val wave = adds.withColumn("op", lit("add"))
+        .unionByName(
+          if (delWaves(i))
+            delSet(i).withColumn("canon", lit(""))
+              .withColumn("vorder", lit(0L)).withColumn("op", lit("del"))
+              .select($"vkey", $"canon", $"vorder", $"op")
+          else adds0.limit(0).withColumn("op", lit("add")))
+      // the cadence form buildGramIndex's foreachBatch drives
+      Streaming.gramIndexMaintain(idxDir, gorder, compactEvery = 4)(
+        wave, i.toLong)
+    }
+    // the cadence must have fired INSIDE the lineage: markers at every
+    // 4th committed version, newest at v19
+    Seq(3, 7, 11, 15, 19).foreach { v =>
+      assert(java.nio.file.Files.isRegularFile(
+          java.nio.file.Paths.get(s"$idxDir/v$v/_COMPACT")),
+        s"no _COMPACT at v$v — the cadence did not fire")
+    }
+    val probes = LocationResolve.gramProbes(
+        spark.range(0, 1100, 3).select($"id".as("p_partkey")))
+      .select($"norm".as("fnorm")).distinct().localCheckpoint()
+    def resolveNow() =
+      Streaming.streamedGramResolve(spark, idxDir, gorder, probes)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val streamed = resolveNow()
+    // janitor: every version dir BELOW the newest compaction goes —
+    // whole dirs, _SUCCESS included; the reader must stand on
+    // v19/compact + the v20/v21 tail alone (O(K) listings by
+    // construction)
+    (0 until 19).foreach { v =>
+      val d = java.nio.file.Paths.get(s"$idxDir/v$v")
+      if (java.nio.file.Files.exists(d)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    assert(new java.io.File(idxDir).listFiles()
+        .count(f => f.isDirectory && f.getName.matches("v\\d+")) == 3,
+      "janitor left more than compaction + tail on disk")
+    assert(resolveNow() == streamed,
+      "resolution changed after deleting pre-compaction version dirs")
+    val deleted = Seq(5, 9, 13, 17, 21).map(delSet)
+      .reduce(_ unionByName _)
+      .join(readds.select($"vkey"), Seq("vkey"), "left_anti")
+    val surviving = dict.join(deleted, Seq("vkey"), "left_anti")
+    val cold = LocationResolve.fuzzyResolveDim(probes, surviving, Some(true))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(streamed == cold, {
+      val diff = (streamed.keySet ++ cold.keySet)
+        .filter(k => streamed.get(k) != cold.get(k))
+      s"${diff.size} diverging probes, e.g. ${diff.take(3).map(k =>
+        s"'$k' streamed=${streamed.get(k)} cold=${cold.get(k)}").mkString("; ")}"
+    })
+    assert(streamed.nonEmpty, "degenerate universe")
+    // non-vacuity: the dels must have bitten through the compactions
+    val full = LocationResolve.fuzzyResolveDim(probes, dict, Some(true))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(full != streamed,
+      "no tombstone survived to resolution — vacuous")
   }
 
   test("incremental substring dedup: 2-wave rewrites == batch x70") {
