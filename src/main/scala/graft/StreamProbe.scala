@@ -202,7 +202,8 @@ object StreamProbe {
                 org.apache.spark.sql.functions.lit(0L))
               .withColumn("op",
                 org.apache.spark.sql.functions.lit("add")), id),
-          w => wave(docs, "doc_id", w))
+          w => wave(docs, "doc_id", w),
+          bytesOf = Some(w => duDir(s"$d/v$w")))
       case "unigram" =>
         // merged unigram dim: per wave one batch-sized agg + a merge
         // against the prior MERGED dim — cost ∝ batch + |vocab|;
