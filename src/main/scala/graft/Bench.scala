@@ -31,10 +31,21 @@ import java.nio.charset.StandardCharsets
   *    record was ~25% slow at t01-index 1.48 from a CPU-character
   *    drift t01 cannot see. [[cpuCanaryOnce]] is the complementary
   *    zero-IO probe (fixed 12.3M-row sha2 hash loop over 32 partitions,
-  *    timed once per pass, cross-pass min, pinned via
-  *    [[CanaryCalibrate]]); contention_index_cpu is emitted beside
-  *    contention_index so IO noise, CPU noise, and code changes are
-  *    separable off the record;
+  *    pinned via [[CanaryCalibrate]]); contention_index_cpu is emitted
+  *    beside contention_index so IO noise, CPU noise, and code changes
+  *    are separable off the record;
+  *  - SEGMENT-BRACKETED CLEAN SAMPLES (round 18): waiting for a
+  *    host-wide clean window failed three rounds running (the shared
+  *    host whipsaws 1.35×→3.5× within minutes), so the record now
+  *    separates clean from contended samples itself. Every pass is cut
+  *    into 16-query segments bracketed by BOTH canaries; a segment is
+  *    clean iff both probes on both sides read < 1.25× their pin, and
+  *    a query sample inherits its segment's cleanliness. After the
+  *    base passes, bounded RETRY passes re-sample only the queries
+  *    still lacking a clean sample. The record carries queries_clean
+  *    (clean-segment minima), clean_coverage, and clean_value beside
+  *    the legacy all-sample fields — the headline per-query numbers
+  *    are provably from clean windows whenever coverage says so;
   *  - one untimed warmup absorbs JVM/codegen/session init.
   */
 object Bench {
@@ -131,6 +142,18 @@ object Bench {
     spark.range(0, 32L * 384000, 1, 32)
       .selectExpr("sha2(repeat(cast(id as string), 96), 256) AS h")
       .selectExpr("bit_xor(xxhash64(h)) AS s") // xor-fold: no ANSI sum overflow
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** IO-bound canary probe: one untimed-as-query run of t01 (parquet
+    * scan + TakeOrderedAndProject, pinned 0.10 s quiet — the original
+    * contention canary). Paired with [[cpuCanaryOnce]] in the
+    * per-segment brackets so a timing segment is declared clean only
+    * when BOTH host characters were clean on both sides of it. */
+  def ioCanaryOnce(spark: SparkSession, sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries("t01_top30_orders")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
   }
@@ -232,36 +255,103 @@ object Bench {
             "cross-pass-minima floor, clamping to 2")
         parsed.map(p => math.max(p, 2))
       }.getOrElse(3)
-    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-      .withDefaultValue(Nil)
-    // CPU canary: one untimed run absorbs its codegen compile, then one
-    // timed sample per pass (same cross-pass-minima discipline as the
-    // queries — "every pass contended" is the only way to inflate it)
-    try cpuCanaryOnce(spark)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] cpu canary warmup failed: $e") }
+    // ---- clean-sample machinery (r18) ----
+    // Three rounds of waiting for a host-wide clean window failed
+    // (r15–r17); the record itself now SEPARATES clean from contended
+    // samples instead. Each pass is cut into segments of SegmentSize
+    // queries bracketed by dual canary probes (the cpu hash loop + the
+    // t01 io scan, both pinned); a segment is CLEAN iff BOTH probes on
+    // BOTH sides of it read below cleanMax × their pin, and every query
+    // sample inherits its segment's cleanliness. queries_clean /
+    // clean_value are computed from clean samples only, so the headline
+    // survives a host that collapses mid-run — the r17 driver record
+    // had two ~clean passes inside a 1.87× run and the old cross-pass
+    // minima could not say which numbers came from them.
+    val segmentSize = 16
+    val cleanMax = sys.env.get("SPARK_GRAFT_BENCH_CLEAN_MAX")
+      .flatMap(_.trim.toDoubleOption).filter(_ > 0).getOrElse(1.25)
+    val cpuCanaryPinnedSec = 0.55
+    case class Bracket(cpu: Double, io: Double) {
+      def clean: Boolean =
+        cpu > 0 && cpu / cpuCanaryPinnedSec < cleanMax &&
+          io > 0 && io / canaryPinnedSec < cleanMax
+    }
+    def bracket(): Bracket = {
+      val c = try cpuCanaryOnce(spark) catch { case _: Throwable => -1.0 }
+      val i = try ioCanaryOnce(spark, sfDir) catch { case _: Throwable => -1.0 }
+      Bracket(c, i)
+    }
+    val samples = scala.collection.mutable.Map
+      .empty[String, List[(Double, Boolean)]].withDefaultValue(Nil)
     val cpuCanarySamples = scala.collection.mutable.ListBuffer.empty[Double]
-    val passTotals = (0 until passes).map { p =>
-      val seq = if (p % 2 == 0) order else order.reverse
+    val passBrackets = scala.collection.mutable.ListBuffer.empty[Seq[Bracket]]
+    val passKinds = scala.collection.mutable.ListBuffer.empty[String]
+    val passTotals = scala.collection.mutable.ListBuffer.empty[Double]
+    // one untimed run per canary absorbs codegen/scan init
+    try { cpuCanaryOnce(spark); ioCanaryOnce(spark, sfDir); () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] canary warmup failed: $e") }
+
+    def runPass(passIdx: Int, names: Seq[String], kind: String): Unit = {
+      val seq = if (passIdx % 2 == 0) names else names.reverse
       var passSum = 0.0
-      seq.foreach { name =>
-        // crash forensics: if the JVM dies mid-run, the last start line on
-        // stderr names the in-flight query (round-7 rc=1 record gave zero)
-        System.err.println(s"[bench] pass ${p + 1}/$passes start $name")
-        val t = timeOnce(SparkEntry.queries(name))
-        if (t >= 0) { samples(name) = t :: samples(name); passSum += t }
+      val brackets = scala.collection.mutable.ListBuffer.empty[Bracket]
+      var before = bracket()
+      brackets += before
+      seq.grouped(segmentSize).foreach { seg =>
+        val segTimes = seg.map { name =>
+          // crash forensics: if the JVM dies mid-run, the last start line
+          // on stderr names the in-flight query (round-7 rc=1 gave zero)
+          System.err.println(s"[bench] pass ${passIdx + 1} ($kind) start $name")
+          name -> timeOnce(SparkEntry.queries(name))
+        }
+        val after = bracket()
+        brackets += after
+        val segClean = before.clean && after.clean
+        segTimes.foreach { case (name, t) =>
+          if (t >= 0) { samples(name) = (t, segClean) :: samples(name); passSum += t }
+        }
+        before = after
       }
-      try {
-        val c = cpuCanaryOnce(spark)
-        cpuCanarySamples += c
-        System.err.println(f"[bench] pass ${p + 1} cpu canary $c%.3f s")
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] cpu canary failed (continuing): $e") }
-      System.err.println(f"[bench] pass ${p + 1} total $passSum%.1f s")
-      passSum
+      cpuCanarySamples ++= brackets.map(_.cpu).filter(_ > 0)
+      passBrackets += brackets.toSeq
+      passKinds += kind
+      passTotals += passSum
+      val cleanSegs = brackets.toSeq.sliding(2)
+        .count(w => w.head.clean && w.last.clean)
+      System.err.println(f"[bench] pass ${passIdx + 1} ($kind) total " +
+        f"$passSum%.1f s  clean segments $cleanSegs/${brackets.size - 1}")
+    }
+
+    val loopStart = System.nanoTime()
+    (0 until passes).foreach(p => runPass(p, order, "full"))
+    // adaptive retry passes: re-sample ONLY the queries still lacking a
+    // clean sample, until every query has one or the budget runs out.
+    // On a whipsawing host (the r17 probes saw 1.35×→3.5× inside a
+    // quarter hour) the unclean subset shrinks fast; on a host-wide
+    // collapse these add a bounded few minutes and the record says
+    // exactly which numbers stayed contended (clean_coverage < 1).
+    val maxExtra = sys.env.get("SPARK_GRAFT_BENCH_MAX_EXTRA")
+      .flatMap(_.trim.toIntOption).filter(_ >= 0).getOrElse(3)
+    val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SEC")
+      .flatMap(_.trim.toIntOption).filter(_ > 0).getOrElse(2400)
+    def uncleanNames: Seq[String] =
+      order.filter(n => !samples(n).exists { case (t, c) => c && t >= 0 })
+    var extra = 0
+    while (extra < maxExtra && uncleanNames.nonEmpty &&
+        (System.nanoTime() - loopStart) / 1e9 < deadlineSec) {
+      val todo = uncleanNames
+      System.err.println(s"[bench] retry pass ${extra + 1}/$maxExtra over " +
+        s"${todo.size} queries without a clean sample")
+      runPass(passes + extra, todo, "retry")
+      extra += 1
     }
     val results = order.map { name =>
-      val s = samples(name)
+      val s = samples(name).map(_._1)
+      name -> (if (s.isEmpty) -1.0 else s.min)
+    }
+    val cleanResults = order.map { name =>
+      val s = samples(name).collect { case (t, true) => t }
       name -> (if (s.isEmpty) -1.0 else s.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -278,11 +368,11 @@ object Bench {
       case Some(v) if v > 0 => v / canaryPinnedSec
       case _ => -1.0
     }
-    // CPU canary pin: quiet-slice best-of-N for the fixed 12.3M-row hash job
-    // (calibrated round 12 across idle samples; the workload is
-    // deterministic so this pins like t01's 0.10 s). >1 means the CPU
-    // character itself is degraded — the component t01 cannot see.
-    val cpuCanaryPinnedSec = 0.55
+    // CPU canary pin (cpuCanaryPinnedSec above): quiet-slice best-of-N
+    // for the fixed 12.3M-row hash job (calibrated round 12 across idle
+    // samples; the workload is deterministic so this pins like t01's
+    // 0.10 s). >1 means the CPU character itself is degraded — the
+    // component t01 cannot see.
     val cpuCanaryMin =
       if (cpuCanarySamples.isEmpty) -1.0 else cpuCanarySamples.min
     val contentionIndexCpu =
@@ -300,7 +390,26 @@ object Bench {
     val cpuJson = cpuCanarySamples
       .map(v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","cache_build_sec":$cacheBuildSec,"cache_build_breakdown":$cacheBuildJson,"passes":$passes,"pass_totals":$passJson,"contention_canary":"$canary","contention_canary_pinned_sec":$canaryPinnedSec,"contention_index":$contentionIndex,"contention_canary_cpu":"sha2_hash_loop_12m","contention_canary_cpu_pinned_sec":$cpuCanaryPinnedSec,"contention_canary_cpu_sec":$cpuJson,"contention_index_cpu":$contentionIndexCpu,"queries":$qs,"value":$total}"""
+    // clean-sample record (r18): per-query minima over CLEAN segments
+    // only, the coverage fraction, and the clean headline. clean_value
+    // falls back to the overall min for the (clean_coverage < 1)
+    // remainder so the total stays comparable — the coverage field says
+    // how much of it is provably clean.
+    def f3(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qsClean = cleanResults.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val cleanMap = cleanResults.toMap
+    val cleanCoverage =
+      if (order.isEmpty) 0.0
+      else cleanResults.count(_._2 >= 0).toDouble / order.size
+    val cleanValue = results.collect { case (k, v) if v >= 0 =>
+      val c = cleanMap.getOrElse(k, -1.0); if (c >= 0) c else v }.sum
+    val kindsJson = passKinds.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val bracketsJson = passBrackets
+      .map(_.map(b => s"[${f3(b.cpu)},${f3(b.io)}]").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","cache_build_sec":$cacheBuildSec,"cache_build_breakdown":$cacheBuildJson,"passes":$passes,"pass_totals":$passJson,"pass_kinds":$kindsJson,"contention_canary":"$canary","contention_canary_pinned_sec":$canaryPinnedSec,"contention_index":$contentionIndex,"contention_canary_cpu":"sha2_hash_loop_12m","contention_canary_cpu_pinned_sec":$cpuCanaryPinnedSec,"contention_canary_cpu_sec":$cpuJson,"contention_index_cpu":$contentionIndexCpu,"clean_threshold":$cleanMax,"segment_size":$segmentSize,"pass_brackets_cpu_io":$bracketsJson,"clean_coverage":${f3(cleanCoverage)},"queries_clean":$qsClean,"clean_value":${f3(cleanValue)},"queries":$qs,"value":$total}"""
     println(line)
     // stderr copy: some tail-captures keep stderr after truncating stdout,
     // giving the driver's parser a second chance at the full record

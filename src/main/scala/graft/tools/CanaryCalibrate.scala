@@ -28,6 +28,15 @@ object CanaryCalibrate {
     }
     println(f"[calibrate] min ${samples.min}%.3f s  " +
       f"median ${samples.sorted.apply(n / 2)}%.3f s  n=$n")
+    // labeled machine-readable line (r18, ADVICE): watcher scripts
+    // parsed the human line above with positional awk + a lookbehind
+    // grep — any format drift made the fields silently empty and the
+    // watcher burned its polls reporting "no clean window". Anchor on
+    // key=value instead; keep the human line for eyes.
+    println(String.format(java.util.Locale.ROOT,
+      "CANARY min=%.3f median=%.3f n=%d",
+      Double.box(samples.min),
+      Double.box(samples.sorted.apply(n / 2)), Int.box(n)))
     spark.stop()
   }
 }
