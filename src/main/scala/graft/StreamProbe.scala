@@ -98,14 +98,43 @@ object StreamProbe {
       }
     }
 
+    // bytes READ per wave (r18, the wave_bytes sibling): task input
+    // metrics summed by a listener — a maintainer that re-scans an
+    // accumulated dim per wave shows wave_read_bytes growing ∝
+    // history, contention-independently. Listener events post async,
+    // so each wave's reading waits for the counter to go quiet.
+    val readBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) { readBytes.addAndGet(m.inputMetrics.bytesRead); () }
+        }
+      })
+    def readBytesSettled(): Long = {
+      var prev = readBytes.get(); var stable = 0; var iters = 0
+      while (stable < 3 && iters < 100) {
+        Thread.sleep(50)
+        val cur = readBytes.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        iters += 1
+      }
+      prev
+    }
+
     def run(name: String, update: (DataFrame, Long) => Unit,
         waveOf: Int => DataFrame,
-        bytesOf: Option[Int => Long] = None): Unit = {
+        bytesOf: Option[Int => Long] = None,
+        trackReads: Boolean = false): Unit = {
       val samples = (0 until waves).map { w =>
         System.err.println(s"[stream-probe] $name wave ${w + 1}/$waves")
+        val r0 = if (trackReads) readBytesSettled() else 0L
         val t0 = System.nanoTime()
         update(waveOf(w), w.toLong)
-        ((System.nanoTime() - t0) / 1e9, bytesOf.map(f => f(w)))
+        val dt = (System.nanoTime() - t0) / 1e9
+        val rd = if (trackReads) Some(readBytesSettled() - r0) else None
+        (dt, bytesOf.map(f => f(w)), rd)
       }
       val times = samples.map(_._1)
       val ts = times.map(t => String.format(java.util.Locale.ROOT,
@@ -118,10 +147,14 @@ object StreamProbe {
         if (bytesOf.isEmpty) ""
         else samples.flatMap(_._2)
           .mkString(""","wave_bytes":[""", ",", "]")
+      val readField =
+        if (!trackReads) ""
+        else samples.flatMap(_._3)
+          .mkString(""","wave_read_bytes":[""", ",", "]")
       println(s"""{"probe":"stream","dim":"$name","waves":$waves,""" +
         s""""wave_sec":$ts,"last_over_second":${
           String.format(java.util.Locale.ROOT, "%.2f",
-            Double.box(ratio))}$bytesField}""")
+            Double.box(ratio))}$bytesField$readField}""")
     }
 
     dims.foreach {
@@ -184,7 +217,8 @@ object StreamProbe {
         run("keepbest_delta",
           graft.streaming.Streaming.keepBestDeltaUpdate(d, p, sv),
           w => wave(docs, "doc_id", w),
-          bytesOf = Some(w => duDir(s"$sv/v$w")))
+          bytesOf = Some(w => duDir(s"$sv/v$w")),
+          trackReads = true)
       case "gramindex" =>
         // the r15 tenth maintainer: dictionary updates key ONLY the
         // wave's added variants under the frozen base gram order —
@@ -203,7 +237,8 @@ object StreamProbe {
               .withColumn("op",
                 org.apache.spark.sql.functions.lit("add")), id),
           w => wave(docs, "doc_id", w),
-          bytesOf = Some(w => duDir(s"$d/v$w")))
+          bytesOf = Some(w => duDir(s"$d/v$w")),
+          trackReads = true)
       case "unigram" =>
         // merged unigram dim: per wave one batch-sized agg + a merge
         // against the prior MERGED dim — cost ∝ batch + |vocab|;

@@ -1433,6 +1433,20 @@ object Streaming {
     * written are now ∝ batch + touched clusters, never ∝ corpus
     * (StreamProbe's wave_bytes records it).
     *
+    * r18 (the read-side sibling): the wave no longer materializes the
+    * full assembled attrs dim per wave — the first-time anti-join
+    * probes the doc_id-only membership ([[assembledKeepBestMembers]]:
+    * the compaction's sorted `members` artifact + delta doc_id
+    * columns), the corpus-sized `localCheckpoint` is gone (every
+    * consumer is a column-pruned scan over committed parquet), and
+    * the touched-size `newMembers` result is checkpointed instead so
+    * the label/survivor writes stop double-scanning the corpus-sized
+    * inputs. StreamProbe's wave_read_bytes records the per-wave read
+    * profile; the residual ∝-corpus terms (membership doc_id column,
+    * the touched-cluster label probe) are named in PLANS.md with
+    * their warehouse forms (bucketed membership / cluster-keyed
+    * label store).
+    *
     * Same exactly-once discipline as every versioned dim: recompute
     * from committed inputs + the PRIOR versions' committed slices is
     * deterministic, `_SUCCESS` is written last, replay of a committed
@@ -1462,16 +1476,20 @@ object Streaming {
     // at the base version, so neither this wave nor any later read
     // pays the all-prior-slices scan again
     upgradePreAttrsBase(spark, survDir, prior)
-    val (priorAttrs0, priorLabels, priorSurv) =
+    val (priorAttrs, priorLabels, _) =
       assembledKeepBestDims(spark, survDir, prior)
-    val priorAttrs = priorAttrs0.localCheckpoint()
     // attrs DELTA: this batch's first-time doc_ids only (first-wins
     // against the assembled prior attrs — a recurring doc_id keeps
-    // its first wave's row)
+    // its first wave's row). The anti-join probes the doc_id-only
+    // MEMBERSHIP (compact/members + delta doc_id columns), and the
+    // full prior attrs dim is no longer localCheckpoint'd (r18,
+    // VERDICT #2 + ADVICE): the per-wave O(corpus) eager
+    // materialization to executor storage is gone — every consumer is
+    // a column-pruned scan over already-committed parquet.
+    val priorMembers = assembledKeepBestMembers(spark, survDir, prior)
     val batchAttrs = spark.read.parquet(s"$survDir/v$batchId/docs")
     (if (prior.isEmpty) batchAttrs
-     else batchAttrs.join(priorAttrs.select(col("doc_id")),
-       Seq("doc_id"), "left_anti"))
+     else batchAttrs.join(priorMembers, Seq("doc_id"), "left_anti"))
       .write.mode("overwrite").parquet(s"$survDir/v$batchId/attrs_delta")
     // THIS batch's pair delta only — never the accumulated union
     val wavePairs = spark.read.parquet(s"$pairsDir/b$batchId")
@@ -1511,8 +1529,15 @@ object Streaming {
             Seq("doc_id"), "left_anti").select(col("doc_id")),
             Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("quality_score"), col("lang"))
+        // checkpoint the TOUCHED-SIZE result (∝ wave pairs + touched
+        // members, never ∝ corpus — the opposite class from the
+        // retired priorAttrs checkpoint): labels_delta and the
+        // survivor re-rank both consume it, and without the pin each
+        // would re-scan the corpus-sized priorLabels/priorAttrs inputs
         val newMembers = lblNodes
           .join(known.unionByName(fetched), Seq("doc_id"))
+          .select(cols.map(col): _*)
+          .localCheckpoint()
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("cluster_id"))
           .orderBy(col("quality_score").desc, col("doc_id").asc)
@@ -1520,8 +1545,7 @@ object Streaming {
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") === 1)
           .select(cols.map(col): _*)
-        (touchedClusters, newMembers.select(cols.map(col): _*),
-          newBest, Some(lbl))
+        (touchedClusters, newMembers, newBest, Some(lbl))
       }
     // delta slices only: drops retire every older row of the touched
     // clusters; the deltas carry their re-labeled members / re-ranked
@@ -1567,7 +1591,22 @@ object Streaming {
       vs: Seq[Long]): Unit = {
     import java.nio.file.{Files, Paths}
     cumulativeBase(survDir, vs.sorted).foreach { b =>
-      if (!Files.exists(Paths.get(s"$survDir/v$b/attrs")))
+      // gate on the parquet committer's IN-DIR _SUCCESS marker, not bare
+      // directory existence (r18, ADVICE): this backfill writes into an
+      // already-committed version, outside the version-level
+      // written-last discipline — a crash mid-backfill leaves a partial
+      // dir whose bare-existence check would pass forever, silently
+      // serving an incomplete first-wins attrs dim. The marker is the
+      // committer's own completion receipt; an unmarked dir is
+      // recomputed (deterministic) and overwritten whole.
+      // an r18 compaction carries its attrs under compact/ (marker-
+      // gated) — no backfill owed there, and the docs slices a
+      // backfill would scan may already be janitor-deleted
+      val compacted =
+        Files.isRegularFile(Paths.get(s"$survDir/v$b/_CUMULATIVE")) &&
+          Files.exists(Paths.get(s"$survDir/v$b/compact/attrs"))
+      if (!compacted &&
+          !Files.isRegularFile(Paths.get(s"$survDir/v$b/attrs/_SUCCESS")))
         backfillAttrs(spark, survDir, vs.sorted.filter(_ <= b))
           .write.mode("overwrite").parquet(s"$survDir/v$b/attrs")
     }
@@ -1618,8 +1657,28 @@ object Streaming {
     val cols = Seq("doc_id", "cluster_id", "quality_score", "lang")
     def read(v: Long, part: String) =
       spark.read.parquet(s"$survDir/v$v/$part")
+    // a base version's cumulative artifact lives under v$b/compact/
+    // (r18 compactions — written beside the reads, never over them) or
+    // at the version top level (r17 compactions and pre-r17 whole
+    // rewrites). compact/ is trusted only under the _CUMULATIVE marker
+    // (written last): a torn r18 compaction leaves compact/ without the
+    // marker and readers must keep ignoring it.
+    def baseRead(b: Long, part: String) = {
+      val c = s"$survDir/v$b/compact/$part"
+      if (Files.isRegularFile(Paths.get(s"$survDir/v$b/_CUMULATIVE")) &&
+          Files.exists(Paths.get(c)))
+        spark.read.parquet(c)
+      else read(b, part)
+    }
     val baseAttrs = base.map { b =>
-      if (Files.exists(Paths.get(s"$survDir/v$b/attrs"))) read(b, "attrs")
+      // in-dir _SUCCESS, not bare existence (r18, ADVICE): a torn
+      // upgradePreAttrsBase backfill must fall back to the
+      // deterministic docs-slice recompute, not get served partial
+      if (Files.isRegularFile(Paths.get(s"$survDir/v$b/_CUMULATIVE")) &&
+          Files.exists(Paths.get(s"$survDir/v$b/compact/attrs")))
+        baseRead(b, "attrs")
+      else if (Files.isRegularFile(Paths.get(s"$survDir/v$b/attrs/_SUCCESS")))
+        read(b, "attrs")
       else backfillAttrs(spark, survDir, vs.filter(_ <= b))
     }
     val attrs = (baseAttrs.toSeq ++ tail.map(v => read(v, "attrs_delta")))
@@ -1629,7 +1688,7 @@ object Streaming {
       .reduceOption(_ unionByName _)
       .map(_.groupBy(col("cluster_id")).agg(max(col("_dver")).as("_maxDrop")))
     def assemble(cumPart: String, deltaPart: String): DataFrame = {
-      val rows = (base.map(b => read(b, cumPart).select(cols.map(col): _*)
+      val rows = (base.map(b => baseRead(b, cumPart).select(cols.map(col): _*)
           .withColumn("_ver", lit(b))).toSeq ++
         tail.map(v => read(v, deltaPart).select(cols.map(col): _*)
           .withColumn("_ver", lit(v))))
@@ -1647,15 +1706,62 @@ object Streaming {
       assemble("survivors", "survivors_delta"))
   }
 
+  /** doc_id-only membership of the assembled attrs dim — the
+    * first-time anti-join's probe side (r18, VERDICT #2). Reads the
+    * newest base's `compact/members` artifact (doc_id-only, sorted —
+    * written by [[compactKeepBest]] so row-group min/max stats support
+    * runtime-filter pruning at warehouse scale) falling back to the
+    * doc_id COLUMN of the base attrs artifact (parquet-pruned), plus
+    * the tail `attrs_delta` slices' doc_id columns — never the full
+    * three-column dim and never through a localCheckpoint. The
+    * residual per-wave read is the corpus's doc_id column: the
+    * exact-membership floor of a scan model (PLANS.md r18 names it;
+    * the bucketed/indexed store is the warehouse form). */
+  private[graft] def assembledKeepBestMembers(spark: SparkSession,
+      survDir: String, vs0: Seq[Long]): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    def emptyMembers = spark.emptyDataFrame
+      .select(lit(0L).as("doc_id")).limit(0)
+    val vs = vs0.sorted
+    if (vs.isEmpty) return emptyMembers
+    val base = cumulativeBase(survDir, vs)
+    val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs)
+    val baseMembers = base.map { b =>
+      val members = s"$survDir/v$b/compact/members"
+      if (Files.isRegularFile(Paths.get(s"$survDir/v$b/_CUMULATIVE")) &&
+          Files.exists(Paths.get(members)))
+        spark.read.parquet(members)
+      else if (Files.isRegularFile(Paths.get(s"$survDir/v$b/attrs/_SUCCESS")))
+        spark.read.parquet(s"$survDir/v$b/attrs").select(col("doc_id"))
+      else backfillAttrs(spark, survDir, vs.filter(_ <= b))
+        .select(col("doc_id"))
+    }
+    (baseMembers.toSeq ++
+      tail.map(v => spark.read.parquet(s"$survDir/v$v/attrs_delta")
+        .select(col("doc_id"))))
+      .reduceOption(_ unionByName _).getOrElse(emptyMembers)
+  }
+
   /** Compact a delta keep-best lineage at its newest committed
     * version: persist the assembled cumulative attrs/labels/survivors
-    * under that version, `_CUMULATIVE` marker last — the
+    * (plus the doc_id-only `members` probe artifact) under that
+    * version's `compact/` namespace, `_CUMULATIVE` marker last — the
     * [[compactGramIndex]] story on the survivor direction. Readers
     * then stand on the compaction + later delta slices (O(waves since
     * compaction) listings), and version dirs BELOW the compaction are
     * janitor-deletable: correctness never reads them again
     * (StreamingSpec deletes them outright and proves the reader and
-    * the next wave are unchanged). Idempotent; safe at any cadence. */
+    * the next wave are unchanged). Idempotent; safe at any cadence.
+    *
+    * r18 (VERDICT #3): the pre-r18 form wrote the cumulative
+    * artifacts OVER the version's top-level paths, which forced a
+    * corpus-sized `localCheckpoint` of all three dims first (a pre-r17
+    * base AT top is read by the very assembly the write replaced) —
+    * executor memory ∝ corpus pinned for the whole compaction. The
+    * `compact/` namespace makes reads and writes disjoint by
+    * construction: nothing is checkpointed, a crash mid-compaction
+    * leaves a torn `compact/` dir no reader trusts (the marker is
+    * written last), and the retry overwrites it whole. */
   def compactKeepBest(spark: SparkSession, survDir: String): Unit = {
     import java.nio.file.{Files, Paths}
     val vs = modelVersions(survDir).sorted
@@ -1663,14 +1769,18 @@ object Streaming {
     val top = vs.max
     if (Files.isRegularFile(Paths.get(s"$survDir/v$top/_CUMULATIVE"))) return
     val (attrs, labels, survivors) = assembledKeepBestDims(spark, survDir, vs)
-    // localCheckpoint before the overwrite: labels/survivors read the
-    // very slices (a prior base at top, under re-compaction retry)
-    // the writes below may replace
-    val (aC, lC, sC) = (attrs.localCheckpoint(), labels.localCheckpoint(),
-      survivors.localCheckpoint())
-    aC.write.mode("overwrite").parquet(s"$survDir/v$top/attrs")
-    lC.write.mode("overwrite").parquet(s"$survDir/v$top/labels")
-    sC.write.mode("overwrite").parquet(s"$survDir/v$top/survivors")
+    attrs.write.mode("overwrite").parquet(s"$survDir/v$top/compact/attrs")
+    // doc_id-only membership, SORTED so parquet row-group min/max
+    // stats support runtime-filter pruning of the first-time
+    // anti-join probe at warehouse scale; derived from the
+    // just-written attrs so the sort re-reads one narrow column
+    // instead of re-running the assembly
+    spark.read.parquet(s"$survDir/v$top/compact/attrs")
+      .select(col("doc_id")).sort(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$survDir/v$top/compact/members")
+    labels.write.mode("overwrite").parquet(s"$survDir/v$top/compact/labels")
+    survivors.write.mode("overwrite")
+      .parquet(s"$survDir/v$top/compact/survivors")
     Files.write(Paths.get(s"$survDir/v$top/_CUMULATIVE"),
       Array.emptyByteArray)
   }
@@ -1689,9 +1799,12 @@ object Streaming {
   /** Run the delta keep-best maintainer over a documents stream to
     * completion (AvailableNow) — [[buildKeepBest]]'s sibling on the
     * delta-star updater, compacting the survivor lineage every
-    * `compactEvery` waves (0 = never). */
+    * `compactEvery` waves. Defaults ON at 8 (r18, VERDICT #4): the
+    * bounded-listing property must hold without operator opt-in — a
+    * lineage that grows until someone remembers to compact is the
+    * failure mode the cadence exists to close. Pass 0 to disable. */
   def buildKeepBestDelta(docs: DataFrame, dimDir: String, pairsDir: String,
-      survDir: String, ckptDir: String, compactEvery: Int = 0): Unit = {
+      survDir: String, ckptDir: String, compactEvery: Int = 8): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dimDir))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pairsDir))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(survDir))
@@ -1804,10 +1917,12 @@ object Streaming {
 
   /** Run the incremental dictionary-index maintainer over a variant
     * update stream (rows (vkey, canon, vorder, op)) to completion,
-    * compacting the index every `compactEvery` waves (0 = never). */
+    * compacting the index every `compactEvery` waves. Defaults ON at
+    * 8 (r18, VERDICT #4; see [[buildKeepBestDelta]]). Pass 0 to
+    * disable. */
   def buildGramIndex(updates: DataFrame, idxDir: String,
       gramOrder: DataFrame, ckptDir: String,
-      compactEvery: Int = 0): Unit = {
+      compactEvery: Int = 8): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(idxDir))
     requireSharedLifecycle(idxDir, ckptDir)
     val q = updates.writeStream

@@ -361,6 +361,106 @@ class StreamingSpec extends AnyFunSuite {
         s"assembled dim ($dimRows rows) — the rewrite term is back")
   }
 
+  test("keep-best compaction crash-retry (r18): a torn compact/ dir " +
+      "without the marker is invisible to readers, the retried " +
+      "compaction overwrites it whole, and the janitor-swept reader " +
+      "== batch x59") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val waves = (0 until 3).map(i => docs.filter($"doc_id" % 3 === i))
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_kbt_$p").toString
+    val (dimDir, pairsDir, survDir) = (tmp("dim"), tmp("pairs"), tmp("surv"))
+    waves.zipWithIndex.foreach { case (w, i) =>
+      Streaming.keepBestDeltaUpdate(dimDir, pairsDir, survDir)(w, i.toLong)
+    }
+    // simulate a compaction that crashed mid-write at the top version:
+    // a compact/ namespace holding WRONG (empty) artifacts and no
+    // _CUMULATIVE marker — trusting any of it would corrupt the reader
+    def emptyDim = spark.emptyDataFrame.select(lit(0L).as("doc_id"),
+      lit(0L).as("cluster_id"), lit(0.0).as("quality_score"),
+      lit("").as("lang")).limit(0)
+    emptyDim.select($"doc_id", $"quality_score", $"lang")
+      .write.mode("overwrite").parquet(s"$survDir/v2/compact/attrs")
+    emptyDim.write.mode("overwrite").parquet(s"$survDir/v2/compact/labels")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id", "quality_score", "lang")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    val batch = rows(graft.ops.Dedup.dedupKeepBest(spark, sf))
+    assert(rows(Streaming.streamedKeepBestDeltaSurvivors(spark, survDir))
+        == batch,
+      "reader trusted a torn compact/ dir (no _CUMULATIVE marker)")
+    // the retry: idempotent compaction overwrites the torn namespace
+    Streaming.compactKeepBest(spark, survDir)
+    assert(java.nio.file.Files.isRegularFile(
+        java.nio.file.Paths.get(s"$survDir/v2/_CUMULATIVE")),
+      "retried compaction did not commit its marker")
+    assert(spark.read.parquet(s"$survDir/v2/compact/attrs").count() > 0,
+      "retried compaction left the torn empty attrs in place")
+    // the membership probe artifact (r18): doc_id-only, one row per
+    // streamed doc
+    val members = spark.read.parquet(s"$survDir/v2/compact/members")
+    assert(members.columns.toSeq == Seq("doc_id"),
+      s"members artifact is not doc_id-only: ${members.columns.toSeq}")
+    assert(members.count() == docs.count(),
+      "members must carry every streamed doc exactly once")
+    // janitor sweep below the compaction; the reader must stand on the
+    // compact/ namespace alone
+    (0 until 2).foreach(v => deleteRec(s"$survDir/v$v"))
+    assert(rows(Streaming.streamedKeepBestDeltaSurvivors(spark, survDir))
+        == batch,
+      "post-janitor reader diverged — compact/ is not the read base")
+  }
+
+  test("torn attrs backfill re-runs (r18, ADVICE): a partial v-base " +
+      "attrs dir without the committer's _SUCCESS is recomputed, not " +
+      "silently served") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val waves = (0 until 3).map(i => docs.filter($"doc_id" % 3 === i))
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_kba_$p").toString
+    val (dimDir, pairsDir, survDir) = (tmp("dim"), tmp("pairs"), tmp("surv"))
+    waves.take(2).zipWithIndex.foreach { case (w, i) =>
+      Streaming.keepBestDeltaUpdate(dimDir, pairsDir, survDir)(w, i.toLong)
+    }
+    toPreR16Lineage(survDir, 2)
+    // plant a WRONG attrs artifact at the base version with NO
+    // _SUCCESS — the faithful image of a backfill that crashed after
+    // writing some part files. Pre-r18 the bare-existence check
+    // trusted it forever; singletons and first-time probes would then
+    // silently miss most of the corpus.
+    val torn = tmp("torn")
+    waves(0).limit(3)
+      .select($"doc_id",
+        graft.ops.TextAnalysis.qualityScore($"text").as("quality_score"),
+        $"lang")
+      .coalesce(1).write.mode("overwrite").parquet(torn)
+    val attrsDir = java.nio.file.Paths.get(s"$survDir/v1/attrs")
+    java.nio.file.Files.createDirectories(attrsDir)
+    new java.io.File(torn).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.copy(f.toPath,
+        attrsDir.resolve(f.getName)))
+    assert(!java.nio.file.Files.isRegularFile(attrsDir.resolve("_SUCCESS")))
+    // the next wave must RE-backfill (marker absent), then the reader
+    // must equal batch x59 — serving the torn dir would fail this
+    Streaming.keepBestDeltaUpdate(dimDir, pairsDir, survDir)(waves(2), 2L)
+    assert(java.nio.file.Files.isRegularFile(attrsDir.resolve("_SUCCESS")),
+      "backfill did not recommit a complete attrs artifact")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id", "quality_score", "lang")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    val streamed = rows(Streaming.streamedKeepBestDeltaSurvivors(spark, survDir))
+    val batch = rows(graft.ops.Dedup.dedupKeepBest(spark, sf))
+    assert(streamed == batch,
+      s"torn-backfill lineage diverged from batch x59: " +
+        s"missing=${(batch -- streamed).take(5)} " +
+        s"extra=${(streamed -- batch).take(5)}")
+  }
+
   test("pre-attrs backfill is deterministic first-wins: a doc_id " +
       "recurring across waves with CHANGED attributes backfills to its " +
       "first wave's row, identical to the always-incremental lineage") {
