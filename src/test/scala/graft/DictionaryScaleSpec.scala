@@ -792,4 +792,96 @@ class DictionaryScaleSpec extends AnyFunSuite {
       s"only $fusedHits fused Arabic probes resolved to their spaced " +
         "canon — the despaced class lost recall")
   }
+
+  test("Arabic 3-token and mixed-script probes through the blocked " +
+      "path (r18): fully/partially fused three-token phrases, " +
+      "Arabic/ASCII mixed strings, op-prefix residue — blocked ≡ " +
+      "exhaustive, with real recall on every class") {
+    import spark.implicits._
+    graft.functions.CustomExprs.register(spark)
+    // real logistics strings mix scripts and run past two tokens; the
+    // r17 universe covered two-token fused pairs only. Build the
+    // phrases with their tokens PRE-SORTED (token_sort_ratio's order)
+    // so despacing is provably pure indels and the recall assertions
+    // below are score-derivable, not luck: fully fused = 2 indels,
+    // partially fused = 1, "من " residue = 3 — all ≥ 82 at these
+    // lengths. ASCII-first mixed phrases are sort-stable because every
+    // ASCII letter precedes every Arabic letter in code-point order.
+    val letters = "ابتثجحخدذرزسشصضطظعغفقكلمنةي"
+    def tok(seed: Int, len: Int): String =
+      (0 until len).map(i =>
+        letters(math.abs(seed * 31 + i * 7 + 11) % letters.length)).mkString
+    val ascii = Seq("cairo", "giza", "port", "hub", "dock", "zone",
+      "gate", "ring")
+    val synth3 = (for (a <- 0 until 25; b <- 0 until 10) yield
+      Seq(tok(a, 4 + a % 3), tok(500 + b, 3 + b % 2),
+        tok(2000 + a + b, 4)).sorted.mkString(" ")).distinct
+    val mixed2 = (for (a <- 0 until 40; s <- ascii)
+      yield s"$s ${tok(a, 4 + a % 3)}").distinct
+    val mixed3 = (for (a <- 0 until 20; s <- ascii.take(5))
+      yield s"$s ${tok(a, 4)} ${tok(300 + a, 3)}").distinct
+    val raw = synth3 ++ mixed2 ++ mixed3
+    val dim = raw.toDF("v")
+      .select(graft.nlp.Normalize.normalizeCol($"v").as("vkey"))
+      .distinct()
+      .withColumn("canon", $"vkey").withColumn("vorder", lit(0L))
+      .localCheckpoint()
+    assert(dim.count() > LocationResolve.FuzzyBlockSwitch,
+      "fixture drifted below the blocked switch")
+    val three = dim.filter(
+      length($"vkey") - length(translate($"vkey", " ", "")) >= 2)
+    assert(three.count() > 200, "three-token class drifted too small")
+    // probes: fully fused, partially fused (first space kept, rest
+    // dropped), op-prefix residue, and spaced exacts
+    val fusedAll = dim.select(translate($"vkey", " ", "").as("fnorm"))
+    val partial = three.select(expr(
+      "concat(substring_index(vkey, ' ', 1), ' ', " +
+        "translate(substring_index(vkey, ' ', -2), ' ', ''))").as("fnorm"))
+    val residue = dim.limit(200)
+      .select(concat(lit("من "), $"vkey").as("fnorm"))
+    val probes = fusedAll.union(partial).union(residue)
+      .union(dim.limit(150).select($"vkey".as("fnorm")))
+      .distinct().localCheckpoint()
+    def resolved(blocked: Option[Boolean]): Map[String, String] =
+      LocationResolve.fuzzyResolveDim(probes, dim, blocked)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (b, e) = (resolved(Some(true)), resolved(Some(false)))
+    assert(b == e, {
+      val diff = (b.keySet ++ e.keySet).filter(k => b.get(k) != e.get(k))
+      s"${diff.size} diverging probes, e.g. ${diff.take(3).map(k =>
+        s"'$k' blocked=${b.get(k)} exhaustive=${e.get(k)}").mkString("; ")}"
+    })
+    // recall per class — each probe family must carry real traffic,
+    // or the equality above is vacuous for it
+    val byFused = dim
+      .select(translate($"vkey", " ", "").as("f"), $"vkey")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val threeSet = three.select($"vkey")
+      .collect().map(_.getString(0)).toSet
+    val fusedThreeHits = b.count { case (f, canon) =>
+      byFused.get(f).contains(canon) && threeSet(canon) }
+    assert(fusedThreeHits > 150,
+      s"only $fusedThreeHits fused THREE-token probes resolved to " +
+        "their spaced canon")
+    val mixedFusedHits = b.count { case (f, canon) =>
+      byFused.get(f).contains(canon) &&
+        canon.exists(c => c >= 'a' && c <= 'z') }
+    assert(mixedFusedHits > 150,
+      s"only $mixedFusedHits fused MIXED-SCRIPT probes resolved to " +
+        "their spaced canon")
+    val partialPairs = partial.collect().map(_.getString(0)).toSet
+    val partialHits = b.count { case (f, canon) =>
+      partialPairs(f) && threeSet(canon) &&
+        f.replace(" ", "") == canon.replace(" ", "") }
+    assert(partialHits > 150,
+      s"only $partialHits partially-fused probes resolved to their canon")
+    val residueSet = dim.limit(200)
+      .select(concat(lit("من "), $"vkey").as("p"), $"vkey")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val residueHits = b.count { case (f, canon) =>
+      residueSet.get(f).contains(canon) }
+    assert(residueHits > 120,
+      s"only $residueHits op-prefix-residue probes resolved to their " +
+        "canon — the residue class lost recall")
+  }
 }
