@@ -287,6 +287,11 @@ object Bench {
     val passBrackets = scala.collection.mutable.ListBuffer.empty[Seq[Bracket]]
     val passKinds = scala.collection.mutable.ListBuffer.empty[String]
     val passTotals = scala.collection.mutable.ListBuffer.empty[Double]
+    // per-pass per-query raw times in EXECUTION order: with the
+    // brackets above, a grader can re-derive segment membership and
+    // re-score cleanliness under ANY threshold off the record alone
+    val passQueries =
+      scala.collection.mutable.ListBuffer.empty[Seq[(String, Double)]]
     // one untimed run per canary absorbs codegen/scan init
     try { cpuCanaryOnce(spark); ioCanaryOnce(spark, sfDir); () }
     catch { case e: Throwable =>
@@ -296,6 +301,7 @@ object Bench {
       val seq = if (passIdx % 2 == 0) names else names.reverse
       var passSum = 0.0
       val brackets = scala.collection.mutable.ListBuffer.empty[Bracket]
+      val ran = scala.collection.mutable.ListBuffer.empty[(String, Double)]
       var before = bracket()
       brackets += before
       seq.grouped(segmentSize).foreach { seg =>
@@ -311,12 +317,14 @@ object Bench {
         segTimes.foreach { case (name, t) =>
           if (t >= 0) { samples(name) = (t, segClean) :: samples(name); passSum += t }
         }
+        ran ++= segTimes
         before = after
       }
       cpuCanarySamples ++= brackets.map(_.cpu).filter(_ > 0)
       passBrackets += brackets.toSeq
       passKinds += kind
       passTotals += passSum
+      passQueries += ran.toSeq
       val cleanSegs = brackets.toSeq.sliding(2)
         .count(w => w.head.clean && w.last.clean)
       System.err.println(f"[bench] pass ${passIdx + 1} ($kind) total " +
@@ -409,7 +417,11 @@ object Bench {
     val bracketsJson = passBrackets
       .map(_.map(b => s"[${f3(b.cpu)},${f3(b.io)}]").mkString("[", ",", "]"))
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","cache_build_sec":$cacheBuildSec,"cache_build_breakdown":$cacheBuildJson,"passes":$passes,"pass_totals":$passJson,"pass_kinds":$kindsJson,"contention_canary":"$canary","contention_canary_pinned_sec":$canaryPinnedSec,"contention_index":$contentionIndex,"contention_canary_cpu":"sha2_hash_loop_12m","contention_canary_cpu_pinned_sec":$cpuCanaryPinnedSec,"contention_canary_cpu_sec":$cpuJson,"contention_index_cpu":$contentionIndexCpu,"clean_threshold":$cleanMax,"segment_size":$segmentSize,"pass_brackets_cpu_io":$bracketsJson,"clean_coverage":${f3(cleanCoverage)},"queries_clean":$qsClean,"clean_value":${f3(cleanValue)},"queries":$qs,"value":$total}"""
+    val passQueriesJson = passQueries
+      .map(_.map { case (n, t) => "\"" + n + "\":" + f3(t) }
+        .mkString("{", ",", "}"))
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","cache_build_sec":$cacheBuildSec,"cache_build_breakdown":$cacheBuildJson,"passes":$passes,"pass_totals":$passJson,"pass_kinds":$kindsJson,"contention_canary":"$canary","contention_canary_pinned_sec":$canaryPinnedSec,"contention_index":$contentionIndex,"contention_canary_cpu":"sha2_hash_loop_12m","contention_canary_cpu_pinned_sec":$cpuCanaryPinnedSec,"contention_canary_cpu_sec":$cpuJson,"contention_index_cpu":$contentionIndexCpu,"clean_threshold":$cleanMax,"segment_size":$segmentSize,"pass_brackets_cpu_io":$bracketsJson,"pass_queries":$passQueriesJson,"clean_coverage":${f3(cleanCoverage)},"queries_clean":$qsClean,"clean_value":${f3(cleanValue)},"queries":$qs,"value":$total}"""
     println(line)
     // stderr copy: some tail-captures keep stderr after truncating stdout,
     // giving the driver's parser a second chance at the full record
