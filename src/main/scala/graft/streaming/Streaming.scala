@@ -1769,7 +1769,12 @@ object Streaming {
     val top = vs.max
     if (Files.isRegularFile(Paths.get(s"$survDir/v$top/_CUMULATIVE"))) return
     val (attrs, labels, survivors) = assembledKeepBestDims(spark, survDir, vs)
-    attrs.write.mode("overwrite").parquet(s"$survDir/v$top/compact/attrs")
+    // doc_id-sorted like members below: the first-time attrs fetch is
+    // a doc_id probe of this artifact, and sorted row groups give the
+    // scan min/max (and runtime-filter) pruning at warehouse scale
+    // for free — same columns, no reader change
+    attrs.sort(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$survDir/v$top/compact/attrs")
     // doc_id-only membership, SORTED so parquet row-group min/max
     // stats support runtime-filter pruning of the first-time
     // anti-join probe at warehouse scale; derived from the
