@@ -341,8 +341,11 @@ object Bench {
     // exactly which numbers stayed contended (clean_coverage < 1).
     val maxExtra = sys.env.get("SPARK_GRAFT_BENCH_MAX_EXTRA")
       .flatMap(_.trim.toIntOption).filter(_ >= 0).getOrElse(3)
+    // 1500 s default: bounds the retry tail on a host-wide collapse
+    // (base passes alone ran ~1200 s on the r17 driver's collapsed
+    // slice) so the whole run stays inside the driver's patience
     val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SEC")
-      .flatMap(_.trim.toIntOption).filter(_ > 0).getOrElse(2400)
+      .flatMap(_.trim.toIntOption).filter(_ > 0).getOrElse(1500)
     def uncleanNames: Seq[String] =
       order.filter(n => !samples(n).exists { case (t, c) => c && t >= 0 })
     var extra = 0
