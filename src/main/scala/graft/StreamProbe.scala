@@ -75,7 +75,8 @@ object StreamProbe {
           "no-op waves")
     }
     val docDims = Set("band", "ledger", "snapshot", "keepbest",
-      "keepbest_delta", "unigram", "span", "datasheet", "gramindex")
+      "keepbest_delta", "keepbest_delta_c", "unigram", "span",
+      "datasheet", "gramindex")
     if (dims.exists(docDims)) assertWaveCoverage(docs, "doc_id", "documents")
     if (dims.exists(Set("ivfpq", "semdecont")))
       assertWaveCoverage(embs, "vec_id", "embeddings")
@@ -219,6 +220,23 @@ object StreamProbe {
           w => wave(docs, "doc_id", w),
           bytesOf = Some(w => duDir(s"$sv/v$w")),
           trackReads = true)
+      case "keepbest_delta_c" =>
+        // the cadence form the real builder drives (compactEvery
+        // defaults ON since r18): same maintainer, compacting every 4
+        // waves — isolates how much of the no-cadence variant's
+        // late-wave wave_sec tail is the growing O(waves) slice
+        // listing that compaction exists to bound. Wave timing
+        // includes the compaction waves themselves (visible as
+        // periodic spikes; the signal is the non-compaction waves
+        // staying flat).
+        val (d, p, sv) =
+          (tmp("kbdc_dim"), tmp("kbdc_pairs"), tmp("kbdc_surv"))
+        run("keepbest_delta_c",
+          graft.streaming.Streaming.keepBestDeltaMaintain(
+            d, p, sv, compactEvery = 4),
+          w => wave(docs, "doc_id", w),
+          bytesOf = Some(w => duDir(s"$sv/v$w")),
+          trackReads = true)
       case "gramindex" =>
         // the r15 tenth maintainer: dictionary updates key ONLY the
         // wave's added variants under the frozen base gram order —
@@ -277,8 +295,9 @@ object StreamProbe {
           w => wave(docs, "doc_id", w))
       case other =>
         System.err.println(s"[stream-probe] unknown dim '$other' (want " +
-          "band|ledger|ivfpq|snapshot|keepbest|keepbest_delta|unigram|" +
-          "span|semdecont|datasheet|gramindex) — skipped")
+          "band|ledger|ivfpq|snapshot|keepbest|keepbest_delta|" +
+          "keepbest_delta_c|unigram|span|semdecont|datasheet|gramindex)" +
+          " — skipped")
     }
     spark.stop()
   }
