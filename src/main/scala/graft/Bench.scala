@@ -44,8 +44,21 @@ import java.nio.charset.StandardCharsets
   *    base passes, bounded RETRY passes re-sample only the queries
   *    still lacking a clean sample. The record carries queries_clean
   *    (clean-segment minima), clean_coverage, and clean_value beside
-  *    the legacy all-sample fields — the headline per-query numbers
-  *    are provably from clean windows whenever coverage says so;
+  *    the legacy fields (whose value/queries minima aggregate FULL
+  *    passes only, so cross-round totals compare equal sample counts)
+  *    — the headline per-query numbers are provably from clean
+  *    windows whenever coverage says so;
+  *  - SESSION-CALIBRATED CLEAN PINS (round 19): r18's clean gate
+  *    compared brackets against QUIET-slice pins, but the host
+  *    carries a measured persistent ~1.27× io floor (162 r18 brackets:
+  *    the io canary never read below 1.27× its quiet pin), so
+  *    clean_coverage was vacuously 0.0. The gate pins are now
+  *    best-of-N paired canary reads taken at record time, floored at
+  *    the quiet refs; pins + calibration samples are in the record,
+  *    every bracket stays raw, so cleanliness is re-derivable under
+  *    any pin. clean now means "as good as this session's measured
+  *    host floor" — host-quality itself stays readable from
+  *    contention_index/_cpu, which keep the quiet-ref denominators;
   *  - one untimed warmup absorbs JVM/codegen/session init.
   */
 object Bench {
@@ -99,17 +112,26 @@ object Bench {
   )
 
   /** Build the shared frames untimed, returning (total seconds,
-    * per-artifact seconds) — the per-memo table keeps the
-    * build/timed split legible as artifacts accumulate (the r14
-    * verdict's ask: cache_build grew 43→54 s and the record could not
-    * say which memo paid it). Guarded per frame: a failing cache
-    * build must degrade to that frame's consumers paying (and
-    * possibly -1-marking) it in the timed loop — never abort the run
-    * before the JSON record exists. */
+    * per-artifact seconds, bracket readings) — the per-memo table
+    * keeps the build/timed split legible as artifacts accumulate (the
+    * r14 verdict's ask: cache_build grew 43→54 s and the record could
+    * not say which memo paid it). When a `bracket` probe is supplied
+    * (r19, VERDICT #5: the r18 driver paid 706.9 s degraded for a
+    * build the builder's slice ran in ~102 s, and the contention
+    * record could not see it), a (cpu, io) canary pair is read before
+    * the first frame and after every frame — frames.size + 1 readings,
+    * frame k bracketed by readings (k, k+1) — so a degraded build is
+    * attributable per component from the record alone. Guarded per
+    * frame: a failing cache build must degrade to that frame's
+    * consumers paying (and possibly -1-marking) it in the timed loop —
+    * never abort the run before the JSON record exists. */
   def prewarm(spark: SparkSession,
-      frames: Seq[(String, () => org.apache.spark.sql.DataFrame)])
-      : (Double, Seq[(String, Double)]) = {
+      frames: Seq[(String, () => org.apache.spark.sql.DataFrame)],
+      bracket: Option[() => (Double, Double)] = None)
+      : (Double, Seq[(String, Double)], Seq[(Double, Double)]) = {
     val t0 = System.nanoTime()
+    val readings = scala.collection.mutable.ListBuffer.empty[(Double, Double)]
+    bracket.foreach(b => readings += b())
     val per = frames.zipWithIndex.map { case ((name, f), i) =>
       // forensics: name the in-flight build if the JVM dies mid-prewarm
       System.err.println(s"[prewarm] start frame ${i + 1}/${frames.size} $name")
@@ -118,9 +140,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[prewarm] failed (continuing): $e")
       }
-      name -> (System.nanoTime() - f0) / 1e9
+      val dt = (System.nanoTime() - f0) / 1e9
+      bracket.foreach(b => readings += b())
+      name -> dt
     }
-    ((System.nanoTime() - t0) / 1e9, per)
+    ((System.nanoTime() - t0) / 1e9, per, readings.toSeq)
   }
 
   /** CPU-bound contention canary: a fixed-size, zero-IO string-hash
@@ -200,7 +224,54 @@ object Bench {
     val canaryPinnedSec = 0.10
     require(SparkEntry.queries.contains(canary),
       s"contention canary '$canary' is not a registered query — renamed?")
-    val (cacheBuildSec, cacheBuildPer) = Bench.prewarm(spark,
+    // ---- canary warmup + clean-pin calibration (r19, VERDICT #1) ----
+    // The r18 clean gate compared every bracket against QUIET-slice pins
+    // (0.55 s cpu / 0.10 s io) — but 162 brackets across three r18
+    // records proved this host carries a persistent ~1.27× io floor, so
+    // the dual ≤1.25× gate was unreachable and clean_coverage was
+    // vacuously 0.0 on every record. The clean pins are now calibrated
+    // AT RECORD TIME: best-of-N paired canary reads taken here, floored
+    // at the quiet refs (a lucky sub-quiet read must not tighten the
+    // gate below the historical floor). Both the calibration samples
+    // and the resulting pins are emitted in the record, and every raw
+    // bracket reading still is too — so cleanliness stays re-derivable
+    // from the record under ANY pin a grader prefers. The quiet refs
+    // keep their own fields (contention_index/_cpu denominators), so
+    // cross-round contention comparisons are unaffected.
+    try { cpuCanaryOnce(spark); ioCanaryOnce(spark, sfDir); () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] canary warmup failed: $e") }
+    val calibN = sys.env.get("SPARK_GRAFT_BENCH_CALIB")
+      .flatMap(_.trim.toIntOption).filter(_ > 0).getOrElse(5)
+    val calibSamples = (1 to calibN).map { i =>
+      val c = try cpuCanaryOnce(spark) catch { case _: Throwable => -1.0 }
+      val io = try ioCanaryOnce(spark, sfDir) catch { case _: Throwable => -1.0 }
+      System.err.println(f"[bench] calibration $i/$calibN cpu $c%.3f io $io%.3f")
+      (c, io)
+    }
+    def bestOf(xs: Seq[Double], quietRef: Double): Double = {
+      val ok = xs.filter(_ > 0)
+      if (ok.isEmpty) quietRef else math.max(quietRef, ok.min)
+    }
+    val cpuCanaryPinnedSec = 0.55
+    val cleanPinCpuSec = bestOf(calibSamples.map(_._1), cpuCanaryPinnedSec)
+    val cleanPinIoSec = bestOf(calibSamples.map(_._2), canaryPinnedSec)
+    val cleanMax = sys.env.get("SPARK_GRAFT_BENCH_CLEAN_MAX")
+      .flatMap(_.trim.toDoubleOption).filter(_ > 0).getOrElse(1.25)
+    System.err.println(f"[bench] clean pins: cpu $cleanPinCpuSec%.3f s  " +
+      f"io $cleanPinIoSec%.3f s  (quiet refs $cpuCanaryPinnedSec%.2f/" +
+      f"$canaryPinnedSec%.2f, threshold ${cleanMax}%.2f×)")
+    case class Bracket(cpu: Double, io: Double) {
+      def clean: Boolean =
+        cpu > 0 && cpu / cleanPinCpuSec < cleanMax &&
+          io > 0 && io / cleanPinIoSec < cleanMax
+    }
+    def bracket(): Bracket = {
+      val c = try cpuCanaryOnce(spark) catch { case _: Throwable => -1.0 }
+      val i = try ioCanaryOnce(spark, sfDir) catch { case _: Throwable => -1.0 }
+      Bracket(c, i)
+    }
+    val (cacheBuildSec, cacheBuildPer, cacheBrackets) = Bench.prewarm(spark,
       Seq[(String, () => org.apache.spark.sql.DataFrame)](
         "trips_master" -> (() => graft.ops.Transform.master(spark, sfDir)),
         // one untimed j05: its first call writes the bucketed tables —
@@ -220,10 +291,26 @@ object Bench {
           (() => graft.ops.LocationResolve.crossDictScale(spark, sfDir)),
         "multi_dict_index" ->
           (() => graft.ops.LocationResolve.multiDictScale(spark, sfDir))) ++
-      Bench.docFamilyFrames(spark, sfDir))
-    val cacheBuildJson = cacheBuildPer
-      .map { case (n, s) => "\"" + n + "\":" +
-        String.format(java.util.Locale.ROOT, "%.2f", Double.box(s)) }
+      Bench.docFamilyFrames(spark, sfDir),
+      bracket = Some(() => { val b = bracket(); (b.cpu, b.io) }))
+    def f2(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def f3(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // per-component build entries carry their canary brackets (r19,
+    // VERDICT #5): frame k sits between cache_build readings k and k+1,
+    // so a degraded build window is attributable to the exact
+    // components it inflated, off the record alone
+    val cacheBuildJson = cacheBuildPer.zipWithIndex
+      .map { case ((n, s), i) =>
+        val before =
+          if (i < cacheBrackets.size) cacheBrackets(i) else (-1.0, -1.0)
+        val after =
+          if (i + 1 < cacheBrackets.size) cacheBrackets(i + 1) else (-1.0, -1.0)
+        "\"" + n + "\":{\"sec\":" + f2(s) +
+          s""","bracket_before_cpu_io":[${f3(before._1)},${f3(before._2)}]""" +
+          s""","bracket_after_cpu_io":[${f3(after._1)},${f3(after._2)}]}"""
+      }
       .mkString("{", ",", "}")
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -255,34 +342,28 @@ object Bench {
             "cross-pass-minima floor, clamping to 2")
         parsed.map(p => math.max(p, 2))
       }.getOrElse(3)
-    // ---- clean-sample machinery (r18) ----
+    // ---- clean-sample machinery (r18; pins calibrated since r19) ----
     // Three rounds of waiting for a host-wide clean window failed
     // (r15–r17); the record itself now SEPARATES clean from contended
     // samples instead. Each pass is cut into segments of SegmentSize
     // queries bracketed by dual canary probes (the cpu hash loop + the
-    // t01 io scan, both pinned); a segment is CLEAN iff BOTH probes on
-    // BOTH sides of it read below cleanMax × their pin, and every query
-    // sample inherits its segment's cleanliness. queries_clean /
-    // clean_value are computed from clean samples only, so the headline
-    // survives a host that collapses mid-run — the r17 driver record
-    // had two ~clean passes inside a 1.87× run and the old cross-pass
-    // minima could not say which numbers came from them.
+    // t01 io scan, pinned at the session-calibrated clean pins above);
+    // a segment is CLEAN iff BOTH probes on BOTH sides of it read below
+    // cleanMax × their pin, and every query sample inherits its
+    // segment's cleanliness. queries_clean / clean_value are computed
+    // from clean samples only, so the headline survives a host that
+    // collapses mid-run — the r17 driver record had two ~clean passes
+    // inside a 1.87× run and the old cross-pass minima could not say
+    // which numbers came from them.
     val segmentSize = 16
-    val cleanMax = sys.env.get("SPARK_GRAFT_BENCH_CLEAN_MAX")
-      .flatMap(_.trim.toDoubleOption).filter(_ > 0).getOrElse(1.25)
-    val cpuCanaryPinnedSec = 0.55
-    case class Bracket(cpu: Double, io: Double) {
-      def clean: Boolean =
-        cpu > 0 && cpu / cpuCanaryPinnedSec < cleanMax &&
-          io > 0 && io / canaryPinnedSec < cleanMax
-    }
-    def bracket(): Bracket = {
-      val c = try cpuCanaryOnce(spark) catch { case _: Throwable => -1.0 }
-      val i = try ioCanaryOnce(spark, sfDir) catch { case _: Throwable => -1.0 }
-      Bracket(c, i)
-    }
+    // sample = (seconds, segment-clean, pass kind): the headline
+    // `value`/`queries` minima take FULL passes only — retry passes
+    // exist to feed queries_clean/clean_value, and letting them also
+    // deepen the all-sample minima made cross-round totals compare
+    // records with different sample counts (r18 ADVICE: r18a's min-of-6
+    // vs r16's min-of-3)
     val samples = scala.collection.mutable.Map
-      .empty[String, List[(Double, Boolean)]].withDefaultValue(Nil)
+      .empty[String, List[(Double, Boolean, String)]].withDefaultValue(Nil)
     val cpuCanarySamples = scala.collection.mutable.ListBuffer.empty[Double]
     val passBrackets = scala.collection.mutable.ListBuffer.empty[Seq[Bracket]]
     val passKinds = scala.collection.mutable.ListBuffer.empty[String]
@@ -292,10 +373,6 @@ object Bench {
     // re-score cleanliness under ANY threshold off the record alone
     val passQueries =
       scala.collection.mutable.ListBuffer.empty[Seq[(String, Double)]]
-    // one untimed run per canary absorbs codegen/scan init
-    try { cpuCanaryOnce(spark); ioCanaryOnce(spark, sfDir); () }
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] canary warmup failed: $e") }
 
     def runPass(passIdx: Int, names: Seq[String], kind: String): Unit = {
       val seq = if (passIdx % 2 == 0) names else names.reverse
@@ -315,7 +392,9 @@ object Bench {
         brackets += after
         val segClean = before.clean && after.clean
         segTimes.foreach { case (name, t) =>
-          if (t >= 0) { samples(name) = (t, segClean) :: samples(name); passSum += t }
+          if (t >= 0) {
+            samples(name) = (t, segClean, kind) :: samples(name); passSum += t
+          }
         }
         ran ++= segTimes
         before = after
@@ -347,7 +426,7 @@ object Bench {
     val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SEC")
       .flatMap(_.trim.toIntOption).filter(_ > 0).getOrElse(1500)
     def uncleanNames: Seq[String] =
-      order.filter(n => !samples(n).exists { case (t, c) => c && t >= 0 })
+      order.filter(n => !samples(n).exists { case (t, c, _) => c && t >= 0 })
     var extra = 0
     while (extra < maxExtra && uncleanNames.nonEmpty &&
         (System.nanoTime() - loopStart) / 1e9 < deadlineSec) {
@@ -357,12 +436,16 @@ object Bench {
       runPass(passes + extra, todo, "retry")
       extra += 1
     }
+    // headline minima from FULL passes only (r19, ADVICE): every record
+    // then aggregates the same per-query sample count (`passes`), so
+    // cross-round totals compare like with like; retry-pass samples
+    // feed ONLY the clean fields below (their whole purpose)
     val results = order.map { name =>
-      val s = samples(name).map(_._1)
+      val s = samples(name).collect { case (t, _, "full") => t }
       name -> (if (s.isEmpty) -1.0 else s.min)
     }
     val cleanResults = order.map { name =>
-      val s = samples(name).collect { case (t, true) => t }
+      val s = samples(name).collect { case (t, true, _) => t }
       name -> (if (s.isEmpty) -1.0 else s.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -406,8 +489,6 @@ object Bench {
     // falls back to the overall min for the (clean_coverage < 1)
     // remainder so the total stays comparable — the coverage field says
     // how much of it is provably clean.
-    def f3(v: Double) =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qsClean = cleanResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val cleanMap = cleanResults.toMap
@@ -424,7 +505,15 @@ object Bench {
       .map(_.map { case (n, t) => "\"" + n + "\":" + f3(t) }
         .mkString("{", ",", "}"))
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","cache_build_sec":$cacheBuildSec,"cache_build_breakdown":$cacheBuildJson,"passes":$passes,"pass_totals":$passJson,"pass_kinds":$kindsJson,"contention_canary":"$canary","contention_canary_pinned_sec":$canaryPinnedSec,"contention_index":$contentionIndex,"contention_canary_cpu":"sha2_hash_loop_12m","contention_canary_cpu_pinned_sec":$cpuCanaryPinnedSec,"contention_canary_cpu_sec":$cpuJson,"contention_index_cpu":$contentionIndexCpu,"clean_threshold":$cleanMax,"segment_size":$segmentSize,"pass_brackets_cpu_io":$bracketsJson,"pass_queries":$passQueriesJson,"clean_coverage":${f3(cleanCoverage)},"queries_clean":$qsClean,"clean_value":${f3(cleanValue)},"queries":$qs,"value":$total}"""
+    val calibJson = calibSamples
+      .map { case (c, i) => s"[${f3(c)},${f3(i)}]" }
+      .mkString("[", ",", "]")
+    // `passes` stays = the BASE pass count (its r18 meaning);
+    // `retry_passes` sizes the tail, so pass_totals/pass_kinds/
+    // pass_brackets_cpu_io/pass_queries arrays (length passes +
+    // retry_passes) parse unambiguously (r19, ADVICE). value_basis
+    // documents that `value`/`queries` aggregate full passes only.
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","cache_build_sec":$cacheBuildSec,"cache_build_breakdown":$cacheBuildJson,"passes":$passes,"retry_passes":$extra,"value_basis":"full_passes_only","pass_totals":$passJson,"pass_kinds":$kindsJson,"contention_canary":"$canary","contention_canary_pinned_sec":$canaryPinnedSec,"contention_index":$contentionIndex,"contention_canary_cpu":"sha2_hash_loop_12m","contention_canary_cpu_pinned_sec":$cpuCanaryPinnedSec,"contention_canary_cpu_sec":$cpuJson,"contention_index_cpu":$contentionIndexCpu,"clean_pin_policy":"max(quiet_ref,best_of_${calibN}_calibration)","clean_pin_cpu_sec":${f3(cleanPinCpuSec)},"clean_pin_io_sec":${f3(cleanPinIoSec)},"calibration_cpu_io_sec":$calibJson,"clean_threshold":$cleanMax,"segment_size":$segmentSize,"pass_brackets_cpu_io":$bracketsJson,"pass_queries":$passQueriesJson,"clean_coverage":${f3(cleanCoverage)},"queries_clean":$qsClean,"clean_value":${f3(cleanValue)},"queries":$qs,"value":$total}"""
     println(line)
     // stderr copy: some tail-captures keep stderr after truncating stdout,
     // giving the driver's parser a second chance at the full record

@@ -118,7 +118,7 @@ object ScaleProbe {
     val docFrames =
       if (!docNeeded || light) Seq.empty
       else Bench.docFamilyFrames(spark, dir)
-    val (cacheBuildSec, _) = Bench.prewarm(spark, relFrames ++ docFrames)
+    val (cacheBuildSec, _, _) = Bench.prewarm(spark, relFrames ++ docFrames)
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

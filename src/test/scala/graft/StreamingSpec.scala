@@ -398,11 +398,17 @@ class StreamingSpec extends AnyFunSuite {
       "retried compaction did not commit its marker")
     assert(spark.read.parquet(s"$survDir/v2/compact/attrs").count() > 0,
       "retried compaction left the torn empty attrs in place")
-    // the membership probe artifact (r18): doc_id-only, one row per
-    // streamed doc
+    // the membership probe artifact: doc_id-only rows, laid out since
+    // r19 under kb_bucket= partition directories (the range-bucketed
+    // store the wave's anti-join prunes) with the BUCKETS meta
+    // committed before the marker
     val members = spark.read.parquet(s"$survDir/v2/compact/members")
-    assert(members.columns.toSeq == Seq("doc_id"),
-      s"members artifact is not doc_id-only: ${members.columns.toSeq}")
+    assert(members.columns.toSeq.sorted == Seq("doc_id", "kb_bucket"),
+      s"members artifact must be doc_id rows under kb_bucket " +
+        s"partitions: ${members.columns.toSeq}")
+    assert(java.nio.file.Files.isRegularFile(
+        java.nio.file.Paths.get(s"$survDir/v2/compact/BUCKETS")),
+      "bucketed compaction did not commit its BUCKETS meta")
     assert(members.count() == docs.count(),
       "members must carry every streamed doc exactly once")
     // janitor sweep below the compaction; the reader must stand on the
@@ -411,6 +417,85 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(Streaming.streamedKeepBestDeltaSurvivors(spark, survDir))
         == batch,
       "post-janitor reader diverged — compact/ is not the read base")
+  }
+
+  test("r19 bucketed keep-best stores: the membership probe reads only " +
+      "the probe's kb_bucket partitions and equals the full-scan " +
+      "anti-join; labels carry a by-cluster and a by-doc copy") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val waves = (0 until 3).map(i => docs.filter($"doc_id" % 3 === i))
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_kbb_$p").toString
+    val (dimDir, pairsDir, survDir) = (tmp("dim"), tmp("pairs"), tmp("surv"))
+    waves.zipWithIndex.foreach { case (w, i) =>
+      Streaming.keepBestDeltaUpdate(dimDir, pairsDir, survDir)(w, i.toLong)
+    }
+    // small target rows/bucket so the fixture yields many buckets —
+    // the pruning must be visible as files-not-read, not asserted
+    Streaming.compactKeepBest(spark, survDir, targetRowsPerBucket = 32L)
+    val vs = Seq(0L, 1L, 2L)
+    def bucketDirs(part: String) =
+      new java.io.File(s"$survDir/v2/compact/$part").listFiles()
+        .filter(_.getName.startsWith("kb_bucket=")).map(_.getName).toSeq
+    for (part <- Seq("attrs", "members", "labels", "labels_by_doc"))
+      assert(bucketDirs(part).size > 4,
+        s"$part: expected a multi-bucket layout, got ${bucketDirs(part)}")
+    // a narrow probe (one id range) must touch strictly fewer member
+    // files than there are buckets — partition-directory pruning, the
+    // same files-∝-probes gate as the IVF index (PlanAuditSpec x26)
+    val probe = docs.orderBy($"doc_id").limit(7).select($"doc_id")
+      .localCheckpoint()
+    val touched = Streaming.keepBestMembersProbe(spark, survDir, vs, probe)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+      .filter(_.contains("/compact/members/"))
+    val allBuckets = bucketDirs("members").size
+    assert(touched.nonEmpty && touched.length < allBuckets / 2,
+      s"probe touched ${touched.length} member files of $allBuckets " +
+        "buckets — partition pruning is not happening")
+    // soundness: the pruned membership drives the SAME first-time
+    // anti-join result as the full-scan membership, for a probe that
+    // mixes members and genuinely-new doc_ids
+    val mixed = probe.union(spark.range(9000000L, 9000005L)
+      .select($"id".as("doc_id"))).localCheckpoint()
+    def antiWith(members: org.apache.spark.sql.DataFrame) =
+      mixed.join(members, Seq("doc_id"), "left_anti")
+        .collect().map(_.getLong(0)).toSet
+    assert(
+      antiWith(Streaming.keepBestMembersProbe(spark, survDir, vs, mixed))
+        == antiWith(Streaming.assembledKeepBestMembers(spark, survDir, vs)),
+      "pruned membership anti-join diverged from the full scan")
+    // a wave AFTER the bucketed compaction (probing bucketed attrs,
+    // labels and labels_by_doc on the hot path) must leave the reader
+    // ≡ batch x59 — same gate as the cadence test, on this lineage
+    Streaming.keepBestDeltaUpdate(dimDir, pairsDir, survDir)(
+      docs.filter($"doc_id" % 3 === 0), 3L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id", "quality_score", "lang")
+        .collect().map(_.toSeq).toSet
+    assert(rows(Streaming.streamedKeepBestDeltaSurvivors(spark, survDir))
+        == rows(graft.ops.Dedup.dedupKeepBest(spark, sf)),
+      "post-compaction wave over the bucketed stores diverged from batch")
+  }
+
+  test("keep-best success-marker requirement (r19, ADVICE): a session " +
+      "with marksuccessfuljobs=false fails loudly instead of silently " +
+      "recomputing the O(corpus) attrs backfill on every read") {
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prior = conf.get(key)
+    conf.setBoolean(key, false)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Streaming.assembledKeepBestDims(
+          spark, "/tmp/graft_nonexistent_kb", Seq.empty)
+      }
+      assert(e.getMessage.contains("marksuccessfuljobs"),
+        s"wrong failure: ${e.getMessage}")
+    } finally {
+      if (prior == null) conf.unset(key) else conf.set(key, prior)
+    }
   }
 
   test("torn attrs backfill re-runs (r18, ADVICE): a partial v-base " +
