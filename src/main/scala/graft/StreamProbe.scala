@@ -163,7 +163,8 @@ object StreamProbe {
         val (d, p) = (tmp("band_dim"), tmp("band_pairs"))
         run("band_index",
           graft.streaming.Streaming.bandIndexUpdate(d, p),
-          w => wave(docs, "doc_id", w))
+          w => wave(docs, "doc_id", w),
+          trackReads = true)
       case "ledger" =>
         val (d, o) = (tmp("ledger_dim"), tmp("ledger_out"))
         val weights = graft.ops.TextAnalysis.classifierWeights(spark, baseDir)

@@ -414,8 +414,10 @@ object Streaming {
     * batch), the band index is APPEND-ONLY: versions are disjoint batch
     * slices and the index is their union — per-batch write cost scales
     * with the batch, not the accumulated history, which is what makes
-    * the pattern sustainable on an unbounded stream (at scale each
-    * slice is a partition of one bucketed table keyed by (band, bh)).
+    * the pattern sustainable on an unbounded stream. The READ side is
+    * bounded by [[compactBandIndex]] (r19): probes stand on the newest
+    * compacted store + O(K) tail slices, and the shingle verify prunes
+    * to the candidates' kb_bucket partitions.
     * Same versioned-dir exactly-once shape as [[unigramModelUpdate]]:
     * a retried batch recomputes byte-identical slices and pairs from
     * inputs a retry cannot have touched, and readers only see versions
@@ -455,14 +457,19 @@ object Streaming {
           .select(lit(0L).as("inc_id"), lit(0L).as("hist_id"),
             lit(0.0).as("jaccard")).limit(0)
       else {
-        val hist = spark.read.parquet(
-          prior.map(p => s"$dimDir/v$p/docs"): _*)
-        val histBands = spark.read.parquet(
-          prior.map(p => s"$dimDir/v$p/bands"): _*)
-        val cand = bands.as("a").join(histBands.as("b"),
+        // history = newest compaction store + O(K) tail slices (r19):
+        // pre-compaction, every wave re-opened ALL prior slices — at
+        // 32 shuffle files per slice the per-wave footer/listing read
+        // alone grew ∝ wave count (measured ~91 KB/wave on the r19
+        // probe corpus, the dominant residual slope after the
+        // keep-best store bucketing). Falls back to the all-slices
+        // scan when no compaction exists, correctness unchanged.
+        val histBands = bandHistBands(spark, dimDir, prior)
+        val candLazy = bands.as("a").join(histBands.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .distinct()
+        val (cand, hist) = bandVerifyInputs(spark, dimDir, prior, candLazy)
         graft.ops.Dedup.verifyJaccard(cand, docs, hist)
           .select(col("id_a").as("inc_id"), col("id_b").as("hist_id"),
             col("jaccard"))
@@ -1201,19 +1208,31 @@ object Streaming {
     * completion (AvailableNow): maintains the band index under
     * `dimDir`, emits per-batch verified pair slices under `pairsDir`. */
   def buildBandIndex(docs: DataFrame, dimDir: String, pairsDir: String,
-      ckptDir: String): Unit = {
+      ckptDir: String, compactEvery: Int = 8): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dimDir))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pairsDir))
     requireSharedLifecycle(dimDir, ckptDir)
     requireSliceLifecycle(pairsDir, ckptDir, "pair")
     val q = docs.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        bandIndexUpdate(dimDir, pairsDir)(df, batchId)
+        bandIndexMaintain(dimDir, pairsDir, compactEvery)(df, batchId)
       }
       .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** One maintained wave of the band index WITH the compaction
+    * cadence — [[keepBestDeltaMaintain]]'s shape on the index
+    * direction. Defaults ON at 8 wherever a stream drives it (the
+    * r18 VERDICT #4 stance: the bounded-probe property must hold
+    * without operator opt-in). `compactEvery <= 0` disables. */
+  private[graft] def bandIndexMaintain(dimDir: String, pairsDir: String,
+      compactEvery: Int)(batch: DataFrame, batchId: Long): Unit = {
+    bandIndexUpdate(dimDir, pairsDir)(batch, batchId)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      compactBandIndex(batch.sparkSession, dimDir)
   }
 
   /** All near-dup pairs the stream has emitted so far (union of the
@@ -1224,15 +1243,24 @@ object Streaming {
     * overwrites it byte-identically, but a reader between crash and
     * replay must not see it, so each slice is gated on the
     * `v<k>/_SUCCESS` marker in `dimDir` (the single commit point for
-    * the batch). */
+    * the batch). A slice at or below the newest [[compactBandIndex]]
+    * base also counts as committed with its version dir gone (r19
+    * janitor parity): the compaction reads only marker-committed
+    * versions and [[requirePredecessorState]] enforces per-wave
+    * contiguity, so every k ≤ base was committed before the base
+    * could be. */
   def streamedNearDupPairs(spark: SparkSession, dimDir: String,
-      pairsDir: String): DataFrame =
+      pairsDir: String): DataFrame = {
+    val base = bandCumulativeBase(dimDir, modelVersions(dimDir))
     committedSlices(spark, pairsDir,
-        k => java.nio.file.Paths.get(s"$dimDir/v$k/_SUCCESS")) {
+        k => java.nio.file.Paths.get(
+          if (base.exists(_ >= k.toLong)) s"$dimDir/v${base.get}/_SUCCESS"
+          else s"$dimDir/v$k/_SUCCESS")) {
       spark.emptyDataFrame
         .select(lit(0L).as("inc_id"), lit(0L).as("hist_id"),
           lit(0.0).as("jaccard")).limit(0)
     }
+  }
 
   /** x59 streaming sibling — incremental KEEP-BEST survivors: maintain
     * the per-cluster best-quality survivor dim continuously as
@@ -1942,6 +1970,53 @@ object Streaming {
     }
   }
 
+  /** Power-of-two range-bucket exponent for a compaction's bucketed
+    * stores: one stats pass over the assembled dim picks the width
+    * targeting ~targetRowsPerBucket rows per bucket at the OBSERVED
+    * key density. Because every compaction re-derives the width,
+    * bucket size stays ≈ constant as the corpus grows — so a wave's
+    * probe reads (touched buckets × target rows), ∝ batch, never
+    * ∝ corpus. RANGE buckets (key >> shift) rather than hash: new
+    * documents arrive in new id ranges, so a mostly-new batch's
+    * buckets don't even exist in the store and the probe reads
+    * ~nothing; hash buckets would spread any batch over
+    * min(batch, B) directories. Skewed id ranges fatten individual
+    * buckets' constant factor, never correctness (a probe always
+    * includes every bucket a probe key could live in). Shared by
+    * [[compactKeepBest]] and [[compactBandIndex]] so the two
+    * compactions' bucket algebra cannot drift. */
+  private def kbShiftFor(dim: DataFrame, keyCol: String,
+      targetRowsPerBucket: Long): Int = {
+    val st = dim
+      .agg(min(col(keyCol)), max(col(keyCol)), count(lit(1)))
+      .collect()(0)
+    val (lo, hi, n) =
+      if (st.isNullAt(0)) (0L, 0L, 0L)
+      else (st.getLong(0), st.getLong(1), st.getLong(2))
+    require(lo >= 0L,
+      s"negative $keyCol $lo — kb range bucketing assumes nonnegative ids")
+    val width = math.max(1.0,
+      (hi - lo + 1).toDouble * targetRowsPerBucket / math.max(1L, n))
+    math.min(62,
+      math.max(0, math.ceil(math.log(width) / math.log(2)).toInt))
+  }
+
+  /** Write one kb_bucket-partitioned compaction artifact, sorted by
+    * key within each bucket so row-group min/max pruning inside a
+    * touched bucket stays available at warehouse scale. An EMPTY dim
+    * is written plain (a partitioned write of zero rows creates no
+    * files and the dir cannot be re-read) — [[bucketPruned]] passes
+    * kb_bucket-less frames through whole. */
+  private def writeKbBucketed(df: DataFrame, keyCol: String, out: String,
+      shift: Int): Unit = {
+    if (df.isEmpty) df.write.mode("overwrite").parquet(out)
+    else df
+      .withColumn("kb_bucket", shiftright(col(keyCol), shift).cast("long"))
+      .repartition(col("kb_bucket"))
+      .sortWithinPartitions(col("kb_bucket"), col(keyCol))
+      .write.mode("overwrite").partitionBy("kb_bucket").parquet(out)
+  }
+
   /** Compact a delta keep-best lineage at its newest committed
     * version: persist the assembled cumulative attrs/labels/survivors
     * (plus the doc_id-only `members` probe artifact) under that
@@ -1970,47 +2045,12 @@ object Streaming {
     val top = vs.max
     if (Files.isRegularFile(Paths.get(s"$survDir/v$top/_CUMULATIVE"))) return
     val (attrs, labels, survivors) = assembledKeepBestDims(spark, survDir, vs)
-    // ---- bucket width (r19, VERDICT #2/#3) ----
-    // One stats pass over the assembled attrs picks a power-of-two
-    // doc_id bucket width targeting ~targetRowsPerBucket rows per
-    // bucket at the OBSERVED id density. Because every compaction
-    // re-derives the width, bucket size stays ≈ constant as the
-    // corpus grows — so a wave's probe reads (touched buckets ×
-    // target rows), ∝ batch, never ∝ corpus. RANGE buckets
-    // (key >> shift) rather than hash: new documents arrive in new id
-    // ranges, so a mostly-new batch's buckets don't even exist in the
-    // store and the probe reads ~nothing; hash buckets would spread
-    // any batch over min(batch, B) directories. Cluster ids are
-    // member-minimum doc_ids, so they bucket under the same width.
-    // Skewed id ranges fatten individual buckets' constant factor,
-    // never correctness (the probe always includes every bucket a
-    // probe key could live in).
-    val st = attrs
-      .agg(min(col("doc_id")), max(col("doc_id")), count(lit(1)))
-      .collect()(0)
-    val (lo, hi, n) =
-      if (st.isNullAt(0)) (0L, 0L, 0L)
-      else (st.getLong(0), st.getLong(1), st.getLong(2))
-    require(lo >= 0L,
-      s"negative doc_id $lo — kb range bucketing assumes nonnegative ids")
-    val width = math.max(1.0,
-      (hi - lo + 1).toDouble * targetRowsPerBucket / math.max(1L, n))
-    val shift = math.min(62,
-      math.max(0, math.ceil(math.log(width) / math.log(2)).toInt))
-    // sorted by key within each bucket: row-group min/max pruning
-    // inside a touched bucket stays available at warehouse scale.
-    // An EMPTY dim is written plain (a partitioned write of zero rows
-    // creates no files and the dir cannot be re-read) — bucketPruned
-    // passes kb_bucket-less frames through whole.
-    def writeBucketed(df: DataFrame, keyCol: String, part: String): Unit = {
-      val out = s"$survDir/v$top/compact/$part"
-      if (df.isEmpty) df.write.mode("overwrite").parquet(out)
-      else df
-        .withColumn("kb_bucket", shiftright(col(keyCol), shift).cast("long"))
-        .repartition(col("kb_bucket"))
-        .sortWithinPartitions(col("kb_bucket"), col(keyCol))
-        .write.mode("overwrite").partitionBy("kb_bucket").parquet(out)
-    }
+    // bucket width (r19, VERDICT #2/#3): see [[kbShiftFor]]. Cluster
+    // ids are member-minimum doc_ids, so they bucket under the same
+    // width as doc ids.
+    val shift = kbShiftFor(attrs, "doc_id", targetRowsPerBucket)
+    def writeBucketed(df: DataFrame, keyCol: String, part: String): Unit =
+      writeKbBucketed(df, keyCol, s"$survDir/v$top/compact/$part", shift)
     writeBucketed(attrs, "doc_id", "attrs")
     // doc_id-only membership (the first-time anti-join's probe side),
     // derived from the just-written attrs so it re-reads one narrow
@@ -2038,15 +2078,137 @@ object Streaming {
       Array.emptyByteArray)
   }
 
+  /** The accumulated band index's (band, bh, doc_id) rows over the
+    * committed versions `prior`: the newest [[compactBandIndex]]
+    * store + O(K) tail slices, or all slices pre-compaction. */
+  private[graft] def bandHistBands(spark: SparkSession, dimDir: String,
+      prior: Seq[Long]): DataFrame = {
+    val vs = prior.sorted
+    val base = bandCumulativeBase(dimDir, vs)
+    val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs)
+    spark.read.parquet(
+      (base.map(b => s"$dimDir/v$b/compact/bands").toSeq ++
+        tail.map(p => s"$dimDir/v$p/bands")): _*)
+      .select(col("band"), col("bh"), col("doc_id"))
+  }
+
+  /** The exact-Jaccard verify's inputs for a band-index probe: the
+    * (possibly pinned) candidate pairs and the hist shingle rows that
+    * can match them. With a compacted base, candidates are
+    * touched-size — pin them once, then prune the fat shingle store
+    * to the candidates' id_b kb_buckets: the verify reads ∝ matches,
+    * never ∝ corpus (sound: a hist doc outside the candidates'
+    * buckets can never equal a candidate id_b). Pre-compaction both
+    * fall through lazily to the all-slices scan. */
+  private[graft] def bandVerifyInputs(spark: SparkSession, dimDir: String,
+      prior: Seq[Long], candLazy: DataFrame): (DataFrame, DataFrame) = {
+    val vs = prior.sorted
+    val base = bandCumulativeBase(dimDir, vs)
+    val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs)
+    base.flatMap(b => kbBucketShift(dimDir, b).map(b -> _)) match {
+      case Some((b, shift)) =>
+        val c = candLazy.localCheckpoint()
+        val buckets = touchedKbBuckets(c, "id_b", shift)
+        val h = (Seq(bucketPruned(
+            spark.read.parquet(s"$dimDir/v$b/compact/docs"), buckets)
+            .select(col("doc_id"), col("sh"), col("nsh"))) ++
+          tail.map(p => spark.read.parquet(s"$dimDir/v$p/docs")
+            .select(col("doc_id"), col("sh"), col("nsh"))))
+          .reduce(_ unionByName _)
+        (c, h)
+      case None =>
+        (candLazy,
+          spark.read.parquet(tail.map(p => s"$dimDir/v$p/docs"): _*))
+    }
+  }
+
+  /** Newest committed version of a band-index lineage carrying a
+    * compacted store ([[compactBandIndex]]'s `compact/bands` under a
+    * `_CUMULATIVE` marker) — [[cumulativeBase]]'s shape on the index
+    * direction. None = no compaction yet: probes fall back to the
+    * all-slices scan. */
+  private def bandCumulativeBase(dimDir: String,
+      vs: Seq[Long]): Option[Long] = {
+    import java.nio.file.{Files, Paths}
+    vs.filter { v =>
+      Files.isRegularFile(Paths.get(s"$dimDir/v$v/_CUMULATIVE")) &&
+        Files.exists(Paths.get(s"$dimDir/v$v/compact/bands"))
+    }.sorted.lastOption
+  }
+
+  /** Compact a band-index lineage at its newest committed version:
+    * persist the accumulated (bands, docs) under that version's
+    * `compact/` namespace, `_CUMULATIVE` marker last — the
+    * [[compactKeepBest]] discipline on the index direction
+    * (idempotent, disjoint read/write namespaces, a torn `compact/`
+    * dir is invisible without the marker).
+    *
+    * Why (r19, measured): pre-compaction, every [[bandIndexUpdate]]
+    * wave re-opened ALL prior slices — O(waves × shuffle-partitions)
+    * files, whose footer/listing reads alone grew ~91 KB/wave on the
+    * r19 probe corpus, the dominant per-wave ∝-history read term
+    * after the keep-best store bucketing. Post-compaction a wave
+    * stands on ONE store + O(K) tail slices.
+    *
+    * The `docs` store (the fat shingle arrays — the verify side) is
+    * kb_bucket range-partitioned by doc_id and sorted within buckets,
+    * so the exact-Jaccard verify probes only the candidates' buckets
+    * (∝ matches). The `bands` store is size-targeted files sorted by
+    * (band, bh): band keys are uniform hashes, so arrival-range
+    * bucketing cannot prune a probe — the win here is bounded file
+    * count (and the sort keeps row-group stats usable for any future
+    * literal probe). */
+  def compactBandIndex(spark: SparkSession, dimDir: String,
+      targetRowsPerBucket: Long = 65536L): Unit = {
+    import java.nio.file.{Files, Paths}
+    val vs = modelVersions(dimDir).sorted
+    require(vs.nonEmpty, s"no committed band-index version under $dimDir")
+    val top = vs.max
+    if (Files.isRegularFile(Paths.get(s"$dimDir/v$top/_CUMULATIVE"))) return
+    // assemble from the PRIOR compaction + its tail (not all slices):
+    // recompaction stays O(tail) on the listing side and a
+    // janitor-swept lineage can still recompact
+    val base = bandCumulativeBase(dimDir, vs)
+    val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs)
+    // the kb_bucket-partitioned base and the plain tail slices must be
+    // read separately (one mixed read trips Spark's conflicting-
+    // directory-structures check) — select() aligns the schemas
+    val docs =
+      (base.map(b => spark.read.parquet(s"$dimDir/v$b/compact/docs")).toSeq
+        ++ tail.map(v => spark.read.parquet(s"$dimDir/v$v/docs")))
+      .map(_.select(col("doc_id"), col("sh"), col("nsh")))
+      .reduce(_ unionByName _)
+    val bands = spark.read.parquet(
+      (base.map(b => s"$dimDir/v$b/compact/bands").toSeq ++
+        tail.map(v => s"$dimDir/v$v/bands")): _*)
+      .select(col("band"), col("bh"), col("doc_id"))
+    val shift = kbShiftFor(docs, "doc_id", targetRowsPerBucket)
+    writeKbBucketed(docs, "doc_id", s"$dimDir/v$top/compact/docs", shift)
+    val nBands = bands.count()
+    bands.repartition(math.max(1L, nBands / 4000000L + 1L).toInt)
+      .sortWithinPartitions(col("band"), col("bh"))
+      .write.mode("overwrite").parquet(s"$dimDir/v$top/compact/bands")
+    // bucket meta BEFORE the marker: a torn compaction never exposes it
+    Files.write(Paths.get(s"$dimDir/v$top/compact/BUCKETS"),
+      shift.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(Paths.get(s"$dimDir/v$top/_CUMULATIVE"),
+      Array.emptyByteArray)
+  }
+
   /** One maintained wave of the delta keep-best WITH the compaction
     * cadence — [[gramIndexMaintain]]'s sibling on the survivor
-    * direction. `compactEvery <= 0` disables the cadence. */
+    * direction. Since r19 the cadence also compacts the band-index
+    * lineage the maintainer drives (same wave, same `compactEvery`):
+    * the keep-best wave cost is bounded only if BOTH its stores'
+    * probes are. `compactEvery <= 0` disables the cadence. */
   private[graft] def keepBestDeltaMaintain(dimDir: String, pairsDir: String,
       survDir: String, compactEvery: Int)(
       batch: DataFrame, batchId: Long): Unit = {
     keepBestDeltaUpdate(dimDir, pairsDir, survDir)(batch, batchId)
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
       compactKeepBest(batch.sparkSession, survDir)
+      compactBandIndex(batch.sparkSession, dimDir)
+    }
   }
 
   /** Run the delta keep-best maintainer over a documents stream to

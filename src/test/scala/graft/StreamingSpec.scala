@@ -1405,6 +1405,116 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("another stream lineage"))
   }
 
+  test("band-index compaction (r19): maintained lineage ≡ plain updates " +
+      "across the compaction boundary, the verify probe prunes to " +
+      "candidate buckets, a torn compact/ is invisible, and a janitor " +
+      "sweep below the base keeps the pair union and the next wave") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val waves = (0 until 5).map(i => docs.filter($"doc_id" % 5 === i))
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_bic_$p").toString
+    def pairSet(d: String, p: String) =
+      Streaming.streamedNearDupPairs(spark, d, p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+
+    // control: plain updates, never compacted
+    val (dA, pA) = (tmp("dimA"), tmp("pairsA"))
+    waves.zipWithIndex.foreach { case (w, i) =>
+      Streaming.bandIndexUpdate(dA, pA)(w, i.toLong)
+    }
+    val control = pairSet(dA, pA)
+    assert(control.nonEmpty, "fixture must produce cross-wave pairs")
+
+    // maintained lineage: compactions at v1 and v3; small bucket
+    // target so the docs-store pruning is visible as files-not-read
+    val (dB, pB) = (tmp("dimB"), tmp("pairsB"))
+    (0 until 4).foreach { i =>
+      Streaming.bandIndexUpdate(dB, pB)(waves(i), i.toLong)
+      if ((i + 1) % 2 == 0)
+        Streaming.compactBandIndex(spark, dB, targetRowsPerBucket = 32L)
+    }
+    for (v <- Seq(1L, 3L))
+      assert(java.nio.file.Files.isRegularFile(
+          java.nio.file.Paths.get(s"$dB/v$v/_CUMULATIVE")),
+        s"no _CUMULATIVE at v$v — compaction did not commit")
+    val docBuckets = new java.io.File(s"$dB/v3/compact/docs").listFiles()
+      .count(_.getName.startsWith("kb_bucket="))
+    assert(docBuckets > 4,
+      s"expected a multi-bucket docs store, got $docBuckets buckets")
+
+    // the verify's hist side for a narrow candidate set touches
+    // strictly fewer docs-store files than there are buckets — the
+    // same files-∝-probes gate as the keep-best membership store
+    val narrowCand = docs.orderBy($"doc_id").limit(5)
+      .select($"doc_id".as("id_a"), $"doc_id".as("id_b"))
+    val (_, histNarrow) =
+      Streaming.bandVerifyInputs(spark, dB, Seq(0L, 1L, 2L, 3L), narrowCand)
+    val touched = histNarrow
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0))
+      .filter(_.contains("/compact/docs/"))
+    assert(touched.nonEmpty && touched.length < docBuckets / 2,
+      s"narrow candidates touched ${touched.length} docs files of " +
+        s"$docBuckets buckets — partition pruning is not happening")
+
+    // wave 5 probes the v3 compaction + v4 tail on the hot path; the
+    // accumulated pair union must equal the never-compacted control
+    Streaming.bandIndexUpdate(dB, pB)(waves(4), 4L)
+    assert(pairSet(dB, pB) == control,
+      "maintained lineage's pairs diverged from plain updates")
+
+    // janitor: version dirs strictly below the v3 base go entirely —
+    // pair slices b0..b2 stay committed (gated on the base), and a
+    // fresh reader + another wave still work. Wave 5 re-lands wave 0's
+    // doc ids, so its cross pairs against history are nonempty too.
+    (0 until 3).foreach(v => deleteRec(s"$dB/v$v"))
+    assert(new java.io.File(dB).listFiles()
+        .count(f => f.isDirectory && f.getName.matches("v\\d+")) == 2,
+      "janitor left pre-compaction versions behind")
+    assert(pairSet(dB, pB) == control,
+      "post-janitor pair union lost slices below the compaction base")
+    Streaming.bandIndexUpdate(dB, pB)(waves(0), 5L)
+    val withReplay = pairSet(dB, pB)
+    assert(withReplay.size > control.size,
+      "post-janitor wave over the compacted base emitted no new pairs")
+
+    // torn compaction: garbage compact/ artifacts without the marker
+    // must be invisible — the next wave falls back to the all-slices
+    // scan and the pair union matches a never-compacted lineage
+    val (dC, pC) = (tmp("dimC"), tmp("pairsC"))
+    val (dD, pD) = (tmp("dimD"), tmp("pairsD"))
+    (0 until 2).foreach { i =>
+      Streaming.bandIndexUpdate(dC, pC)(waves(i), i.toLong)
+      Streaming.bandIndexUpdate(dD, pD)(waves(i), i.toLong)
+    }
+    spark.emptyDataFrame.select(lit(0).as("band"), lit(0L).as("bh"),
+        lit(0L).as("doc_id")).limit(0)
+      .write.mode("overwrite").parquet(s"$dC/v1/compact/bands")
+    spark.emptyDataFrame.select(lit(0L).as("doc_id"),
+        lit(Array.empty[Long]).as("sh"), lit(0L).as("nsh")).limit(0)
+      .write.mode("overwrite").parquet(s"$dC/v1/compact/docs")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dC/v1/compact/BUCKETS"),
+      "24".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Streaming.bandIndexUpdate(dC, pC)(waves(2), 2L)
+    Streaming.bandIndexUpdate(dD, pD)(waves(2), 2L)
+    assert(pairSet(dC, pC) == pairSet(dD, pD),
+      "a torn compact/ dir (no _CUMULATIVE) changed the probe's result")
+    // a later compaction commits fresh at the top; the torn v1
+    // namespace stays on disk, permanently untrusted
+    Streaming.compactBandIndex(spark, dC)
+    assert(java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(s"$dC/v2/_CUMULATIVE")))
+    assert(spark.read.parquet(s"$dC/v2/compact/bands").count() > 0,
+      "retried compaction left no band rows")
+    Streaming.bandIndexUpdate(dC, pC)(waves(3), 3L)
+    Streaming.bandIndexUpdate(dD, pD)(waves(3), 3L)
+    assert(pairSet(dC, pC) == pairSet(dD, pD),
+      "post-retry compacted probe diverged from the plain lineage")
+  }
+
   /** One torn-write case: a versioned dim's updater, the commit marker
     * whose absence defines the torn state, a canonical reader snapshot,
     * and the two waves to drive it with. The registry below enumerates
