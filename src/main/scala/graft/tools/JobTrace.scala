@@ -34,8 +34,12 @@ object JobTrace {
     val t0 = System.nanoTime()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
+        // driver-side maintainer/tool calls carry no callSite property;
+        // the last stage's name (the action site) is the attribution
         val site = Option(j.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .orElse(j.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
+          .getOrElse("?")
         starts.put(j.jobId, (System.nanoTime(), site))
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
