@@ -75,8 +75,8 @@ object StreamProbe {
           "no-op waves")
     }
     val docDims = Set("band", "ledger", "snapshot", "keepbest",
-      "keepbest_delta", "keepbest_delta_c", "unigram", "span",
-      "datasheet", "gramindex")
+      "keepbest_delta", "keepbest_delta_c", "keepbest_delta_m",
+      "keepbest_delta_mc", "unigram", "span", "datasheet", "gramindex")
     if (dims.exists(docDims)) assertWaveCoverage(docs, "doc_id", "documents")
     if (dims.exists(Set("ivfpq", "semdecont")))
       assertWaveCoverage(embs, "vec_id", "embeddings")
@@ -236,6 +236,43 @@ object StreamProbe {
           graft.streaming.Streaming.keepBestDeltaMaintain(
             d, p, sv, compactEvery = 4),
           w => wave(docs, "doc_id", w),
+          bytesOf = Some(w => duDir(s"$sv/v$w")),
+          trackReads = true)
+      case matchDim @ ("keepbest_delta_m" | "keepbest_delta_mc") =>
+        // MATCH-BEARING variants (r19): the plain replica corpus has
+        // disjoint shingle universes across waves, so the band probe's
+        // cross-wave candidate set is always empty and the curves
+        // never exercise the verify's hist-docs read. Here wave w
+        // re-lands 10% of wave w-1's documents under fresh doc_ids
+        // (same text → exact cross-wave near-dups), so every wave
+        // carries a real candidate load. The _mc (cadence) form must
+        // show the verify reading the compacted shingle store at the
+        // candidates' buckets only — flat at equal tail depth — while
+        // the _m (no cadence) control re-scans every prior docs slice
+        // and grows ∝ corpus per wave: the contrast that measures the
+        // bandVerifyInputs pruning claim instead of spec-asserting it.
+        val cadence = if (matchDim == "keepbest_delta_mc") 4 else 0
+        val tag = if (cadence > 0) "mc" else "m"
+        val (d, p, sv) =
+          (tmp(s"kbdm${tag}_dim"), tmp(s"kbdm${tag}_pairs"),
+            tmp(s"kbdm${tag}_surv"))
+        def matchWave(w: Int): DataFrame = {
+          val own = wave(docs, "doc_id", w)
+          if (w == 0) own
+          else own.unionByName(
+            wave(docs, "doc_id", w - 1)
+              .filter(col("doc_id") % 10 === 0)
+              // fresh ids inside wave w's range: + one replica span
+              // moves w-1 ids into [w·span, …), +2M clears the
+              // original id band (base ids ≪ 2M)
+              .withColumn("doc_id",
+                col("doc_id") + repsPerWave.toLong * ReplicaOffset
+                  + 2000000L))
+        }
+        run(s"keepbest_delta_$tag",
+          graft.streaming.Streaming.keepBestDeltaMaintain(
+            d, p, sv, compactEvery = cadence),
+          matchWave,
           bytesOf = Some(w => duDir(s"$sv/v$w")),
           trackReads = true)
       case "gramindex" =>
