@@ -76,7 +76,8 @@ object StreamProbe {
     }
     val docDims = Set("band", "ledger", "snapshot", "keepbest",
       "keepbest_delta", "keepbest_delta_c", "keepbest_delta_m",
-      "keepbest_delta_mc", "unigram", "span", "datasheet", "gramindex")
+      "keepbest_delta_mc", "unigram", "span", "span_c", "datasheet",
+      "datasheet_c", "gramindex")
     if (dims.exists(docDims)) assertWaveCoverage(docs, "doc_id", "documents")
     if (dims.exists(Set("ivfpq", "semdecont")))
       assertWaveCoverage(embs, "vec_id", "embeddings")
@@ -170,14 +171,16 @@ object StreamProbe {
         val weights = graft.ops.TextAnalysis.classifierWeights(spark, baseDir)
         run("ledger",
           graft.streaming.Streaming.ledgerUpdate(d, o, weights),
-          w => wave(docs, "doc_id", w))
+          w => wave(docs, "doc_id", w),
+          trackReads = true)
       case "ivfpq" =>
         val d = tmp("ivfpq_idx")
         val (cents, books) =
           graft.ops.Similarity.frozenIvfPqModel(spark, baseDir)
         run("ivfpq_index",
           graft.streaming.Streaming.ivfPqIndexUpdate(d, cents, books),
-          w => wave(embs, "vec_id", w))
+          w => wave(embs, "vec_id", w),
+          trackReads = true)
       case "snapshot" =>
         // the old-snapshot store freezes at BASE scale (the honest
         // setup: the prior crawl), waves play the new crawl; the
@@ -189,7 +192,8 @@ object StreamProbe {
           Tables.documents(spark, baseDir), oldD)
         run("snapshot_diff",
           graft.streaming.Streaming.snapshotDiffUpdate(oldD, outD),
-          w => wave(docs, "doc_id", w))
+          w => wave(docs, "doc_id", w),
+          trackReads = true)
       case "keepbest" =>
         // the rebuild-form maintainer whose per-wave cost grows BY
         // DESIGN (kept as the reference point for keepbest_delta): the
@@ -303,14 +307,16 @@ object StreamProbe {
         val d = tmp("uni_dim")
         run("unigram",
           graft.streaming.Streaming.unigramModelUpdate(d),
-          w => wave(docs, "doc_id", w))
+          w => wave(docs, "doc_id", w),
+          trackReads = true)
       case "span" =>
         // span index: append-only versioned slices, probe ∝ batch —
         // expected flat (the band-index pattern)
         val (d, o) = (tmp("span_dim"), tmp("span_out"))
         run("span_index",
           graft.streaming.Streaming.spanIndexUpdate(d, o),
-          w => wave(docs, "doc_id", w))
+          w => wave(docs, "doc_id", w),
+          trackReads = true)
       case "semdecont" =>
         // streamed semantic decontamination: the bench store and
         // centroids are FROZEN base-scale state (read-only per wave),
@@ -323,14 +329,35 @@ object StreamProbe {
         val o = tmp("sd_out")
         run("semdecont",
           graft.streaming.Streaming.semDecontUpdate(benchDir, o, cents),
-          w => wave(embs, "vec_id", w))
+          w => wave(embs, "vec_id", w),
+          trackReads = true)
       case "datasheet" =>
         // datasheet maintainer: per wave one batch aggregate merged
         // into a CONSTANT-size stats dim — expected flat
         val d = tmp("ds_dim")
         run("datasheet",
           graft.streaming.Streaming.datasheetUpdate(d),
-          w => wave(docs, "doc_id", w))
+          w => wave(docs, "doc_id", w),
+          trackReads = true)
+      case "datasheet_c" =>
+        // the cadence form (r19): the embedded dup engine's (sh,
+        // bands) slices compact every 4 waves — the no-cadence dim
+        // above is the control whose ~100 KB/wave slice-read slope
+        // this bounds
+        val d = tmp("dsc_dim")
+        run("datasheet_c",
+          graft.streaming.Streaming.datasheetMaintain(d, compactEvery = 4),
+          w => wave(docs, "doc_id", w),
+          trackReads = true)
+      case "span_c" =>
+        // the cadence form (r19): span slices compact (distinct-union)
+        // every 4 waves; the "span" dim above is the control
+        val (d, o) = (tmp("spanc_dim"), tmp("spanc_out"))
+        run("span_c",
+          graft.streaming.Streaming.spanIndexMaintain(d, o,
+            compactEvery = 4),
+          w => wave(docs, "doc_id", w),
+          trackReads = true)
       case other =>
         System.err.println(s"[stream-probe] unknown dim '$other' (want " +
           "band|ledger|ivfpq|snapshot|keepbest|keepbest_delta|" +

@@ -524,8 +524,14 @@ object Streaming {
       if (prior.isEmpty)
         g.select(col("doc_id"), col("pos")).limit(0)
       else {
+        // history = newest compaction + O(K) tail slices (r19): the
+        // pre-compaction form re-opened every prior slice per wave
+        val vs = prior.sorted
+        val base = cumulativeBaseAt(dimDir, vs, "spans")
+        val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs)
         val hist = spark.read.parquet(
-          prior.map(p => s"$dimDir/v$p/spans"): _*)
+          (base.map(b => s"$dimDir/v$b/compact/spans").toSeq ++
+            tail.map(p => s"$dimDir/v$p/spans")): _*)
         g.join(hist, Seq("ng"), "left_semi").select(col("doc_id"), col("pos"))
       }
     val key = graft.ops.Dedup.occKeyOf(col("doc_id"), col("pos"))
@@ -548,6 +554,46 @@ object Streaming {
     docs.unpersist(blocking = false)
     Files.write(Paths.get(s"$dimDir/v$batchId/_SUCCESS"),
       Array.emptyByteArray)
+  }
+
+  /** Compact a span-index lineage at its newest committed version:
+    * the DISTINCT union of all committed span slices persisted under
+    * `compact/spans`, `_CUMULATIVE` marker last — [[compactBandIndex]]
+    * minus the bucketing: the probe is a left_semi on uniform span
+    * hashes, so arrival-range buckets cannot prune it; the wins are
+    * ONE deduplicated store (spans repeated across slices collapse)
+    * and O(K) tail files per wave instead of O(waves). Idempotent;
+    * torn dirs invisible without the marker. */
+  def compactSpanIndex(spark: SparkSession, dimDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val vs = modelVersions(dimDir).sorted
+    require(vs.nonEmpty, s"no committed span-index version under $dimDir")
+    val top = vs.max
+    if (Files.isRegularFile(Paths.get(s"$dimDir/v$top/_CUMULATIVE"))) return
+    val base = cumulativeBaseAt(dimDir, vs, "spans")
+    val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs)
+    val spans = spark.read.parquet(
+      (base.map(b => s"$dimDir/v$b/compact/spans").toSeq ++
+        tail.map(v => s"$dimDir/v$v/spans")): _*)
+      .select(col("ng")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = spans.count()
+    spans.repartition(math.max(1L, n / 8000000L + 1L).toInt)
+      .sortWithinPartitions(col("ng"))
+      .write.mode("overwrite").parquet(s"$dimDir/v$top/compact/spans")
+    spans.unpersist(blocking = false)
+    Files.write(Paths.get(s"$dimDir/v$top/_CUMULATIVE"),
+      Array.emptyByteArray)
+  }
+
+  /** One maintained span-index wave WITH the compaction cadence —
+    * [[bandIndexMaintain]] on the substring direction.
+    * `compactEvery <= 0` disables. */
+  private[graft] def spanIndexMaintain(dimDir: String, outDir: String,
+      compactEvery: Int)(batch: DataFrame, batchId: Long): Unit = {
+    spanIndexUpdate(dimDir, outDir)(batch, batchId)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      compactSpanIndex(batch.sparkSession, dimDir)
   }
 
   /** Every committed batch's rewritten documents (the stream's output
@@ -831,13 +877,20 @@ object Streaming {
     val pairs =
       if (prior.isEmpty) within
       else {
-        val histSh = spark.read.parquet(prior.map(p => s"$dimDir/v$p/sh"): _*)
-        val histBands = spark.read.parquet(
-          prior.map(p => s"$dimDir/v$p/bands"): _*)
-        val cand = bands.as("a").join(histBands.as("b"),
+        // history = newest compaction + O(K) tail slices, the verify
+        // pruned to the candidates' id_b buckets (r19) — the
+        // bandIndexUpdate machinery, SHARED so the two dup engines
+        // cannot drift. The pruned histSh also serves the lang_b
+        // join-back: verified pairs are ⊆ candidates, whose buckets
+        // the pruned frame includes by construction.
+        val histBands = bandHistBands(spark, dimDir, prior)
+        val candLazy = bands.as("a").join(histBands.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .distinct()
+        val (cand, histSh) = bandVerifyInputs(spark, dimDir, prior,
+          candLazy, docsPart = "sh",
+          docsCols = Seq("doc_id", "sh", "nsh", "lang"))
         val cross = graft.ops.Dedup.verifyJaccard(cand, sh, histSh)
           .join(langOf.select(col("doc_id").as("id_a"),
             col("lang").as("lang_a")), "id_a")
@@ -919,17 +972,32 @@ object Streaming {
     * completion (AvailableNow); same lifecycle guards as the other
     * versioned dims. */
   def buildDatasheet(docs: DataFrame, dimDir: String,
-      ckptDir: String): Unit = {
+      ckptDir: String, compactEvery: Int = 8): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dimDir))
     requireSharedLifecycle(dimDir, ckptDir)
     val q = docs.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        datasheetUpdate(dimDir)(df, batchId)
+        datasheetMaintain(dimDir, compactEvery)(df, batchId)
       }
       .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** One maintained datasheet wave WITH the compaction cadence on its
+    * embedded dup engine's (sh, bands) slices — the same per-wave
+    * ∝-history listing/footer growth [[compactBandIndex]] closes for
+    * the standalone band index, measured at the same ~100 KB/wave on
+    * the r19 probe corpus. The hist/src merged dims and the pairs
+    * slices are untouched (newest-only reads / append-only).
+    * `compactEvery <= 0` disables. */
+  private[graft] def datasheetMaintain(dimDir: String, compactEvery: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    datasheetUpdate(dimDir)(batch, batchId)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      compactBandIndex(batch.sparkSession, dimDir, docsPart = "sh",
+        docsCols = Seq("doc_id", "sh", "nsh", "lang"))
   }
 
   /** x26 streaming sibling — incremental maintenance of the
@@ -1191,13 +1259,13 @@ object Streaming {
     * shared-lifecycle rule as [[buildBandIndex]]: a fresh checkpoint
     * over an outDir holding a dead lineage's slices is refused. */
   def buildSpanIndex(docs: DataFrame, dimDir: String, outDir: String,
-      ckptDir: String): Unit = {
+      ckptDir: String, compactEvery: Int = 8): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dimDir))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     requireSharedLifecycle(dimDir, ckptDir)
     requireSliceLifecycle(outDir, ckptDir, "rewrite")
     val q = docs.writeStream
-      .foreachBatch(spanIndexUpdate(dimDir, outDir) _)
+      .foreachBatch(spanIndexMaintain(dimDir, outDir, compactEvery) _)
       .option("checkpointLocation", ckptDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -2099,9 +2167,15 @@ object Streaming {
     * to the candidates' id_b kb_buckets: the verify reads ∝ matches,
     * never ∝ corpus (sound: a hist doc outside the candidates'
     * buckets can never equal a candidate id_b). Pre-compaction both
-    * fall through lazily to the all-slices scan. */
+    * fall through lazily to the all-slices scan. `docsPart`/`docsCols`
+    * name the shingle artifact — "docs"(doc_id, sh, nsh) on the
+    * standalone band index, "sh"(… + lang) inside the datasheet's
+    * embedded dup engine. */
   private[graft] def bandVerifyInputs(spark: SparkSession, dimDir: String,
-      prior: Seq[Long], candLazy: DataFrame): (DataFrame, DataFrame) = {
+      prior: Seq[Long], candLazy: DataFrame,
+      docsPart: String = "docs",
+      docsCols: Seq[String] = Seq("doc_id", "sh", "nsh"))
+      : (DataFrame, DataFrame) = {
     val vs = prior.sorted
     val base = bandCumulativeBase(dimDir, vs)
     val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs)
@@ -2110,15 +2184,15 @@ object Streaming {
         val c = candLazy.localCheckpoint()
         val buckets = touchedKbBuckets(c, "id_b", shift)
         val h = (Seq(bucketPruned(
-            spark.read.parquet(s"$dimDir/v$b/compact/docs"), buckets)
-            .select(col("doc_id"), col("sh"), col("nsh"))) ++
-          tail.map(p => spark.read.parquet(s"$dimDir/v$p/docs")
-            .select(col("doc_id"), col("sh"), col("nsh"))))
+            spark.read.parquet(s"$dimDir/v$b/compact/$docsPart"), buckets)
+            .select(docsCols.map(col): _*)) ++
+          tail.map(p => spark.read.parquet(s"$dimDir/v$p/$docsPart")
+            .select(docsCols.map(col): _*)))
           .reduce(_ unionByName _)
         (c, h)
       case None =>
         (candLazy,
-          spark.read.parquet(tail.map(p => s"$dimDir/v$p/docs"): _*))
+          spark.read.parquet(tail.map(p => s"$dimDir/v$p/$docsPart"): _*))
     }
   }
 
@@ -2128,11 +2202,17 @@ object Streaming {
     * direction. None = no compaction yet: probes fall back to the
     * all-slices scan. */
   private def bandCumulativeBase(dimDir: String,
-      vs: Seq[Long]): Option[Long] = {
+      vs: Seq[Long]): Option[Long] =
+    cumulativeBaseAt(dimDir, vs, "bands")
+
+  /** Newest committed version under `dimDir` whose `compact/<part>`
+    * store committed (`_CUMULATIVE` marker written after it). */
+  private def cumulativeBaseAt(dimDir: String, vs: Seq[Long],
+      part: String): Option[Long] = {
     import java.nio.file.{Files, Paths}
     vs.filter { v =>
       Files.isRegularFile(Paths.get(s"$dimDir/v$v/_CUMULATIVE")) &&
-        Files.exists(Paths.get(s"$dimDir/v$v/compact/bands"))
+        Files.exists(Paths.get(s"$dimDir/v$v/compact/$part"))
     }.sorted.lastOption
   }
 
@@ -2159,7 +2239,9 @@ object Streaming {
     * count (and the sort keeps row-group stats usable for any future
     * literal probe). */
   def compactBandIndex(spark: SparkSession, dimDir: String,
-      targetRowsPerBucket: Long = 65536L): Unit = {
+      targetRowsPerBucket: Long = 65536L,
+      docsPart: String = "docs",
+      docsCols: Seq[String] = Seq("doc_id", "sh", "nsh")): Unit = {
     import java.nio.file.{Files, Paths}
     val vs = modelVersions(dimDir).sorted
     require(vs.nonEmpty, s"no committed band-index version under $dimDir")
@@ -2174,16 +2256,18 @@ object Streaming {
     // read separately (one mixed read trips Spark's conflicting-
     // directory-structures check) — select() aligns the schemas
     val docs =
-      (base.map(b => spark.read.parquet(s"$dimDir/v$b/compact/docs")).toSeq
-        ++ tail.map(v => spark.read.parquet(s"$dimDir/v$v/docs")))
-      .map(_.select(col("doc_id"), col("sh"), col("nsh")))
+      (base.map(b =>
+          spark.read.parquet(s"$dimDir/v$b/compact/$docsPart")).toSeq
+        ++ tail.map(v => spark.read.parquet(s"$dimDir/v$v/$docsPart")))
+      .map(_.select(docsCols.map(col): _*))
       .reduce(_ unionByName _)
     val bands = spark.read.parquet(
       (base.map(b => s"$dimDir/v$b/compact/bands").toSeq ++
         tail.map(v => s"$dimDir/v$v/bands")): _*)
       .select(col("band"), col("bh"), col("doc_id"))
     val shift = kbShiftFor(docs, "doc_id", targetRowsPerBucket)
-    writeKbBucketed(docs, "doc_id", s"$dimDir/v$top/compact/docs", shift)
+    writeKbBucketed(docs, "doc_id", s"$dimDir/v$top/compact/$docsPart",
+      shift)
     val nBands = bands.count()
     bands.repartition(math.max(1L, nBands / 4000000L + 1L).toInt)
       .sortWithinPartitions(col("band"), col("bh"))

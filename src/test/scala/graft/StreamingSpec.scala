@@ -1193,6 +1193,98 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("datasheet dup-engine compaction (r19): maintained lineage == " +
+      "batch x73 at every prefix across compaction boundaries; a torn " +
+      "compact/ is invisible") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val dimDir =
+      java.nio.file.Files.createTempDirectory("graft_dsc_dim").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    def prefixCheck(k: Int): Unit = {
+      val prefixDir =
+        java.nio.file.Files.createTempDirectory(s"graft_dsc_p$k").toString
+      docs.filter($"doc_id" % 5 <= k).write.mode("overwrite")
+        .parquet(s"$prefixDir/documents.parquet")
+      assert(rows(Streaming.streamedDatasheet(spark, dimDir)) ==
+        rows(graft.ops.Pipeline.corpusDatasheet(spark, prefixDir)),
+        s"streamed datasheet diverged from batch at prefix ${k + 1}/5")
+    }
+    // waves 0-1 plain, then a TORN compaction at v1 (garbage compact/
+    // artifacts, NO marker — newer than any committed store): wave 2
+    // must ignore it (cumulativeBaseAt trusts only marker-committed
+    // stores) and still equal batch
+    for (k <- 0 until 2) {
+      Streaming.datasheetUpdate(dimDir)(
+        docs.filter($"doc_id" % 5 === k), k.toLong)
+      prefixCheck(k)
+    }
+    spark.emptyDataFrame.select(lit(0).as("band"), lit(0L).as("bh"),
+        lit(0L).as("doc_id")).limit(0)
+      .write.mode("overwrite").parquet(s"$dimDir/v1/compact/bands")
+    spark.emptyDataFrame.select(lit(0L).as("doc_id"),
+        lit(Array.empty[Long]).as("sh"), lit(0L).as("nsh"),
+        lit("").as("lang")).limit(0)
+      .write.mode("overwrite").parquet(s"$dimDir/v1/compact/sh")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dimDir/v1/compact/BUCKETS"),
+      "24".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // cadence=2 fires after batchIds 1, 3 — wave 2 probes with the
+    // torn v1 namespace present, wave 3 commits a REAL compaction at
+    // v3, wave 4 probes the compacted (sh, bands) stores on the hot
+    // path; batch equality must hold at every prefix
+    for (k <- 2 until 5) {
+      Streaming.datasheetMaintain(dimDir, compactEvery = 2)(
+        docs.filter($"doc_id" % 5 === k), k.toLong)
+      prefixCheck(k)
+    }
+    assert(java.nio.file.Files.isRegularFile(
+        java.nio.file.Paths.get(s"$dimDir/v3/_CUMULATIVE")),
+      "datasheet cadence did not compact at v3")
+    assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dimDir/v3/compact/sh")),
+      "datasheet compaction wrote no sh store")
+    assert(!java.nio.file.Files.isRegularFile(
+        java.nio.file.Paths.get(s"$dimDir/v1/_CUMULATIVE")),
+      "test setup: the torn v1 namespace must stay unmarked")
+  }
+
+  test("span-index compaction (r19): maintained lineage == plain " +
+      "updates at every prefix; compacted store is deduplicated") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val waves = (0 until 4).map(k => docs.filter($"doc_id" % 4 === k))
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_spc_$p").toString
+    val (dA, oA) = (tmp("dimA"), tmp("outA"))
+    val (dB, oB) = (tmp("dimB"), tmp("outB"))
+    def rewrites(d: String, o: String) =
+      Streaming.streamedRewrites(spark, d, o)
+        .collect().map(_.toSeq).toSet
+    waves.zipWithIndex.foreach { case (w, k) =>
+      Streaming.spanIndexUpdate(dA, oA)(w, k.toLong)
+      Streaming.spanIndexMaintain(dB, oB, compactEvery = 2)(w, k.toLong)
+      assert(rewrites(dA, oA) == rewrites(dB, oB),
+        s"maintained span rewrites diverged from plain at wave ${k + 1}")
+    }
+    assert(java.nio.file.Files.isRegularFile(
+        java.nio.file.Paths.get(s"$dB/v3/_CUMULATIVE")),
+      "span cadence did not compact at v3")
+    // the compacted store is the DISTINCT union: re-landing the same
+    // corpus must not grow it
+    val storeRows =
+      spark.read.parquet(s"$dB/v3/compact/spans").count()
+    val sliceRows = (0 until 4).map(k =>
+      spark.read.parquet(s"$dB/v$k/spans").count()).sum
+    assert(storeRows <= sliceRows,
+      "compacted span store exceeds the slice union")
+    assert(storeRows ==
+      spark.read.parquet((0 until 4).map(k => s"$dB/v$k/spans"): _*)
+        .select("ng").distinct().count(),
+      "compacted span store is not the distinct slice union")
+  }
+
   test("incremental IVF-PQ index: streamed slices == batch index; probe == x26") {
     import spark.implicits._
     val embs = Tables.embeddings(spark, sf)
