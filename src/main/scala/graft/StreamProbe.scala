@@ -74,10 +74,10 @@ object StreamProbe {
           "replicas (or lower waves/replicasPerWave); refusing to time " +
           "no-op waves")
     }
-    val docDims = Set("band", "ledger", "snapshot", "keepbest",
-      "keepbest_delta", "keepbest_delta_c", "keepbest_delta_m",
-      "keepbest_delta_mc", "unigram", "span", "span_c", "datasheet",
-      "datasheet_c", "gramindex")
+    val docDims = Set("band", "ledger", "ledger_c", "snapshot",
+      "keepbest", "keepbest_delta", "keepbest_delta_c",
+      "keepbest_delta_m", "keepbest_delta_mc", "unigram", "span",
+      "span_c", "datasheet", "datasheet_c", "gramindex")
     if (dims.exists(docDims)) assertWaveCoverage(docs, "doc_id", "documents")
     if (dims.exists(Set("ivfpq", "semdecont")))
       assertWaveCoverage(embs, "vec_id", "embeddings")
@@ -171,6 +171,16 @@ object StreamProbe {
         val weights = graft.ops.TextAnalysis.classifierWeights(spark, baseDir)
         run("ledger",
           graft.streaming.Streaming.ledgerUpdate(d, o, weights),
+          w => wave(docs, "doc_id", w),
+          trackReads = true)
+      case "ledger_c" =>
+        // the cadence form (r19): shas slices compact every 4 waves;
+        // the "ledger" dim above is the control
+        val (d, o) = (tmp("ledgerc_dim"), tmp("ledgerc_out"))
+        val weights = graft.ops.TextAnalysis.classifierWeights(spark, baseDir)
+        run("ledger_c",
+          graft.streaming.Streaming.ledgerMaintain(d, o, weights,
+            compactEvery = 4),
           w => wave(docs, "doc_id", w),
           trackReads = true)
       case "ivfpq" =>

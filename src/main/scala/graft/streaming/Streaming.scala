@@ -730,11 +730,20 @@ object Streaming {
     val hist =
       if (prior.isEmpty)
         scored.select(col("h"), col("doc_id").as("hist_keeper")).limit(0)
-      else spark.read.parquet(prior.map(p => s"$dimDir/v$p/shas"): _*)
-        // by NAME — the slice is written via groupBy/agg/join, whose
-        // column order is an implementation detail a positional rename
-        // would silently mislabel
-        .select(col("h"), col("keeper").as("hist_keeper"))
+      else {
+        // history = newest compaction + O(K) tail slices (r19): the
+        // pre-compaction form re-opened every prior shas slice per wave
+        val vs = prior.sorted
+        val base = cumulativeBaseAt(dimDir, vs, "shas")
+        val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs)
+        spark.read.parquet(
+          (base.map(b => s"$dimDir/v$b/compact/shas").toSeq ++
+            tail.map(p => s"$dimDir/v$p/shas")): _*)
+          // by NAME — the slice is written via groupBy/agg/join, whose
+          // column order is an implementation detail a positional
+          // rename would silently mislabel
+          .select(col("h"), col("keeper").as("hist_keeper"))
+      }
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val ledger = scored
       .withColumn("batch_keeper",
@@ -769,16 +778,56 @@ object Streaming {
           lit("").as("stage"), lit(0L).as("keeper_id")).limit(0)
     }
 
+  /** Compact a ledger lineage at its newest committed version: the
+    * union of all committed shas slices (already DISJOINT — each
+    * slice is anti-joined against history at write time) persisted
+    * under `compact/shas`, marker last — [[compactSpanIndex]] on the
+    * sha direction (uniform hash key, so the win is the single store
+    * + O(K) tail files, not bucket pruning). */
+  def compactLedgerIndex(spark: SparkSession, dimDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val vs = modelVersions(dimDir).sorted
+    require(vs.nonEmpty, s"no committed ledger version under $dimDir")
+    val top = vs.max
+    if (Files.isRegularFile(Paths.get(s"$dimDir/v$top/_CUMULATIVE"))) return
+    val base = cumulativeBaseAt(dimDir, vs, "shas")
+    val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs)
+    val shas = spark.read.parquet(
+      (base.map(b => s"$dimDir/v$b/compact/shas").toSeq ++
+        tail.map(v => s"$dimDir/v$v/shas")): _*)
+      .select(col("h"), col("keeper"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = shas.count()
+    shas.repartition(math.max(1L, n / 8000000L + 1L).toInt)
+      .sortWithinPartitions(col("h"))
+      .write.mode("overwrite").parquet(s"$dimDir/v$top/compact/shas")
+    shas.unpersist(blocking = false)
+    Files.write(Paths.get(s"$dimDir/v$top/_CUMULATIVE"),
+      Array.emptyByteArray)
+  }
+
+  /** One maintained ledger wave WITH the compaction cadence —
+    * [[spanIndexMaintain]] on the sha direction. */
+  private[graft] def ledgerMaintain(dimDir: String, outDir: String,
+      weights: Array[Long], compactEvery: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    ledgerUpdate(dimDir, outDir, weights)(batch, batchId)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      compactLedgerIndex(batch.sparkSession, dimDir)
+  }
+
   /** Run the incremental ledger to completion (AvailableNow); same
     * lifecycle guards as [[buildSpanIndex]]. */
   def buildLedger(docs: DataFrame, dimDir: String, outDir: String,
-      ckptDir: String, weights: Array[Long]): Unit = {
+      ckptDir: String, weights: Array[Long],
+      compactEvery: Int = 8): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dimDir))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     requireSharedLifecycle(dimDir, ckptDir)
     requireSliceLifecycle(outDir, ckptDir, "ledger")
     val q = docs.writeStream
-      .foreachBatch(ledgerUpdate(dimDir, outDir, weights) _)
+      .foreachBatch(ledgerMaintain(dimDir, outDir, weights,
+        compactEvery) _)
       .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
       .start()

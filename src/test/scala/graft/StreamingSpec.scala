@@ -1285,6 +1285,40 @@ class StreamingSpec extends AnyFunSuite {
       "compacted span store is not the distinct slice union")
   }
 
+  test("ledger-index compaction (r19): maintained lineage == plain " +
+      "updates at every prefix; compacted store == slice union") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val weights = graft.ops.TextAnalysis.classifierWeights(spark, sf)
+    val waves = (0 until 4).map(k => docs.filter($"doc_id" % 4 === k))
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_ldc_$p").toString
+    val (dA, oA) = (tmp("dimA"), tmp("outA"))
+    val (dB, oB) = (tmp("dimB"), tmp("outB"))
+    def ledger(d: String, o: String) =
+      Streaming.streamedLedger(spark, d, o)
+        .collect().map(_.toSeq).toSet
+    waves.zipWithIndex.foreach { case (w, k) =>
+      Streaming.ledgerUpdate(dA, oA, weights)(w, k.toLong)
+      Streaming.ledgerMaintain(dB, oB, weights, compactEvery = 2)(
+        w, k.toLong)
+      assert(ledger(dA, oA) == ledger(dB, oB),
+        s"maintained ledger diverged from plain at wave ${k + 1}")
+    }
+    assert(java.nio.file.Files.isRegularFile(
+        java.nio.file.Paths.get(s"$dB/v3/_CUMULATIVE")),
+      "ledger cadence did not compact at v3")
+    // slices are disjoint by construction (anti-joined at write), so
+    // the compacted store must equal their plain union exactly
+    val store = spark.read.parquet(s"$dB/v3/compact/shas")
+      .select("h", "keeper").collect().map(_.toSeq).toSet
+    val slices = spark.read
+      .parquet((0 until 4).map(k => s"$dB/v$k/shas"): _*)
+      .select("h", "keeper").collect().map(_.toSeq).toSet
+    assert(store == slices,
+      "compacted sha store is not the exact slice union")
+  }
+
   test("incremental IVF-PQ index: streamed slices == batch index; probe == x26") {
     import spark.implicits._
     val embs = Tables.embeddings(spark, sf)
