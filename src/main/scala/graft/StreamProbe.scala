@@ -74,7 +74,7 @@ object StreamProbe {
           "replicas (or lower waves/replicasPerWave); refusing to time " +
           "no-op waves")
     }
-    val docDims = Set("band", "ledger", "ledger_c", "snapshot",
+    val docDims = Set("band", "band_c", "ledger", "ledger_c", "snapshot",
       "keepbest", "keepbest_delta", "keepbest_delta_c",
       "keepbest_delta_m", "keepbest_delta_mc", "unigram", "span",
       "span_c", "datasheet", "datasheet_c", "gramindex")
@@ -164,6 +164,15 @@ object StreamProbe {
         val (d, p) = (tmp("band_dim"), tmp("band_pairs"))
         run("band_index",
           graft.streaming.Streaming.bandIndexUpdate(d, p),
+          w => wave(docs, "doc_id", w),
+          trackReads = true)
+      case "band_c" =>
+        // the cadence form: (sh, bands) slices compact (kb-bucketed)
+        // every 4 waves; the "band" dim above is the control
+        val (d, p) = (tmp("bandc_dim"), tmp("bandc_pairs"))
+        run("band_c",
+          graft.streaming.Streaming.bandIndexMaintain(d, p,
+            compactEvery = 4),
           w => wave(docs, "doc_id", w),
           trackReads = true)
       case "ledger" =>

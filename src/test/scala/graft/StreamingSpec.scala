@@ -1304,7 +1304,20 @@ class StreamingSpec extends AnyFunSuite {
         w, k.toLong)
       assert(ledger(dA, oA) == ledger(dB, oB),
         s"maintained ledger diverged from plain at wave ${k + 1}")
+      if (k == 0) {
+        // plant a TORN compaction at v0: a plausible-looking
+        // compact/shas dir with no _CUMULATIVE marker. Every later
+        // wave's history read and the real v3 compaction must ignore
+        // it (marker-last protocol), or the ≡-plain checks above fail
+        val torn = java.nio.file.Paths.get(s"$dB/v0/compact/shas")
+        java.nio.file.Files.createDirectories(torn)
+        spark.read.parquet(s"$dB/v0/shas").limit(1)
+          .write.mode("overwrite").parquet(torn.toString)
+      }
     }
+    assert(!java.nio.file.Files.isRegularFile(
+        java.nio.file.Paths.get(s"$dB/v0/_CUMULATIVE")),
+      "test setup: the torn v0 namespace must stay unmarked")
     assert(java.nio.file.Files.isRegularFile(
         java.nio.file.Paths.get(s"$dB/v3/_CUMULATIVE")),
       "ledger cadence did not compact at v3")
