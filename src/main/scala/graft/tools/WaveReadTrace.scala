@@ -41,8 +41,10 @@ object WaveReadTrace {
     // maintainer calls, stage names are not
     val stageName = scala.collection.concurrent.TrieMap.empty[Int, String]
     val stageBytes = scala.collection.concurrent.TrieMap.empty[Int, java.util.concurrent.atomic.AtomicLong]
+    val stageJobs = scala.collection.concurrent.TrieMap.empty[Int, Set[Int]]
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        stageJobs.put(j.jobId, j.stageInfos.map(_.stageId).toSet)
         j.stageInfos.foreach { si =>
           // broadcast-exchange stages carry an anonymous lambda as
           // their name; the graft frame in the details stack is the
@@ -57,6 +59,7 @@ object WaveReadTrace {
             new java.util.concurrent.atomic.AtomicLong(0))
           ()
         }
+      }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
         if (m != null) Option(stageBytes.get(e.stageId)).flatten
@@ -70,12 +73,15 @@ object WaveReadTrace {
     val (d, p, sv) = (tmp("dim"), tmp("pairs"), tmp("surv"))
     val upd: (DataFrame, Long) => Unit = dim match {
       case "band" => graft.streaming.Streaming.bandIndexUpdate(d, p) _
+      case "band_c" => graft.streaming.Streaming.bandIndexMaintain(
+        d, p, compactEvery) _
       case _ => graft.streaming.Streaming.keepBestDeltaMaintain(
         d, p, sv, compactEvery) _
     }
 
     (0 until waves).foreach { w =>
       val before = stageBytes.keySet.toSet
+      val beforeJobs = stageJobs.keySet.toSet
       upd(wave(w), w.toLong)
       // listener events post async; let the counters settle
       Thread.sleep(500)
@@ -91,6 +97,21 @@ object WaveReadTrace {
         .sortBy(-_._2).foreach { case (site, b) =>
           println(f"   $b%12d  $site")
         }
+      // per-JOB view: broadcast-exchange stages carry no graft frame
+      // in their details, so the site aggregation above lumps them —
+      // but jobs run in the wave's deterministic action order, so a
+      // job-id timeline (each job named by its best-named stage)
+      // pins WHICH action paid each read
+      val newJobs = (stageJobs.keySet.toSet -- beforeJobs).toSeq.sorted
+      newJobs.foreach { jid =>
+        val ss = stageJobs(jid)
+        val b = ss.map(s => stageBytes.get(s).map(_.get()).getOrElse(0L)).sum
+        if (b > 0) {
+          val nm = ss.toSeq.sorted.map(s => stageName.getOrElse(s, "?"))
+            .find(n => !n.contains("$anonfun")).getOrElse("broadcast")
+          println(f"   job $jid%4d  $b%12d  $nm")
+        }
+      }
     }
     spark.stop()
   }
