@@ -40,6 +40,10 @@ object StreamProbe {
       else "band,ledger,ivfpq,snapshot,keepbest,keepbest_delta,unigram," +
         "span,semdecont,datasheet,gramindex")
       .split(",").toSeq
+    // cadence of the *_c dims (arg 6, default 4) — e.g. 2 makes an
+    // 8-wave run carry 4 triggers, enough for the tiered union-store
+    // keep/absorb pattern to surface in the curve
+    val cDimCadence = if (args.length > 5) args(5).toInt else 4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -172,7 +176,7 @@ object StreamProbe {
         val (d, p) = (tmp("bandc_dim"), tmp("bandc_pairs"))
         run("band_c",
           graft.streaming.Streaming.bandIndexMaintain(d, p,
-            compactEvery = 4),
+            compactEvery = cDimCadence),
           w => wave(docs, "doc_id", w),
           trackReads = true)
       case "ledger" =>
@@ -189,7 +193,7 @@ object StreamProbe {
         val weights = graft.ops.TextAnalysis.classifierWeights(spark, baseDir)
         run("ledger_c",
           graft.streaming.Streaming.ledgerMaintain(d, o, weights,
-            compactEvery = 4),
+            compactEvery = cDimCadence),
           w => wave(docs, "doc_id", w),
           trackReads = true)
       case "ivfpq" =>
@@ -257,7 +261,7 @@ object StreamProbe {
           (tmp("kbdc_dim"), tmp("kbdc_pairs"), tmp("kbdc_surv"))
         run("keepbest_delta_c",
           graft.streaming.Streaming.keepBestDeltaMaintain(
-            d, p, sv, compactEvery = 4),
+            d, p, sv, compactEvery = cDimCadence),
           w => wave(docs, "doc_id", w),
           bytesOf = Some(w => duDir(s"$sv/v$w")),
           trackReads = true)
@@ -274,7 +278,7 @@ object StreamProbe {
         // the _m (no cadence) control re-scans every prior docs slice
         // and grows ∝ corpus per wave: the contrast that measures the
         // bandVerifyInputs pruning claim instead of spec-asserting it.
-        val cadence = if (matchDim == "keepbest_delta_mc") 4 else 0
+        val cadence = if (matchDim == "keepbest_delta_mc") cDimCadence else 0
         val tag = if (cadence > 0) "mc" else "m"
         val (d, p, sv) =
           (tmp(s"kbdm${tag}_dim"), tmp(s"kbdm${tag}_pairs"),
@@ -365,7 +369,7 @@ object StreamProbe {
         // this bounds
         val d = tmp("dsc_dim")
         run("datasheet_c",
-          graft.streaming.Streaming.datasheetMaintain(d, compactEvery = 4),
+          graft.streaming.Streaming.datasheetMaintain(d, compactEvery = cDimCadence),
           w => wave(docs, "doc_id", w),
           trackReads = true)
       case "span_c" =>
@@ -374,7 +378,7 @@ object StreamProbe {
         val (d, o) = (tmp("spanc_dim"), tmp("spanc_out"))
         run("span_c",
           graft.streaming.Streaming.spanIndexMaintain(d, o,
-            compactEvery = 4),
+            compactEvery = cDimCadence),
           w => wave(docs, "doc_id", w),
           trackReads = true)
       case other =>

@@ -524,14 +524,10 @@ object Streaming {
       if (prior.isEmpty)
         g.select(col("doc_id"), col("pos")).limit(0)
       else {
-        // history = newest compaction + O(K) tail slices (r19): the
-        // pre-compaction form re-opened every prior slice per wave
-        val vs = prior.sorted
-        val base = cumulativeBaseAt(dimDir, vs, "spans")
-        val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs)
+        // history = tiered manifest stores + O(K) tail slices (r19):
+        // the pre-compaction form re-opened every prior slice per wave
         val hist = spark.read.parquet(
-          (base.map(b => s"$dimDir/v$b/compact/spans").toSeq ++
-            tail.map(p => s"$dimDir/v$p/spans")): _*)
+          unionStorePaths(dimDir, prior, "spans"): _*)
         g.join(hist, Seq("ng"), "left_semi").select(col("doc_id"), col("pos"))
       }
     val key = graft.ops.Dedup.occKeyOf(col("doc_id"), col("pos"))
@@ -556,35 +552,15 @@ object Streaming {
       Array.emptyByteArray)
   }
 
-  /** Compact a span-index lineage at its newest committed version:
-    * the DISTINCT union of all committed span slices persisted under
-    * `compact/spans`, `_CUMULATIVE` marker last — [[compactBandIndex]]
-    * minus the bucketing: the probe is a left_semi on uniform span
-    * hashes, so arrival-range buckets cannot prune it; the wins are
-    * ONE deduplicated store (spans repeated across slices collapse)
-    * and O(K) tail files per wave instead of O(waves). Idempotent;
-    * torn dirs invisible without the marker. */
-  def compactSpanIndex(spark: SparkSession, dimDir: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    val vs = modelVersions(dimDir).sorted
-    require(vs.nonEmpty, s"no committed span-index version under $dimDir")
-    val top = vs.max
-    if (Files.isRegularFile(Paths.get(s"$dimDir/v$top/_CUMULATIVE"))) return
-    val base = cumulativeBaseAt(dimDir, vs, "spans")
-    val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs)
-    val spans = spark.read.parquet(
-      (base.map(b => s"$dimDir/v$b/compact/spans").toSeq ++
-        tail.map(v => s"$dimDir/v$v/spans")): _*)
-      .select(col("ng")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = spans.count()
-    spans.repartition(math.max(1L, n / 8000000L + 1L).toInt)
-      .sortWithinPartitions(col("ng"))
-      .write.mode("overwrite").parquet(s"$dimDir/v$top/compact/spans")
-    spans.unpersist(blocking = false)
-    Files.write(Paths.get(s"$dimDir/v$top/_CUMULATIVE"),
-      Array.emptyByteArray)
-  }
+  /** Compact a span-index lineage at its newest committed version —
+    * [[compactUnionStore]] on the span direction (the probe is a
+    * left_semi on uniform span hashes, so arrival-range buckets
+    * cannot prune it; the wins are the deduplicated size-tiered
+    * stores and O(log W + K) dirs per probe instead of O(waves)).
+    * Idempotent; torn dirs invisible without the manifest marker. */
+  def compactSpanIndex(spark: SparkSession, dimDir: String): Unit =
+    compactUnionStore(spark, dimDir, "spans", Seq("ng"),
+      distinctStore = true)
 
   /** One maintained span-index wave WITH the compaction cadence —
     * [[bandIndexMaintain]] on the substring direction.
@@ -730,20 +706,14 @@ object Streaming {
     val hist =
       if (prior.isEmpty)
         scored.select(col("h"), col("doc_id").as("hist_keeper")).limit(0)
-      else {
-        // history = newest compaction + O(K) tail slices (r19): the
-        // pre-compaction form re-opened every prior shas slice per wave
-        val vs = prior.sorted
-        val base = cumulativeBaseAt(dimDir, vs, "shas")
-        val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs)
-        spark.read.parquet(
-          (base.map(b => s"$dimDir/v$b/compact/shas").toSeq ++
-            tail.map(p => s"$dimDir/v$p/shas")): _*)
+      else
+        // history = tiered manifest stores + O(K) tail slices (r19):
+        // the pre-compaction form re-opened every prior shas slice
+        spark.read.parquet(unionStorePaths(dimDir, prior, "shas"): _*)
           // by NAME — the slice is written via groupBy/agg/join, whose
           // column order is an implementation detail a positional
           // rename would silently mislabel
           .select(col("h"), col("keeper").as("hist_keeper"))
-      }
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val ledger = scored
       .withColumn("batch_keeper",
@@ -778,33 +748,14 @@ object Streaming {
           lit("").as("stage"), lit(0L).as("keeper_id")).limit(0)
     }
 
-  /** Compact a ledger lineage at its newest committed version: the
-    * union of all committed shas slices (already DISJOINT — each
-    * slice is anti-joined against history at write time) persisted
-    * under `compact/shas`, marker last — [[compactSpanIndex]] on the
-    * sha direction (uniform hash key, so the win is the single store
-    * + O(K) tail files, not bucket pruning). */
-  def compactLedgerIndex(spark: SparkSession, dimDir: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    val vs = modelVersions(dimDir).sorted
-    require(vs.nonEmpty, s"no committed ledger version under $dimDir")
-    val top = vs.max
-    if (Files.isRegularFile(Paths.get(s"$dimDir/v$top/_CUMULATIVE"))) return
-    val base = cumulativeBaseAt(dimDir, vs, "shas")
-    val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs)
-    val shas = spark.read.parquet(
-      (base.map(b => s"$dimDir/v$b/compact/shas").toSeq ++
-        tail.map(v => s"$dimDir/v$v/shas")): _*)
-      .select(col("h"), col("keeper"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = shas.count()
-    shas.repartition(math.max(1L, n / 8000000L + 1L).toInt)
-      .sortWithinPartitions(col("h"))
-      .write.mode("overwrite").parquet(s"$dimDir/v$top/compact/shas")
-    shas.unpersist(blocking = false)
-    Files.write(Paths.get(s"$dimDir/v$top/_CUMULATIVE"),
-      Array.emptyByteArray)
-  }
+  /** Compact a ledger lineage at its newest committed version —
+    * [[compactUnionStore]] on the sha direction. shas slices are
+    * already DISJOINT (each is anti-joined against history at write
+    * time), so merges union without a distinct pass and the tiered
+    * stores partition the accumulated (h, keeper) set exactly. */
+  def compactLedgerIndex(spark: SparkSession, dimDir: String): Unit =
+    compactUnionStore(spark, dimDir, "shas", Seq("h", "keeper"),
+      distinctStore = false)
 
   /** One maintained ledger wave WITH the compaction cadence —
     * [[spanIndexMaintain]] on the sha direction. */
@@ -2263,6 +2214,99 @@ object Streaming {
       Files.isRegularFile(Paths.get(s"$dimDir/v$v/_CUMULATIVE")) &&
         Files.exists(Paths.get(s"$dimDir/v$v/compact/$part"))
     }.sorted.lastOption
+  }
+
+  /** The live store dirs of a union-store compaction base: since the
+    * r19 tiering, a version's `_CUMULATIVE` marker is a MANIFEST —
+    * one dim-relative store dir per line, the size-tiered set whose
+    * union is the full accumulated store. A legacy empty marker (the
+    * pre-tiering full-rewrite form) means the single store
+    * `v<b>/compact/<part>`. */
+  private def cumulativeStores(dimDir: String, b: Long,
+      part: String): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    val lines = new String(
+      Files.readAllBytes(Paths.get(s"$dimDir/v$b/_CUMULATIVE")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    if (lines.isEmpty) Seq(s"$dimDir/v$b/compact/$part")
+    else lines.map(rel => s"$dimDir/$rel")
+  }
+
+  /** Paths composing a union-store history read: the manifest stores
+    * of the newest committed compaction (if any) + the raw slices
+    * after it — O(log W) stores + O(K) tails instead of O(W) slices.
+    * Falls back to the all-slices scan when no compaction exists. */
+  private def unionStorePaths(dimDir: String, vs: Seq[Long],
+      part: String): Seq[String] = {
+    val sorted = vs.sorted
+    val base = cumulativeBaseAt(dimDir, sorted, part)
+    val tail = base.map(b => sorted.filter(_ > b)).getOrElse(sorted)
+    base.toSeq.flatMap(b => cumulativeStores(dimDir, b, part)) ++
+      tail.map(v => s"$dimDir/v$v/$part")
+  }
+
+  /** SIZE-TIERED compaction of a distinct-union lineage (ledger shas,
+    * span index) at its newest committed version `top`. The
+    * pre-tiering form rewrote the FULL accumulated store at every
+    * cadence trigger — total compaction work quadratic in wave count
+    * (every K waves re-reads and re-writes ∝ corpus). Tiered, each
+    * trigger merges the fresh tail slices plus any existing manifest
+    * stores of comparable size (absorb smallest-first while a store
+    * is ≤ 2× the rows merged so far): a row is rewritten O(log W)
+    * times total, per-trigger cost is ∝ tails except at exponentially
+    * spaced promotions, and readers list O(log W) stores + O(K)
+    * tails. Commit protocol unchanged: the merged store is written
+    * under `v<top>/compact/<part>` FIRST, then the `_CUMULATIVE`
+    * manifest (surviving stores + the new one, dim-relative) LAST —
+    * a torn merge leaves the old manifest authoritative and the
+    * orphan dir invisible; a replayed trigger is a marker-check
+    * no-op. Superseded store dirs are left on disk (same append-only
+    * discipline as raw slices — deleting under a concurrent reader
+    * of the prior manifest would tear its read); warehouse GC =
+    * drop store dirs unreferenced by the newest manifest.
+    *
+    * `distinctStore`: span slices overlap across waves, so merges
+    * re-distinct (cross-tier duplicates are harmless to the left_semi
+    * probe and collapse at the next shared merge); ledger slices are
+    * anti-joined disjoint at write, so the union is exact without it. */
+  private def compactUnionStore(spark: SparkSession, dimDir: String,
+      part: String, cols: Seq[String], distinctStore: Boolean): Unit = {
+    import java.nio.file.{Files, Paths}
+    val vs = modelVersions(dimDir).sorted
+    require(vs.nonEmpty, s"no committed version under $dimDir")
+    val top = vs.max
+    if (Files.isRegularFile(Paths.get(s"$dimDir/v$top/_CUMULATIVE"))) return
+    val base = cumulativeBaseAt(dimDir, vs, part)
+    val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs)
+    val stores = base.toSeq.flatMap(b => cumulativeStores(dimDir, b, part))
+    val tailDirs = tail.map(v => s"$dimDir/v$v/$part")
+    // the tier metric is ROW COUNT, not bytes: parquet count() is a
+    // footer-only metadata read, rows track data ∝-exactly for a
+    // fixed schema at any scale, and (unlike file bytes) they are not
+    // poisoned by per-file overhead on small slices
+    def rowsOf(dir: String): Long = spark.read.parquet(dir).count()
+    var acc = tailDirs.map(rowsOf).sum
+    val absorbed = scala.collection.mutable.ArrayBuffer.empty[String]
+    stores.map(s => s -> rowsOf(s)).sortBy(_._2).foreach { case (s, b) =>
+      if (b <= 2 * acc) { absorbed += s; acc += b }
+    }
+    val kept = stores.filterNot(absorbed.contains)
+    val merged0 = spark.read.parquet((absorbed.toSeq ++ tailDirs): _*)
+      .select(cols.map(col): _*)
+    val merged = (if (distinctStore) merged0.distinct() else merged0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = merged.count()
+    merged.repartition(math.max(1L, n / 8000000L + 1L).toInt)
+      .sortWithinPartitions(col(cols.head))
+      .write.mode("overwrite").parquet(s"$dimDir/v$top/compact/$part")
+    merged.unpersist(blocking = false)
+    val prefix = s"$dimDir/"
+    val manifest = (kept.map(_.stripPrefix(prefix)) :+
+      s"v$top/compact/$part").mkString("\n")
+    Files.write(Paths.get(s"$dimDir/v$top/_CUMULATIVE"),
+      manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
   }
 
   /** Compact a band-index lineage at its newest committed version:

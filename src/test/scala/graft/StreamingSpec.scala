@@ -1322,7 +1322,9 @@ class StreamingSpec extends AnyFunSuite {
         java.nio.file.Paths.get(s"$dB/v3/_CUMULATIVE")),
       "ledger cadence did not compact at v3")
     // slices are disjoint by construction (anti-joined at write), so
-    // the compacted store must equal their plain union exactly
+    // the compacted store must equal their plain union exactly (at
+    // this shape every earlier tier is absorbed, so the v3 manifest
+    // is the single full store)
     val store = spark.read.parquet(s"$dB/v3/compact/shas")
       .select("h", "keeper").collect().map(_.toSeq).toSet
     val slices = spark.read
@@ -1330,6 +1332,114 @@ class StreamingSpec extends AnyFunSuite {
       .select("h", "keeper").collect().map(_.toSeq).toSet
     assert(store == slices,
       "compacted sha store is not the exact slice union")
+  }
+
+  test("tiered union-store compaction (r19): small late waves are NOT " +
+      "absorbed into the big tier; manifest union == slice union; " +
+      "maintained == plain at every prefix") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val weights = graft.ops.TextAnalysis.classifierWeights(spark, sf)
+    // two corpus-scale waves, then two tiny ones: the w3 trigger must
+    // KEEP the big w1 store (rows > 2x the tiny tails) and write only
+    // a small second tier — the amortized-work property the tiering
+    // exists for, vs the pre-tiering full rewrite of every trigger
+    val tiny = docs.filter($"doc_id" % 2 === 1).orderBy($"doc_id")
+      .limit(8).select($"doc_id").as[Long].collect().toSeq.sorted
+    val (tinyA, tinyB) = tiny.splitAt(4)
+    val waves = Seq(
+      docs.filter($"doc_id" % 2 === 0),
+      docs.filter($"doc_id" % 2 === 1 && !$"doc_id".isin(tiny: _*)),
+      docs.filter($"doc_id".isin(tinyA: _*)),
+      docs.filter($"doc_id".isin(tinyB: _*)))
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_tier_$p").toString
+    val (dA, oA) = (tmp("dimA"), tmp("outA"))
+    val (dB, oB) = (tmp("dimB"), tmp("outB"))
+    def ledger(d: String, o: String) =
+      Streaming.streamedLedger(spark, d, o)
+        .collect().map(_.toSeq).toSet
+    waves.zipWithIndex.foreach { case (w, k) =>
+      Streaming.ledgerUpdate(dA, oA, weights)(w, k.toLong)
+      Streaming.ledgerMaintain(dB, oB, weights, compactEvery = 2)(
+        w, k.toLong)
+      assert(ledger(dA, oA) == ledger(dB, oB),
+        s"maintained ledger diverged from plain at wave ${k + 1}")
+    }
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dB/v3/_CUMULATIVE")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    assert(manifest.size == 2,
+      s"expected a 2-tier manifest (kept big store + small new " +
+        s"store), got: $manifest")
+    assert(manifest.contains("v1/compact/shas") &&
+        manifest.contains("v3/compact/shas"),
+      s"manifest does not carry the expected tiers: $manifest")
+    val storeUnion = spark.read
+      .parquet(manifest.map(rel => s"$dB/$rel"): _*)
+      .select("h", "keeper").collect().map(_.toSeq).toSet
+    val slices = spark.read
+      .parquet((0 until 4).map(k => s"$dB/v$k/shas"): _*)
+      .select("h", "keeper").collect().map(_.toSeq).toSet
+    assert(storeUnion == slices,
+      "tiered manifest union is not the exact slice union")
+    // the small tier must really be small: only the tiny waves' rows
+    val smallRows = spark.read.parquet(s"$dB/v3/compact/shas").count()
+    val tinySliceRows = spark.read
+      .parquet(s"$dB/v2/shas", s"$dB/v3/shas").count()
+    assert(smallRows == tinySliceRows,
+      s"second tier rewrote more than the tails " +
+        s"($smallRows vs $tinySliceRows)")
+  }
+
+  test("tiered union-store compaction (r19): a LEGACY empty-marker " +
+      "lineage (pre-tiering full store) keeps reading and upgrades " +
+      "to a manifest at the next trigger") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val weights = graft.ops.TextAnalysis.classifierWeights(spark, sf)
+    val waves = (0 until 4).map(k => docs.filter($"doc_id" % 4 === k))
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_ltl_$p").toString
+    val (dA, oA) = (tmp("dimA"), tmp("outA"))
+    val (dB, oB) = (tmp("dimB"), tmp("outB"))
+    def ledger(d: String, o: String) =
+      Streaming.streamedLedger(spark, d, o)
+        .collect().map(_.toSeq).toSet
+    waves.zipWithIndex.foreach { case (w, k) =>
+      Streaming.ledgerUpdate(dA, oA, weights)(w, k.toLong)
+      Streaming.ledgerMaintain(dB, oB, weights, compactEvery = 2)(
+        w, k.toLong)
+      if (k == 1) {
+        // rewrite the v1 marker to the pre-tiering form: an EMPTY
+        // _CUMULATIVE beside a full store (exactly what a lineage
+        // compacted by the r19 pre-tiering code has on disk)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dB/v1/_CUMULATIVE"),
+          Array.emptyByteArray)
+        ()
+      }
+      assert(ledger(dA, oA) == ledger(dB, oB),
+        s"maintained ledger diverged from plain at wave ${k + 1} " +
+          "(legacy-marker lineage)")
+    }
+    // the w3 trigger read the legacy store through the empty-marker
+    // fallback and committed a manifest on top of it
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dB/v3/_CUMULATIVE")),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    assert(manifest.nonEmpty,
+      "the post-upgrade trigger did not write a manifest marker")
+    val storeUnion = spark.read.parquet(manifest.linesIterator
+        .map(_.trim).filter(_.nonEmpty)
+        .map(rel => s"$dB/$rel").toSeq: _*)
+      .select("h", "keeper").collect().map(_.toSeq).toSet
+    val slices = spark.read
+      .parquet((0 until 4).map(k => s"$dB/v$k/shas"): _*)
+      .select("h", "keeper").collect().map(_.toSeq).toSet
+    assert(storeUnion == slices,
+      "post-upgrade manifest union is not the exact slice union")
   }
 
   test("incremental IVF-PQ index: streamed slices == batch index; probe == x26") {
