@@ -2263,8 +2263,11 @@ object Streaming {
     * orphan dir invisible; a replayed trigger is a marker-check
     * no-op. Superseded store dirs are left on disk (same append-only
     * discipline as raw slices — deleting under a concurrent reader
-    * of the prior manifest would tear its read); warehouse GC =
-    * drop store dirs unreferenced by the newest manifest.
+    * of the prior manifest would tear its read); janitor-deletable
+    * set = slices at-or-below the base + compact stores unreferenced
+    * by the newest manifest, keeping version markers (StreamingSpec
+    * sweeps exactly that and proves the reader, later waves and the
+    * next recompaction unchanged).
     *
     * `distinctStore`: span slices overlap across waves, so merges
     * re-distinct (cross-tier duplicates are harmless to the left_semi

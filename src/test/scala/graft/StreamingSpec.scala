@@ -1442,6 +1442,64 @@ class StreamingSpec extends AnyFunSuite {
       "post-upgrade manifest union is not the exact slice union")
   }
 
+  test("union-store janitor (r19): dead slices and unreferenced tiers " +
+      "below the base are deletable; the reader and later waves " +
+      "(including the next recompaction) stand on the swept tiers") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val weights = graft.ops.TextAnalysis.classifierWeights(spark, sf)
+    val waves = (0 until 8).map(k => docs.filter($"doc_id" % 8 === k))
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_ujan_$p").toString
+    val (dA, oA) = (tmp("dimA"), tmp("outA"))
+    val (dB, oB) = (tmp("dimB"), tmp("outB"))
+    def ledger(d: String, o: String) =
+      Streaming.streamedLedger(spark, d, o)
+        .collect().map(_.toSeq).toSet
+    (0 until 6).foreach { k =>
+      Streaming.ledgerUpdate(dA, oA, weights)(waves(k), k.toLong)
+      Streaming.ledgerMaintain(dB, oB, weights, compactEvery = 2)(
+        waves(k), k.toLong)
+    }
+    // janitor sweep on the maintained lineage: below the newest base,
+    // slices are subsumed by the tiers and unreferenced compact
+    // stores by later merges — only manifest-referenced store dirs
+    // (and the version markers, which carry the lineage's committed
+    // set) must survive
+    val referenced = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dB/v5/_CUMULATIVE")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSet
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    var swept = 0
+    (0 to 5).foreach { v =>
+      rmTree(java.nio.file.Paths.get(s"$dB/v$v/shas")); swept += 1
+      if (!referenced.contains(s"v$v/compact/shas")) {
+        rmTree(java.nio.file.Paths.get(s"$dB/v$v/compact/shas"))
+      }
+    }
+    assert(swept == 6, "test setup: expected to sweep all 6 slices")
+    assert(ledger(dA, oA) == ledger(dB, oB),
+      "swept ledger reader diverged from the unswept lineage")
+    // later waves, including the w7 recompaction trigger standing on
+    // the swept tiers, must still commit and stay equivalent
+    (6 until 8).foreach { k =>
+      Streaming.ledgerUpdate(dA, oA, weights)(waves(k), k.toLong)
+      Streaming.ledgerMaintain(dB, oB, weights, compactEvery = 2)(
+        waves(k), k.toLong)
+      assert(ledger(dA, oA) == ledger(dB, oB),
+        s"post-sweep maintained ledger diverged at wave ${k + 1}")
+    }
+    assert(java.nio.file.Files.isRegularFile(
+        java.nio.file.Paths.get(s"$dB/v7/_CUMULATIVE")),
+      "post-sweep recompaction did not commit its manifest")
+  }
+
   test("incremental IVF-PQ index: streamed slices == batch index; probe == x26") {
     import spark.implicits._
     val embs = Tables.embeddings(spark, sf)
