@@ -2154,8 +2154,9 @@ object Streaming {
     val vs = prior.sorted
     val base = bandCumulativeBase(dimDir, vs)
     val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs)
+    val roots = base.toSeq.flatMap(b => bandTierRoots(dimDir, b))
     spark.read.parquet(
-      (base.map(b => s"$dimDir/v$b/compact/bands").toSeq ++
+      (roots.map(r => s"$r/bands") ++
         tail.map(p => s"$dimDir/v$p/bands")): _*)
       .select(col("band"), col("bh"), col("doc_id"))
   }
@@ -2179,13 +2180,20 @@ object Streaming {
     val vs = prior.sorted
     val base = bandCumulativeBase(dimDir, vs)
     val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs)
-    base.flatMap(b => kbBucketShift(dimDir, b).map(b -> _)) match {
-      case Some((b, shift)) =>
+    base match {
+      case Some(b) =>
         val c = candLazy.localCheckpoint()
-        val buckets = touchedKbBuckets(c, "id_b", shift)
-        val h = (Seq(bucketPruned(
-            spark.read.parquet(s"$dimDir/v$b/compact/$docsPart"), buckets)
-            .select(docsCols.map(col): _*)) ++
+        // one bucket collection per DISTINCT shift — tiers written at
+        // different corpus sizes carry different bucket widths
+        val roots = bandTierRoots(dimDir, b)
+        val shifts = roots.map(r => r -> kbShiftAtRoot(r))
+        val bucketsByShift = shifts.flatMap(_._2).distinct
+          .map(s => s -> touchedKbBuckets(c, "id_b", s)).toMap
+        val h = (shifts.map { case (r, sh) =>
+            val df = spark.read.parquet(s"$r/$docsPart")
+            sh.fold(df)(s => bucketPruned(df, bucketsByShift(s)))
+              .select(docsCols.map(col): _*)
+          } ++
           tail.map(p => spark.read.parquet(s"$dimDir/v$p/$docsPart")
             .select(docsCols.map(col): _*)))
           .reduce(_ unionByName _)
@@ -2204,6 +2212,33 @@ object Streaming {
   private def bandCumulativeBase(dimDir: String,
       vs: Seq[Long]): Option[Long] =
     cumulativeBaseAt(dimDir, vs, "bands")
+
+  /** Tier ROOT dirs of a band-index compaction base (r19 tiering —
+    * [[compactUnionStore]]'s manifest idea on the two-artifact store):
+    * the base's `_CUMULATIVE` marker lists dim-relative roots, each
+    * holding `bands`, the shingle artifact and its own `BUCKETS`
+    * width; a legacy empty marker means the single root
+    * `v<b>/compact`. */
+  private def bandTierRoots(dimDir: String, b: Long): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    val lines = new String(
+      Files.readAllBytes(Paths.get(s"$dimDir/v$b/_CUMULATIVE")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    if (lines.isEmpty) Seq(s"$dimDir/v$b/compact")
+    else lines.map(rel => s"$dimDir/$rel")
+  }
+
+  /** The kb_bucket shift a tier root was written with (its `BUCKETS`
+    * meta), or None for a root without a bucketed artifact — callers
+    * then read that tier unpruned. */
+  private def kbShiftAtRoot(root: String): Option[Int] = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(s"$root/BUCKETS")
+    if (!Files.isRegularFile(p)) None
+    else scala.util.Try(new String(Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt).toOption
+  }
 
   /** Newest committed version under `dimDir` whose `compact/<part>`
     * store committed (`_CUMULATIVE` marker written after it). */
@@ -2343,22 +2378,37 @@ object Streaming {
     require(vs.nonEmpty, s"no committed band-index version under $dimDir")
     val top = vs.max
     if (Files.isRegularFile(Paths.get(s"$dimDir/v$top/_CUMULATIVE"))) return
-    // assemble from the PRIOR compaction + its tail (not all slices):
+    // assemble from the PRIOR tiers + the tail (not all slices):
     // recompaction stays O(tail) on the listing side and a
     // janitor-swept lineage can still recompact
     val base = bandCumulativeBase(dimDir, vs)
     val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs)
-    // the kb_bucket-partitioned base and the plain tail slices must be
-    // read separately (one mixed read trips Spark's conflicting-
+    val roots = base.toSeq.flatMap(b => bandTierRoots(dimDir, b))
+    // SIZE-TIERED merge ([[compactUnionStore]]'s rule on the shingle
+    // rows): absorb prior tiers smallest-first while a tier is ≤ 2×
+    // the rows merged so far — the pre-tiering form rewrote the FULL
+    // accumulated store every trigger, total work quadratic in wave
+    // count. Kept tiers survive in the manifest; band/docs slices are
+    // per-batch disjoint, so tiers partition the store exactly and no
+    // precedence is needed (unlike the latest-wins keep-best survivor
+    // stores, which stay single-base for that reason).
+    def rowsOf(dir: String): Long = spark.read.parquet(dir).count()
+    var acc = tail.map(v => rowsOf(s"$dimDir/v$v/$docsPart")).sum
+    val absorbed = scala.collection.mutable.ArrayBuffer.empty[String]
+    roots.map(r => r -> rowsOf(s"$r/$docsPart")).sortBy(_._2).foreach {
+      case (r, n) => if (n <= 2 * acc) { absorbed += r; acc += n }
+    }
+    val kept = roots.filterNot(absorbed.contains)
+    // the kb_bucket-partitioned tiers and the plain tail slices must
+    // be read separately (one mixed read trips Spark's conflicting-
     // directory-structures check) — select() aligns the schemas
     val docs =
-      (base.map(b =>
-          spark.read.parquet(s"$dimDir/v$b/compact/$docsPart")).toSeq
+      (absorbed.toSeq.map(r => spark.read.parquet(s"$r/$docsPart"))
         ++ tail.map(v => spark.read.parquet(s"$dimDir/v$v/$docsPart")))
       .map(_.select(docsCols.map(col): _*))
       .reduce(_ unionByName _)
     val bands = spark.read.parquet(
-      (base.map(b => s"$dimDir/v$b/compact/bands").toSeq ++
+      (absorbed.toSeq.map(r => s"$r/bands") ++
         tail.map(v => s"$dimDir/v$v/bands")): _*)
       .select(col("band"), col("bh"), col("doc_id"))
     val shift = kbShiftFor(docs, "doc_id", targetRowsPerBucket)
@@ -2371,8 +2421,12 @@ object Streaming {
     // bucket meta BEFORE the marker: a torn compaction never exposes it
     Files.write(Paths.get(s"$dimDir/v$top/compact/BUCKETS"),
       shift.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val prefix = s"$dimDir/"
+    val manifest = (kept.map(_.stripPrefix(prefix)) :+
+      s"v$top/compact").mkString("\n")
     Files.write(Paths.get(s"$dimDir/v$top/_CUMULATIVE"),
-      Array.emptyByteArray)
+      manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
   }
 
   /** One maintained wave of the delta keep-best WITH the compaction

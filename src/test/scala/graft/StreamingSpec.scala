@@ -1822,6 +1822,57 @@ class StreamingSpec extends AnyFunSuite {
       "post-retry compacted probe diverged from the plain lineage")
   }
 
+  test("tiered band-index compaction (r19): small late waves keep the " +
+      "big tier unabsorbed; probes and the verify span BOTH tiers' " +
+      "bucket widths; maintained == plain at every prefix") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val tiny = docs.filter($"doc_id" % 2 === 1).orderBy($"doc_id")
+      .limit(8).select($"doc_id").as[Long].collect().toSeq.sorted
+    val (tinyA, tinyB) = tiny.splitAt(4)
+    // w4 re-lands wave 0's docs so the final probe carries real
+    // cross-tier candidates (id_b rows living in BOTH tiers)
+    val waves = Seq(
+      docs.filter($"doc_id" % 2 === 0),
+      docs.filter($"doc_id" % 2 === 1 && !$"doc_id".isin(tiny: _*)),
+      docs.filter($"doc_id".isin(tinyA: _*)),
+      docs.filter($"doc_id".isin(tinyB: _*)),
+      docs.filter($"doc_id" % 2 === 0))
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_btl_$p").toString
+    def pairSet(d: String, p: String) =
+      Streaming.streamedNearDupPairs(spark, d, p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val (dA, pA) = (tmp("dimA"), tmp("pairsA"))
+    val (dB, pB) = (tmp("dimB"), tmp("pairsB"))
+    waves.zipWithIndex.foreach { case (w, i) =>
+      Streaming.bandIndexUpdate(dA, pA)(w, i.toLong)
+      Streaming.bandIndexMaintain(dB, pB, compactEvery = 2)(w, i.toLong)
+      assert(pairSet(dA, pA) == pairSet(dB, pB),
+        s"tiered band lineage diverged from plain at wave ${i + 1}")
+    }
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dB/v3/_CUMULATIVE")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    assert(manifest == Seq("v1/compact", "v3/compact"),
+      s"expected the big tier kept beside the small one, got: $manifest")
+    val smallRows = spark.read.parquet(s"$dB/v3/compact/docs")
+      .count()
+    val tinySliceRows = spark.read
+      .parquet(s"$dB/v2/docs", s"$dB/v3/docs").count()
+    assert(smallRows == tinySliceRows,
+      s"second band tier rewrote more than the tails " +
+        s"($smallRows vs $tinySliceRows)")
+    // the wave-5 probe (re-landed wave-0 ids) found its pairs THROUGH
+    // the 2-tier manifest: cross pairs against tier-1 history exist
+    assert(pairSet(dB, pB).exists { case (_, hist, _) =>
+        hist % 2 == 0 },
+      "no cross pairs against the big tier's docs — the multi-tier " +
+        "probe read is not reaching tier 1")
+  }
+
   /** One torn-write case: a versioned dim's updater, the commit marker
     * whose absence defines the torn state, a canonical reader snapshot,
     * and the two waves to drive it with. The registry below enumerates
