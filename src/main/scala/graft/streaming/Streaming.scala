@@ -1794,44 +1794,56 @@ object Streaming {
     val cols = Seq("doc_id", "cluster_id", "quality_score", "lang")
     def read(v: Long, part: String) =
       spark.read.parquet(s"$survDir/v$v/$part")
-    // a base version's cumulative artifact lives under v$b/compact/
-    // (r18 compactions — written beside the reads, never over them) or
-    // at the version top level (r17 compactions and pre-r17 whole
-    // rewrites). compact/ is trusted only under the _CUMULATIVE marker
-    // (written last): a torn r18 compaction leaves compact/ without the
-    // marker and readers must keep ignoring it.
-    def baseRead(b: Long, part: String) = {
-      val c = s"$survDir/v$b/compact/$part"
-      if (Files.isRegularFile(Paths.get(s"$survDir/v$b/_CUMULATIVE")) &&
-          Files.exists(Paths.get(c)))
-        spark.read.parquet(c)
-      else read(b, part)
-    }
-    val baseAttrs = base.map { b =>
-      // in-dir _SUCCESS, not bare existence (r18, ADVICE): a torn
-      // upgradePreAttrsBase backfill must fall back to the
-      // deterministic docs-slice recompute, not get served partial
+    // a base version's cumulative artifact lives under the tier roots
+    // its `_CUMULATIVE` manifest lists (r19 tiering; a legacy empty
+    // marker = the single root v$b/compact — r18 compactions, written
+    // beside the reads, never over them) or at the version top level
+    // (pre-r17 whole rewrites, no marker). compact/ roots are trusted
+    // only under the marker (written last): a torn compaction leaves
+    // compact/ without it and readers must keep ignoring it.
+    val baseRoots: Seq[(Long, String)] = base.toSeq.flatMap { b =>
       if (Files.isRegularFile(Paths.get(s"$survDir/v$b/_CUMULATIVE")) &&
           Files.exists(Paths.get(s"$survDir/v$b/compact/attrs")))
-        baseRead(b, "attrs")
-      else if (Files.isRegularFile(Paths.get(s"$survDir/v$b/attrs/_SUCCESS")))
-        read(b, "attrs")
-      else backfillAttrs(spark, survDir, vs.filter(_ <= b))
-      // explicit projection: an r19 bucketed store carries the
-      // kb_bucket partition column, which must not leak into the
-      // unionByName with the delta slices
-    }.map(_.select(col("doc_id"), col("quality_score"), col("lang")))
-    val attrs = (baseAttrs.toSeq ++ tail.map(v => read(v, "attrs_delta")))
+        kbTierRoots(survDir, b)
+      else Seq.empty
+    }
+    val baseAttrs: Seq[DataFrame] =
+      if (baseRoots.nonEmpty)
+        baseRoots.map { case (_, root) =>
+          spark.read.parquet(s"$root/attrs") }
+      else base.toSeq.map { b =>
+        // in-dir _SUCCESS, not bare existence (r18, ADVICE): a torn
+        // upgradePreAttrsBase backfill must fall back to the
+        // deterministic docs-slice recompute, not get served partial
+        if (Files.isRegularFile(Paths.get(s"$survDir/v$b/attrs/_SUCCESS")))
+          read(b, "attrs")
+        else backfillAttrs(spark, survDir, vs.filter(_ <= b))
+      }
+    // explicit projection: an r19 bucketed store carries the
+    // kb_bucket partition column, which must not leak into the
+    // unionByName with the delta slices
+    val attrs = (baseAttrs
+        .map(_.select(col("doc_id"), col("quality_score"), col("lang"))) ++
+      tail.map(v => read(v, "attrs_delta")))
       .reduceOption(_ unionByName _).getOrElse(emptyAttrs)
+    val cumDrops = kbCumulativeDrops(spark, survDir, base)
     def assemble(cumPart: String, deltaPart: String): DataFrame = {
-      val rows = (base.map(b => baseRead(b, cumPart).select(cols.map(col): _*)
-          .withColumn("_ver", lit(b))).toSeq ++
+      val baseRows: Seq[DataFrame] =
+        if (baseRoots.nonEmpty)
+          baseRoots.map { case (ver, root) =>
+            spark.read.parquet(s"$root/$cumPart").select(cols.map(col): _*)
+              .withColumn("_ver", lit(ver)) }
+        else base.toSeq.map(b =>
+          read(b, cumPart).select(cols.map(col): _*)
+            .withColumn("_ver", lit(b)))
+      val rows = (baseRows ++
         tail.map(v => read(v, deltaPart).select(cols.map(col): _*)
           .withColumn("_ver", lit(v))))
         .reduceOption(_ unionByName _)
       // drop algebra shared with the r19 bucketed probes — one
       // implementation, so the pruned and full reads cannot drift
-      rows.map(applyKbDrops(spark, survDir, tail, _)).getOrElse(emptyMerged)
+      rows.map(applyKbDrops(spark, survDir, tail, _, cumDrops))
+        .getOrElse(emptyMerged)
     }
     (attrs, assemble("labels", "labels_delta"),
       assemble("survivors", "survivors_delta"))
@@ -1858,34 +1870,20 @@ object Streaming {
     if (vs.isEmpty) return emptyMembers
     val base = cumulativeBase(survDir, vs)
     val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs)
-    val baseMembers = base.map { b =>
-      val members = s"$survDir/v$b/compact/members"
+    val baseMembers: Seq[DataFrame] = base.toSeq.flatMap { b =>
       if (Files.isRegularFile(Paths.get(s"$survDir/v$b/_CUMULATIVE")) &&
-          Files.exists(Paths.get(members)))
-        spark.read.parquet(members).select(col("doc_id"))
+          Files.exists(Paths.get(s"$survDir/v$b/compact/members")))
+        kbTierRoots(survDir, b).map { case (_, root) =>
+          spark.read.parquet(s"$root/members").select(col("doc_id")) }
       else if (Files.isRegularFile(Paths.get(s"$survDir/v$b/attrs/_SUCCESS")))
-        spark.read.parquet(s"$survDir/v$b/attrs").select(col("doc_id"))
-      else backfillAttrs(spark, survDir, vs.filter(_ <= b))
-        .select(col("doc_id"))
+        Seq(spark.read.parquet(s"$survDir/v$b/attrs").select(col("doc_id")))
+      else Seq(backfillAttrs(spark, survDir, vs.filter(_ <= b))
+        .select(col("doc_id")))
     }
-    (baseMembers.toSeq ++
+    (baseMembers ++
       tail.map(v => spark.read.parquet(s"$survDir/v$v/attrs_delta")
         .select(col("doc_id"))))
       .reduceOption(_ unionByName _).getOrElse(emptyMembers)
-  }
-
-  /** Bucket-width exponent of a compaction's r19 bucketed stores
-    * (artifacts partitioned by `kb_bucket = key >> shift`), read from
-    * the `compact/BUCKETS` meta written before the `_CUMULATIVE`
-    * marker — so a torn compaction can never expose it. None = a
-    * pre-r19 compaction (or none yet): probes fall back to the full
-    * assembled scan, correctness unchanged. */
-  private def kbBucketShift(survDir: String, b: Long): Option[Int] = {
-    import java.nio.file.{Files, Paths}
-    val p = Paths.get(s"$survDir/v$b/compact/BUCKETS")
-    if (!Files.isRegularFile(p)) None
-    else new String(Files.readAllBytes(p),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toIntOption
   }
 
   /** The distinct kb_bucket ids (key >> shift) present in `probe`,
@@ -1915,9 +1913,32 @@ object Streaming {
     }
   }
 
+  /** Per-root bucket-pruned reads of a compaction artifact across a
+    * base's tier roots (r19 tiering): roots are grouped by their
+    * `BUCKETS` shift so the probe's touched-bucket set is collected
+    * once per DISTINCT width — tiers written at different corpus
+    * sizes legitimately carry different widths; a root without a
+    * readable shift is read unpruned (correct, just not pruned).
+    * Returns (build version, pruned frame) pairs. */
+  private def kbRootsPruned(spark: SparkSession, survDir: String, b: Long,
+      part: String, probe: DataFrame,
+      probeKey: String): Seq[(Long, DataFrame)] =
+    kbTierRoots(survDir, b)
+      .groupBy { case (_, root) => kbShiftAtRoot(root) }.toSeq
+      .flatMap {
+        case (Some(shift), rs) =>
+          val buckets = touchedKbBuckets(probe, probeKey, shift)
+          rs.map { case (ver, root) =>
+            ver -> bucketPruned(
+              spark.read.parquet(s"$root/$part"), buckets) }
+        case (None, rs) =>
+          rs.map { case (ver, root) =>
+            ver -> spark.read.parquet(s"$root/$part") }
+      }
+
   /** [[assembledKeepBestMembers]] pruned to the buckets the `probe`
     * frame's doc_ids could live in (r19, VERDICT #2): the base
-    * compaction's bucketed members store is read at the probe's
+    * compaction's bucketed members stores are read at the probe's
     * kb_bucket partitions only — per-wave read ∝ touched buckets ×
     * target bucket rows, i.e. ∝ batch — plus the O(K) tail delta
     * doc_id columns. Sound as the first-time anti-join's right side
@@ -1928,22 +1949,18 @@ object Streaming {
       survDir: String, vs0: Seq[Long], probe: DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths}
     val vs = vs0.sorted
-    val bucketedBase = cumulativeBase(survDir, vs).flatMap { b =>
-      if (Files.isRegularFile(Paths.get(s"$survDir/v$b/_CUMULATIVE")) &&
-          Files.exists(Paths.get(s"$survDir/v$b/compact/members")))
-        kbBucketShift(survDir, b).map(b -> _)
-      else None
+    val bucketedBase = cumulativeBase(survDir, vs).filter { b =>
+      Files.isRegularFile(Paths.get(s"$survDir/v$b/_CUMULATIVE")) &&
+        Files.exists(Paths.get(s"$survDir/v$b/compact/members"))
     }
     bucketedBase match {
       case None => assembledKeepBestMembers(spark, survDir, vs)
-      case Some((b, shift)) =>
-        val buckets = touchedKbBuckets(probe, "doc_id", shift)
-        val baseM = bucketPruned(
-          spark.read.parquet(s"$survDir/v$b/compact/members"), buckets)
-          .select(col("doc_id"))
-        (Seq(baseM) ++ vs.filter(_ > b).map(v =>
-          spark.read.parquet(s"$survDir/v$v/attrs_delta")
-            .select(col("doc_id"))))
+      case Some(b) =>
+        (kbRootsPruned(spark, survDir, b, "members", probe, "doc_id")
+          .map(_._2.select(col("doc_id"))) ++
+          vs.filter(_ > b).map(v =>
+            spark.read.parquet(s"$survDir/v$v/attrs_delta")
+              .select(col("doc_id"))))
           .reduce(_ unionByName _)
     }
   }
@@ -1965,26 +1982,24 @@ object Streaming {
       probe: DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths}
     val vs = vs0.sorted
-    val bucketedBase = cumulativeBase(survDir, vs).flatMap { b =>
-      if (Files.isRegularFile(Paths.get(s"$survDir/v$b/_CUMULATIVE")) &&
-          Files.exists(Paths.get(s"$survDir/v$b/compact/$basePart")))
-        kbBucketShift(survDir, b).map(b -> _)
-      else None
+    val bucketedBase = cumulativeBase(survDir, vs).filter { b =>
+      Files.isRegularFile(Paths.get(s"$survDir/v$b/_CUMULATIVE")) &&
+        Files.exists(Paths.get(s"$survDir/v$b/compact/$basePart"))
     }
     bucketedBase match {
       case None => assembledKeepBestDims(spark, survDir, vs)._2
-      case Some((b, shift)) =>
+      case Some(b) =>
         val cols = Seq("doc_id", "cluster_id", "quality_score", "lang")
-        val buckets = touchedKbBuckets(probe, keyCol, shift)
         val tail = vs.filter(_ > b)
-        val rows = (Seq(bucketPruned(
-            spark.read.parquet(s"$survDir/v$b/compact/$basePart"), buckets)
-            .select(cols.map(col): _*).withColumn("_ver", lit(b))) ++
+        val rows = (kbRootsPruned(spark, survDir, b, basePart, probe, keyCol)
+            .map { case (ver, df) =>
+              df.select(cols.map(col): _*).withColumn("_ver", lit(ver)) } ++
           tail.map(v =>
             spark.read.parquet(s"$survDir/v$v/labels_delta")
               .select(cols.map(col): _*).withColumn("_ver", lit(v))))
           .reduce(_ unionByName _)
-        applyKbDrops(spark, survDir, tail, rows)
+        applyKbDrops(spark, survDir, tail, rows,
+          kbCumulativeDrops(spark, survDir, Some(b)))
     }
   }
 
@@ -1997,22 +2012,19 @@ object Streaming {
       vs0: Seq[Long], probe: DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths}
     val vs = vs0.sorted
-    val bucketedBase = cumulativeBase(survDir, vs).flatMap { b =>
-      if (Files.isRegularFile(Paths.get(s"$survDir/v$b/_CUMULATIVE")) &&
-          Files.exists(Paths.get(s"$survDir/v$b/compact/attrs")))
-        kbBucketShift(survDir, b).map(b -> _)
-      else None
+    val bucketedBase = cumulativeBase(survDir, vs).filter { b =>
+      Files.isRegularFile(Paths.get(s"$survDir/v$b/_CUMULATIVE")) &&
+        Files.exists(Paths.get(s"$survDir/v$b/compact/attrs"))
     }
     bucketedBase match {
       case None => assembledKeepBestDims(spark, survDir, vs)._1
-      case Some((b, shift)) =>
-        val buckets = touchedKbBuckets(probe, "doc_id", shift)
-        val baseA = bucketPruned(
-          spark.read.parquet(s"$survDir/v$b/compact/attrs"), buckets)
-          .select(col("doc_id"), col("quality_score"), col("lang"))
-        (Seq(baseA) ++ vs.filter(_ > b).map(v =>
-          spark.read.parquet(s"$survDir/v$v/attrs_delta")
-            .select(col("doc_id"), col("quality_score"), col("lang"))))
+      case Some(b) =>
+        (kbRootsPruned(spark, survDir, b, "attrs", probe, "doc_id")
+          .map(_._2
+            .select(col("doc_id"), col("quality_score"), col("lang"))) ++
+          vs.filter(_ > b).map(v =>
+            spark.read.parquet(s"$survDir/v$v/attrs_delta")
+              .select(col("doc_id"), col("quality_score"), col("lang"))))
           .reduce(_ unionByName _)
     }
   }
@@ -2021,12 +2033,26 @@ object Streaming {
     * (`_ver`-tagged): a row from version u survives iff no version
     * later than u dropped its cluster — factored out of
     * [[assembledKeepBestDims]] so the bucketed probes cannot drift
-    * from the full assembly. */
+    * from the full assembly.
+    *
+    * `cumDrops` (r19 tiering) is the newest compaction's cumulative
+    * per-cluster max-drop store: with KEPT older tiers on disk, a drop
+    * recorded between two compactions must keep retiring the older
+    * tier's rows even after the recording wave's own `drops` slice is
+    * janitor-deleted — the cumulative store carries exactly that
+    * history. Sound against tier rows tagged with their BUILD version:
+    * a tier built at t contains only rows that survived every drop
+    * ≤ t (applied at merge time), so `maxDrop <= t` never wrongly
+    * saves a row and `maxDrop > t` is exactly the set that must kill
+    * it. */
   private def applyKbDrops(spark: SparkSession, survDir: String,
-      dropVersions: Seq[Long], rows: DataFrame): DataFrame = {
-    val dropDim = dropVersions.map(v =>
+      dropVersions: Seq[Long], rows: DataFrame,
+      cumDrops: Option[DataFrame] = None): DataFrame = {
+    val dropDim = (cumDrops
+        .map(_.select(col("cluster_id"), col("_maxDrop").as("_dver"))).toSeq ++
+      dropVersions.map(v =>
         spark.read.parquet(s"$survDir/v$v/drops").select(col("cluster_id"))
-          .withColumn("_dver", lit(v)))
+          .withColumn("_dver", lit(v))))
       .reduceOption(_ unionByName _)
       .map(_.groupBy(col("cluster_id")).agg(max(col("_dver")).as("_maxDrop")))
     dropDim match {
@@ -2036,6 +2062,42 @@ object Streaming {
           .where(col("_maxDrop").isNull || col("_maxDrop") <= col("_ver"))
           .drop("_ver", "_maxDrop")
     }
+  }
+
+  /** Tier roots of a keep-best compaction base (r19 tiering — the
+    * [[bandTierRoots]] manifest idea on the survivor direction): the
+    * base's `_CUMULATIVE` marker lists dim-relative roots (each
+    * holding attrs/members/labels/labels_by_doc/survivors and its own
+    * `BUCKETS` width), newest last; a legacy empty marker (the
+    * pre-tiering full-rewrite form) means the single root
+    * `v<b>/compact`. Each root's BUILD version — the `_ver` its rows
+    * carry under [[applyKbDrops]] — is parsed from the root path. */
+  private def kbTierRoots(survDir: String, b: Long): Seq[(Long, String)] = {
+    import java.nio.file.{Files, Paths}
+    val lines = new String(
+      Files.readAllBytes(Paths.get(s"$survDir/v$b/_CUMULATIVE")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    if (lines.isEmpty) Seq(b -> s"$survDir/v$b/compact")
+    else lines.map { rel =>
+      val ver = "^v(\\d+)/".r.findFirstMatchIn(rel).map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(
+          s"unparseable keep-best tier root '$rel' in v$b/_CUMULATIVE"))
+      ver -> s"$survDir/$rel"
+    }
+  }
+
+  /** The newest compaction's cumulative per-cluster drop store
+    * ((cluster_id, _maxDrop) — see [[applyKbDrops]]), or None for a
+    * legacy/pre-tiering base (whose single full store needs only the
+    * tail drop slices, exactly the pre-r19 semantics). */
+  private def kbCumulativeDrops(spark: SparkSession, survDir: String,
+      base: Option[Long]): Option[DataFrame] = {
+    import java.nio.file.{Files, Paths}
+    base.filter { b =>
+      Files.isRegularFile(Paths.get(s"$survDir/v$b/_CUMULATIVE")) &&
+        Files.exists(Paths.get(s"$survDir/v$b/compact/drops"))
+    }.map(b => spark.read.parquet(s"$survDir/v$b/compact/drops"))
   }
 
   /** Power-of-two range-bucket exponent for a compaction's bucketed
@@ -2086,15 +2148,19 @@ object Streaming {
   }
 
   /** Compact a delta keep-best lineage at its newest committed
-    * version: persist the assembled cumulative attrs/labels/survivors
-    * (plus the doc_id-only `members` probe artifact) under that
-    * version's `compact/` namespace, `_CUMULATIVE` marker last — the
-    * [[compactGramIndex]] story on the survivor direction. Readers
-    * then stand on the compaction + later delta slices (O(waves since
-    * compaction) listings), and version dirs BELOW the compaction are
-    * janitor-deletable: correctness never reads them again
-    * (StreamingSpec deletes them outright and proves the reader and
-    * the next wave are unchanged). Idempotent; safe at any cadence.
+    * version: SIZE-TIERED since the r19 tiering — merge the fresh
+    * tail slices plus any prior tier roots of comparable size into a
+    * new tier under `v<top>/compact/`, list kept roots + the new tier
+    * in the `_CUMULATIVE` manifest (written last) — the
+    * [[compactGramIndex]] story on the survivor direction with
+    * [[compactUnionStore]]'s amortization. Readers stand on the
+    * manifest tiers + later delta slices (O(log W) stores + O(K)
+    * listings). Janitor-deletable set: below the base, delta/docs
+    * SLICES are subsumed by the tiers and compact roots UNREFERENCED
+    * by the newest manifest by later merges — manifest-referenced
+    * roots and the version markers must survive (StreamingSpec sweeps
+    * exactly that and proves the reader and the next wave unchanged).
+    * Idempotent; safe at any cadence.
     *
     * r18 (VERDICT #3): the pre-r18 form wrote the cumulative
     * artifacts OVER the version's top-level paths, which forced a
@@ -2112,10 +2178,73 @@ object Streaming {
     require(vs.nonEmpty, s"no committed survivor version under $survDir")
     val top = vs.max
     if (Files.isRegularFile(Paths.get(s"$survDir/v$top/_CUMULATIVE"))) return
-    val (attrs, labels, survivors) = assembledKeepBestDims(spark, survDir, vs)
-    // bucket width (r19, VERDICT #2/#3): see [[kbShiftFor]]. Cluster
-    // ids are member-minimum doc_ids, so they bucket under the same
-    // width as doc ids.
+    val base = cumulativeBase(survDir, vs)
+    val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs)
+    val cols = Seq("doc_id", "cluster_id", "quality_score", "lang")
+    // SIZE-TIERED merge (r19 — [[compactUnionStore]]'s rule, which the
+    // survivor stores could not take pre-r19 because their latest-wins
+    // precedence needs per-tier version context; [[applyKbDrops]]'
+    // cumDrops store + build-version tags supply exactly that): absorb
+    // prior tier roots smallest-first while a root's attrs rows are
+    // ≤ 2× the rows merged so far. The pre-tiering form rewrote the
+    // FULL assembled dims every trigger — total compaction work
+    // quadratic in wave count; tiered, a row is rewritten O(log W)
+    // times and a trigger whose tails are small writes a small tier.
+    // A pre-r17 whole-rewrite base (no marker) has no compact-layout
+    // root to keep, so it is always absorbed through the full
+    // assembly — a one-time upgrade cost, after which the lineage is
+    // manifest-tiered.
+    val tieredBase = base.filter(b =>
+      Files.isRegularFile(Paths.get(s"$survDir/v$b/_CUMULATIVE")) &&
+        Files.exists(Paths.get(s"$survDir/v$b/compact/attrs")))
+    val priorCumDrops = kbCumulativeDrops(spark, survDir, base)
+    val (kept, attrs, labels, survivors) = tieredBase match {
+      case None =>
+        val (a, l, s) = assembledKeepBestDims(spark, survDir, vs)
+        (Seq.empty[String], a, l, s)
+      case Some(b) =>
+        val roots = kbTierRoots(survDir, b)
+        // the tier metric is attrs ROW COUNT (the corpus-membership
+        // artifact — one row per streamed doc): a footer-only
+        // metadata read, ∝-exact for a fixed schema at any scale
+        def rowsOf(dir: String): Long = spark.read.parquet(dir).count()
+        var acc = tail.map(v => rowsOf(s"$survDir/v$v/attrs_delta")).sum
+        val absorbed =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        roots.map { rv => rv -> rowsOf(s"${rv._2}/attrs") }
+          .sortBy(_._2).foreach { case (rv, n) =>
+            if (n <= 2 * acc) { absorbed += rv; acc += n }
+          }
+        val keptRoots = roots.filterNot(absorbed.contains)
+        val a = (absorbed.toSeq.map { case (_, root) =>
+            spark.read.parquet(s"$root/attrs")
+              .select(col("doc_id"), col("quality_score"), col("lang")) } ++
+          tail.map(v => spark.read.parquet(s"$survDir/v$v/attrs_delta")
+            .select(col("doc_id"), col("quality_score"), col("lang"))))
+          .reduce(_ unionByName _)
+        // merged label/survivor rows carry the SAME drop algebra as
+        // the readers (absorbed tiers tagged with their build
+        // versions, tails with theirs) — so the new tier contains
+        // exactly the rows that survive through `top`, and reading it
+        // tagged `top` is sound (see [[applyKbDrops]])
+        def merge(cumPart: String, deltaPart: String): DataFrame = {
+          val rows = (absorbed.toSeq.map { case (ver, root) =>
+              spark.read.parquet(s"$root/$cumPart")
+                .select(cols.map(col): _*).withColumn("_ver", lit(ver)) } ++
+            tail.map(v => spark.read.parquet(s"$survDir/v$v/$deltaPart")
+              .select(cols.map(col): _*).withColumn("_ver", lit(v))))
+            .reduce(_ unionByName _)
+          applyKbDrops(spark, survDir, tail, rows, priorCumDrops)
+        }
+        (keptRoots.map(_._2), a, merge("labels", "labels_delta"),
+          merge("survivors", "survivors_delta"))
+    }
+    // bucket width (r19, VERDICT #2/#3): see [[kbShiftFor]] — derived
+    // from THIS tier's rows, so every tier targets ≈ constant rows per
+    // bucket at its own key density (probes collect buckets per
+    // distinct width, [[kbRootsPruned]]). Cluster ids are
+    // member-minimum doc_ids, so they bucket under the same width as
+    // doc ids.
     val shift = kbShiftFor(attrs, "doc_id", targetRowsPerBucket)
     def writeBucketed(df: DataFrame, keyCol: String, part: String): Unit =
       writeKbBucketed(df, keyCol, s"$survDir/v$top/compact/$part", shift)
@@ -2139,11 +2268,33 @@ object Streaming {
       "doc_id", "labels_by_doc")
     survivors.write.mode("overwrite")
       .parquet(s"$survDir/v$top/compact/survivors")
+    // cumulative per-cluster drop store (r19 tiering): prior
+    // cumulative + tail drop slices, per-cluster max — the drop
+    // history KEPT tiers need after their recording waves' own
+    // `drops` slices are janitor-deleted. Written before the marker
+    // like every tier artifact.
+    (priorCumDrops
+        .map(_.select(col("cluster_id"), col("_maxDrop").as("_dver")))
+        .toSeq ++
+      tail.map(v => spark.read.parquet(s"$survDir/v$v/drops")
+        .select(col("cluster_id")).withColumn("_dver", lit(v))))
+      .reduce(_ unionByName _)
+      .groupBy(col("cluster_id")).agg(max(col("_dver")).as("_maxDrop"))
+      .write.mode("overwrite").parquet(s"$survDir/v$top/compact/drops")
     // bucket meta BEFORE the marker: a torn compaction never exposes it
     Files.write(Paths.get(s"$survDir/v$top/compact/BUCKETS"),
       shift.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the marker is a MANIFEST since the r19 tiering: kept roots + the
+    // new tier, dim-relative, one per line (a legacy EMPTY marker
+    // still reads as the single root v<b>/compact). Written last — a
+    // torn merge leaves the old manifest authoritative and the orphan
+    // compact/ dir invisible.
+    val prefix = s"$survDir/"
+    val manifest = (kept.map(_.stripPrefix(prefix)) :+
+      s"v$top/compact").mkString("\n")
     Files.write(Paths.get(s"$survDir/v$top/_CUMULATIVE"),
-      Array.emptyByteArray)
+      manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
   }
 
   /** The accumulated band index's (band, bh, doc_id) rows over the

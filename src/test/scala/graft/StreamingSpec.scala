@@ -479,6 +479,124 @@ class StreamingSpec extends AnyFunSuite {
       "post-compaction wave over the bucketed stores diverged from batch")
   }
 
+  test("tiered keep-best compaction (r19): small late waves keep the " +
+      "big tier (manifest, not a full rewrite); drops recorded AFTER " +
+      "the kept tier retire its rows via the cumulative drop store; " +
+      "manifest-aware janitor; reader == batch x59 throughout") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // late arrivals = min-id members of multi-doc clusters (a survivor
+    // row with doc_id != cluster_id names one): when they land, cross
+    // pairs against their tier-A cluster mates force drops + relabels
+    // of clusters whose rows live in the KEPT tier — the cross-tier
+    // precedence case the cumulative drop store exists for
+    val late = graft.ops.Dedup.dedupKeepBest(spark, sf)
+      .filter($"doc_id" =!= $"cluster_id")
+      .select($"cluster_id").distinct().orderBy($"cluster_id")
+      .limit(8).as[Long].collect().toSeq
+    assert(late.size >= 2, "fixture must carry multi-doc clusters")
+    val (lateA, lateB) = late.splitAt(late.size / 2)
+    val early = docs.filter(!$"doc_id".isin(late: _*))
+    val waves = Seq(
+      early.filter($"doc_id" % 7 =!= 0),
+      early.filter($"doc_id" % 7 === 0),
+      docs.filter($"doc_id".isin(lateA: _*)),
+      docs.filter($"doc_id".isin(lateB: _*)))
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_kbtier_$p").toString
+    val (dimDir, pairsDir, survDir) = (tmp("dim"), tmp("pairs"), tmp("surv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id", "quality_score", "lang")
+        .collect().map(_.toSeq).toSet
+    waves.zipWithIndex.foreach { case (w, i) =>
+      Streaming.keepBestDeltaMaintain(dimDir, pairsDir, survDir,
+        compactEvery = 2)(w, i.toLong)
+    }
+    // the v3 trigger must KEEP the big v1 tier (corpus-scale rows vs
+    // two tiny tails) and write only a late-docs-sized second tier —
+    // the amortized-work property; pre-tiering this was a full rewrite
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$survDir/v3/_CUMULATIVE")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    assert(manifest == Seq("v1/compact", "v3/compact"),
+      s"expected the kept big tier + the small new tier, got: $manifest")
+    val smallRows = spark.read.parquet(s"$survDir/v3/compact/attrs").count()
+    val lateRows = spark.read
+      .parquet(s"$survDir/v2/attrs_delta", s"$survDir/v3/attrs_delta")
+      .count()
+    assert(smallRows == lateRows,
+      s"second tier rewrote more than the tails ($smallRows vs $lateRows)")
+    // whole-corpus equivalence: stale tier-A rows of the relabeled
+    // clusters must be retired across the tier boundary
+    val batch = rows(graft.ops.Dedup.dedupKeepBest(spark, sf))
+    assert(rows(Streaming.streamedKeepBestDeltaSurvivors(spark, survDir))
+        == batch,
+      "tiered lineage diverged from batch x59 before the janitor")
+    // manifest-aware janitor: below the v3 base, SLICES go (including
+    // the v2/v3 drops slices — after this the cumulative drop store
+    // alone must keep retiring the kept tier's stale rows) and
+    // unreferenced compact roots go; manifest-referenced roots and
+    // version markers survive
+    deleteRec(s"$survDir/v0")
+    deleteRec(s"$survDir/v2")
+    Option(new java.io.File(s"$survDir/v1").listFiles()).toSeq.flatten
+      .filter(f => f.getName != "compact" && f.getName != "_CUMULATIVE" &&
+        f.getName != "_SUCCESS")
+      .foreach(f => deleteRec(f.getPath))
+    Seq("labels_delta", "survivors_delta", "attrs_delta", "drops",
+      "docs", "intra").foreach(p => deleteRec(s"$survDir/v3/$p"))
+    assert(rows(Streaming.streamedKeepBestDeltaSurvivors(spark, survDir))
+        == batch,
+      "post-janitor tiered reader diverged — a kept-tier read or the " +
+        "cumulative drop store is broken")
+    // a wave after the sweep probes BOTH tiers' bucketed stores (two
+    // roots, two bucket widths) on the hot path and must stay == batch
+    Streaming.keepBestDeltaMaintain(dimDir, pairsDir, survDir,
+      compactEvery = 2)(docs.filter($"doc_id" % 7 === 0), 4L)
+    assert(rows(Streaming.streamedKeepBestDeltaSurvivors(spark, survDir))
+        == batch,
+      "post-sweep wave over the two-tier stores diverged from batch x59")
+  }
+
+  test("tiered keep-best compaction (r19): a legacy single-base " +
+      "lineage (pre-tiering empty marker, no cumulative drop store) " +
+      "keeps reading and upgrades to a manifest at the next trigger") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val waves = (0 until 4).map(i => docs.filter($"doc_id" % 4 === i))
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_kblg_$p").toString
+    val (dimDir, pairsDir, survDir) = (tmp("dim"), tmp("pairs"), tmp("surv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id", "quality_score", "lang")
+        .collect().map(_.toSeq).toSet
+    waves.zipWithIndex.foreach { case (w, i) =>
+      Streaming.keepBestDeltaMaintain(dimDir, pairsDir, survDir,
+        compactEvery = 2)(w, i.toLong)
+      if (i == 1) {
+        // rewrite v1 to the pre-tiering on-disk form: an EMPTY
+        // _CUMULATIVE beside the full single-base store, no
+        // cumulative drop store — exactly what an r19-pre-tiering
+        // compaction left behind
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$survDir/v1/_CUMULATIVE"),
+          Array.emptyByteArray)
+        deleteRec(s"$survDir/v1/compact/drops")
+      }
+    }
+    // the v3 trigger read the legacy base through the empty-marker
+    // fallback and committed a manifest on top of it
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$survDir/v3/_CUMULATIVE")),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    assert(manifest.nonEmpty,
+      "the post-upgrade trigger did not write a manifest marker")
+    assert(rows(Streaming.streamedKeepBestDeltaSurvivors(spark, survDir))
+        == rows(graft.ops.Dedup.dedupKeepBest(spark, sf)),
+      "legacy-marker keep-best lineage diverged from batch x59")
+  }
+
   test("keep-best success-marker requirement (r19, ADVICE): a session " +
       "with marksuccessfuljobs=false fails loudly instead of silently " +
       "recomputing the O(corpus) attrs backfill on every read") {
