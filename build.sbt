@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // builder-tooling passthrough: lets probe runs (TimeQuery/JobTrace)
+  // exercise the non-default pin strategies (Caches.pin) without a
+  // code edit — Spark folds spark.* system properties into SparkConf
+  sys.env.get("SPARK_GRAFT_MATERIALIZE")
+    .map(m => s"-Dspark.graft.materialize=$m").toSeq

@@ -52,10 +52,19 @@ REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 # the others — "zipf" reroutes every 100th order to customer 0, giving
 # one customer ~1% of ALL orders at any R. At 100x that is one 150k-row
 # window partition / join group against a 100-row median, the shape
-# AQE skew handling and the w01/w02 window sorts must survive), or
-# "all"
+# AQE skew handling and the w01/w02 window sorts must survive), "all",
+# or "full" (r20): "all" PLUS a replicated part table — the n11-n15
+# gram/fuzzy family derives BOTH its axes (dictionary variants and
+# probe strings) as pure functions of p_partkey, so a key-offset part
+# replica sweep scales dictionary and probes together with DISJOINT
+# token universes per replica (tokenSqlExpr maps distinct keys to
+# distinct 12-letter tokens; no cross-replica near-dup pairs, the same
+# linearity discipline as the doc/embedding replicas). lineitem's
+# l_partkey stays in the replica-0 key range, so part-side join probes
+# grow 10x while matches stay linear — the realistic big-dim shape.
 FAMILIES = sys.argv[4] if len(sys.argv) > 4 else "doc"
-assert FAMILIES in ("doc", "rel", "zipf", "all"), f"bad families arg {FAMILIES}"
+assert FAMILIES in ("doc", "rel", "zipf", "all", "full"), \
+    f"bad families arg {FAMILIES}"
 # zipf hot-key rewrite for o_custkey (customer 0 = min c_custkey in the
 # fixture); (o_orderkey + replica) % 100 spreads the stolen orders
 # evenly across replicas and order positions
@@ -78,7 +87,7 @@ os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
 written = []
 
-if FAMILIES in ("doc", "all"):
+if FAMILIES in ("doc", "all", "full"):
     # the rotation below hardcodes dim 64; on shorter vectors DuckDB's
     # list slicing CLAMPS out-of-range bounds, so rotations >= dim
     # silently return the unrotated vector — exact duplicates in the
@@ -118,7 +127,7 @@ if FAMILIES in ("doc", "all"):
     """)
     written += ["documents", "embeddings"]
 
-if FAMILIES in ("rel", "zipf", "all"):
+if FAMILIES in ("rel", "zipf", "all", "full"):
     con.sql(f"""
     COPY (
       SELECT o_orderkey + r.range * 10000000 AS o_orderkey,
@@ -144,12 +153,31 @@ if FAMILIES in ("rel", "zipf", "all"):
       ORDER BY event_id
     ) TO '{DST}/events.parquet' (FORMAT parquet)
     """)
-    for dim in ("region", "nation", "customer", "supplier", "part"):
+    copied_dims = ("region", "nation", "customer", "supplier") + \
+        (() if FAMILIES == "full" else ("part",))
+    for dim in copied_dims:
         con.sql(f"""
         COPY (SELECT * FROM read_parquet('{SRC}/{dim}.parquet'))
         TO '{DST}/{dim}.parquet' (FORMAT parquet)
         """)
     written += ["orders", "lineitem", "events"]
+
+if FAMILIES == "full":
+    # part replicas with offset keys: the n11-n15 dictionary variants
+    # and probe strings are pure functions of p_partkey (token and
+    # probe-edit templates), so this scales both gram-family axes R-fold
+    # with replica-disjoint token universes. p_name/p_brand etc. are
+    # kept verbatim — n11's probes append the (offset) key to the name,
+    # so its probe set also stays replica-distinct.
+    con.sql(f"""
+    COPY (
+      SELECT p_partkey + r.range * 10000000 AS p_partkey,
+        p_name, p_brand, p_type, p_size, p_retailprice
+      FROM read_parquet('{SRC}/part.parquet'), range({REPLICAS}) r
+      ORDER BY p_partkey
+    ) TO '{DST}/part.parquet' (FORMAT parquet)
+    """)
+    written += ["part"]
 
 for t in written:
     n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{DST}/{t}.parquet')").fetchone()[0]

@@ -75,6 +75,115 @@ object Caches {
       if (!spark.sparkContext.isStopped) old.unpersist(blocking = false)
     }
 
+  /** Scale-safe eager materialization of an intermediate frame (r20,
+    * VERDICT #2). Every multi-consumer intermediate in the query paths
+    * used to call `localCheckpoint()` directly — correct and fastest in
+    * local mode, but a local-mode ASSUMPTION on a cluster:
+    * `localCheckpoint` truncates lineage and stores the partitions on
+    * the computing executors with no recompute fallback, so one
+    * executor loss makes the whole job unrecoverable (guide §5), and
+    * the pinned blocks tie the frame's lifetime to those executors.
+    * `pin` picks the materialization by `spark.graft.materialize`:
+    *
+    *  - `local` — `localCheckpoint()`: the pre-r20 behaviour. In
+    *    local[*] masters the blocks live in the ONE driver process,
+    *    whose loss is app loss regardless of strategy, so lineage
+    *    truncation costs nothing in fault tolerance there — and it
+    *    keeps the CacheManager empty (the x14/x29 "no plan-cache
+    *    substitution" honesty convention for the bench).
+    *  - `reliable` — `checkpoint()` to the configured checkpoint dir
+    *    (`spark.graft.checkpointDir` is applied to the context if no
+    *    dir is set yet; in local mode a temp dir is minted). Survives
+    *    executor loss: the data lives on the shared checkpoint store.
+    *    Costs one extra computation of the frame (Spark writes
+    *    reliable checkpoints in a second job) — measured r20 on the
+    *    gram family, see OPTIMIZATION_r20.md.
+    *  - `persist` — `persist(MEMORY_AND_DISK)` + eager count, returned
+    *    behind a `createDataFrame(rdd, schema)` plan cut. Keeps RDD
+    *    lineage, so executor loss RECOMPUTES instead of failing; no
+    *    shared storage needed; the plan cut keeps iterative callers'
+    *    logical plans bounded (ccStars' plan would otherwise grow 4^r
+    *    — the round-level OOM localCheckpoint was added for). Costs an
+    *    InternalRow↔Row conversion per read of the pinned frame and a
+    *    CacheManager entry until [[unpin]]/[[clear]] — prefer
+    *    `reliable` on clusters when a checkpoint dir exists.
+    *  - `auto` (default) — `local` under a local master; otherwise
+    *    `reliable` when a checkpoint dir is available, else `persist`
+    *    (degrade to slower-but-safe, never to config-error).
+    *
+    * The bench/driver contract is untouched: under local[$CPUS] the
+    * auto mode IS the pre-r20 plan, byte for byte. */
+  def pin(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val sc = spark.sparkContext
+    def confDir: Option[String] =
+      spark.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty)
+    val requested =
+      spark.conf.getOption("spark.graft.materialize").getOrElse("auto")
+    val mode = requested match {
+      case "auto" =>
+        if (sc.isLocal) "local"
+        else if (sc.getCheckpointDir.nonEmpty || confDir.nonEmpty) "reliable"
+        else "persist"
+      case m @ ("local" | "reliable" | "persist") => m
+      case other =>
+        // a typo'd conf must degrade to the safe default, not crash the
+        // query mid-plan (the Bench "slow, never dead" discipline)
+        System.err.println(
+          s"[graft] unknown spark.graft.materialize '$other', using auto")
+        if (sc.isLocal) "local" else "persist"
+    }
+    mode match {
+      case "local" => df.localCheckpoint()
+      case "reliable" =>
+        if (sc.getCheckpointDir.isEmpty) {
+          confDir match {
+            case Some(d) => sc.setCheckpointDir(d)
+            case None if sc.isLocal =>
+              sc.setCheckpointDir(java.nio.file.Files
+                .createTempDirectory("graft-ckpt").toString)
+            case None =>
+              // reliable was requested but no shared dir exists —
+              // persist is the only safe materialization left
+              System.err.println("[graft] materialize=reliable with no " +
+                "checkpoint dir (set spark.graft.checkpointDir); " +
+                "falling back to persist")
+              return pinPersist(df)
+          }
+        }
+        df.checkpoint()
+      case _ => pinPersist(df)
+    }
+  }
+
+  // live persist-mode pins: seq -> (returned wrapper, persisted frame).
+  // unpin accepts the wrapper (what callers hold); clear sweeps the rest.
+  private val pinSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val pins =
+    TrieMap.empty[(SparkSession, Long), (DataFrame, DataFrame)]
+  private def pinPersist(df: DataFrame): DataFrame = {
+    pins.keys.filter(_._1.sparkContext.isStopped).foreach(pins.remove)
+    val spark = df.sparkSession
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    p.count() // eager, like localCheckpoint: consumers must never race
+    // plan cut: downstream plans see a leaf scan, not df's whole tree
+    val cut = spark.createDataFrame(p.rdd, p.schema)
+    pins.put((spark, pinSeq.incrementAndGet()), (cut, p))
+    cut
+  }
+
+  /** Release a [[pin]]'d frame that no longer has consumers (iterative
+    * algorithms pin per round; the previous round's frame is garbage
+    * once the next is materialized). No-op for local/reliable pins —
+    * those blocks are owned by the BlockManager/checkpoint store and
+    * reclaimed by GC / clear. */
+  def unpin(df: DataFrame): Unit =
+    pins.find { case (_, (cut, p)) => (cut eq df) || (p eq df) }
+      .foreach { case (k, (_, p)) =>
+        pins.remove(k)
+        if (!k._1.sparkContext.isStopped) p.unpersist(blocking = false)
+      }
+
   /** Unpersist and forget every frame (and plain value) memoized under
     * this session. */
   def clear(spark: SparkSession): Unit = {
@@ -84,6 +193,11 @@ object Caches {
       }
     }
     values.keys.filter(_._1 eq spark).foreach(values.remove)
+    pins.keys.filter(_._1 eq spark).foreach { k =>
+      pins.remove(k).foreach { case (_, p) =>
+        if (!spark.sparkContext.isStopped) p.unpersist(blocking = false)
+      }
+    }
     // Live-session locks stay: another thread may hold one mid-build,
     // and removing it would mint a fresh lock for the next memo call —
     // re-enabling the duplicate concurrent build the locks exist to

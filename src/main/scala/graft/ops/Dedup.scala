@@ -475,15 +475,16 @@ object Dedup {
       maxRounds: Int = 50): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    // localCheckpoint (not persist): each round's frame references the
-    // previous one several times, so without lineage TRUNCATION the
-    // logical plan grows exponentially with rounds and the per-execution
-    // plan-description event OOMs the driver around round ~10. The
-    // checkpointed RDDs are small (the pair graph) and are freed by the
-    // ContextCleaner as rounds drop their references.
-    var edges = pairs
+    // pin (eager, lineage-truncating in local/reliable modes): each
+    // round's frame references the previous one several times, so
+    // without TRUNCATION the logical plan grows exponentially with
+    // rounds and the per-execution plan-description event OOMs the
+    // driver around round ~10. The pinned RDDs are small (the pair
+    // graph) and are freed by the ContextCleaner / unpin as rounds
+    // drop their references.
+    var edges = graft.Caches.pin(pairs
       .select(greatest($"id_a", $"id_b").as("c"), least($"id_a", $"id_b").as("p"))
-      .filter($"c" =!= $"p").distinct().localCheckpoint()
+      .filter($"c" =!= $"p").distinct())
 
     def isStarForest(e: DataFrame): Boolean = {
       val parentAlsoChild = e.as("a")
@@ -500,18 +501,23 @@ object Dedup {
         .union(edges.select($"p".as("u"), $"c".as("v")))
       val mins = d.groupBy($"u").agg(min($"v").as("mn"))
         .select($"u", least($"u", $"mn").as("m"))
-      val afterLarge = d.join(mins, "u")
+      val afterLarge = graft.Caches.pin(d.join(mins, "u")
         .filter($"v" > $"u")
         .select($"v".as("c"), $"m".as("p"))
-        .distinct().localCheckpoint()
+        .distinct())
       // small-star over the oriented result: m = min parent per child;
       // every non-min parent re-links to m, the child links to m
       val minsPerChild = afterLarge.groupBy($"c").agg(min($"p").as("m"))
-      val next = afterLarge.join(minsPerChild, "c")
+      val next = graft.Caches.pin(afterLarge.join(minsPerChild, "c")
         .filter($"p" =!= $"m")
         .select($"p".as("c"), $"m".as("p"))
         .union(minsPerChild.select($"c", $"m".as("p")))
-        .distinct().localCheckpoint()
+        .distinct())
+      // the round's intermediates are dead once `next` is materialized
+      // (pin is eager) — release them in persist mode so long CC runs
+      // stay bounded; no-op under local/reliable pins
+      graft.Caches.unpin(afterLarge)
+      graft.Caches.unpin(edges)
       edges = next
       rounds += 1
       converged = isStarForest(edges)

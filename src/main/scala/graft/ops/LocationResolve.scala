@@ -658,7 +658,7 @@ object LocationResolve {
           .partitionBy($"_js").orderBy($"_gdf", $"_g")))
       .filter($"_rk" <= $"_slen" - $"_t" + 2)
       .select($"_js", $"_slen", $"_t", $"_g", $"_rk")
-    val ranked = if (materializeRanked) ranked0.localCheckpoint() else ranked0
+    val ranked = if (materializeRanked) graft.Caches.pin(ranked0) else ranked0
     val f1 = ranked
       .filter($"_slen" <= sch.f1MaxLen && $"_rk" <= $"_slen" - $"_t")
       .select($"_js", concat(lit("g1:"), $"_g").as("bkey"))
@@ -753,7 +753,7 @@ object LocationResolve {
         dimHasSingleToken(dim, "vkey")) &&
       dimHasSingleToken(probes, "norm")
     val gorder =
-      if (grams) gramOrderOf(dim, "vkey").localCheckpoint()
+      if (grams) graft.Caches.pin(gramOrderOf(dim, "vkey"))
       else spark.emptyDataFrame.select(lit("").as("_g0"), lit(0L).as("_gdf"))
     val dimKeyed = withBlockKeys(dim, "vkey",
       gorder, "dlen", graft.nlp.Cleaner.FuzzyScoreCutoff, grams)
@@ -884,7 +884,7 @@ object LocationResolve {
         // dict-id + probe-string blocking join + shared-key threshold,
         // dictionary strings joined back onto the surviving
         // near-match-sized candidate set (see fuzzyDictScale); dict
-        // ids are stable because dimC is localCheckpoint-materialized.
+        // ids are stable because dimC is pin-materialized (eager).
         // The id'd dim, gram order and keyed index are PER-DICTIONARY
         // artifacts — a registered query over a fixed dictionary
         // memoizes them (indexMemoKey; Bench prewarms via the query,
@@ -895,8 +895,9 @@ object LocationResolve {
             case Some(mk) => graft.Caches.memo(spark, s"$mk:$part")(b)
             case None => b
           }
-        val dimC = memoOr("dim")(dim.select($"vkey", $"canon", $"vorder")
-          .withColumn("_vid", monotonically_increasing_id()).localCheckpoint())
+        val dimC = memoOr("dim")(graft.Caches.pin(
+          dim.select($"vkey", $"canon", $"vorder")
+            .withColumn("_vid", monotonically_increasing_id())))
         // the probe side is keyed by the probe STRING itself (r15):
         // ids existed to keep the hot join skinny, but probe strings
         // are vocabulary-bounded (≤ ~20 chars) and dropping the id
@@ -911,7 +912,7 @@ object LocationResolve {
         // left to gate the build on (this also subsumes the r15
         // probe-set-independence rule for memoized indexes)
         val gorder =
-          memoOr("gorder")(gramOrderOf(dimC, "vkey").localCheckpoint())
+          memoOr("gorder")(graft.Caches.pin(gramOrderOf(dimC, "vkey")))
         val dimKeyed0 = memoOr("keys")(
           withBlockKeys(dimC.select($"_vid", $"vkey"), "vkey",
             gorder, "dlen", graft.nlp.Cleaner.FuzzyScoreCutoff,
@@ -1027,17 +1028,17 @@ object LocationResolve {
     // stripped tiers and the stripped fuzzy slice — skip those joins
     // and scans instead of running them dead per query
     val strippedDead = staticallyEmptyString(exploded, "stripped")
-    // localCheckpoint: t12 is read four times below (two fuzzy-probe
-    // slices + the two final fuzzy joins); without truncation each
-    // read re-runs the 4-tier broadcast-join chain over the token dim.
-    // Measured r16: skipping this even for the statically-one-join
-    // shape (stripped + regex tiers dead) REGRESSED n13/n14/n15 2-3×
-    // — every downstream consumer re-broadcast the dictionary and
-    // re-ran the probe projection, dwarfing the one serial job saved.
-    val t12 = resolveTokensBroadcast(
+    // pin (eager materialization): t12 is read four times below (two
+    // fuzzy-probe slices + the two final fuzzy joins); without
+    // truncation each read re-runs the 4-tier broadcast-join chain over
+    // the token dim. Measured r16: skipping this even for the
+    // statically-one-join shape (stripped + regex tiers dead) REGRESSED
+    // n13/n14/n15 2-3× — every downstream consumer re-broadcast the
+    // dictionary and re-ran the probe projection, dwarfing the one
+    // serial job saved.
+    val t12 = graft.Caches.pin(resolveTokensBroadcast(
       exploded, dim.select($"vkey", $"canon"), combinedPattern,
-      skipStripped = strippedDead)
-      .localCheckpoint()
+      skipStripped = strippedDead))
     val probeNorms = t12
       .filter(coalesce($"c_exact", $"c_regex").isNull &&
         length($"norm") >= minLen)
@@ -1047,15 +1048,14 @@ object LocationResolve {
         coalesce($"c_sexact", $"c_sregex").isNull &&
         length($"strippedNorm") >= minLen)
       .select($"strippedNorm".as("fnorm"))
-    // localCheckpoint: the fuzzy dim is consulted at TWO coalesce
-    // positions below, via two differently-aliased broadcasts whose
-    // exchanges do not canonicalize to one — without truncation the
-    // whole fuzzy pipeline (the expensive tier) executes twice
-    val fuzzy = fuzzyResolveDim(
+    // pin: the fuzzy dim is consulted at TWO coalesce positions below,
+    // via two differently-aliased broadcasts whose exchanges do not
+    // canonicalize to one — without truncation the whole fuzzy
+    // pipeline (the expensive tier) executes twice
+    val fuzzy = graft.Caches.pin(fuzzyResolveDim(
       (if (strippedDead) probeNorms
        else probeNorms.union(probeStripped)).distinct(),
-      dim, blocked, indexMemoKey)
-      .localCheckpoint()
+      dim, blocked, indexMemoKey))
     val withFNorm = t12
       .join(broadcast(fuzzy.select($"fnorm".as("norm"),
         $"floc".as("f_norm"))), Seq("norm"), "left")
@@ -1206,7 +1206,7 @@ object LocationResolve {
     // fuzzy tier derives its memoized index from it — materialize the
     // 100k-variant frame once per (session, sf)
     val dim = graft.Caches.memo(spark, s"gramdict:$sfDir:dim0")(
-      gramScaleDim(part).withColumn("vorder", lit(0L)).localCheckpoint())
+      graft.Caches.pin(gramScaleDim(part).withColumn("vorder", lit(0L))))
     val tokens = gramProbes(part)
       .withColumn("stripped", lit(""))
       .withColumn("strippedNorm", lit(""))
@@ -1328,7 +1328,7 @@ object LocationResolve {
     // and the fuzzy tier re-derives its index from it — materialize
     // the 20k-variant frame once per (session, sf)
     val dim = graft.Caches.memo(spark, s"crossdict:$sfDir:dim0")(
-      crossScaleDim(part).withColumn("vorder", lit(0L)).localCheckpoint())
+      graft.Caches.pin(crossScaleDim(part).withColumn("vorder", lit(0L))))
     val tokens = crossProbes(part)
       .withColumn("stripped", lit(""))
       .withColumn("strippedNorm", lit(""))
@@ -1458,7 +1458,7 @@ object LocationResolve {
     // and the fuzzy tier derives its memoized index from it —
     // materialize the 20k-variant frame once per (session, sf)
     val dim = graft.Caches.memo(spark, s"multidict:$sfDir:dim0")(
-      multiScaleDim(part).withColumn("vorder", lit(0L)).localCheckpoint())
+      graft.Caches.pin(multiScaleDim(part).withColumn("vorder", lit(0L))))
     val tokens = multiProbes(part)
       .withColumn("stripped", lit(""))
       .withColumn("strippedNorm", lit(""))

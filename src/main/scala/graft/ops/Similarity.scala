@@ -617,17 +617,17 @@ object Similarity {
     * input several times before its first checkpoint (pre-loop star
     * check + round 1), and without this each scan re-executes the full
     * kNN pipeline upstream (measured 6.8 s → ~2 s at sf0.1).
-    * localCheckpoint, not persist — keeps the CacheManager empty, the
-    * x14/x29 honesty convention. Ids-only, ≤ k·n/2 rows. */
+    * pin (localCheckpoint under the bench's local master — keeps the
+    * CacheManager empty, the x14/x29 honesty convention; scale-safe
+    * forms on a cluster, see Caches.pin). Ids-only, ≤ k·n/2 rows. */
   private def mutualEdgesOf(g: DataFrame): DataFrame = {
     val spark = g.sparkSession
     import spark.implicits._
     val ids = g.select($"src", $"dst")
-    ids.as("a")
+    graft.Caches.pin(ids.as("a")
       .join(ids.as("b"), $"a.src" === $"b.dst" && $"a.dst" === $"b.src")
       .filter($"a.src" < $"a.dst")
-      .select($"a.src".as("id_a"), $"a.dst".as("id_b"))
-      .localCheckpoint()
+      .select($"a.src".as("id_a"), $"a.dst".as("id_b")))
   }
 
   private def clustersFromLabels(labels: DataFrame): DataFrame = {
@@ -744,8 +744,8 @@ object Similarity {
       seeded: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val g = edges.localCheckpoint()
-    var labels = seeded.localCheckpoint()
+    val g = graft.Caches.pin(edges)
+    var labels = graft.Caches.pin(seeded)
     for (r <- 1 to LabelPropRounds) {
       val votes = g
         .join(labels.filter($"lbl".isNotNull)
@@ -755,13 +755,14 @@ object Similarity {
       val best = votes.withColumn("rk", row_number().over(w))
         .filter($"rk" === 1)
         .select($"src".as("vec_id"), $"nl".as("new_lbl"))
-      labels = labels.join(best, Seq("vec_id"), "left")
+      val prev = labels
+      labels = graft.Caches.pin(labels.join(best, Seq("vec_id"), "left")
         .select($"vec_id",
           coalesce($"lbl", $"new_lbl").as("lbl"),
           when($"lbl".isNotNull, $"origin")
             .when($"new_lbl".isNotNull, lit(s"round$r"))
-            .otherwise($"origin").as("origin"))
-        .localCheckpoint()
+            .otherwise($"origin").as("origin")))
+      graft.Caches.unpin(prev) // dead once the new round is pinned
     }
     labels
   }
@@ -1717,14 +1718,15 @@ object Similarity {
     // session, like Dedup.ccLabels; Bench prewarms this query so the
     // pair join + CC rounds land in cache_build_sec)
     val labels = graft.Caches.memoValue(spark, s"semdedup-cc-labels:$sfDir") {
-      // localCheckpoint the pair edge set before CC: ccStars scans its
-      // input three times (edges checkpoint + both sides of the nodes
+      // pin the pair edge set before CC: ccStars scans its input
+      // three times (edges checkpoint + both sides of the nodes
       // union), and the O(n²) tiled cosine join is the suite's most
       // expensive — without this it would execute 3× per cold session.
-      // localCheckpoint (not persist) keeps the CacheManager empty, so
-      // x14's no-plan-cache-substitution honesty note still holds.
-      val pairs = cosineNearDupPairs(spark, sfDir)
-        .select($"id_a", $"id_b").localCheckpoint()
+      // Under the local master pin = localCheckpoint (not persist),
+      // keeping the CacheManager empty, so x14's
+      // no-plan-cache-substitution honesty note still holds.
+      val pairs = graft.Caches.pin(cosineNearDupPairs(spark, sfDir)
+        .select($"id_a", $"id_b"))
       val (l, _) = Dedup.ccStars(pairs)
       graft.Caches.track(spark, s"semdedup-cc-labels:$sfDir", l)
     }

@@ -1348,7 +1348,7 @@ object TextAnalysis {
     * distributed loop with BATCHED top-m symbol-disjoint merge
     * selection ([[bpeTrainBatched]]) — ~batch-size× fewer driver round
     * trips than one-merge-per-round, provably the same merge table.
-    * localCheckpoint per rewrite truncates the growing lineage (the x17
+    * A pin per rewrite truncates the growing lineage (the x17
     * lesson). HASH-checked since round 10: the fixed round count lets
     * [[bpeMergesSql]] unroll the whole merge loop as chained DuckDB
     * CTEs, so the oracle rederives the argmax sequence independently;
@@ -1412,7 +1412,7 @@ object TextAnalysis {
       rounds: Int): Seq[(Int, String, String, Long)] = {
     val spark = vocab0.sparkSession
     import spark.implicits._
-    val vocab = vocab0.localCheckpoint()
+    val vocab = graft.Caches.pin(vocab0)
     if (vocab.count() <= BpeLocalTrainMaxWords)
       bpeTrainLocal(
         vocab.as[(Seq[String], Long)].collect().toSeq, rounds)
@@ -1492,7 +1492,7 @@ object TextAnalysis {
     val spark = vocab0.sparkSession
     import spark.implicits._
     val mergeUdf = udf(bpeApplyMerge _)
-    var vocab = vocab0.localCheckpoint()
+    var vocab = graft.Caches.pin(vocab0)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     for (rank <- 1 to rounds if !exhausted) {
@@ -1505,9 +1505,10 @@ object TextAnalysis {
       else {
         val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, l, r, cnt))
-        vocab = vocab
-          .select(mergeUdf($"syms", lit(l), lit(r)).as("syms"), $"freq")
-          .localCheckpoint()
+        val prev = vocab
+        vocab = graft.Caches.pin(vocab
+          .select(mergeUdf($"syms", lit(l), lit(r)).as("syms"), $"freq"))
+        graft.Caches.unpin(prev)
       }
     }
     merges.toSeq
@@ -1651,7 +1652,7 @@ object TextAnalysis {
       while (i < ls.length) { s = bpeApplyMerge(s, ls(i), rs(i)); i += 1 }
       s
     }
-    var vocab = vocab0.localCheckpoint()
+    var vocab = graft.Caches.pin(vocab0)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var roundTrips = 0
     var exhausted = false
@@ -1689,12 +1690,13 @@ object TextAnalysis {
         kept.foreach { case (l, r, cnt) =>
           merges += ((merges.length + 1, l, r, cnt))
         }
-        vocab = vocab
+        val prev = vocab
+        vocab = graft.Caches.pin(vocab
           .select(multiMergeUdf($"syms",
             typedLit(kept.map(_._1).toSeq),
             typedLit(kept.map(_._2).toSeq)).as("syms"),
-            $"freq")
-          .localCheckpoint()
+            $"freq"))
+        graft.Caches.unpin(prev)
       }
     }
     (merges.toSeq, roundTrips)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
+import scala.util.chaining._
 
 /** Structured Streaming surface — the engine's answer to the reference's
   * periodic 6-hour fetch loop with checkpoint resume (Main.py:103,
@@ -1589,7 +1590,7 @@ object Streaming {
     val wavePairs = spark.read.parquet(s"$pairsDir/b$batchId")
       .select(col("inc_id").as("id_a"), col("hist_id").as("id_b"))
       .union(spark.read.parquet(s"$survDir/v$batchId/intra"))
-      .localCheckpoint()
+      .pipe(graft.Caches.pin)
     def emptyMerged = spark.emptyDataFrame
       .select(lit(0L).as("doc_id"), lit(0L).as("cluster_id"),
         lit(0.0).as("quality_score"), lit("").as("lang")).limit(0)
@@ -1601,7 +1602,7 @@ object Streaming {
       else {
         val touchedIds = wavePairs.select(col("id_a").as("doc_id"))
           .union(wavePairs.select(col("id_b").as("doc_id"))).distinct()
-          .localCheckpoint() // touched-size; probed for buckets + joined
+          .pipe(graft.Caches.pin) // touched-size; probed for buckets + joined
         // touched-cluster discovery probes the labels store BY DOC —
         // since r19 (VERDICT #3) pruned to the probe's kb_bucket
         // partitions of the compaction's doc-keyed labels_by_doc copy
@@ -1611,7 +1612,7 @@ object Streaming {
           labelsProbe(spark, survDir, prior, "labels_by_doc", "doc_id",
               touchedIds)
             .join(touchedIds, Seq("doc_id"), "left_semi")
-            .select(col("cluster_id")).distinct().localCheckpoint()
+            .select(col("cluster_id")).distinct().pipe(graft.Caches.pin)
         // member expansion probes BY CLUSTER — the cluster-keyed copy,
         // pruned to the touched clusters' buckets
         val members =
@@ -1640,7 +1641,7 @@ object Streaming {
         // just-written delta
         val firstTimers = lblNodes
           .join(known.select(col("doc_id")), Seq("doc_id"), "left_anti")
-          .select(col("doc_id")).localCheckpoint()
+          .select(col("doc_id")).pipe(graft.Caches.pin)
         val fetched =
           attrsProbe(spark, survDir, prior, firstTimers)
             .unionByName(
@@ -1655,7 +1656,7 @@ object Streaming {
         val newMembers = lblNodes
           .join(known.unionByName(fetched), Seq("doc_id"))
           .select(cols.map(col): _*)
-          .localCheckpoint()
+          .pipe(graft.Caches.pin)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("cluster_id"))
           .orderBy(col("quality_score").desc, col("doc_id").asc)
@@ -2333,7 +2334,7 @@ object Streaming {
     val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs)
     base match {
       case Some(b) =>
-        val c = candLazy.localCheckpoint()
+        val c = graft.Caches.pin(candLazy)
         // one bucket collection per DISTINCT shift — tiers written at
         // different corpus sizes carry different bucket widths
         val roots = bandTierRoots(dimDir, b)
