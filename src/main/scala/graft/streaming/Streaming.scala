@@ -1776,8 +1776,12 @@ object Streaming {
     * base without an attrs artifact falls back to the deterministic
     * docs-slice backfill (readers on a lineage no r17 wave has
     * touched yet — the maintainer persists the upgrade at its next
-    * wave). The per-cluster drop dim broadcasts at touched-clusters
-    * size, the same class as the gram reader's version dims. */
+    * wave). The per-cluster drop dim broadcasts at a size bounded by
+    * the clusters dropped SINCE the oldest manifest tier: the
+    * compaction prunes cumulative entries no kept row can match
+    * (r20, ADVICE — see [[compactKeepBest]]'s drops write), and the
+    * bucket-dir tier-merge bound advances the oldest tier, so the
+    * store cannot grow with every cluster ever dropped. */
   private[graft] def assembledKeepBestDims(spark: SparkSession,
       survDir: String,
       vs0: Seq[Long]): (DataFrame, DataFrame, DataFrame) = {
@@ -2148,6 +2152,62 @@ object Streaming {
       .write.mode("overwrite").partitionBy("kb_bucket").parquet(out)
   }
 
+  /** Driver-side parquet row count of a store dir, summed from file
+    * FOOTERS (r20, ADVICE): the tier metrics below used to run
+    * `spark.read.parquet(dir).count()` per store per trigger — each a
+    * scheduled Spark job (tasks, exchanges of nothing, listener
+    * events), so trigger overhead grew with tier + tail count even
+    * when nothing would be absorbed. A footer read is pure metadata
+    * (the row count is in the file footer), needs no job, and costs
+    * one short ranged read per file — stores are written
+    * size-targeted, so file counts are bounded. Recursive listing
+    * covers kb_bucket-partitioned stores. */
+  private[graft] def parquetRowCount(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 0L
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf))
+        try n += r.getRecordCount finally r.close()
+      }
+    }
+    n
+  }
+
+  /** Number of kb_bucket partition directories under a bucketed store
+    * — the per-root term of the tier-merge bound below. */
+  private def bucketDirCount(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).count(s =>
+      s.isDirectory && s.getPath.getName.startsWith("kb_bucket=")).toLong
+  }
+
+  /** Tier-merge bound for the bucketed stores (r20, VERDICT #4): when
+    * the BUCKET DIRECTORIES across a manifest's kept tier roots exceed
+    * this, the next compaction absorbs every root into one tier
+    * regardless of the size rule. Unmerged tiers each carry their own
+    * bucket-dir fan-out, and every wave's probe lists touched buckets
+    * per root — at warehouse wave counts the listing cost the
+    * compaction removed would re-grow with tier count. The default
+    * (4096) keeps listings trivially cheap on any store while firing
+    * rarely enough that the forced rewrite amortizes (a major merge is
+    * one extra O(corpus) rewrite per ~doubling). Parameterised for
+    * tests and clusters; scale-adaptive because bucket width re-derives
+    * per tier, so dir count tracks corpus/target rows, not waves. */
+  private def maxKeptBucketDirs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.kb.maxKeptBucketDirs")
+      .flatMap(_.toLongOption).getOrElse(4096L)
+
   /** Compact a delta keep-best lineage at its newest committed
     * version: SIZE-TIERED since the r19 tiering — merge the fresh
     * tail slices plus any prior tier roots of comparable size into a
@@ -2202,21 +2262,46 @@ object Streaming {
     val (kept, attrs, labels, survivors) = tieredBase match {
       case None =>
         val (a, l, s) = assembledKeepBestDims(spark, survDir, vs)
-        (Seq.empty[String], a, l, s)
+        (Seq.empty[(Long, String)], a, l, s)
       case Some(b) =>
         val roots = kbTierRoots(survDir, b)
+        // r20 (ADVICE): a root without the full r19 artifact set (the
+        // doc-keyed labels_by_doc copy + BUCKETS meta — r18-era
+        // compact layouts, written before those artifacts existed)
+        // cannot serve the bucketed probes: if a manifest KEEPS one,
+        // the next wave's labelsProbe reads <root>/labels_by_doc — a
+        // nonexistent path — and crashes. Force-absorb such roots
+        // regardless of size: the same one-time upgrade cost the
+        // pre-r17 whole-rewrite base takes, after which every
+        // manifest-referenced root carries every probe artifact.
+        val (modern, legacy) = roots.partition { case (_, root) =>
+          Files.exists(Paths.get(s"$root/labels_by_doc")) &&
+            Files.isRegularFile(Paths.get(s"$root/BUCKETS"))
+        }
         // the tier metric is attrs ROW COUNT (the corpus-membership
-        // artifact — one row per streamed doc): a footer-only
-        // metadata read, ∝-exact for a fixed schema at any scale
-        def rowsOf(dir: String): Long = spark.read.parquet(dir).count()
-        var acc = tail.map(v => rowsOf(s"$survDir/v$v/attrs_delta")).sum
+        // artifact — one row per streamed doc), summed from parquet
+        // footers on the driver (r20, ADVICE — [[parquetRowCount]]:
+        // no per-store count() jobs on the trigger path)
+        def rowsOf(dir: String): Long = parquetRowCount(spark, dir)
+        var acc = tail.map(v => rowsOf(s"$survDir/v$v/attrs_delta")).sum +
+          legacy.map { case (_, root) => rowsOf(s"$root/attrs") }.sum
         val absorbed =
           scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-        roots.map { rv => rv -> rowsOf(s"${rv._2}/attrs") }
+        absorbed ++= legacy
+        modern.map { rv => rv -> rowsOf(s"${rv._2}/attrs") }
           .sortBy(_._2).foreach { case (rv, n) =>
             if (n <= 2 * acc) { absorbed += rv; acc += n }
           }
-        val keptRoots = roots.filterNot(absorbed.contains)
+        var keptRoots = roots.filterNot(absorbed.contains)
+        // r20 (VERDICT #4): bucket-dir tier-merge bound — see
+        // [[maxKeptBucketDirs]]. Counted over the roots that would be
+        // KEPT (the new tier's dirs replace the absorbed ones).
+        if (keptRoots.map { case (_, root) =>
+              bucketDirCount(spark, s"$root/attrs") }.sum
+            > maxKeptBucketDirs(spark)) {
+          absorbed ++= keptRoots
+          keptRoots = Seq.empty
+        }
         val a = (absorbed.toSeq.map { case (_, root) =>
             spark.read.parquet(s"$root/attrs")
               .select(col("doc_id"), col("quality_score"), col("lang")) } ++
@@ -2237,7 +2322,7 @@ object Streaming {
             .reduce(_ unionByName _)
           applyKbDrops(spark, survDir, tail, rows, priorCumDrops)
         }
-        (keptRoots.map(_._2), a, merge("labels", "labels_delta"),
+        (keptRoots, a, merge("labels", "labels_delta"),
           merge("survivors", "survivors_delta"))
     }
     // bucket width (r19, VERDICT #2/#3): see [[kbShiftFor]] — derived
@@ -2273,7 +2358,15 @@ object Streaming {
     // cumulative + tail drop slices, per-cluster max — the drop
     // history KEPT tiers need after their recording waves' own
     // `drops` slices are janitor-deleted. Written before the marker
-    // like every tier artifact.
+    // like every tier artifact. PRUNED to entries that can still kill
+    // a row (r20, ADVICE): every row a reader can present carries
+    // _ver >= the minimum build version in the NEW manifest (kept
+    // tiers at their build versions, the new tier at `top`, later
+    // deltas newer still), and `_maxDrop <= _ver` always survives —
+    // so entries with _maxDrop <= that minimum are dead weight, and
+    // without pruning the store (broadcast by [[applyKbDrops]] on
+    // every wave) would grow with every cluster EVER dropped.
+    val minKeptVer = (kept.map(_._1) :+ top).min
     (priorCumDrops
         .map(_.select(col("cluster_id"), col("_maxDrop").as("_dver")))
         .toSeq ++
@@ -2281,6 +2374,7 @@ object Streaming {
         .select(col("cluster_id")).withColumn("_dver", lit(v))))
       .reduce(_ unionByName _)
       .groupBy(col("cluster_id")).agg(max(col("_dver")).as("_maxDrop"))
+      .where(col("_maxDrop") > lit(minKeptVer))
       .write.mode("overwrite").parquet(s"$survDir/v$top/compact/drops")
     // bucket meta BEFORE the marker: a torn compaction never exposes it
     Files.write(Paths.get(s"$survDir/v$top/compact/BUCKETS"),
@@ -2291,7 +2385,7 @@ object Streaming {
     // torn merge leaves the old manifest authoritative and the orphan
     // compact/ dir invisible.
     val prefix = s"$survDir/"
-    val manifest = (kept.map(_.stripPrefix(prefix)) :+
+    val manifest = (kept.map(_._2.stripPrefix(prefix)) :+
       s"v$top/compact").mkString("\n")
     Files.write(Paths.get(s"$survDir/v$top/_CUMULATIVE"),
       manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -2433,6 +2527,61 @@ object Streaming {
       tail.map(v => s"$dimDir/v$v/$part")
   }
 
+  /** The exact paths a janitor may delete under a `_CUMULATIVE`-marker
+    * lineage dir (keep-best survivors, band index, span index, ledger,
+    * datasheet dims) — r20, ADVICE: since the r19 tiering, KEPT tier
+    * roots live INSIDE old version dirs, so the pre-r19 janitor
+    * contract ("version dirs below the newest compaction are deletable
+    * outright") silently inverted; a janitor built on it destroys
+    * manifest-referenced tiers, detected only as a path-not-found
+    * crash at read time. This helper IS the contract now: janitors
+    * enumerate instead of re-deriving the rule from doc comments.
+    *
+    * Protected: version dirs NEWER than the newest manifest (live tail
+    * slices), every root the newest manifest references (whole
+    * subtrees, wherever they live), and each version dir's
+    * `_SUCCESS`/`_CUMULATIVE` markers (version registration + manifest
+    * history). Everything else at or below the manifest version is
+    * subsumed by the tiers: raw slices, and compact roots earlier
+    * merges superseded. Returns maximal deletable subtrees; deleting
+    * exactly this set leaves every reader, the next wave and the next
+    * recompaction unchanged (StreamingSpec gates it against the batch
+    * oracle). */
+  def janitorDeletablePaths(dimDir: String): Seq[String] = {
+    import java.nio.file.{Files, Paths, Path}
+    val vs = modelVersions(dimDir).sorted
+    val base = vs.filter(v =>
+      Files.isRegularFile(Paths.get(s"$dimDir/v$v/_CUMULATIVE"))).lastOption
+    base match {
+      case None => Seq.empty // nothing compacted: every slice is live
+      case Some(b) =>
+        val lines = new String(
+          Files.readAllBytes(Paths.get(s"$dimDir/v$b/_CUMULATIVE")),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+        val roots =
+          (if (lines.isEmpty) Seq(s"$dimDir/v$b/compact")
+           else lines.map(rel => s"$dimDir/$rel"))
+            .map(r => Paths.get(r).normalize)
+        // a path is deletable iff it neither contains nor lies inside
+        // a protected root; a dir containing one recurses so the
+        // siblings of a nested root (e.g. v1/compact/shas) still go
+        def sweep(p: Path): Seq[String] =
+          if (roots.exists(r => r.startsWith(p) && r != p)) {
+            val kids = Files.list(p).toArray.toSeq.map(_.asInstanceOf[Path])
+            kids.flatMap(sweep)
+          } else if (roots.exists(p.startsWith)) Seq.empty
+          else Seq(p.toString)
+        vs.filter(_ <= b).flatMap { v =>
+          val vd = Paths.get(s"$dimDir/v$v")
+          Files.list(vd).toArray.toSeq.map(_.asInstanceOf[Path])
+            .filterNot(e => e.getFileName.toString == "_CUMULATIVE" ||
+              e.getFileName.toString == "_SUCCESS")
+            .flatMap(sweep)
+        }
+    }
+  }
+
   /** SIZE-TIERED compaction of a distinct-union lineage (ledger shas,
     * span index) at its newest committed version `top`. The
     * pre-tiering form rewrote the FULL accumulated store at every
@@ -2471,11 +2620,12 @@ object Streaming {
     val tail = base.map(b => vs.filter(_ > b)).getOrElse(vs)
     val stores = base.toSeq.flatMap(b => cumulativeStores(dimDir, b, part))
     val tailDirs = tail.map(v => s"$dimDir/v$v/$part")
-    // the tier metric is ROW COUNT, not bytes: parquet count() is a
-    // footer-only metadata read, rows track data ∝-exactly for a
-    // fixed schema at any scale, and (unlike file bytes) they are not
-    // poisoned by per-file overhead on small slices
-    def rowsOf(dir: String): Long = spark.read.parquet(dir).count()
+    // the tier metric is ROW COUNT, not bytes: rows track data
+    // ∝-exactly for a fixed schema at any scale, and (unlike file
+    // bytes) they are not poisoned by per-file overhead on small
+    // slices. Summed from parquet footers on the driver (r20, ADVICE
+    // — [[parquetRowCount]]: no count() jobs on the trigger path).
+    def rowsOf(dir: String): Long = parquetRowCount(spark, dir)
     var acc = tailDirs.map(rowsOf).sum
     val absorbed = scala.collection.mutable.ArrayBuffer.empty[String]
     stores.map(s => s -> rowsOf(s)).sortBy(_._2).foreach { case (s, b) =>
@@ -2544,13 +2694,20 @@ object Streaming {
     // per-batch disjoint, so tiers partition the store exactly and no
     // precedence is needed (unlike the latest-wins keep-best survivor
     // stores, which stay single-base for that reason).
-    def rowsOf(dir: String): Long = spark.read.parquet(dir).count()
+    def rowsOf(dir: String): Long = parquetRowCount(spark, dir)
     var acc = tail.map(v => rowsOf(s"$dimDir/v$v/$docsPart")).sum
     val absorbed = scala.collection.mutable.ArrayBuffer.empty[String]
     roots.map(r => r -> rowsOf(s"$r/$docsPart")).sortBy(_._2).foreach {
       case (r, n) => if (n <= 2 * acc) { absorbed += r; acc += n }
     }
-    val kept = roots.filterNot(absorbed.contains)
+    var kept = roots.filterNot(absorbed.contains)
+    // r20 (VERDICT #4): bucket-dir tier-merge bound over the kept
+    // roots' bucketed docs stores — see [[maxKeptBucketDirs]]
+    if (kept.map(r => bucketDirCount(spark, s"$r/$docsPart")).sum
+        > maxKeptBucketDirs(spark)) {
+      absorbed ++= kept
+      kept = Seq.empty
+    }
     // the kb_bucket-partitioned tiers and the plain tail slices must
     // be read separately (one mixed read trips Spark's conflicting-
     // directory-structures check) — select() aligns the schemas

@@ -2179,4 +2179,172 @@ class StreamingSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(streamed, batchSketch),
       "streamed blocklist diverged from the batch-built sketch")
   }
+
+  test("tiered keep-best (r20, ADVICE): a TRUE r18-form root (no " +
+      "labels_by_doc, no BUCKETS, empty marker) big enough to be kept " +
+      "by the size rule is force-absorbed, so no manifest ever " +
+      "references a root the bucketed probes cannot read") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    // most docs in waves 0/1, tiny tails in 2/3: at the v3 trigger the
+    // v1 root dwarfs 2x the tails, exactly the kept-root shape
+    val early = docs.filter($"doc_id" % 11 =!= 0)
+    val lateDocs = docs.filter($"doc_id" % 11 === 0)
+    val waves = Seq(
+      early.filter($"doc_id" % 3 =!= 0),
+      early.filter($"doc_id" % 3 === 0),
+      lateDocs.filter($"doc_id" % 2 === 0),
+      lateDocs.filter($"doc_id" % 2 === 1))
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_kbr18_$p").toString
+    val (dimDir, pairsDir, survDir) = (tmp("dim"), tmp("pairs"), tmp("surv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id", "quality_score", "lang")
+        .collect().map(_.toSeq).toSet
+    waves.zipWithIndex.foreach { case (w, i) =>
+      Streaming.keepBestDeltaMaintain(dimDir, pairsDir, survDir,
+        compactEvery = 2)(w, i.toLong)
+      if (i == 1) {
+        // rewrite v1/compact to the TRUE r18 on-disk form: plain
+        // (unbucketed) attrs/members/labels/survivors only, no
+        // labels_by_doc, no BUCKETS, no drops, empty _CUMULATIVE —
+        // what commit-8dc8db5-era compactions left behind
+        def flatten(part: String, cols: Seq[String]): Unit = {
+          val p = s"$survDir/v1/compact/$part"
+          val df = spark.read.parquet(p)
+            .select(cols.map(org.apache.spark.sql.functions.col): _*)
+          val (local, schema) = (df.collect().toSeq, df.schema)
+          deleteRec(p)
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(local, 1), schema)
+            .write.mode("overwrite").parquet(p)
+        }
+        flatten("attrs", Seq("doc_id", "quality_score", "lang"))
+        flatten("members", Seq("doc_id"))
+        flatten("labels",
+          Seq("doc_id", "cluster_id", "quality_score", "lang"))
+        flatten("survivors",
+          Seq("doc_id", "cluster_id", "quality_score", "lang"))
+        deleteRec(s"$survDir/v1/compact/labels_by_doc")
+        deleteRec(s"$survDir/v1/compact/drops")
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$survDir/v1/compact/BUCKETS"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$survDir/v1/_CUMULATIVE"),
+          Array.emptyByteArray)
+      }
+    }
+    // the v3 trigger must NOT have kept the r18 root: keeping it would
+    // make the next wave's labels_by_doc probe read a missing path
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$survDir/v3/_CUMULATIVE")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    assert(manifest == Seq("v3/compact"),
+      s"expected the r18-form root force-absorbed, got: $manifest")
+    // a wave on top of the upgraded manifest exercises the bucketed
+    // probes (labels_by_doc + members + attrs) on the hot path
+    Streaming.keepBestDeltaMaintain(dimDir, pairsDir, survDir,
+      compactEvery = 2)(lateDocs.filter($"doc_id" % 2 === 0), 4L)
+    assert(rows(Streaming.streamedKeepBestDeltaSurvivors(spark, survDir))
+        == rows(graft.ops.Dedup.dedupKeepBest(spark, sf)),
+      "post-upgrade lineage diverged from batch x59")
+  }
+
+  test("tiered keep-best (r20, VERDICT #4): the bucket-dir bound " +
+      "forces a major merge — one manifest root — and the reader " +
+      "stays == batch x59; a single-root manifest's cumulative drop " +
+      "store is pruned empty") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val waves = (0 until 4).map(i => docs.filter($"doc_id" % 4 === i))
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_kbdir_$p").toString
+    val (dimDir, pairsDir, survDir) = (tmp("dim"), tmp("pairs"), tmp("surv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id", "quality_score", "lang")
+        .collect().map(_.toSeq).toSet
+    spark.conf.set("spark.graft.kb.maxKeptBucketDirs", "0")
+    try {
+      waves.zipWithIndex.foreach { case (w, i) =>
+        Streaming.keepBestDeltaMaintain(dimDir, pairsDir, survDir,
+          compactEvery = 2)(w, i.toLong)
+      }
+    } finally spark.conf.unset("spark.graft.kb.maxKeptBucketDirs")
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$survDir/v3/_CUMULATIVE")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    assert(manifest == Seq("v3/compact"),
+      s"bucket-dir bound 0 must force a single-root manifest: $manifest")
+    // single-root manifest => minKeptVer == top => every cumulative
+    // drop entry is <= it and must be pruned (r20, ADVICE: the store
+    // applyKbDrops broadcasts every wave must not grow forever)
+    assert(spark.read.parquet(s"$survDir/v3/compact/drops").count() == 0,
+      "single-root manifest must prune the cumulative drop store empty")
+    assert(rows(Streaming.streamedKeepBestDeltaSurvivors(spark, survDir))
+        == rows(graft.ops.Dedup.dedupKeepBest(spark, sf)),
+      "major-merged lineage diverged from batch x59")
+  }
+
+  test("janitorDeletablePaths (r20, ADVICE) IS the janitor contract: " +
+      "deleting exactly that set leaves the tiered keep-best reader, " +
+      "the next wave and the next recompaction unchanged") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    // the late-arrival shape of the tiered test: the v3 manifest keeps
+    // the big v1 tier, so kept roots live under an OLD version dir —
+    // exactly what the pre-r19 "delete old version dirs" rule destroys
+    val late = graft.ops.Dedup.dedupKeepBest(spark, sf)
+      .filter($"doc_id" =!= $"cluster_id")
+      .select($"cluster_id").distinct().orderBy($"cluster_id")
+      .limit(8).as[Long].collect().toSeq
+    val early = docs.filter(!$"doc_id".isin(late: _*))
+    val waves = Seq(
+      early.filter($"doc_id" % 7 =!= 0),
+      early.filter($"doc_id" % 7 === 0),
+      docs.filter($"doc_id".isin(late.take(late.size / 2): _*)),
+      docs.filter($"doc_id".isin(late.drop(late.size / 2): _*)))
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_kbjan_$p").toString
+    val (dimDir, pairsDir, survDir) = (tmp("dim"), tmp("pairs"), tmp("surv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id", "quality_score", "lang")
+        .collect().map(_.toSeq).toSet
+    waves.zipWithIndex.foreach { case (w, i) =>
+      Streaming.keepBestDeltaMaintain(dimDir, pairsDir, survDir,
+        compactEvery = 2)(w, i.toLong)
+    }
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$survDir/v3/_CUMULATIVE")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    assert(manifest.contains("v1/compact") && manifest.size > 1,
+      s"fixture must keep an old-version tier for the sweep test: $manifest")
+    // the footer-count helper the tier metrics stand on must agree
+    // with a real count on a bucketed store
+    assert(Streaming.parquetRowCount(spark, s"$survDir/v3/compact/attrs")
+        == spark.read.parquet(s"$survDir/v3/compact/attrs").count(),
+      "parquetRowCount diverged from count() on a bucketed store")
+    val deletable = Streaming.janitorDeletablePaths(survDir)
+    // the contract's safety half: nothing protected is offered
+    assert(!deletable.exists(p => manifest.exists(r => p.contains(r)) ||
+        p.endsWith("_CUMULATIVE") || p.endsWith("_SUCCESS")),
+      s"deletable set offers a protected path: $deletable")
+    // its usefulness half: the raw slices below the base ARE offered
+    assert(deletable.exists(_.contains("/v0/")),
+      s"deletable set misses pre-compaction slices: $deletable")
+    deletable.foreach(deleteRec)
+    val batch = rows(graft.ops.Dedup.dedupKeepBest(spark, sf))
+    assert(rows(Streaming.streamedKeepBestDeltaSurvivors(spark, survDir))
+        == batch,
+      "post-janitor reader diverged — the deletable set broke a tier")
+    // the next wave (probes) and its cadence trigger (recompaction
+    // over swept history) must both stand
+    Streaming.keepBestDeltaMaintain(dimDir, pairsDir, survDir,
+      compactEvery = 1)(docs.filter($"doc_id" % 7 === 0), 4L)
+    assert(rows(Streaming.streamedKeepBestDeltaSurvivors(spark, survDir))
+        == batch,
+      "post-janitor wave + recompaction diverged from batch x59")
+  }
 }
