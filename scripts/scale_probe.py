@@ -34,6 +34,17 @@ trips (q/n/a) query families whose inputs are orders/lineitem/events:
   reference the same dim keys, so joins stay semantically intact while
   the big sides scale.
 
+File layout (r20): the doc-family and dim COPYs set ROW_GROUP_SIZE so
+the output carries MANY row groups per file. DuckDB's default (122880
+rows/group) made documents/embeddings/part single-row-group files, and
+Spark cannot split a parquet file below one row group - every
+scan-rooted map stage (pii scrub, text quality, frame decode, the gram
+dictionary build) then runs as ONE task regardless of cores. A real
+warehouse table is never a single-row-group file; the small groups
+emulate its multi-split layout at probe scale so scan parallelism is
+measurable (spark guide section 6). Measured r20: the single-row-group
+sf1 fixture read 8-core approximately equal to 32-core on exactly the scan-rooted queries.
+
 This is builder tooling only (like check.py), not engine code.
 """
 import os
@@ -87,6 +98,30 @@ os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
 written = []
 
+# r20: the probe corpus must carry a WAREHOUSE-LIKE file layout for the
+# tables whose single-file form packs into a handful of splits: Spark
+# charges every file spark.sql.files.openCostInBytes (4 MB), so a 30 MB
+# single file yields ~7 splits no matter the core count, and the
+# per-doc CPU operators (pii scrub, text quality, lang id) then read
+# 8-core == 32-core. 32 deterministic shard files (id % 32) make each
+# file its own split - the multi-file layout any real big table has.
+SHARDS = 32
+
+def copy_sharded(select_sql, name, id_col, row_group=1024):
+    """Write `select_sql` as DST/name.parquet/shard*.parquet, sharded
+    deterministically by id, small row groups (see module doc)."""
+    d = f"{DST}/{name}.parquet"
+    os.makedirs(d, exist_ok=True)
+    con.sql(f"CREATE OR REPLACE TEMP TABLE _shard_src AS {select_sql}")
+    for i in range(SHARDS):
+        con.sql(f"""
+        COPY (SELECT * FROM _shard_src WHERE {id_col} % {SHARDS} = {i}
+              ORDER BY {id_col})
+        TO '{d}/shard{i:02d}.parquet'
+          (FORMAT parquet, ROW_GROUP_SIZE {row_group})
+        """)
+    con.sql("DROP TABLE _shard_src")
+
 if FAMILIES in ("doc", "all", "full"):
     # the rotation below hardcodes dim 64; on shorter vectors DuckDB's
     # list slicing CLAMPS out-of-range bounds, so rotations >= dim
@@ -96,8 +131,7 @@ if FAMILIES in ("doc", "all", "full"):
         f"SELECT len(embedding) FROM "
         f"read_parquet('{SRC}/embeddings.parquet') LIMIT 1").fetchone()[0]
     assert dim == 64, f"rotation hardcodes dim 64, source has dim {dim}"
-    con.sql(f"""
-    COPY (
+    copy_sharded(f"""
       WITH rep AS (
         SELECT d.doc_id + r.range * 10000000 AS doc_id,
           CASE WHEN r.range = 0 THEN d.text
@@ -108,12 +142,9 @@ if FAMILIES in ("doc", "all", "full"):
       )
       SELECT doc_id, text, lang, source,
         CAST(length(text) AS BIGINT) AS n_chars
-      FROM rep ORDER BY doc_id
-    ) TO '{DST}/documents.parquet' (FORMAT parquet)
-    """)
+      FROM rep""", "documents", "doc_id")
 
-    con.sql(f"""
-    COPY (
+    copy_sharded(f"""
       SELECT e.vec_id + r.range * 10000000 AS vec_id,
         CAST(list_transform(
           list_concat(e.embedding[(r.range % 64) + 1:],
@@ -121,10 +152,8 @@ if FAMILIES in ("doc", "all", "full"):
           x -> CASE WHEN r.range >= 64 THEN -x ELSE x END)
              AS FLOAT[]) AS embedding,
         e.label
-      FROM read_parquet('{SRC}/embeddings.parquet') e, range({REPLICAS}) r
-      ORDER BY vec_id
-    ) TO '{DST}/embeddings.parquet' (FORMAT parquet)
-    """)
+      FROM read_parquet('{SRC}/embeddings.parquet') e, range({REPLICAS}) r""",
+      "embeddings", "vec_id", row_group=512)
     written += ["documents", "embeddings"]
 
 if FAMILIES in ("rel", "zipf", "all", "full"):
@@ -153,13 +182,17 @@ if FAMILIES in ("rel", "zipf", "all", "full"):
       ORDER BY event_id
     ) TO '{DST}/events.parquet' (FORMAT parquet)
     """)
-    copied_dims = ("region", "nation", "customer", "supplier") + \
-        (() if FAMILIES == "full" else ("part",))
-    for dim in copied_dims:
+    for dim in ("region", "nation", "customer", "supplier"):
         con.sql(f"""
         COPY (SELECT * FROM read_parquet('{SRC}/{dim}.parquet'))
-        TO '{DST}/{dim}.parquet' (FORMAT parquet)
+        TO '{DST}/{dim}.parquet' (FORMAT parquet, ROW_GROUP_SIZE 1024)
         """)
+    if FAMILIES != "full":
+        # sharded like the doc family: the gram/fuzzy dictionary build
+        # (gramScaleDim etc.) is a scan-rooted map over part
+        copy_sharded(
+            f"SELECT * FROM read_parquet('{SRC}/part.parquet')",
+            "part", "p_partkey")
     written += ["orders", "lineitem", "events"]
 
 if FAMILIES == "full":
@@ -169,16 +202,15 @@ if FAMILIES == "full":
     # with replica-disjoint token universes. p_name/p_brand etc. are
     # kept verbatim — n11's probes append the (offset) key to the name,
     # so its probe set also stays replica-distinct.
-    con.sql(f"""
-    COPY (
+    copy_sharded(f"""
       SELECT p_partkey + r.range * 10000000 AS p_partkey,
         p_name, p_brand, p_type, p_size, p_retailprice
-      FROM read_parquet('{SRC}/part.parquet'), range({REPLICAS}) r
-      ORDER BY p_partkey
-    ) TO '{DST}/part.parquet' (FORMAT parquet)
-    """)
+      FROM read_parquet('{SRC}/part.parquet'), range({REPLICAS}) r""",
+      "part", "p_partkey")
     written += ["part"]
 
 for t in written:
-    n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{DST}/{t}.parquet')").fetchone()[0]
+    path = f"{DST}/{t}.parquet"
+    glob = f"{path}/*.parquet" if os.path.isdir(path) else path
+    n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{glob}')").fetchone()[0]
     print(f"{t}: {n} rows")
